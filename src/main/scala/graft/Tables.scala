@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Test-table registry: uniform, schema-stable access to the driver parquet
+  * tables in `/root/testdata/sf*` (see TESTDATA.md / FIXTURES.md).
+  *
+  * The `events` table plays the reference's binlog event table
+  * `mysql_monitor.broker_binlog_local` (reference `README.md:99-118`); the
+  * column role-mapping lives in [[graft.binlog.BinlogEvents]].
+  *
+  * Scale note: every loader returns a plain file-source DataFrame so Catalyst
+  * keeps predicate pushdown / column pruning / partition pruning intact — no
+  * caching, no collect. At 100 TB these reads become multi-file partitioned
+  * scans with identical code.
+  */
+object Tables {
+
+  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark 4 cannot map
+    * to TimestampType. Sessions must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true`; this loader then rebuilds a
+    * microsecond TimestampType column (UTC, floor division — matches DuckDB's
+    * ns→µs cast truncation used by the oracle).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read
+      .parquet(s"$sfDir/events.parquet")
+      // integral `div`, not `/`: Long./ promotes to double, which cannot
+      // represent epoch-nanos exactly and rounds the last microsecond
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+
+  def orders(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/orders.parquet")
+
+  def customer(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/customer.parquet")
+
+  def supplier(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/supplier.parquet")
+
+  def part(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/part.parquet")
+
+  def nation(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/nation.parquet")
+
+  def region(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/region.parquet")
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** Session factory with the configs every entry point needs. Shuffle
+    * partitions default to the local core count (32 in the grading env, per
+    * the build contract) instead of Spark's 200 — at sf0.1 a 200-way shuffle
+    * is pure scheduling overhead; on a real cluster this knob is replaced by
+    * AQE coalescing, which we also enable.
+    */
+  def session(appName: String, master: String, shufflePartitions: Int): SparkSession =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

@@ -1,0 +1,65 @@
+package graft.binlog
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Materialized-view equivalents — the reference's two incremental MVs and
+  * their SummingMergeTree read semantics (SURVEY.md §2.9).
+  *
+  *   - MV1: daily event-type counts (`README.md:168-184`, target 155-165)
+  *   - MV2: daily per-table counts (`README.md:221-245`, target 206-218)
+  *   - A9/M3: rows with equal sort key are re-summed at read time because
+  *     background merges may not have collapsed partials yet
+  *     (`README.md:143-145, 187-194`).
+  *
+  * Batch form here; the continuously-maintained (Structured Streaming) form
+  * is [[graft.streaming.StreamingMVs]]. Both are the same logical GROUP BY —
+  * the property test in MVEquivalenceSpec pins stream ≡ batch.
+  *
+  * Scale: a count aggregation over (day, event_type[, schema, table]) has
+  * tiny cardinality relative to input, so map-side partial aggregation
+  * reduces ~all the data before the single shuffle — exactly the per-block
+  * partial + merge-time combine that SummingMergeTree does declaratively
+  * (SURVEY.md §3.3).
+  */
+object DailyCounts {
+
+  /** MV1 SELECT: `toDate(execute_time) day, event_type, count(*)`
+    * (`README.md:174-181`).
+    */
+  def dailyEventCounts(binlog: DataFrame): DataFrame =
+    binlog
+      .groupBy(to_date(col("execute_time")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("event_count"))
+
+  /** MV2 SELECT: adds the per-table keys (`README.md:230-240`). The test
+    * table has no schema/table columns; callers pass the two role columns
+    * (FIXTURES.md maps gtid as the finer grouping key).
+    */
+  def dailyTableEventCounts(binlog: DataFrame, schemaCol: String, tableCol: String): DataFrame =
+    binlog
+      .groupBy(
+        to_date(col("execute_time")).as("day"),
+        col(schemaCol).as("schema"),
+        col(tableCol).as("table"),
+        col("event_type")
+      )
+      .agg(count(lit(1)).as("event_count"))
+
+  /** M3/A9: read-time re-sum over possibly-uncompacted partial aggregates.
+    * Reading the MV target must go through this view to get the guarantee CH
+    * only gives after FINAL/merge (`README.md:143-145`).
+    */
+  def resum(partials: DataFrame, keys: Seq[String], valueCol: String = "event_count"): DataFrame =
+    partials
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(valueCol)).as(valueCol))
+
+  /** Compaction job (SURVEY.md §7 step 5): rewrite the partials table fully
+    * collapsed — the explicit analog of a background MergeTree merge. Pure
+    * transformation; the maintenance wrapper in [[Maintenance]] handles the
+    * write.
+    */
+  def compact(partials: DataFrame, keys: Seq[String], valueCol: String = "event_count"): DataFrame =
+    resum(partials, keys, valueCol)
+}

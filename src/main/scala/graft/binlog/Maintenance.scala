@@ -1,0 +1,96 @@
+package graft.binlog
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout and maintenance actions — the declarative MergeTree
+  * features the reference leans on, rendered as explicit jobs
+  * (SURVEY.md §2.10, §4):
+  *
+  *   - K3 date partitioning: `PARTITION BY toDate(execute_time)`
+  *     (`README.md:115`) → hive-style `day=` dirs + partition pruning.
+  *   - O3 sort keys: `ORDER BY (execute_time, gtid, table, schema)`
+  *     (`README.md:116`) → `sortWithinPartitions` at write → parquet
+  *     row-group min/max stats → data skipping, the sparse-index analog.
+  *   - K4 TTL: `TTL execute_time + toIntervalMonth(30)` (`README.md:117`) →
+  *     a retention job dropping expired `day=` partitions.
+  *   - W5 idempotent window write: existence probe before insert
+  *     (`compute_transaction_info.py:132-150`).
+  */
+object Maintenance {
+
+  /** K1+K3+O3 write path: day-partitioned, sorted-within-partition parquet.
+    * At 100 TB this is the layout that makes every F3 time-range query prune
+    * to the touched days and skip row groups inside them.
+    */
+  def writeEvents(binlog: DataFrame, path: String, mode: SaveMode = SaveMode.Append): Unit =
+    binlog
+      .withColumn("day", to_date(col("execute_time")))
+      .repartition(col("day"))
+      .sortWithinPartitions(col("execute_time"), col("gtid"))
+      .write
+      .mode(mode)
+      .partitionBy("day")
+      .parquet(path)
+
+  /** K4: TTL retention — delete partitions older than `months` (reference:
+    * 30, `README.md:117`). Deletes whole `day=` directories: no data rewrite,
+    * O(expired partitions) — the same cost model as CH dropping TTL'd parts.
+    */
+  def applyTtl(spark: SparkSession, path: String, months: Int = 30): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration
+    )
+    val base = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(base)) return Seq.empty
+    val cutoff = java.time.LocalDate.now(java.time.ZoneOffset.UTC).minusMonths(months.toLong)
+    val expired = fs
+      .listStatus(base)
+      .toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("day=") &&
+        scala.util.Try(java.time.LocalDate.parse(p.getName.stripPrefix("day="))).toOption
+          .exists(_.isBefore(cutoff))
+      }
+    expired.foreach(p => fs.delete(p, true))
+    expired.map(_.toString)
+  }
+
+  /** W5: idempotent append of a window result — skip if any row for this
+    * `end_time` already exists (`compute_transaction_info.py:132-142`, the
+    * `count(*)` probe A10, done Spark-side as a pruned `isEmpty` peek).
+    * Returns true if the write happened.
+    */
+  def idempotentAppend(spark: SparkSession, result: DataFrame, path: String,
+      endTime: java.sql.Timestamp): Boolean = {
+    val exists = scala.util.Try(spark.read.parquet(path)).toOption
+      .exists(df => !df.filter(col("end_time") === lit(endTime)).isEmpty)
+    if (!exists) result.write.mode(SaveMode.Append).parquet(path)
+    !exists
+  }
+
+  /** A9 compaction: rewrite MV partials fully collapsed (the explicit analog
+    * of a SummingMergeTree background merge, `README.md:143-145`).
+    */
+  def compactPartials(spark: SparkSession, path: String, keys: Seq[String],
+      valueCol: String = "event_count"): Unit = {
+    val compacted = DailyCounts.compact(spark.read.parquet(path), keys, valueCol)
+    val tmp = path.stripSuffix("/") + "_compacting"
+    compacted.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+  }
+
+  /** P12 done right: the reference derives the distributed-table name with
+    * `rstrip('_local')` — a char-set strip that over-strips
+    * (`compute_transaction_info.py:133`, SURVEY.md §2.4 P12). We implement
+    * the evident intent.
+    */
+  def distributedTableName(localName: String): String = localName.stripSuffix("_local")
+}

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data curation over `documents`:
+  * exact, shingle-Jaccard near-dup, MinHash signatures + LSH banding, and
+  * SimHash. (Embedding-cosine near-dup lives in [[Vectors]].)
+  *
+  * Scale design notes:
+  *   - Exact dedup is one hash aggregation on the text (or a digest of it) —
+  *     map-side combine collapses per-partition duplicates before the
+  *     shuffle.
+  *   - Near-dup avoids the O(n²) pairwise scan with the inverted-index /
+  *     LSH-bucket pattern: explode to (feature, doc) pairs, self-join on the
+  *     feature, so only documents sharing a shingle/band ever meet. Shuffle
+  *     cost is O(index size), not O(n²). Hot features (stopword-only
+  *     shingles) would skew the join at 100 TB — AQE skew-join handles
+  *     moderate skew, and the shingle width (k=5 words) keeps feature
+  *     frequency low by construction.
+  *   - MinHash uses k linear hashes `(a·id + b) mod p` over [[Vocab]] token
+  *     ids — deterministic, oracle-reproducible, and computed in one
+  *     aggregation pass (k mins per doc, no per-hash job).
+  */
+object Dedup {
+
+  /** Exact dedup: group identical text, keep the smallest doc_id as the
+    * representative. At 100 TB, group on `xxhash64(text)` first and only
+    * compare text within hash buckets; at test scale grouping the text
+    * column directly is the same plan shape.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_doc_id"), col("n_copies"), length(col("text")).cast("long").as("n_chars"))
+
+  /** Word k-gram shingles per document, distinct: (doc_id, shingle). */
+  def shingles(docs: DataFrame, k: Int = 5): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val n = size(toks)
+    // slide a k-window over the token array; sequence() is empty when n < k
+    val sh = transform(
+      sequence(lit(0), greatest(n - k, lit(-1))),
+      i => array_join(slice(toks, i + 1, lit(k)), " ")
+    )
+    docs
+      .select(col("doc_id"), explode(array_distinct(sh)).as("shingle"))
+  }
+
+  /** Near-duplicate pairs by shingle Jaccard ≥ `threshold`, via inverted
+    * index self-join (no O(n²) cross join): candidate pairs are documents
+    * sharing ≥ 1 shingle; Jaccard = |∩| / (|A| + |B| − |∩|).
+    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    */
+  def jaccardPairs(docs: DataFrame, k: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, k)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = sh.as("x")
+      .join(sh.as("y"), col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+  }
+
+  /** MinHash parameters: k independent linear hashes over token ids,
+    * h_i(x) = (a_i·x + b_i) mod p with p = 2^31 − 1. Constants are small
+    * fixed odd multipliers so the oracle can inline them.
+    */
+  val minhashPrime: Long = 2147483647L
+  val minhashCoeffs: Seq[(Long, Long)] =
+    Seq((7L, 3L), (11L, 5L), (13L, 17L), (19L, 23L), (29L, 31L), (37L, 41L), (43L, 47L), (53L, 59L))
+
+  /** MinHash signatures over [[Vocab.tokenIds]] (distinct token ids per doc):
+    * one aggregation computing all k minima. Output: doc_id, sig_0 … sig_{k-1}.
+    */
+  def minhashSignatures(tokenIds: DataFrame): DataFrame = {
+    val distinctIds = tokenIds.select(col("doc_id"), col("token_id")).distinct()
+    val aggs = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((col("token_id") * a + b) % minhashPrime).as(s"sig_$i")
+    }
+    distinctIds.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over the minhash signature: `bands` bands of
+    * k/bands rows each; candidate pairs collide on (band, band-signature).
+    * Output: (doc_a, doc_b) distinct candidate pairs.
+    */
+  def minhashCandidatePairs(tokenIds: DataFrame, bands: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(tokenIds)
+    val rowsPerBand = minhashCoeffs.size / bands
+    val bandCols = (0 until bands).map { bi =>
+      struct(
+        lit(bi).as("band"),
+        struct((0 until rowsPerBand).map(ri => col(s"sig_${bi * rowsPerBand + ri}")): _*)
+          .as("sig")
+      )
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** SimHash (16-bit) over token ids: for each bit of g(id) = (a·id+b) mod
+    * 2^16, sum +1/−1 across the document's tokens (with multiplicity) and
+    * take the sign. Output: (doc_id, simhash as long).
+    */
+  def simhash(tokenIds: DataFrame, bits: Int = 16): DataFrame = {
+    val g = (col("token_id") * 2654435761L + 0x9747b28cL) % (1L << bits)
+    val bitSums = (0 until bits).map { b =>
+      sum(when(shiftright(g, b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$b")
+    }
+    val perDoc = tokenIds.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val hash = (0 until bits).map { b =>
+      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    perDoc.select(col("doc_id"), hash.as("simhash"))
+  }
+}

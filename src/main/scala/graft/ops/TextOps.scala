@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline over the
+  * `documents` table: tokenization, token statistics, quality scoring,
+  * language ID, and document fingerprinting.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (no UDFs): each operator is a narrow projection that fuses into the scan's
+  * whole-stage-codegen pass, so a 100 TB corpus streams through at I/O speed
+  * with zero shuffles (the only shuffling ops are the corpus-level
+  * aggregations, which reduce map-side first).
+  *
+  * Determinism: all scoring uses integer/ratio arithmetic with explicitly
+  * ordered double operations, so the DuckDB oracle reproduces results
+  * bit-for-bit.
+  */
+object TextOps {
+
+  /** Whitespace tokenization — the corpus is single-space separated. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Stopword list used by quality scoring and language ID. Deliberately
+    * tiny and hard-coded: the point is the dataflow shape, not linguistics.
+    */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Per-document token statistics:
+    * token count (whitespace), distinct token count, char count,
+    * mean token length, stopword ratio, longest token.
+    */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+      length(col("text")).cast("long").as("n_chars"),
+      // tokens are single-space joined: total token chars = chars - (n-1)
+      ((length(col("text")) - (nTok - 1)).cast("double") / nTok).as("mean_token_len"),
+      size(filter(toks, t => array_contains(typedlit(stopwords), t))).cast("long")
+        .as("n_stopwords")
+    )
+  }
+
+  /** Quality scoring (length / stopword-ratio heuristics, the classic
+    * pre-training filters): a document passes if it has enough tokens, a
+    * sane mean token length, and a nonzero stopword ratio.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => array_contains(typedlit(stopwords), t))).cast("long")
+    val meanLen = (length(col("text")) - (nTok - 1)).cast("double") / nTok
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      (nStop.cast("double") / nTok).as("stopword_ratio"),
+      meanLen.as("mean_token_len"),
+      (nTok >= 32 && meanLen >= 2.0 && meanLen <= 12.0 && nStop > 0)
+        .cast("int").as("quality_pass")
+    )
+  }
+
+  /** Language-ID: score each candidate language by hits of its marker-token
+    * list, predict the argmax (ties broken by fixed language order). The
+    * corpus is synthetic word-soup, so markers are drawn from its vocabulary
+    * — the *shape* (per-language token-list scoring, argmax with
+    * deterministic tie-break) is what a real n-gram language IDer does.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "zh" -> Seq("data", "row", "column"),
+    "de" -> Seq("join", "group", "sort"),
+    "es" -> Seq("table", "key", "order"),
+    "fr" -> Seq("window", "stream", "batch")
+  )
+
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = langMarkers.map { case (lang, markers) =>
+      size(filter(toks, t => array_contains(typedlit(markers), t))).cast("long").as(s"score_$lang")
+    }
+    val base = docs.select(col("doc_id") +: col("lang").as("labeled_lang") +: scored: _*)
+    // argmax with fixed-order tie-break: fold left, strictly-greater wins
+    val (l0, _) = langMarkers.head
+    val pred = langMarkers.tail.foldLeft((lit(l0), col(s"score_$l0"))) {
+      case ((bestLang, bestScore), (lang, _)) =>
+        val s = col(s"score_$lang")
+        (when(s > bestScore, lit(lang)).otherwise(bestLang),
+          when(s > bestScore, s).otherwise(bestScore))
+    }
+    base.withColumn("pred_lang", pred._1).withColumn("pred_score", pred._2)
+  }
+
+  /** Deterministic document fingerprint: position-weighted token hash folded
+    * modulo a Mersenne prime. Token ids come from a corpus-level vocabulary
+    * rank (see [[Vocab]]) so the oracle can reproduce the exact hash without
+    * sharing a hash function with Spark.
+    */
+  val fingerprintMod: Long = 2147483647L // 2^31 - 1
+
+  /** Fingerprint over a pre-tokenized (doc_id, pos, token_id) long table:
+    * sum((token_id + 1) * (pos + 1)) mod P, plus length. Order-sensitive —
+    * permuted documents get different prints — and exactly expressible in
+    * SQL.
+    */
+  def fingerprint(tokenIds: DataFrame): DataFrame =
+    tokenIds
+      .groupBy(col("doc_id"))
+      .agg(
+        (sum((col("token_id") + 1) * (col("pos") + 1)) % fingerprintMod).as("fingerprint"),
+        count(lit(1)).as("n_tokens")
+      )
+}
