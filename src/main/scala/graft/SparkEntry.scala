@@ -61,6 +61,99 @@ object SparkEntry {
   private val rangeStart = Timestamp.valueOf("2024-01-05 00:00:00")
   private val rangeEnd = Timestamp.valueOf("2024-01-06 00:00:00")
 
+  /** Fixture event-type names (play the 16-value canal enum, P2). */
+  private val fixtureTypes = Seq("view", "click", "purchase", "signup", "error")
+
+  // ---- oracle CTEs for the token-id surface (Vocab parity in SQL) ----
+  private val oracleTokCtes: String =
+    """tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS token
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+      |        UNNEST(range(1, len(toks) + 1)) AS r(i)),
+      |vocab AS (SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
+      |          FROM (SELECT DISTINCT token FROM tok)),
+      |tid AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, token_id FROM tok JOIN vocab USING (token))""".stripMargin
+
+  private val oracleMinhashSigs: String = {
+    val exprs = graft.ops.Dedup.minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"CAST(min((token_id * $a + $b) % ${graft.ops.Dedup.minhashPrime}) AS BIGINT) AS sig_$i"
+    }.mkString(",\n       ")
+    s"""WITH $oracleTokCtes,
+       |dt AS (SELECT DISTINCT doc_id, token_id FROM tid)
+       |SELECT doc_id,
+       |       $exprs
+       |FROM dt GROUP BY doc_id""".stripMargin
+  }
+
+  private val oracleSimhash: String = {
+    val g = "((token_id * 2654435761 + 2538058380) % 65536)"
+    val sums = (0 until 16)
+      .map(b => s"sum(CASE WHEN ($g >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b")
+      .mkString(",\n       ")
+    val hash = (0 until 16).map(b => s"CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH $oracleTokCtes,
+       |sums AS (SELECT doc_id,
+       |       $sums
+       |FROM tid GROUP BY doc_id)
+       |SELECT doc_id, CAST($hash AS BIGINT) AS simhash FROM sums""".stripMargin
+  }
+
+  /** Language-ID oracle: per-language marker-hit scores; the predicted
+    * language is the first (in [[TextOps.langMarkers]] order) to reach the
+    * max score — the SQL rendering of the strictly-greater fold.
+    */
+  private val oracleLangid: String = {
+    val scoreExprs = TextOps.langMarkers.map { case (lang, markers) =>
+      val list = markers.map(m => s"'$m'").mkString(", ")
+      s"CAST(len(list_filter(string_split(text, ' '), s -> list_contains([$list], s))) AS BIGINT) AS score_$lang"
+    }.mkString(",\n       ")
+    val langs = TextOps.langMarkers.map(_._1)
+    val maxExpr = s"GREATEST(${langs.map(l => s"score_$l").mkString(", ")})"
+    val predCase = langs.map(l => s"WHEN score_$l = m THEN '$l'").mkString(" ")
+    s"""WITH t AS (SELECT doc_id, lang AS labeled_lang,
+       |       $scoreExprs
+       |FROM documents),
+       |tm AS (SELECT *, $maxExpr AS m FROM t)
+       |SELECT doc_id, labeled_lang, ${langs.map(l => s"score_$l").mkString(", ")},
+       |       CASE $predCase END AS pred_lang,
+       |       m AS pred_score
+       |FROM tm""".stripMargin
+  }
+
+  /** LSH band pairs over the 8-hash minhash signature: 4 bands × 2 rows —
+    * matches [[Dedup.minhashCandidatePairs]] with bands = 4.
+    */
+  private val oracleMinhashPairs: String = {
+    val coeffExprs = graft.ops.Dedup.minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"CAST(min((token_id * $a + $b) % ${graft.ops.Dedup.minhashPrime}) AS BIGINT) AS sig_$i"
+    }.mkString(", ")
+    val bandEq = (0 until 4)
+      .map(bi => s"(x.sig_${2 * bi} = y.sig_${2 * bi} AND x.sig_${2 * bi + 1} = y.sig_${2 * bi + 1})")
+      .mkString(" OR ")
+    s"""WITH $oracleTokCtes,
+       |dt AS (SELECT DISTINCT doc_id, token_id FROM tid),
+       |sigs AS (SELECT doc_id, $coeffExprs FROM dt GROUP BY doc_id)
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id AND ($bandEq)""".stripMargin
+  }
+
+  /** Doubles-widened embedding CTE + IVF assignment (centroids = vec_id<10,
+    * nearest by cosine, ties to the smaller centroid id).
+    */
+  private val oracleEmbCte: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""".stripMargin
+
+  private def oracleCos(x: String, y: String): String =
+    s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"
+
+  private val oracleIvfAssigned: String =
+    s"""c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 10),
+       |sc AS (SELECT e.vec_id, c.centroid_id, ${oracleCos("e.v", "c.cv")} AS cs FROM e, c),
+       |assigned AS (SELECT vec_id, centroid_id AS bucket
+       |             FROM (SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id
+       |                     ORDER BY cs DESC, centroid_id ASC) AS rn FROM sc)
+       |             WHERE rn = 1),
+       |av AS (SELECT a.vec_id, a.bucket, e.v FROM assigned a JOIN e ON e.vec_id = a.vec_id)""".stripMargin
+
   /** Flagship (driver smoke-checks rows > 0 on sf0.001): all-windows top-1
     * transaction by size — the reference's headline query
     * (`compute_transaction_info.py:53-66`) in its batch-backfill form.
@@ -161,11 +254,87 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count_distinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))),
 
+    "t7_semi_join" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))),
+    "t8_set_ops" -> ((s, dir) => {
+      val rich = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey"))
+      val bigSpenders = Tables.orders(s, dir).filter(col("o_totalprice") > 250000)
+        .select(col("o_custkey").as("custkey"))
+      val building = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      rich.intersect(bigSpenders).except(building)
+    }),
+    "t9_rollup" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(F.broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(F.broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(round(col("c_acctbal") * 100).cast("long")).as("acctbal_c"))),
+    "t10_in_subquery" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir).filter(col("c_acctbal") > 9000),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_c"))),
+
+    // ---- more binlog surface ----
+    "b9_retention_window" -> ((s, dir) => {
+      // scalar-subquery retention probe: keep only the trailing 7 days
+      // relative to the corpus max — the read-side shape of the K4 TTL job
+      val ev = Tables.events(s, dir)
+      val maxTs = ev.agg(max(col("ts")).as("max_ts"))
+      ev.crossJoin(F.broadcast(maxTs))
+        .filter(col("ts") >= col("max_ts") - expr("INTERVAL 7 DAYS"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+    }),
+    "b10_enum_roundtrip" -> ((s, dir) => {
+      val idByName = fixtureTypes.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+      val nameById = idByName.map(_.swap)
+      Tables.events(s, dir).select(
+        col("event_id"),
+        col("event_type"),
+        element_at(typedlit(idByName), col("event_type")).as("type_id"),
+        element_at(typedlit(nameById),
+          element_at(typedlit(idByName), col("event_type"))).as("type_name"))
+    }),
+
     // ---- dedup surface ----
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    "d2_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), k = 3, threshold = 0.5)),
+    "d3_minhash_sigs" -> ((s, dir) =>
+      Dedup.minhashSignatures(Vocab.tokenIds(Tables.documents(s, dir)))),
+    "d4_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashCandidatePairs(Vocab.tokenIds(Tables.documents(s, dir)), bands = 4)),
+    "d5_simhash" -> ((s, dir) =>
+      Dedup.simhash(Vocab.tokenIds(Tables.documents(s, dir)))),
+    "d6_cosine_neardup" -> ((s, dir) =>
+      Vectors.cosineNearDupPairs(Tables.embeddings(s, dir), 0L until 10L, threshold = 0.4)),
+
+    // ---- similarity search ----
+    "s1_ann_bruteforce" -> ((s, dir) =>
+      Vectors.bruteForceTopK(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
+    "s2_ann_ivf" -> ((s, dir) =>
+      Vectors.ivfTopK(Tables.embeddings(s, dir), 0L until 10L, 0L until 8L, k = 5)),
 
     // ---- text analysis ----
-    "x1_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir)))
+    "x1_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
+    "x2_quality" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
+    "x3_langid" -> ((s, dir) => TextOps.languageId(Tables.documents(s, dir))),
+    "x4_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(Vocab.tokenIds(Tables.documents(s, dir)))),
+
+    // ---- multimodal plumbing ----
+    "m1_binary_meta" -> ((s, dir) =>
+      graft.ops.Multimodal.decodeExpr(Tables.documents(s, dir)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -260,11 +429,94 @@ object SparkEntry {
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+    "t7_semi_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
+    "t8_set_ops" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000
+        |EXCEPT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "t9_rollup" ->
+      """SELECT r_name, n_name,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_c
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "t10_in_subquery" ->
+      """SELECT o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |GROUP BY 1""".stripMargin,
+    "b9_retention_window" ->
+      """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >=
+        |      (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 7 DAY
+        |GROUP BY 1""".stripMargin,
+    "b10_enum_roundtrip" ->
+      """SELECT event_id, event_type,
+        |       CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |         WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 WHEN 'error' THEN 5 END AS type_id,
+        |       event_type AS type_name
+        |FROM events""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_doc_id,
         |       CAST(count(*) AS BIGINT) AS n_copies,
         |       CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents GROUP BY text""".stripMargin,
+    "d2_jaccard_pairs" ->
+      """WITH sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |       SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+        |                              for i in range(1, len(toks) - 1)]) AS shingle
+        |       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+        |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common,
+        |       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5""".stripMargin,
+    "d3_minhash_sigs" -> oracleMinhashSigs,
+    "d4_minhash_pairs" -> oracleMinhashPairs,
+    "d5_simhash" -> oracleSimhash,
+    "d6_cosine_neardup" ->
+      s"""WITH $oracleEmbCte,
+         |$oracleIvfAssigned
+         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |FROM av x JOIN av y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE ${oracleCos("x.v", "y.v")} >= 0.4""".stripMargin,
+    "s1_ann_bruteforce" ->
+      s"""WITH $oracleEmbCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+         |scored AS (SELECT query_id, e.vec_id AS neighbor_id, ${oracleCos("q.qv", "e.v")} AS sim
+         |           FROM q, e WHERE e.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
+         |WHERE rank <= 10""".stripMargin,
+    "s2_ann_ivf" ->
+      s"""WITH $oracleEmbCte,
+         |$oracleIvfAssigned,
+         |q AS (SELECT vec_id AS query_id, bucket, v AS qv FROM av WHERE vec_id < 8),
+         |scored AS (SELECT q.query_id, av.vec_id AS neighbor_id, ${oracleCos("q.qv", "av.v")} AS sim
+         |           FROM q JOIN av ON av.bucket = q.bucket AND av.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
+         |WHERE rank <= 5""".stripMargin,
     "x1_token_stats" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -274,6 +526,35 @@ object SparkEntry {
         |         / len(string_split(text, ' ')) AS mean_token_len,
         |       CAST(len(list_filter(string_split(text, ' '),
         |              t -> list_contains(['the','a','of','and','to','in'], t))) AS BIGINT) AS n_stopwords
+        |FROM documents""".stripMargin,
+    "x2_quality" ->
+      """WITH t AS (SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_filter(string_split(text, ' '),
+        |              s -> list_contains(['the','a','of','and','to','in'], s))) AS BIGINT) AS n_stop,
+        |       CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |         / len(string_split(text, ' ')) AS mean_token_len
+        |     FROM documents)
+        |SELECT doc_id, n_tokens,
+        |       CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+        |       mean_token_len,
+        |       CASE WHEN n_tokens >= 32 AND mean_token_len >= 2.0
+        |                 AND mean_token_len <= 12.0 AND n_stop > 0
+        |            THEN 1 ELSE 0 END AS quality_pass
+        |FROM t""".stripMargin,
+    "x3_langid" -> oracleLangid,
+    "x4_fingerprint" ->
+      s"""WITH $oracleTokCtes
+         |SELECT doc_id,
+         |       CAST(CAST(sum((token_id + 1) * (pos + 1)) AS BIGINT) % 2147483647 AS BIGINT) AS fingerprint,
+         |       CAST(count(*) AS BIGINT) AS n_tokens
+         |FROM tid GROUP BY doc_id""".stripMargin,
+    "m1_binary_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+        |       CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
+        |       CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin
   )
 }

@@ -39,11 +39,11 @@ object Dedup {
   def shingles(docs: DataFrame, k: Int = 5): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     val n = size(toks)
-    // slide a k-window over the token array; sequence() is empty when n < k
-    val sh = transform(
-      sequence(lit(0), greatest(n - k, lit(-1))),
-      i => array_join(slice(toks, i + 1, lit(k)), " ")
-    )
+    // slide a k-window over the token array; sequence(0, x) runs *backwards*
+    // for x < 0, so documents shorter than k get an explicit empty array
+    val sh = when(n >= k,
+      transform(sequence(lit(0), n - k), i => array_join(slice(toks, i + 1, lit(k)), " "))
+    ).otherwise(array())
     docs
       .select(col("doc_id"), explode(array_distinct(sh)).as("shingle"))
   }
@@ -98,7 +98,8 @@ object Dedup {
     val bandCols = (0 until bands).map { bi =>
       struct(
         lit(bi).as("band"),
-        struct((0 until rowsPerBand).map(ri => col(s"sig_${bi * rowsPerBand + ri}")): _*)
+        // uniform inner field names so the band structs share one type
+        struct((0 until rowsPerBand).map(ri => col(s"sig_${bi * rowsPerBand + ri}").as(s"r$ri")): _*)
           .as("sig")
       )
     }

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with typed metadata; heavy per-item work (decode,
+  * feature-extract, resize, frame-sample) runs batched per partition so a
+  * real decoder library amortizes model/codec init once per partition — the
+  * Scala analog of arrow-batched Python UDFs.
+  *
+  * The actual media decode is STUBBED (no image/audio libs in this
+  * environment): [[StubDecoder]] derives deterministic fake metadata from the
+  * byte stream. The Spark-side contract — schema, binary transport,
+  * partition-batched execution, typed output — is real and tested
+  * (MultimodalSpec).
+  */
+object Multimodal {
+
+  /** Typed record for decoded media metadata. */
+  final case class MediaMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      width: Long,
+      height: Long,
+      n_frames: Long
+  )
+
+  /** Pluggable decoder: bytes → metadata fields. Production would wrap an
+    * actual codec here; the stub is deterministic in the payload length so
+    * results are reproducible and oracle-checkable.
+    */
+  trait Decoder extends Serializable {
+    def decode(docId: Long, bytes: Array[Byte]): MediaMeta
+  }
+
+  object StubDecoder extends Decoder {
+    def decode(docId: Long, bytes: Array[Byte]): MediaMeta = {
+      val n = bytes.length.toLong
+      MediaMeta(docId, n, n % 640, (n * 7) % 480, n / 1000 + 1)
+    }
+  }
+
+  /** Attach a binary payload column (here: the utf-8 text bytes play the
+    * media blob; a real pipeline reads `binaryFile` sources or a bytes
+    * column from parquet).
+    */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.withColumn("payload", encode(col("text"), "UTF-8"))
+
+  /** Partition-batched decode through the typed Dataset API — the structure
+    * a real decoder plugs into. One decoder instance per partition; rows
+    * stream through without materializing the partition.
+    */
+  def decodeBatched(docs: DataFrame, decoder: Decoder = StubDecoder): Dataset[MediaMeta] = {
+    val payloads = withPayload(docs).select(col("doc_id"), col("payload"))
+    implicit val enc = Encoders.product[MediaMeta]
+    payloads
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        val d = decoder // one instance per partition (codec init point)
+        it.map { case (id, bytes) => d.decode(id, bytes) }
+      }
+  }
+
+  /** Whole-stage-codegen rendering of the stub decode (pure column
+    * expressions) — used by the oracle-checked query; proves the expression
+    * path and the mapPartitions path agree (MultimodalSpec).
+    */
+  def decodeExpr(docs: DataFrame): DataFrame =
+    withPayload(docs).select(
+      col("doc_id"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      pmod(length(col("payload")), lit(640)).cast("long").as("width"),
+      pmod(length(col("payload")).cast("long") * 7, lit(480)).cast("long").as("height"),
+      (expr("length(payload) div 1000") + 1).cast("long").as("n_frames")
+    )
+}
