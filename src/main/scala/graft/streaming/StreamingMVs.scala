@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.binlog.DailyCounts
+
+/** Continuously-maintained materialized views — the Structured Streaming
+  * rendering of the reference's INSERT-triggered MVs
+  * (`README.md:168-184, 221-245`; SURVEY.md §2.9 M1/M2, §3.3).
+  *
+  * ClickHouse's mechanism is: each insert block runs the MV SELECT over just
+  * that block (partial aggregate), appends partials to a SummingMergeTree
+  * target, and background merges re-sum rows with equal sort keys. That is
+  * *exactly* Spark's partial/final aggregation split made persistent, and it
+  * maps onto two equivalent Spark forms, both provided here:
+  *
+  *  1. **Stateful streaming aggregation** ([[dailyEventCounts]]): the state
+  *     store holds the merged counts; update-mode output emits revised rows.
+  *     One shuffle per micro-batch over (day, event_type) — tiny cardinality,
+  *     map-side partial aggregation does nearly all the work.
+  *  2. **Append-partials + read-time re-sum** ([[partialsWriter]]): each
+  *     micro-batch appends its *partial* counts (no state store, no shuffle
+  *     wider than the batch), and readers go through [[DailyCounts.resum]] —
+  *     the literal SummingMergeTree model, right when state size (days ×
+  *     types × tables) is unbounded or restarts must be cheap.
+  *
+  * MVEquivalenceSpec pins: any micro-batch split of the input produces the
+  * same final counts as one batch aggregation (A9 merge semantics).
+  */
+object StreamingMVs {
+
+  /** M1 as a stateful streaming aggregation (update mode). */
+  def dailyEventCounts(stream: DataFrame): DataFrame =
+    DailyCounts.dailyEventCounts(stream)
+
+  /** M2 streaming form. */
+  def dailyTableEventCounts(stream: DataFrame, schemaCol: String, tableCol: String): DataFrame =
+    DailyCounts.dailyTableEventCounts(stream, schemaCol, tableCol)
+
+  /** Form 2: per-micro-batch partial counts appended to `targetPath`
+    * (day-partitioned parquet). Restart-safe: `batchId` rides along so an
+    * exactly-once replay of a batch overwrites nothing and the re-sum view
+    * can dedup if a sink-level retry ever double-appends.
+    */
+  def partialsWriter(stream: DataFrame, targetPath: String, checkpoint: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        DailyCounts
+          .dailyEventCounts(batch)
+          .withColumn("batch_id", lit(batchId))
+          .write
+          .mode("append")
+          .partitionBy("day")
+          .parquet(targetPath)
+      }
+
+  /** The M3 read path over the partials table (re-sum view). */
+  def readDailyCounts(spark: org.apache.spark.sql.SparkSession, targetPath: String): DataFrame =
+    DailyCounts.resum(
+      spark.read.parquet(targetPath).drop("batch_id"),
+      Seq("day", "event_type"))
+}

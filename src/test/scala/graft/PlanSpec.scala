@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.binlog.{Maintenance, TransactionStats}
+
+/** Physical-plan assertions (SURVEY.md §4): the optimizations the engine
+  * leans on must actually engage — cheap checks, high value at 100 TB.
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("global top-1 plans as TakeOrderedAndProject (no full sort)") {
+    // needs >1 row: with a provably-1-row child Catalyst correctly
+    // eliminates the sort and limit altogether
+    val events = Seq(
+      (Timestamp.valueOf("2024-01-01 00:01:00"), "g1", "1", "10", 1L),
+      (Timestamp.valueOf("2024-01-01 00:02:00"), "g2", "2", "20", 1L),
+      (Timestamp.valueOf("2024-01-01 00:03:00"), "g3", "3", "30", 1L)
+    ).toDF("execute_time", "gtid", "binlog_pos", "single_statement_size",
+      "single_statement_affected_rows")
+    val plan = TransactionStats
+      .top1ForRange(events, Timestamp.valueOf("2024-01-01 00:00:00"),
+        Timestamp.valueOf("2024-01-01 00:05:00"), "5min", "transaction_size")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("small-dimension joins broadcast") {
+    val plan = SparkEntry.queries("t3_broadcast_agg")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("day-partitioned layout prunes partitions under a day predicate") {
+    val path = tmpDir("plan_prune")
+    val events = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "g1", "INSERT"),
+      (Timestamp.valueOf("2024-01-02 10:00:00"), "g2", "INSERT"),
+      (Timestamp.valueOf("2024-01-03 10:00:00"), "g3", "INSERT")
+    ).toDF("execute_time", "gtid", "event_type")
+    Maintenance.writeEvents(events, path)
+    val q = spark.read.parquet(path).filter(col("day") === lit("2024-01-02"))
+    q.collect()
+    // FileSourceScan must carry the partition filter and select 1 of 3 dirs
+    // (DataFrame.inputFiles ignores pruning — ask the scan node itself)
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.toString.contains("PartitionFilters"), scans.head.toString)
+    assert(scans.head.selectedPartitions.partitionCount === 1)
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val q = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .filter(col("l_quantity") > 49.0).select(col("l_orderkey"))
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,49.0)]"), scan)
+    // column pruning: scan schema is just the two referenced columns
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), scan)
+  }
+
+  test("per-window top-1 uses a single shuffle pair (agg form, no window sort)") {
+    val events = Seq(
+      (Timestamp.valueOf("2024-01-01 00:01:00"), "g1", "1", "10", 1L)
+    ).toDF("execute_time", "gtid", "binlog_pos", "single_statement_size",
+      "single_statement_affected_rows")
+    val plan = TransactionStats.top1PerWindow(events, "transaction_size")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), plan)
+  }
+}

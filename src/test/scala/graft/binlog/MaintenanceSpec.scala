@@ -1,0 +1,66 @@
+package graft.binlog
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events(ts: String*) = ts.zipWithIndex.map { case (t, i) =>
+    (Timestamp.valueOf(t), s"g$i", "INSERT")
+  }.toDF("execute_time", "gtid", "event_type")
+
+  test("K3/O3 write layout: day partitions on disk") {
+    val path = tmpDir("events_layout")
+    Maintenance.writeEvents(
+      events("2024-01-01 10:00:00", "2024-01-02 11:00:00"), path)
+    val days = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("day="))
+    assert(days.toSet === Set("day=2024-01-01", "day=2024-01-02"))
+  }
+
+  test("K4 TTL: partitions older than the retention window are dropped") {
+    val path = tmpDir("events_ttl")
+    Maintenance.writeEvents(
+      events("2020-01-01 10:00:00", "2026-08-01 10:00:00"), path)
+    val deleted = Maintenance.applyTtl(spark, path, months = 30)
+    assert(deleted.exists(_.contains("day=2020-01-01")))
+    val remaining = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("day="))
+    assert(remaining.toSet === Set("day=2026-08-01"))
+    // table still readable after the drop
+    assert(spark.read.parquet(path).count() === 1L)
+  }
+
+  test("W5 idempotent window append: second write of the same window is a no-op") {
+    val path = tmpDir("stats_idem")
+    val end = Timestamp.valueOf("2024-01-01 10:05:00")
+    val result = Seq((end, "5min", "g1", 3L, 100L, 7L))
+      .toDF("end_time", "interval", "gtid", "transaction_spend_time",
+        "transaction_size", "transaction_affected_rows")
+    assert(Maintenance.idempotentAppend(spark, result, path, end) === true)
+    assert(Maintenance.idempotentAppend(spark, result, path, end) === false)
+    assert(spark.read.parquet(path).count() === 1L)
+    // a different window still goes through
+    val end2 = Timestamp.valueOf("2024-01-01 10:10:00")
+    assert(Maintenance.idempotentAppend(spark, result.withColumn("end_time", lit(end2)),
+      path, end2) === true)
+    assert(spark.read.parquet(path).count() === 2L)
+  }
+
+  test("A9 compaction: totals preserved, partials collapsed") {
+    val path = tmpDir("mv_compact")
+    val partials = Seq(
+      (java.sql.Date.valueOf("2024-01-01"), "INSERT", 5L),
+      (java.sql.Date.valueOf("2024-01-01"), "INSERT", 7L),
+      (java.sql.Date.valueOf("2024-01-01"), "DELETE", 1L)
+    ).toDF("day", "event_type", "event_count")
+    partials.write.mode("overwrite").parquet(path)
+    Maintenance.compactPartials(spark, path, Seq("day", "event_type"))
+    val rows = spark.read.parquet(path).orderBy("event_type").collect()
+    assert(rows.length === 2)
+    assert(rows.map(r => r.getAs[String]("event_type") -> r.getAs[Long]("event_count")).toSeq
+      === Seq("DELETE" -> 1L, "INSERT" -> 12L))
+  }
+}

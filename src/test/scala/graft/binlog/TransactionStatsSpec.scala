@@ -1,0 +1,79 @@
+package graft.binlog
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the transaction-size formula to the reference's own worked example
+  * (`mon_mysql_dml.py:268-310`): 6 events, one gtid, expected
+  * transaction_size = (451045845 − 451044141) + 116 = 1820.
+  */
+class TransactionStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val workedExample = Seq(
+    // (execute_time, gtid, binlog_pos, single_statement_size, affected_rows)
+    ("2020-05-30 10:00:01", "g1", 451044141L, 593L, 2L),
+    ("2020-05-30 10:00:02", "g1", 451044825L, 284L, 1L),
+    ("2020-05-30 10:00:03", "g1", 451045109L, 239L, 1L),
+    ("2020-05-30 10:00:04", "g1", 451045419L, 116L, 1L),
+    ("2020-05-30 10:00:05", "g1", 451045535L, 239L, 1L),
+    ("2020-05-30 10:00:06", "g1", 451045845L, 116L, 1L)
+  ).map { case (t, g, p, sz, r) => (ts(t), g, p.toString, sz.toString, r) }
+    .toDF("execute_time", "gtid", "binlog_pos", "single_statement_size",
+      "single_statement_affected_rows")
+
+  test("reference worked example: transaction_size = 1820") {
+    val out = TransactionStats
+      .forRange(workedExample, ts("2020-05-30 10:00:00"), ts("2020-05-30 10:05:00"), "5min")
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("transaction_size") === 1820L)
+    assert(r.getAs[Long]("transaction_spend_time") === 5L)
+    assert(r.getAs[Long]("transaction_affected_rows") === 7L)
+    assert(r.getAs[String]("interval") === "5min")
+  }
+
+  test("events outside [start, end) are excluded (F3 half-open range)") {
+    val out = TransactionStats
+      .forRange(workedExample, ts("2020-05-30 10:00:00"), ts("2020-05-30 10:00:06"), "x")
+      .collect()
+    // the 10:00:06 event is excluded: size = (451045535 - 451044141) + 239
+    assert(out.head.getAs[Long]("transaction_size") === (451045535L - 451044141L) + 239L)
+  }
+
+  test("agg-based and row_number-based per-window top-1 agree") {
+    val rnd = new scala.util.Random(42)
+    val events = (1 to 500).map { i =>
+      (new Timestamp(1700000000000L + rnd.nextInt(1800) * 1000L),
+        s"g${rnd.nextInt(20)}", i.toString, (rnd.nextInt(900) + 100).toString,
+        rnd.nextInt(10).toLong + 1)
+    }.toDF("execute_time", "gtid", "binlog_pos", "single_statement_size",
+      "single_statement_affected_rows")
+    for (m <- TransactionStats.metrics) {
+      val a = TransactionStats.top1PerWindow(events, m).orderBy("end_time").collect()
+      val b = TransactionStats.top1PerWindowViaRowNumber(events, m).orderBy("end_time").collect()
+      assert(a.toSeq === b.toSeq, s"metric $m")
+    }
+  }
+
+  test("per-window stats invariant under input permutation") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { i =>
+      (new Timestamp(1700000000000L + rnd.nextInt(1200) * 1000L),
+        s"g${rnd.nextInt(10)}", i.toString, (rnd.nextInt(500) + 1).toString, 1L)
+    }
+    val cols = Seq("execute_time", "gtid", "binlog_pos", "single_statement_size",
+      "single_statement_affected_rows")
+    val df1 = rows.toDF(cols: _*)
+    val df2 = rnd.shuffle(rows).toDF(cols: _*).repartition(7)
+    val a = TransactionStats.perWindow(df1).orderBy("end_time", "gtid").collect()
+    val b = TransactionStats.perWindow(df2).orderBy("end_time", "gtid").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (2L, "the quick brown fox jumps over a lazy dog"),     // near dup (1 token)
+    (3L, "completely different words entirely here now")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min doc_id and counts copies") {
+    val out = Dedup.exact(docs).orderBy("keep_doc_id").collect()
+    assert(out.length === 3)
+    assert(out.head.getAs[Long]("keep_doc_id") === 0L)
+    assert(out.head.getAs[Long]("n_copies") === 2L)
+  }
+
+  test("shingles: document shorter than k yields no shingles") {
+    val short = Seq((9L, "a b")).toDF("doc_id", "text")
+    assert(Dedup.shingles(short, k = 5).count() === 0L)
+  }
+
+  test("jaccard pairs find exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, k = 2, threshold = 0.5)
+      .orderBy("doc_a", "doc_b").collect()
+    val keys = pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(keys.contains((0L, 1L)))
+    val j01 = pairs.find(r => r.getAs[Long]("doc_a") == 0L && r.getAs[Long]("doc_b") == 1L).get
+    assert(j01.getAs[Double]("jaccard") === 1.0)
+    assert(keys.contains((0L, 2L)) && keys.contains((1L, 2L)))
+    assert(!keys.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("minhash: identical docs have identical signatures and become a candidate pair") {
+    val tid = Vocab.tokenIds(docs)
+    val sigs = Dedup.minhashSignatures(tid).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (0 until 8).map(i => r.getAs[Long](s"sig_$i")))
+      .toMap
+    assert(sigs(0L) === sigs(1L))
+    val pairs = Dedup.minhashCandidatePairs(tid, bands = 4)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("simhash: identical docs equal; near dups within small hamming distance") {
+    val tid = Vocab.tokenIds(docs)
+    val sh = Dedup.simhash(tid).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(0L) === sh(1L))
+    val hamming = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
+    assert(hamming <= 4, s"near-dup hamming distance was $hamming")
+  }
+}

@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class TextAndMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "a bb ccc", "en"),
+    (1L, "the the data row column join", "zh")
+  ).toDF("doc_id", "text", "lang")
+
+  test("token stats: counts, mean length, stopwords") {
+    val r = TextOps.tokenStats(docs).filter($"doc_id" === 0L).collect().head
+    assert(r.getAs[Long]("n_tokens") === 3L)
+    assert(r.getAs[Long]("n_distinct_tokens") === 3L)
+    assert(r.getAs[Long]("n_chars") === 8L)
+    assert(r.getAs[Double]("mean_token_len") === 2.0)
+    assert(r.getAs[Long]("n_stopwords") === 1L) // "a"
+  }
+
+  test("language id: marker-hit argmax with first-wins ties") {
+    val r = TextOps.languageId(docs).filter($"doc_id" === 1L).collect().head
+    // "data row column" → 3 zh hits; "the the" → 2 en hits; "join" → 1 de hit
+    assert(r.getAs[Long]("score_zh") === 3L)
+    assert(r.getAs[String]("pred_lang") === "zh")
+    assert(r.getAs[Long]("pred_score") === 3L)
+  }
+
+  test("fingerprint: order-sensitive (permuted doc differs), deterministic") {
+    val perm = Seq((0L, "ccc bb a", "en")).toDF("doc_id", "text", "lang")
+    val f1 = TextOps.fingerprint(Vocab.tokenIds(docs.filter($"doc_id" === 0L)))
+      .collect().head.getAs[Long]("fingerprint")
+    val f2 = TextOps.fingerprint(Vocab.tokenIds(perm))
+      .collect().head.getAs[Long]("fingerprint")
+    assert(f1 !== f2)
+  }
+
+  test("multimodal: partition-batched decode ≡ codegen expression decode") {
+    val a = Multimodal.decodeBatched(docs).toDF().orderBy("doc_id").collect()
+    val b = Multimodal.decodeExpr(docs).orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+}

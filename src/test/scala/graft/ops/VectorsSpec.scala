@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class VectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(1.0f, 0.0f, 0.0f)),   // identical to 0
+    (2L, Array(0.9f, 0.1f, 0.0f)),   // close to 0
+    (3L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+    (4L, Array(0.0f, 0.0f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k: ranks by cosine, excludes self, deterministic ties") {
+    val out = Vectors.bruteForceTopK(emb, Seq(0L), k = 3).orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L, 3L))
+    // tie between 3 and 4 (both sim 0) broken by neighbor id asc
+    assert(out.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("IVF top-k searches only the query's bucket") {
+    // centroids 0 and 3: vectors 0,1,2 → bucket 0; 3 → bucket 3; 4 ties →
+    // smaller centroid id (0)
+    val out = Vectors.ivfTopK(emb, Seq(0L, 3L), Seq(0L), k = 10)
+      .orderBy("rank").collect()
+    val neighbors = out.map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(neighbors.startsWith(Seq(1L, 2L)))
+    assert(!neighbors.contains(3L)) // different bucket: pruned, the IVF trade
+  }
+
+  test("cosine near-dup pairs above threshold, within bucket") {
+    val pairs = Vectors.cosineNearDupPairs(emb, Seq(0L, 3L), threshold = 0.95)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(pairs.contains((0L, 1L)))
+    // cos(0,2) = 0.9/sqrt(0.82) ≈ 0.994 ≥ 0.95
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+}
