@@ -119,19 +119,52 @@ object SparkEntry {
        |FROM tm""".stripMargin
   }
 
-  /** LSH band pairs over the 8-hash minhash signature: 4 bands × 2 rows —
-    * matches [[Dedup.minhashCandidatePairs]] with bands = 4.
+  /** Shingle-id Jaccard pairs — same shingle-id CTEs as the MinHash oracle,
+    * then the inverted-index self-join on the long ids.
+    */
+  private val oracleJaccardPairs: String = {
+    val p = graft.ops.Dedup.minhashPrime
+    s"""WITH $oracleTokCtes,
+       |ids AS (SELECT doc_id, list(token_id ORDER BY pos) AS ids FROM tid GROUP BY doc_id),
+       |sh AS (SELECT DISTINCT doc_id, sid AS shingle_id FROM (
+       |  SELECT doc_id, unnest([list_reduce(list_prepend(CAST(0 AS BIGINT), ids[i:i+4]),
+       |                                     (a, t) -> (a * 37 + t + 1) % $p)
+       |                         for i in range(1, len(ids) - 3)]) AS sid
+       |  FROM ids)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+       |          FROM sh x JOIN sh y ON x.shingle_id = y.shingle_id AND x.doc_id < y.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_common,
+       |       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5""".stripMargin
+  }
+
+  /** LSH band pairs over the 8-hash MinHash signature of *shingle* ids
+    * (5-gram rolling polynomial over token ids): 4 bands × 2 rows — matches
+    * [[Dedup.minhashCandidatePairs]] with bands = 4, shingleK = 5. The
+    * shingle fold is `list_reduce` with an explicit 0 seed, mirroring
+    * Spark's `aggregate(slice(ids, i, 5), 0, (a,t) -> (a*37 + t + 1) % p)`.
     */
   private val oracleMinhashPairs: String = {
+    val p = graft.ops.Dedup.minhashPrime
     val coeffExprs = graft.ops.Dedup.minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
-      s"CAST(min((token_id * $a + $b) % ${graft.ops.Dedup.minhashPrime}) AS BIGINT) AS sig_$i"
+      s"CAST(min((shingle_id * $a + $b) % $p) AS BIGINT) AS sig_$i"
     }.mkString(", ")
     val bandEq = (0 until 4)
       .map(bi => s"(x.sig_${2 * bi} = y.sig_${2 * bi} AND x.sig_${2 * bi + 1} = y.sig_${2 * bi + 1})")
       .mkString(" OR ")
     s"""WITH $oracleTokCtes,
-       |dt AS (SELECT DISTINCT doc_id, token_id FROM tid),
-       |sigs AS (SELECT doc_id, $coeffExprs FROM dt GROUP BY doc_id)
+       |ids AS (SELECT doc_id, list(token_id ORDER BY pos) AS ids FROM tid GROUP BY doc_id),
+       |sids AS (SELECT DISTINCT doc_id, sid AS shingle_id FROM (
+       |  SELECT doc_id, unnest([list_reduce(list_prepend(CAST(0 AS BIGINT), ids[i:i+4]),
+       |                                     (a, t) -> (a * 37 + t + 1) % $p)
+       |                         for i in range(1, len(ids) - 3)]) AS sid
+       |  FROM ids)),
+       |sigs AS (SELECT doc_id, $coeffExprs FROM sids GROUP BY doc_id)
        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
        |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id AND ($bandEq)""".stripMargin
   }
@@ -140,10 +173,13 @@ object SparkEntry {
     * nearest by cosine, ties to the smaller centroid id).
     */
   private val oracleEmbCte: String =
-    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""".stripMargin
+    """e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+      |e AS (SELECT vec_id, [x / sqrt(list_dot_product(v0, v0)) for x in v0] AS v FROM e0)""".stripMargin
 
+  // vectors are pre-normalized in the CTE above, so cosine ≡ dot — mirrors
+  // Vectors.withUnit on the Spark side (normalize once, dot everywhere)
   private def oracleCos(x: String, y: String): String =
-    s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"
+    s"list_dot_product($x, $y)"
 
   private val oracleIvfAssigned: String =
     s"""c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 10),
@@ -170,7 +206,7 @@ object SparkEntry {
     "b3_top1_rows" -> ((s, dir) =>
       TransactionStats.top1PerWindow(binlog(s, dir), "transaction_affected_rows")),
     "b4_top1_time" -> ((s, dir) =>
-      TransactionStats.top1PerWindowViaRowNumber(binlog(s, dir), "transaction_spend_time")),
+      TransactionStats.top1PerWindow(binlog(s, dir), "transaction_spend_time")),
     "b5_mv_daily_counts" -> ((s, dir) =>
       DailyCounts.dailyEventCounts(
         Tables.events(s, dir).withColumnRenamed("ts", "execute_time"))),
@@ -309,11 +345,12 @@ object SparkEntry {
     // ---- dedup surface ----
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "d2_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairs(Tables.documents(s, dir), k = 3, threshold = 0.5)),
+      Dedup.jaccardPairsById(Vocab.tokenIds(Tables.documents(s, dir)), k = 5, threshold = 0.5)),
     "d3_minhash_sigs" -> ((s, dir) =>
       Dedup.minhashSignatures(Vocab.tokenIds(Tables.documents(s, dir)))),
     "d4_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashCandidatePairs(Vocab.tokenIds(Tables.documents(s, dir)), bands = 4)),
+      Dedup.minhashCandidatePairs(Vocab.tokenIds(Tables.documents(s, dir)),
+        bands = 4, shingleK = 5)),
     "d5_simhash" -> ((s, dir) =>
       Dedup.simhash(Vocab.tokenIds(Tables.documents(s, dir)))),
     "d6_cosine_neardup" -> ((s, dir) =>
@@ -474,21 +511,7 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_copies,
         |       CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents GROUP BY text""".stripMargin,
-    "d2_jaccard_pairs" ->
-      """WITH sh AS (SELECT DISTINCT doc_id, shingle FROM (
-        |       SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
-        |                              for i in range(1, len(toks) - 1)]) AS shingle
-        |       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
-        |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-        |          GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, n_common,
-        |       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = doc_a
-        |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5""".stripMargin,
+    "d2_jaccard_pairs" -> oracleJaccardPairs,
     "d3_minhash_sigs" -> oracleMinhashSigs,
     "d4_minhash_pairs" -> oracleMinhashPairs,
     "d5_simhash" -> oracleSimhash,

@@ -1,0 +1,13 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+
+/** Engine-facing custom function surface (SURVEY.md §2.11). */
+object VectorFunctions {
+
+  /** Codegen'd sequential dot product over two `array<double>` columns —
+    * see [[org.apache.spark.sql.graft.DotProduct]].
+    */
+  def dotProduct(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.DotProduct.column(a, b)
+}

@@ -54,10 +54,36 @@ object Dedup {
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     */
   def jaccardPairs(docs: DataFrame, k: Int = 5, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, k)
+    // the shingle index feeds three plan branches (both self-join sides and
+    // the size table) — cache it instead of recomputing the explode 3×
+    val sh = shingles(docs, k).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val inter = sh.as("x")
       .join(sh.as("y"), col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+  }
+
+  /** Jaccard near-dup over *shingle ids* (the rolling-polynomial k-gram ids
+    * of [[shingleIds]]) instead of shingle strings: the inverted-index
+    * self-join keys become fixed-width longs, cutting shuffle bytes and
+    * comparison cost several-fold at corpus scale. Identical output to the
+    * string form up to (engine-consistent) fold collisions — the oracle
+    * computes the same ids, so results always agree.
+    */
+  def jaccardPairsById(tokenIds: DataFrame, k: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleIds(tokenIds, k).persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = sh.as("x")
+      .join(sh.as("y"),
+        col("x.shingle_id") === col("y.shingle_id") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     inter
@@ -80,20 +106,52 @@ object Dedup {
   /** MinHash signatures over [[Vocab.tokenIds]] (distinct token ids per doc):
     * one aggregation computing all k minima. Output: doc_id, sig_0 … sig_{k-1}.
     */
-  def minhashSignatures(tokenIds: DataFrame): DataFrame = {
-    val distinctIds = tokenIds.select(col("doc_id"), col("token_id")).distinct()
+  def minhashSignatures(tokenIds: DataFrame): DataFrame =
+    signaturesOver(tokenIds.select(col("doc_id"), col("token_id")).distinct(), "token_id")
+
+  private def signaturesOver(features: DataFrame, featureCol: String): DataFrame = {
     val aggs = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
-      min((col("token_id") * a + b) % minhashPrime).as(s"sig_$i")
+      min((col(featureCol) * a + b) % minhashPrime).as(s"sig_$i")
     }
-    distinctIds.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    features.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Shingle-id stream: ordered token-id array per doc, folded into k-gram
+    * ids with a rolling polynomial `(acc·37 + id + 1) mod p`. Shingle-set
+    * MinHash (vs token-set) is what makes LSH meaningful when the vocabulary
+    * is small relative to the corpus: token *sets* of long documents over a
+    * small vocabulary are all nearly identical (every band collides — the
+    * candidate set degenerates to all-pairs, O(n²) again), while k-gram
+    * sequences stay discriminative.
+    */
+  def shingleIds(tokenIds: DataFrame, k: Int = 5): DataFrame = {
+    val ids = tokenIds
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("token_id")))).as("pt"))
+      .select(col("doc_id"), transform(col("pt"), p => p.getField("token_id")).as("ids"))
+    val n = size(col("ids"))
+    val sids = when(n >= k,
+      transform(sequence(lit(0), n - k),
+        i => aggregate(slice(col("ids"), i + 1, lit(k)), lit(0L),
+          (a, t) => (a * 37L + t + 1L) % minhashPrime))
+    ).otherwise(array().cast("array<bigint>"))
+    ids.select(col("doc_id"), explode(array_distinct(sids)).as("shingle_id"))
+  }
+
+  /** MinHash signatures over shingle ids — the scale-correct variant used by
+    * the LSH banding query.
+    */
+  def minhashShingleSignatures(tokenIds: DataFrame, k: Int = 5): DataFrame =
+    signaturesOver(shingleIds(tokenIds, k), "shingle_id")
 
   /** LSH banding over the minhash signature: `bands` bands of
     * k/bands rows each; candidate pairs collide on (band, band-signature).
     * Output: (doc_a, doc_b) distinct candidate pairs.
     */
-  def minhashCandidatePairs(tokenIds: DataFrame, bands: Int = 4): DataFrame = {
-    val sigs = minhashSignatures(tokenIds)
+  def minhashCandidatePairs(tokenIds: DataFrame, bands: Int = 4, shingleK: Int = 0): DataFrame = {
+    val sigs =
+      if (shingleK > 0) minhashShingleSignatures(tokenIds, shingleK)
+      else minhashSignatures(tokenIds)
     val rowsPerBand = minhashCoeffs.size / bands
     val bandCols = (0 until bands).map { bi =>
       struct(
@@ -106,6 +164,7 @@ object Dedup {
     val banded = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+      .persist() // both self-join sides share the signature computation
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&

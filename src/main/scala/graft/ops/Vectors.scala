@@ -7,49 +7,66 @@ import org.apache.spark.sql.functions._
   * Array[Float]`): brute-force cosine top-k as the exact baseline, and an
   * IVF-style bucketed variant as the scale path.
   *
-  * Numeric determinism: floats are widened to double *before* any product
-  * (float→double is exact; a product of two widened floats is exact in
-  * double), and `aggregate()` folds the array sequentially, so the same
-  * left-to-right summation happens in the DuckDB oracle's `list_dot_product`.
-  * Ranking ties are broken by vector id.
+  * Numeric determinism: floats are widened to double *before* any arithmetic
+  * (float→double is exact), `aggregate()` folds arrays sequentially, and the
+  * DuckDB oracle runs the identical expression over the identical operand
+  * order, so similarities match bit-for-bit. Ranking ties are broken by
+  * vector id.
   *
   * Scale design:
-  *   - Brute force is a broadcast nested-loop of a *small query set* against
-  *     the full corpus — the corpus side streams, never shuffles, and top-k
-  *     per query is an aggregation (`max_by` over a k-slot struct would be
-  *     ideal; we use window `row_number` over the per-query candidate set
-  *     after an aggregation prune). Cost O(|Q|·N·d): right for |Q| ≪ N.
+  *   - **Normalize once, dot everywhere**: every vector is L2-normalized a
+  *     single time ([[withUnit]]), so each candidate pair costs one dot
+  *     product instead of dot + two norms (3× less arithmetic on the O(N·k)
+  *     pair stage — the stage that dominates at scale).
+  *   - Brute force broadcasts a *small query set* against the full corpus —
+  *     the corpus side streams through one narrow pass, never shuffles.
+  *     Cost O(|Q|·N·d): right for |Q| ≪ N.
   *   - IVF: assign every vector to its nearest of C centroids (broadcast,
-  *     O(N·C·d)), then only search the query's bucket — the classic
-  *     recall/cost trade, with the probe list expressible as `nprobe` best
-  *     centroids.
+  *     O(N·C·d)), then search only the query's bucket — the classic
+  *     recall/cost trade; the bucket column doubles as the blocking key for
+  *     near-dup pair generation (O(Σ bucket²) ≪ O(N²)).
   */
 object Vectors {
 
-  /** Sequential-fold dot product of two float arrays, widened to double. */
+  /** Sequential dot product over double arrays — a custom codegen'd Catalyst
+    * expression ([[graft.functions.DotProduct]]): the HOF formulation
+    * (`aggregate(zip_with(...))`) is interpreted and dominates the pair
+    * stage; the expression folds identically (left-to-right double
+    * accumulation, bit-compatible with the oracle) inside whole-stage
+    * codegen.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x
-    )
+    graft.functions.VectorFunctions.dotProduct(a, b)
 
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
+  /** Full cosine — reference formulation; the batch paths below avoid it in
+    * favor of unit vectors.
+    */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Attach the L2-normalized double vector as `unit`. */
+  def withUnit(df: DataFrame, vecCol: String = "embedding"): DataFrame =
+    df.withColumn("_norm", norm(col(vecCol)))
+      .withColumn("unit", transform(col(vecCol), x => x.cast("double") / col("_norm")))
+      .drop("_norm")
 
   /** Exact top-k cosine neighbors for each query vector (`vec_id` in
     * `queryIds`), excluding self. Output: (query_id, neighbor_id, rank).
     */
   def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val queries = embeddings
+    // materialize the normalized vectors: without a barrier, CollapseProject
+    // inlines the per-element normalization into the join's output projection
+    // and recomputes it once per candidate pair
+    val unit = withUnit(embeddings).select(col("vec_id"), col("unit")).persist()
+    val queries = unit
       .filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+      .select(col("vec_id").as("query_id"), col("unit").as("q"))
     val scored = F.broadcast(queries)
-      .join(embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("e")),
+      .join(unit.select(col("vec_id").as("neighbor_id"), col("unit").as("e")),
         col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("q"), col("e")).as("sim"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("q"), col("e")).as("sim"))
     topKPerGroup(scored, "query_id", k)
   }
 
@@ -64,58 +81,55 @@ object Vectors {
       .select(col(groupCol), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
-  /** IVF-style ANN: centroids are the vectors with `vec_id` in
-    * `centroidIds`; every vector is assigned to its nearest centroid (cosine,
-    * ties by centroid id); each query searches only its own bucket.
+  /** IVF assignment: every vector → nearest centroid by cosine (ties to the
+    * smaller centroid id). Output columns: vec_id, bucket, unit.
+    */
+  def ivfAssign(embeddings: DataFrame, centroidIds: Seq[Long]): DataFrame = {
+    val unit = withUnit(embeddings).select(col("vec_id"), col("unit"))
+    val centroids = unit
+      .filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("centroid_id"), col("unit").as("c"))
+    unit
+      .join(F.broadcast(centroids))
+      .select(col("vec_id"), col("unit"), col("centroid_id"),
+        dot(col("unit"), col("c")).as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(struct(col("centroid_id"), col("unit")),
+          struct(col("csim"), -col("centroid_id"))).as("best")
+      )
+      .select(col("vec_id"), col("best.centroid_id").as("bucket"), col("best.unit").as("unit"))
+  }
+
+  /** IVF-style ANN: each query searches only its own bucket.
     * Output: (query_id, neighbor_id, rank) — rank within the probed bucket.
     */
   def ivfTopK(embeddings: DataFrame, centroidIds: Seq[Long], queryIds: Seq[Long], k: Int): DataFrame = {
-    val centroids = embeddings
-      .filter(col("vec_id").isin(centroidIds: _*))
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("c"))
-    // nearest-centroid assignment: argmax over (sim, -centroid_id)
-    val assigned = embeddings
-      .join(F.broadcast(centroids))
-      .select(col("vec_id"), col("embedding"),
-        col("centroid_id"), cosine(col("embedding"), col("c")).as("csim"))
-      .groupBy(col("vec_id"))
-      .agg(
-        max_by(struct(col("centroid_id"), col("embedding")),
-          struct(col("csim"), -col("centroid_id"))).as("best")
-      )
-      .select(col("vec_id"), col("best.centroid_id").as("bucket"), col("best.embedding").as("embedding"))
+    // the assignment feeds both the query side and the candidate side
+    val assigned = ivfAssign(embeddings, centroidIds).persist()
     val queries = assigned
       .filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("bucket"), col("embedding").as("q"))
+      .select(col("vec_id").as("query_id"), col("bucket"), col("unit").as("q"))
     val scored = F.broadcast(queries)
-      .join(assigned.select(col("vec_id").as("neighbor_id"), col("bucket"), col("embedding").as("e")),
+      .join(assigned.select(col("vec_id").as("neighbor_id"), col("bucket"), col("unit").as("e")),
         Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("q"), col("e")).as("sim"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("q"), col("e")).as("sim"))
     topKPerGroup(scored, "query_id", k)
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, restricted to
-    * same-IVF-bucket candidates (the blocked form that scales; exact over
+    * same-IVF-bucket candidates (the blocked form that scales; exact within
     * the bucket). Output: (vec_a, vec_b) pairs, a < b.
     */
   def cosineNearDupPairs(embeddings: DataFrame, centroidIds: Seq[Long], threshold: Double): DataFrame = {
-    val centroids = embeddings
-      .filter(col("vec_id").isin(centroidIds: _*))
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("c"))
-    val assigned = embeddings
-      .join(F.broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        cosine(col("embedding"), col("c")).as("csim"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("centroid_id"), col("embedding")),
-        struct(col("csim"), -col("centroid_id"))).as("best"))
-      .select(col("vec_id"), col("best.centroid_id").as("bucket"), col("best.embedding").as("embedding"))
+    // both self-join sides share the assignment pass — cache it
+    val assigned = ivfAssign(embeddings, centroidIds).persist()
     assigned.as("x")
       .join(assigned.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        cosine(col("x.embedding"), col("y.embedding")).as("sim"))
+        dot(col("x.unit"), col("y.unit")).as("sim"))
       .filter(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"))
   }
