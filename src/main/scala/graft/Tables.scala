@@ -68,6 +68,7 @@ object Tables {
       .builder()
       .appName(appName)
       .master(master)
+      .withExtensions(graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -71,4 +71,16 @@ object DotProduct {
   def column(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** SQL registration triple for `SparkSessionExtensions.injectFunction` —
+    * makes `dot_product(a, b)` callable from `spark.sql`.
+    */
+  val registration: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[DotProduct].getName, "dot_product"),
+    (args: Seq[Expression]) => DotProduct(args(0), args(1))
+  )
 }

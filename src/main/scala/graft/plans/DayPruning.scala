@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DateType, TimestampType}
+
+/** The one planning extension the engine ships (SURVEY.md §4): rewrite
+  * event-time range predicates to also constrain the `day` partition column.
+  *
+  * The storage layout partitions by `day = to_date(execute_time)`
+  * ([[graft.binlog.Maintenance.writeEvents]], reference `README.md:115`),
+  * but the reference's queries filter on `execute_time` alone
+  * (`compute_transaction_info.py:62`). Without this rule such a filter scans
+  * every partition; with it, `PruneFileSourcePartitions` (which runs later
+  * in the optimizer) prunes to the touched days — the difference between
+  * reading 30 months and reading one day at 100 TB.
+  *
+  * Conservative by construction: fires only on a conjunctive filter that
+  * (a) bounds a timestamp column named `execute_time` below with `>=`/`>`
+  * and/or above with `<`/`<=` against literals, (b) sits over a plan that
+  * outputs a `day: date` column, and (c) does not already constrain `day`.
+  * The added predicates are implied by the originals, so semantics are
+  * unchanged even where the layout invariant doesn't hold.
+  */
+object DayPruningRule extends Rule[LogicalPlan] {
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def isExecuteTime(e: Expression): Boolean = e match {
+    case a: Attribute => a.name == "execute_time" && a.dataType == TimestampType
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, child) =>
+      val dayAttr = child.output.find(a => a.name == "day" && a.dataType == DateType)
+      dayAttr match {
+        case Some(day) =>
+          val conjuncts = splitConjuncts(cond)
+          val touchesDay = conjuncts.exists(_.references.exists(_.name == "day"))
+          if (touchesDay) f
+          else {
+            val lower = conjuncts.collectFirst {
+              case GreaterThanOrEqual(t, l: Literal) if isExecuteTime(t) => l
+              case GreaterThan(t, l: Literal) if isExecuteTime(t) => l
+            }
+            val upper = conjuncts.collectFirst {
+              case LessThan(t, l: Literal) if isExecuteTime(t) => (l, true)
+              case LessThanOrEqual(t, l: Literal) if isExecuteTime(t) => (l, false)
+            }
+            // timestamp→date casts need an explicit zone or the plan
+            // becomes unresolved post-analysis
+            val tz = Some(conf.sessionLocalTimeZone)
+            val microsPerDay = 86400000000L
+            val dayPreds =
+              lower.map(l => GreaterThanOrEqual(day, Cast(l, DateType, tz)).asInstanceOf[Expression]).toSeq ++
+                upper.map { case (u, strict) =>
+                  // `ts < midnight(d)` implies `day < d` (half-open windows
+                  // end on midnight — the common F3 shape); otherwise `day <= d`
+                  // micros%day==0 means midnight only where the session zone
+                  // is UTC (the engine pins UTC; stay safe elsewhere)
+                  val atMidnight = conf.sessionLocalTimeZone == "UTC" &&
+                    u.value != null &&
+                    u.value.asInstanceOf[Long] % microsPerDay == 0
+                  val casted = Cast(u, DateType, tz)
+                  if (strict && atMidnight) LessThan(day, casted).asInstanceOf[Expression]
+                  else LessThanOrEqual(day, casted).asInstanceOf[Expression]
+                }.toSeq
+            if (dayPreds.isEmpty) f
+            else Filter(dayPreds.foldLeft(cond)(And(_, _)), child)
+          }
+        case None => f
+      }
+  }
+}
+
+/** `SparkSessionExtensions` installer: the day-pruning rewrite plus the
+  * SQL-callable registration of the engine's custom expressions.
+  * Wire with `SparkSession.builder().withExtensions(GraftExtensions(_))`.
+  */
+object GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => DayPruningRule)
+    ext.injectFunction(org.apache.spark.sql.graft.DotProduct.registration)
+  }
+}

@@ -63,6 +63,47 @@ class PlanSpec extends SparkSpec {
     assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), scan)
   }
 
+  test("DayPruningRule: a pure execute_time range prunes day partitions") {
+    val path = tmpDir("plan_daypruning")
+    val events = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "g1", "INSERT"),
+      (Timestamp.valueOf("2024-01-02 10:00:00"), "g2", "INSERT"),
+      (Timestamp.valueOf("2024-01-03 10:00:00"), "g3", "INSERT")
+    ).toDF("execute_time", "gtid", "event_type")
+    Maintenance.writeEvents(events, path)
+    // F3-shaped predicate: time range only, no mention of `day`
+    val q = spark.read.parquet(path)
+      .filter(col("execute_time") >= lit(Timestamp.valueOf("2024-01-02 00:00:00")) &&
+        col("execute_time") < lit(Timestamp.valueOf("2024-01-03 00:00:00")))
+    assert(q.collect().map(_.getAs[String]("gtid")).toSeq === Seq("g2"))
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.head.selectedPartitions.partitionCount === 1, "rule did not prune")
+  }
+
+  test("dot_product is SQL-callable via the session extension") {
+    val r = spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(r === 11.0)
+  }
+
+  test("kafka source option mapping covers assign/offsets/auth (S1/S2)") {
+    val src = graft.sources.BinlogSources.KafkaBinlogSource(
+      bootstrapServers = "broker:9092",
+      topic = "dba_prod_broker",
+      partitions = Seq(0, 1),
+      offsetMode = graft.sources.BinlogSources.FromBeginning,
+      groupId = Some("dba_binlog"),
+      saslScram = Some(("user", "pass")))
+    val o = src.options
+    assert(o("assign") === """{"dba_prod_broker":[0,1]}""")
+    assert(o("startingOffsets") === "earliest")
+    assert(o("kafka.group.id") === "dba_binlog")
+    assert(o("kafka.sasl.mechanism") === "SCRAM-SHA-256")
+    assert(o("maxOffsetsPerTrigger") === "5000")
+  }
+
   test("per-window top-1 uses a single shuffle pair (agg form, no window sort)") {
     val events = Seq(
       (Timestamp.valueOf("2024-01-01 00:01:00"), "g1", "1", "10", 1L)
