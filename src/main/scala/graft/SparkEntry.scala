@@ -344,13 +344,21 @@ object SparkEntry {
 
     // ---- dedup surface ----
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
-    "d2_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairsById(Vocab.tokenIds(Tables.documents(s, dir)), k = 5, threshold = 0.5)),
+    "d2_jaccard_pairs" -> ((s, dir) => {
+      // fast path: literal-map token ids (no explode/join/regroup), then the
+      // inverted shingle-id index
+      val docs = Tables.documents(s, dir)
+      val ids = Vocab.tokenIdArrays(docs, Vocab.tokenIdMap(docs))
+      Dedup.jaccardPairsFromShingles(Dedup.shingleIdsFromArrays(ids, 5), threshold = 0.5)
+    }),
     "d3_minhash_sigs" -> ((s, dir) =>
       Dedup.minhashSignatures(Vocab.tokenIds(Tables.documents(s, dir)))),
-    "d4_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashCandidatePairs(Vocab.tokenIds(Tables.documents(s, dir)),
-        bands = 4, shingleK = 5)),
+    "d4_minhash_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ids = Vocab.tokenIdArrays(docs, Vocab.tokenIdMap(docs))
+      Dedup.candidatePairsFromSignatures(
+        Dedup.minhashSignaturesFromShingles(Dedup.shingleIdsFromArrays(ids, 5)), bands = 4)
+    }),
     "d5_simhash" -> ((s, dir) =>
       Dedup.simhash(Vocab.tokenIds(Tables.documents(s, dir)))),
     "d6_cosine_neardup" -> ((s, dir) =>

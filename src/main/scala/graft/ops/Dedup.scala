@@ -78,8 +78,12 @@ object Dedup {
     * string form up to (engine-consistent) fold collisions — the oracle
     * computes the same ids, so results always agree.
     */
-  def jaccardPairsById(tokenIds: DataFrame, k: Int = 5, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleIds(tokenIds, k).persist()
+  def jaccardPairsById(tokenIds: DataFrame, k: Int = 5, threshold: Double = 0.5): DataFrame =
+    jaccardPairsFromShingles(shingleIds(tokenIds, k), threshold)
+
+  /** Core inverted-index Jaccard over a (doc_id, shingle_id) table. */
+  def jaccardPairsFromShingles(shingles: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingles.persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val inter = sh.as("x")
       .join(sh.as("y"),
@@ -124,11 +128,19 @@ object Dedup {
     * candidate set degenerates to all-pairs, O(n²) again), while k-gram
     * sequences stay discriminative.
     */
-  def shingleIds(tokenIds: DataFrame, k: Int = 5): DataFrame = {
-    val ids = tokenIds
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("token_id")))).as("pt"))
-      .select(col("doc_id"), transform(col("pt"), p => p.getField("token_id")).as("ids"))
+  def shingleIds(tokenIds: DataFrame, k: Int = 5): DataFrame =
+    shingleIdsFromArrays(
+      tokenIds
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("token_id")))).as("pt"))
+        .select(col("doc_id"), transform(col("pt"), p => p.getField("token_id")).as("ids")),
+      k)
+
+  /** Same, over a pre-assembled (doc_id, ids) table ([[Vocab.tokenIdArrays]]
+    * fast path — no explode/regroup).
+    */
+  def shingleIdsFromArrays(idsDf: DataFrame, k: Int = 5): DataFrame = {
+    val ids = idsDf
     val n = size(col("ids"))
     val sids = when(n >= k,
       transform(sequence(lit(0), n - k),
@@ -144,14 +156,22 @@ object Dedup {
   def minhashShingleSignatures(tokenIds: DataFrame, k: Int = 5): DataFrame =
     signaturesOver(shingleIds(tokenIds, k), "shingle_id")
 
+  /** Signatures over a precomputed (doc_id, shingle_id) table. */
+  def minhashSignaturesFromShingles(shingles: DataFrame): DataFrame =
+    signaturesOver(shingles, "shingle_id")
+
   /** LSH banding over the minhash signature: `bands` bands of
     * k/bands rows each; candidate pairs collide on (band, band-signature).
     * Output: (doc_a, doc_b) distinct candidate pairs.
     */
-  def minhashCandidatePairs(tokenIds: DataFrame, bands: Int = 4, shingleK: Int = 0): DataFrame = {
-    val sigs =
+  def minhashCandidatePairs(tokenIds: DataFrame, bands: Int = 4, shingleK: Int = 0): DataFrame =
+    candidatePairsFromSignatures(
       if (shingleK > 0) minhashShingleSignatures(tokenIds, shingleK)
-      else minhashSignatures(tokenIds)
+      else minhashSignatures(tokenIds),
+      bands)
+
+  /** LSH banding over a precomputed signature table (doc_id, sig_0…). */
+  def candidatePairsFromSignatures(sigs: DataFrame, bands: Int): DataFrame = {
     val rowsPerBand = minhashCoeffs.size / bands
     val bandCols = (0 until bands).map { bi =>
       struct(

@@ -37,4 +37,22 @@ object Vocab {
     toks.join(F.broadcast(build(docs)), "token")
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"), col("token_id"))
   }
+
+  /** Driver-collected vocabulary — the dictionary-broadcast variant for
+    * vocabularies that fit the driver (natural-language vocabularies do; for
+    * an unbounded id space fall back to the [[tokenIds]] join).
+    */
+  def tokenIdMap(docs: DataFrame): Map[String, Long] =
+    build(docs).collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("token_id")).toMap
+
+  /** (doc_id, ids: array<bigint>) — the whole token-id sequence in one
+    * narrow projection (literal-map lookup), skipping the
+    * explode → join → collect_list round trip entirely. This is the fast
+    * path for sequence-shaped consumers (shingling): zero shuffles before
+    * the shingle index itself.
+    */
+  def tokenIdArrays(docs: DataFrame, vocab: Map[String, Long]): DataFrame =
+    docs.select(
+      col("doc_id"),
+      transform(TextOps.tokens(col("text")), t => element_at(typedlit(vocab), t)).as("ids"))
 }
