@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.binlog.{DailyCounts, TransactionStats}
+
+/** Property tests (SURVEY.md §5.3). Each sample runs Spark jobs, so the
+  * sample count is kept small — the properties are algebraic, not
+  * statistical.
+  */
+object EngineProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5).withWorkers(1)
+
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private val cols = Seq("execute_time", "gtid", "binlog_pos",
+    "single_statement_size", "single_statement_affected_rows")
+
+  private case class Ev(offsetSec: Int, gtid: Int, size: Int, rows: Int)
+
+  private val genEvents: Gen[List[Ev]] =
+    Gen.chooseNum(5, 120).flatMap { n =>
+      Gen.listOfN(n, for {
+        off <- Gen.chooseNum(0, 1200)
+        g <- Gen.chooseNum(0, 5)
+        sz <- Gen.chooseNum(0, 500)
+        r <- Gen.chooseNum(1, 5)
+      } yield Ev(off, g, sz, r))
+    }
+
+  private def toDf(evs: List[Ev]): DataFrame =
+    evs.zipWithIndex.map { case (e, i) =>
+      (new Timestamp(1700000000000L + e.offsetSec * 1000L), s"g${e.gtid}",
+        i.toString, e.size.toString, e.rows.toLong)
+    }.toDF(cols: _*)
+
+  // (a) per-window stats are invariant under input permutation/partitioning
+  // (shuffle the materialized rows — pos assignments must travel with them)
+  property("perWindow invariant under shuffle") = Prop.forAll(genEvents) { evs =>
+    val rows = evs.zipWithIndex.map { case (e, i) =>
+      (new Timestamp(1700000000000L + e.offsetSec * 1000L), s"g${e.gtid}",
+        i.toString, e.size.toString, e.rows.toLong)
+    }
+    val a = TransactionStats.perWindow(rows.toDF(cols: _*))
+      .orderBy("end_time", "gtid").collect().toSeq
+    val b = TransactionStats.perWindow(
+      scala.util.Random.shuffle(rows).toDF(cols: _*).repartition(5))
+      .orderBy("end_time", "gtid").collect().toSeq
+    a == b
+  }
+
+  // (b) incremental MV partials + re-sum ≡ one batch aggregation, any split
+  property("MV incremental ≡ batch for any split") =
+    Prop.forAll(genEvents, Gen.chooseNum(1, 10)) { (evs, chunk) =>
+      val full = toDf(evs).select(col("execute_time"), lit("INSERT").as("event_type"))
+      val partials = evs.grouped(math.max(1, chunk)).map { part =>
+        DailyCounts.dailyEventCounts(
+          toDf(part).select(col("execute_time"), lit("INSERT").as("event_type")))
+      }.reduce(_ unionAll _)
+      val inc = DailyCounts.resum(partials, Seq("day", "event_type"))
+        .orderBy("day").collect().toSeq
+      val batch = DailyCounts.dailyEventCounts(full).orderBy("day").collect().toSeq
+      inc == batch
+    }
+
+  // (c) re-sum view is invariant to compaction state
+  property("resum invariant to partial compaction") =
+    Prop.forAll(genEvents, Gen.chooseNum(0, 100)) { (evs, splitPct) =>
+      val df = toDf(evs).select(col("execute_time"), lit("INSERT").as("event_type"))
+      val partials = DailyCounts.dailyEventCounts(df.limit(evs.size * splitPct / 100))
+        .unionAll(DailyCounts.dailyEventCounts(
+          toDf(evs.drop(evs.size * splitPct / 100))
+            .select(col("execute_time"), lit("INSERT").as("event_type"))))
+      val compacted = DailyCounts.compact(partials, Seq("day", "event_type"))
+      val a = DailyCounts.resum(partials, Seq("day", "event_type")).orderBy("day").collect().toSeq
+      val b = DailyCounts.resum(compacted, Seq("day", "event_type")).orderBy("day").collect().toSeq
+      a == b
+    }
+
+  // (d) transaction_size ≥ 0 and spend_time ≥ 0 for any event set
+  property("txn size and spend time nonnegative") = Prop.forAll(genEvents) { evs =>
+    TransactionStats.perWindow(toDf(evs)).collect().forall { r =>
+      r.getAs[Long]("transaction_size") >= 0L &&
+      r.getAs[Long]("transaction_spend_time") >= 0L
+    }
+  }
+}
