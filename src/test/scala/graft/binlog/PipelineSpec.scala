@@ -1,0 +1,79 @@
+package graft.binlog
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** End-to-end: the reference's two entry points chained on the real test
+  * data — ingest (batch replay) → MV read path → windowed compute with
+  * idempotent re-run (SURVEY.md §3.1–§3.3).
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("ingest → MVs → compute → idempotent re-run") {
+    val layout = Pipeline.Layout(tmpDir("pipeline"))
+    val raw = Tables.events(spark, "/root/testdata/sf0.001")
+
+    Pipeline.runIngestBatch(spark, raw, layout)
+
+    // event table: day-partitioned, 'error' rows dropped (F1)
+    val events = spark.read.parquet(layout.eventTable)
+    val expected = raw.filter(col("event_type") =!= "error").count()
+    assert(events.count() === expected)
+    assert(new java.io.File(layout.eventTable).listFiles().exists(_.getName.startsWith("day=")))
+
+    // MV read path equals direct aggregation over the event table
+    val mv = Pipeline.readDailyCounts(spark, layout)
+      .orderBy("day", "event_type").collect()
+    val direct = DailyCounts.dailyEventCounts(events)
+      .orderBy("day", "event_type").collect()
+    assert(mv.toSeq === direct.toSeq)
+
+    // compute: all closed windows, three metrics
+    val now = Timestamp.valueOf("2024-12-31 00:00:00")
+    val written = Pipeline.runCompute(spark, layout, now)
+    assert(written > 0)
+    val sizeStats = spark.read.parquet(layout.statTable("transaction_size"))
+    assert(sizeStats.count() > 0)
+    // schema parity with the reference result tables (README.md:268-281)
+    assert(sizeStats.columns.sorted === Array("end_time", "gtid", "interval",
+      "transaction_affected_rows", "transaction_size", "transaction_spend_time"))
+    // one winner row per window
+    assert(sizeStats.groupBy("end_time").count().filter(col("count") > 1).isEmpty)
+
+    // W5: a second run writes nothing new
+    assert(Pipeline.runCompute(spark, layout, now) === 0)
+
+    // a later `now` only appends windows that closed since — none here, the
+    // data ends long before
+    assert(Pipeline.runCompute(spark, layout,
+      Timestamp.valueOf("2025-06-30 00:00:00")) === 0)
+  }
+
+  test("streaming ingest variant produces the same event table as batch") {
+    val layoutS = Pipeline.Layout(tmpDir("pipeline_s"))
+    val raw = Tables.events(spark, "/root/testdata/sf0.001")
+    // drive the streaming path with a file-replay source over a parquet copy
+    val srcDir = tmpDir("raw_copy")
+    raw.write.mode("overwrite").parquet(srcDir)
+    val stream = graft.sources.BinlogSources.replay(spark, srcDir, raw.schema,
+      maxFilesPerTrigger = 1)
+    Pipeline.runIngest(spark, stream, layoutS)
+    val streamed = spark.read.parquet(layoutS.eventTable)
+      .orderBy("binlog_pos").select("binlog_pos", "event_type", "gtid").collect()
+
+    val layoutB = Pipeline.Layout(tmpDir("pipeline_b"))
+    Pipeline.runIngestBatch(spark, raw, layoutB)
+    val batched = spark.read.parquet(layoutB.eventTable)
+      .orderBy("binlog_pos").select("binlog_pos", "event_type", "gtid").collect()
+
+    assert(streamed.toSeq === batched.toSeq)
+
+    // and the streaming MV partials re-sum to the same daily counts
+    val a = Pipeline.readDailyCounts(spark, layoutS).orderBy("day", "event_type").collect()
+    val b = Pipeline.readDailyCounts(spark, layoutB).orderBy("day", "event_type").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+}
