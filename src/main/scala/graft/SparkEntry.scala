@@ -342,6 +342,13 @@ object SparkEntry {
           element_at(typedlit(idByName), col("event_type"))).as("type_name"))
     }),
 
+    "b11_sliding_counts" -> ((s, dir) =>
+      graft.operators.Windows.slidingCounts(Tables.events(s, dir))),
+    "b12_session_windows" -> ((s, dir) =>
+      graft.operators.Windows.sessions(Tables.events(s, dir), keyCol = "user_id")),
+    "b13_approx_distinct" -> ((s, dir) =>
+      graft.operators.Windows.approxDailyDistinct(Tables.events(s, dir))),
+
     // ---- dedup surface ----
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "d2_jaccard_pairs" -> ((s, dir) => {
@@ -514,6 +521,29 @@ object SparkEntry {
         |         WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 WHEN 'error' THEN 5 END AS type_id,
         |       event_type AS type_name
         |FROM events""".stripMargin,
+    "b11_sliding_counts" ->
+      """SELECT make_timestamp(CAST(s AS BIGINT) * 1000000) AS window_start,
+        |       event_type, CAST(count(*) AS BIGINT) AS n_events
+        |FROM (SELECT unnest([CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300 AS BIGINT),
+        |                     CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300 - 300 AS BIGINT)]) AS s,
+        |             event_type
+        |      FROM events)
+        |GROUP BY 1, 2""".stripMargin,
+    "b12_session_windows" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+        |m AS (SELECT user_id, t,
+        |             CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |                    OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= INTERVAL 30 MINUTE
+        |                  THEN 1 ELSE 0 END AS new_s
+        |      FROM e),
+        |s AS (SELECT user_id, t,
+        |             sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |                              ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id, min(t) AS session_start,
+        |       max(t) + INTERVAL 30 MINUTE AS session_end,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_doc_id,
         |       CAST(count(*) AS BIGINT) AS n_copies,

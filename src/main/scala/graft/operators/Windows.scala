@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Windowing operators beyond the reference's tumbling windows — the
+  * capabilities its author wished ClickHouse had (`README.md:376-380`, the
+  * "sum over (partition by … range between …)" lament). Both run equally as
+  * batch or Structured Streaming aggregations.
+  *
+  * Scale: both are single-shuffle aggregations. Sliding windows multiply
+  * each event into win/slide windows *map-side* (`window()` is a generator),
+  * then partial-aggregate before the shuffle; session windows shuffle by
+  * key and merge ranges in the state store / agg buffer — no sort-based
+  * window functions anywhere.
+  */
+object Windows {
+
+  /** Sliding event-time counts: `win`-second windows every `slide` seconds
+    * per event_type. An event lands in win/slide windows.
+    */
+  def slidingCounts(events: DataFrame, tsCol: String = "ts",
+      win: Int = 600, slide: Int = 300): DataFrame =
+    events
+      .groupBy(window(col(tsCol), s"$win seconds", s"$slide seconds").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+
+  /** Gap-based sessionization per key: events within `gapSec` of the
+    * previous event share a session; the session closes `gapSec` after its
+    * last event (Spark `session_window` semantics — a new session starts
+    * when the gap is ≥ `gapSec`).
+    */
+  def sessions(events: DataFrame, keyCol: String, tsCol: String = "ts",
+      gapSec: Int = 1800): DataFrame =
+    events
+      .groupBy(session_window(col(tsCol), s"$gapSec seconds").as("sw"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col(keyCol),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"))
+
+  /** Daily distinct-user estimates via HyperLogLog++ — the approximate
+    * rollup a 100 TB deployment uses where exact distinct would shuffle
+    * every key (SURVEY.md §2.5 "absent from the reference"; exposed because
+    * the MV pattern begs for it). No SQL oracle: sketches are
+    * engine-specific; the driver records a rows-only check.
+    */
+  def approxDailyDistinct(events: DataFrame, tsCol: String = "ts",
+      keyCol: String = "user_id", rsd: Double = 0.02): DataFrame =
+    events
+      .groupBy(to_date(col(tsCol)).as("day"), col("event_type"))
+      .agg(approx_count_distinct(col(keyCol), rsd).as("approx_users"),
+        count(lit(1)).as("n_events"))
+}
