@@ -58,8 +58,10 @@ object SparkEntry {
       |        ORDER BY $metric DESC, gtid DESC) AS rn FROM agg)
       |WHERE rn = 1""".stripMargin
 
-  private val rangeStart = Timestamp.valueOf("2024-01-05 00:00:00")
-  private val rangeEnd = Timestamp.valueOf("2024-01-06 00:00:00")
+  // Instant-based (NOT Timestamp.valueOf, which reads the JVM default
+  // timezone): the oracle's TIMESTAMP literals are naive UTC
+  private val rangeStart = Timestamp.from(java.time.Instant.parse("2024-01-05T00:00:00Z"))
+  private val rangeEnd = Timestamp.from(java.time.Instant.parse("2024-01-06T00:00:00Z"))
 
   /** Fixture event-type names (play the 16-value canal enum, P2). */
   private val fixtureTypes = Seq("view", "click", "purchase", "signup", "error")

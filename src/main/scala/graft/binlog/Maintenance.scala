@@ -75,16 +75,33 @@ object Maintenance {
 
   /** A9 compaction: rewrite MV partials fully collapsed (the explicit analog
     * of a SummingMergeTree background merge, `README.md:143-145`).
+    * Preserves the hive layout when a partition column is given (the MV
+    * writers partition by `day` — rewriting flat would make later
+    * partitioned appends unreadable). The swap keeps the old table as
+    * `<path>_old` until the new one is in place, so a crash mid-swap never
+    * loses both copies.
     */
   def compactPartials(spark: SparkSession, path: String, keys: Seq[String],
-      valueCol: String = "event_count"): Unit = {
-    val compacted = DailyCounts.compact(spark.read.parquet(path), keys, valueCol)
+      valueCol: String = "event_count", partitionCol: Option[String] = Some("day")): Unit = {
+    val raw = spark.read.parquet(path)
+    // replayed streaming batches are deduped before collapsing (see
+    // StreamingMVs.partialsWriter)
+    val deduped =
+      if (raw.columns.contains("batch_id"))
+        raw.dropDuplicates("batch_id" +: keys).drop("batch_id")
+      else raw
+    val compacted = DailyCounts.compact(deduped, keys, valueCol)
     val tmp = path.stripSuffix("/") + "_compacting"
-    compacted.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val old = path.stripSuffix("/") + "_old"
+    val writer = compacted.write.mode(SaveMode.Overwrite)
+    partitionCol.filter(keys.contains).fold(writer)(c => writer.partitionBy(c)).parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    fs.delete(p(old), true)
+    fs.rename(p(path), p(old))
+    fs.rename(p(tmp), p(path))
+    fs.delete(p(old), true)
   }
 
   /** P12 done right: the reference derives the distributed-table name with

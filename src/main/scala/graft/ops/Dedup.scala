@@ -53,23 +53,9 @@ object Dedup {
     * sharing ≥ 1 shingle; Jaccard = |∩| / (|A| + |B| − |∩|).
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     */
-  def jaccardPairs(docs: DataFrame, k: Int = 5, threshold: Double = 0.5): DataFrame = {
-    // the shingle index feeds three plan branches (both self-join sides and
-    // the size table) — cache it instead of recomputing the explode 3×
-    val sh = shingles(docs, k).persist()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val inter = sh.as("x")
-      .join(sh.as("y"), col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
-      .withColumn("jaccard",
-        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
-  }
+  def jaccardPairs(docs: DataFrame, k: Int = 5, threshold: Double = 0.5): DataFrame =
+    jaccardPairsFromShingles(
+      shingles(docs, k).withColumnRenamed("shingle", "shingle_id"), threshold)
 
   /** Jaccard near-dup over *shingle ids* (the rolling-polynomial k-gram ids
     * of [[shingleIds]]) instead of shingle strings: the inverted-index

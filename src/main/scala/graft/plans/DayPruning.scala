@@ -17,12 +17,16 @@ import org.apache.spark.sql.types.{DateType, TimestampType}
   * in the optimizer) prunes to the touched days — the difference between
   * reading 30 months and reading one day at 100 TB.
   *
-  * Conservative by construction: fires only on a conjunctive filter that
-  * (a) bounds a timestamp column named `execute_time` below with `>=`/`>`
-  * and/or above with `<`/`<=` against literals, (b) sits over a plan that
-  * outputs a `day: date` column, and (c) does not already constrain `day`.
-  * The added predicates are implied by the originals, so semantics are
-  * unchanged even where the layout invariant doesn't hold.
+  * Soundness: the added predicate is only implied when the layout invariant
+  * `day = to_date(execute_time)` holds, so the rule is deliberately narrow —
+  * it fires only on a conjunctive filter that (a) bounds a timestamp column
+  * named `execute_time` with literals, (b) sits directly over a file scan
+  * whose *partition schema* contains `day: date` (the layout
+  * [[graft.binlog.Maintenance.writeEvents]] produces — a coincidentally
+  * named data column never triggers it), and (c) does not already constrain
+  * `day`. Tables partitioned by a `day` column unrelated to `execute_time`
+  * violate the engine's layout contract; disable with
+  * `spark.graft.dayPruning.enabled=false` when mixing in foreign layouts.
   */
 object DayPruningRule extends Rule[LogicalPlan] {
 
@@ -36,9 +40,27 @@ object DayPruningRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** `day` must be a real partition column of a file relation under `plan`
+    * (projections in between are fine) — not just any date column.
+    */
+  private def partitionDayAttr(plan: LogicalPlan): Option[Attribute] = {
+    val partitionDayIds = plan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+              if fs.partitionSchema.exists(f => f.name == "day" && f.dataType == DateType) =>
+            r.output.filter(a => a.name == "day" && a.dataType == DateType).map(_.exprId)
+          case _ => Nil
+        }
+    }.flatten.toSet
+    plan.output.find(a =>
+      a.name == "day" && a.dataType == DateType && partitionDayIds.contains(a.exprId))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, child) =>
-      val dayAttr = child.output.find(a => a.name == "day" && a.dataType == DateType)
+    case f @ Filter(cond, child)
+        if conf.getConfString("spark.graft.dayPruning.enabled", "true") == "true" =>
+      val dayAttr = partitionDayAttr(child)
       dayAttr match {
         case Some(day) =>
           val conjuncts = splitConjuncts(cond)

@@ -40,20 +40,28 @@ object StreamingIngest {
       Ingest.dropTransactionBegin(
         Ingest.decodeAndFlatten(raw, decode, payloadCol), beginValue))
 
-  /** K1 sink: day-partitioned sorted parquet per micro-batch. */
+  /** K1 sink: day-partitioned sorted parquet per micro-batch. Each batch
+    * writes (overwrite) its own `batch_id=N` directory, so a replayed
+    * micro-batch — foreachBatch is at-least-once on crash between the write
+    * and the checkpoint commit — lands in the same place instead of
+    * appending duplicates: this is what upgrades the checkpointed source to
+    * end-to-end exactly-once (W4). Readers scan the base path; `batch_id`
+    * and `day` both surface as partition columns and day pruning still
+    * applies.
+    */
   def writer(shaped: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
     shaped.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch
           .withColumn("day", to_date(col("execute_time")))
           .sortWithinPartitions(col("execute_time"), col("gtid"))
           .write
-          .mode("append")
+          .mode("overwrite")
           .partitionBy("day")
-          .parquet(path)
+          .parquet(s"$path/batch_id=$batchId")
       }
 
   /** W2: the reference's hand-rolled closed-window trigger

@@ -41,9 +41,10 @@ object StreamingMVs {
     DailyCounts.dailyTableEventCounts(stream, schemaCol, tableCol)
 
   /** Form 2: per-micro-batch partial counts appended to `targetPath`
-    * (day-partitioned parquet). Restart-safe: `batchId` rides along so an
-    * exactly-once replay of a batch overwrites nothing and the re-sum view
-    * can dedup if a sink-level retry ever double-appends.
+    * (day-partitioned parquet). Restart-safe: `batchId` rides along and the
+    * read path dedups on (batch_id, day, event_type) — a replayed
+    * micro-batch (at-least-once foreachBatch) emits identical partial rows,
+    * which the dedup collapses before the re-sum.
     */
   def partialsWriter(stream: DataFrame, targetPath: String, checkpoint: String): DataStreamWriter[Row] =
     stream.writeStream
@@ -60,9 +61,16 @@ object StreamingMVs {
           .parquet(targetPath)
       }
 
-  /** The M3 read path over the partials table (re-sum view). */
-  def readDailyCounts(spark: org.apache.spark.sql.SparkSession, targetPath: String): DataFrame =
-    DailyCounts.resum(
-      spark.read.parquet(targetPath).drop("batch_id"),
-      Seq("day", "event_type"))
+  /** The M3 read path over the partials table (re-sum view). Dedups
+    * replayed batches first (see [[partialsWriter]]); tolerates compacted
+    * tables where `batch_id` no longer exists.
+    */
+  def readDailyCounts(spark: org.apache.spark.sql.SparkSession, targetPath: String): DataFrame = {
+    val raw = spark.read.parquet(targetPath)
+    val deduped =
+      if (raw.columns.contains("batch_id"))
+        raw.dropDuplicates("batch_id", "day", "event_type").drop("batch_id")
+      else raw
+    DailyCounts.resum(deduped, Seq("day", "event_type"))
+  }
 }

@@ -23,12 +23,17 @@ class MaintenanceSpec extends SparkSpec {
 
   test("K4 TTL: partitions older than the retention window are dropped") {
     val path = tmpDir("events_ttl")
+    // derive both days from the clock so the test never rots: one well past
+    // the 30-month cutoff, one comfortably inside it
+    val now = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+    val oldDay = now.minusMonths(40)
+    val newDay = now.minusMonths(1)
     Maintenance.writeEvents(
-      events("2020-01-01 10:00:00", "2026-08-01 10:00:00"), path)
+      events(s"$oldDay 10:00:00", s"$newDay 10:00:00"), path)
     val deleted = Maintenance.applyTtl(spark, path, months = 30)
-    assert(deleted.exists(_.contains("day=2020-01-01")))
+    assert(deleted.exists(_.contains(s"day=$oldDay")))
     val remaining = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("day="))
-    assert(remaining.toSet === Set("day=2026-08-01"))
+    assert(remaining.toSet === Set(s"day=$newDay"))
     // table still readable after the drop
     assert(spark.read.parquet(path).count() === 1L)
   }
