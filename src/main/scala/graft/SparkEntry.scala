@@ -202,7 +202,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- binlog-parity surface (SURVEY.md §2) ----
     "b1_txn_stats" -> ((s, dir) =>
-      TransactionStats.forRange(binlog(s, dir), rangeStart, rangeEnd, "1day")),
+      // loadRange pushes the range onto the raw ns column (row-group skip);
+      // forRange re-applies it on execute_time (same rows, belt+braces)
+      TransactionStats.forRange(
+        BinlogEvents.loadRange(s, dir, rangeStart, rangeEnd), rangeStart, rangeEnd, "1day")),
     "b2_top1_size" -> ((s, dir) =>
       TransactionStats.top1PerWindow(binlog(s, dir), "transaction_size")),
     "b3_top1_rows" -> ((s, dir) =>

@@ -33,6 +33,25 @@ object BinlogEvents {
   def load(spark: SparkSession, sfDir: String): DataFrame =
     shape(Tables.events(spark, sfDir))
 
+  /** Range-restricted load with the predicate applied to the *raw* ns-epoch
+    * column before the timestamp rebuild: a filter on the derived timestamp
+    * cannot reach the parquet reader (it's a computed column), but the long
+    * comparison pushes down and skips row groups via min/max stats — the
+    * O3 sort-key data-skipping path (SURVEY.md §4). Semantically identical
+    * to filtering `execute_time` afterwards (ns bounds are exact supersets
+    * of the µs-truncated values).
+    */
+  def loadRange(spark: SparkSession, sfDir: String,
+      start: java.sql.Timestamp, end: java.sql.Timestamp): DataFrame = {
+    val startNs = start.getTime * 1000000L
+    val endNs = end.getTime * 1000000L
+    shape(
+      spark.read
+        .parquet(s"$sfDir/events.parquet")
+        .filter(col("ts") >= startNs && col("ts") < endNs)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+  }
+
   /** Same mapping over an arbitrary events-schema DataFrame (used by the
     * streaming path and unit tests).
     */

@@ -35,6 +35,17 @@ class DedupSpec extends SparkSpec {
     assert(!keys.exists { case (a, b) => b == 3L || a == 3L })
   }
 
+  test("string-shingle and id-shingle jaccard agree (collision-free corpus)") {
+    val byString = Dedup.jaccardPairs(docs, k = 2, threshold = 0.3)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+      .orderBy("doc_a", "doc_b").collect()
+    val ids = Vocab.tokenIdArrays(docs, Vocab.tokenIdMap(docs))
+    val byId = Dedup.jaccardPairsFromShingles(Dedup.shingleIdsFromArrays(ids, 2), 0.3)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+      .orderBy("doc_a", "doc_b").collect()
+    assert(byString.toSeq === byId.toSeq)
+  }
+
   test("minhash: identical docs have identical signatures and become a candidate pair") {
     val tid = Vocab.tokenIds(docs)
     val sigs = Dedup.minhashSignatures(tid).collect()
