@@ -325,6 +325,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("total_c"))),
 
+    "t12_asof_join" -> ((s, dir) => {
+      // as-of: each event picks the user's most recent order on or before
+      // the event time (ties by largest orderkey)
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
+      graft.operators.AsOfJoin
+        .asOf(ev, ord, Seq("user_id"), "ts", "o_orderdate", "o_orderkey", Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("asof_o_orderkey").as("last_orderkey"))
+    }),
+
     // ---- more binlog surface ----
     "b9_retention_window" -> ((s, dir) => {
       // scalar-subquery retention probe: keep only the trailing 7 days
@@ -513,6 +524,12 @@ object SparkEntry {
         |FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
         |GROUP BY 1""".stripMargin,
+    "t12_asof_join" ->
+      """SELECT event_id, user_id,
+        |       (SELECT o_orderkey FROM orders
+        |        WHERE o_custkey = e.user_id AND o_orderdate <= CAST(e.ts AS TIMESTAMP)
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) AS last_orderkey
+        |FROM events e""".stripMargin,
     "b9_retention_window" ->
       """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
         |       CAST(count(*) AS BIGINT) AS n_events

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, attach the single most recent right row
+  * with `rightTs <= leftTs` for the same key (ties on the timestamp broken
+  * by the largest `tieCol`) — the trades-to-quotes operator Spark has no
+  * built-in for (SURVEY.md notes the reference has no joins at all; this is
+  * engine surface beyond it).
+  *
+  * Implementation is the union-and-scan form, not a join: tag both inputs,
+  * union them, and run one `last(_, ignoreNulls)` over a window ordered by
+  * (ts, side, tie) within the key. Right rows sort *before* left rows at
+  * equal timestamps, giving inclusive (`<=`) semantics.
+  *
+  * Scale: one shuffle on the key and a sorted scan per partition — the same
+  * cost as a sort-merge join but with no pairwise matching blow-up; skew on
+  * a hot key behaves like any windowed aggregation (AQE-visible). A
+  * broadcast variant is unnecessary: if the right side were small enough to
+  * broadcast, the union costs even less.
+  */
+object AsOfJoin {
+
+  /** @param left      probe side
+    * @param right     reference side (its columns in `payloadCols` are
+    *                  attached, prefixed `asof_`)
+    * @param keyCols   equi-key (same names both sides)
+    * @param leftTs    left event-time column name
+    * @param rightTs   right event-time column name
+    * @param tieCol    right column breaking equal-timestamp ties (max wins)
+    * @param payloadCols right columns to carry onto the left rows
+    */
+  def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, tieCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val key = keyCols.map(col)
+    val payload = struct((tieCol +: payloadCols).distinct.map(col): _*)
+    val taggedRight = right.select(
+      key :+ col(rightTs).cast("timestamp").as("_ts") :+ lit(0).as("_side") :+
+        col(tieCol).cast("long").as("_tie") :+ payload.as("_payload"): _*)
+    val leftCols = left.columns.map(col)
+    val taggedLeft = left.select(
+      key :+ col(leftTs).cast("timestamp").as("_ts") :+ lit(1).as("_side") :+
+        lit(Long.MaxValue).as("_tie") :+ lit(null).cast(taggedRight.schema("_payload").dataType)
+          .as("_payload") :+ struct(leftCols: _*).as("_left"): _*)
+    val unioned = taggedLeft
+      .select((keyCols.map(col) ++ Seq(col("_ts"), col("_side"), col("_tie"),
+        col("_payload"), col("_left"))): _*)
+      .unionByName(taggedRight.withColumn("_left",
+        lit(null).cast(taggedLeft.schema("_left").dataType)))
+    val w = Window
+      .partitionBy(key: _*)
+      .orderBy(col("_ts").asc, col("_side").asc, col("_tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("_asof", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    val outCols = left.columns.map(c => col("_left").getField(c).as(c)) ++
+      payloadCols.map(c => col("_asof").getField(c).as(s"asof_$c"))
+    matched.select(outCols: _*)
+  }
+}

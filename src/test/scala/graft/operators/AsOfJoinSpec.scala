@@ -1,0 +1,34 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("as-of picks the latest right row at or before each left row, per key") {
+    val left = Seq(
+      (1L, "k1", ts(100)),
+      (2L, "k1", ts(200)),
+      (3L, "k1", ts(50)),   // before every right row → null
+      (4L, "k2", ts(100))   // key with no right rows → null
+    ).toDF("id", "key", "t")
+    val right = Seq(
+      ("k1", ts(100), 10L),  // equal timestamp: inclusive (<=)
+      ("k1", ts(100), 11L),  // tie on ts → larger tie column wins
+      ("k1", ts(150), 12L)
+    ).toDF("key", "rt", "ref")
+
+    val out = AsOfJoin.asOf(left, right, Seq("key"), "t", "rt", "ref", Seq("ref"))
+      .orderBy("id").collect()
+    val got = out.map(r => r.getAs[Long]("id") ->
+      Option(r.getAs[java.lang.Long]("asof_ref")).map(_.toLong)).toMap
+    assert(got(1L) === Some(11L)) // t=100: inclusive, tie broken upward
+    assert(got(2L) === Some(12L)) // t=200: latest right at 150
+    assert(got(3L) === None)      // nothing at or before t=50
+    assert(got(4L) === None)      // no rows for k2
+  }
+}
