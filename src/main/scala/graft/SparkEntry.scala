@@ -336,6 +336,43 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("asof_o_orderkey").as("last_orderkey"))
     }),
 
+    "t13_having" -> ((s, dir) =>
+      // HAVING: only nations with enough customers
+      Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(round(col("c_acctbal") * 100).cast("long")).as("acctbal_c"))
+        .filter(col("n_customers") >= 20)),
+    "t14_case_pivot" -> ((s, dir) =>
+      // manual pivot: per-priority order-status counts in one pass
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).cast("long").as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).cast("long").as("n_o"),
+          sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).cast("long").as("n_p"))),
+    "t15_cube" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(F.broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .cube(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))),
+    "t16_above_avg" -> ((s, dir) => {
+      // customers above their nation's mean balance — integer-exact form:
+      // cents*count > sum(cents) avoids cross-engine double averaging
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("c_nationkey"))
+      Tables.customer(s, dir)
+        .withColumn("acctbal_c", round(col("c_acctbal") * 100).cast("long"))
+        .withColumn("_sum", sum(col("acctbal_c")).over(w))
+        .withColumn("_cnt", count(lit(1)).over(w))
+        .filter(col("acctbal_c") * col("_cnt") > col("_sum"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_above"))
+    }),
+    "t17_salted_agg" -> ((s, dir) =>
+      // skew-safe two-phase aggregation ≡ direct groupBy().count()
+      graft.operators.Skew.saltedCount(
+        Tables.events(s, dir), Seq("event_type"), salts = 32, countCol = "n_events")),
+
     // ---- more binlog surface ----
     "b9_retention_window" -> ((s, dir) => {
       // scalar-subquery retention probe: keep only the trailing 7 days
@@ -524,6 +561,33 @@ object SparkEntry {
         |FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
         |GROUP BY 1""".stripMargin,
+    "t13_having" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_c
+        |FROM customer GROUP BY 1 HAVING count(*) >= 20""".stripMargin,
+    "t14_case_pivot" ->
+      """SELECT o_orderpriority,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY 1""".stripMargin,
+    "t15_cube" ->
+      """SELECT n_name, c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (n_name, c_mktsegment)""".stripMargin,
+    "t16_above_avg" ->
+      """WITH c AS (SELECT c_nationkey,
+        |                  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c
+        |           FROM customer),
+        |n AS (SELECT c_nationkey, sum(acctbal_c) AS s, count(*) AS cnt
+        |      FROM c GROUP BY 1)
+        |SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_above
+        |FROM c JOIN n ON c.c_nationkey = n.c_nationkey
+        |WHERE c.acctbal_c * n.cnt > n.s
+        |GROUP BY 1""".stripMargin,
+    "t17_salted_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
     "t12_asof_join" ->
       """SELECT event_id, user_id,
         |       (SELECT o_orderkey FROM orders

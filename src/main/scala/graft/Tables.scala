@@ -74,6 +74,10 @@ object Tables {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // saveAsTable targets (bucketed layouts) land outside the repo
+      .config("spark.sql.warehouse.dir",
+        sys.props.getOrElse("graft.warehouse",
+          s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 }

@@ -104,6 +104,43 @@ class PlanSpec extends SparkSpec {
     assert(o("maxOffsetsPerTrigger") === "5000")
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val sf = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS c_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    Tables.customer(spark, sf).write
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("c_bucketed")
+    Tables.orders(spark, sf).write
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("o_bucketed")
+    val q = spark.table("c_bucketed")
+      .join(spark.table("o_bucketed").hint("merge"),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan
+    val joinExchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the only shuffle allowed is the aggregation's, never the join's:
+    // both sides are pre-bucketed on the key
+    assert(plan.toString.contains("SortMergeJoin"), plan.toString)
+    assert(joinExchanges.length <= 1, plan.toString)
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val direct = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+      .orderBy("event_type").collect()
+    val salted = graft.operators.Skew.saltedCount(
+      Tables.events(spark, "/root/testdata/sf0.001"), Seq("event_type"),
+      salts = 32, countCol = "n_events")
+      .orderBy("event_type").collect()
+    assert(direct.toSeq === salted.toSeq)
+  }
+
   test("per-window top-1 uses a single shuffle pair (agg form, no window sort)") {
     val events = Seq(
       (Timestamp.valueOf("2024-01-01 00:01:00"), "g1", "1", "10", 1L)
