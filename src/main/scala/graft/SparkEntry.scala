@@ -436,6 +436,8 @@ object SparkEntry {
     "x3_langid" -> ((s, dir) => TextOps.languageId(Tables.documents(s, dir))),
     "x4_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(Vocab.tokenIds(Tables.documents(s, dir)))),
+    "x5_regex_tokens" -> ((s, dir) =>
+      TextOps.regexTokenStats(Tables.documents(s, dir))),
 
     // ---- multimodal plumbing ----
     "m1_binary_meta" -> ((s, dir) =>
@@ -696,6 +698,13 @@ object SparkEntry {
          |       CAST(CAST(sum((token_id + 1) * (pos + 1)) AS BIGINT) % 2147483647 AS BIGINT) AS fingerprint,
          |       CAST(count(*) AS BIGINT) AS n_tokens
          |FROM tid GROUP BY doc_id""".stripMargin,
+    "x5_regex_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
+        |       CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS n_distinct_alpha,
+        |       CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha_chars
+        |FROM documents""".stripMargin,
     "m1_binary_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

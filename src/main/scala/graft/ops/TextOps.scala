@@ -96,6 +96,23 @@ object TextOps {
     base.withColumn("pred_lang", pred._1).withColumn("pred_score", pred._2)
   }
 
+  /** Regex ("BPE-ish") tokenization stats: alpha-run tokens, their distinct
+    * count, and total alpha characters. Pure codegen'd projections — a
+    * 100 TB corpus streams through at scan speed. Patterns are kept to
+    * character classes that Java regex and RE2 interpret identically, so
+    * the oracle reproduces counts exactly.
+    */
+  def regexTokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long")
+        .as("n_alpha_tokens"),
+      size(array_distinct(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))).cast("long")
+        .as("n_distinct_alpha"),
+      length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("n_alpha_chars")
+    )
+
   /** Deterministic document fingerprint: position-weighted token hash folded
     * modulo a Mersenne prime. Token ids come from a corpus-level vocabulary
     * rank (see [[Vocab]]) so the oracle can reproduce the exact hash without
