@@ -108,6 +108,16 @@ class PlanSpec extends SparkSpec {
     val sf = "/root/testdata/sf0.001"
     spark.sql("DROP TABLE IF EXISTS c_bucketed")
     spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    // the in-memory catalog resets per JVM but the warehouse dirs survive —
+    // clear stale locations or saveAsTable refuses to create the table
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq("c_bucketed", "o_bucketed").foreach { t =>
+      val d = new java.io.File(wh, t)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      if (d.exists()) rm(d)
+    }
     Tables.customer(spark, sf).write
       .bucketBy(8, "c_custkey").sortBy("c_custkey")
       .mode("overwrite").saveAsTable("c_bucketed")
