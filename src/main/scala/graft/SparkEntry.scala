@@ -392,7 +392,9 @@ object SparkEntry {
         col("event_type"),
         element_at(typedlit(idByName), col("event_type")).as("type_id"),
         element_at(typedlit(nameById),
-          element_at(typedlit(idByName), col("event_type"))).as("type_name"))
+          element_at(typedlit(idByName), col("event_type"))).as("type_name"),
+        // P10: formatting parity (strftime in the oracle)
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("event_time_str"))
     }),
 
     "b11_sliding_counts" -> ((s, dir) =>
@@ -607,7 +609,8 @@ object SparkEntry {
       """SELECT event_id, event_type,
         |       CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
         |         WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 WHEN 'error' THEN 5 END AS type_id,
-        |       event_type AS type_name
+        |       event_type AS type_name,
+        |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS event_time_str
         |FROM events""".stripMargin,
     "b11_sliding_counts" ->
       """SELECT make_timestamp(CAST(s AS BIGINT) * 1000000) AS window_start,

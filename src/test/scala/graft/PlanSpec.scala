@@ -54,6 +54,15 @@ class PlanSpec extends SparkSpec {
     assert(scans.head.selectedPartitions.partitionCount === 1)
   }
 
+  test("ingest chain fuses into a single whole-stage-codegen span") {
+    val q = SparkEntry.queries("b7_ingest_flatten")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    // decode → flatten → filter → project is narrow: codegen spans (the
+    // `*(n)` markers) over the scan, no exchanges anywhere
+    assert(plan.contains("*("), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("filter pushdown reaches the parquet scan") {
     val q = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .filter(col("l_quantity") > 49.0).select(col("l_orderkey"))
