@@ -95,6 +95,20 @@ object Pipeline {
   /** The MV read path (M3): re-summed daily counts. */
   def readDailyCounts(spark: SparkSession, layout: Layout): DataFrame =
     StreamingMVs.readDailyCounts(spark, layout.mvPartials)
+
+  /** W7 per-cluster fan-out: the reference runs the same three queries over
+    * cluster prefixes `cluster1/2/3` in a Python loop
+    * (`compute_transaction_info.py:156,166-172`) — and wires two of the
+    * result tables crosswise (the known swap bug). Here each cluster is a
+    * layout under its own prefix and results land in like-named tables (the
+    * evident intent, SURVEY.md §2.8 W7). Returns per-cluster written-window
+    * counts.
+    */
+  def runComputeMulti(spark: SparkSession, base: String, clusterPrefixes: Seq[String],
+      now: Timestamp, windowSec: Int = 300): Map[String, Int] =
+    clusterPrefixes.map { prefix =>
+      prefix -> runCompute(spark, Layout(s"$base/$prefix"), now, windowSec)
+    }.toMap
 }
 
 /** `mon_mysql_dml.py` equivalent: `runMain graft.binlog.IngestMain

@@ -52,6 +52,24 @@ class PipelineSpec extends SparkSpec {
       Timestamp.valueOf("2025-06-30 00:00:00")) === 0)
   }
 
+  test("W7 fan-out: same compute over multiple cluster prefixes") {
+    val base = tmpDir("pipeline_multi")
+    val raw = Tables.events(spark, "/root/testdata/sf0.001")
+    val clusters = Seq("cluster1", "cluster2")
+    clusters.foreach { c =>
+      Pipeline.runIngestBatch(spark, raw, Pipeline.Layout(s"$base/$c"))
+    }
+    val written = Pipeline.runComputeMulti(spark, base, clusters,
+      Timestamp.valueOf("2024-12-31 00:00:00"))
+    assert(written.keySet === clusters.toSet)
+    assert(written.values.forall(_ > 0))
+    // like-named tables per cluster (intent, not the reference's swap bug)
+    clusters.foreach { c =>
+      assert(spark.read.parquet(s"$base/$c/stats_transaction_size").count() > 0)
+      assert(spark.read.parquet(s"$base/$c/stats_transaction_spend_time").count() > 0)
+    }
+  }
+
   test("streaming ingest variant produces the same event table as batch") {
     val layoutS = Pipeline.Layout(tmpDir("pipeline_s"))
     val raw = Tables.events(spark, "/root/testdata/sf0.001")
