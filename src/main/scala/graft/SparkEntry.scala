@@ -145,6 +145,27 @@ object SparkEntry {
        |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5""".stripMargin
   }
 
+  /** LSH oracle: the plane literals are generated from the same arithmetic
+    * as [[Vectors.lshPlanes]], so both engines bucket identically.
+    */
+  // lazy: refers to oracleEmbCte, which is declared further down the object
+  private lazy val oracleLsh: String = {
+    val planes = graft.ops.Vectors.lshPlanes(8, 64)
+    val planeSql = planes.map(p => "[" + p.mkString(", ") + "]")
+    val bucketExpr = planeSql.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product(v, $p) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH $oracleEmbCte,
+       |b AS (SELECT vec_id, v, CAST($bucketExpr AS BIGINT) AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, bucket, v AS qv FROM b WHERE vec_id < 8),
+       |scored AS (SELECT q.query_id, b.vec_id AS neighbor_id, ${oracleCos("q.qv", "b.v")} AS sim
+       |           FROM q JOIN b ON b.bucket = q.bucket AND b.vec_id <> q.query_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   /** LSH band pairs over the 8-hash MinHash signature of *shingle* ids
     * (5-gram rolling polynomial over token ids): 4 bands × 2 rows — matches
     * [[Dedup.minhashCandidatePairs]] with bands = 4, shingleK = 5. The
@@ -431,6 +452,8 @@ object SparkEntry {
       Vectors.bruteForceTopK(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
     "s2_ann_ivf" -> ((s, dir) =>
       Vectors.ivfTopK(Tables.embeddings(s, dir), 0L until 10L, 0L until 8L, k = 5)),
+    "s3_ann_lsh" -> ((s, dir) =>
+      Vectors.lshTopK(Tables.embeddings(s, dir), 0L until 8L, k = 5)),
 
     // ---- text analysis ----
     "x1_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
@@ -443,7 +466,9 @@ object SparkEntry {
 
     // ---- multimodal plumbing ----
     "m1_binary_meta" -> ((s, dir) =>
-      graft.ops.Multimodal.decodeExpr(Tables.documents(s, dir)))
+      graft.ops.Multimodal.decodeExpr(Tables.documents(s, dir))),
+    "m2_frame_sample" -> ((s, dir) =>
+      graft.ops.Multimodal.sampleFrames(Tables.documents(s, dir)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -669,6 +694,14 @@ object SparkEntry {
          |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
          |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
          |WHERE rank <= 5""".stripMargin,
+    "s3_ann_lsh" -> oracleLsh,
+    "m2_frame_sample" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |       CAST(i * 1000 AS BIGINT) AS byte_offset,
+        |       CAST((n - i * 1000) % 256 AS BIGINT) AS frame_checksum
+        |FROM (SELECT doc_id, octet_length(encode(text)) AS n,
+        |             unnest(range(0, octet_length(encode(text)) // 1000 + 1)) AS i
+        |      FROM documents)""".stripMargin,
     "x1_token_stats" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

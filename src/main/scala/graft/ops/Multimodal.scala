@@ -63,6 +63,20 @@ object Multimodal {
       }
   }
 
+  /** Frame sampling: one row per (synthetic) frame with its byte offset and
+    * a deterministic per-frame checksum — the explode-shaped stage a video
+    * pipeline runs after probe/decode. Narrow (generator, no shuffle).
+    */
+  def sampleFrames(docs: DataFrame, frameBytes: Int = 1000): DataFrame =
+    decodeExpr(docs)
+      .select(col("doc_id"), col("n_bytes"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        (col("frame_idx") * frameBytes).as("byte_offset"),
+        pmod(col("n_bytes") - col("frame_idx") * frameBytes, lit(256)).as("frame_checksum"))
+
   /** Whole-stage-codegen rendering of the stub decode (pure column
     * expressions) — used by the oracle-checked query; proves the expression
     * path and the mapPartitions path agree (MultimodalSpec).

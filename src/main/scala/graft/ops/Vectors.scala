@@ -118,6 +118,46 @@ object Vectors {
     topKPerGroup(scored, "query_id", k)
   }
 
+  /** Random-hyperplane LSH: deterministic pseudo-random planes (a fixed
+    * arithmetic formula over (plane, dim) so the SQL oracle can inline the
+    * identical literals), bucket = sign-bit vector of the plane dots. Unlike
+    * IVF this needs no centroid pass at all — bucketing is a narrow
+    * projection — at the cost of less adaptive buckets.
+    */
+  def lshPlanes(nPlanes: Int, dim: Int): Seq[Array[Double]] =
+    (0 until nPlanes).map { j =>
+      Array.tabulate(dim) { i =>
+        (((j * dim + i) * 2654435761L) % 1000L - 500L).toDouble / 500.0
+      }
+    }
+
+  /** Attach the LSH bucket id (`nPlanes`-bit signature of plane-dot signs). */
+  def withLshBucket(unit: DataFrame, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = lshPlanes(nPlanes, dim)
+    val bucket = planes.zipWithIndex.map { case (p, j) =>
+      when(dot(col("unit"), typedlit(p.toSeq)) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    unit.withColumn("bucket", bucket)
+  }
+
+  /** LSH-bucketed ANN: queries search only their sign-bucket. Same output
+    * contract as [[ivfTopK]].
+    */
+  def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val bucketed = withLshBucket(
+      withUnit(embeddings).select(col("vec_id"), col("unit")), nPlanes, dim).persist()
+    val queries = bucketed
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("bucket"), col("unit").as("q"))
+    val scored = F.broadcast(queries)
+      .join(bucketed.select(col("vec_id").as("neighbor_id"), col("bucket"), col("unit").as("e")),
+        Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("q"), col("e")).as("sim"))
+    topKPerGroup(scored, "query_id", k)
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, restricted to
     * same-IVF-bucket candidates (the blocked form that scales; exact within
     * the bucket). Output: (vec_a, vec_b) pairs, a < b.
