@@ -192,7 +192,7 @@ object SparkEntry {
        |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id AND ($bandEq)""".stripMargin
   }
 
-  /** Doubles-widened embedding CTE + IVF assignment (centroids = vec_id<10,
+  /** Doubles-widened embedding CTE + IVF assignment (centroids = vec_id<32,
     * nearest by cosine, ties to the smaller centroid id).
     */
   private val oracleEmbCte: String =
@@ -205,7 +205,7 @@ object SparkEntry {
     s"list_dot_product($x, $y)"
 
   private val oracleIvfAssigned: String =
-    s"""c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 10),
+    s"""c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 32),
        |sc AS (SELECT e.vec_id, c.centroid_id, ${oracleCos("e.v", "c.cv")} AS cs FROM e, c),
        |assigned AS (SELECT vec_id, centroid_id AS bucket
        |             FROM (SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id
@@ -445,13 +445,15 @@ object SparkEntry {
     "d5_simhash" -> ((s, dir) =>
       Dedup.simhash(Vocab.tokenIds(Tables.documents(s, dir)))),
     "d6_cosine_neardup" -> ((s, dir) =>
-      Vectors.cosineNearDupPairs(Tables.embeddings(s, dir), 0L until 10L, threshold = 0.4)),
+      // 32 centroids: pair work and join parallelism scale with bucket
+      // count — 10 buckets would cap a 32-core stage at 10 partitions
+      Vectors.cosineNearDupPairs(Tables.embeddings(s, dir), 0L until 32L, threshold = 0.4)),
 
     // ---- similarity search ----
     "s1_ann_bruteforce" -> ((s, dir) =>
       Vectors.bruteForceTopK(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
     "s2_ann_ivf" -> ((s, dir) =>
-      Vectors.ivfTopK(Tables.embeddings(s, dir), 0L until 10L, 0L until 8L, k = 5)),
+      Vectors.ivfTopK(Tables.embeddings(s, dir), 0L until 32L, 0L until 8L, k = 5)),
     "s3_ann_lsh" -> ((s, dir) =>
       Vectors.lshTopK(Tables.embeddings(s, dir), 0L until 8L, k = 5)),
 
