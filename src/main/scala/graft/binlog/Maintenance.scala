@@ -80,9 +80,18 @@ object Maintenance {
     * partitioned appends unreadable). The swap keeps the old table as
     * `<path>_old` until the new one is in place, so a crash mid-swap never
     * loses both copies.
+    *
+    * Visibility contract: between rename(path→_old) and rename(tmp→path)
+    * the table path briefly does not exist, so a *concurrent* reader can
+    * fail — compaction is a maintenance window action, same as a CH mutation
+    * on a non-replicated table. Crash recovery is automatic: a crash inside
+    * that window leaves `_old` but no `path`, and the next compactPartials
+    * (or [[recoverCompaction]] at startup) rolls `_old` back before
+    * proceeding, so no manual surgery is needed.
     */
   def compactPartials(spark: SparkSession, path: String, keys: Seq[String],
       valueCol: String = "event_count", partitionCol: Option[String] = Some("day")): Unit = {
+    recoverCompaction(spark, path)
     val raw = spark.read.parquet(path)
     // replayed streaming batches are deduped before collapsing (see
     // StreamingMVs.partialsWriter)
@@ -102,6 +111,23 @@ object Maintenance {
     fs.rename(p(path), p(old))
     fs.rename(p(tmp), p(path))
     fs.delete(p(old), true)
+  }
+
+  /** Roll back a compaction that crashed between its two renames: if
+    * `<path>_old` exists while `path` does not, the old copy is the only
+    * complete table — restore it. Call at startup (or rely on the call at
+    * the head of [[compactPartials]]). Returns true if a rollback happened.
+    */
+  def recoverCompaction(spark: SparkSession, path: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val old = path.stripSuffix("/") + "_old"
+    val needsRollback = fs.exists(p(old)) && !fs.exists(p(path))
+    if (needsRollback) fs.rename(p(old), p(path))
+    // a stale tmp from a crash before the first rename is dead weight either way
+    fs.delete(p(path.stripSuffix("/") + "_compacting"), true)
+    needsRollback
   }
 
   /** P12 done right: the reference derives the distributed-table name with

@@ -33,8 +33,21 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // nullable even over non-null array columns: a null *element* yields null
+  // (without this, codegen would emit `false = true` for that path)
+  override def nullable: Boolean = {
+    def elemNullable(e: Expression) = e.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    }
+    left.nullable || right.nullable || elemNullable(left) || elemNullable(right)
+  }
+
   override def prettyName: String = "dot_product"
 
+  // a null *element* propagates null (matching the HOF fold and DuckDB's
+  // list_dot_product, whose null arithmetic poisons the accumulator) — the
+  // inputTypes accept containsNull arrays, so this case is reachable
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -42,6 +55,7 @@ case class DotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -57,6 +71,7 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $x.getDouble($i) * $y.getDouble($i);
          |}
          |${ev.value} = $acc;

@@ -35,26 +35,34 @@ object DayPruningRule extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  private def isExecuteTime(e: Expression): Boolean = e match {
-    case a: Attribute => a.name == "execute_time" && a.dataType == TimestampType
-    case _ => false
-  }
-
-  /** `day` must be a real partition column of a file relation under `plan`
-    * (projections in between are fine) — not just any date column.
+  /** The (day, execute_time) attribute pair of a partitioned file relation
+    * under `plan` whose `day` survives into `plan.output` (projections in
+    * between are fine) — not just any date column. Returning both attributes
+    * from the *same* `LogicalRelation` is what keeps the rewrite sound: a
+    * filter bounding some other relation's `execute_time` (e.g. above a join
+    * where pushdown can't move it) must not inject a day bound derived from
+    * an unrelated timestamp.
     */
-  private def partitionDayAttr(plan: LogicalPlan): Option[Attribute] = {
-    val partitionDayIds = plan.collect {
+  private def partitionDayAttr(plan: LogicalPlan): Option[(Attribute, Set[ExprId])] = {
+    val relationPairs: Seq[(Set[ExprId], Set[ExprId])] = plan.collect {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         r.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
               if fs.partitionSchema.exists(f => f.name == "day" && f.dataType == DateType) =>
-            r.output.filter(a => a.name == "day" && a.dataType == DateType).map(_.exprId)
-          case _ => Nil
+            Some((
+              r.output.filter(a => a.name == "day" && a.dataType == DateType)
+                .map(_.exprId).toSet,
+              r.output.filter(a => a.name == "execute_time" && a.dataType == TimestampType)
+                .map(_.exprId).toSet))
+          case _ => None
         }
-    }.flatten.toSet
-    plan.output.find(a =>
-      a.name == "day" && a.dataType == DateType && partitionDayIds.contains(a.exprId))
+    }.flatten
+    (for {
+      (dayIds, etIds) <- relationPairs.iterator
+      day <- plan.output.find(a =>
+        a.name == "day" && a.dataType == DateType && dayIds.contains(a.exprId))
+      if etIds.nonEmpty
+    } yield (day, etIds)).nextOption()
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -62,7 +70,16 @@ object DayPruningRule extends Rule[LogicalPlan] {
         if conf.getConfString("spark.graft.dayPruning.enabled", "true") == "true" =>
       val dayAttr = partitionDayAttr(child)
       dayAttr match {
-        case Some(day) =>
+        case Some((day, scanEtIds)) =>
+          // only an execute_time attribute emitted by the same relation as
+          // `day` may imply a day bound (ADVICE r1: by-name matching would
+          // accept an unrelated relation's timestamp above a join)
+          def isExecuteTime(e: Expression): Boolean = e match {
+            case a: Attribute =>
+              a.name == "execute_time" && a.dataType == TimestampType &&
+                scanEtIds.contains(a.exprId)
+            case _ => false
+          }
           val conjuncts = splitConjuncts(cond)
           val touchesDay = conjuncts.exists(_.references.exists(_.name == "day"))
           if (touchesDay) f

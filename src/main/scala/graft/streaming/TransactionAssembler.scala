@@ -24,6 +24,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object TransactionAssembler {
 
+  /** Floor epoch-millis to whole seconds (event times are never pre-1970
+    * here, so integral division suffices).
+    */
+  private def floorSec(ms: Long): Long = ms / 1000
+
   final case class TxnEvent(
       gtid: String,
       execute_time: Timestamp,
@@ -73,7 +78,11 @@ object TransactionAssembler {
               gtid,
               new Timestamp(s.startMs),
               new Timestamp(s.endMs),
-              (s.endMs - s.startMs) / 1000,
+              // floor each endpoint to seconds before subtracting — the
+              // batch path truncates per-timestamp (CH DateTime semantics),
+              // and (end-start)/1000 disagrees with it on sub-second times
+              // (0.9s→1.1s is 1 there, 0 here)
+              floorSec(s.endMs) - floorSec(s.startMs),
               (s.maxPos - s.minPos) + s.lastSize,
               s.rows,
               s.nEvents))

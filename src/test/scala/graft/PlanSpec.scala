@@ -91,6 +91,39 @@ class PlanSpec extends SparkSpec {
     assert(scans.head.selectedPartitions.partitionCount === 1, "rule did not prune")
   }
 
+  test("DayPruningRule ignores an unrelated relation's execute_time (soundness)") {
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint}
+    import org.apache.spark.sql.types.TimestampType
+    val path = tmpDir("plan_daypruning_foreign")
+    val events = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "g1", "INSERT"),
+      (Timestamp.valueOf("2024-01-02 10:00:00"), "g2", "INSERT")
+    ).toDF("execute_time", "gtid", "event_type")
+    Maintenance.writeEvents(events, path)
+    val scanPlan = spark.read.parquet(path).queryExecution.analyzed
+    // a second relation that happens to carry a column named execute_time
+    val foreign = Seq((Timestamp.valueOf("2024-03-01 00:00:00"), "g1"))
+      .toDF("execute_time", "other_gtid").queryExecution.analyzed
+    val lit20240102 = Literal(1704153600000000L, TimestampType) // 2024-01-02T00:00Z µs
+    def filtered(onForeign: Boolean) = {
+      val et = (if (onForeign) foreign else scanPlan).output
+        .find(_.name == "execute_time").get
+      Filter(GreaterThanOrEqual(et, lit20240102),
+        Join(scanPlan, foreign, Inner, None, JoinHint.NONE))
+    }
+    // the filter bounds the FOREIGN execute_time above the join — a day
+    // bound derived from it would silently drop rows; the rule must not fire
+    val foreignResult = graft.plans.DayPruningRule(filtered(onForeign = true))
+    val foreignCond = foreignResult.collect { case f: Filter => f }.head.condition
+    assert(!foreignCond.references.exists(_.name == "day"), foreignCond.toString)
+    // positive control: the scan's own execute_time still triggers the rewrite
+    val ownResult = graft.plans.DayPruningRule(filtered(onForeign = false))
+    assert(ownResult.collect { case f: Filter => f }.head
+      .condition.toString.contains("day"), ownResult.toString)
+  }
+
   test("dot_product is SQL-callable via the session extension") {
     val r = spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .collect().head.getDouble(0)

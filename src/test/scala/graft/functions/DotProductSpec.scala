@@ -34,6 +34,19 @@ class DotProductSpec extends SparkSpec {
     assert(rows(1).isNullAt(1))
   }
 
+  test("a null element propagates null (matches the HOF fold / list_dot_product)") {
+    import org.apache.spark.sql.functions._
+    val withNullElem = Seq(
+      (1L, Array[java.lang.Double](1.0, null, 3.0), Array[java.lang.Double](4.0, 5.0, 6.0)),
+      (2L, Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](3.0, 4.0))
+    ).toDF("id", "a", "b")
+    val rows = withNullElem
+      .select(col("id"), VectorFunctions.dotProduct(col("a"), col("b")).as("d"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1))
+    assert(rows(1).getDouble(1) === 11.0)
+  }
+
   test("SQL surface matches the Column surface") {
     val a = spark.sql("SELECT dot_product(array(1.0d,2.0d), array(3.0d,4.0d))").collect().head.getDouble(0)
     assert(a === 11.0)
