@@ -67,13 +67,19 @@ object SparkEntry {
   private val fixtureTypes = Seq("view", "click", "purchase", "signup", "error")
 
   // ---- oracle CTEs for the token-id surface (Vocab parity in SQL) ----
+  // token_id mirrors graft TokenHash: a code-point polynomial fold
+  // h ← (h·131 + cp) mod (2³¹−1). The `if c <> ''` guard matches Spark's
+  // zero-iteration fold on the empty token (DuckDB's string_split('','')
+  // yields [''] and unicode('') is −1).
   private val oracleTokCtes: String =
     """tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS token
       |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
       |        UNNEST(range(1, len(toks) + 1)) AS r(i)),
-      |vocab AS (SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
-      |          FROM (SELECT DISTINCT token FROM tok)),
-      |tid AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, token_id FROM tok JOIN vocab USING (token))""".stripMargin
+      |tid AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |               list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                 [CAST(unicode(c) AS BIGINT) for c in string_split(token, '') if c <> '']),
+      |                 (a, c) -> (a * 131 + c) % 2147483647) AS token_id
+      |        FROM tok)""".stripMargin
 
   private val oracleMinhashSigs: String = {
     val exprs = graft.ops.Dedup.minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
@@ -428,22 +434,20 @@ object SparkEntry {
     // ---- dedup surface ----
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "d2_jaccard_pairs" -> ((s, dir) => {
-      // fast path: literal-map token ids (no explode/join/regroup), then the
-      // inverted shingle-id index
-      val docs = Tables.documents(s, dir)
-      val ids = Vocab.tokenIdArrays(docs, Vocab.tokenIdMap(docs))
+      // hash token ids are a pure projection (no vocabulary build / join),
+      // then the inverted shingle-id index
+      val ids = Vocab.hashTokenIdArrays(Tables.documents(s, dir))
       Dedup.jaccardPairsFromShingles(Dedup.shingleIdsFromArrays(ids, 5), threshold = 0.5)
     }),
     "d3_minhash_sigs" -> ((s, dir) =>
-      Dedup.minhashSignatures(Vocab.tokenIds(Tables.documents(s, dir)))),
+      Dedup.minhashSignatures(Vocab.hashTokenIds(Tables.documents(s, dir)))),
     "d4_minhash_pairs" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val ids = Vocab.tokenIdArrays(docs, Vocab.tokenIdMap(docs))
+      val ids = Vocab.hashTokenIdArrays(Tables.documents(s, dir))
       Dedup.candidatePairsFromSignatures(
         Dedup.minhashSignaturesFromShingles(Dedup.shingleIdsFromArrays(ids, 5)), bands = 4)
     }),
     "d5_simhash" -> ((s, dir) =>
-      Dedup.simhash(Vocab.tokenIds(Tables.documents(s, dir)))),
+      Dedup.simhash(Vocab.hashTokenIds(Tables.documents(s, dir)))),
     "d6_cosine_neardup" -> ((s, dir) =>
       // 32 centroids: pair work and join parallelism scale with bucket
       // count — 10 buckets would cap a 32-core stage at 10 partitions
@@ -462,7 +466,7 @@ object SparkEntry {
     "x2_quality" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "x3_langid" -> ((s, dir) => TextOps.languageId(Tables.documents(s, dir))),
     "x4_fingerprint" -> ((s, dir) =>
-      TextOps.fingerprint(Vocab.tokenIds(Tables.documents(s, dir)))),
+      TextOps.fingerprint(Vocab.hashTokenIds(Tables.documents(s, dir)))),
     "x5_regex_tokens" -> ((s, dir) =>
       TextOps.regexTokenStats(Tables.documents(s, dir))),
 

@@ -1,0 +1,90 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Cross-engine-reproducible token hash: a polynomial fold of the string's
+  * Unicode code points, `h ← (h·131 + cp) mod (2³¹−1)`, starting at 0.
+  *
+  * This is the production token-id function of [[graft.ops.Vocab]]: a pure
+  * projection — no vocabulary build, no distinct, no rank, no join — so the
+  * token-id stage of the dedup/fingerprint operators costs zero shuffles and
+  * zero driver state at any corpus size. The fold is deliberately simple
+  * arithmetic over code points so that any engine can reproduce the ids in
+  * plain SQL (the DuckDB oracle inlines
+  * `list_reduce(list_prepend(0, [unicode(c) for c in string_split(t,'')]),
+  * (a,c) -> (a*131+c) % 2147483647)`); when cross-engine reproducibility is
+  * not needed, `xxhash64(token)` is the drop-in alternative with a wider id
+  * space.
+  *
+  * Collisions: ids live in [0, 2³¹−1); two distinct tokens may collide, but
+  * every engine computing the same fold sees the *same* collisions, so
+  * results stay comparable bit-for-bit. Intermediate values stay well inside
+  * a signed 64-bit long (acc < 2³¹, acc·131 < 2³⁸, + cp ≤ 0x10FFFF).
+  *
+  * Codegen'd (like [[DotProduct]]): the per-character loop runs inside
+  * whole-stage codegen rather than through an interpreted HOF chain of
+  * `aggregate(transform(sequence(...)))`.
+  */
+case class TokenHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "token_hash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 131L + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val str = ctx.freshName("str")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      s"""
+         |java.lang.String $str = $s.toString();
+         |long $h = 0L;
+         |int $i = 0;
+         |while ($i < $str.length()) {
+         |  int $cp = $str.codePointAt($i);
+         |  $h = ($h * 131L + $cp) % 2147483647L;
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenHash {
+  def column(s: Column): Column =
+    ExpressionUtils.column(TokenHash(ExpressionUtils.expression(s)))
+
+  /** SQL registration triple for `SparkSessionExtensions.injectFunction`. */
+  val registration: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    new org.apache.spark.sql.catalyst.FunctionIdentifier("token_hash"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[TokenHash].getName, "token_hash"),
+    (args: Seq[Expression]) => TokenHash(args(0))
+  )
+}

@@ -1,33 +1,93 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, functions => F}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row, functions => F}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.TokenHash
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
-/** Corpus vocabulary with dense, deterministic token ids (rank of the token
-  * in the sorted distinct vocabulary). Used by MinHash / SimHash /
-  * fingerprinting so that "hashing" is reproducible in the SQL oracle —
-  * production deployments would swap in xxhash64 over the token bytes (one
-  * line) without touching the dataflow.
+/** Token-id assignment for the dedup / fingerprint operators.
   *
-  * Scale: the distinct-token aggregation is a map-side-combined shuffle over
-  * tokens (vocabulary ≪ corpus). The `row_number` ranking runs over the
-  * *vocabulary*, not the corpus; for a natural-language vocab (≤ tens of
-  * millions) a single-partition rank of the distinct set is fine, and the
-  * result is broadcast-joined back to the token stream — the corpus itself is
-  * never globally sorted.
+  * Two modes:
+  *
+  *   - '''Hash ids (production default).''' `token_id = token_hash(token)` —
+  *     a pure projection computed inline with the scan: no vocabulary build,
+  *     no distinct, no rank, no join, no driver state. This is the only mode
+  *     that scales to an unbounded id space (a 100 TB corpus with a 10⁸-token
+  *     vocabulary never materializes a vocabulary at all). [[TokenHash]] is a
+  *     code-point polynomial fold reproducible in plain SQL by any engine
+  *     (the DuckDB oracle inlines the same fold), so hash ids are what the
+  *     correctness gate attests. Where cross-engine reproducibility is not
+  *     needed, [[xxhashTokenIds]] swaps in `xxhash64` for a 64-bit id space.
+  *
+  *   - '''Rank ids (dense mode).''' `token_id` = rank of the token in the
+  *     sorted distinct vocabulary — dense `[0, V)` ids for consumers that
+  *     want array-indexable ids (embedding tables, bitmap indexes). Ranking
+  *     is distributed: range-repartition the distinct vocabulary, sort within
+  *     partitions, and assign global indexes via per-partition offsets
+  *     (`zipWithIndex` — one tiny job collecting P partition *counts*, never
+  *     the vocabulary itself). Ids attach to the token stream by broadcast
+  *     join. No global window, no driver-side vocabulary, no literal maps.
   */
 object Vocab {
 
-  /** (token, token_id) — token_id is the 0-based rank in sorted order. */
-  def build(docs: DataFrame): DataFrame =
+  // ---- hash mode (production default) ----
+
+  /** (doc_id, pos, token, token_id) with `token_id = token_hash(token)` —
+    * zero shuffles, zero driver state, any corpus size.
+    */
+  def hashTokenIds(docs: DataFrame): DataFrame =
     docs
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"),
+        TokenHash.column(col("token")).as("token_id"))
+
+  /** (doc_id, ids: array<bigint>) — the whole token-id sequence in one
+    * narrow projection (no explode/join/regroup round trip): the fast path
+    * for sequence-shaped consumers (shingling).
+    */
+  def hashTokenIdArrays(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      transform(TextOps.tokens(col("text")), t => TokenHash.column(t)).as("ids"))
+
+  /** Hash mode over `xxhash64` — the preferred production id function when
+    * no cross-engine id reproducibility is required (64-bit id space, so
+    * collisions are negligible at any vocabulary size).
+    */
+  def xxhashTokenIds(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"),
+        xxhash64(col("token")).as("token_id"))
+
+  // ---- rank mode (dense ids) ----
+
+  /** (token, token_id) — token_id is the 0-based rank in sorted order,
+    * computed distributed: range-partition + sort-within-partition puts the
+    * vocabulary in global order across partitions, and `zipWithIndex`
+    * assigns dense indexes from per-partition offsets (its extra job
+    * collects only the P partition sizes). The vocabulary is never collected
+    * to the driver and never sorted in a single task.
+    */
+  def build(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val distinctTokens = docs
       .select(explode(TextOps.tokens(col("text"))).as("token"))
       .distinct()
-      .withColumn("token_id", row_number().over(Window.orderBy(col("token"))).cast("long") - 1)
+      .repartitionByRange(col("token"))
+      .sortWithinPartitions("token")
+    val indexed = distinctTokens.rdd.map(_.getString(0)).zipWithIndex()
+    spark.createDataFrame(
+      indexed.map { case (t, i) => Row(t, i) },
+      StructType(Seq(
+        StructField("token", StringType, nullable = false),
+        StructField("token_id", LongType, nullable = false))))
+  }
 
-  /** (doc_id, pos, token, token_id): position-indexed token stream with ids
-    * attached via broadcast join (the vocab side is small by construction).
+  /** (doc_id, pos, token, token_id): position-indexed token stream with
+    * dense rank ids attached via broadcast join (the vocabulary side is
+    * small relative to the corpus; for an unbounded id space use
+    * [[hashTokenIds]], which needs no join at all).
     */
   def tokenIds(docs: DataFrame): DataFrame = {
     val toks = docs.select(
@@ -38,21 +98,13 @@ object Vocab {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"), col("token_id"))
   }
 
-  /** Driver-collected vocabulary — the dictionary-broadcast variant for
-    * vocabularies that fit the driver (natural-language vocabularies do; for
-    * an unbounded id space fall back to the [[tokenIds]] join).
+  /** (doc_id, ids: array<bigint>) in rank-id mode — regrouped from the
+    * broadcast-joined token stream (rank ids cannot be computed without the
+    * vocabulary; hash mode's [[hashTokenIdArrays]] is the join-free path).
     */
-  def tokenIdMap(docs: DataFrame): Map[String, Long] =
-    build(docs).collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("token_id")).toMap
-
-  /** (doc_id, ids: array<bigint>) — the whole token-id sequence in one
-    * narrow projection (literal-map lookup), skipping the
-    * explode → join → collect_list round trip entirely. This is the fast
-    * path for sequence-shaped consumers (shingling): zero shuffles before
-    * the shingle index itself.
-    */
-  def tokenIdArrays(docs: DataFrame, vocab: Map[String, Long]): DataFrame =
-    docs.select(
-      col("doc_id"),
-      transform(TextOps.tokens(col("text")), t => element_at(typedlit(vocab), t)).as("ids"))
+  def tokenIdArrays(docs: DataFrame): DataFrame =
+    tokenIds(docs)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("token_id")))).as("pt"))
+      .select(col("doc_id"), transform(col("pt"), p => p.getField("token_id")).as("ids"))
 }

@@ -126,5 +126,6 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DayPruningRule)
     ext.injectFunction(org.apache.spark.sql.graft.DotProduct.registration)
+    ext.injectFunction(org.apache.spark.sql.graft.TokenHash.registration)
   }
 }

@@ -39,7 +39,7 @@ class DedupSpec extends SparkSpec {
     val byString = Dedup.jaccardPairs(docs, k = 2, threshold = 0.3)
       .select("doc_a", "doc_b", "n_common", "jaccard")
       .orderBy("doc_a", "doc_b").collect()
-    val ids = Vocab.tokenIdArrays(docs, Vocab.tokenIdMap(docs))
+    val ids = Vocab.hashTokenIdArrays(docs)
     val byId = Dedup.jaccardPairsFromShingles(Dedup.shingleIdsFromArrays(ids, 2), 0.3)
       .select("doc_a", "doc_b", "n_common", "jaccard")
       .orderBy("doc_a", "doc_b").collect()
