@@ -210,6 +210,23 @@ object SparkEntry {
   private def oracleCos(x: String, y: String): String =
     s"list_dot_product($x, $y)"
 
+  /** Spaced ⌈√N⌉-centroid assignment — mirrors
+    * [[graft.ops.Vectors.spacedCentroidIds]]: C = ceil(sqrt(N)), step = N
+    * div C, seeds = multiples of step below C·step.
+    */
+  private val oracleSpacedAssigned: String =
+    s"""params AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS n_cent,
+       |                  GREATEST(1, count(*) // CAST(ceil(sqrt(count(*))) AS BIGINT)) AS step
+       |           FROM e),
+       |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e, params
+       |         WHERE vec_id % step = 0 AND vec_id < n_cent * step),
+       |sc AS (SELECT e.vec_id, cent.centroid_id, ${oracleCos("e.v", "cent.cv")} AS cs FROM e, cent),
+       |assigned AS (SELECT vec_id, centroid_id AS bucket
+       |             FROM (SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id
+       |                     ORDER BY cs DESC, centroid_id ASC) AS rn FROM sc)
+       |             WHERE rn = 1),
+       |av AS (SELECT a.vec_id, a.bucket, e.v FROM assigned a JOIN e ON e.vec_id = a.vec_id)""".stripMargin
+
   private val oracleIvfAssigned: String =
     s"""c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 32),
        |sc AS (SELECT e.vec_id, c.centroid_id, ${oracleCos("e.v", "c.cv")} AS cs FROM e, c),
@@ -448,10 +465,12 @@ object SparkEntry {
     }),
     "d5_simhash" -> ((s, dir) =>
       Dedup.simhash(Vocab.hashTokenIds(Tables.documents(s, dir)))),
-    "d6_cosine_neardup" -> ((s, dir) =>
-      // 32 centroids: pair work and join parallelism scale with bucket
-      // count — 10 buckets would cap a 32-core stage at 10 partitions
-      Vectors.cosineNearDupPairs(Tables.embeddings(s, dir), 0L until 32L, threshold = 0.4)),
+    "d6_cosine_neardup" -> ((s, dir) => {
+      // ⌈√N⌉ spaced centroids: pair work stays O(N^1.5) and bucket
+      // parallelism grows with the corpus (count() is metadata, not data)
+      val emb = Tables.embeddings(s, dir)
+      Vectors.cosineNearDupPairs(emb, Vectors.spacedCentroidIds(emb.count()), threshold = 0.4)
+    }),
 
     // ---- similarity search ----
     "s1_ann_bruteforce" -> ((s, dir) =>
@@ -677,7 +696,7 @@ object SparkEntry {
     "d5_simhash" -> oracleSimhash,
     "d6_cosine_neardup" ->
       s"""WITH $oracleEmbCte,
-         |$oracleIvfAssigned
+         |$oracleSpacedAssigned
          |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
          |FROM av x JOIN av y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |WHERE ${oracleCos("x.v", "y.v")} >= 0.4""".stripMargin,

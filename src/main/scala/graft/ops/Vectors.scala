@@ -158,9 +158,32 @@ object Vectors {
     topKPerGroup(scored, "query_id", k)
   }
 
+  /** Deterministic centroid seed ids: C = ⌈√N⌉ ids spaced evenly across the
+    * dense id range — an even sample of the corpus, so bucket sizes track
+    * the data distribution instead of whatever the first C vectors happened
+    * to be. C growing as √N is what keeps the within-bucket pair stage
+    * sub-quadratic: balanced buckets hold ~√N vectors, so pair work is
+    * O(Σ|bucket|²) ≈ O(N^1.5), not O(N²/constant).
+    *
+    * Deliberately no floating-mean (Lloyd) refinement in this parity path:
+    * a per-bucket mean sums doubles in engine-dependent order, so the
+    * refined centroids — and borderline assignments — would not be
+    * bit-reproducible cross-engine. Production training (k-means‖ on a
+    * sample) slots in behind the same `centroidIds`/centroid-frame seam.
+    */
+  def spacedCentroidIds(n: Long): Seq[Long] = {
+    require(n > 0, "empty corpus")
+    val c = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val step = math.max(1L, n / c)
+    (0L until c).map(_ * step)
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, restricted to
     * same-IVF-bucket candidates (the blocked form that scales; exact within
     * the bucket). Output: (vec_a, vec_b) pairs, a < b.
+    *
+    * Use [[spacedCentroidIds]] for the centroid set: √N buckets keep this
+    * O(N^1.5) with bucket parallelism that grows with the corpus.
     */
   def cosineNearDupPairs(embeddings: DataFrame, centroidIds: Seq[Long], threshold: Double): DataFrame = {
     // both self-join sides share the assignment pass — cache it

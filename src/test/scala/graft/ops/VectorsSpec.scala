@@ -30,6 +30,18 @@ class VectorsSpec extends SparkSpec {
     assert(!neighbors.contains(3L)) // different bucket: pruned, the IVF trade
   }
 
+  test("spaced centroid ids: ⌈√N⌉ distinct in-range ids, spacing tracks N") {
+    for (n <- Seq(1L, 2L, 10L, 500L, 2000L, 1000000L)) {
+      val ids = Vectors.spacedCentroidIds(n)
+      val c = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+      assert(ids.size === c, s"n=$n")
+      assert(ids.distinct.size === ids.size, s"n=$n")
+      assert(ids.forall(i => i >= 0 && i < n), s"n=$n")
+    }
+    // bucket count grows with the corpus — the sub-quadratic guarantee
+    assert(Vectors.spacedCentroidIds(2000).size > Vectors.spacedCentroidIds(500).size)
+  }
+
   test("cosine near-dup pairs above threshold, within bucket") {
     val pairs = Vectors.cosineNearDupPairs(emb, Seq(0L, 3L), threshold = 0.95)
       .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
