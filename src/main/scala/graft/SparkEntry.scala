@@ -447,6 +447,17 @@ object SparkEntry {
       graft.operators.Windows.sessions(Tables.events(s, dir), keyCol = "user_id")),
     "b13_approx_distinct" -> ((s, dir) =>
       graft.operators.Windows.approxDailyDistinct(Tables.events(s, dir))),
+    "b14_txn_assembly" -> ((s, dir) => {
+      // batch twin of the flatMapGroupsWithState assembler (gap = 1 day on
+      // the fixture's user-level gtids); one exchange for window + agg.
+      // P7 cast-backs: the reference stores pos/size as strings
+      val b = binlog(s, dir).select(
+        col("gtid"), col("execute_time"),
+        BinlogEvents.pos.as("pos"),
+        BinlogEvents.sizeBytes.as("size_bytes"),
+        col("single_statement_affected_rows").as("affected_rows"))
+      graft.streaming.TransactionAssembler.assembleBatch(b, gapSec = 86400L)
+    }),
 
     // ---- dedup surface ----
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
@@ -512,6 +523,21 @@ object SparkEntry {
     "b2_top1_size" -> oracleTop1PerWindow("transaction_size"),
     "b3_top1_rows" -> oracleTop1PerWindow("transaction_affected_rows"),
     "b4_top1_time" -> oracleTop1PerWindow("transaction_spend_time"),
+    "b14_txn_assembly" ->
+      (oracleBinlogCte + """,
+        |m AS (SELECT *, epoch_us(execute_time) AS t_us FROM b),
+        |g AS (SELECT *, CASE WHEN lag(t_us) OVER w IS NULL
+        |                          OR t_us - lag(t_us) OVER w > 86400000000 THEN 1 ELSE 0 END AS new_s
+        |      FROM m WINDOW w AS (PARTITION BY gtid ORDER BY t_us, pos)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY gtid ORDER BY t_us, pos
+        |                                 ROWS UNBOUNDED PRECEDING) AS session_id FROM g)
+        |SELECT gtid, min(execute_time) AS start_time, max(execute_time) AS end_time,
+        |       CAST(epoch(date_trunc('second', max(execute_time)))
+        |            - epoch(date_trunc('second', min(execute_time))) AS BIGINT) AS transaction_spend_time,
+        |       max(pos) - min(pos) + max_by(size_bytes, pos) AS transaction_size,
+        |       CAST(sum(affected_rows) AS BIGINT) AS transaction_affected_rows,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY gtid, session_id""".stripMargin),
     "b5_mv_daily_counts" ->
       """SELECT CAST(ts AS DATE) AS day, event_type,
         |       CAST(count(*) AS BIGINT) AS event_count

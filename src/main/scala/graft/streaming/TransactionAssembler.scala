@@ -2,7 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Custom stateful operator: assemble binlog events into *transaction
@@ -58,13 +60,54 @@ object TransactionAssembler {
       n_events: Long
   )
 
+  private def summarize(gtid: String, s: TxnState): TxnSummary =
+    TxnSummary(
+      gtid,
+      new Timestamp(s.startMs),
+      new Timestamp(s.endMs),
+      // floor each endpoint to seconds before subtracting — the batch path
+      // truncates per-timestamp (CH DateTime semantics), and
+      // (end-start)/1000 disagrees with it on sub-second times
+      // (0.9s→1.1s is 1 there, 0 here)
+      floorSec(s.endMs) - floorSec(s.startMs),
+      (s.maxPos - s.minPos) + s.lastSize,
+      s.rows,
+      s.nEvents)
+
+  private def merge(acc: TxnState, e: TxnEvent): TxnState = {
+    val t = e.execute_time.getTime
+    TxnState(
+      math.min(acc.startMs, t),
+      math.max(acc.endMs, t),
+      math.min(acc.minPos, e.pos),
+      math.max(acc.maxPos, e.pos),
+      if (e.pos >= acc.maxPos) e.size_bytes else acc.lastSize,
+      acc.rows + e.affected_rows,
+      acc.nEvents + 1)
+  }
+
+  private val emptyState =
+    TxnState(Long.MaxValue, Long.MinValue, Long.MaxValue, Long.MinValue, 0L, 0L, 0L)
+
   /** Append-mode stream of closed transactions. `delay` is the watermark
     * (late events beyond it are dropped — reference W2 semantics).
+    *
+    * A transaction closes two ways, and both are needed for the streaming
+    * result to equal the batch sessionization ([[assembleBatch]]):
+    * *eagerly*, when a same-key event arrives whose event time is more than
+    * `gapSec` past the open transaction's end (split inside the merge fold —
+    * without this, two sessions landing in one micro-batch would wrongly
+    * coalesce); and *by timeout*, when the watermark passes end + gap with
+    * no further events. The residual delta vs batch is cross-batch
+    * disorder: an old-session straggler arriving after a newer session
+    * opened merges forward — bounded by the watermark, which drops anything
+    * later than `delay`.
     */
   def assemble(events: Dataset[TxnEvent], gapSec: Int = 30,
       delay: String = "10 seconds"): Dataset[TxnSummary] = {
     implicit val stateEnc = Encoders.product[TxnState]
     implicit val outEnc = Encoders.product[TxnSummary]
+    val gapMs = gapSec * 1000L
     events
       .withWatermark("execute_time", delay)
       .groupByKey(_.gtid)(Encoders.STRING)
@@ -74,37 +117,68 @@ object TransactionAssembler {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(TxnSummary(
-              gtid,
-              new Timestamp(s.startMs),
-              new Timestamp(s.endMs),
-              // floor each endpoint to seconds before subtracting — the
-              // batch path truncates per-timestamp (CH DateTime semantics),
-              // and (end-start)/1000 disagrees with it on sub-second times
-              // (0.9s→1.1s is 1 there, 0 here)
-              floorSec(s.endMs) - floorSec(s.startMs),
-              (s.maxPos - s.minPos) + s.lastSize,
-              s.rows,
-              s.nEvents))
+            Iterator(summarize(gtid, s))
           } else {
-            val merged = it.foldLeft(state.getOption.getOrElse(
-              TxnState(Long.MaxValue, Long.MinValue, Long.MaxValue, Long.MinValue, 0L, 0L, 0L))) {
-              (acc, e) =>
-                val t = e.execute_time.getTime
-                TxnState(
-                  math.min(acc.startMs, t),
-                  math.max(acc.endMs, t),
-                  math.min(acc.minPos, e.pos),
-                  math.max(acc.maxPos, e.pos),
-                  if (e.pos >= acc.maxPos) e.size_bytes else acc.lastSize,
-                  acc.rows + e.affected_rows,
-                  acc.nEvents + 1)
+            // process in event-time order so gap splits are deterministic
+            val ordered = it.toSeq.sortBy(e => (e.execute_time.getTime, e.pos))
+            val closed = Seq.newBuilder[TxnSummary]
+            var open: Option[TxnState] = state.getOption
+            ordered.foreach { e =>
+              open match {
+                case Some(s) if e.execute_time.getTime - s.endMs > gapMs =>
+                  closed += summarize(gtid, s)
+                  open = Some(merge(emptyState, e))
+                case Some(s) => open = Some(merge(s, e))
+                case None => open = Some(merge(emptyState, e))
+              }
             }
-            state.update(merged)
-            // close the transaction gapSec after its last event
-            state.setTimeoutTimestamp(merged.endMs + gapSec * 1000L)
-            Iterator.empty
+            open.foreach { s =>
+              state.update(s)
+              // close the transaction gapSec after its last event
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.result().iterator
           }
       }
+  }
+
+  /** Deterministic batch reformulation of [[assemble]] — the backfill twin
+    * (reference W6 pattern): gap-sessionize each gtid's event sequence with
+    * lag + cumulative-sum session ids, then aggregate each session exactly
+    * like the streaming close-out. This is what makes the
+    * flatMapGroupsWithState path *attestable*: the batch form is plain SQL,
+    * so the DuckDB oracle can verify it (query b14), and a spec pins
+    * streaming ≡ batch on the same input.
+    *
+    * Scale: the sessionization window and the final aggregation both hash on
+    * gtid — `HashPartitioning(gtid)` satisfies the (gtid, session_id)
+    * grouping, so Catalyst plans ONE exchange for the whole job (the
+    * window's sort is reused; no second shuffle). Gap math is integer
+    * microseconds; spend time floors each endpoint to seconds, matching the
+    * streaming path and CH DateTime semantics.
+    */
+  def assembleBatch(events: DataFrame, gapSec: Long = 30L): DataFrame = {
+    val order = Window.partitionBy(col("gtid")).orderBy(col("t_us"), col("pos"))
+    val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("t_us", unix_micros(col("execute_time")))
+      .withColumn("new_s",
+        when(lag(col("t_us"), 1).over(order).isNull
+          || col("t_us") - lag(col("t_us"), 1).over(order) > gapSec * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(cum))
+      .groupBy(col("gtid"), col("session_id"))
+      .agg(
+        min(col("execute_time")).as("start_time"),
+        max(col("execute_time")).as("end_time"),
+        (expr("unix_micros(max(execute_time)) div 1000000")
+          - expr("unix_micros(min(execute_time)) div 1000000")).as("transaction_spend_time"),
+        (max(col("pos")) - min(col("pos")) + max_by(col("size_bytes"), col("pos")))
+          .as("transaction_size"),
+        sum(col("affected_rows")).cast("long").as("transaction_affected_rows"),
+        count(lit(1)).as("n_events"))
+      .select(col("gtid"), col("start_time"), col("end_time"),
+        col("transaction_spend_time"), col("transaction_size"),
+        col("transaction_affected_rows"), col("n_events"))
   }
 }

@@ -193,6 +193,18 @@ class PlanSpec extends SparkSpec {
     assert(direct.toSeq === salted.toSeq)
   }
 
+  test("b14 batch assembly: one exchange (gtid hash feeds window AND final agg)") {
+    val events = Seq(
+      (Timestamp.valueOf("2024-01-01 00:01:00"), "g1", 1L, 10L, 1L)
+    ).toDF("execute_time", "gtid", "pos", "size_bytes", "affected_rows")
+    val plan = graft.streaming.TransactionAssembler.assembleBatch(events, 30)
+      .queryExecution.executedPlan.toString
+    // HashPartitioning(gtid) from the sessionization window satisfies the
+    // (gtid, session_id) grouping — a second shuffle would mean it regressed
+    val nExchanges = "Exchange ".r.findAllIn(plan).size
+    assert(nExchanges === 1, plan)
+  }
+
   test("per-window top-1 uses a single shuffle pair (agg form, no window sort)") {
     val events = Seq(
       (Timestamp.valueOf("2024-01-01 00:01:00"), "g1", "1", "10", 1L)

@@ -42,8 +42,12 @@ class TransactionAssemblerSpec extends SparkSpec {
     assert(g1.head.getAs[Long]("transaction_spend_time") === 4L)
     assert(g1.head.getAs[Long]("transaction_affected_rows") === 4L)
     assert(g1.head.getAs[Long]("n_events") === 3L)
-    // g2 is still open — no summary emitted
-    assert(!rows.exists(_.getAs[String]("gtid") == "g2"))
+    // g2@1200 closed eagerly when g2@1300 arrived (gap 100 > 30);
+    // g2@1300 itself is still open — exactly one g2 summary
+    val g2 = rows.filter(_.getAs[String]("gtid") == "g2")
+    assert(g2.length === 1)
+    assert(g2.head.getAs[Long]("n_events") === 1L)
+    assert(g2.head.getAs[Timestamp]("start_time").getTime === 1200L * 1000)
   }
 
   test("events split across micro-batches merge into one transaction") {
@@ -65,5 +69,47 @@ class TransactionAssemblerSpec extends SparkSpec {
     assert(t.length === 1)
     assert(t.head.getAs[Long]("n_events") === 2L)
     assert(t.head.getAs[Long]("transaction_size") === (2L - 1L) + 7L)
+  }
+
+  test("streaming assembly ≡ batch gap-sessionization on the same events (b14 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    // per-gtid inter-event steps straddle the 30 s gap: 'a' never splits,
+    // 'b' always splits, 'm' alternates
+    val steps = Map("a" -> Seq.fill(11)(7L), "b" -> Seq.fill(11)(31L),
+      "m" -> Seq(5L, 40L, 10L, 40L, 5L, 5L, 40L, 20L, 40L, 3L, 31L))
+    val evs = steps.toSeq.sortBy(_._1).flatMap { case (g, ss) =>
+      val times = ss.scanLeft(1000L)(_ + _)
+      times.zipWithIndex.map { case (t, i) =>
+        ev(g, t, i * 10 + g.hashCode.abs % 10, 100 + i * 3, (i % 5) + 1)
+      }
+    }
+
+    val ms = MemoryStream[TxnEvent]
+    val q = TransactionAssembler.assemble(ms.toDS(), gapSec = 30, delay = "0 seconds")
+      .writeStream.format("memory").queryName("txns3")
+      .outputMode(OutputMode.Append).start()
+    // feed in global event-time order so the 0-delay watermark drops nothing
+    val feed = evs.sortBy(e => (e.execute_time.getTime, e.gtid))
+    feed.grouped(9).foreach { batch => ms.addData(batch: _*); q.processAllAvailable() }
+    // flusher batches: advance the watermark far past every close
+    ms.addData(ev("zz_flush", 100000L, 1L, 1, 1)); q.processAllAvailable()
+    ms.addData(ev("zz_flush", 100001L, 2L, 1, 1)); q.processAllAvailable()
+    q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("gtid"), r.getAs[Timestamp]("start_time").getTime)
+    def payload(r: org.apache.spark.sql.Row) =
+      (r.getAs[Timestamp]("end_time").getTime, r.getAs[Long]("transaction_spend_time"),
+        r.getAs[Long]("transaction_size"), r.getAs[Long]("transaction_affected_rows"),
+        r.getAs[Long]("n_events"))
+    val streamed = spark.table("txns3").collect()
+      .filter(_.getAs[String]("gtid") != "zz_flush").sortBy(key).map(r => (key(r), payload(r)))
+    val batch = TransactionAssembler
+      .assembleBatch(evs.toDF(), gapSec = 30).collect().sortBy(key).map(r => (key(r), payload(r)))
+    assert(streamed.nonEmpty)
+    // 'a' coalesces to 1 session, 'b' to 12, 'm' follows its gap pattern
+    assert(streamed.count(_._1._1 == "a") === 1)
+    assert(streamed.count(_._1._1 == "b") === 12)
+    assert(streamed.toSeq === batch.toSeq)
   }
 }
