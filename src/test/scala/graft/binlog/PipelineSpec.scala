@@ -52,6 +52,31 @@ class PipelineSpec extends SparkSpec {
       Timestamp.valueOf("2025-06-30 00:00:00")) === 0)
   }
 
+  test("compute shares one stats pass: top-1 from cached stats re-shuffles only the group rows") {
+    val raw = Tables.events(spark, "/root/testdata/sf0.001")
+    val shaped = BinlogEvents.shape(raw.filter(col("event_type") =!= "error"))
+    val perWin = TransactionStats.perWindow(shaped).persist()
+    try {
+      perWin.count() // materialize the cache, as runCompute's first count does
+      val plan = TransactionStats.top1PerWindowFromStats(perWin, "transaction_size")
+        .queryExecution.executedPlan.toString
+      // reads the cached stats (no event re-scan), one exchange for the
+      // per-window regroup — the event-table agg exchange is NOT re-run.
+      // (Everything under InMemoryRelation is the cache's *recorded* build
+      // plan, not re-executed work — assert on the live part above it.)
+      assert(plan.contains("InMemoryTableScan"), plan)
+      val live = plan.substring(0, plan.indexOf("InMemoryRelation"))
+      assert("Exchange ".r.findAllIn(live).size === 1, plan)
+      assert(!live.contains("FileScan"), plan)
+      // and the shared-pass result equals the direct per-metric computation
+      val shared = TransactionStats.top1PerWindowFromStats(perWin, "transaction_size")
+        .orderBy("end_time").collect()
+      val direct = TransactionStats.top1PerWindow(shaped, "transaction_size")
+        .orderBy("end_time").collect()
+      assert(shared.toSeq === direct.toSeq)
+    } finally { perWin.unpersist(); () }
+  }
+
   test("W7 fan-out: same compute over multiple cluster prefixes") {
     val base = tmpDir("pipeline_multi")
     val raw = Tables.events(spark, "/root/testdata/sf0.001")
