@@ -256,6 +256,17 @@ object SparkEntry {
       TransactionStats.top1PerWindow(binlog(s, dir), "transaction_affected_rows")),
     "b4_top1_time" -> ((s, dir) =>
       TransactionStats.top1PerWindow(binlog(s, dir), "transaction_spend_time")),
+    "b15_binary_decode" -> ((s, dir) => {
+      // real D1: fixture columns → protobuf-lite wire bytes → codegen'd
+      // decode; the oracle projects the same fields directly, so a decode
+      // bug (or a dropped row) breaks the hash match
+      val env = binlog(s, dir).select(
+        org.apache.spark.sql.graft.EncodeEnvelope.column(
+          BinlogEvents.pos, unix_millis(col("execute_time")), col("gtid"),
+          col("event_type"), BinlogEvents.sizeBytes,
+          col("single_statement_affected_rows")).as("envelope"))
+      Ingest.decodeBinaryEnvelope(env, "envelope")
+    }),
     "b5_mv_daily_counts" -> ((s, dir) =>
       DailyCounts.dailyEventCounts(
         Tables.events(s, dir).withColumnRenamed("ts", "execute_time"))),
@@ -538,6 +549,14 @@ object SparkEntry {
         |       CAST(sum(affected_rows) AS BIGINT) AS transaction_affected_rows,
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY gtid, session_id""".stripMargin),
+    "b15_binary_decode" ->
+      """SELECT event_id AS binlog_pos,
+        |       epoch_ms(CAST(ts AS TIMESTAMP)) AS execute_ms,
+        |       CAST(user_id AS VARCHAR) AS gtid,
+        |       event_type,
+        |       CAST(floor(value) AS BIGINT) AS size_bytes,
+        |       (event_id % 10) + 1 AS affected_rows
+        |FROM events""".stripMargin,
     "b5_mv_daily_counts" ->
       """SELECT CAST(ts AS DATE) AS day, event_type,
         |       CAST(count(*) AS BIGINT) AS event_count

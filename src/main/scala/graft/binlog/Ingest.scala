@@ -46,6 +46,22 @@ object Ingest {
       .select(col("*"), explode(col("entries")).as("entry"))
       .drop("entries")
 
+  /** Real D1: decode a Canal-shaped protobuf-lite binary envelope (varint +
+    * length-delimited wire format — [[org.apache.spark.sql.graft.EnvelopeCodec]])
+    * into its header/storeValue fields. Rows whose bytes fail to parse are
+    * dropped — the F2 source-error filter falls out of the NULL-on-malformed
+    * contract. Codegen'd scan-time projection, zero shuffles; the
+    * `from_json` fixture decoder above remains the JSON stand-in
+    * (`mon_mysql_dml.py:150-169, 254-255` is the protobuf original).
+    */
+  def decodeBinaryEnvelope(raw: DataFrame, bytesCol: String): DataFrame =
+    raw
+      .withColumn("e", org.apache.spark.sql.graft.DecodeEnvelope.column(col(bytesCol)))
+      .filter(col("e").isNotNull)
+      .select(col("e.binlog_pos").as("binlog_pos"), col("e.execute_ms").as("execute_ms"),
+        col("e.gtid").as("gtid"), col("e.event_type").as("event_type"),
+        col("e.size_bytes").as("size_bytes"), col("e.affected_rows").as("affected_rows"))
+
   /** F1: drop TRANSACTIONBEGIN entries (`mon_mysql_dml.py:252-253`; rationale
     * — canal only shows COMMIT for slow transactions, so keeping BEGIN would
     * ~double storage, `mon_mysql_dml.py:246-251`). The fixture plays the
