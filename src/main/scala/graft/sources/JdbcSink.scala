@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** JDBC sink variants of the K1/K2 write paths — the reference's actual
+  * sink is batched INSERTs into ClickHouse over the wire
+  * (`mon_mysql_dml.py:199-212`: rows are buffered and flushed as one
+  * multi-row INSERT); Spark's `format("jdbc")` writer does the same thing
+  * per partition (one connection per task, `batchsize`-row executeBatch
+  * flushes), so the sink parallelism scales with executors instead of one
+  * writer process.
+  *
+  * The parquet paths in [[graft.binlog.Maintenance]] remain the
+  * lake-native layout; these are the database-target twins behind the same
+  * semantics (K1 batched append, W5/A10 idempotent window append probed by
+  * `end_time`).
+  */
+object JdbcSink {
+
+  /** A JDBC target: url + table (+ driver-specific options, e.g.
+    * `driver`, `user`, `password`).
+    */
+  final case class Target(url: String, table: String, options: Map[String, String] = Map.empty)
+
+  private def writer(df: DataFrame, target: Target, batchSize: Int) =
+    df.write
+      .format("jdbc")
+      .option("url", target.url)
+      .option("dbtable", target.table)
+      .option("batchsize", batchSize.toString)
+      .options(target.options)
+
+  private def reader(spark: SparkSession, target: Target) =
+    spark.read
+      .format("jdbc")
+      .option("url", target.url)
+      .option("dbtable", target.table)
+      .options(target.options)
+
+  /** K1: batched append. Each task opens one connection and flushes
+    * `batchSize`-row executeBatch inserts — the reference's
+    * `buffer → bulk INSERT` loop, parallelized per partition.
+    */
+  def writeEvents(events: DataFrame, target: Target, batchSize: Int = 5000): Unit =
+    writer(events, target, batchSize).mode(SaveMode.Append).save()
+
+  /** W5/K2: idempotent window append — probe for the window's `end_time`
+    * (the reference's `count(*)` existence check,
+    * `compute_transaction_info.py:132-142`), insert only if absent. The
+    * probe pushes the equality predicate down to the database (one indexed
+    * lookup, no table scan into Spark). Returns true if the write happened.
+    */
+  def idempotentAppend(spark: SparkSession, result: DataFrame, target: Target,
+      endTime: java.sql.Timestamp, batchSize: Int = 5000): Boolean = {
+    val exists = scala.util.Try(reader(spark, target).load()).toOption
+      .exists(df => !df.filter(col("end_time") === lit(endTime)).isEmpty)
+    if (!exists) writeEvents(result, target, batchSize)
+    !exists
+  }
+
+  /** K1 streaming: the ingest stream lands in the database via
+    * `foreachBatch` → batched JDBC append. Delivery is at-least-once on
+    * retry (plain INSERT, like the reference's sink); pair with the W5
+    * probe ([[idempotentAppend]]) for result tables that must not
+    * double-write.
+    */
+  def streamWriter(shaped: DataFrame, target: Target, checkpoint: String,
+      batchSize: Int = 5000): DataStreamWriter[Row] =
+    shaped.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeEvents(batch, target, batchSize)
+      }
+}
