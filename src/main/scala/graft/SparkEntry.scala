@@ -457,7 +457,10 @@ object SparkEntry {
     "b12_session_windows" -> ((s, dir) =>
       graft.operators.Windows.sessions(Tables.events(s, dir), keyCol = "user_id")),
     "b13_approx_distinct" -> ((s, dir) =>
-      graft.operators.Windows.approxDailyDistinct(Tables.events(s, dir))),
+      // checked variant: the query RAISES if any group's HLL estimate is
+      // off by > 3·rsd vs exact, so the driver's rows-only record is a
+      // real bound, not a formality
+      graft.operators.Windows.approxDailyDistinctChecked(Tables.events(s, dir))),
     "b14_txn_assembly" -> ((s, dir) => {
       // batch twin of the flatMapGroupsWithState assembler (gap = 1 day on
       // the fixture's user-level gtids); one exchange for window + agg.

@@ -54,4 +54,30 @@ object Windows {
       .groupBy(to_date(col(tsCol)).as("day"), col("event_type"))
       .agg(approx_count_distinct(col(keyCol), rsd).as("approx_users"),
         count(lit(1)).as("n_events"))
+
+  /** [[approxDailyDistinct]] with teeth: the estimate is cross-checked
+    * in the same pass against the exact distinct, and any group whose
+    * relative error exceeds `tolSigma`·rsd *raises* (`assert_true`) instead
+    * of returning a plausible-but-wrong sketch — so a rows-only correctness
+    * check on this query actually bounds the sketch. The exact distinct is
+    * affordable here because the check runs at test scale; production keeps
+    * the unchecked estimator (that's the whole point of the sketch).
+    */
+  def approxDailyDistinctChecked(events: DataFrame, tsCol: String = "ts",
+      keyCol: String = "user_id", rsd: Double = 0.02, tolSigma: Double = 3.0): DataFrame =
+    events
+      .groupBy(to_date(col(tsCol)).as("day"), col("event_type"))
+      .agg(
+        approx_count_distinct(col(keyCol), rsd).as("approx_users"),
+        count_distinct(col(keyCol)).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .withColumn("rel_err",
+        abs(col("approx_users") - col("exact_users")).cast("double") / col("exact_users"))
+      // assert_true yields NULL when the bound holds and raises otherwise;
+      // fold it into a writable boolean so the contract is visible in the
+      // result schema
+      .withColumn("sketch_ok",
+        when(assert_true(col("rel_err") <= lit(tolSigma * rsd),
+          concat(lit(s"HLL estimate off by more than ${tolSigma}·rsd: rel_err="),
+            col("rel_err"))).isNull, lit(true)))
 }
