@@ -198,6 +198,54 @@ object SparkEntry {
        |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id AND ($bandEq)""".stripMargin
   }
 
+  /** Multi-probe IVF oracle (s4): nprobe = 4 nearest spaced centroids per
+    * query, searched over the same ⌈√N⌉-bucket assignment as d6.
+    */
+  private lazy val oracleIvfMultiProbe: String =
+    s"""WITH $oracleEmbCte,
+       |$oracleSpacedAssigned,
+       |qp AS (SELECT query_id, bucket FROM (
+       |         SELECT vec_id AS query_id, centroid_id AS bucket,
+       |                row_number() OVER (PARTITION BY vec_id
+       |                  ORDER BY cs DESC, centroid_id ASC) AS rn
+       |         FROM sc WHERE vec_id < 8)
+       |       WHERE rn <= 4),
+       |q AS (SELECT qp.query_id, qp.bucket, e.v AS qv
+       |      FROM qp JOIN e ON e.vec_id = qp.query_id),
+       |scored AS (SELECT q.query_id, av.vec_id AS neighbor_id, ${oracleCos("q.qv", "av.v")} AS sim
+       |           FROM q JOIN av ON av.bucket = q.bucket AND av.vec_id <> q.query_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
+       |WHERE rank <= 5""".stripMargin
+
+  /** Multi-table LSH oracle (s5): candidate iff the query and vector share
+    * a bucket in ANY of the 4 tables (the OR form — the Spark side uses the
+    * equivalent explode + equi-join, which scales; the oracle favors
+    * simplicity). Plane literals mirror [[graft.ops.Vectors.lshPlanes]]
+    * with per-table offsets.
+    */
+  private lazy val oracleLshMulti: String = {
+    val nTables = 4
+    val bCols = (0 until nTables).map { t =>
+      val planes = graft.ops.Vectors.lshPlanes(8, 64, start = t * 8)
+      val expr = planes.zipWithIndex.map { case (p, j) =>
+        s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"CAST($expr AS BIGINT) AS b$t"
+    }.mkString(",\n       ")
+    val anyMatch = (0 until nTables).map(t => s"q.b$t = c.b$t").mkString(" OR ")
+    s"""WITH $oracleEmbCte,
+       |bt AS (SELECT vec_id, v, $bCols FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, b0, b1, b2, b3 FROM bt WHERE vec_id < 8),
+       |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, ${oracleCos("q.qv", "c.v")} AS sim
+       |           FROM q JOIN bt c ON c.vec_id <> q.query_id AND ($anyMatch))
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   /** Doubles-widened embedding CTE + IVF assignment (centroids = vec_id<32,
     * nearest by cosine, ties to the smaller centroid id).
     */
@@ -504,6 +552,15 @@ object SparkEntry {
       Vectors.ivfTopK(Tables.embeddings(s, dir), 0L until 32L, 0L until 8L, k = 5)),
     "s3_ann_lsh" -> ((s, dir) =>
       Vectors.lshTopK(Tables.embeddings(s, dir), 0L until 8L, k = 5)),
+    "s4_ann_ivf_multiprobe" -> ((s, dir) => {
+      // recall knob: 4 probes over the ⌈√N⌉ spaced-centroid buckets
+      val emb = Tables.embeddings(s, dir)
+      Vectors.ivfTopKMultiProbe(emb, Vectors.spacedCentroidIds(emb.count()),
+        0L until 8L, k = 5, nprobe = 4)
+    }),
+    "s5_ann_lsh_multitable" -> ((s, dir) =>
+      // recall amplifier: candidate iff colliding in ANY of 4 hash tables
+      Vectors.lshTopKMultiTable(Tables.embeddings(s, dir), 0L until 8L, k = 5)),
 
     // ---- text analysis ----
     "x1_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
@@ -768,6 +825,8 @@ object SparkEntry {
          |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
          |WHERE rank <= 5""".stripMargin,
     "s3_ann_lsh" -> oracleLsh,
+    "s4_ann_ivf_multiprobe" -> oracleIvfMultiProbe,
+    "s5_ann_lsh_multitable" -> oracleLshMulti,
     "m2_frame_sample" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
         |       CAST(i * 1000 AS BIGINT) AS byte_offset,

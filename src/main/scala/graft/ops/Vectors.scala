@@ -118,14 +118,56 @@ object Vectors {
     topKPerGroup(scored, "query_id", k)
   }
 
+  /** Multi-probe IVF: each query searches its `nprobe` nearest centroid
+    * buckets instead of one — the standard recall knob. Single-probe IVF's
+    * recall is hostage to the query landing in the "right" bucket; probing
+    * the nprobe nearest buckets bounds the miss probability while keeping
+    * candidate cost at ~nprobe·N/C vectors per query. Corpus vectors still
+    * live in exactly one bucket, so (query, neighbor) candidates are
+    * naturally distinct — no dedup stage.
+    */
+  def ivfTopKMultiProbe(embeddings: DataFrame, centroidIds: Seq[Long], queryIds: Seq[Long],
+      k: Int, nprobe: Int): DataFrame = {
+    val assigned = ivfAssign(embeddings, centroidIds).persist()
+    val unit = withUnit(embeddings).select(col("vec_id"), col("unit"))
+    val centroids = unit
+      .filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("centroid_id"), col("unit").as("c"))
+    // rank every centroid per query, keep the nprobe nearest (ties to the
+    // smaller centroid id) — the window is partitioned by query, so this
+    // never degenerates to a single task
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("centroid_id").asc)
+    val probes = unit
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("unit").as("q"))
+      .join(F.broadcast(centroids))
+      .select(col("query_id"), col("q"), col("centroid_id"),
+        dot(col("q"), col("c")).as("cs"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("centroid_id").as("bucket"), col("q"))
+    val scored = F.broadcast(probes)
+      .join(assigned.select(col("vec_id").as("neighbor_id"), col("bucket"), col("unit").as("e")),
+        Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("q"), col("e")).as("sim"))
+    topKPerGroup(scored, "query_id", k)
+  }
+
   /** Random-hyperplane LSH: deterministic pseudo-random planes (a fixed
     * arithmetic formula over (plane, dim) so the SQL oracle can inline the
     * identical literals), bucket = sign-bit vector of the plane dots. Unlike
     * IVF this needs no centroid pass at all — bucketing is a narrow
     * projection — at the cost of less adaptive buckets.
+    *
+    * `start` offsets the global plane index — multi-table LSH
+    * ([[lshTopKMultiTable]]) gives table `t` planes `[t·nPlanes,
+    * (t+1)·nPlanes)`, so tables are independent but fully deterministic.
     */
-  def lshPlanes(nPlanes: Int, dim: Int): Seq[Array[Double]] =
-    (0 until nPlanes).map { j =>
+  def lshPlanes(nPlanes: Int, dim: Int, start: Int = 0): Seq[Array[Double]] =
+    (start until start + nPlanes).map { j =>
       Array.tabulate(dim) { i =>
         (((j * dim + i) * 2654435761L) % 1000L - 500L).toDouble / 500.0
       }
@@ -176,6 +218,42 @@ object Vectors {
     val c = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
     val step = math.max(1L, n / c)
     (0L until c).map(_ * step)
+  }
+
+  /** Multi-table LSH ANN: `nTables` independent sign-hash tables; a corpus
+    * vector is a candidate if it collides with the query in ANY table —
+    * the classic LSH recall amplifier (miss probability decays
+    * exponentially in the table count). Shape: explode each vector into
+    * (table, bucket) keys, equi-join per (table, bucket) — never an
+    * all-pairs OR-scan — then dedup (query, neighbor) pairs *before*
+    * scoring so each candidate is scored once.
+    */
+  def lshTopKMultiTable(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      nTables: Int = 4, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val unit = withUnit(embeddings).select(col("vec_id"), col("unit")).persist()
+    val tableBuckets = array((0 until nTables).map { t =>
+      lshPlanes(nPlanes, dim, start = t * nPlanes).zipWithIndex.map { case (p, j) =>
+        when(dot(col("unit"), typedlit(p.toSeq)) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    val keyed = unit
+      .select(col("vec_id"), posexplode(tableBuckets).as(Seq("t", "bucket")))
+    val qKeyed = keyed
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
+    val cand = F.broadcast(qKeyed)
+      .join(keyed.select(col("vec_id").as("neighbor_id"), col("t"), col("bucket")),
+        Seq("t", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val scored = cand
+      .join(unit.select(col("vec_id").as("neighbor_id"), col("unit").as("e")), Seq("neighbor_id"))
+      .join(F.broadcast(
+        unit.filter(col("vec_id").isin(queryIds: _*))
+          .select(col("vec_id").as("query_id"), col("unit").as("q"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("q"), col("e")).as("sim"))
+    topKPerGroup(scored, "query_id", k)
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, restricted to

@@ -42,6 +42,41 @@ class VectorsSpec extends SparkSpec {
     assert(Vectors.spacedCentroidIds(2000).size > Vectors.spacedCentroidIds(500).size)
   }
 
+  // deterministic synthetic corpus: 60 vectors in 8 dims, values from a
+  // fixed arithmetic formula (no RNG — specs must be replayable)
+  private lazy val corpus = {
+    val rows = (0 until 60).map { id =>
+      (id.toLong, Array.tabulate(8) { d =>
+        ((((id * 8 + d) * 2654435761L) % 997L) - 498L).toFloat / 498.0f
+      })
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+
+  test("multi-probe IVF: probing all buckets recovers brute-force exactly") {
+    val cents = Seq(0L, 20L, 40L)
+    val exact = hits(Vectors.bruteForceTopK(corpus, Seq(1L, 2L), k = 5))
+    val all = hits(Vectors.ivfTopKMultiProbe(corpus, cents, Seq(1L, 2L), k = 5, nprobe = cents.size))
+    assert(all === exact)
+    // and recall is monotone in nprobe (vs brute-force top-5)
+    val r1 = hits(Vectors.ivfTopK(corpus, cents, Seq(1L, 2L), k = 5)).intersect(exact).size
+    val r2 = hits(Vectors.ivfTopKMultiProbe(corpus, cents, Seq(1L, 2L), k = 5, nprobe = 2))
+      .intersect(exact).size
+    assert(r2 >= r1)
+  }
+
+  test("multi-table LSH: recall vs brute force is monotone in table count") {
+    val exact = hits(Vectors.bruteForceTopK(corpus, Seq(1L, 2L), k = 5))
+    val one = hits(Vectors.lshTopKMultiTable(corpus, Seq(1L, 2L), k = 5, nTables = 1, dim = 8))
+    val four = hits(Vectors.lshTopKMultiTable(corpus, Seq(1L, 2L), k = 5, nTables = 4, dim = 8))
+    assert(four.intersect(exact).size >= one.intersect(exact).size)
+    // table 0 of the multi-table scheme IS the single-table scheme
+    assert(one === hits(Vectors.lshTopK(corpus, Seq(1L, 2L), k = 5, dim = 8)))
+  }
+
   test("cosine near-dup pairs above threshold, within bucket") {
     val pairs = Vectors.cosineNearDupPairs(emb, Seq(0L, 3L), threshold = 0.95)
       .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
