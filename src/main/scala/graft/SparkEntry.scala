@@ -428,6 +428,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("total_c"))),
 
+    "t11_cast_order_topk" -> ((s, dir) =>
+      // O4: sort keyed on CAST(binlog_pos AS BIGINT) — the reference's
+      // ORDER BY toUInt32(binlog_pos) (mon_mysql_dml.py:279). The top-100
+      // SET differs under lexicographic order ('1','10','100',…), so the
+      // oracle attests the cast ordering; orderBy+limit plans as
+      // TakeOrderedAndProject (distributed top-k, no full sort)
+      binlog(s, dir)
+        .select(col("binlog_pos"), BinlogEvents.pos.as("pos_num"), col("gtid"))
+        .orderBy(BinlogEvents.pos.asc, col("gtid").asc)
+        .limit(100)),
+
     "t12_asof_join" -> ((s, dir) => {
       // as-of: each event picks the user's most recent order on or before
       // the event time (ties by largest orderkey)
@@ -747,6 +758,13 @@ object SparkEntry {
     "t17_salted_agg" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+    "t11_cast_order_topk" ->
+      """SELECT CAST(event_id AS VARCHAR) AS binlog_pos,
+        |       event_id AS pos_num,
+        |       CAST(user_id AS VARCHAR) AS gtid
+        |FROM events
+        |ORDER BY event_id ASC, CAST(user_id AS VARCHAR) ASC
+        |LIMIT 100""".stripMargin,
     "t12_asof_join" ->
       """SELECT event_id, user_id,
         |       (SELECT o_orderkey FROM orders

@@ -68,4 +68,32 @@ class MaintenanceSpec extends SparkSpec {
     assert(rows.map(r => r.getAs[String]("event_type") -> r.getAs[Long]("event_count")).toSeq
       === Seq("DELETE" -> 1L, "INSERT" -> 12L))
   }
+
+  test("P14 rand-shard routing: round-robin repartition balances and preserves rows") {
+    // the reference routes INSERTs to a random shard (rand() in the
+    // Distributed DDL / random server pick); Spark's round-robin
+    // repartition(n) is the same routing as a deterministic-per-job spread
+    val df = (0 until 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(8)
+    val sizes = df.groupBy(spark_partition_id().as("p")).count()
+      .collect().map(_.getAs[Long]("count"))
+    assert(sizes.length === 8)
+    assert(sizes.max - sizes.min <= 2, sizes.mkString(","))  // balanced
+    assert(sizes.sum === 1000L)                              // nothing lost
+    assert(df.select("id").as[Long].collect().sorted.toSeq === (0L until 1000L))
+  }
+
+  test("recovery: crash between compaction renames rolls back from _old") {
+    val path = tmpDir("mv_recover") + "/table"
+    val partials = Seq((java.sql.Date.valueOf("2024-01-01"), "INSERT", 5L))
+      .toDF("day", "event_type", "event_count")
+    partials.write.mode("overwrite").parquet(path)
+    // simulate the crash window: table moved to _old, new copy never landed
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "_old"))
+    assert(Maintenance.recoverCompaction(spark, path))
+    assert(spark.read.parquet(path).count() === 1L)
+    assert(!Maintenance.recoverCompaction(spark, path)) // idempotent
+  }
 }
