@@ -879,9 +879,12 @@ object SparkEntry {
         |FROM t""".stripMargin,
     "x3_langid" -> oracleLangid,
     "x4_fingerprint" ->
+      // per-term mod keeps every term < 2^31 so the sum stays in int64 —
+      // mirrors TextOps.fingerprint exactly (see its scaladoc)
       s"""WITH $oracleTokCtes
          |SELECT doc_id,
-         |       CAST(CAST(sum((token_id + 1) * (pos + 1)) AS BIGINT) % 2147483647 AS BIGINT) AS fingerprint,
+         |       CAST(CAST(sum(((token_id + 1) % 2147483647) * ((pos + 1) % 2147483647) % 2147483647) AS BIGINT)
+         |            % 2147483647 AS BIGINT) AS fingerprint,
          |       CAST(count(*) AS BIGINT) AS n_tokens
          |FROM tid GROUP BY doc_id""".stripMargin,
     "x5_regex_tokens" ->

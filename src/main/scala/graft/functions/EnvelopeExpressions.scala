@@ -65,8 +65,12 @@ object EnvelopeCodec {
     def skip(wireType: Int): Unit = wireType match {
       case 0 => varint(); ()
       case 2 => lenDelimited(); ()
-      case 5 => at += 4
-      case 1 => at += 8
+      case 5 =>
+        if (at + 4 > end) throw new IllegalArgumentException("truncated fixed32")
+        at += 4
+      case 1 =>
+        if (at + 8 > end) throw new IllegalArgumentException("truncated fixed64")
+        at += 8
       case _ => throw new IllegalArgumentException(s"unsupported wire type $wireType")
     }
   }
@@ -197,7 +201,10 @@ object DecodeEnvelope {
     new org.apache.spark.sql.catalyst.FunctionIdentifier("decode_envelope"),
     new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
       classOf[DecodeEnvelope].getName, "decode_envelope"),
-    (args: Seq[Expression]) => DecodeEnvelope(args(0))
+    (args: Seq[Expression]) => {
+      require(args.length == 1, s"decode_envelope expects 1 argument, got ${args.length}")
+      DecodeEnvelope(args.head)
+    }
   )
 }
 
@@ -244,6 +251,9 @@ object EncodeEnvelope {
     new org.apache.spark.sql.catalyst.FunctionIdentifier("encode_envelope"),
     new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
       classOf[EncodeEnvelope].getName, "encode_envelope"),
-    (args: Seq[Expression]) => EncodeEnvelope(args)
+    (args: Seq[Expression]) => {
+      require(args.length == 6, s"encode_envelope expects 6 arguments, got ${args.length}")
+      EncodeEnvelope(args)
+    }
   )
 }

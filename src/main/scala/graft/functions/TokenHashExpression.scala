@@ -85,6 +85,9 @@ object TokenHash {
     new org.apache.spark.sql.catalyst.FunctionIdentifier("token_hash"),
     new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
       classOf[TokenHash].getName, "token_hash"),
-    (args: Seq[Expression]) => TokenHash(args(0))
+    (args: Seq[Expression]) => {
+      require(args.length == 1, s"token_hash expects 1 argument, got ${args.length}")
+      TokenHash(args.head)
+    }
   )
 }

@@ -67,11 +67,18 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      // when the expression is non-nullable, ev.isNull is the literal
+      // `false` — emitting an assignment to it would be uncompilable Java
+      // (`false = true;`), so the element-null check is only generated when
+      // an element can actually be null
+      val nullCheck =
+        if (nullable) s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $nullCheck
          |  $acc += $x.getDouble($i) * $y.getDouble($i);
          |}
          |${ev.value} = $acc;
@@ -96,6 +103,9 @@ object DotProduct {
     new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
     new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
       classOf[DotProduct].getName, "dot_product"),
-    (args: Seq[Expression]) => DotProduct(args(0), args(1))
+    (args: Seq[Expression]) => {
+      require(args.length == 2, s"dot_product expects 2 arguments, got ${args.length}")
+      DotProduct(args(0), args(1))
+    }
   )
 }

@@ -71,8 +71,12 @@ object Windows {
         approx_count_distinct(col(keyCol), rsd).as("approx_users"),
         count_distinct(col(keyCol)).as("exact_users"),
         count(lit(1)).as("n_events"))
+      // greatest(exact, 1): a group whose keys are all NULL has exact = 0
+      // (count_distinct ignores NULLs) — the sketch agrees (0), and x/0's
+      // NULL would otherwise make assert_true throw on correct data
       .withColumn("rel_err",
-        abs(col("approx_users") - col("exact_users")).cast("double") / col("exact_users"))
+        abs(col("approx_users") - col("exact_users")).cast("double")
+          / greatest(col("exact_users"), lit(1L)))
       // assert_true yields NULL when the bound holds and raises otherwise;
       // fold it into a writable boolean so the contract is visible in the
       // result schema

@@ -121,15 +121,24 @@ object TextOps {
   val fingerprintMod: Long = 2147483647L // 2^31 - 1
 
   /** Fingerprint over a pre-tokenized (doc_id, pos, token_id) long table:
-    * sum((token_id + 1) * (pos + 1)) mod P, plus length. Order-sensitive —
-    * permuted documents get different prints — and exactly expressible in
-    * SQL.
+    * sum of per-term `((token_id+1) mod P)·((pos+1) mod P) mod P`, mod P,
+    * plus length. Order-sensitive — permuted documents get different
+    * prints — and exactly expressible in SQL.
+    *
+    * The per-term mod is load-bearing with hash token ids (∈ [0, 2³¹)):
+    * each reduced term stays < 2³¹, so the running sum only reaches
+    * n_tokens·2³¹ — safely inside int64 for any document below ~4·10⁹
+    * tokens, where the un-reduced sum (~id·n²/2) would wrap a long at
+    * ~2·10⁵ tokens and silently diverge from the oracle's HUGEINT sum.
     */
-  def fingerprint(tokenIds: DataFrame): DataFrame =
+  def fingerprint(tokenIds: DataFrame): DataFrame = {
+    val p = fingerprintMod
+    val term = (((col("token_id") + 1) % p) * ((col("pos") + 1) % p)) % p
     tokenIds
       .groupBy(col("doc_id"))
       .agg(
-        (sum((col("token_id") + 1) * (col("pos") + 1)) % fingerprintMod).as("fingerprint"),
+        (sum(term) % p).as("fingerprint"),
         count(lit(1)).as("n_tokens")
       )
+  }
 }

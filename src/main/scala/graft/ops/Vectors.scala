@@ -128,9 +128,11 @@ object Vectors {
     */
   def ivfTopKMultiProbe(embeddings: DataFrame, centroidIds: Seq[Long], queryIds: Seq[Long],
       k: Int, nprobe: Int): DataFrame = {
+    // the persisted assignment carries (vec_id, bucket, unit) — centroid
+    // and query vectors are filtered out of it rather than re-scanning and
+    // re-normalizing the corpus a second time
     val assigned = ivfAssign(embeddings, centroidIds).persist()
-    val unit = withUnit(embeddings).select(col("vec_id"), col("unit"))
-    val centroids = unit
+    val centroids = assigned
       .filter(col("vec_id").isin(centroidIds: _*))
       .select(col("vec_id").as("centroid_id"), col("unit").as("c"))
     // rank every centroid per query, keep the nprobe nearest (ties to the
@@ -139,7 +141,7 @@ object Vectors {
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("centroid_id").asc)
-    val probes = unit
+    val probes = assigned
       .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("unit").as("q"))
       .join(F.broadcast(centroids))

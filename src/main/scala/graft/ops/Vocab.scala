@@ -76,6 +76,10 @@ object Vocab {
       .distinct()
       .repartitionByRange(col("token"))
       .sortWithinPartitions("token")
+      // zipWithIndex runs an eager partition-count job; without a cache the
+      // whole explode→distinct→sort lineage would run a second time when a
+      // downstream action fires
+      .persist()
     val indexed = distinctTokens.rdd.map(_.getString(0)).zipWithIndex()
     spark.createDataFrame(
       indexed.map { case (t, i) => Row(t, i) },

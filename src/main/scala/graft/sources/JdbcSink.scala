@@ -47,16 +47,40 @@ object JdbcSink {
   def writeEvents(events: DataFrame, target: Target, batchSize: Int = 5000): Unit =
     writer(events, target, batchSize).mode(SaveMode.Append).save()
 
+  /** Does the target table exist? Checked through driver-level JDBC
+    * metadata so that a *transient* error (connection drop, auth, lock
+    * timeout) PROPAGATES instead of masquerading as "table absent" — the
+    * idempotence guarantee exists precisely for the retry-after-failure
+    * path, where a swallowed probe error would double-write.
+    */
+  private def tableExists(target: Target): Boolean = {
+    val props = new java.util.Properties()
+    target.options.foreach { case (k, v) => props.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(target.url, props)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      try {
+        var found = false
+        while (!found && rs.next()) {
+          found = rs.getString("TABLE_NAME").equalsIgnoreCase(target.table)
+        }
+        found
+      } finally rs.close()
+    } finally conn.close()
+  }
+
   /** W5/K2: idempotent window append — probe for the window's `end_time`
     * (the reference's `count(*)` existence check,
     * `compute_transaction_info.py:132-142`), insert only if absent. The
     * probe pushes the equality predicate down to the database (one indexed
     * lookup, no table scan into Spark). Returns true if the write happened.
+    * Probe failures other than "table does not exist" propagate — see
+    * [[tableExists]].
     */
   def idempotentAppend(spark: SparkSession, result: DataFrame, target: Target,
       endTime: java.sql.Timestamp, batchSize: Int = 5000): Boolean = {
-    val exists = scala.util.Try(reader(spark, target).load()).toOption
-      .exists(df => !df.filter(col("end_time") === lit(endTime)).isEmpty)
+    val exists = tableExists(target) &&
+      !reader(spark, target).load().filter(col("end_time") === lit(endTime)).isEmpty
     if (!exists) writeEvents(result, target, batchSize)
     !exists
   }

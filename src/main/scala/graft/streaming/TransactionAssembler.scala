@@ -26,10 +26,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object TransactionAssembler {
 
-  /** Floor epoch-millis to whole seconds (event times are never pre-1970
+  /** Epoch microseconds of a Timestamp — the SAME resolution the batch path
+    * and the oracle compare at (`unix_micros` / `epoch_us`). Millisecond
+    * math here would make streaming merge two events the batch form splits
+    * whenever the gap crosses the threshold by < 1 ms.
+    */
+  private def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def toTimestamp(us: Long): Timestamp = {
+    val ts = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    ts
+  }
+
+  /** Floor epoch-micros to whole seconds (event times are never pre-1970
     * here, so integral division suffices).
     */
-  private def floorSec(ms: Long): Long = ms / 1000
+  private def floorSec(us: Long): Long = us / 1000000L
 
   final case class TxnEvent(
       gtid: String,
@@ -39,10 +53,12 @@ object TransactionAssembler {
       affected_rows: Long
   )
 
-  /** Open-transaction accumulator: the running form of A4–A7. */
+  /** Open-transaction accumulator: the running form of A4–A7. Times are
+    * epoch microseconds (full TimestampType resolution).
+    */
   final case class TxnState(
-      startMs: Long,
-      endMs: Long,
+      startUs: Long,
+      endUs: Long,
       minPos: Long,
       maxPos: Long,
       lastSize: Long,   // size at max pos → the argMax/max_by component
@@ -63,22 +79,22 @@ object TransactionAssembler {
   private def summarize(gtid: String, s: TxnState): TxnSummary =
     TxnSummary(
       gtid,
-      new Timestamp(s.startMs),
-      new Timestamp(s.endMs),
+      toTimestamp(s.startUs),
+      toTimestamp(s.endUs),
       // floor each endpoint to seconds before subtracting — the batch path
       // truncates per-timestamp (CH DateTime semantics), and
-      // (end-start)/1000 disagrees with it on sub-second times
+      // (end-start)/1e6 disagrees with it on sub-second times
       // (0.9s→1.1s is 1 there, 0 here)
-      floorSec(s.endMs) - floorSec(s.startMs),
+      floorSec(s.endUs) - floorSec(s.startUs),
       (s.maxPos - s.minPos) + s.lastSize,
       s.rows,
       s.nEvents)
 
   private def merge(acc: TxnState, e: TxnEvent): TxnState = {
-    val t = e.execute_time.getTime
+    val t = micros(e.execute_time)
     TxnState(
-      math.min(acc.startMs, t),
-      math.max(acc.endMs, t),
+      math.min(acc.startUs, t),
+      math.max(acc.endUs, t),
       math.min(acc.minPos, e.pos),
       math.max(acc.maxPos, e.pos),
       if (e.pos >= acc.maxPos) e.size_bytes else acc.lastSize,
@@ -107,7 +123,7 @@ object TransactionAssembler {
       delay: String = "10 seconds"): Dataset[TxnSummary] = {
     implicit val stateEnc = Encoders.product[TxnState]
     implicit val outEnc = Encoders.product[TxnSummary]
-    val gapMs = gapSec * 1000L
+    val gapUs = gapSec * 1000000L
     events
       .withWatermark("execute_time", delay)
       .groupByKey(_.gtid)(Encoders.STRING)
@@ -120,12 +136,12 @@ object TransactionAssembler {
             Iterator(summarize(gtid, s))
           } else {
             // process in event-time order so gap splits are deterministic
-            val ordered = it.toSeq.sortBy(e => (e.execute_time.getTime, e.pos))
+            val ordered = it.toSeq.sortBy(e => (micros(e.execute_time), e.pos))
             val closed = Seq.newBuilder[TxnSummary]
             var open: Option[TxnState] = state.getOption
             ordered.foreach { e =>
               open match {
-                case Some(s) if e.execute_time.getTime - s.endMs > gapMs =>
+                case Some(s) if micros(e.execute_time) - s.endUs > gapUs =>
                   closed += summarize(gtid, s)
                   open = Some(merge(emptyState, e))
                 case Some(s) => open = Some(merge(s, e))
@@ -135,7 +151,9 @@ object TransactionAssembler {
             open.foreach { s =>
               state.update(s)
               // close the transaction gapSec after its last event
-              state.setTimeoutTimestamp(s.endMs + gapMs)
+              // (timeout API is millisecond-grained; round UP so the
+              // timeout never fires early relative to the µs gap)
+              state.setTimeoutTimestamp(Math.floorDiv(s.endUs + gapUs + 999L, 1000L))
             }
             closed.result().iterator
           }

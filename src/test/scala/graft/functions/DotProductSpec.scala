@@ -47,6 +47,27 @@ class DotProductSpec extends SparkSpec {
     assert(rows(1).getDouble(1) === 11.0)
   }
 
+  test("non-nullable inputs (containsNull = false) compile and evaluate in codegen") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // a schema where both the columns and their elements are non-null makes
+    // DotProduct.nullable = false — ev.isNull is then the literal `false`
+    // and the generated code must not assign to it
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("b", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(Seq(1.0, 2.0), Seq(3.0, 4.0)),
+        Row(Seq(0.5, 0.5), Seq(2.0, 2.0))),
+      schema)
+    val out = df.select(VectorFunctions.dotProduct(
+      org.apache.spark.sql.functions.col("a"),
+      org.apache.spark.sql.functions.col("b")).as("d"))
+    assert(!out.schema.head.nullable)
+    assert(out.collect().map(_.getDouble(0)).sorted.toSeq === Seq(2.0, 11.0))
+  }
+
   test("SQL surface matches the Column surface") {
     val a = spark.sql("SELECT dot_product(array(1.0d,2.0d), array(3.0d,4.0d))").collect().head.getDouble(0)
     assert(a === 11.0)

@@ -42,6 +42,10 @@ class EnvelopeSpec extends SparkSpec {
     // a truncated copy of a valid envelope is rejected, not mis-parsed
     assert(EnvelopeCodec.decode(ok.take(ok.length - 1)) === null)
     assert(extra.length > ok.length) // (silence unused warning)
+    // unknown FIXED-WIDTH field truncated mid-payload: also rejected
+    // (tag wiretype 5 = fixed32, but only 2 of 4 bytes present)
+    assert(EnvelopeCodec.decode(
+      ok ++ Array[Byte](((99 << 3) | 5).toByte, 0x01, 0x02)) === null)
   }
 
   test("expression round trip in a distributed plan; malformed rows filtered (F2)") {

@@ -112,4 +112,35 @@ class TransactionAssemblerSpec extends SparkSpec {
     assert(streamed.count(_._1._1 == "b") === 12)
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("gap compares microseconds: a split crossing the threshold by 0.5ms agrees with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    def microTs(sec: Long, micro: Int): Timestamp = {
+      val t = new Timestamp(sec * 1000)
+      t.setNanos(micro * 1000)
+      t
+    }
+    // events 30.0005 s apart with gapSec = 30: µs math splits (30_000_500 >
+    // 30_000_000); millisecond math would see 30_000 and wrongly merge
+    val evs = Seq(
+      TxnEvent("g", microTs(1000, 0), 1L, 5, 1),
+      TxnEvent("g", microTs(1030, 500), 2L, 7, 1))
+    val ms = MemoryStream[TxnEvent]
+    val q = TransactionAssembler.assemble(ms.toDS(), gapSec = 30, delay = "0 seconds")
+      .writeStream.format("memory").queryName("txns4")
+      .outputMode(OutputMode.Append).start()
+    evs.foreach { e => ms.addData(e); q.processAllAvailable() }
+    ms.addData(TxnEvent("zz", microTs(100000, 0), 9L, 1, 1)); q.processAllAvailable()
+    ms.addData(TxnEvent("zz", microTs(100001, 0), 10L, 1, 1)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("txns4").collect().filter(_.getAs[String]("gtid") == "g")
+    assert(streamed.length === 2, streamed.mkString(";"))
+    val batch = TransactionAssembler.assembleBatch(
+      evs.toDF().withColumnRenamed("pos", "pos"), gapSec = 30)
+      .collect().filter(_.getAs[String]("gtid") == "g")
+    assert(batch.length === 2)
+    // and the µs-precise endpoints survive the round trip
+    assert(streamed.map(_.getAs[Timestamp]("start_time")).toSet ===
+      batch.map(_.getAs[Timestamp]("start_time")).toSet)
+  }
 }
