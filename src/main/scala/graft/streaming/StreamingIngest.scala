@@ -40,6 +40,24 @@ object StreamingIngest {
       Ingest.dropTransactionBegin(
         Ingest.decodeAndFlatten(raw, decode, payloadCol), beginValue))
 
+  /** Binary-envelope form of the same chain — what a production Canal
+    * deployment runs: a stream of wire bytes (Kafka value column) →
+    * codegen'd protobuf-lite decode (D1) → malformed-row drop (F2) →
+    * BEGIN filter (F1) → binlog-shaped rows. Works identically on a batch
+    * or streaming frame (narrow projections only).
+    */
+  def transformBinary(raw: DataFrame, bytesCol: String,
+      beginValue: String = "TRANSACTIONBEGIN"): DataFrame =
+    Ingest.decodeBinaryEnvelope(raw, bytesCol)
+      .filter(col("event_type") =!= beginValue)
+      .select(
+        col("binlog_pos").cast("string").as("binlog_pos"),
+        col("event_type"),
+        timestamp_millis(col("execute_ms")).as("execute_time"),
+        col("gtid"),
+        col("affected_rows").as("single_statement_affected_rows"),
+        col("size_bytes").cast("string").as("single_statement_size"))
+
   /** K1 sink: day-partitioned sorted parquet per micro-batch. Each batch
     * writes (overwrite) its own `batch_id=N` directory, so a replayed
     * micro-batch — foreachBatch is at-least-once on crash between the write

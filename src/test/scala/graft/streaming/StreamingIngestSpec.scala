@@ -43,6 +43,39 @@ class StreamingIngestSpec extends SparkSpec {
     assert(dirs.toSet === Set("day=2024-01-01", "day=2024-01-02"))
   }
 
+  test("binary-envelope streaming ingest: wire bytes → decode → filter → sink") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.unsafe.types.UTF8String
+    def envelope(pos: Long, ms: Long, gtid: String, et: String): Array[Byte] =
+      org.apache.spark.sql.graft.EnvelopeCodec.encode(pos, ms,
+        UTF8String.fromString(gtid), UTF8String.fromString(et), 100L, 2L)
+    val ms1 = MemoryStream[Array[Byte]]
+    val out = tmpDir("ingest_bin_out")
+    val shaped = StreamingIngest.transformBinary(
+      ms1.toDF().withColumnRenamed("value", "envelope"), "envelope")
+    val q = shaped.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("ingest_bin_ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start()
+    ms1.addData(
+      envelope(1, 1704103200000L, "g1", "INSERT"),
+      envelope(2, 1704106800000L, "g1", "TRANSACTIONBEGIN"), // F1: dropped
+      "not an envelope".getBytes("UTF-8"),                    // F2: dropped
+      envelope(3, 1704189600000L, "g2", "UPDATE"))
+    q.processAllAvailable()
+    q.stop()
+    val res = spark.read.parquet(out).orderBy("binlog_pos").collect()
+    assert(res.length === 2)
+    assert(res.map(_.getAs[String]("gtid")).toSeq === Seq("g1", "g2"))
+    assert(res.map(_.getAs[String]("event_type")).toSeq === Seq("INSERT", "UPDATE"))
+    assert(res.head.getAs[String]("single_statement_size") === "100")
+    assert(res.head.getAs[Timestamp]("execute_time").getTime === 1704103200000L)
+  }
+
   test("W2 closed-window trigger: window emitted once closed, late data dropped") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Raw]
