@@ -205,6 +205,40 @@ class PlanSpec extends SparkSpec {
     assert(nExchanges === 1, plan)
   }
 
+  test("t11 cast-ordered top-k plans as TakeOrderedAndProject (no full sort)") {
+    // the real query over real parquet — an in-memory Seq would fold to a
+    // LocalTableScan and hide the physical strategy
+    val plan = graft.SparkEntry.queries("t11_cast_order_topk")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("production envelope decode chain stays inside whole-stage codegen") {
+    // the PRODUCTION shape: wire bytes in a stored binary column → decode →
+    // null-filter → flatten. (The b15 harness query also carries
+    // encode_envelope, which is deliberately CodegenFallback and pulls its
+    // segment interpreted — the decode-only path must not.)
+    import org.apache.spark.unsafe.types.UTF8String
+    val path = tmpDir("envelopes")
+    val rows = (0 until 50).map { i =>
+      Tuple1(org.apache.spark.sql.graft.EnvelopeCodec.encode(
+        i.toLong, 1704103200000L + i, UTF8String.fromString(s"g$i"),
+        UTF8String.fromString("INSERT"), 100L + i, 2L))
+    }
+    rows.toDF("envelope").write.mode("overwrite").parquet(path)
+    val decoded = graft.binlog.Ingest.decodeBinaryEnvelope(spark.read.parquet(path), "envelope")
+    val plan = decoded.queryExecution.executedPlan.toString
+    // every Filter/Project NODE must sit in a codegen span (the `*(n)`
+    // marker); the regex anchors on the node label so FileScan's
+    // "DataFilters:" text doesn't match
+    val node = """(\*\(\d+\) )?(Filter|Project)[ \[]""".r
+    val logicalNodes = plan.linesIterator.filter(l =>
+      node.findFirstIn(l).exists(_ => l.matches(""".*?(\+- |^)(\*\(\d+\) )?(Filter|Project)[ \[].*"""))).toSeq
+    assert(logicalNodes.nonEmpty, plan)
+    logicalNodes.foreach(l => assert(l.contains("*("), s"not codegen'd: $l\n$plan"))
+    assert(decoded.count() === 50L)
+  }
+
   test("per-window top-1 uses a single shuffle pair (agg form, no window sort)") {
     val events = Seq(
       (Timestamp.valueOf("2024-01-01 00:01:00"), "g1", "1", "10", 1L)
