@@ -130,9 +130,12 @@ object SparkEntry {
   /** Shingle-id Jaccard pairs — same shingle-id CTEs as the MinHash oracle,
     * then the inverted-index self-join on the long ids.
     */
-  private val oracleJaccardPairs: String = {
+  /** Shared CTE chain ending in `jpairs` (the thresholded Jaccard pairs) —
+    * consumed by both the d2 pair query and the d7 grouping query.
+    */
+  private val oracleJaccardCtes: String = {
     val p = graft.ops.Dedup.minhashPrime
-    s"""WITH $oracleTokCtes,
+    s"""$oracleTokCtes,
        |ids AS (SELECT doc_id, list(token_id ORDER BY pos) AS ids FROM tid GROUP BY doc_id),
        |sh AS (SELECT DISTINCT doc_id, sid AS shingle_id FROM (
        |  SELECT doc_id, unnest([list_reduce(list_prepend(CAST(0 AS BIGINT), ids[i:i+4]),
@@ -142,14 +145,31 @@ object SparkEntry {
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
        |          FROM sh x JOIN sh y ON x.shingle_id = y.shingle_id AND x.doc_id < y.doc_id
-       |          GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, n_common,
+       |          GROUP BY 1, 2),
+       |jpairs AS (SELECT doc_a, doc_b, n_common,
        |       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
        |FROM inter
        |JOIN sizes sa ON sa.doc_id = doc_a
        |JOIN sizes sb ON sb.doc_id = doc_b
-       |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5""".stripMargin
+       |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5)""".stripMargin
   }
+
+  private val oracleJaccardPairs: String =
+    s"""WITH $oracleJaccardCtes
+       |SELECT doc_a, doc_b, n_common, jaccard FROM jpairs""".stripMargin
+
+  /** d7: connected components of the pair graph by transitive closure —
+    * components are algorithm-independent, so the recursive walk attests
+    * Spark's iterative label propagation exactly.
+    */
+  private val oracleDedupGroups: String =
+    s"""WITH RECURSIVE $oracleJaccardCtes,
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+       |          UNION ALL SELECT doc_b, doc_a FROM jpairs),
+       |walk AS (SELECT DISTINCT a AS doc_id, a AS reach FROM edges
+       |         UNION
+       |         SELECT w.doc_id, e.b FROM walk w JOIN edges e ON e.a = w.reach)
+       |SELECT doc_id, min(reach) AS group_id FROM walk GROUP BY doc_id""".stripMargin
 
   /** LSH oracle: the plane literals are generated from the same arithmetic
     * as [[Vectors.lshPlanes]], so both engines bucket identically.
@@ -540,6 +560,13 @@ object SparkEntry {
       val ids = Vocab.hashTokenIdArrays(Tables.documents(s, dir))
       Dedup.jaccardPairsFromShingles(Dedup.shingleIdsFromArrays(ids, 5), threshold = 0.5)
     }),
+    "d7_dedup_groups" -> ((s, dir) => {
+      // the step after pair generation: connected components over the
+      // near-dup graph (keep-min canonical representative per group)
+      val ids = Vocab.hashTokenIdArrays(Tables.documents(s, dir))
+      Dedup.dedupGroups(
+        Dedup.jaccardPairsFromShingles(Dedup.shingleIdsFromArrays(ids, 5), threshold = 0.5))
+    }),
     "d3_minhash_sigs" -> ((s, dir) =>
       Dedup.minhashSignatures(Vocab.hashTokenIds(Tables.documents(s, dir)))),
     "d4_minhash_pairs" -> ((s, dir) => {
@@ -814,6 +841,7 @@ object SparkEntry {
         |       CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents GROUP BY text""".stripMargin,
     "d2_jaccard_pairs" -> oracleJaccardPairs,
+    "d7_dedup_groups" -> oracleDedupGroups,
     "d3_minhash_sigs" -> oracleMinhashSigs,
     "d4_minhash_pairs" -> oracleMinhashPairs,
     "d5_simhash" -> oracleSimhash,

@@ -186,6 +186,51 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-duplicate GROUPS from a pair graph: connected components by
+    * iterative min-label propagation — the step a real dedup pipeline runs
+    * after pair generation (keep one document per component, drop the
+    * rest). Output: (doc_id, group_id) where group_id is the smallest
+    * doc_id in the component — canonical representative for "keep-min"
+    * dedup, and engine-independent (components are a property of the graph,
+    * not the algorithm), so a SQL oracle can verify via transitive closure.
+    *
+    * Scale: each iteration is one join + one aggregation, both hashed on
+    * doc id; iteration count is bounded by component DIAMETER, and near-dup
+    * components are overwhelmingly small clusters (diameter ≤ 3) — for
+    * adversarially long chains switch to large-star/small-star, which
+    * squares the convergence rate behind the same output contract. Lineage
+    * is truncated per iteration (`localCheckpoint`), so plans stay flat.
+    * The per-iteration driver sync is one `count` (a scalar, not data).
+    */
+  def dedupGroups(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    // undirected: propagate labels both ways
+    val sym = edges
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    var labels = sym.select(col("a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val neighborLabels = sym
+        .join(labels.select(col("doc_id").as("a"), col("label")), Seq("a"))
+        .select(col("b").as("doc_id"), col("label"))
+      val next = labels.select(col("doc_id"), col("label"))
+        .union(neighborLabels)
+        .groupBy(col("doc_id"))
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+    }
+    sym.unpersist()
+    labels.select(col("doc_id"), col("label").as("group_id"))
+  }
+
   /** SimHash (16-bit) over token ids: for each bit of g(id) = (a·id+b) mod
     * 2^16, sum +1/−1 across the document's tokens (with multiplicity) and
     * take the sign. Output: (doc_id, simhash as long).

@@ -46,6 +46,20 @@ class DedupSpec extends SparkSpec {
     assert(byString.toSeq === byId.toSeq)
   }
 
+  test("dedup groups: transitive chains merge into one component, keep-min id") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),  // a 4-chain: one component, min 1
+      (7L, 9L),                      // isolated pair
+      (11L, 12L), (11L, 13L)         // star
+    ).toDF("doc_a", "doc_b")
+    val groups = Dedup.dedupGroups(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_id")).toMap
+    assert(groups === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 9L -> 7L,
+      11L -> 11L, 12L -> 11L, 13L -> 11L))
+  }
+
   test("minhash: identical docs have identical signatures and become a candidate pair") {
     val tid = Vocab.tokenIds(docs)
     val sigs = Dedup.minhashSignatures(tid).collect()
