@@ -208,9 +208,21 @@ object Dedup {
     val sym = edges
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .persist()
-    var labels = sym.select(col("a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    // seed = min(self, direct neighbors): the first propagation round folded
+    // into initialization — one fewer loop iteration (each costs a full
+    // join+agg+checkpoint job round)
+    var labels = sym
+      .select(col("a").as("doc_id"), col("b").as("label"))
+      .union(sym.select(col("a").as("doc_id"), col("a").as("label")))
+      .groupBy(col("doc_id"))
+      .agg(min(col("label")).as("label"))
       .localCheckpoint(true)
+    // labels only ever DECREASE under min propagation, so convergence is
+    // "the label sum stopped changing" — one scalar aggregate per
+    // iteration instead of a change-detection join
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("label"))).collect().head.getLong(0)
+    var currentSum = labelSum(labels)
     var converged = false
     while (!converged) {
       val neighborLabels = sym
@@ -221,10 +233,9 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum == currentSum
+      currentSum = nextSum
       labels = next
     }
     sym.unpersist()
