@@ -22,10 +22,12 @@ import graft.binlog.Ingest
   * (S2); the parquet sink append inside foreachBatch is idempotent per
   * batchId re-run because a failed batch is replayed with the same data.
   *
-  * The reference's count-based flush (5000 rows, W3) has no trigger
-  * equivalent; batch boundaries here are offset/time-based
-  * (`maxOffsetsPerTrigger` on a Kafka source approximates it). Documented
-  * delta, not emulated.
+  * The reference's count-based flush (5000 rows, W3) is a SINK cadence —
+  * buffer rows, bulk-INSERT every N (`mon_mysql_dml.py:199-212`) — and the
+  * JDBC sink reproduces it exactly: `JdbcSink` flushes `executeBatch` every
+  * `batchSize` rows per task. Micro-batch *trigger* boundaries remain
+  * offset/time-based (`maxOffsetsPerTrigger` approximates a per-trigger
+  * row bound); only that trigger-level difference is a documented delta.
   *
   * Scale: the transform chain is narrow (no shuffle); `writeEvents`
   * repartitions by day only to avoid small-file explosion — at 100 TB/day
