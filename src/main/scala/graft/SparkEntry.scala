@@ -554,6 +554,10 @@ object SparkEntry {
 
     // ---- dedup surface ----
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    "d8_dedup_exact_digest" -> ((s, dir) =>
+      // digest-first form: same output as d1 (shared oracle), but only
+      // duplicate-suspect buckets ever shuffle the document text
+      Dedup.exactByDigest(Tables.documents(s, dir))),
     "d2_jaccard_pairs" -> ((s, dir) => {
       // hash token ids are a pure projection (no vocabulary build / join),
       // then the inverted shingle-id index
@@ -608,6 +612,9 @@ object SparkEntry {
       TextOps.fingerprint(Vocab.hashTokenIds(Tables.documents(s, dir)))),
     "x5_regex_tokens" -> ((s, dir) =>
       TextOps.regexTokenStats(Tables.documents(s, dir))),
+    "x6_curation" -> ((s, dir) =>
+      // the composed pass: exact-dedup representative + quality gate
+      TextOps.curate(Tables.documents(s, dir))),
 
     // ---- multimodal plumbing ----
     "m1_binary_meta" -> ((s, dir) =>
@@ -840,6 +847,12 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_copies,
         |       CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents GROUP BY text""".stripMargin,
+    // d8 is the digest-first rendering of the SAME semantics — one oracle
+    "d8_dedup_exact_digest" ->
+      """SELECT min(doc_id) AS keep_doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies,
+        |       CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY text""".stripMargin,
     "d2_jaccard_pairs" -> oracleJaccardPairs,
     "d7_dedup_groups" -> oracleDedupGroups,
     "d3_minhash_sigs" -> oracleMinhashSigs,
@@ -905,6 +918,24 @@ object SparkEntry {
         |                 AND mean_token_len <= 12.0 AND n_stop > 0
         |            THEN 1 ELSE 0 END AS quality_pass
         |FROM t""".stripMargin,
+    "x6_curation" ->
+      """WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |t AS (SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_filter(string_split(text, ' '),
+        |              s -> list_contains(['the','a','of','and','to','in'], s))) AS BIGINT) AS n_stop,
+        |       CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |         / len(string_split(text, ' ')) AS mean_token_len
+        |     FROM documents JOIN reps USING (doc_id))
+        |SELECT doc_id, n_tokens,
+        |       CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+        |       mean_token_len,
+        |       CASE WHEN n_tokens >= 32 AND mean_token_len >= 2.0
+        |                 AND mean_token_len <= 12.0 AND n_stop > 0
+        |            THEN 1 ELSE 0 END AS quality_pass
+        |FROM t
+        |WHERE n_tokens >= 32 AND mean_token_len >= 2.0
+        |  AND mean_token_len <= 12.0 AND n_stop > 0""".stripMargin,
     "x3_langid" -> oracleLangid,
     "x4_fingerprint" ->
       // per-term mod keeps every term < 2^31 so the sum stays in int64 —

@@ -35,6 +35,34 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_doc_id"), col("n_copies"), length(col("text")).cast("long").as("n_chars"))
 
+  /** Digest-first exact dedup — [[exact]]'s 100 TB form, same output: group
+    * on `xxhash64(text)` so the wide text column only travels for
+    * *duplicate-suspect* buckets. Phase 1 shuffles (digest, doc_id,
+    * n_chars) — fixed-width rows, no document bodies. Only buckets with
+    * more than one member (the tiny duplicated fraction, plus any hash
+    * collisions) re-join the text and confirm equality exactly, so a 64-bit
+    * collision can never merge two different documents. Output is
+    * bit-identical to [[exact]] (the d1 oracle attests this path).
+    */
+  def exactByDigest(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(xxhash64(col("text")).as("digest"), col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"))
+      .persist()
+    val counts = d.groupBy(col("digest")).agg(count(lit(1)).as("bucket_n"))
+    val singletons = d
+      .join(counts.filter(col("bucket_n") === 1), Seq("digest"), "left_semi")
+      .select(col("doc_id").as("keep_doc_id"), lit(1L).as("n_copies"), col("n_chars"))
+    val multis = docs
+      .select(xxhash64(col("text")).as("digest"), col("doc_id"), col("text"))
+      .join(counts.filter(col("bucket_n") > 1), Seq("digest"), "left_semi")
+      .groupBy(col("digest"), col("text"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_doc_id"), col("n_copies"),
+        length(col("text")).cast("long").as("n_chars"))
+    singletons.union(multis)
+  }
+
   /** Word k-gram shingles per document, distinct: (doc_id, shingle). */
   def shingles(docs: DataFrame, k: Int = 5): DataFrame = {
     val toks = TextOps.tokens(col("text"))

@@ -113,6 +113,19 @@ object TextOps {
       length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("n_alpha_chars")
     )
 
+  /** The composed curation pass a pre-training pipeline runs: keep each
+    * exact-duplicate group's representative (min doc_id), then apply the
+    * quality gate — one semi join against the dedup representatives plus
+    * the [[qualityScore]] projection, all in one job. Output: the quality
+    * columns of surviving documents.
+    */
+  def curate(docs: DataFrame): DataFrame = {
+    val reps = Dedup.exact(docs).select(col("keep_doc_id").as("doc_id"))
+    qualityScore(docs)
+      .join(reps, Seq("doc_id"), "left_semi")
+      .filter(col("quality_pass") === 1)
+  }
+
   /** Deterministic document fingerprint: position-weighted token hash folded
     * modulo a Mersenne prime. Token ids come from a corpus-level vocabulary
     * rank (see [[Vocab]]) so the oracle can reproduce the exact hash without

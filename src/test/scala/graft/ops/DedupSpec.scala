@@ -19,6 +19,27 @@ class DedupSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_copies") === 2L)
   }
 
+  test("digest-first exact dedup ≡ direct exact dedup (incl. multi-copy buckets)") {
+    val byText = Dedup.exact(docs)
+      .orderBy("keep_doc_id").collect().map(_.toSeq)
+    val byDigest = Dedup.exactByDigest(docs)
+      .orderBy("keep_doc_id").collect().map(_.toSeq)
+    assert(byDigest.toSeq === byText.toSeq)
+  }
+
+  test("curation: dedup representative + quality gate compose") {
+    import org.apache.spark.sql.functions._
+    val longText = ("the quick brown fox jumps over a lazy dog and " * 4).trim
+    val corpus = Seq(
+      (0L, longText),        // rep, passes quality (40 tokens, stopwords)
+      (1L, longText),        // exact dup of 0: dropped (not the rep)
+      (2L, "tiny doc"),      // rep but fails quality (too short)
+      (3L, ("z " * 40).trim) // 40 tokens but zero stopwords: fails
+    ).toDF("doc_id", "text")
+    val out = TextOps.curate(corpus).select(col("doc_id")).collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(0L))
+  }
+
   test("shingles: document shorter than k yields no shingles") {
     val short = Seq((9L, "a b")).toDF("doc_id", "text")
     assert(Dedup.shingles(short, k = 5).count() === 0L)
