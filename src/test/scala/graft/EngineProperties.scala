@@ -91,4 +91,45 @@ object EngineProperties extends Properties("graft") {
       r.getAs[Long]("transaction_spend_time") >= 0L
     }
   }
+
+  // (e) envelope codec: encode∘decode is the identity for any field values
+  // (pure JVM fold — no Spark job, so the sample count can be generous)
+  property("envelope codec round-trips any fields") = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val genStr = Gen.frequency(
+      3 -> Gen.alphaNumStr,
+      1 -> Gen.const(""),
+      1 -> Gen.listOf(Gen.oneOf('é', '中', 'ß', ' ', '\t')).map(_.mkString))
+    Prop.forAll(
+      Gen.chooseNum(Long.MinValue, Long.MaxValue), Gen.chooseNum(0L, Long.MaxValue),
+      genStr, genStr,
+      Gen.chooseNum(Long.MinValue, Long.MaxValue), Gen.chooseNum(0L, 1000000L)
+    ) { (pos, ms, gtid, et, size, rows) =>
+      val out = org.apache.spark.sql.graft.EnvelopeCodec.decode(
+        org.apache.spark.sql.graft.EnvelopeCodec.encode(
+          pos, ms, UTF8String.fromString(gtid), UTF8String.fromString(et), size, rows))
+      out != null &&
+        out.getLong(0) == pos && out.getLong(1) == ms &&
+        out.getUTF8String(2).toString == gtid && out.getUTF8String(3).toString == et &&
+        out.getLong(4) == size && out.getLong(5) == rows
+    }
+  }
+
+  // (f) dedup groups form a valid partition: every group id is a member of
+  // the group, is its minimum, and both endpoints of every edge share one
+  property("dedup groups: keep-min representative, edges never straddle groups") = {
+    val genEdges = Gen.chooseNum(1, 12).flatMap { n =>
+      Gen.listOfN(n, for {
+        a <- Gen.chooseNum(0L, 15L); b <- Gen.chooseNum(0L, 15L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    }
+    Prop.forAll(genEdges) { edges =>
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val g = graft.ops.Dedup.dedupGroups(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val members = g.groupBy(_._2).map { case (gid, m) => gid -> m.keys.toSet }
+      members.forall { case (gid, m) => m.contains(gid) && m.min == gid } &&
+        edges.forall { case (a, b) => g(a) == g(b) }
+    }
+  }
 }
