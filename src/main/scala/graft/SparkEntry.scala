@@ -266,6 +266,47 @@ object SparkEntry {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** Two-level IVF oracle (s6): coarse = ⌈√C⌉ spaced subset of the fine
+    * seeds; fine centroids route to their nearest coarse parent; vectors
+    * route coarse-first then to the nearest fine child of that parent —
+    * mirrors [[graft.ops.Vectors.ivfAssignTwoLevel]] tie-for-tie.
+    */
+  private lazy val oracleIvfTwoLevel: String =
+    s"""WITH $oracleEmbCte,
+       |params AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS n_cent,
+       |                  GREATEST(1, count(*) // CAST(ceil(sqrt(count(*))) AS BIGINT)) AS step
+       |           FROM e),
+       |p2 AS (SELECT n_cent, step,
+       |              CAST(ceil(sqrt(n_cent)) AS BIGINT) AS c2,
+       |              GREATEST(1, n_cent // CAST(ceil(sqrt(n_cent)) AS BIGINT)) AS cstep
+       |       FROM params),
+       |fine AS (SELECT vec_id AS fine_id, v AS fv FROM e, params
+       |         WHERE vec_id % step = 0 AND vec_id < n_cent * step),
+       |coarse AS (SELECT vec_id AS coarse_id, v AS cv FROM e, p2
+       |           WHERE vec_id % (cstep * step) = 0 AND vec_id < c2 * cstep * step),
+       |fp AS (SELECT fine_id, fv, coarse_id AS parent FROM (
+       |         SELECT f.fine_id, f.fv, c.coarse_id,
+       |                row_number() OVER (PARTITION BY f.fine_id
+       |                  ORDER BY ${oracleCos("f.fv", "c.cv")} DESC, c.coarse_id ASC) AS rn
+       |         FROM fine f, coarse c) WHERE rn = 1),
+       |vc AS (SELECT vec_id, v, coarse_id AS parent FROM (
+       |         SELECT e.vec_id, e.v, c.coarse_id,
+       |                row_number() OVER (PARTITION BY e.vec_id
+       |                  ORDER BY ${oracleCos("e.v", "c.cv")} DESC, c.coarse_id ASC) AS rn
+       |         FROM e, coarse c) WHERE rn = 1),
+       |av AS (SELECT vec_id, bucket, v FROM (
+       |         SELECT vc.vec_id, vc.v, fp.fine_id AS bucket,
+       |                row_number() OVER (PARTITION BY vc.vec_id
+       |                  ORDER BY ${oracleCos("vc.v", "fp.fv")} DESC, fp.fine_id ASC) AS rn
+       |         FROM vc JOIN fp ON fp.parent = vc.parent) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, bucket, v AS qv FROM av WHERE vec_id < 8),
+       |scored AS (SELECT q.query_id, av.vec_id AS neighbor_id, ${oracleCos("q.qv", "av.v")} AS sim
+       |           FROM q JOIN av ON av.bucket = q.bucket AND av.vec_id <> q.query_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
+       |WHERE rank <= 5""".stripMargin
+
   /** Doubles-widened embedding CTE + IVF assignment (centroids = vec_id<32,
     * nearest by cosine, ties to the smaller centroid id).
     */
@@ -603,6 +644,13 @@ object SparkEntry {
     "s5_ann_lsh_multitable" -> ((s, dir) =>
       // recall amplifier: candidate iff colliding in ANY of 4 hash tables
       Vectors.lshTopKMultiTable(Tables.embeddings(s, dir), 0L until 8L, k = 5)),
+    "s6_ann_ivf_twolevel" -> ((s, dir) => {
+      // hierarchical assignment: O(N·√C·d) instead of O(N·C·d) — the
+      // routing that keeps IVF assignment affordable at 100 TB
+      val emb = Tables.embeddings(s, dir)
+      val fine = Vectors.spacedCentroidIds(emb.count())
+      Vectors.ivfTopKTwoLevel(emb, fine, Vectors.coarseSubset(fine), 0L until 8L, k = 5)
+    }),
 
     // ---- text analysis ----
     "x1_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
@@ -886,6 +934,7 @@ object SparkEntry {
     "s3_ann_lsh" -> oracleLsh,
     "s4_ann_ivf_multiprobe" -> oracleIvfMultiProbe,
     "s5_ann_lsh_multitable" -> oracleLshMulti,
+    "s6_ann_ivf_twolevel" -> oracleIvfTwoLevel,
     "m2_frame_sample" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
         |       CAST(i * 1000 AS BIGINT) AS byte_offset,

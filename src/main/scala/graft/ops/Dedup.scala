@@ -63,6 +63,21 @@ object Dedup {
     singletons.union(multis)
   }
 
+  /** Streaming exact dedup — dedup-on-ingest for a document stream: keep
+    * the first arrival of each text digest inside the watermark horizon.
+    * State is one (digest, event-time) entry per distinct document seen
+    * within the watermark — Spark's `dropDuplicatesWithinWatermark` expires
+    * state as the watermark advances, so memory is bounded by the horizon,
+    * not history (the unbounded-state failure mode of plain
+    * dropDuplicates on streams). Works identically on a batch frame.
+    */
+  def streamingExact(docs: DataFrame, tsCol: String, delay: String): DataFrame =
+    docs
+      .withColumn("digest", xxhash64(col("text")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("digest")
+      .drop("digest")
+
   /** Word k-gram shingles per document, distinct: (doc_id, shingle). */
   def shingles(docs: DataFrame, k: Int = 5): DataFrame = {
     val toks = TextOps.tokens(col("text"))

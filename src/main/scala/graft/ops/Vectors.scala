@@ -101,12 +101,12 @@ object Vectors {
       .select(col("vec_id"), col("best.centroid_id").as("bucket"), col("best.unit").as("unit"))
   }
 
-  /** IVF-style ANN: each query searches only its own bucket.
-    * Output: (query_id, neighbor_id, rank) — rank within the probed bucket.
+  /** Bucket-restricted top-k over ANY (vec_id, bucket, unit) assignment —
+    * the shared search stage of the flat and two-level IVF variants.
     */
-  def ivfTopK(embeddings: DataFrame, centroidIds: Seq[Long], queryIds: Seq[Long], k: Int): DataFrame = {
+  private def topKWithinBuckets(assignment: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     // the assignment feeds both the query side and the candidate side
-    val assigned = ivfAssign(embeddings, centroidIds).persist()
+    val assigned = assignment.persist()
     val queries = assigned
       .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("bucket"), col("unit").as("q"))
@@ -116,6 +116,79 @@ object Vectors {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), dot(col("q"), col("e")).as("sim"))
     topKPerGroup(scored, "query_id", k)
+  }
+
+  /** IVF-style ANN: each query searches only its own bucket.
+    * Output: (query_id, neighbor_id, rank) — rank within the probed bucket.
+    */
+  def ivfTopK(embeddings: DataFrame, centroidIds: Seq[Long], queryIds: Seq[Long], k: Int): DataFrame =
+    topKWithinBuckets(ivfAssign(embeddings, centroidIds), queryIds, k)
+
+  /** ⌈√C⌉ coarse parents spaced over an (ascending) fine-centroid id list —
+    * [[spacedCentroidIds]] applied one level up; coarse ⊂ fine by
+    * construction.
+    */
+  def coarseSubset(fineIds: Seq[Long]): Seq[Long] = {
+    require(fineIds.nonEmpty)
+    val c2 = math.max(1, math.ceil(math.sqrt(fineIds.size.toDouble)).toInt)
+    val cstep = math.max(1, fineIds.size / c2)
+    (0 until c2).map(i => fineIds(i * cstep))
+  }
+
+  /** ANN over the two-level assignment ([[ivfAssignTwoLevel]]): same search
+    * contract as [[ivfTopK]], O(N·√C·d) assignment instead of O(N·C·d).
+    */
+  def ivfTopKTwoLevel(embeddings: DataFrame, fineIds: Seq[Long], coarseIds: Seq[Long],
+      queryIds: Seq[Long], k: Int): DataFrame =
+    topKWithinBuckets(ivfAssignTwoLevel(embeddings, fineIds, coarseIds), queryIds, k)
+
+  /** Two-level IVF assignment — the 100 TB form of [[ivfAssign]]: flat
+    * assignment against C = ⌈√N⌉ centroids costs O(N·√N·d), which is its
+    * own scale ceiling; grouping the fine centroids under ⌈√C⌉ coarse
+    * centroids and routing each vector through its nearest coarse first
+    * cuts assignment to O(N·√C·d) (coarse scan + one coarse-bucket's fine
+    * set). The trade: a vector whose true nearest fine centroid lives under
+    * a different coarse parent gets its second-best — the standard
+    * hierarchical-IVF approximation. Fully deterministic: both levels use
+    * spaced seed ids, ties break to the smaller id, so the SQL oracle
+    * reproduces the routing exactly.
+    *
+    * Output: (vec_id, bucket, unit) — same contract as [[ivfAssign]].
+    */
+  def ivfAssignTwoLevel(embeddings: DataFrame, fineIds: Seq[Long],
+      coarseIds: Seq[Long]): DataFrame = {
+    val unit = withUnit(embeddings).select(col("vec_id"), col("unit")).persist()
+    val fine = unit.filter(col("vec_id").isin(fineIds: _*))
+      .select(col("vec_id").as("fine_id"), col("unit").as("fv"))
+    val coarse = unit.filter(col("vec_id").isin(coarseIds: _*))
+      .select(col("vec_id").as("coarse_id"), col("unit").as("cv"))
+    // route every FINE centroid under its nearest coarse parent (tiny: C rows)
+    val fineParent = fine
+      .join(F.broadcast(coarse))
+      .select(col("fine_id"), col("fv"), col("coarse_id"),
+        dot(col("fv"), col("cv")).as("cs"))
+      .groupBy(col("fine_id"))
+      .agg(max_by(struct(col("coarse_id"), col("fv")),
+        struct(col("cs"), -col("coarse_id"))).as("best"))
+      .select(col("fine_id"), col("best.coarse_id").as("parent"), col("best.fv").as("fv"))
+    // level 1: every vector → nearest coarse; level 2: nearest fine among
+    // that parent's children (both centroid tables broadcast)
+    val withCoarse = unit
+      .join(F.broadcast(coarse))
+      .select(col("vec_id"), col("unit"), col("coarse_id"),
+        dot(col("unit"), col("cv")).as("cs"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("coarse_id"), col("unit")),
+        struct(col("cs"), -col("coarse_id"))).as("best"))
+      .select(col("vec_id"), col("best.coarse_id").as("parent"), col("best.unit").as("unit"))
+    withCoarse
+      .join(F.broadcast(fineParent), Seq("parent"))
+      .select(col("vec_id"), col("unit"), col("fine_id"),
+        dot(col("unit"), col("fv")).as("fs"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("fine_id"), col("unit")),
+        struct(col("fs"), -col("fine_id"))).as("best"))
+      .select(col("vec_id"), col("best.fine_id").as("bucket"), col("best.unit").as("unit"))
   }
 
   /** Multi-probe IVF: each query searches its `nprobe` nearest centroid

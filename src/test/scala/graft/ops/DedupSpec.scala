@@ -40,6 +40,28 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq(0L))
   }
 
+  test("streaming exact dedup keeps first arrival, bounded by watermark") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val q = Dedup.streamingExact(
+      ms.toDF().toDF("doc_id", "ts", "text"), "ts", "10 seconds")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append).start()
+    ms.addData(
+      (0L, Timestamp.valueOf("2024-01-01 10:00:00"), "same text"),
+      (1L, Timestamp.valueOf("2024-01-01 10:00:01"), "same text"),   // dup: dropped
+      (2L, Timestamp.valueOf("2024-01-01 10:00:02"), "other text"))
+    q.processAllAvailable()
+    ms.addData((3L, Timestamp.valueOf("2024-01-01 10:00:03"), "same text")) // still in horizon
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("sdedup").collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(kept.toSeq === Seq(0L, 2L))
+  }
+
   test("shingles: document shorter than k yields no shingles") {
     val short = Seq((9L, "a b")).toDF("doc_id", "text")
     assert(Dedup.shingles(short, k = 5).count() === 0L)

@@ -68,6 +68,23 @@ class VectorsSpec extends SparkSpec {
     assert(r2 >= r1)
   }
 
+  test("two-level IVF: coarse subset is a subset; one coarse parent ≡ flat assignment") {
+    val fine = Vectors.spacedCentroidIds(60)
+    val coarse = Vectors.coarseSubset(fine)
+    assert(coarse.toSet.subsetOf(fine.toSet))
+    assert(coarse.size === math.ceil(math.sqrt(fine.size.toDouble)).toInt)
+    // with a single coarse parent every fine centroid is reachable, so the
+    // two-level routing degenerates to the flat assignment exactly
+    val flat = Vectors.ivfTopK(corpus, fine, Seq(1L, 2L), k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    val twoLevelOneCoarse = Vectors.ivfTopKTwoLevel(corpus, fine, Seq(fine.head), Seq(1L, 2L), k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    assert(twoLevelOneCoarse.toSeq === flat.toSeq)
+    // and with the real coarse set the search still returns ranked results
+    val hier = Vectors.ivfTopKTwoLevel(corpus, fine, coarse, Seq(1L, 2L), k = 5).collect()
+    assert(hier.nonEmpty)
+  }
+
   test("multi-table LSH: recall vs brute force is monotone in table count") {
     val exact = hits(Vectors.bruteForceTopK(corpus, Seq(1L, 2L), k = 5))
     val one = hits(Vectors.lshTopKMultiTable(corpus, Seq(1L, 2L), k = 5, nTables = 1, dim = 8))
