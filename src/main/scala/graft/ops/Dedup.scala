@@ -285,6 +285,74 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("group_id"))
   }
 
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the adversarial-chain-proof variant of [[dedupGroups]]: simple min
+    * propagation needs O(diameter) rounds (a 10⁶-long chain = 10⁶ rounds),
+    * star contraction converges in O(log² n). Same output contract
+    * (property-tested equal on random graphs); use this form when
+    * components may be long paths rather than tight duplicate clusters.
+    *
+    *   - large-star(u): every neighbor v > u re-attaches to
+    *     m = min(Γ(u) ∪ u)
+    *   - small-star(u): every neighbor v ≤ u (and u itself) re-attaches to
+    *     m = min(Γ≤(u) ∪ u)
+    *
+    * Each round is a groupBy + join hashed on node id; convergence is an
+    * edge-multiset checksum (count + order-independent hash sums), one
+    * scalar action per round.
+    */
+  def dedupGroupsStar(pairs: DataFrame): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("b").as("a"), col("a").as("b")))
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = s.groupBy(col("a"))
+        .agg(min(col("b")).as("minb"))
+        .select(col("a"), least(col("a"), col("minb")).as("m"))
+      canon(s.join(m, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val le = sym(e).filter(col("b") <= col("a"))
+      val m = le.groupBy(col("a")).agg(min(col("b")).as("minb"))
+        .select(col("a"), least(col("a"), col("minb")).as("m"))
+      val reattached = le.join(m, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(m.select(col("a"), col("m").as("b")))
+      canon(reattached)
+    }
+    // order-independent, overflow-free edge-set signature: count + XOR of
+    // per-edge hashes under two seeds (a sum would overflow ANSI longs on
+    // full-range hash values)
+    def checksum(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(a, b))"),
+        expr("bit_xor(xxhash64(b, a))"))
+        .collect().head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    var edges = canon(pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .localCheckpoint(true)
+    var prev = checksum(edges)
+    var converged = false
+    while (!converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val cs = checksum(next)
+      converged = cs == prev
+      prev = cs
+      edges = next
+    }
+    // converged: every component is a star rooted at its minimum
+    val s = sym(edges)
+    s.groupBy(col("a").as("doc_id"))
+      .agg(min(col("b")).as("minb"))
+      .select(col("doc_id"), least(col("doc_id"), col("minb")).as("group_id"))
+  }
+
   /** SimHash (16-bit) over token ids: for each bit of g(id) = (a·id+b) mod
     * 2^16, sum +1/−1 across the document's tokens (with multiplicity) and
     * take the sign. Output: (doc_id, simhash as long).

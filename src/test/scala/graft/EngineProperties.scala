@@ -132,4 +132,31 @@ object EngineProperties extends Properties("graft") {
         edges.forall { case (a, b) => g(a) == g(b) }
     }
   }
+
+  // (g) star-contraction CC ≡ simple min propagation on arbitrary graphs
+  // (incl. chains — the case star contraction exists for)
+  property("dedupGroupsStar ≡ dedupGroups") = {
+    val genGraph = Gen.oneOf(
+      // random edges
+      Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, for {
+        a <- Gen.chooseNum(0L, 15L); b <- Gen.chooseNum(0L, 15L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))),
+      // an adversarial chain with shuffled node names
+      Gen.chooseNum(3, 10).map { n =>
+        val perm = scala.util.Random.shuffle((0L until n.toLong).toList)
+        perm.sliding(2).map { case List(a, b) => (math.min(a, b), math.max(a, b)) }.toList
+      })
+    Prop.forAll(genGraph) { edges0 =>
+      // scalacheck shrinking bypasses generator filters — re-drop self-loops
+      val edges = edges0.filter { case (a, b) => a != b }
+      edges.isEmpty || {
+        val pairs = edges.toDF("doc_a", "doc_b")
+        val simple = graft.ops.Dedup.dedupGroups(pairs).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toSet
+        val star = graft.ops.Dedup.dedupGroupsStar(pairs).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toSet
+        star == simple
+      }
+    }
+  }
 }
