@@ -64,18 +64,22 @@ object Dedup {
   }
 
   /** Streaming exact dedup — dedup-on-ingest for a document stream: keep
-    * the first arrival of each text digest inside the watermark horizon.
-    * State is one (digest, event-time) entry per distinct document seen
-    * within the watermark — Spark's `dropDuplicatesWithinWatermark` expires
-    * state as the watermark advances, so memory is bounded by the horizon,
-    * not history (the unbounded-state failure mode of plain
-    * dropDuplicates on streams). Works identically on a batch frame.
+    * the first arrival of each text inside the watermark horizon. State is
+    * one entry per distinct document seen within the watermark — Spark's
+    * `dropDuplicatesWithinWatermark` expires state as the watermark
+    * advances, so memory is bounded by the horizon, not history (the
+    * unbounded-state failure mode of plain dropDuplicates on streams).
+    * Keys are (digest, text), not the digest alone: a 64-bit digest
+    * collision between two different documents must keep both (same
+    * collision-confirm stance as [[exactByDigest]]); the digest leads the
+    * key so state-row comparisons short-circuit on 8 bytes. Works
+    * identically on a batch frame.
     */
   def streamingExact(docs: DataFrame, tsCol: String, delay: String): DataFrame =
     docs
       .withColumn("digest", xxhash64(col("text")))
       .withWatermark(tsCol, delay)
-      .dropDuplicatesWithinWatermark("digest")
+      .dropDuplicatesWithinWatermark("digest", "text")
       .drop("digest")
 
   /** Word k-gram shingles per document, distinct: (doc_id, shingle). */
@@ -260,13 +264,19 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(min(col("label")).as("label"))
       .localCheckpoint(true)
-    // labels only ever DECREASE under min propagation, so convergence is
-    // "the label sum stopped changing" — one scalar aggregate per
-    // iteration instead of a change-detection join
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).collect().head.getLong(0)
-    var currentSum = labelSum(labels)
-    var converged = false
+    // labels only change by DECREASING under min propagation, so "the
+    // (doc_id, label) multiset signature stopped changing" detects the
+    // fixpoint with one scalar aggregate per iteration — count + XOR of
+    // per-row hashes, never a sum (raw doc-id sums overflow ANSI longs for
+    // large / many ids; a wrapped sum could even falsely converge)
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id, label))")).collect().head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var current = signature(labels)
+    // empty pair set (clean corpus): nothing to group, and the loop's
+    // aggregates would have nothing to fold
+    var converged = current._1 == 0L
     while (!converged) {
       val neighborLabels = sym
         .join(labels.select(col("doc_id").as("a"), col("label")), Seq("a"))
@@ -276,9 +286,9 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      val nextSum = labelSum(next)
-      converged = nextSum == currentSum
-      currentSum = nextSum
+      val sig = signature(next)
+      converged = sig == current
+      current = sig
       labels = next
     }
     sym.unpersist()

@@ -50,8 +50,7 @@ object StreamingIngest {
     */
   def transformBinary(raw: DataFrame, bytesCol: String,
       beginValue: String = "TRANSACTIONBEGIN"): DataFrame =
-    Ingest.decodeBinaryEnvelope(raw, bytesCol)
-      .filter(col("event_type") =!= beginValue)
+    Ingest.dropTransactionBegin(Ingest.decodeBinaryEnvelope(raw, bytesCol), beginValue)
       .select(
         col("binlog_pos").cast("string").as("binlog_pos"),
         col("event_type"),

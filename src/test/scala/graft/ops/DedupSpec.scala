@@ -89,6 +89,23 @@ class DedupSpec extends SparkSpec {
     assert(byString.toSeq === byId.toSeq)
   }
 
+  test("dedup groups: empty pair set (clean corpus) yields empty groups, no crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.dedupGroups(empty).count() === 0L)
+    assert(Dedup.dedupGroupsStar(empty).count() === 0L)
+  }
+
+  test("dedup groups: full-range doc ids don't overflow the convergence check") {
+    val big = Seq(
+      (Long.MaxValue - 5, Long.MaxValue - 1),
+      (Long.MaxValue - 1, Long.MaxValue - 3)
+    ).toDF("doc_a", "doc_b")
+    val g = Dedup.dedupGroups(big).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g.values.toSet === Set(Long.MaxValue - 5))
+    assert(g.size === 3)
+  }
+
   test("dedup groups: transitive chains merge into one component, keep-min id") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L),  // a 4-chain: one component, min 1
