@@ -663,6 +663,9 @@ object SparkEntry {
     "x6_curation" -> ((s, dir) =>
       // the composed pass: exact-dedup representative + quality gate
       TextOps.curate(Tables.documents(s, dir))),
+    "x7_top_terms" -> ((s, dir) =>
+      // TF-IDF-shaped keyword extraction on integer-deterministic ordering
+      TextOps.topTerms(Tables.documents(s, dir))),
 
     // ---- multimodal plumbing ----
     "m1_binary_meta" -> ((s, dir) =>
@@ -985,6 +988,16 @@ object SparkEntry {
         |FROM t
         |WHERE n_tokens >= 32 AND mean_token_len >= 2.0
         |  AND mean_token_len <= 12.0 AND n_stop > 0""".stripMargin,
+    "x7_top_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id, term, tf, df, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         row_number() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+        |  FROM tf JOIN df USING (term))
+        |WHERE rank <= 5""".stripMargin,
     "x3_langid" -> oracleLangid,
     "x4_fingerprint" ->
       // per-term mod keeps every term < 2^31 so the sum stays in int64 —

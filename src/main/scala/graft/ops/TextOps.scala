@@ -113,6 +113,32 @@ object TextOps {
       length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("n_alpha_chars")
     )
 
+  /** TF-IDF-shaped keyword extraction: the top-k terms of each document
+    * ranked by (term frequency desc, document frequency asc, term asc) —
+    * exactly the ordering `tf·log(N/df)` induces for fixed tf, but on pure
+    * integers, so the oracle reproduces ranks bit-for-bit (cross-engine
+    * float `log` parity is not a bet worth making; the tf/df columns are
+    * returned for any downstream float weighting).
+    *
+    * Scale: tf is one map-side-combined aggregation; df aggregates the tf
+    * table (vocabulary-sized, broadcast back); the rank window is
+    * partitioned by doc_id — never a global sort.
+    */
+  def topTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(org.apache.spark.sql.functions.broadcast(df), "term")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
+  }
+
   /** The composed curation pass a pre-training pipeline runs: keep each
     * exact-duplicate group's representative (min doc_id), then apply the
     * quality gate — one semi join against the dedup representatives plus

@@ -36,6 +36,20 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(f1 !== f2)
   }
 
+  test("top terms: tf desc, rare-first tie-break, per-doc ranks") {
+    val corpus = Seq(
+      (0L, "apple apple banana cherry", "en"),
+      (1L, "banana banana banana apple", "en")
+    ).toDF("doc_id", "text", "lang")
+    val r = TextOps.topTerms(corpus, k = 2).orderBy("doc_id", "rank").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("term"),
+        x.getAs[Long]("tf"), x.getAs[Long]("df"), x.getAs[Long]("rank")))
+    // doc 0: apple tf=2 first; cherry (df=1) outranks banana (df=2) on the tie
+    assert(r.toSeq === Seq(
+      (0L, "apple", 2L, 2L, 1L), (0L, "cherry", 1L, 1L, 2L),
+      (1L, "banana", 3L, 2L, 1L), (1L, "apple", 1L, 2L, 2L)))
+  }
+
   test("multimodal: partition-batched decode ≡ codegen expression decode") {
     val a = Multimodal.decodeBatched(docs).toDF().orderBy("doc_id").collect()
     val b = Multimodal.decodeExpr(docs).orderBy("doc_id").collect()
