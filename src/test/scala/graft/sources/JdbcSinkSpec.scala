@@ -51,6 +51,16 @@ class JdbcSinkSpec extends SparkSpec {
     assert(back.count() === 2L)
   }
 
+  test("W5 probe failure propagates (no silent duplicate write on unreachable DB)") {
+    // an unreachable target must THROW from the probe — treating it as
+    // "table absent" would append a duplicate on the retry path
+    val bad = JdbcSink.Target("jdbc:derby://no-such-host:1527/nope", "results")
+    val df = stats(("2024-01-01 00:05:00", "g1", 10L))
+    intercept[Exception] {
+      JdbcSink.idempotentAppend(spark, df, bad, Timestamp.valueOf("2024-01-01 00:05:00"))
+    }
+  }
+
   test("K1 streaming: foreachBatch lands the stream via batched JDBC inserts") {
     implicit val sqlCtx = spark.sqlContext
     val t = derbyTarget("stream")
