@@ -257,13 +257,13 @@ object Dedup {
       .persist()
     // seed = min(self, direct neighbors): the first propagation round folded
     // into initialization — one fewer loop iteration (each costs a full
-    // join+agg+checkpoint job round)
+    // join+agg job round)
     var labels = sym
       .select(col("a").as("doc_id"), col("b").as("label"))
       .union(sym.select(col("a").as("doc_id"), col("a").as("label")))
       .groupBy(col("doc_id"))
       .agg(min(col("label")).as("label"))
-      .localCheckpoint(true)
+      .persist()
     // labels only change by DECREASING under min propagation, so "the
     // (doc_id, label) multiset signature stopped changing" detects the
     // fixpoint with one scalar aggregate per iteration — count + XOR of
@@ -273,22 +273,26 @@ object Dedup {
       val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id, label))")).collect().head
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    var current = signature(labels)
+    var current = signature(labels) // materializes the persisted seed
     // empty pair set (clean corpus): nothing to group, and the loop's
     // aggregates would have nothing to fold
     var converged = current._1 == 0L
     while (!converged) {
-      val neighborLabels = sym
-        .join(labels.select(col("doc_id").as("a"), col("label")), Seq("a"))
-        .select(col("b").as("doc_id"), col("label"))
+      // persist + signature = ONE materialization per round (an eager
+      // checkpoint would add a second); iteration counts are small here
+      // (component diameter — use dedupGroupsStar for long chains), so the
+      // growing logical plan over cached partitions stays cheap to analyze
       val next = labels.select(col("doc_id"), col("label"))
-        .union(neighborLabels)
+        .union(sym
+          .join(labels.select(col("doc_id").as("a"), col("label")), Seq("a"))
+          .select(col("b").as("doc_id"), col("label")))
         .groupBy(col("doc_id"))
         .agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+        .persist()
       val sig = signature(next)
       converged = sig == current
       current = sig
+      labels.unpersist()
       labels = next
     }
     sym.unpersist()
