@@ -511,6 +511,20 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("asof_o_orderkey").as("last_orderkey"))
     }),
 
+    "t18_band_join" -> ((s, dir) => {
+      // keyless range join via time-axis binning (one day's clicks ×
+      // views within ±1 h) — a cross join with a range filter would be
+      // O(n²) and keyless; binning restores an equi-join key
+      val d = Tables.events(s, dir)
+        .filter(to_date(col("ts")) === lit(java.sql.Date.valueOf("2024-01-05")))
+      val a = d.filter(col("event_type") === "click")
+        .select(col("event_id").as("a_id"), col("ts").as("a_ts"))
+      val b = d.filter(col("event_type") === "view")
+        .select(col("event_id").as("b_id"), col("ts").as("b_ts"))
+      graft.operators.RangeJoin.band(a, b, "a_ts", "b_ts", tolSec = 3600L)
+        .select(col("a_id"), col("b_id"))
+    }),
+
     "t13_having" -> ((s, dir) =>
       // HAVING: only nations with enough customers
       Tables.customer(s, dir)
@@ -856,6 +870,15 @@ object SparkEntry {
         |        WHERE o_custkey = e.user_id AND o_orderdate <= CAST(e.ts AS TIMESTAMP)
         |        ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) AS last_orderkey
         |FROM events e""".stripMargin,
+    "t18_band_join" ->
+      // the oracle takes the brute form (DuckDB's IEJoin handles the range
+      // predicate); Spark takes the binned equi-join — same pair set
+      """WITH d AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS t, event_type FROM events
+        |           WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-05'),
+        |a AS (SELECT event_id AS a_id, t AS a_t FROM d WHERE event_type = 'click'),
+        |b AS (SELECT event_id AS b_id, t AS b_t FROM d WHERE event_type = 'view')
+        |SELECT a_id, b_id FROM a, b
+        |WHERE abs(epoch_us(a_t) - epoch_us(b_t)) <= 3600000000""".stripMargin,
     "b9_retention_window" ->
       """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
         |       CAST(count(*) AS BIGINT) AS n_events
