@@ -59,7 +59,11 @@ object EnvelopeCodec {
     }
     def lenDelimited(): (Int, Int) = {
       val n = varint()
-      if (n < 0 || at + n > end) throw new IllegalArgumentException("truncated field")
+      // compare as `n > end - at` (never `at + n > end`): a crafted length
+      // varint near 2^63 would overflow the addition to a negative long,
+      // pass the check, and step the cursor backwards — an infinite decode
+      // loop on one poison message
+      if (n < 0 || n > end - at) throw new IllegalArgumentException("truncated field")
       val r = (at, n.toInt); at += n.toInt; r
     }
     def skip(wireType: Int): Unit = wireType match {

@@ -48,6 +48,36 @@ class EnvelopeSpec extends SparkSpec {
       ok ++ Array[Byte](((99 << 3) | 5).toByte, 0x01, 0x02)) === null)
   }
 
+  test("huge length varints are rejected, never loop or escape the null contract") {
+    // length ≈ 2^63: `at + n` would overflow negative and pass a naive
+    // `at + n > end` bounds check, stepping the cursor BACKWARDS — the
+    // decode loop would never terminate on this one 10-byte message
+    val poison = Array[Byte](0x0a, 0xf6.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte,
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0x7f)
+    // other overflow magnitudes: n.toInt lands negative → would surface as
+    // NegativeArraySizeException (escaping the catch) without the guard
+    val lens = Seq(poison) ++ Seq(
+      java.lang.Long.MAX_VALUE, java.lang.Long.MAX_VALUE - 5, 1L << 62, (1L << 32) + 1, Int.MaxValue.toLong
+    ).map { n =>
+      val buf = new Array[Byte](11); buf(0) = 0x0a
+      var x = n; var i = 1
+      while ((x & ~0x7fL) != 0) { buf(i) = ((x & 0x7f) | 0x80).toByte; x >>>= 7; i += 1 }
+      buf(i) = x.toByte
+      buf.take(i + 1)
+    }
+    lens.foreach { bytes =>
+      val done = new java.util.concurrent.CompletableFuture[AnyRef]()
+      val t = new Thread(() => done.complete(EnvelopeCodec.decode(bytes)))
+      t.setDaemon(true); t.start()
+      // 5 s is decode-a-few-bytes eternity; a hang here is the overflow bug
+      assert(done.get(5, java.util.concurrent.TimeUnit.SECONDS) === null)
+    }
+    // same guard on the inner (header) reader
+    val innerPoison = Array[Byte](0x0a, 0x0a, 0x1a, 0xf6.toByte, 0xff.toByte, 0xff.toByte,
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0x7f)
+    assert(EnvelopeCodec.decode(innerPoison) === null)
+  }
+
   test("expression round trip in a distributed plan; malformed rows filtered (F2)") {
     val df = Seq(
       (1L, 1000L, "g1", "INSERT", 100L, 2L),
