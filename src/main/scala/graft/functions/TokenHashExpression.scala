@@ -3,8 +3,9 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Cross-engine-reproducible token hash: a polynomial fold of the string's
@@ -39,17 +40,8 @@ case class TokenHash(child: Expression)
 
   override def prettyName: String = "token_hash"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    var h = 0L
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      h = (h * 131L + cp) % 2147483647L
-      i += Character.charCount(cp)
-    }
-    h
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    TokenHash.hash(input.asInstanceOf[UTF8String].toString)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s => {
@@ -75,6 +67,19 @@ case class TokenHash(child: Expression)
 }
 
 object TokenHash {
+
+  /** The fold shared by [[TokenHash]] and [[TokenHashArray]]. */
+  def hash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 131L + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
   def column(s: Column): Column =
     ExpressionUtils.column(TokenHash(ExpressionUtils.expression(s)))
 
@@ -88,6 +93,75 @@ object TokenHash {
     (args: Seq[Expression]) => {
       require(args.length == 1, s"token_hash expects 1 argument, got ${args.length}")
       TokenHash(args.head)
+    }
+  )
+}
+
+/** `token_hash_array(array<string>)` → `array<bigint>`: [[TokenHash]] mapped
+  * over a token array in one codegen'd expression. This replaces
+  * `transform(tokens, t → token_hash(t))` — `transform` is a higher-order
+  * function, which never participates in whole-stage codegen, so the
+  * array-assembly stage of the shingling front-end (Vocab.hashTokenIdArrays,
+  * feeding the Jaccard / LSH-band / dedup-group queries) paid one
+  * interpreted lambda invocation per token. With this expression the whole
+  * chain `split → token_hash_array → shingle_hash → explode` stays inside a
+  * single codegen span (plan-pinned in ShingleHashSpec).
+  *
+  * Null elements map to null elements (matching `transform`'s semantics);
+  * a null array yields null.
+  */
+case class TokenHashArray(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, n) => ArrayType(LongType, containsNull = n)
+    case _ => ArrayType(LongType)
+  }
+
+  override def prettyName: String = "token_hash_array"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenHashArray.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"${ev.value} = org.apache.spark.sql.graft.TokenHashArray.compute($arr);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenHashArray {
+
+  def compute(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        out(i) = TokenHash.hash(tokens.getUTF8String(i).toString)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def column(tokens: Column): Column =
+    ExpressionUtils.column(TokenHashArray(ExpressionUtils.expression(tokens)))
+
+  /** SQL registration triple for `SparkSessionExtensions.injectFunction`. */
+  val registration: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    new org.apache.spark.sql.catalyst.FunctionIdentifier("token_hash_array"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[TokenHashArray].getName, "token_hash_array"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, s"token_hash_array expects 1 argument, got ${args.length}")
+      TokenHashArray(args.head)
     }
   )
 }

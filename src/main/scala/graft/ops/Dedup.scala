@@ -177,18 +177,17 @@ object Dedup {
       k)
 
   /** Same, over a pre-assembled (doc_id, ids) table ([[Vocab.tokenIdArrays]]
-    * fast path — no explode/regroup).
+    * fast path — no explode/regroup). The fold runs in the codegen'd
+    * [[org.apache.spark.sql.graft.ShingleHash]] expression (higher-order
+    * functions are interpreted — the HOF chain this replaces paid n·k lambda
+    * evaluations plus a per-window slice allocation per document, and this
+    * stage is the shared front-end of the Jaccard / LSH-band / dedup-group
+    * queries). Bit-identical output (same fold, same mod, same distinct
+    * order), property-tested in ShingleHashSpec.
     */
-  def shingleIdsFromArrays(idsDf: DataFrame, k: Int = 5): DataFrame = {
-    val ids = idsDf
-    val n = size(col("ids"))
-    val sids = when(n >= k,
-      transform(sequence(lit(0), n - k),
-        i => aggregate(slice(col("ids"), i + 1, lit(k)), lit(0L),
-          (a, t) => (a * 37L + t + 1L) % minhashPrime))
-    ).otherwise(array().cast("array<bigint>"))
-    ids.select(col("doc_id"), explode(array_distinct(sids)).as("shingle_id"))
-  }
+  def shingleIdsFromArrays(idsDf: DataFrame, k: Int = 5): DataFrame =
+    idsDf.select(col("doc_id"),
+      explode(org.apache.spark.sql.graft.ShingleHash.column(col("ids"), k)).as("shingle_id"))
 
   /** MinHash signatures over shingle ids — the scale-correct variant used by
     * the LSH banding query.

@@ -43,12 +43,16 @@ object Vocab {
 
   /** (doc_id, ids: array<bigint>) — the whole token-id sequence in one
     * narrow projection (no explode/join/regroup round trip): the fast path
-    * for sequence-shaped consumers (shingling).
+    * for sequence-shaped consumers (shingling). Uses the codegen'd
+    * [[org.apache.spark.sql.graft.TokenHashArray]] rather than
+    * `transform(tokens, token_hash)`: `transform` is a higher-order function
+    * and would pull this projection out of whole-stage codegen, paying an
+    * interpreted lambda call per token.
     */
   def hashTokenIdArrays(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      transform(TextOps.tokens(col("text")), t => TokenHash.column(t)).as("ids"))
+      org.apache.spark.sql.graft.TokenHashArray.column(TextOps.tokens(col("text"))).as("ids"))
 
   /** Hash mode over `xxhash64` — the preferred production id function when
     * no cross-engine id reproducibility is required (64-bit id space, so

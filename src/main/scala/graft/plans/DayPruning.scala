@@ -129,5 +129,7 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(org.apache.spark.sql.graft.TokenHash.registration)
     ext.injectFunction(org.apache.spark.sql.graft.DecodeEnvelope.registration)
     ext.injectFunction(org.apache.spark.sql.graft.EncodeEnvelope.registration)
+    ext.injectFunction(org.apache.spark.sql.graft.ShingleHash.registration)
+    ext.injectFunction(org.apache.spark.sql.graft.TokenHashArray.registration)
   }
 }

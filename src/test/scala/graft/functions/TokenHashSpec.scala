@@ -47,4 +47,21 @@ class TokenHashSpec extends SparkSpec {
     val r = spark.sql("SELECT token_hash('the') AS h").collect().head.getLong(0)
     assert(r === ref("the"))
   }
+
+  test("token_hash_array equals elementwise token_hash; nulls preserved") {
+    import org.apache.spark.sql.graft.TokenHashArray
+    val toks = Seq("the", "", "naïve", "x" * 120)
+    val arr = Seq(Tuple1(toks)).toDF("ts")
+      .select(TokenHashArray.column(col("ts")).as("ids"))
+      .collect().head.getSeq[Long](0)
+    assert(arr.toSeq === toks.map(ref))
+    // null element stays null (transform semantics); null array stays null
+    val withNulls = spark.sql(
+      "SELECT token_hash_array(array('a', CAST(NULL AS STRING))) AS ids, " +
+        "token_hash_array(CAST(NULL AS ARRAY<STRING>)) AS nids")
+      .collect().head
+    val ids = withNulls.getSeq[Any](0)
+    assert(ids(0) === ref("a") && ids(1) === null)
+    assert(withNulls.isNullAt(1))
+  }
 }
