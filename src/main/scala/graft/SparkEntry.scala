@@ -336,15 +336,6 @@ object SparkEntry {
        |             WHERE rn = 1),
        |av AS (SELECT a.vec_id, a.bucket, e.v FROM assigned a JOIN e ON e.vec_id = a.vec_id)""".stripMargin
 
-  private val oracleIvfAssigned: String =
-    s"""c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 32),
-       |sc AS (SELECT e.vec_id, c.centroid_id, ${oracleCos("e.v", "c.cv")} AS cs FROM e, c),
-       |assigned AS (SELECT vec_id, centroid_id AS bucket
-       |             FROM (SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id
-       |                     ORDER BY cs DESC, centroid_id ASC) AS rn FROM sc)
-       |             WHERE rn = 1),
-       |av AS (SELECT a.vec_id, a.bucket, e.v FROM assigned a JOIN e ON e.vec_id = a.vec_id)""".stripMargin
-
   /** Flagship (driver smoke-checks rows > 0 on sf0.001): all-windows top-1
     * transaction by size — the reference's headline query
     * (`compute_transaction_info.py:53-66`) in its batch-backfill form.
@@ -592,9 +583,13 @@ object SparkEntry {
       graft.operators.Windows.sessions(Tables.events(s, dir), keyCol = "user_id")),
     "b13_approx_distinct" -> ((s, dir) =>
       // checked variant: the query RAISES if any group's HLL estimate is
-      // off by > 3·rsd vs exact, so the driver's rows-only record is a
-      // real bound, not a formality
-      graft.operators.Windows.approxDailyDistinctChecked(Tables.events(s, dir))),
+      // off by > 3·rsd vs exact. Only cross-engine-deterministic columns are
+      // returned (sketch_ok still forces the assert through its rel_err
+      // dependency), so the oracle hash-verifies the row set while the
+      // assert bounds the engine-specific estimate
+      graft.operators.Windows.approxDailyDistinctChecked(Tables.events(s, dir))
+        .select(col("day"), col("event_type"), col("exact_users"),
+          col("n_events"), col("sketch_ok"))),
     "b14_txn_assembly" -> ((s, dir) => {
       // batch twin of the flatMapGroupsWithState assembler (gap = 1 day on
       // the fixture's user-level gtids); one exchange for window + agg.
@@ -626,6 +621,15 @@ object SparkEntry {
       Dedup.dedupGroups(
         Dedup.jaccardPairsFromShingles(Dedup.shingleIdsFromArrays(ids, 5), threshold = 0.5))
     }),
+    "d9_dedup_groups_star" -> ((s, dir) => {
+      // same pair graph as d7, grouped by the O(log² n) large-star /
+      // small-star contraction — the variant adversarially long chains need
+      // (min-label propagation is diameter-bound); same output contract,
+      // same recursive-CTE oracle
+      val ids = Vocab.hashTokenIdArrays(Tables.documents(s, dir))
+      Dedup.dedupGroupsStar(
+        Dedup.jaccardPairsFromShingles(Dedup.shingleIdsFromArrays(ids, 5), threshold = 0.5))
+    }),
     "d3_minhash_sigs" -> ((s, dir) =>
       Dedup.minhashSignatures(Vocab.hashTokenIds(Tables.documents(s, dir)))),
     "d4_minhash_pairs" -> ((s, dir) => {
@@ -645,8 +649,12 @@ object SparkEntry {
     // ---- similarity search ----
     "s1_ann_bruteforce" -> ((s, dir) =>
       Vectors.bruteForceTopK(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
-    "s2_ann_ivf" -> ((s, dir) =>
-      Vectors.ivfTopK(Tables.embeddings(s, dir), 0L until 32L, 0L until 8L, k = 5)),
+    "s2_ann_ivf" -> ((s, dir) => {
+      // ⌈√N⌉ spaced centroids like d6/s4/s6 — bucket count grows with the
+      // corpus (a constant count would degrade to O(N²/C) pair scans)
+      val emb = Tables.embeddings(s, dir)
+      Vectors.ivfTopK(emb, Vectors.spacedCentroidIds(emb.count()), 0L until 8L, k = 5)
+    }),
     "s3_ann_lsh" -> ((s, dir) =>
       Vectors.lshTopK(Tables.embeddings(s, dir), 0L until 8L, k = 5)),
     "s4_ann_ivf_multiprobe" -> ((s, dir) => {
@@ -916,6 +924,16 @@ object SparkEntry {
         |       max(t) + INTERVAL 30 MINUTE AS session_end,
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "b13_approx_distinct" ->
+      // only the deterministic columns: the engine-specific HLL estimate
+      // stays inside the query's assert_true bound (sketch_ok ≡ the assert
+      // passed on every group — the oracle's literal true matches iff the
+      // Spark side didn't raise)
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       true AS sketch_ok
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_doc_id,
         |       CAST(count(*) AS BIGINT) AS n_copies,
@@ -929,6 +947,9 @@ object SparkEntry {
         |FROM documents GROUP BY text""".stripMargin,
     "d2_jaccard_pairs" -> oracleJaccardPairs,
     "d7_dedup_groups" -> oracleDedupGroups,
+    // components are a property of the graph, not the algorithm: the star
+    // contraction shares d7's transitive-closure oracle
+    "d9_dedup_groups_star" -> oracleDedupGroups,
     "d3_minhash_sigs" -> oracleMinhashSigs,
     "d4_minhash_pairs" -> oracleMinhashPairs,
     "d5_simhash" -> oracleSimhash,
@@ -949,7 +970,7 @@ object SparkEntry {
          |WHERE rank <= 10""".stripMargin,
     "s2_ann_ivf" ->
       s"""WITH $oracleEmbCte,
-         |$oracleIvfAssigned,
+         |$oracleSpacedAssigned,
          |q AS (SELECT vec_id AS query_id, bucket, v AS qv FROM av WHERE vec_id < 8),
          |scored AS (SELECT q.query_id, av.vec_id AS neighbor_id, ${oracleCos("q.qv", "av.v")} AS sim
          |           FROM q JOIN av ON av.bucket = q.bucket AND av.vec_id <> q.query_id)
