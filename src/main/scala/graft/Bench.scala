@@ -1,46 +1,73 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Benchmark main (driver contract): runs every SparkEntry query against
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line with per-query wall times.
   * Execution is count-driven (materializes the full result, no collect of
   * payload to the driver).
   *
-  * Warmup methodology: every query runs once at sf0.001 (a ~100× smaller
-  * dataset) before timing, so the measured numbers are steady-state —
-  * whole-stage codegen compilation and JIT warmup are per-*plan* constants
-  * (~1 s each for the custom-expression plans) that would otherwise
-  * dominate sub-second queries and vanish at any real scale. The timed run
-  * then measures plan execution against `SPARK_GRAFT_SF_DIR` with a cold
-  * cache (`clearCache` between queries, warmup data uncached).
+  * Methodology:
+  *   - '''Warmup''': every query runs once at `SPARK_GRAFT_WARM_DIR`
+  *     (default sf0.001, ~100× smaller), so the measured numbers are
+  *     steady-state — whole-stage-codegen compilation and JIT warmup are
+  *     per-*plan* constants (~1 s each for the custom-expression plans)
+  *     that would otherwise dominate sub-second queries and vanish at any
+  *     real scale. Warmup failures are printed, never swallowed (a missing
+  *     warm dir would silently turn the run cold).
+  *   - '''Median of 3''': each query is timed three times and the median
+  *     reported, so one noisy machine-minute (a contended sandbox, a GC
+  *     pause) can't multiply the gate number. Per-run spreads go to stderr.
+  *   - '''Failures raise the total''': a failed query records a 3600 s
+  *     penalty (and its name in `"failed"`) — a broken query must never
+  *     *lower* the reported total.
+  *   - Cold cache per run (`clearCache` between runs — per-query persists
+  *     must not leak into the next measurement).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val failPenaltySec = 3600.0
     val spark = Tables.session("graft-bench", s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
-    val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try { fn(spark, warmDir).count(); () } catch { case _: Throwable => () }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (name, fn) =>
+      try { fn(spark, warmDir).count(); () } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warmup $name FAILED ($warmDir): ${e.getMessage}")
+      }
       spark.sqlContext.clearCache()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1L
+    val results = ordered.map { case (name, fn) =>
+      val times = (1 to runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          }
+        spark.sqlContext.clearCache() // per-query persists must not accumulate
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.sqlContext.clearCache() // per-query persists must not accumulate
-      name -> dt
+      if (times.size < runs) (name, failPenaltySec, times, true)
+      else {
+        val median = times.sorted.apply(times.size / 2)
+        (name, median, times, false)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    results.foreach { case (name, v, times, failed) =>
+      val spread = times.map(t => f"$t%.3f").mkString(" ")
+      System.err.println(
+        f"[bench] $name%-28s median=$v%9.3f  runs=[$spread]${if (failed) "  FAILED" else ""}")
+    }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedNames = results.collect { case (k, _, _, true) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedNames,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
