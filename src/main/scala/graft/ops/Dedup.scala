@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   *   - MinHash uses k linear hashes `(a·id + b) mod p` over [[Vocab]] token
   *     ids — deterministic, oracle-reproducible, and computed in one
   *     aggregation pass (k mins per doc, no per-hash job).
+  *
+  * Cache lifecycle: operators here (like [[Vectors]]) persist intermediates
+  * that feed multiple downstream branches (digests, shingle indexes, band
+  * tables, CC labels) and hand the still-cached result to the CALLER — the
+  * caller owns the lifecycle and unpersists (or `clearCache()`s, as the
+  * bench/verify harnesses do between queries) once the consuming action has
+  * run. Eagerly unpersisting inside the operator would forfeit exactly the
+  * sharing the persist exists for.
   */
 object Dedup {
 

@@ -58,11 +58,28 @@ object JdbcSink {
     target.options.foreach { case (k, v) => props.setProperty(k, v) }
     val conn = java.sql.DriverManager.getConnection(target.url, props)
     try {
-      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      // confine the probe to the namespace an unqualified `dbtable` resolves
+      // to (the connection's current catalog/schema) — an all-schemas listing
+      // would let a same-named table elsewhere satisfy the probe and point
+      // the idempotence check at the wrong target. A `schema.name` qualifier
+      // in Target.table is honored. Names are compared exactly (case folded
+      // per the driver's identifier normalization), never via the JDBC
+      // pattern argument, where `_` is a single-char wildcard.
+      val (schemaPart, namePart) = target.table.split('.') match {
+        case Array(sch, n) => (Option(sch), n)
+        case _ => (None, target.table)
+      }
+      val schema = schemaPart.orElse(Option(conn.getSchema))
+      // schemaPattern stays null: JDBC metadata patterns match the STORED
+      // (case-normalized) identifier case-sensitively, so passing a
+      // lower-case schema would silently miss on upper-casing drivers
+      // (Derby). Compare both parts exactly, case-folded, on the result set.
+      val rs = conn.getMetaData.getTables(conn.getCatalog, null, "%", Array("TABLE"))
       try {
         var found = false
         while (!found && rs.next()) {
-          found = rs.getString("TABLE_NAME").equalsIgnoreCase(target.table)
+          found = rs.getString("TABLE_NAME").equalsIgnoreCase(namePart) &&
+            schema.forall(s => s.equalsIgnoreCase(rs.getString("TABLE_SCHEM")))
         }
         found
       } finally rs.close()

@@ -61,6 +61,32 @@ class JdbcSinkSpec extends SparkSpec {
     }
   }
 
+  test("W5 probe is schema-scoped: a same-named table elsewhere doesn't satisfy it") {
+    val t = derbyTarget("schemas")
+    // plant RESULTS in a DIFFERENT schema; the probe must not find it (a
+    // cross-schema match would read the wrong table's end_time — or fail on
+    // an absent one — and break the idempotent append)
+    val conn = java.sql.DriverManager.getConnection(t.url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE SCHEMA other")
+      st.executeUpdate("CREATE TABLE other.results (end_time TIMESTAMP)")
+      st.close()
+    } finally conn.close()
+    val w1 = Timestamp.valueOf("2024-01-01 00:05:00")
+    val df = stats(("2024-01-01 00:05:00", "g1", 10L))
+    assert(JdbcSink.idempotentAppend(spark, df, t, w1) === true) // current schema: absent → writes
+    assert(JdbcSink.idempotentAppend(spark, df, t, w1) === false)
+    // a schema-qualified target resolves to the planted (empty) table: the
+    // probe finds it, sees no w1 row there despite APP.results having one,
+    // and writes — then the second call skips
+    val qualified = t.copy(table = "other.results")
+    assert(JdbcSink.idempotentAppend(spark,
+      stats(("2024-01-01 00:05:00", "g7", 7L)).select($"end_time"), qualified, w1) === true)
+    assert(JdbcSink.idempotentAppend(spark,
+      stats(("2024-01-01 00:05:00", "g7", 7L)).select($"end_time"), qualified, w1) === false)
+  }
+
   test("K1 streaming: foreachBatch lands the stream via batched JDBC inserts") {
     implicit val sqlCtx = spark.sqlContext
     val t = derbyTarget("stream")
