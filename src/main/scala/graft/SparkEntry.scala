@@ -198,25 +198,48 @@ object SparkEntry {
     * shingle fold is `list_reduce` with an explicit 0 seed, mirroring
     * Spark's `aggregate(slice(ids, i, 5), 0, (a,t) -> (a*37 + t + 1) % p)`.
     */
-  private val oracleMinhashPairs: String = {
+  /** Band-collision predicate over the 8-sig table aliases x/y (4 bands ×
+    * 2 rows — matches [[Dedup.candidatePairsFromSignatures]] with bands=4).
+    */
+  private val oracleBandEq: String = (0 until 4)
+    .map(bi => s"(x.sig_${2 * bi} = y.sig_${2 * bi} AND x.sig_${2 * bi + 1} = y.sig_${2 * bi + 1})")
+    .mkString(" OR ")
+
+  /** CTE chain ending in `sigs` (doc_id, sig_0…sig_7): MinHash over 5-gram
+    * shingle ids. The shingle fold is `list_reduce` with an explicit 0 seed,
+    * mirroring Spark's `(acc·37 + t + 1) mod p` rolling polynomial.
+    */
+  private val oracleSigCtes: String = {
     val p = graft.ops.Dedup.minhashPrime
     val coeffExprs = graft.ops.Dedup.minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       s"CAST(min((shingle_id * $a + $b) % $p) AS BIGINT) AS sig_$i"
     }.mkString(", ")
-    val bandEq = (0 until 4)
-      .map(bi => s"(x.sig_${2 * bi} = y.sig_${2 * bi} AND x.sig_${2 * bi + 1} = y.sig_${2 * bi + 1})")
-      .mkString(" OR ")
-    s"""WITH $oracleTokCtes,
+    s"""$oracleTokCtes,
        |ids AS (SELECT doc_id, list(token_id ORDER BY pos) AS ids FROM tid GROUP BY doc_id),
        |sids AS (SELECT DISTINCT doc_id, sid AS shingle_id FROM (
        |  SELECT doc_id, unnest([list_reduce(list_prepend(CAST(0 AS BIGINT), ids[i:i+4]),
        |                                     (a, t) -> (a * 37 + t + 1) % $p)
        |                         for i in range(1, len(ids) - 3)]) AS sid
        |  FROM ids)),
-       |sigs AS (SELECT doc_id, $coeffExprs FROM sids GROUP BY doc_id)
-       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id AND ($bandEq)""".stripMargin
+       |sigs AS (SELECT doc_id, $coeffExprs FROM sids GROUP BY doc_id)""".stripMargin
   }
+
+  private val oracleMinhashPairs: String =
+    s"""WITH $oracleSigCtes
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id AND ($oracleBandEq)""".stripMargin
+
+  /** d10: ingest-order near-dup filter — keep a doc iff no smaller doc_id
+    * claims any of its band signatures (the batch twin of
+    * [[Dedup.streamingNearDup]]'s key-collision rule).
+    */
+  private val oracleNearDupKeepFirst: String =
+    s"""WITH $oracleSigCtes
+       |SELECT d.doc_id FROM documents d
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM sigs x JOIN sigs y
+       |  ON x.doc_id < y.doc_id AND ($oracleBandEq)
+       |  WHERE y.doc_id = d.doc_id)""".stripMargin
 
   /** Multi-probe IVF oracle (s4): nprobe = 4 nearest spaced centroids per
     * query, searched over the same ⌈√N⌉-bucket assignment as d6.
@@ -639,6 +662,10 @@ object SparkEntry {
     }),
     "d5_simhash" -> ((s, dir) =>
       Dedup.simhash(Vocab.hashTokenIds(Tables.documents(s, dir)))),
+    "d10_neardup_keep_first" -> ((s, dir) =>
+      // ingest-order near-dup filter (batch twin of streamingNearDup):
+      // keep a doc iff no smaller doc_id claims any of its band signatures
+      Dedup.nearDupKeepFirst(Tables.documents(s, dir))),
     "d6_cosine_neardup" -> ((s, dir) => {
       // ⌈√N⌉ spaced centroids: pair work stays O(N^1.5) and bucket
       // parallelism grows with the corpus (count() is metadata, not data)
@@ -953,6 +980,7 @@ object SparkEntry {
     "d3_minhash_sigs" -> oracleMinhashSigs,
     "d4_minhash_pairs" -> oracleMinhashPairs,
     "d5_simhash" -> oracleSimhash,
+    "d10_neardup_keep_first" -> oracleNearDupKeepFirst,
     "d6_cosine_neardup" ->
       s"""WITH $oracleEmbCte,
          |$oracleSpacedAssigned

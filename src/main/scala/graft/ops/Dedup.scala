@@ -240,6 +240,76 @@ object Dedup {
       .distinct()
   }
 
+  /** Batch twin of [[streamingNearDup]] — ingest-order near-dup filtering
+    * with doc_id as the arrival order: keep a document iff none of its LSH
+    * band signatures is already claimed by a smaller doc_id. Exactly the
+    * key-collision rule the streaming form applies per arrival ("drop iff
+    * any band key was seen before"), so streaming output over a doc_id-
+    * ordered feed equals this frame (spec-attested, b14 pattern). Output:
+    * the kept doc_ids. Documents too short to shingle have no signature and
+    * are always kept (no evidence of duplication).
+    */
+  def nearDupKeepFirst(docs: DataFrame, k: Int = 5, bands: Int = 4): DataFrame = {
+    val sigs = minhashSignaturesFromShingles(
+      shingleIdsFromArrays(Vocab.hashTokenIdArrays(docs), k))
+    val dropped = candidatePairsFromSignatures(sigs, bands).select(col("doc_b").as("doc_id"))
+    docs.select(col("doc_id")).join(dropped, Seq("doc_id"), "left_anti")
+  }
+
+  /** Streaming near-dup — dedup-on-ingest by MinHash-LSH band keys: a
+    * document is dropped iff ANY of its `bands` band signatures collides
+    * with one seen earlier inside the watermark horizon.
+    *
+    * Dataflow (all per-row until the final keep decision — the signature is
+    * a projection, not an aggregation, so ingest stays narrow):
+    *
+    *   1. per-row shingle ids ([[org.apache.spark.sql.graft.ShingleHash]]
+    *      over [[org.apache.spark.sql.graft.TokenHashArray]]) and the k
+    *      MinHash minima (`array_min` over the linear hashes);
+    *   2. explode to one row per band, key = (band, band-signature);
+    *   3. `dropDuplicatesWithinWatermark` on the band key — state is one
+    *      entry per distinct band key within the horizon, expiring as the
+    *      watermark advances (bounded by horizon, not history);
+    *   4. windowed count per doc: a document survives iff ALL `bands` of
+    *      its band rows were first-seen (`n_bands = bands`) — any collision
+    *      means some earlier document already claimed that key.
+    *
+    * Documents too short to shingle bypass the dedup (kept, stateless
+    * branch). Output: (doc_id) of kept documents; band-path rows emit when
+    * their window closes (the two stateful operators chain in append mode).
+    */
+  def streamingNearDup(docs: DataFrame, tsCol: String, delay: String,
+      k: Int = 5, bands: Int = 4, windowDur: String = "10 seconds"): DataFrame = {
+    val rowsPerBand = minhashCoeffs.size / bands
+    val sidsCol = org.apache.spark.sql.graft.ShingleHash.column(
+      org.apache.spark.sql.graft.TokenHashArray.column(TextOps.tokens(col("text"))), k)
+    val withSids = docs.withColumn("sids", sidsCol)
+    val sigCols = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("sids"), x => (x * a + b) % minhashPrime)).as(s"sig_$i")
+    }
+    val sigged = withSids
+      .filter(size(col("sids")) > 0)
+      .select(col("doc_id") +: col(tsCol) +: sigCols: _*)
+    val bandCols = (0 until bands).map { bi =>
+      struct(
+        lit(bi).as("band"),
+        struct((0 until rowsPerBand).map(ri => col(s"sig_${bi * rowsPerBand + ri}").as(s"r$ri")): _*)
+          .as("sig"))
+    }
+    val banded = sigged
+      .select(col("doc_id"), col(tsCol), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col(tsCol), col("b.band").as("band"), col("b.sig").as("bsig"))
+    val kept = banded
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("band", "bsig")
+      .groupBy(window(col(tsCol), windowDur), col("doc_id"))
+      .agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") === bands)
+      .select(col("doc_id"))
+    val unshingleable = withSids.filter(size(col("sids")) === 0).select(col("doc_id"))
+    kept.union(unshingleable)
+  }
+
   /** Near-duplicate GROUPS from a pair graph: connected components by
     * iterative min-label propagation — the step a real dedup pipeline runs
     * after pair generation (keep one document per component, drop the

@@ -62,6 +62,47 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq === Seq(0L, 2L))
   }
 
+  test("streaming near-dup ≡ batch keep-first over an id-ordered feed (b14 pattern)") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus: Seq[(Long, String)] = Seq(
+      0L -> base,
+      1L -> base,                                     // exact dup: every band collides
+      2L -> base.replace("dog", "cat"),               // near dup: most sigs shared
+      3L -> "completely different words entirely in this other document here",
+      4L -> "hi",                                     // too short to shingle: bypass, kept
+      5L -> base.replace("quick", "slow")             // near dup of 0 (or of 2)
+    )
+    // the executable contract: streaming first-arrival == batch smaller-id
+    val expected = Dedup.nearDupKeepFirst(corpus.toDF("doc_id", "text"))
+      .collect().map(_.getLong(0)).toSet
+    assert(expected.contains(0L) && expected.contains(3L) && expected.contains(4L))
+    assert(!expected.contains(1L))
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val q = Dedup.streamingNearDup(
+      ms.toDF().toDF("doc_id", "ts", "text"), "ts", delay = "5 seconds",
+      windowDur = "10 seconds")
+      .writeStream.format("memory").queryName("sneardup")
+      .outputMode(OutputMode.Append).start()
+    // one micro-batch per doc, doc_id order == arrival order (the batch
+    // twin's premise); 1 s apart so all land in one 10 s window
+    val t0 = java.time.Instant.parse("2024-01-01T10:00:00Z")
+    corpus.zipWithIndex.foreach { case ((id, text), i) =>
+      ms.addData((id, Timestamp.from(t0.plusSeconds(i.toLong)), text))
+      q.processAllAvailable()
+    }
+    // sentinel far past the window + watermark: closes every window so the
+    // band-path aggregation emits (the sentinel itself stays open → absent)
+    ms.addData((99L, Timestamp.from(t0.plusSeconds(3600L)), base * 2))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sneardup").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(streamed === expected)
+  }
+
   test("shingles: document shorter than k yields no shingles") {
     val short = Seq((9L, "a b")).toDF("doc_id", "text")
     assert(Dedup.shingles(short, k = 5).count() === 0L)
