@@ -113,6 +113,52 @@ class TransactionAssemblerSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("open-transaction state survives a kill and resume from checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    // the operational case the reference's at-least-once restart covers
+    // (mon_mysql_dml.py:103,117-118): the job dies with transactions OPEN;
+    // on restart from the checkpoint they must continue accumulating, not
+    // reset or double-emit
+    val ms = MemoryStream[TxnEvent]
+    val ckpt = tmpDir("assembler_ckpt")
+    val out = tmpDir("assembler_out")
+    // foreachBatch → parquet: a restart-capable sink (memory sink refuses
+    // checkpoint recovery)
+    def startQ() = TransactionAssembler.assemble(ms.toDS(), gapSec = 30, delay = "0 seconds")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[TransactionAssembler.TxnSummary], _: Long) =>
+          batch.write.mode("append").parquet(out)
+      }
+      .start()
+
+    val q1 = startQ()
+    ms.addData(ev("g1", 1000, 1, 5, 1), ev("g1", 1002, 2, 7, 2))
+    q1.processAllAvailable()
+    q1.stop() // kill with g1 open (nothing emitted yet)
+
+    val q2 = startQ()
+    // same gtid, still inside the gap: merges into the checkpointed state
+    ms.addData(ev("g1", 1004, 3, 9, 1))
+    q2.processAllAvailable()
+    // advance the watermark so g1 times out and emits
+    ms.addData(ev("zz", 99999, 8, 1, 1)); q2.processAllAvailable()
+    ms.addData(ev("zz", 100000, 9, 1, 1)); q2.processAllAvailable()
+    q2.stop()
+
+    val g1 = spark.read.parquet(out).collect().filter(_.getAs[String]("gtid") == "g1")
+    // ONE summary spanning both runs: 3 events, size (3−1)+9, spend 4 s —
+    // a lost state would have reset the accumulator (n_events 1) or split
+    assert(g1.length === 1, g1.mkString(";"))
+    assert(g1.head.getAs[Long]("n_events") === 3L)
+    assert(g1.head.getAs[Long]("transaction_size") === (3L - 1L) + 9L)
+    assert(g1.head.getAs[Long]("transaction_spend_time") === 4L)
+    assert(g1.head.getAs[Timestamp]("start_time").getTime === 1000L * 1000)
+    assert(g1.head.getAs[Timestamp]("end_time").getTime === 1004L * 1000)
+  }
+
   test("gap compares microseconds: a split crossing the threshold by 0.5ms agrees with batch") {
     implicit val sqlCtx = spark.sqlContext
     def microTs(sec: Long, micro: Int): Timestamp = {
