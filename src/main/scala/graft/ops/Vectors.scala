@@ -89,6 +89,34 @@ object Vectors {
     val centroids = unit
       .filter(col("vec_id").isin(centroidIds: _*))
       .select(col("vec_id").as("centroid_id"), col("unit").as("c"))
+    assignToCentroids(unit, centroids)
+  }
+
+  /** [[ivfAssign]] against an explicit centroid table (centroid_id, c) —
+    * the seam trained centroids plug into ([[trainedCentroids]]); parity
+    * paths pass corpus-seeded centroids through the same code.
+    */
+  def ivfAssignWithCentroids(embeddings: DataFrame,
+      centroids: Seq[(Long, Array[Double])]): DataFrame = {
+    val unit = withUnit(embeddings).select(col("vec_id"), col("unit"))
+    assignToCentroids(unit, centroidFrame(embeddings.sparkSession, centroids))
+  }
+
+  /** (centroid_id, c) frame from driver-side centroid vectors (the trained
+    * set is C·d doubles — broadcast-sized by construction).
+    */
+  def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[(Long, Array[Double])]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(centroids.map { case (id, v) => Row(id, v.toSeq) }, 1),
+      StructType(Seq(
+        StructField("centroid_id", LongType, nullable = false),
+        StructField("c", ArrayType(DoubleType, containsNull = false), nullable = false))))
+  }
+
+  private def assignToCentroids(unit: DataFrame, centroids: DataFrame): DataFrame =
     unit
       .join(F.broadcast(centroids))
       .select(col("vec_id"), col("unit"), col("centroid_id"),
@@ -99,7 +127,77 @@ object Vectors {
           struct(col("csim"), -col("centroid_id"))).as("best")
       )
       .select(col("vec_id"), col("best.centroid_id").as("bucket"), col("best.unit").as("unit"))
+
+  /** Spherical k-means centroids trained on a deterministic hash sample —
+    * the PRODUCTION centroid path the [[spacedCentroidIds]] scaladoc
+    * reserves (`weak` item 7, round-2 verdict). Not used by the oracle
+    * parity queries: per-cluster float means sum in engine-dependent order,
+    * so trained centroids are not bit-reproducible cross-engine; they are
+    * deterministic *within* the engine (fixed seed, driver-side Lloyd with
+    * fixed iteration order), which is what the recall property test pins.
+    *
+    * Scale shape: the sample is selected by a narrow hash filter
+    * (`xxhash64(vec_id, seed) mod ⌈N/sampleTarget⌉ = 0` — no sort, no
+    * shuffle), and only the ≤ `sampleTarget` sampled unit vectors reach the
+    * driver (C·d and S·d doubles — megabytes at any corpus size). Lloyd
+    * runs locally over the sample: assignment of the FULL corpus to the
+    * trained centroids stays distributed through the same
+    * [[ivfAssignWithCentroids]] broadcast join as every other variant.
+    * Empty clusters keep their previous centroid; means are re-normalized
+    * each round (spherical k-means — cosine geometry).
+    */
+  def trainedCentroids(embeddings: DataFrame, c: Int, sampleTarget: Int = 4096,
+      iters: Int = 5, seed: Long = 42L): Seq[(Long, Array[Double])] = {
+    require(c > 0 && sampleTarget >= c, "need at least one sample vector per centroid")
+    val unit = withUnit(embeddings).select(col("vec_id"), col("unit"))
+    val n = embeddings.count()
+    val m = math.max(1L, n / sampleTarget.toLong)
+    val sample = unit
+      .filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(m)) === 0)
+      .orderBy(col("vec_id")) // driver-side order must not depend on partitioning
+      .collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    require(sample.length >= c, s"sample ${sample.length} smaller than C=$c")
+    val dim = sample.head.length
+    // init: spaced over the sample (same spacing rule as the parity path)
+    val step = math.max(1, sample.length / c)
+    var cents = Array.tabulate(c)(i => sample(i * step).clone())
+    def dotp(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(c)(new Array[Double](dim))
+      val counts = new Array[Long](c)
+      sample.foreach { v =>
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var j = 0
+        while (j < c) {
+          val s = dotp(v, cents(j))
+          if (s > bestSim) { bestSim = s; best = j } // ties: smaller id wins
+          j += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(c) { j =>
+        if (counts(j) == 0L) cents(j) // empty cluster: keep the old centroid
+        else {
+          val mean = sums(j)
+          val nrm = math.sqrt(dotp(mean, mean))
+          if (nrm == 0.0) cents(j) else mean.map(_ / nrm)
+        }
+      }
+    }
+    cents.toIndexedSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
   }
+
+  /** [[ivfTopK]] over trained centroids — the production search path. */
+  def ivfTopKTrained(embeddings: DataFrame, centroids: Seq[(Long, Array[Double])],
+      queryIds: Seq[Long], k: Int): DataFrame =
+    topKWithinBuckets(ivfAssignWithCentroids(embeddings, centroids), queryIds, k)
 
   /** Bucket-restricted top-k over ANY (vec_id, bucket, unit) assignment —
     * the shared search stage of the flat and two-level IVF variants.
