@@ -715,6 +715,10 @@ object SparkEntry {
     "x7_top_terms" -> ((s, dir) =>
       // TF-IDF-shaped keyword extraction on integer-deterministic ordering
       TextOps.topTerms(Tables.documents(s, dir))),
+    "x8_stratified_sample" -> ((s, dir) =>
+      // language-balancing quota sample on a deterministic hash shuffle key
+      // (two-phase exact top-quota — no single-task-per-stratum window)
+      TextOps.stratifiedSample(Tables.documents(s, dir), quota = 50)),
 
     // ---- multimodal plumbing ----
     "m1_binary_meta" -> ((s, dir) =>
@@ -1070,6 +1074,15 @@ object SparkEntry {
         |           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
         |  FROM tf JOIN df USING (term))
         |WHERE rank <= 5""".stripMargin,
+    "x8_stratified_sample" ->
+      // the oracle states the NAIVE single-window form; Spark's two-phase
+      // plan must produce the identical sample
+      s"""SELECT doc_id, lang AS stratum, CAST(rank AS BIGINT) AS sample_rank FROM (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY (doc_id % 2147483647) * ${2654435761L % 2147483647L} % 2147483647 ASC,
+         |             doc_id ASC) AS rank
+         |  FROM documents)
+         |WHERE rank <= 50""".stripMargin,
     "x3_langid" -> oracleLangid,
     "x4_fingerprint" ->
       // per-term mod keeps every term < 2^31 so the sum stays in int64 —

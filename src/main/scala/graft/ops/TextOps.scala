@@ -152,6 +152,47 @@ object TextOps {
       .filter(col("quality_pass") === 1)
   }
 
+  /** Deterministic stratified quota sample — the language-balancing step of
+    * a pre-training data mix: keep (up to) `quota` documents per stratum,
+    * chosen by a deterministic hash shuffle key so the "random" sample is
+    * identical on every engine and every run (no RNG, no seed state).
+    *
+    * Scale shape: a single `row_number() OVER (PARTITION BY stratum)` puts
+    * every row of a stratum in ONE task — with 5 languages over 100 TB
+    * that's five tasks doing all the work. This runs the exact two-phase
+    * form instead: phase 1 takes the per-(stratum, input-partition) local
+    * top-`quota` (parallelism = strata × partitions), phase 2 ranks only
+    * the ≤ quota·P survivors per stratum. Exact for ANY partition
+    * assignment: every global top-quota row ranks ≤ quota inside its own
+    * partition cell too, so phase 1 never discards a winner — the result
+    * equals the naive global window (spec-pinned), but no task ever sees
+    * more than max(partition, quota·P) rows.
+    *
+    * Output: (doc_id, stratum, sample_rank), sample_rank ∈ [1, quota].
+    */
+  def stratifiedSample(docs: DataFrame, strataCol: String = "lang",
+      quota: Int = 50): DataFrame = {
+    val p = fingerprintMod
+    // multiplicative hash with all operands pre-reduced mod p: products stay
+    // < 2⁶² (no int64 wrap — DuckDB would raise, Spark would silently differ)
+    val h = ((col("doc_id") % p) * lit(2654435761L % p)) % p
+    val keyed = docs.select(col("doc_id"), col(strataCol).as("stratum"), h.as("shuffle_key"))
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum"), col("pid"))
+      .orderBy(col("shuffle_key").asc, col("doc_id").asc)
+    val global = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum"))
+      .orderBy(col("shuffle_key").asc, col("doc_id").asc)
+    keyed
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lr", row_number().over(local))
+      .filter(col("lr") <= quota)
+      .drop("pid", "lr")
+      .withColumn("sample_rank", row_number().over(global).cast("long"))
+      .filter(col("sample_rank") <= quota)
+      .select(col("doc_id"), col("stratum"), col("sample_rank"))
+  }
+
   /** Deterministic document fingerprint: position-weighted token hash folded
     * modulo a Mersenne prime. Token ids come from a corpus-level vocabulary
     * rank (see [[Vocab]]) so the oracle can reproduce the exact hash without

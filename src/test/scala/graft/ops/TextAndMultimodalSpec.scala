@@ -55,4 +55,33 @@ class TextAndMultimodalSpec extends SparkSpec {
     val b = Multimodal.decodeExpr(docs).orderBy("doc_id").collect()
     assert(a.toSeq === b.toSeq)
   }
+
+  test("stratified sample: two-phase top-quota ≡ naive window, quota per stratum") {
+    import org.apache.spark.sql.functions._
+    // skewed strata over many partitions (phase-1 cells must not discard a
+    // global winner whatever the partition assignment)
+    val corpus = (0L until 400L).map { id =>
+      (id, s"doc $id", if (id % 10 < 7) "en" else if (id % 10 < 9) "fr" else "zh")
+    }.toDF("doc_id", "text", "lang").repartition(13)
+    val quota = 12
+    val sampled = TextOps.stratifiedSample(corpus, quota = quota)
+    val byStratum = sampled.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum === Map("en" -> quota.toLong, "fr" -> quota.toLong, "zh" -> quota.toLong))
+    // equals the naive single-window form (the oracle's formulation)
+    val p = TextOps.fingerprintMod
+    val h = ((col("doc_id") % p) * lit(2654435761L % p)) % p
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(h.asc, col("doc_id").asc)
+    val naive = corpus
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= quota)
+      .select(col("doc_id"), col("lang").as("stratum"), col("sample_rank"))
+    assert(sampled.orderBy("stratum", "sample_rank").collect().map(_.toSeq).toSeq ===
+      naive.orderBy("stratum", "sample_rank").collect().map(_.toSeq).toSeq)
+    // a stratum smaller than the quota keeps all its rows
+    val tiny = TextOps.stratifiedSample(
+      Seq((1L, "x", "en"), (2L, "y", "fr")).toDF("doc_id", "text", "lang"), quota = 5)
+    assert(tiny.count() === 2L)
+  }
 }
