@@ -639,9 +639,11 @@ object SparkEntry {
     }),
     "d7_dedup_groups" -> ((s, dir) => {
       // the step after pair generation: connected components over the
-      // near-dup graph (keep-min canonical representative per group)
+      // near-dup graph (keep-min canonical representative per group).
+      // Auto form: min-label rounds for the tight-cluster common case,
+      // star-contraction fallback if a long chain keeps it from converging
       val ids = Vocab.hashTokenIdArrays(Tables.documents(s, dir))
-      Dedup.dedupGroups(
+      Dedup.dedupGroupsAuto(
         Dedup.jaccardPairsFromShingles(Dedup.shingleIdsFromArrays(ids, 5), threshold = 0.5))
     }),
     "d9_dedup_groups_star" -> ((s, dir) => {

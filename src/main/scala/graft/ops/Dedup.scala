@@ -326,7 +326,30 @@ object Dedup {
     * is truncated per iteration (`localCheckpoint`), so plans stay flat.
     * The per-iteration driver sync is one `count` (a scalar, not data).
     */
-  def dedupGroups(pairs: DataFrame): DataFrame = {
+  def dedupGroups(pairs: DataFrame): DataFrame =
+    dedupGroupsCapped(pairs, maxRounds = Int.MaxValue).get
+
+  /** Production default: min-label propagation with an adversarial-input
+    * escape hatch. Near-dup components are overwhelmingly tight clusters
+    * (diameter ≤ 3), where simple propagation converges in a couple of
+    * rounds and beats star contraction's two-pass rounds; but propagation
+    * needs O(diameter) rounds, so a 10⁶-long chain would mean 10⁶ job
+    * rounds. If the fixpoint hasn't arrived after `switchAfter` rounds,
+    * restart on [[dedupGroupsStar]] (O(log² n) rounds regardless of
+    * diameter). The common case pays nothing; the adversarial case pays
+    * `switchAfter` wasted rounds, then converges logarithmically. Both
+    * algorithms share one output contract (components are a property of
+    * the graph), so the switch is invisible in the result — d7 (auto) and
+    * d9 (star) attest both paths against the same transitive-closure
+    * oracle.
+    */
+  def dedupGroupsAuto(pairs: DataFrame, switchAfter: Int = 4): DataFrame =
+    dedupGroupsCapped(pairs, switchAfter).getOrElse(dedupGroupsStar(pairs))
+
+  /** Min-label propagation, bounded: None if `maxRounds` iterations did not
+    * reach the fixpoint (caller falls back to star contraction).
+    */
+  private def dedupGroupsCapped(pairs: DataFrame, maxRounds: Int): Option[DataFrame] = {
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
     // undirected: propagate labels both ways
     val sym = edges
@@ -354,7 +377,9 @@ object Dedup {
     // empty pair set (clean corpus): nothing to group, and the loop's
     // aggregates would have nothing to fold
     var converged = current._1 == 0L
-    while (!converged) {
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
       // persist + signature = ONE materialization per round (an eager
       // checkpoint would add a second); iteration counts are small here
       // (component diameter — use dedupGroupsStar for long chains), so the
@@ -373,7 +398,8 @@ object Dedup {
       labels = next
     }
     sym.unpersist()
-    labels.select(col("doc_id"), col("label").as("group_id"))
+    if (!converged) { labels.unpersist(); None }
+    else Some(labels.select(col("doc_id"), col("label").as("group_id")))
   }
 
   /** Connected components by alternating large-star / small-star rounds

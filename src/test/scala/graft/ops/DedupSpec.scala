@@ -161,6 +161,22 @@ class DedupSpec extends SparkSpec {
       11L -> 11L, 12L -> 11L, 13L -> 11L))
   }
 
+  test("auto CC: tight clusters stay on min-label; a long chain triggers the star fallback") {
+    // 80-node path: diameter 79 ≫ switchAfter, so min-label alone would run
+    // ~40 job rounds; the auto form bails after `switchAfter` and the star
+    // contraction finishes in O(log² n)
+    val chain = (0L until 79L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val auto = Dedup.dedupGroupsAuto(chain, switchAfter = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_id"))
+    assert(auto.length === 80)
+    assert(auto.forall(_._2 === 0L)) // one component rooted at the minimum
+    // the common case is untouched: auto ≡ plain min-label on cluster graphs
+    val clusters = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val a = Dedup.dedupGroupsAuto(clusters).collect().map(_.toSeq).toSet
+    val m = Dedup.dedupGroups(clusters).collect().map(_.toSeq).toSet
+    assert(a === m)
+  }
+
   test("minhash: identical docs have identical signatures and become a candidate pair") {
     val tid = Vocab.tokenIds(docs)
     val sigs = Dedup.minhashSignatures(tid).collect()
