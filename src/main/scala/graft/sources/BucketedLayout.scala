@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed table layout — the co-located-join half of the storage story
+  * (the day-partition + sort-key half lives in
+  * [[graft.binlog.Maintenance]]). The reference delegates physical
+  * distribution to its engine's sharding key (`00_readme_first.txt`
+  * `Distributed` DDL — rows are routed to shards by a hash of the key);
+  * Spark's equivalent for JOIN locality is bucketing: both tables are
+  * hash-clustered into the same number of buckets on the join key at WRITE
+  * time, so a later equi-join on that key reads bucket i against bucket i —
+  * '''zero exchanges at read time''' (plan-pinned in BucketedLayoutSpec).
+  *
+  * At 100 TB this is the difference between re-shuffling the fact table on
+  * every join and shuffling it once, at ingest: the nightly events→users
+  * enrichment join, the MV re-sum against partials, and the dedup-group
+  * join all hit the same user/doc key — bucketing amortizes that shuffle
+  * across every downstream job. Bucket count is a write-time constant;
+  * pick it so a bucket ≈ one task's worth of data at target scale (the
+  * standard ~128–512 MB/bucket sizing) — buckets too few cap parallelism,
+  * too many produce small files per writing task.
+  *
+  * Sorting within buckets (`sortBy`) additionally lets the join run as a
+  * sort-merge without the per-task sort when both sides declare the same
+  * sort columns.
+  */
+object BucketedLayout {
+
+  /** Write `df` as a bucketed (and optionally bucket-sorted) table. Spark
+    * tracks bucketing through the catalog, not bare parquet paths — the
+    * bucket metadata is what lets the planner elide the exchange.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int,
+      sorted: Boolean = true, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write
+      .mode(mode)
+      .format("parquet")
+      .bucketBy(buckets, bucketCol)
+    (if (sorted) w.sortBy(bucketCol) else w).saveAsTable(table)
+  }
+
+  /** The co-located equi-join of two same-bucketed tables: plans with no
+    * Exchange on either side (both inputs already hash-clustered on the
+    * key into the same bucket count).
+    */
+  def colocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}
