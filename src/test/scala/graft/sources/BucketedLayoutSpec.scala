@@ -6,7 +6,23 @@ import org.apache.spark.sql.functions._
 class BucketedLayoutSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Drop the table AND its managed location: the warehouse dir outlives the
+    * per-JVM in-memory catalog, and a stale location makes the next
+    * saveAsTable fail with LOCATION_ALREADY_EXISTS.
+    */
+  private def reset(names: String*): Unit = names.foreach { name =>
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val dir = java.nio.file.Paths.get(wh, name)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("same-bucketed tables join with zero exchanges; unbucketed twin shuffles") {
+    reset("ev_bucketed", "us_bucketed", "ev_plain", "us_plain")
     val events = (0L until 2000L).map(i => (i % 97L, s"e$i", i)).toDF("user_id", "tag", "n")
     val users = (0L until 97L).map(i => (i, s"u$i")).toDF("user_id", "name")
     BucketedLayout.writeBucketed(events, "ev_bucketed", "user_id", buckets = 8)
