@@ -575,6 +575,32 @@ object SparkEntry {
       // skew-safe two-phase aggregation ≡ direct groupBy().count()
       graft.operators.Skew.saltedCount(
         Tables.events(s, dir), Seq("event_type"), salts = 32, countCol = "n_events")),
+    "t19_percentiles" -> ((s, dir) => {
+      // exact discrete percentiles (p50/p90/p99 of value-cents per type) in
+      // the histogram-compressed form: pre-aggregate counts per (group,
+      // value) — map-side combinable, collapses duplicate values — then one
+      // cumulative window over the compressed histogram, not the raw rows.
+      // At 100 TB the histogram is bounded by the value domain (distinct
+      // cents), so the window input is orders of magnitude below row count;
+      // the percentile is the smallest value whose running count reaches
+      // ⌈p·n⌉ (no float interpolation — cross-engine exact).
+      val cents = round(col("value") * 100).cast("long")
+      val h = Tables.events(s, dir)
+        .groupBy(col("event_type"), cents.as("v"))
+        .agg(count(lit(1)).as("c"))
+      val totals = h.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = h.withColumn("cum", sum(col("c")).over(w))
+      import s.implicits._
+      val ps = Seq(0.5, 0.9, 0.99).toDF("p")
+      cum.join(F.broadcast(totals), "event_type")
+        .join(F.broadcast(ps), col("cum") >= ceil(col("p") * col("n")))
+        .groupBy(col("event_type"), col("p"))
+        .agg(min(col("v")).as("pct_cents"), min(col("n")).as("n_rows"))
+    }),
 
     // ---- more binlog surface ----
     "b9_retention_window" -> ((s, dir) => {
@@ -668,6 +694,13 @@ object SparkEntry {
       // ingest-order near-dup filter (batch twin of streamingNearDup):
       // keep a doc iff no smaller doc_id claims any of its band signatures
       Dedup.nearDupKeepFirst(Tables.documents(s, dir))),
+    "d11_char_ngram_jaccard" -> ((s, dir) =>
+      // character 3-gram Jaccard (tokenization-free near-dup) with the
+      // df-capped index: hot trigrams never enter the candidate self-join;
+      // verification recomputes exact intersections over the full sets
+      Dedup.jaccardPairsBlocked(
+        Dedup.shingleIdsFromArrays(Dedup.charIds(Tables.documents(s, dir)), 3),
+        threshold = 0.5, maxDf = 20L)),
     "d6_cosine_neardup" -> ((s, dir) => {
       // ⌈√N⌉ spaced centroids: pair work stays O(N^1.5) and bucket
       // parallelism grows with the corpus (count() is metadata, not data)
@@ -898,6 +931,19 @@ object SparkEntry {
     "t17_salted_agg" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+    "t19_percentiles" ->
+      """WITH v AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |h AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+        |cum AS (SELECT event_type, v,
+        |               CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |        FROM h)
+        |SELECT cum.event_type, p, min(v) AS pct_cents, CAST(min(n) AS BIGINT) AS n_rows
+        |FROM cum
+        |JOIN t ON t.event_type = cum.event_type
+        |JOIN (VALUES (0.5), (0.9), (0.99)) ps(p) ON cum >= ceil(p * n)
+        |GROUP BY 1, 2""".stripMargin,
     "t11_cast_order_topk" ->
       """SELECT CAST(event_id AS VARCHAR) AS binlog_pos,
         |       event_id AS pos_num,
@@ -987,6 +1033,36 @@ object SparkEntry {
     "d4_minhash_pairs" -> oracleMinhashPairs,
     "d5_simhash" -> oracleSimhash,
     "d10_neardup_keep_first" -> oracleNearDupKeepFirst,
+    "d11_char_ngram_jaccard" -> {
+      val p = graft.ops.Dedup.minhashPrime
+      s"""WITH ch AS (SELECT doc_id, i AS pos, CAST(unicode(cs[i]) AS BIGINT) AS cp
+         |            FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents) t,
+         |            UNNEST(range(1, len(cs) + 1)) AS r(i)
+         |            WHERE cs[i] <> ''),
+         |ids AS (SELECT doc_id, list(cp ORDER BY pos) AS ids FROM ch GROUP BY doc_id),
+         |sh AS (SELECT DISTINCT doc_id, sid AS shingle_id FROM (
+         |  SELECT doc_id, unnest([list_reduce(list_prepend(CAST(0 AS BIGINT), ids[i:i+2]),
+         |                                     (a, t) -> (a * 37 + t + 1) % $p)
+         |                         for i in range(1, len(ids) - 1)]) AS sid
+         |  FROM ids)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |rare AS (SELECT shingle_id FROM (SELECT shingle_id, count(*) AS c FROM sh GROUP BY 1)
+         |         WHERE c > 1 AND c <= 20),
+         |idx AS (SELECT sh.* FROM sh JOIN rare USING (shingle_id)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM idx x JOIN idx y ON x.shingle_id = y.shingle_id AND x.doc_id < y.doc_id),
+         |inter AS (SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_common
+         |          FROM cand
+         |          JOIN sh a ON a.doc_id = doc_a
+         |          JOIN sh b ON b.doc_id = doc_b AND b.shingle_id = a.shingle_id
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_common,
+         |       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5""".stripMargin
+    },
     "d6_cosine_neardup" ->
       s"""WITH $oracleEmbCte,
          |$oracleSpacedAssigned

@@ -147,6 +147,60 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
   }
 
+  /** Character code-point id sequence per document — the tokenization-free
+    * front-end for CHARACTER n-gram near-dup (whitespace tokenization is
+    * meaningless for unsegmented scripts). `token_hash` of a 1-char string
+    * is its code point (one fold step), so the same codegen'd expression
+    * serves both granularities and the oracle's `unicode(c)` matches
+    * exactly.
+    */
+  def charIds(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      org.apache.spark.sql.graft.TokenHashArray.column(split(col("text"), "")).as("ids"))
+
+  /** Jaccard near-dup with a document-frequency-capped inverted index — the
+    * hot-shingle mitigation char n-grams REQUIRE: a trigram like "the"
+    * appears in nearly every document, so the plain inverted-index
+    * self-join would generate Θ(f²) candidate rows per hot shingle
+    * (quadratic in corpus size — the d2 word-5-gram surface dodges this
+    * only because 5-token shingles are rare by construction). Here the
+    * index keeps only shingles with `1 < df ≤ maxDf`; candidate pairs must
+    * share a RARE shingle, then the exact intersection over the FULL
+    * shingle sets (hot included) computes the true Jaccard — the classic
+    * candidate-generation / verification split, so scores are exact and
+    * only recall changes (a pair whose every shared shingle is hot is
+    * missed; at any real similarity threshold such pairs share rare
+    * shingles too). The SQL oracle applies the identical cap, so results
+    * match row-for-row.
+    */
+  def jaccardPairsBlocked(shingles: DataFrame, threshold: Double, maxDf: Long): DataFrame = {
+    val sh = shingles.persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val rare = sh.groupBy(col("shingle_id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1 && col("c") <= maxDf)
+      .select(col("shingle_id"))
+    val idx = sh.join(rare, Seq("shingle_id"), "left_semi")
+    val cand = idx.as("x")
+      .join(idx.as("y"),
+        col("x.shingle_id") === col("y.shingle_id") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // verification: exact |A ∩ B| over the full sets — each candidate pair
+    // costs |A| join rows, and candidates are few by construction
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle_id")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle_id")), Seq("doc_b", "shingle_id"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+  }
+
   /** MinHash parameters: k independent linear hashes over token ids,
     * h_i(x) = (a_i·x + b_i) mod p with p = 2^31 − 1. Constants are small
     * fixed odd multipliers so the oracle can inline them.

@@ -161,6 +161,30 @@ class DedupSpec extends SparkSpec {
       11L -> 11L, 12L -> 11L, 13L -> 11L))
   }
 
+  test("df-capped jaccard: hot shingles never generate candidates, scores stay exact") {
+    // shingle table: docs 1,2 are near-dups sharing rare shingles 100,101
+    // plus the hot shingle 7; docs 3,4,5,6 share ONLY the hot shingle 7
+    val sh = Seq(
+      (1L, 100L), (1L, 101L), (1L, 7L),
+      (2L, 100L), (2L, 101L), (2L, 7L),
+      (3L, 7L), (3L, 300L),
+      (4L, 7L), (4L, 400L),
+      (5L, 7L), (5L, 500L),
+      (6L, 7L), (6L, 600L)
+    ).toDF("doc_id", "shingle_id")
+    val out = Dedup.jaccardPairsBlocked(sh, threshold = 0.5, maxDf = 3)
+      .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        (r.getAs[Long]("n_common"), r.getAs[Double]("jaccard")))).toMap
+    // (1,2): candidates via rare 100/101; intersection counts the hot
+    // shingle too → n_common = 3 of 3 (exact score, not the capped one)
+    assert(out.keySet === Set((1L, 2L)))
+    assert(out((1L, 2L)) === ((3L, 1.0)))
+    // sanity: the UNCAPPED index would at least consider the hot-only pairs
+    val uncapped = Dedup.jaccardPairsFromShingles(sh, threshold = 0.0)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(uncapped.contains((3L, 4L)))
+  }
+
   test("auto CC: tight clusters stay on min-label; a long chain triggers the star fallback") {
     // 80-node path: diameter 79 ≫ switchAfter, so min-label alone would run
     // ~40 job rounds; the auto form bails after `switchAfter` and the star
