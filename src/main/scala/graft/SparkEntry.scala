@@ -750,6 +750,9 @@ object SparkEntry {
     "x7_top_terms" -> ((s, dir) =>
       // TF-IDF-shaped keyword extraction on integer-deterministic ordering
       TextOps.topTerms(Tables.documents(s, dir))),
+    "x9_normalize" -> ((s, dir) =>
+      // canonicalization upstream of exact dedup: case/punct/spacing-folded
+      TextOps.normalize(Tables.documents(s, dir))),
     "x8_stratified_sample" -> ((s, dir) =>
       // language-balancing quota sample on a deterministic hash shuffle key
       // (two-phase exact top-quota — no single-task-per-stratum window)
@@ -1152,6 +1155,14 @@ object SparkEntry {
         |           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
         |  FROM tf JOIN df USING (term))
         |WHERE rank <= 5""".stripMargin,
+    "x9_normalize" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                           ' +', ' ', 'g')) AS norm_text,
+        |       CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                                       ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+        |FROM documents""".stripMargin,
     "x8_stratified_sample" ->
       // the oracle states the NAIVE single-window form; Spark's two-phase
       // plan must produce the identical sample

@@ -152,6 +152,22 @@ object TextOps {
       .filter(col("quality_pass") === 1)
   }
 
+  /** Text normalization — the canonicalization step upstream of exact dedup
+    * (near-identical documents differing only in case/punctuation/spacing
+    * should collapse): lowercase, strip everything outside [a-z0-9 ],
+    * collapse runs of spaces, trim. Pure codegen'd string projection, zero
+    * shuffles; composes with [[graft.ops.Dedup.exact]] by deduping on
+    * `norm_text` instead of `text`.
+    */
+  def normalize(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    docs.select(
+      col("doc_id"),
+      norm.as("norm_text"),
+      length(col("text")).cast("long").as("n_chars_raw"),
+      length(norm).cast("long").as("n_chars_norm"))
+  }
+
   /** Deterministic stratified quota sample — the language-balancing step of
     * a pre-training data mix: keep (up to) `quota` documents per stratum,
     * chosen by a deterministic hash shuffle key so the "random" sample is
