@@ -589,8 +589,10 @@ object SparkEntry {
         .groupBy(col("event_type"), cents.as("v"))
         .agg(count(lit(1)).as("c"))
       val totals = h.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+      // nulls LAST to match DuckDB's default (Spark defaults nulls first —
+      // a null value bucket would shift every cumulative count)
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type")).orderBy(col("v"))
+        .partitionBy(col("event_type")).orderBy(col("v").asc_nulls_last)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
       val cum = h.withColumn("cum", sum(col("c")).over(w))

@@ -59,35 +59,44 @@ object ShingleHash {
 
   /** The k-gram fold over one id array; distinct, first-occurrence order
     * (matching `array_distinct` so the HOF form and this one interleave).
+    *
+    * Windows containing a NULL id yield no shingle — the HOF form folds
+    * them to a null shingle id, which nothing downstream can consume (null
+    * keys match no equi-join, `min` skips nulls), so results are identical
+    * while this form never emits null-key rows. (`ids.getLong` on a null
+    * slot would silently read 0 and fabricate a plausible-looking id.)
     */
   def compute(ids: ArrayData, k: Int): ArrayData = {
     val n = ids.numElements()
     if (k <= 0 || n < k) return new GenericArrayData(Array.emptyLongArray)
     val nOut = n - k + 1
     val raw = new Array[Long](nOut)
+    var m0 = 0
     var i = 0
     while (i < nOut) {
       var acc = 0L
+      var nullSeen = false
       var j = 0
       while (j < k) {
-        acc = (acc * 37L + ids.getLong(i + j) + 1L) % prime
+        if (ids.isNullAt(i + j)) nullSeen = true
+        else acc = (acc * 37L + ids.getLong(i + j) + 1L) % prime
         j += 1
       }
-      raw(i) = acc
+      if (!nullSeen) { raw(m0) = acc; m0 += 1 }
       i += 1
     }
     // distinct in first-occurrence order; shingle sets are small (≤ doc
     // tokens), so a HashSet of boxed longs is fine here — the hot cost this
     // expression removes is the interpreted lambda fold, not the dedup
-    val seen = new java.util.HashSet[java.lang.Long](Math.max(16, nOut * 2))
-    val out = new Array[Long](nOut)
+    val seen = new java.util.HashSet[java.lang.Long](Math.max(16, m0 * 2))
+    val out = new Array[Long](m0)
     var m = 0
     i = 0
-    while (i < nOut) {
+    while (i < m0) {
       if (seen.add(raw(i))) { out(m) = raw(i); m += 1 }
       i += 1
     }
-    new GenericArrayData(if (m == nOut) out else java.util.Arrays.copyOf(out, m))
+    new GenericArrayData(if (m == m0) out else java.util.Arrays.copyOf(out, m))
   }
 
   def column(ids: Column, k: Int): Column =

@@ -138,6 +138,16 @@ object Dedup {
         col("x.shingle_id") === col("y.shingle_id") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
+    jaccardFromIntersections(inter, sizes, threshold)
+  }
+
+  /** Shared scoring tail of the Jaccard variants: attach set sizes to the
+    * (doc_a, doc_b, n_common) intersections, compute |∩|/(|A|+|B|−|∩|),
+    * threshold. One definition keeps d2 and d11 in lockstep with the
+    * oracle's formula.
+    */
+  private def jaccardFromIntersections(inter: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame =
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
@@ -145,7 +155,6 @@ object Dedup {
         col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
-  }
 
   /** Character code-point id sequence per document — the tokenization-free
     * front-end for CHARACTER n-gram near-dup (whitespace tokenization is
@@ -192,13 +201,7 @@ object Dedup {
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle_id")), Seq("doc_b", "shingle_id"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
-      .withColumn("jaccard",
-        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+    jaccardFromIntersections(inter, sizes, threshold)
   }
 
   /** MinHash parameters: k independent linear hashes over token ids,
@@ -337,7 +340,11 @@ object Dedup {
     val rowsPerBand = minhashCoeffs.size / bands
     val sidsCol = org.apache.spark.sql.graft.ShingleHash.column(
       org.apache.spark.sql.graft.TokenHashArray.column(TextOps.tokens(col("text"))), k)
-    val withSids = docs.withColumn("sids", sidsCol)
+    // null text → empty sids, NOT null: a null would match neither branch
+    // below and the document would silently vanish from the stream (the
+    // batch twin keeps null-text docs — no signature, no candidate pair)
+    val withSids = docs.withColumn("sids",
+      coalesce(sidsCol, array().cast("array<bigint>")))
     val sigCols = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(col("sids"), x => (x * a + b) % minhashPrime)).as(s"sig_$i")
     }

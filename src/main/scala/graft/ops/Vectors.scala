@@ -151,7 +151,9 @@ object Vectors {
     require(c > 0 && sampleTarget >= c, "need at least one sample vector per centroid")
     val unit = withUnit(embeddings).select(col("vec_id"), col("unit"))
     val n = embeddings.count()
-    val m = math.max(1L, n / sampleTarget.toLong)
+    // ceil, not floor: floor(n/target) would admit up to ~2× the target in
+    // expectation (and the ENTIRE corpus for n < 2·target)
+    val m = math.max(1L, (n + sampleTarget - 1L) / sampleTarget.toLong)
     val sample = unit
       .filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(m)) === 0)
       .orderBy(col("vec_id")) // driver-side order must not depend on partitioning

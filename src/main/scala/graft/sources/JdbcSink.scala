@@ -59,27 +59,38 @@ object JdbcSink {
     val conn = java.sql.DriverManager.getConnection(target.url, props)
     try {
       // confine the probe to the namespace an unqualified `dbtable` resolves
-      // to (the connection's current catalog/schema) — an all-schemas listing
+      // to (the connection's current schema/catalog) — an all-schemas listing
       // would let a same-named table elsewhere satisfy the probe and point
-      // the idempotence check at the wrong target. A `schema.name` qualifier
-      // in Target.table is honored. Names are compared exactly (case folded
-      // per the driver's identifier normalization), never via the JDBC
-      // pattern argument, where `_` is a single-char wildcard.
-      val (schemaPart, namePart) = target.table.split('.') match {
-        case Array(sch, n) => (Option(sch), n)
-        case _ => (None, target.table)
+      // the idempotence check at the wrong target. Qualifiers in Target.table
+      // are honored (`schema.name` / `catalog.schema.name` — last part is the
+      // name, second-to-last the namespace). Names are compared exactly (case
+      // folded per the driver's identifier normalization), never via the JDBC
+      // pattern argument, where `_` is a single-char wildcard and patterns
+      // match the STORED case (an upper-casing driver like Derby would
+      // silently miss a lower-case pattern).
+      val parts = target.table.split('.')
+      val namePart = parts.last
+      val nsPart = if (parts.length >= 2) Some(parts(parts.length - 2)) else None
+      // schema-less drivers (MySQL/MariaDB) report namespaces in TABLE_CAT
+      // with TABLE_SCHEM null, so the wanted namespace falls back current
+      // schema → current catalog, and each row's namespace is whichever of
+      // the two columns the driver populates. getSchema is JDBC 4.1 — treat
+      // a driver that can't answer as "no namespace info" rather than failing
+      // the probe (a thrown AbstractMethodError here would masquerade as an
+      // availability error).
+      val wantNs = nsPart.orElse {
+        (try Option(conn.getSchema) catch { case _: Throwable => None })
+          .orElse(try Option(conn.getCatalog) catch { case _: Throwable => None })
       }
-      val schema = schemaPart.orElse(Option(conn.getSchema))
-      // schemaPattern stays null: JDBC metadata patterns match the STORED
-      // (case-normalized) identifier case-sensitively, so passing a
-      // lower-case schema would silently miss on upper-casing drivers
-      // (Derby). Compare both parts exactly, case-folded, on the result set.
-      val rs = conn.getMetaData.getTables(conn.getCatalog, null, "%", Array("TABLE"))
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
       try {
         var found = false
         while (!found && rs.next()) {
+          val rowNs = Option(rs.getString("TABLE_SCHEM")).orElse(Option(rs.getString("TABLE_CAT")))
+          // a driver that reports no namespace at all degrades to name-only
+          // (can't scope what isn't exposed)
           found = rs.getString("TABLE_NAME").equalsIgnoreCase(namePart) &&
-            schema.forall(s => s.equalsIgnoreCase(rs.getString("TABLE_SCHEM")))
+            wantNs.forall(ns => rowNs.forall(ns.equalsIgnoreCase))
         }
         found
       } finally rs.close()

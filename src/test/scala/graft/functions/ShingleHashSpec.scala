@@ -68,6 +68,13 @@ class ShingleHashSpec extends SparkSpec {
       .collect().head.getSeq[Long](0)
     // (0·37+1+1)=2 → (2·37+2+1)=77 ; (0·37+2+1)=3 → (3·37+3+1)=115
     assert(sql === Seq(77L, 115L))
+    // windows containing a NULL id yield no shingle (getLong on a null slot
+    // would silently read 0 and fabricate an id); null-free windows survive
+    val withNull = spark.sql(
+      "SELECT shingle_hash(array(1L, CAST(NULL AS BIGINT), 3L, 4L), 2) AS s")
+      .collect().head.getSeq[Long](0)
+    // windows: (1,null) skip, (null,3) skip, (3,4) = ((0·37+3+1)·37+4+1)=153
+    assert(withNull === Seq(153L))
   }
 
   test("the shingle-id stage stays inside whole-stage codegen over parquet") {

@@ -74,12 +74,14 @@ class DedupSpec extends SparkSpec {
       2L -> base.replace("dog", "cat"),               // near dup: most sigs shared
       3L -> "completely different words entirely in this other document here",
       4L -> "hi",                                     // too short to shingle: bypass, kept
-      5L -> base.replace("quick", "slow")             // near dup of 0 (or of 2)
+      5L -> base.replace("quick", "slow"),            // near dup of 0 (or of 2)
+      6L -> null                                      // null text: bypass, kept (not dropped)
     )
     // the executable contract: streaming first-arrival == batch smaller-id
     val expected = Dedup.nearDupKeepFirst(corpus.toDF("doc_id", "text"))
       .collect().map(_.getLong(0)).toSet
     assert(expected.contains(0L) && expected.contains(3L) && expected.contains(4L))
+    assert(expected.contains(6L)) // null text: no signature, no evidence, kept
     assert(!expected.contains(1L))
     val ms = MemoryStream[(Long, Timestamp, String)]
     val q = Dedup.streamingNearDup(

@@ -21,11 +21,20 @@ class BucketedLayoutSpec extends SparkSpec {
     }
   }
 
+  private def events = (0L until 2000L).map(i => (i % 97L, s"e$i", i)).toDF("user_id", "tag", "n")
+  private def users = (0L until 97L).map(i => (i, s"u$i")).toDF("user_id", "name")
+
+  /** Each test writes its own table — no cross-test table dependency (a
+    * -z filtered run must not fail on a missing sibling's fixture).
+    */
+  private def writeEventsBucketed(table: String): Unit = {
+    reset(table)
+    BucketedLayout.writeBucketed(events, table, "user_id", buckets = 8)
+  }
+
   test("same-bucketed tables join with zero exchanges; unbucketed twin shuffles") {
-    reset("ev_bucketed", "us_bucketed", "ev_plain", "us_plain")
-    val events = (0L until 2000L).map(i => (i % 97L, s"e$i", i)).toDF("user_id", "tag", "n")
-    val users = (0L until 97L).map(i => (i, s"u$i")).toDF("user_id", "name")
-    BucketedLayout.writeBucketed(events, "ev_bucketed", "user_id", buckets = 8)
+    reset("us_bucketed", "ev_plain", "us_plain")
+    writeEventsBucketed("ev_bucketed")
     BucketedLayout.writeBucketed(users, "us_bucketed", "user_id", buckets = 8)
     // force a sort-merge join so locality (not broadcast) is what's tested
     val joined = spark.table("ev_bucketed").hint("merge")
@@ -47,7 +56,8 @@ class BucketedLayoutSpec extends SparkSpec {
   }
 
   test("bucketed aggregation on the bucket key also skips the exchange") {
-    val agg = spark.table("ev_bucketed").groupBy("user_id").agg(sum("n"))
+    writeEventsBucketed("ev_bucketed_agg")
+    val agg = spark.table("ev_bucketed_agg").groupBy("user_id").agg(sum("n"))
     val plan = agg.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
     assert(agg.count() === 97L)
