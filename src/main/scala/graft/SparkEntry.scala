@@ -585,9 +585,12 @@ object SparkEntry {
       // the percentile is the smallest value whose running count reaches
       // ⌈p·n⌉ (no float interpolation — cross-engine exact).
       val cents = round(col("value") * 100).cast("long")
+      // persist: the histogram feeds both the totals and the cumulative
+      // window — without it each branch re-scans and re-aggregates events
       val h = Tables.events(s, dir)
         .groupBy(col("event_type"), cents.as("v"))
         .agg(count(lit(1)).as("c"))
+        .persist()
       val totals = h.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
       // nulls LAST to match DuckDB's default (Spark defaults nulls first —
       // a null value bucket would shift every cumulative count)

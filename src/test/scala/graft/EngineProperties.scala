@@ -133,6 +133,51 @@ object EngineProperties extends Properties("graft") {
     }
   }
 
+  // (h) two-phase stratified sample ≡ naive global window for ANY corpus
+  // and ANY partitioning (the phase-1 locality argument, exercised)
+  property("stratifiedSample two-phase ≡ naive window under any partitioning") = {
+    val genCorpus = Gen.chooseNum(1, 60).flatMap { n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 2)).map { langs =>
+        langs.zipWithIndex.map { case (l, i) => (i.toLong, s"doc $i", s"L$l") }
+      }
+    }
+    Prop.forAll(genCorpus, Gen.chooseNum(1, 9), Gen.chooseNum(1, 8)) { (rows, parts, quota) =>
+      val df = rows.toDF("doc_id", "text", "lang").repartition(parts)
+      val p = graft.ops.TextOps.fingerprintMod
+      val h = ((col("doc_id") % p) * lit(2654435761L % p)) % p
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(h.asc, col("doc_id").asc)
+      val naive = df.withColumn("sample_rank", row_number().over(w).cast("long"))
+        .filter(col("sample_rank") <= quota)
+        .select(col("doc_id"), col("lang").as("stratum"), col("sample_rank"))
+        .orderBy("stratum", "sample_rank").collect().toSeq
+      val twoPhase = graft.ops.TextOps.stratifiedSample(df, quota = quota)
+        .orderBy("stratum", "sample_rank").collect().toSeq
+      twoPhase == naive
+    }
+  }
+
+  // (i) df-capped jaccard: a subset of the uncapped pairs, and every
+  // surviving pair's score is the EXACT uncapped score (verification over
+  // full sets, not the capped index)
+  property("jaccardPairsBlocked ⊆ full jaccard with exact scores") = {
+    val genShingles = Gen.chooseNum(4, 30).flatMap { n =>
+      Gen.listOfN(n, for {
+        d <- Gen.chooseNum(0L, 7L); s <- Gen.chooseNum(0L, 12L)
+      } yield (d, s))
+    }
+    Prop.forAll(genShingles, Gen.chooseNum(1L, 6L)) { (rows0, maxDf) =>
+      val rows = rows0.distinct
+      val sh = rows.toDF("doc_id", "shingle_id")
+      def toMap(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      val full = toMap(graft.ops.Dedup.jaccardPairsFromShingles(sh, threshold = 0.0))
+      val blocked = toMap(graft.ops.Dedup.jaccardPairsBlocked(sh, threshold = 0.0, maxDf))
+      blocked.keySet.subsetOf(full.keySet) &&
+        blocked.forall { case (k, v) => full(k) == v }
+    }
+  }
+
   // (g) star-contraction CC ≡ simple min propagation on arbitrary graphs
   // (incl. chains — the case star contraction exists for)
   property("dedupGroupsStar ≡ dedupGroups") = {
