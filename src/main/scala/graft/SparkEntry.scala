@@ -758,6 +758,10 @@ object SparkEntry {
     "x9_normalize" -> ((s, dir) =>
       // canonicalization upstream of exact dedup: case/punct/spacing-folded
       TextOps.normalize(Tables.documents(s, dir))),
+    "x10_curation_pipeline" -> ((s, dir) =>
+      // the composed end-to-end pass: normalize → dedup on normalized text
+      // → quality gate → language-balanced quota sample
+      TextOps.curationPipeline(Tables.documents(s, dir), quota = 50)),
     "x8_stratified_sample" -> ((s, dir) =>
       // language-balancing quota sample on a deterministic hash shuffle key
       // (two-phase exact top-quota — no single-task-per-stratum window)
@@ -1168,6 +1172,31 @@ object SparkEntry {
         |       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
         |                                       ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
         |FROM documents""".stripMargin,
+    "x10_curation_pipeline" ->
+      s"""WITH n AS (SELECT doc_id,
+         |            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+         |                                ' +', ' ', 'g')) AS nt
+         |          FROM documents),
+         |reps AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY nt),
+         |q AS (SELECT doc_id,
+         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |       CAST(len(list_filter(string_split(text, ' '),
+         |              s -> list_contains(['the','a','of','and','to','in'], s))) AS BIGINT) AS n_stop,
+         |       CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         |         / len(string_split(text, ' ')) AS mean_token_len
+         |     FROM documents),
+         |surv AS (SELECT d.doc_id, d.lang
+         |         FROM documents d
+         |         JOIN reps USING (doc_id)
+         |         JOIN q USING (doc_id)
+         |         WHERE q.n_tokens >= 32 AND q.mean_token_len >= 2.0
+         |           AND q.mean_token_len <= 12.0 AND q.n_stop > 0)
+         |SELECT doc_id, lang AS stratum, CAST(rank AS BIGINT) AS sample_rank FROM (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY (doc_id % 2147483647) * ${2654435761L % 2147483647L} % 2147483647 ASC,
+         |             doc_id ASC) AS rank
+         |  FROM surv)
+         |WHERE rank <= 50""".stripMargin,
     "x8_stratified_sample" ->
       // the oracle states the NAIVE single-window form; Spark's two-phase
       // plan must produce the identical sample

@@ -168,6 +168,25 @@ object TextOps {
       length(norm).cast("long").as("n_chars_norm"))
   }
 
+  /** The COMPOSED curation pipeline — the end-to-end pass a pre-training
+    * data pipeline actually runs, as one dataflow: normalize → exact-dedup
+    * on the NORMALIZED text (catches case/punct/spacing near-copies raw
+    * dedup misses) → quality gate → language-balanced quota sample.
+    * Each stage is the attested operator (x9, d1-shape, x2, x8); the
+    * composition itself is attested end-to-end by the x10 oracle row.
+    * Output: (doc_id, stratum, sample_rank) of the final sample.
+    */
+  def curationPipeline(docs: DataFrame, quota: Int = 50): DataFrame = {
+    val reps = normalize(docs)
+      .groupBy(col("norm_text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val survivors = qualityScore(docs)
+      .filter(col("quality_pass") === 1)
+      .join(reps, Seq("doc_id"), "left_semi")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    stratifiedSample(survivors, "lang", quota)
+  }
+
   /** Deterministic stratified quota sample — the language-balancing step of
     * a pre-training data mix: keep (up to) `quota` documents per stratum,
     * chosen by a deterministic hash shuffle key so the "random" sample is
