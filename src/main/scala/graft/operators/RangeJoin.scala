@@ -36,4 +36,25 @@ object RangeJoin {
       .filter(abs(expr(s"unix_micros($lTs) - unix_micros($rTs)")) <= tolUs)
       .drop("_bin")
   }
+
+  /** Streaming twin: the watermarked stream-stream interval join (the
+    * click-to-view attribution shape). Spark's stream-stream join already
+    * keys state by the equality columns and bounds it by the time-range
+    * predicate + watermarks — rows older than `delay` + `tolSec` are
+    * evicted, so state is O(rate · horizon), not history. The batch [[band]]
+    * needs the explicit bin trick because a keyless range has no shuffle
+    * key; here `key` provides the shuffle key and the range rides along as
+    * the state-eviction bound. Inputs must carry disjoint column names;
+    * both sides watermarked on their own time column.
+    */
+  def streamingIntervalJoin(left: DataFrame, right: DataFrame, key: String,
+      rKey: String, lTs: String, rTs: String, tolSec: Long,
+      delay: String): DataFrame = {
+    val l = left.withWatermark(lTs, delay)
+    val r = right.withWatermark(rTs, delay)
+    l.join(r,
+      col(key) === col(rKey) &&
+        col(rTs) >= col(lTs) - expr(s"INTERVAL $tolSec SECONDS") &&
+        col(rTs) <= col(lTs) + expr(s"INTERVAL $tolSec SECONDS"))
+  }
 }

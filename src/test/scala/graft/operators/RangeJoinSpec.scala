@@ -38,4 +38,36 @@ class RangeJoinSpec extends SparkSpec {
     val b = Seq((9L, ts("2024-01-01 00:00:05"))).toDF("b_id", "b_ts")
     assert(RangeJoin.band(a, b, "a_ts", "b_ts", 5L).count() === 1L)
   }
+
+  test("streaming interval join: in-window pairs emit, out-of-window and late drop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val views = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = RangeJoin.streamingIntervalJoin(
+      clicks.toDF().toDF("c_user", "c_ts"), views.toDF().toDF("v_user", "v_ts"),
+      key = "c_user", rKey = "v_user", lTs = "c_ts", rTs = "v_ts",
+      tolSec = 60L, delay = "10 seconds")
+      .select("c_user", "c_ts", "v_ts")
+      .writeStream.format("memory").queryName("sij")
+      .outputMode(OutputMode.Append).start()
+    def t(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    views.addData((1L, t(0)), (2L, t(5)))
+    clicks.addData((1L, t(30)))            // within 60 s of view@0: pair
+    q.processAllAvailable()
+    clicks.addData((2L, t(300)))           // 295 s after view@5: no pair
+    views.addData((1L, t(305)))            // also within 60 s of... nothing yet
+    q.processAllAvailable()
+    // advance both watermarks far past everything so state drains
+    clicks.addData((9L, t(10000))); views.addData((9L, t(10001)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sij").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime))
+    // exactly the in-window pairs: (1, click@30, view@0) and (9, 10000, 10001)
+    assert(rows.toSet === Set(
+      (1L, t(30).getTime, t(0).getTime),
+      (9L, t(10000).getTime, t(10001).getTime)))
+  }
 }
