@@ -1173,24 +1173,24 @@ object SparkEntry {
         |                                       ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
         |FROM documents""".stripMargin,
     "x10_curation_pipeline" ->
-      s"""WITH n AS (SELECT doc_id,
-         |            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-         |                                ' +', ' ', 'g')) AS nt
-         |          FROM documents),
-         |reps AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY nt),
-         |q AS (SELECT doc_id,
+      // quality BEFORE the representative choice (rep = min doc_id among
+      // the group's quality-PASSING members — gating after the rep pick
+      // would lose a whole dup group when only its rep fails quality)
+      s"""WITH q AS (SELECT doc_id,
          |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
          |       CAST(len(list_filter(string_split(text, ' '),
          |              s -> list_contains(['the','a','of','and','to','in'], s))) AS BIGINT) AS n_stop,
          |       CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
          |         / len(string_split(text, ' ')) AS mean_token_len
          |     FROM documents),
-         |surv AS (SELECT d.doc_id, d.lang
-         |         FROM documents d
-         |         JOIN reps USING (doc_id)
-         |         JOIN q USING (doc_id)
+         |base AS (SELECT d.doc_id, d.lang,
+         |            trim(regexp_replace(regexp_replace(lower(d.text), '[^a-z0-9 ]', '', 'g'),
+         |                                ' +', ' ', 'g')) AS nt
+         |         FROM documents d JOIN q USING (doc_id)
          |         WHERE q.n_tokens >= 32 AND q.mean_token_len >= 2.0
-         |           AND q.mean_token_len <= 12.0 AND q.n_stop > 0)
+         |           AND q.mean_token_len <= 12.0 AND q.n_stop > 0),
+         |reps AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY nt),
+         |surv AS (SELECT b.doc_id, b.lang FROM base b JOIN reps USING (doc_id))
          |SELECT doc_id, lang AS stratum, CAST(rank AS BIGINT) AS sample_rank FROM (
          |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
          |    ORDER BY (doc_id % 2147483647) * ${2654435761L % 2147483647L} % 2147483647 ASC,

@@ -50,6 +50,17 @@ object TextOps {
     * pre-training filters): a document passes if it has enough tokens, a
     * sane mean token length, and a nonzero stopword ratio.
     */
+  /** The quality-gate predicate over a text column — one definition shared
+    * by [[qualityScore]], [[curate]]'s gate, and [[curationPipeline]].
+    */
+  def qualityPassExpr(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => array_contains(typedlit(stopwords), t))).cast("long")
+    val meanLen = (length(text) - (nTok - 1)).cast("double") / nTok
+    nTok >= 32 && meanLen >= 2.0 && meanLen <= 12.0 && nStop > 0
+  }
+
   def qualityScore(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("long")
@@ -60,8 +71,7 @@ object TextOps {
       nTok.as("n_tokens"),
       (nStop.cast("double") / nTok).as("stopword_ratio"),
       meanLen.as("mean_token_len"),
-      (nTok >= 32 && meanLen >= 2.0 && meanLen <= 12.0 && nStop > 0)
-        .cast("int").as("quality_pass")
+      qualityPassExpr(col("text")).cast("int").as("quality_pass")
     )
   }
 
@@ -159,8 +169,14 @@ object TextOps {
     * shuffles; composes with [[graft.ops.Dedup.exact]] by deduping on
     * `norm_text` instead of `text`.
     */
+  /** The canonical-text expression [[normalize]] and [[curationPipeline]]
+    * share.
+    */
+  def normExpr(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
   def normalize(docs: DataFrame): DataFrame = {
-    val norm = trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val norm = normExpr(col("text"))
     docs.select(
       col("doc_id"),
       norm.as("norm_text"),
@@ -169,21 +185,30 @@ object TextOps {
   }
 
   /** The COMPOSED curation pipeline — the end-to-end pass a pre-training
-    * data pipeline actually runs, as one dataflow: normalize → exact-dedup
-    * on the NORMALIZED text (catches case/punct/spacing near-copies raw
-    * dedup misses) → quality gate → language-balanced quota sample.
-    * Each stage is the attested operator (x9, d1-shape, x2, x8); the
+    * data pipeline actually runs, as one dataflow: quality gate →
+    * exact-dedup on the NORMALIZED text (catches case/punct/spacing
+    * near-copies raw dedup misses) → language-balanced quota sample.
+    * Each stage is the attested operator (x2, x9/d1-shape, x8); the
     * composition itself is attested end-to-end by the x10 oracle row.
     * Output: (doc_id, stratum, sample_rank) of the final sample.
+    *
+    * Quality gates BEFORE the representative choice: picking min-doc_id
+    * first and gating after would silently lose a whole duplicate group
+    * whenever its representative happens to fail quality while another
+    * member passes — the representative is the min doc_id among the
+    * group's quality-passing members. One corpus scan (quality + normalized
+    * text + stratum in a single persisted projection); the dedup shuffle
+    * and the sample's two-phase rank run over the gated survivors only.
     */
   def curationPipeline(docs: DataFrame, quota: Int = 50): DataFrame = {
-    val reps = normalize(docs)
+    val base = docs
+      .filter(qualityPassExpr(col("text")))
+      .select(col("doc_id"), col("lang"), normExpr(col("text")).as("norm_text"))
+      .persist() // feeds the rep aggregation AND the semi-join back
+    val reps = base
       .groupBy(col("norm_text")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val survivors = qualityScore(docs)
-      .filter(col("quality_pass") === 1)
-      .join(reps, Seq("doc_id"), "left_semi")
-      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val survivors = base.join(reps, Seq("doc_id"), "left_semi")
     stratifiedSample(survivors, "lang", quota)
   }
 

@@ -62,6 +62,10 @@ class RangeJoinSpec extends SparkSpec {
     // advance both watermarks far past everything so state drains
     clicks.addData((9L, t(10000))); views.addData((9L, t(10001)))
     q.processAllAvailable()
+    // LATE row: arrives behind the advanced watermark (≈ 9990 s); its view
+    // partner's state is long evicted, so it must produce no pair
+    clicks.addData((1L, t(0)))
+    q.processAllAvailable()
     q.stop()
     val rows = spark.table("sij").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime))

@@ -56,6 +56,29 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("curation pipeline: dup group survives when only its min-id member fails quality") {
+    import org.apache.spark.sql.functions._
+    val good = (("the quick brown fox jumps over a lazy dog and " * 4).trim)
+    // doc 0: same normalized text as doc 1, but 12 '!'s per token inflate
+    // the raw mean token length past the quality ceiling → 0 fails quality.
+    // Gating AFTER picking min-doc_id reps would lose the whole group; the
+    // pipeline gates first, so doc 1 represents the group and the content
+    // stays in the sample.
+    val noisy = good.toUpperCase.split(' ').map(_ + "!!!!!!!!!!!!").mkString(" ")
+    val corpus = Seq(
+      (0L, noisy, "en"),
+      (1L, good, "en"),
+      (2L, ("different words but still quite a long passable document " +
+        "with the usual amount of the stopwords in it and more of the same " +
+        "text to clear the thirty two token floor easily").trim, "en")
+    ).toDF("doc_id", "text", "lang")
+    assert(TextOps.normalize(corpus).filter(col("doc_id") <= 1)
+      .select("norm_text").distinct().count() === 1L) // 0 and 1 are one group
+    val out = TextOps.curationPipeline(corpus, quota = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 2L))
+  }
+
   test("stratified sample: two-phase top-quota ≡ naive window, quota per stratum") {
     import org.apache.spark.sql.functions._
     // skewed strata over many partitions (phase-1 cells must not discard a
