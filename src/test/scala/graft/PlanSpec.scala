@@ -54,6 +54,36 @@ class PlanSpec extends SparkSpec {
     assert(scans.head.selectedPartitions.partitionCount === 1)
   }
 
+  test("documents-table queries prune to exactly the columns they read") {
+    // a scan reading all columns for a 2-column projection is wrong at any
+    // scale; pin ReadSchema for representative text/dedup/sample queries
+    val cases = Seq(
+      "x9_normalize" -> Set("doc_id", "text"),
+      "x8_stratified_sample" -> Set("doc_id", "lang"),
+      "d1_dedup_exact" -> Set("doc_id", "text"),
+      "x10_curation_pipeline" -> Set("doc_id", "lang", "text"))
+    // multi-exchange plans hide their children inside AdaptiveSparkPlanExec
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      // persisted stages bury their scan inside the cached relation
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        scansOf(im.relation.cachedPlan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scansOf)
+    }
+    cases.foreach { case (q, want) =>
+      val scans = scansOf(
+        SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").queryExecution.executedPlan)
+      assert(scans.nonEmpty, q)
+      scans.foreach { s =>
+        val read = s.requiredSchema.fieldNames.toSet
+        assert(read.subsetOf(want), s"$q reads $read, expected ⊆ $want")
+      }
+    }
+  }
+
   test("ingest chain fuses into a single whole-stage-codegen span") {
     val q = SparkEntry.queries("b7_ingest_flatten")(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString
