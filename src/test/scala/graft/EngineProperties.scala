@@ -115,6 +115,32 @@ object EngineProperties extends Properties("graft") {
     }
   }
 
+  // (e2) decoder total on arbitrary bytes: any input yields a row or null,
+  // never an uncaught throw and never a hang (the F2 NULL-on-malformed
+  // contract, fuzzed — pure JVM, generous sample count)
+  property("envelope decode never throws on arbitrary bytes") = {
+    val genBytes = Gen.oneOf(
+      Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      // adversarial: valid envelope prefixes with flipped/truncated tails
+      for {
+        pos <- Gen.chooseNum(0L, Long.MaxValue)
+        cut <- Gen.chooseNum(0, 40)
+        flip <- Gen.chooseNum(0, 30)
+      } yield {
+        import org.apache.spark.unsafe.types.UTF8String
+        val b = org.apache.spark.sql.graft.EnvelopeCodec.encode(
+          pos, 1700000000000L, UTF8String.fromString("g"), UTF8String.fromString("INSERT"), 7L, 2L)
+        val t = b.take(math.max(1, b.length - cut))
+        if (flip < t.length) t(flip) = (t(flip) ^ 0x80).toByte
+        t
+      })
+    Prop.forAll(genBytes) { bytes =>
+      // decode is total: returns (possibly null) without throwing
+      org.apache.spark.sql.graft.EnvelopeCodec.decode(bytes)
+      true
+    }
+  }
+
   // (f) dedup groups form a valid partition: every group id is a member of
   // the group, is its minimum, and both endpoints of every edge share one
   property("dedup groups: keep-min representative, edges never straddle groups") = {

@@ -105,6 +105,41 @@ class DedupSpec extends SparkSpec {
     assert(streamed === expected)
   }
 
+  test("streaming near-dup: a doc behind the watermark is dropped, not emitted") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val text = "the quick brown fox jumps over the lazy dog again today"
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val q = Dedup.streamingNearDup(
+      ms.toDF().toDF("doc_id", "ts", "text"), "ts", delay = "5 seconds",
+      windowDur = "10 seconds")
+      .writeStream.format("memory").queryName("sneardup_late")
+      .outputMode(OutputMode.Append).start()
+    val t0 = java.time.Instant.parse("2024-01-01T10:00:00Z")
+    ms.addData((0L, Timestamp.from(t0), text))
+    q.processAllAvailable()
+    // advance the watermark far ahead, then send a LATE unique doc behind
+    // it (≥ k tokens so it takes the stateful band path, not the stateless
+    // short-doc bypass, which by design never drops late rows)
+    ms.addData((1L, Timestamp.from(t0.plusSeconds(5000L)),
+      "zebra xylophone quantum meridian ballast crescent harbor tonight"))
+    q.processAllAvailable()
+    ms.addData((2L, Timestamp.from(t0.plusSeconds(1L)),
+      "glacier penumbra saffron oblique tandem verdict morning"))
+    q.processAllAvailable()
+    // flush every window
+    ms.addData((9L, Timestamp.from(t0.plusSeconds(99999L)), text * 2))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("sneardup_late").collect().map(_.getAs[Long]("doc_id")).toSet
+    // 0 and 1 emit when their windows close; late doc 2 (behind the
+    // watermark) is dropped by the aggregation even though it's unique —
+    // reference W2 late-data semantics, not silent acceptance
+    assert(kept === Set(0L, 1L))
+  }
+
   test("shingles: document shorter than k yields no shingles") {
     val short = Seq((9L, "a b")).toDF("doc_id", "text")
     assert(Dedup.shingles(short, k = 5).count() === 0L)
