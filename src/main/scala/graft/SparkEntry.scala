@@ -268,15 +268,22 @@ object SparkEntry {
     * simplicity). Plane literals mirror [[graft.ops.Vectors.lshPlanes]]
     * with per-table offsets.
     */
-  private lazy val oracleLshMulti: String = {
-    val nTables = 4
-    val bCols = (0 until nTables).map { t =>
+  /** Per-table sign-bucket column SQL (b0…b{n−1}) — mirrors
+    * [[graft.ops.Vectors]]' shared bucketing expression; used by the
+    * multi-table ANN (s5) and the keep-first dedup (d12) oracles.
+    */
+  private def oracleLshTableCols(nTables: Int): String =
+    (0 until nTables).map { t =>
       val planes = graft.ops.Vectors.lshPlanes(8, 64, start = t * 8)
       val expr = planes.zipWithIndex.map { case (p, j) =>
         s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) >= 0 THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
       s"CAST($expr AS BIGINT) AS b$t"
     }.mkString(",\n       ")
+
+  private lazy val oracleLshMulti: String = {
+    val nTables = 4
+    val bCols = oracleLshTableCols(nTables)
     val anyMatch = (0 until nTables).map(t => s"q.b$t = c.b$t").mkString(" OR ")
     s"""WITH $oracleEmbCte,
        |bt AS (SELECT vec_id, v, $bCols FROM e),
@@ -287,6 +294,19 @@ object SparkEntry {
        |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
        |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
        |WHERE rank <= 5""".stripMargin
+  }
+
+  /** d12: ingest-order embedding dedup — keep a vector iff no smaller
+    * vec_id claims any of its 4 sign-hash buckets (the batch twin of
+    * [[graft.ops.Vectors.streamingLshNearDup]]'s key-collision rule).
+    */
+  private lazy val oracleVectorKeepFirst: String = {
+    val anyMatch = (0 until 4).map(t => s"x.b$t = b.b$t").mkString(" OR ")
+    s"""WITH $oracleEmbCte,
+       |bt AS (SELECT vec_id, ${oracleLshTableCols(4)} FROM e)
+       |SELECT b.vec_id FROM bt b
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM bt x WHERE x.vec_id < b.vec_id AND ($anyMatch))""".stripMargin
   }
 
   /** Two-level IVF oracle (s6): coarse = ⌈√C⌉ spaced subset of the fine
@@ -699,6 +719,11 @@ object SparkEntry {
       // ingest-order near-dup filter (batch twin of streamingNearDup):
       // keep a doc iff no smaller doc_id claims any of its band signatures
       Dedup.nearDupKeepFirst(Tables.documents(s, dir))),
+    "d12_vector_keep_first" -> ((s, dir) =>
+      // ingest-order embedding dedup (batch twin of streamingLshNearDup):
+      // keep a vector iff no smaller vec_id claims any of its 4 sign-hash
+      // buckets — the dedup-at-ingest screen for an embedding stream
+      Vectors.lshKeepFirst(Tables.embeddings(s, dir))),
     "d11_char_ngram_jaccard" -> ((s, dir) =>
       // character 3-gram Jaccard (tokenization-free near-dup) with the
       // df-capped index: hot trigrams never enter the candidate self-join;
@@ -1045,6 +1070,7 @@ object SparkEntry {
     "d4_minhash_pairs" -> oracleMinhashPairs,
     "d5_simhash" -> oracleSimhash,
     "d10_neardup_keep_first" -> oracleNearDupKeepFirst,
+    "d12_vector_keep_first" -> oracleVectorKeepFirst,
     "d11_char_ngram_jaccard" -> {
       val p = graft.ops.Dedup.minhashPrime
       s"""WITH ch AS (SELECT doc_id, i AS pos, CAST(unicode(cs[i]) AS BIGINT) AS cp

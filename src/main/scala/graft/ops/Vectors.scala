@@ -406,13 +406,8 @@ object Vectors {
   def lshTopKMultiTable(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       nTables: Int = 4, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val unit = withUnit(embeddings).select(col("vec_id"), col("unit")).persist()
-    val tableBuckets = array((0 until nTables).map { t =>
-      lshPlanes(nPlanes, dim, start = t * nPlanes).zipWithIndex.map { case (p, j) =>
-        when(dot(col("unit"), typedlit(p.toSeq)) >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
     val keyed = unit
-      .select(col("vec_id"), posexplode(tableBuckets).as(Seq("t", "bucket")))
+      .select(col("vec_id"), posexplode(tableBucketsExpr(nTables, nPlanes, dim)).as(Seq("t", "bucket")))
     val qKeyed = keyed
       .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
@@ -429,6 +424,68 @@ object Vectors {
           .select(col("vec_id").as("query_id"), col("unit").as("q"))), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), dot(col("q"), col("e")).as("sim"))
     topKPerGroup(scored, "query_id", k)
+  }
+
+  /** Batch twin of [[streamingLshNearDup]] — ingest-order embedding dedup
+    * with vec_id as arrival order: keep a vector iff none of its `nTables`
+    * sign-hash buckets is already claimed by a smaller vec_id. Same
+    * key-collision rule the streaming form applies per arrival, so
+    * streaming output over an id-ordered feed equals this frame
+    * (spec-attested; oracle row d12). LSH-candidate semantics: collisions
+    * approximate cosine similarity — this is the dedup-at-ingest screen, a
+    * batch verify pass ([[cosineNearDupPairs]]) refines survivors when
+    * exact scores are needed.
+    */
+  def lshKeepFirst(embeddings: DataFrame, nTables: Int = 4, nPlanes: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val unit = withUnit(embeddings).select(col("vec_id"), col("unit"))
+    val keyed = unit
+      .select(col("vec_id"), posexplode(tableBucketsExpr(nTables, nPlanes, dim)).as(Seq("t", "bucket")))
+    val dropped = keyed.as("x")
+      .join(keyed.as("y"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("y.vec_id").as("vec_id"))
+    embeddings.select(col("vec_id")).join(dropped, Seq("vec_id"), "left_anti")
+  }
+
+  /** The per-row (table, bucket) array shared by the multi-table LSH ANN,
+    * [[lshKeepFirst]], and the streaming dedup — one definition of the
+    * bucketing so batch and streaming collide identically.
+    */
+  private def tableBucketsExpr(nTables: Int, nPlanes: Int, dim: Int): Column =
+    array((0 until nTables).map { t =>
+      lshPlanes(nPlanes, dim, start = t * nPlanes).zipWithIndex.map { case (p, j) =>
+        when(dot(col("unit"), typedlit(p.toSeq)) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** Streaming embedding dedup — dedup-on-ingest for a vector stream: a
+    * vector is dropped iff ANY of its `nTables` sign-hash buckets collides
+    * with one seen inside the watermark horizon (the embedding analog of
+    * [[graft.ops.Dedup.streamingNearDup]]). Bucketing is a per-row
+    * projection (no centroid pass — LSH needs no training), state is one
+    * entry per distinct (table, bucket) within the horizon, and the keep
+    * decision is the same two-stateful-operator chain: watermarked
+    * dropDuplicates on the bucket key, then a windowed per-vector count
+    * (survives iff all `nTables` rows were first-seen).
+    */
+  def streamingLshNearDup(embeddings: DataFrame, tsCol: String, delay: String,
+      nTables: Int = 4, nPlanes: Int = 8, dim: Int = 64,
+      windowDur: String = "10 seconds"): DataFrame = {
+    val unit = embeddings
+      .withColumn("_norm", norm(col("embedding")))
+      .withColumn("unit", transform(col("embedding"), x => x.cast("double") / col("_norm")))
+    val keyed = unit
+      .select(col("vec_id"), col(tsCol),
+        posexplode(tableBucketsExpr(nTables, nPlanes, dim)).as(Seq("t", "bucket")))
+    keyed
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("t", "bucket")
+      .groupBy(window(col(tsCol), windowDur), col("vec_id"))
+      .agg(count(lit(1)).as("n_tables"))
+      .filter(col("n_tables") === nTables)
+      .select(col("vec_id"))
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, restricted to

@@ -120,6 +120,44 @@ class VectorsSpec extends SparkSpec {
     assert(again.map(_._2.toSeq) === trained.map(_._2.toSeq))
   }
 
+  test("streaming LSH vector dedup ≡ batch keep-first over an id-ordered feed") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    // corpus with exact duplicates (collide in every table) and distinct
+    // vectors; 8 dims like the synthetic ANN corpus
+    val vecs: Seq[(Long, Array[Float])] = (0 until 10).map { id =>
+      val base = if (id == 3) 0 else if (id == 7) 1 else id // 3 dups 0, 7 dups 1
+      (id.toLong, Array.tabulate(8) { d =>
+        ((((base * 8 + d) * 2654435761L) % 997L) - 498L).toFloat / 498.0f
+      })
+    }
+    val expected = Vectors.lshKeepFirst(vecs.toDF("vec_id", "embedding"), dim = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(!expected.contains(3L) && !expected.contains(7L)) // exact dups dropped
+    // vec 0 (minimal id) always survives; other distinct vectors may be
+    // screened by incidental single-table sign collisions (by design —
+    // this is the aggressive ingest screen, not the exact verify pass)
+    assert(expected.contains(0L))
+    val ms = MemoryStream[(Long, Timestamp, Array[Float])]
+    val q = Vectors.streamingLshNearDup(
+      ms.toDF().toDF("vec_id", "ts", "embedding"), "ts", delay = "5 seconds",
+      dim = 8, windowDur = "10 seconds")
+      .writeStream.format("memory").queryName("svdedup")
+      .outputMode(OutputMode.Append).start()
+    val t0 = java.time.Instant.parse("2024-01-01T10:00:00Z")
+    vecs.zipWithIndex.foreach { case ((id, v), i) =>
+      ms.addData((id, Timestamp.from(t0.plusSeconds(i.toLong)), v))
+      q.processAllAvailable()
+    }
+    ms.addData((99L, Timestamp.from(t0.plusSeconds(3600L)), Array.fill(8)(1.0f)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("svdedup").collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(streamed === expected)
+  }
+
   test("cosine near-dup pairs above threshold, within bucket") {
     val pairs = Vectors.cosineNearDupPairs(emb, Seq(0L, 3L), threshold = 0.95)
       .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
