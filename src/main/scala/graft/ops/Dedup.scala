@@ -309,7 +309,25 @@ object Dedup {
   def nearDupKeepFirst(docs: DataFrame, k: Int = 5, bands: Int = 4): DataFrame = {
     val sigs = minhashSignaturesFromShingles(
       shingleIdsFromArrays(Vocab.hashTokenIdArrays(docs), k))
-    val dropped = candidatePairsFromSignatures(sigs, bands).select(col("doc_b").as("doc_id"))
+    val rowsPerBand = minhashCoeffs.size / bands
+    val bandCols = (0 until bands).map { bi =>
+      struct(
+        lit(bi).as("band"),
+        struct((0 until rowsPerBand).map(ri => col(s"sig_${bi * rowsPerBand + ri}").as(s"r$ri")): _*)
+          .as("sig"))
+    }
+    // "a smaller doc_id claims one of my band keys" ⟺ "some band key's
+    // min claimant is smaller" — per-key window-min is O(m) per band key
+    // where a bucket self-join is O(m²); a boilerplate-heavy corpus (many
+    // docs sharing one band key) can't quadratically explode a task.
+    val perKey = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))
+    val dropped = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+      .withColumn("min_id", min(col("doc_id")).over(perKey))
+      .filter(col("min_id") < col("doc_id"))
+      .select(col("doc_id"))
+      .distinct()
     docs.select(col("doc_id")).join(dropped, Seq("doc_id"), "left_anti")
   }
 

@@ -435,17 +435,24 @@ object Vectors {
     * approximate cosine similarity — this is the dedup-at-ingest screen, a
     * batch verify pass ([[cosineNearDupPairs]]) refines survivors when
     * exact scores are needed.
+    *
+    * Scale shape: "some smaller id claims my bucket" ⟺ "my bucket's
+    * min claimant is smaller", so dropped ids come from a per-bucket
+    * window-min — O(m) per bucket where the naive bucket self-join is
+    * O(m²), and a hot bucket (e.g. a batch of near-identical vectors)
+    * can't quadratically explode a task.
     */
   def lshKeepFirst(embeddings: DataFrame, nTables: Int = 4, nPlanes: Int = 8,
       dim: Int = 64): DataFrame = {
     val unit = withUnit(embeddings).select(col("vec_id"), col("unit"))
     val keyed = unit
       .select(col("vec_id"), posexplode(tableBucketsExpr(nTables, nPlanes, dim)).as(Seq("t", "bucket")))
-    val dropped = keyed.as("x")
-      .join(keyed.as("y"),
-        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("y.vec_id").as("vec_id"))
+    val perBucket = org.apache.spark.sql.expressions.Window.partitionBy(col("t"), col("bucket"))
+    val dropped = keyed
+      .withColumn("min_id", min(col("vec_id")).over(perBucket))
+      .filter(col("min_id") < col("vec_id"))
+      .select(col("vec_id"))
+      .distinct()
     embeddings.select(col("vec_id")).join(dropped, Seq("vec_id"), "left_anti")
   }
 
