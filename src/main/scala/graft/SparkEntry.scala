@@ -731,6 +731,14 @@ object SparkEntry {
       Dedup.jaccardPairsBlocked(
         Dedup.shingleIdsFromArrays(Dedup.charIds(Tables.documents(s, dir)), 3),
         threshold = 0.5, maxDf = 20L)),
+    "d13_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: src0 plays the eval suite; corpus docs
+      // sharing any 5-gram shingle with it are flagged (broadcast bench set)
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminate(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"))
+    }),
     "d6_cosine_neardup" -> ((s, dir) => {
       // ⌈√N⌉ spaced centroids: pair work stays O(N^1.5) and bucket
       // parallelism grows with the corpus (count() is metadata, not data)
@@ -791,6 +799,11 @@ object SparkEntry {
       // language-balancing quota sample on a deterministic hash shuffle key
       // (two-phase exact top-quota — no single-task-per-stratum window)
       TextOps.stratifiedSample(Tables.documents(s, dir), quota = 50)),
+    "x11_pack_sequences" -> ((s, dir) =>
+      // training-sequence packing via two-level distributed prefix sum;
+      // groupSize=8 (vs the 32768 default) so the test corpus actually
+      // exercises group, super-group, and top-level prefix stages
+      TextOps.packSequences(Tables.documents(s, dir), budget = 2048L, groupSize = 8L)),
 
     // ---- multimodal plumbing ----
     "m1_binary_meta" -> ((s, dir) =>
@@ -1071,6 +1084,24 @@ object SparkEntry {
     "d5_simhash" -> oracleSimhash,
     "d10_neardup_keep_first" -> oracleNearDupKeepFirst,
     "d12_vector_keep_first" -> oracleVectorKeepFirst,
+    "d13_decontaminate" -> {
+      val p = graft.ops.Dedup.minhashPrime
+      s"""WITH $oracleTokCtes,
+         |ids AS (SELECT doc_id, list(token_id ORDER BY pos) AS ids FROM tid GROUP BY doc_id),
+         |sh AS (SELECT DISTINCT doc_id, sid AS shingle_id FROM (
+         |  SELECT doc_id, unnest([list_reduce(list_prepend(CAST(0 AS BIGINT), ids[i:i+4]),
+         |                                     (a, t) -> (a * 37 + t + 1) % $p)
+         |                         for i in range(1, len(ids) - 3)]) AS sid
+         |  FROM ids)),
+         |src AS (SELECT doc_id, source FROM documents),
+         |bench AS (SELECT DISTINCT shingle_id FROM sh JOIN src USING (doc_id)
+         |          WHERE source = 'src0')
+         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM sh s JOIN src USING (doc_id) JOIN bench USING (shingle_id)
+         |WHERE source <> 'src0'
+         |GROUP BY 1
+         |HAVING count(*) >= 1""".stripMargin
+    },
     "d11_char_ngram_jaccard" -> {
       val p = graft.ops.Dedup.minhashPrime
       s"""WITH ch AS (SELECT doc_id, i AS pos, CAST(unicode(cs[i]) AS BIGINT) AS cp
@@ -1190,6 +1221,18 @@ object SparkEntry {
         |           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
         |  FROM tf JOIN df USING (term))
         |WHERE rank <= 5""".stripMargin,
+    "x11_pack_sequences" ->
+      // the packing prefix-sum is engine-shape-free: one global window
+      // attests Spark's two-level distributed form exactly
+      """WITH t AS (SELECT doc_id,
+        |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |          FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |      CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        |      FROM t)
+        |SELECT doc_id, n_tokens, cum // 2048 AS seq_id, cum % 2048 AS seq_offset
+        |FROM c""".stripMargin,
     "x9_normalize" ->
       """SELECT doc_id,
         |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),

@@ -331,6 +331,34 @@ object Dedup {
     docs.select(col("doc_id")).join(dropped, Seq("doc_id"), "left_anti")
   }
 
+  /** Benchmark decontamination — the training-data hygiene pass: flag
+    * corpus documents that share at least `minOverlap` distinct k-gram
+    * shingles with any document in `benchmark` (the eval/test suite whose
+    * contents must not leak into training data). Output:
+    * (doc_id, n_hits) for contaminated corpus docs, n_hits = number of
+    * distinct corpus-doc shingles present anywhere in the benchmark.
+    *
+    * Scale shape: the benchmark side is an eval suite — tiny relative to a
+    * 100 TB corpus — so its distinct shingle set is broadcast and the
+    * corpus streams through scan → shingle projection → broadcast
+    * hash-semi-join → partial-count agg: one shuffle (on doc_id, already
+    * the corpus key), no corpus self-join, no benchmark re-scan. Shingles
+    * come from the codegen'd rolling-hash expression, so the projection
+    * stays inside whole-stage codegen.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, k: Int = 5,
+      minOverlap: Int = 1): DataFrame = {
+    val corpusSh = shingleIdsFromArrays(Vocab.hashTokenIdArrays(corpus), k)
+    val benchSh = shingleIdsFromArrays(Vocab.hashTokenIdArrays(benchmark), k)
+      .select(col("shingle_id")).distinct()
+    corpusSh
+      .join(F.broadcast(benchSh), Seq("shingle_id"))
+      // shingle ids are distinct per doc, so count(*) = distinct overlap
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minOverlap)
+  }
+
   /** Streaming near-dup — dedup-on-ingest by MinHash-LSH band keys: a
     * document is dropped iff ANY of its `bands` band signatures collides
     * with one seen earlier inside the watermark horizon.

@@ -253,6 +253,62 @@ object TextOps {
       .select(col("doc_id"), col("stratum"), col("sample_rank"))
   }
 
+  /** Training-sequence packing — the last step before a pre-training run:
+    * concatenate the corpus in doc_id order and cut it into fixed
+    * `budget`-token sequences. Each document reports the sequence its
+    * first token lands in (`seq_id`) and its offset inside that sequence
+    * (`seq_offset`); a doc longer than the remaining room simply spans
+    * into the following sequence(s), GPT-style.
+    *
+    * The whole computation is an exclusive prefix sum of token counts in
+    * doc_id order. A single global `sum() OVER (ORDER BY doc_id)` would
+    * put the entire corpus in ONE task, so this runs the two-level
+    * distributed form instead:
+    *
+    *   1. within-group cumsum: window partitioned by `grp = doc_id div G`
+    *      (≤ G rows per task);
+    *   2. per-group totals, then a prefix over groups — itself windowed
+    *      per super-group (`grp div G`, ≤ G rows per task) plus a final
+    *      prefix over super-group totals. That final frame has N/G² rows
+    *      (< 10 even at 10¹⁰ documents with G = 32768), so its prefix is
+    *      a triangular self-join — bounded work, and no global-ORDER-BY
+    *      window anywhere in the plan.
+    *
+    * Exact for any G (spec-pinned group-size invariance). Output:
+    * (doc_id, n_tokens, seq_id, seq_offset).
+    */
+  def packSequences(docs: DataFrame, budget: Long = 2048L,
+      groupSize: Long = 32768L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val base = docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      expr(s"doc_id div $groupSize").as("grp"))
+    val inGrp = W.partitionBy(col("grp")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val g1 = base.groupBy(col("grp"))
+      .agg(sum(col("n_tokens")).as("grp_tokens"))
+      .withColumn("sup", expr(s"grp div $groupSize"))
+    val inSup = W.partitionBy(col("sup")).orderBy(col("grp"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val g2 = g1.groupBy(col("sup")).agg(sum(col("grp_tokens")).as("sup_tokens"))
+    val supOffsets = g2.as("a")
+      .join(g2.as("b"), col("b.sup") < col("a.sup"), "left")
+      .groupBy(col("a.sup").as("sup"))
+      .agg(coalesce(sum(col("b.sup_tokens")), lit(0L)).as("sup_offset"))
+    val grpOffsets = g1
+      .withColumn("grp_cum", coalesce(sum(col("grp_tokens")).over(inSup), lit(0L)))
+      .join(broadcast(supOffsets), Seq("sup"))
+      .select(col("grp"), (col("sup_offset") + col("grp_cum")).as("grp_offset"))
+    base
+      .withColumn("doc_cum", coalesce(sum(col("n_tokens")).over(inGrp), lit(0L)))
+      .join(broadcast(grpOffsets), Seq("grp"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        expr(s"(grp_offset + doc_cum) div $budget").as("seq_id"),
+        ((col("grp_offset") + col("doc_cum")) % budget).as("seq_offset"))
+  }
+
   /** Deterministic document fingerprint: position-weighted token hash folded
     * modulo a Mersenne prime. Token ids come from a corpus-level vocabulary
     * rank (see [[Vocab]]) so the oracle can reproduce the exact hash without

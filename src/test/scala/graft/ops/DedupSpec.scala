@@ -27,6 +27,25 @@ class DedupSpec extends SparkSpec {
     assert(byDigest.toSeq === byText.toSeq)
   }
 
+  test("decontaminate flags benchmark-overlapping docs with the overlap count") {
+    // benchmark doc 0 shares its full 9-token text with corpus doc 10 (5
+    // distinct 5-gram shingles) and a 5-token prefix with doc 11 (1
+    // shingle); doc 12 shares nothing
+    val bench = Seq((0L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps far away from here"),
+      (12L, "completely different words entirely here now again today ok")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits"))).toMap
+    assert(out === Map(10L -> 5L, 11L -> 1L))
+    // raising the overlap floor drops the single-shingle hit
+    val strict = Dedup.decontaminate(corpus, bench, minOverlap = 2)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(strict === Set(10L))
+  }
+
   test("curation: dedup representative + quality gate compose") {
     import org.apache.spark.sql.functions._
     val longText = ("the quick brown fox jumps over a lazy dog and " * 4).trim

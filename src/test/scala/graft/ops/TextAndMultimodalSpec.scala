@@ -107,4 +107,37 @@ class TextAndMultimodalSpec extends SparkSpec {
       Seq((1L, "x", "en"), (2L, "y", "fr")).toDF("doc_id", "text", "lang"), quota = 5)
     assert(tiny.count() === 2L)
   }
+
+  test("sequence packing: two-level prefix sum ≡ naive global window, any group size") {
+    import org.apache.spark.sql.functions._
+    // variable-length docs over many partitions; sparse, non-contiguous ids
+    // so groups have ragged sizes and some are empty
+    val corpus = (0L until 300L).filter(i => i % 7 != 3).map { id =>
+      (id * 3, ("w " * (1 + (id % 23)).toInt).trim)
+    }.toDF("doc_id", "text").repartition(11)
+    val budget = 64L
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("doc_id")).rowsBetween(Long.MinValue, -1)
+    val naive = corpus
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cum div $budget").as("seq_id"), (col("cum") % budget).as("seq_offset"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    for (g <- Seq(4L, 16L, 1024L)) {
+      val packed = TextOps.packSequences(corpus, budget = budget, groupSize = g)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(packed === naive, s"groupSize=$g")
+    }
+    // sequences fill to exactly the budget: each doc starts where the
+    // previous ended (offset arithmetic is the concatenation order)
+    val packed = TextOps.packSequences(corpus, budget = budget, groupSize = 16L)
+      .orderBy("doc_id").collect()
+    packed.sliding(2).foreach { case Array(a, b) =>
+      val endA = a.getAs[Long]("seq_id") * budget + a.getAs[Long]("seq_offset") +
+        a.getAs[Long]("n_tokens")
+      val startB = b.getAs[Long]("seq_id") * budget + b.getAs[Long]("seq_offset")
+      assert(endA === startB)
+    }
+  }
 }
