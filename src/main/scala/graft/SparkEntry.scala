@@ -804,6 +804,10 @@ object SparkEntry {
       // groupSize=8 (vs the 32768 default) so the test corpus actually
       // exercises group, super-group, and top-level prefix stages
       TextOps.packSequences(Tables.documents(s, dir), budget = 2048L, groupSize = 8L)),
+    "x12_global_shuffle" -> ((s, dir) =>
+      // deterministic corpus shuffle: explicit position in hash order via
+      // the same bucketed prefix machinery — no global-ORDER-BY window
+      TextOps.globalShuffle(Tables.documents(s, dir))),
 
     // ---- multimodal plumbing ----
     "m1_binary_meta" -> ((s, dir) =>
@@ -1233,6 +1237,15 @@ object SparkEntry {
         |      FROM t)
         |SELECT doc_id, n_tokens, cum // 2048 AS seq_id, cum % 2048 AS seq_offset
         |FROM c""".stripMargin,
+    "x12_global_shuffle" ->
+      // one global row_number attests the bucketed prefix-count exactly
+      s"""WITH k AS (SELECT doc_id,
+         |       ((doc_id % ${TextOps.fingerprintMod}) * (2654435761 % ${TextOps.fingerprintMod}))
+         |         % ${TextOps.fingerprintMod} AS shuffle_key
+         |     FROM documents)
+         |SELECT doc_id,
+         |       CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS shuffle_pos
+         |FROM k""".stripMargin,
     "x9_normalize" ->
       """SELECT doc_id,
         |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),

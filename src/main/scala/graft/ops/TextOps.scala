@@ -279,34 +279,75 @@ object TextOps {
     */
   def packSequences(docs: DataFrame, budget: Long = 2048L,
       groupSize: Long = 32768L): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
     val base = docs.select(
       col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("n_tokens"),
-      expr(s"doc_id div $groupSize").as("grp"))
-    val inGrp = W.partitionBy(col("grp")).orderBy(col("doc_id"))
-      .rowsBetween(W.unboundedPreceding, -1)
-    val g1 = base.groupBy(col("grp"))
-      .agg(sum(col("n_tokens")).as("grp_tokens"))
-      .withColumn("sup", expr(s"grp div $groupSize"))
-    val inSup = W.partitionBy(col("sup")).orderBy(col("grp"))
-      .rowsBetween(W.unboundedPreceding, -1)
-    val g2 = g1.groupBy(col("sup")).agg(sum(col("grp_tokens")).as("sup_tokens"))
-    val supOffsets = g2.as("a")
-      .join(g2.as("b"), col("b.sup") < col("a.sup"), "left")
-      .groupBy(col("a.sup").as("sup"))
-      .agg(coalesce(sum(col("b.sup_tokens")), lit(0L)).as("sup_offset"))
-    val grpOffsets = g1
-      .withColumn("grp_cum", coalesce(sum(col("grp_tokens")).over(inSup), lit(0L)))
-      .join(broadcast(supOffsets), Seq("sup"))
-      .select(col("grp"), (col("sup_offset") + col("grp_cum")).as("grp_offset"))
-    base
-      .withColumn("doc_cum", coalesce(sum(col("n_tokens")).over(inGrp), lit(0L)))
-      .join(broadcast(grpOffsets), Seq("grp"))
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    exclusivePrefix(base, "doc_id", "doc_id", "n_tokens", groupSize)
       .select(
         col("doc_id"), col("n_tokens"),
-        expr(s"(grp_offset + doc_cum) div $budget").as("seq_id"),
-        ((col("grp_offset") + col("doc_cum")) % budget).as("seq_offset"))
+        expr(s"_prefix div $budget").as("seq_id"),
+        (col("_prefix") % budget).as("seq_offset"))
+  }
+
+  /** Exclusive prefix sum of `valueCol` over rows ordered by
+    * (`orderCol`, `idCol`) — the distributed scan primitive behind
+    * [[packSequences]] and [[globalShuffle]]. Appends `_prefix` = sum of
+    * `valueCol` over all strictly-earlier rows.
+    *
+    * Three bounded levels, never a global-ORDER-BY window:
+    * within-bucket window (bucket = orderCol div bucketWidth), per-bucket
+    * totals windowed per super-bucket, and a triangular self-join over the
+    * super-bucket totals (≤ range(orderCol)/bucketWidth² rows — bounded by
+    * construction, e.g. < 10 at 10¹⁰ contiguous ids). The two offset
+    * frames are value-count-sized and broadcast. `idCol` breaks orderCol
+    * ties so the prefix is total-order deterministic.
+    */
+  private[ops] def exclusivePrefix(df: DataFrame, orderCol: String, idCol: String,
+      valueCol: String, bucketWidth: Long): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.withColumn("_grp", expr(s"$orderCol div $bucketWidth"))
+    val inGrp = W.partitionBy(col("_grp")).orderBy(col(orderCol), col(idCol))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val g1 = base.groupBy(col("_grp"))
+      .agg(sum(col(valueCol)).as("_grp_tot"))
+      .withColumn("_sup", expr(s"_grp div $bucketWidth"))
+    val inSup = W.partitionBy(col("_sup")).orderBy(col("_grp"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val g2 = g1.groupBy(col("_sup")).agg(sum(col("_grp_tot")).as("_sup_tot"))
+    val supOffsets = g2.as("a")
+      .join(g2.as("b"), col("b._sup") < col("a._sup"), "left")
+      .groupBy(col("a._sup").as("_sup"))
+      .agg(coalesce(sum(col("b._sup_tot")), lit(0L)).as("_sup_off"))
+    val grpOffsets = g1
+      .withColumn("_grp_cum", coalesce(sum(col("_grp_tot")).over(inSup), lit(0L)))
+      .join(broadcast(supOffsets), Seq("_sup"))
+      .select(col("_grp"), (col("_sup_off") + col("_grp_cum")).as("_grp_off"))
+    base
+      .withColumn("_row_cum", coalesce(sum(col(valueCol)).over(inGrp), lit(0L)))
+      .join(broadcast(grpOffsets), Seq("_grp"))
+      .withColumn("_prefix", col("_grp_off") + col("_row_cum"))
+      .drop("_grp", "_row_cum", "_grp_off")
+  }
+
+  /** Deterministic global shuffle — the corpus-order randomization step
+    * upstream of [[packSequences]]: every document gets an explicit
+    * position in the order of a deterministic multiplicative hash of its
+    * id (same keying as [[stratifiedSample]] — no RNG, identical on every
+    * engine and run). Output: (doc_id, shuffle_pos), positions 0…N−1,
+    * dense and collision-free (hash ties broken by doc_id).
+    *
+    * shuffle_pos is the exclusive prefix COUNT in hash order, computed by
+    * [[exclusivePrefix]] over hash-value buckets — no global-ORDER-BY
+    * window, no zipWithIndex barrier job; bucket balance follows from the
+    * multiplicative hash spreading ids uniformly over [0, p).
+    */
+  def globalShuffle(docs: DataFrame): DataFrame = {
+    val p = fingerprintMod
+    val h = ((col("doc_id") % p) * lit(2654435761L % p)) % p
+    // p = 2³¹−1 hash values over ~2¹⁰ buckets ⇒ bucketWidth = 2²¹
+    val keyed = docs.select(col("doc_id"), h.as("shuffle_key"), lit(1L).as("one"))
+    exclusivePrefix(keyed, "shuffle_key", "doc_id", "one", 1L << 21)
+      .select(col("doc_id"), col("_prefix").as("shuffle_pos"))
   }
 
   /** Deterministic document fingerprint: position-weighted token hash folded

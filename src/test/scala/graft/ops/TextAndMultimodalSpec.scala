@@ -140,4 +140,20 @@ class TextAndMultimodalSpec extends SparkSpec {
       assert(endA === startB)
     }
   }
+
+  test("global shuffle: dense 0..N-1 permutation equal to the naive hash-order rank") {
+    import org.apache.spark.sql.functions._
+    val corpus = (0L until 500L).map(id => (id * 7, s"doc $id"))
+      .toDF("doc_id", "text").repartition(9)
+    val out = TextOps.globalShuffle(corpus).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shuffle_pos")))
+    assert(out.map(_._2).sorted.toSeq === (0L until 500L)) // dense permutation
+    val p = TextOps.fingerprintMod
+    val naive = corpus
+      .select(col("doc_id"), (((col("doc_id") % p) * lit(2654435761L % p)) % p).as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, k) => (k, id) }.map(_._1)
+      .zipWithIndex.map { case (id, i) => (id, i.toLong) }.toMap
+    out.foreach { case (id, pos) => assert(pos === naive(id), s"doc $id") }
+  }
 }
