@@ -749,6 +749,14 @@ object SparkEntry {
     // ---- similarity search ----
     "s1_ann_bruteforce" -> ((s, dir) =>
       Vectors.bruteForceTopK(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
+    "s7_ann_filtered" -> ((s, dir) => {
+      // hybrid search: neighbors drawn only from quality-passing documents
+      // (vec_id ≡ doc_id); the gate is a semi join applied before scoring
+      val allowed = Tables.documents(s, dir)
+        .filter(TextOps.qualityPassExpr(col("text")))
+        .select(col("doc_id").as("vec_id"))
+      Vectors.bruteForceTopKFiltered(Tables.embeddings(s, dir), allowed, 0L until 8L, k = 10)
+    }),
     "s2_ann_ivf" -> ((s, dir) => {
       // ⌈√N⌉ spaced centroids like d6/s4/s6 — bucket count grows with the
       // corpus (a constant count would degrade to O(N²/C) pair scans)
@@ -808,6 +816,10 @@ object SparkEntry {
       // deterministic corpus shuffle: explicit position in hash order via
       // the same bucketed prefix machinery — no global-ORDER-BY window
       TextOps.globalShuffle(Tables.documents(s, dir))),
+    "x13_repetition" -> ((s, dir) =>
+      // intra-doc k-gram repetition ratio (Gopher-style quality signal) —
+      // a pure codegen projection: shingle-array size vs token arithmetic
+      TextOps.repetitionStats(Tables.documents(s, dir))),
 
     // ---- multimodal plumbing ----
     "m1_binary_meta" -> ((s, dir) =>
@@ -1237,6 +1249,45 @@ object SparkEntry {
         |      FROM t)
         |SELECT doc_id, n_tokens, cum // 2048 AS seq_id, cum % 2048 AS seq_offset
         |FROM c""".stripMargin,
+    "s7_ann_filtered" ->
+      s"""WITH $oracleEmbCte,
+         |qual AS (SELECT doc_id,
+         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |       CAST(len(list_filter(string_split(text, ' '),
+         |              s -> list_contains(['the','a','of','and','to','in'], s))) AS BIGINT) AS n_stop,
+         |       CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         |         / len(string_split(text, ' ')) AS mtl
+         |     FROM documents),
+         |allowed AS (SELECT doc_id AS vec_id FROM qual
+         |            WHERE n_tokens >= 32 AND mtl >= 2.0 AND mtl <= 12.0 AND n_stop > 0),
+         |ec AS (SELECT e.* FROM e JOIN allowed USING (vec_id)),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+         |scored AS (SELECT query_id, ec.vec_id AS neighbor_id, ${oracleCos("q.qv", "ec.v")} AS sim
+         |           FROM q, ec WHERE ec.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
+         |WHERE rank <= 10""".stripMargin,
+    "x13_repetition" -> {
+      val p = graft.ops.Dedup.minhashPrime
+      s"""WITH $oracleTokCtes,
+         |ids AS (SELECT doc_id, list(token_id ORDER BY pos) AS ids FROM tid GROUP BY doc_id),
+         |sh AS (SELECT DISTINCT doc_id, sid FROM (
+         |  SELECT doc_id, unnest([list_reduce(list_prepend(CAST(0 AS BIGINT), ids[i:i+2]),
+         |                                     (a, t) -> (a * 37 + t + 1) % $p)
+         |                         for i in range(1, len(ids) - 1)]) AS sid
+         |  FROM ids)),
+         |dc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd FROM sh GROUP BY 1),
+         |tot AS (SELECT doc_id,
+         |        GREATEST(CAST(len(string_split(text, ' ')) AS BIGINT) - 2, 0) AS n_grams
+         |        FROM documents)
+         |SELECT t.doc_id, n_grams,
+         |       COALESCE(nd, 0) AS n_distinct_grams,
+         |       CASE WHEN n_grams > 0
+         |            THEN 1 - CAST(COALESCE(nd, 0) AS DOUBLE) / n_grams
+         |            ELSE 0.0 END AS rep_ratio
+         |FROM tot t LEFT JOIN dc USING (doc_id)""".stripMargin
+    },
     "x12_global_shuffle" ->
       // one global row_number attests the bucketed prefix-count exactly
       s"""WITH k AS (SELECT doc_id,

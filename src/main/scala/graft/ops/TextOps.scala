@@ -350,6 +350,29 @@ object TextOps {
       .select(col("doc_id"), col("_prefix").as("shuffle_pos"))
   }
 
+  /** Intra-document repetition — the Gopher-style quality signal: the
+    * fraction of a document's word k-grams that are repeats of an earlier
+    * k-gram in the same document. High ratios flag boilerplate loops,
+    * keyword stuffing, and degenerate generations.
+    *
+    * Pure per-row projection: total k-grams is arithmetic on the token
+    * count, distinct k-grams is the size of the codegen'd rolling-hash
+    * shingle array — no explode, no shuffle, the whole thing fuses into
+    * the scan's whole-stage-codegen pass. Output: (doc_id, n_grams,
+    * n_distinct_grams, rep_ratio).
+    */
+  def repetitionStats(docs: DataFrame, k: Int = 3): DataFrame = {
+    val withIds = Vocab.hashTokenIdArrays(docs)
+    val nGrams = greatest(size(col("ids")).cast("long") - (k - 1), lit(0L))
+    val nDistinct = size(org.apache.spark.sql.graft.ShingleHash.column(col("ids"), k)).cast("long")
+    withIds.select(
+      col("doc_id"),
+      nGrams.as("n_grams"),
+      nDistinct.as("n_distinct_grams"),
+      when(nGrams > 0, lit(1.0) - nDistinct.cast("double") / nGrams)
+        .otherwise(lit(0.0)).as("rep_ratio"))
+  }
+
   /** Deterministic document fingerprint: position-weighted token hash folded
     * modulo a Mersenne prime. Token ids come from a corpus-level vocabulary
     * rank (see [[Vocab]]) so the oracle can reproduce the exact hash without

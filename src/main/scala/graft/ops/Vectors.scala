@@ -70,6 +70,33 @@ object Vectors {
     topKPerGroup(scored, "query_id", k)
   }
 
+  /** Predicate-filtered exact ANN — the hybrid-search shape: top-k cosine
+    * neighbors drawn only from vectors whose id passes a relational
+    * predicate (here: any (vec_id) frame, e.g. documents surviving a
+    * quality gate). Queries search INTO the filtered corpus but are not
+    * themselves required to pass it.
+    *
+    * Scale shape: the predicate arrives as an id set and is applied with a
+    * left-semi equi-join on the shared key BEFORE scoring — with the
+    * corpus and filter tables bucketed on the id (see BucketedLayout) the
+    * semi join is exchange-free, and the scoring pass then touches only
+    * surviving vectors. Queries broadcast; the corpus never shuffles.
+    */
+  def bruteForceTopKFiltered(embeddings: DataFrame, allowedIds: DataFrame,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    val unit = withUnit(embeddings).select(col("vec_id"), col("unit"))
+    val queries = unit
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("unit").as("q"))
+    val corpus = unit
+      .join(allowedIds.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("neighbor_id"), col("unit").as("e"))
+    val scored = F.broadcast(queries)
+      .join(corpus, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("q"), col("e")).as("sim"))
+    topKPerGroup(scored, "query_id", k)
+  }
+
   /** Rank candidates per group by (sim desc, neighbor asc) and keep top-k. */
   private def topKPerGroup(scored: DataFrame, groupCol: String, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -141,6 +141,21 @@ class TextAndMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("repetition stats: repeated k-grams raise the ratio, distinct text scores 0") {
+    val corpus = Seq(
+      (0L, "a b c a b c a b c"),            // 7 trigrams, 3 distinct
+      (1L, "one two three four five six"),  // 4 trigrams, all distinct
+      (2L, "x y")                           // shorter than k: no trigrams
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_distinct_grams"),
+          r.getAs[Double]("rep_ratio")))).toMap
+    assert(out(0L) === ((7L, 3L, 1.0 - 3.0 / 7)))
+    assert(out(1L) === ((4L, 4L, 0.0)))
+    assert(out(2L) === ((0L, 0L, 0.0)))
+  }
+
   test("global shuffle: dense 0..N-1 permutation equal to the naive hash-order rank") {
     import org.apache.spark.sql.functions._
     val corpus = (0L until 500L).map(id => (id * 7, s"doc $id"))

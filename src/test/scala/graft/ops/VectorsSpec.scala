@@ -158,6 +158,21 @@ class VectorsSpec extends SparkSpec {
     assert(streamed === expected)
   }
 
+  test("filtered ANN: neighbors come only from the allowed set, ranks re-close") {
+    import org.apache.spark.sql.functions._
+    val allowed = Seq(0L, 2L, 4L, 6L, 8L).toDF("vec_id")
+    val filtered = Vectors.bruteForceTopKFiltered(emb, allowed, Seq(1L), k = 3)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank")))
+    assert(filtered.map(_._1).forall(Set(0L, 2L, 4L, 6L, 8L)))
+    assert(filtered.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L))
+    // equals brute force restricted post-hoc, re-ranked
+    val full = Vectors.bruteForceTopK(emb, Seq(1L), k = 100)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank")))
+      .filter(p => Set(0L, 2L, 4L, 6L, 8L)(p._1))
+      .sortBy(_._2).map(_._1).take(3)
+    assert(filtered.sortBy(_._2).map(_._1).toSeq === full.toSeq)
+  }
+
   test("cosine near-dup pairs above threshold, within bucket") {
     val pairs = Vectors.cosineNearDupPairs(emb, Seq(0L, 3L), threshold = 0.95)
       .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
