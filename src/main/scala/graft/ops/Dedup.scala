@@ -359,6 +359,33 @@ object Dedup {
       .filter(col("n_hits") >= minOverlap)
   }
 
+  /** The stateless form of [[decontaminate]] — for dedup-at-ingest the
+    * benchmark's distinct shingle ids are pinned as a sorted literal array
+    * (eval suites are driver-memory-sized by nature) and each document's
+    * hit count is `size(array_intersect(doc_shingles, bench))`: a pure
+    * projection with zero shuffles and zero streaming state, so the same
+    * code screens a batch frame and a structured stream (append mode,
+    * no watermark needed — spec-attested streaming ≡ batch). Output: the
+    * input rows plus `n_hits`; callers filter `n_hits < minOverlap` for
+    * the clean stream or `>=` for the quarantine side.
+    */
+  def decontaminateStateless(docs: DataFrame, benchShingleIds: Array[Long],
+      k: Int = 5): DataFrame = {
+    val sh = org.apache.spark.sql.graft.ShingleHash.column(
+      org.apache.spark.sql.graft.TokenHashArray.column(graft.ops.TextOps.tokens(col("text"))), k)
+    docs.withColumn("n_hits",
+      size(array_intersect(sh, typedlit(benchShingleIds.sorted.toSeq))).cast("long"))
+  }
+
+  /** Collect a benchmark frame's distinct shingle ids for
+    * [[decontaminateStateless]] — run once per benchmark release, not per
+    * batch.
+    */
+  def benchmarkShingleIds(benchmark: DataFrame, k: Int = 5): Array[Long] =
+    shingleIdsFromArrays(Vocab.hashTokenIdArrays(benchmark), k)
+      .select(col("shingle_id")).distinct()
+      .collect().map(_.getLong(0))
+
   /** Streaming near-dup — dedup-on-ingest by MinHash-LSH band keys: a
     * document is dropped iff ANY of its `bands` band signatures collides
     * with one seen earlier inside the watermark horizon.

@@ -84,6 +84,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("new pipeline ops keep their scale shapes: broadcasts, no global window, WSCG") {
+    val dir = "/root/testdata/sf0.001"
+    // d13: the benchmark shingle set reaches the corpus as a broadcast join
+    val d13 = SparkEntry.queries("d13_decontaminate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(d13.contains("BroadcastHashJoin"), d13)
+    // x11/x12: the distributed prefix plans contain no partition-less
+    // window (the single-task global ORDER BY both ops exist to avoid)
+    for (q <- Seq("x11_pack_sequences", "x12_global_shuffle")) {
+      val exec = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+      val bare = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(bare.isEmpty, s"$q has ${bare.size} partition-less window(s)")
+    }
+    // x13: pure projection — no exchange, stays inside whole-stage codegen
+    val x13 = SparkEntry.queries("x13_repetition")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!x13.contains("Exchange"), x13)
+    assert(x13.contains("*("), x13)
+    // s7: the quality gate is a semi join; queries broadcast for scoring
+    val s7 = SparkEntry.queries("s7_ann_filtered")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(s7.contains("LeftSemi"), s7)
+    assert(s7.contains("BroadcastNestedLoopJoin"), s7)
+  }
+
   test("ingest chain fuses into a single whole-stage-codegen span") {
     val q = SparkEntry.queries("b7_ingest_flatten")(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString

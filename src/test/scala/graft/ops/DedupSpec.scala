@@ -46,6 +46,38 @@ class DedupSpec extends SparkSpec {
     assert(strict === Set(10L))
   }
 
+  test("stateless decontamination screens a stream identically to the batch op") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((0L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps far away from here"),
+      (12L, "completely different words entirely here now again today ok"))
+    val benchIds = Dedup.benchmarkShingleIds(bench)
+    val batch = Dedup.decontaminateStateless(corpus.toDF("doc_id", "text"), benchIds)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits"))).toMap
+    // same verdicts as the aggregating batch op (10: full overlap, 11: one
+    // shingle, 12: clean -> n_hits 0, a row the join form never emits)
+    assert(batch === Map(10L -> 5L, 11L -> 1L, 12L -> 0L))
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val q = Dedup.decontaminateStateless(
+      ms.toDF().toDF("doc_id", "ts", "text"), benchIds)
+      .select("doc_id", "n_hits")
+      .writeStream.format("memory").queryName("sdecon")
+      .outputMode(OutputMode.Append).start()
+    val t0 = java.time.Instant.parse("2024-01-01T10:00:00Z")
+    corpus.zipWithIndex.foreach { case ((id, text), i) =>
+      ms.addData((id, Timestamp.from(t0.plusSeconds(i.toLong)), text))
+    }
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sdecon").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits"))).toMap
+    assert(streamed === batch)
+  }
+
   test("curation: dedup representative + quality gate compose") {
     import org.apache.spark.sql.functions._
     val longText = ("the quick brown fox jumps over a lazy dog and " * 4).trim
