@@ -749,6 +749,10 @@ object SparkEntry {
     // ---- similarity search ----
     "s1_ann_bruteforce" -> ((s, dir) =>
       Vectors.bruteForceTopK(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
+    "s8_ann_quantized" -> ((s, dir) =>
+      // 8-bit scalar quantization + integer-dot scoring: the 100 TB
+      // memory/bandwidth form (codes are 8x smaller than float64 units)
+      Vectors.quantizedTopK(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
     "s7_ann_filtered" -> ((s, dir) => {
       // hybrid search: neighbors drawn only from quality-passing documents
       // (vec_id ≡ doc_id); the gate is a semi join applied before scoring
@@ -1163,6 +1167,27 @@ object SparkEntry {
          |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
          |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
          |WHERE rank <= 10""".stripMargin,
+    // quantization is over RAW (unnormalized) embeddings: per-dimension
+    // min/max are exact aggs, the scale expression runs in the identical
+    // operand order on both engines, and the dot over integer-valued codes
+    // is exact in double — so codes, sims, and ranks are bit-reproducible
+    "s8_ann_quantized" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex AS (SELECT vec_id, unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x FROM e),
+        |stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i),
+        |codes AS (SELECT vec_id, i,
+        |            CASE WHEN mx > mn THEN least(floor((x - mn) * 255.0 / (mx - mn)), 255.0)
+        |                 ELSE 0.0 END AS c
+        |          FROM ex JOIN stats USING (i)),
+        |qv AS (SELECT vec_id, list(c ORDER BY i) AS cv FROM codes GROUP BY vec_id),
+        |q AS (SELECT vec_id AS query_id, cv AS a FROM qv WHERE vec_id < 8),
+        |scored AS (SELECT query_id, qv.vec_id AS neighbor_id,
+        |             CAST(list_dot_product(a, qv.cv) AS BIGINT) AS sim
+        |           FROM q, qv WHERE qv.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
+        |WHERE rank <= 10""".stripMargin,
     "s2_ann_ivf" ->
       s"""WITH $oracleEmbCte,
          |$oracleSpacedAssigned,

