@@ -824,6 +824,25 @@ object SparkEntry {
       // intra-doc k-gram repetition ratio (Gopher-style quality signal) —
       // a pure codegen projection: shingle-array size vs token arithmetic
       TextOps.repetitionStats(Tables.documents(s, dir))),
+    "x14_pii_redaction" -> ((s, dir) => {
+      // the corpus is synthetic words, so the query seeds one deterministic
+      // email/IP/phone per document before scrubbing — the redaction itself
+      // (and the cross-engine regex semantics) is what the oracle attests
+      val docs = Tables.documents(s, dir)
+      val seeded = docs.select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          lit(" contact u"), col("doc_id"), lit("@"), col("source"), lit(".net"),
+          lit(" ip 10.0."), col("doc_id") % 256, lit(".7"),
+          lit(" tel 555-123-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")
+        ).as("text"))
+      TextOps.redactPii(seeded)
+    }),
+    "x15_temperature_sample" -> ((s, dir) =>
+      // multilingual data mixing: α=0.5 temperature rebalancing with a
+      // deterministic hash-threshold keep decision — zero corpus shuffle
+      TextOps.temperatureSample(Tables.documents(s, dir))),
 
     // ---- multimodal plumbing ----
     "m1_binary_meta" -> ((s, dir) =>
@@ -1313,6 +1332,31 @@ object SparkEntry {
          |            ELSE 0.0 END AS rep_ratio
          |FROM tot t LEFT JOIN dc USING (doc_id)""".stripMargin
     },
+    "x14_pii_redaction" ->
+      s"""WITH seeded AS (SELECT doc_id,
+         |  text || ' contact u' || CAST(doc_id AS VARCHAR) || '@' || source || '.net'
+         |       || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+         |       || ' tel 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextOps.emailRe}', '<EMAIL>', 'g'),
+         |    '${TextOps.ipv4Re}', '<IP>', 'g'),
+         |    '${TextOps.phoneRe}', '<PHONE>', 'g') AS clean_text,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.emailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.ipv4Re}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.phoneRe}')) AS BIGINT) AS n_phones
+         |FROM seeded""".stripMargin,
+    "x15_temperature_sample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |m AS (SELECT min(n) AS nmin FROM c),
+         |r AS (SELECT lang, CAST(floor(sqrt(CAST(nmin AS DOUBLE) / n) * 1000000.0) AS BIGINT)
+         |        AS keep_ppm FROM c, m)
+         |SELECT d.doc_id, d.lang, r.keep_ppm
+         |FROM documents d JOIN r USING (lang)
+         |WHERE (((d.doc_id % ${TextOps.fingerprintMod})
+         |        * (2654435761 % ${TextOps.fingerprintMod}))
+         |        % ${TextOps.fingerprintMod}) % 1000000 < r.keep_ppm""".stripMargin,
     "x12_global_shuffle" ->
       // one global row_number attests the bucketed prefix-count exactly
       s"""WITH k AS (SELECT doc_id,

@@ -373,6 +373,74 @@ object TextOps {
         .otherwise(lit(0.0)).as("rep_ratio"))
   }
 
+  // PII patterns — ASCII-only constructs (char classes, {m,n}, \b) that
+  // parse identically under Java regex (Spark) and RE2 (DuckDB). Kept
+  // deliberately simple: the operator contract is "find-and-replace spans,
+  // count before replacing", not a production PII taxonomy.
+  val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe: String = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII redaction — the scrub pass a training corpus runs before anything
+    * is retained: emails, IPv4 addresses, and phone-shaped numbers are
+    * replaced with typed placeholder tokens, and per-document match counts
+    * are reported for curation stats. Counts are taken on the ORIGINAL
+    * text; replacements apply in a fixed order (email → ip → phone) so both
+    * engines rewrite identically even if a pattern could match inside
+    * another's replacement neighborhood.
+    *
+    * Pure codegen projection (regexp_replace / regexp_extract_all): fuses
+    * into the scan, zero shuffles — a 100 TB corpus streams through at I/O
+    * speed. Output: (doc_id, clean_text, n_emails, n_ips, n_phones).
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+    docs.select(
+      col("doc_id"),
+      scrubbed.as("clean_text"),
+      size(regexp_extract_all(t, lit(emailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(t, lit(phoneRe), lit(0))).cast("long").as("n_phones"))
+  }
+
+  /** Temperature-based language rebalancing — the data-mixing step of a
+    * multilingual pre-training pipeline: downsample over-represented
+    * languages toward the α=0.5 temperature distribution. Keep rate for
+    * language l is √(n_min / n_l): the rarest language keeps everything,
+    * a language 100× larger keeps 10% — expected kept size √(n_min·n_l),
+    * exactly the p^α flattening (α=½ uses `sqrt`, which is IEEE
+    * correctly-rounded on both engines; arbitrary α would need `pow`,
+    * which isn't bit-reproducible cross-engine).
+    *
+    * Selection is deterministic (no RNG): doc is kept iff its
+    * multiplicative hash mod 10⁶ falls below the language's keep-rate in
+    * ppm — reproducible across engines, runs, and partitionings. Dataflow:
+    * one map-side-combined count per language (tiny), broadcast back, then
+    * a pure filter projection — no corpus shuffle at any scale.
+    * Output: kept (doc_id, lang, keep_ppm).
+    */
+  def temperatureSample(docs: DataFrame, strataCol: String = "lang"): DataFrame = {
+    val p = fingerprintMod
+    val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+    // global min via a one-row agg cross-joined back (both sides are
+    // |languages|-sized metadata; avoids an unpartitioned window entirely)
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n")).as("nmin"))))
+      .withColumn("keep_ppm",
+        floor(sqrt(col("nmin").cast("double") / col("n")) * lit(1000000.0)).cast("long"))
+      .select(col(strataCol), col("keep_ppm"))
+    val h = (((col("doc_id") % p) * lit(2654435761L % p)) % p) % 1000000L
+    docs.select(col("doc_id"), col(strataCol))
+      .join(broadcast(rates), strataCol)
+      .filter(h < col("keep_ppm"))
+      .select(col("doc_id"), col(strataCol), col("keep_ppm"))
+  }
+
   /** Deterministic document fingerprint: position-weighted token hash folded
     * modulo a Mersenne prime. Token ids come from a corpus-level vocabulary
     * rank (see [[Vocab]]) so the oracle can reproduce the exact hash without

@@ -156,6 +156,48 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(out(2L) === ((0L, 0L, 0.0)))
   }
 
+  test("pii redaction: typed placeholders, counts on original text, clean text has no matches") {
+    val corpus = Seq(
+      (0L, "mail me at bob.smith+spam@example.co.uk or at 192.168.0.1 now"),
+      (1L, "call 555-123-4567 or 555-987-6543; host 10.0.0.7 admin@host.net"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = TextOps.redactPii(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_emails"),
+          r.getAs[Long]("n_ips"), r.getAs[Long]("n_phones")))).toMap
+    assert(out(0L) === (("mail me at <EMAIL> or at <IP> now", 1L, 1L, 0L)))
+    assert(out(1L) === (("call <PHONE> or <PHONE>; host <IP> <EMAIL>", 1L, 1L, 2L)))
+    assert(out(2L) === (("no pii here at all", 0L, 0L, 0L)))
+    // nothing pattern-shaped survives in any clean_text
+    out.values.foreach { case (clean, _, _, _) =>
+      assert(!clean.matches(s".*(${TextOps.emailRe}|${TextOps.ipv4Re}|${TextOps.phoneRe}).*"))
+    }
+  }
+
+  test("temperature sample: rarest stratum keeps all, keep rate is sqrt(nmin/n), deterministic") {
+    import org.apache.spark.sql.functions._
+    // en:400 zh:100 fr:4  → keep_ppm en=√(4/400)=10%, zh=20%, fr=100%
+    val corpus = (0L until 504L).map { id =>
+      (id, s"doc $id", if (id < 400) "en" else if (id < 500) "zh" else "fr")
+    }.toDF("doc_id", "text", "lang").repartition(7)
+    val out = TextOps.temperatureSample(corpus)
+    val ppm = out.select("lang", "keep_ppm").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ppm === Map("en" -> 100000L, "zh" -> 200000L, "fr" -> 1000000L))
+    // fr (the rarest) keeps every row; kept sets equal the explicit hash filter
+    val kept = out.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert((500L until 504L).forall(kept.contains))
+    val p = TextOps.fingerprintMod
+    val expected = (0L until 504L).filter { id =>
+      val lang = if (id < 400) "en" else if (id < 500) "zh" else "fr"
+      ((id % p) * (2654435761L % p)) % p % 1000000L < ppm(lang)
+    }.toSet
+    assert(kept === expected)
+    // two runs agree row-for-row (no RNG anywhere)
+    assert(TextOps.temperatureSample(corpus).collect().map(_.getLong(0)).toSet === kept)
+  }
+
   test("global shuffle: dense 0..N-1 permutation equal to the naive hash-order rank") {
     import org.apache.spark.sql.functions._
     val corpus = (0L until 500L).map(id => (id * 7, s"doc $id"))
