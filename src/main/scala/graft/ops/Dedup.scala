@@ -307,28 +307,82 @@ object Dedup {
     * are always kept (no evidence of duplication).
     */
   def nearDupKeepFirst(docs: DataFrame, k: Int = 5, bands: Int = 4): DataFrame = {
+    // "a smaller doc_id claims one of my band keys" ⟺ "some band key's
+    // min claimant is smaller" — per-key window-min is O(m) per band key
+    // where a bucket self-join is O(m²); a boilerplate-heavy corpus (many
+    // docs sharing one band key) can't quadratically explode a task.
+    val perKey = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))
+    val dropped = bandKeys(docs, k, bands)
+      .withColumn("min_id", min(col("doc_id")).over(perKey))
+      .filter(col("min_id") < col("doc_id"))
+      .select(col("doc_id"))
+      .distinct()
+    docs.select(col("doc_id")).join(dropped, Seq("doc_id"), "left_anti")
+  }
+
+  /** MinHash-LSH band keys per document: (doc_id, band, sig) — one row per
+    * band, `sig` a struct of that band's signature rows. The shared front
+    * end of [[nearDupKeepFirst]] and [[incrementalDedup]]; documents too
+    * short to shingle have no signature and emit no rows.
+    */
+  private def bandKeys(docs: DataFrame, k: Int, bands: Int): DataFrame = {
     val sigs = minhashSignaturesFromShingles(
       shingleIdsFromArrays(Vocab.hashTokenIdArrays(docs), k))
     val rowsPerBand = minhashCoeffs.size / bands
     val bandCols = (0 until bands).map { bi =>
       struct(
         lit(bi).as("band"),
+        // uniform inner field names so the band structs share one type
         struct((0 until rowsPerBand).map(ri => col(s"sig_${bi * rowsPerBand + ri}").as(s"r$ri")): _*)
           .as("sig"))
     }
-    // "a smaller doc_id claims one of my band keys" ⟺ "some band key's
-    // min claimant is smaller" — per-key window-min is O(m) per band key
-    // where a bucket self-join is O(m²); a boilerplate-heavy corpus (many
-    // docs sharing one band key) can't quadratically explode a task.
-    val perKey = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))
-    val dropped = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
-      .withColumn("min_id", min(col("doc_id")).over(perKey))
-      .filter(col("min_id") < col("doc_id"))
+  }
+
+  /** Incremental corpus dedup — the ingestion-time question a growing
+    * training corpus asks of every new batch: which incoming documents are
+    * already represented in the existing corpus? Each new document gets two
+    * independent verdicts: `dup_exact` (its text appears verbatim in the
+    * corpus) and `dup_near` (at least one of its MinHash-LSH band
+    * signatures is already claimed by a corpus document — the same
+    * band-collision rule as [[nearDupKeepFirst]], but against a fixed
+    * reference side instead of smaller doc_ids). Output:
+    * (doc_id, dup_exact, dup_near) as 0/1 BIGINT flags for EVERY new-batch
+    * document — callers keep `dup_exact + dup_near = 0` and route the rest
+    * to review/drop.
+    *
+    * Scale shape: the corpus side never moves as documents — the exact
+    * screen joins on a 64-bit `xxhash64` digest first (fixed-width rows;
+    * text travels only for digest-colliding pairs, and a collision can
+    * never flag a non-duplicate because equality is re-confirmed on the
+    * text), and the near screen equi-joins fixed-width band keys. Both
+    * screens are one shuffle each on their key — at 100 TB the corpus
+    * digest/band index is computed once and reused across batches (persist
+    * or a bucketed table on the key), so a batch costs O(batch + matches),
+    * not O(corpus).
+    */
+  def incrementalDedup(newBatch: DataFrame, corpus: DataFrame,
+      k: Int = 5, bands: Int = 4): DataFrame = {
+    val nbDigests = newBatch.select(col("doc_id"), xxhash64(col("text")).as("digest"), col("text"))
+    val corpusDigests = corpus.select(xxhash64(col("text")).as("digest"), col("text").as("ctext"))
+    val exactHits = nbDigests
+      .join(corpusDigests, Seq("digest"))
+      .filter(col("text") === col("ctext"))
       .select(col("doc_id"))
       .distinct()
-    docs.select(col("doc_id")).join(dropped, Seq("doc_id"), "left_anti")
+    val nearHits = bandKeys(newBatch, k, bands)
+      .join(bandKeys(corpus, k, bands).select(col("band"), col("sig")),
+        Seq("band", "sig"), "left_semi")
+      .select(col("doc_id"))
+      .distinct()
+    newBatch.select(col("doc_id"))
+      .join(exactHits.withColumn("e", lit(1L)), Seq("doc_id"), "left")
+      .join(nearHits.withColumn("n", lit(1L)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("e"), lit(0L)).as("dup_exact"),
+        coalesce(col("n"), lit(0L)).as("dup_near"))
   }
 
   /** Benchmark decontamination — the training-data hygiene pass: flag
