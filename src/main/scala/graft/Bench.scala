@@ -68,6 +68,10 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedNames,"sf":"$sfDir"}""")
+    // the driver keeps the TAIL of this stream: repeat the headline total as
+    // a short final line so head-truncation of the long per-query line can
+    // never eat the gate number (VERDICT r3 "what's wrong" #3)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedNames,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -135,6 +135,10 @@ object SparkEntry {
     */
   private val oracleJaccardCtes: String = {
     val p = graft.ops.Dedup.minhashPrime
+    val cap = graft.ops.Dedup.defaultMaxDf
+    // df-capped candidate generation / exact verification — the identical
+    // cap [[Dedup.jaccardPairsFromShingles]] applies (candidates must share
+    // a shingle with 1 < df ≤ cap; scores are exact over the full sets)
     s"""$oracleTokCtes,
        |ids AS (SELECT doc_id, list(token_id ORDER BY pos) AS ids FROM tid GROUP BY doc_id),
        |sh AS (SELECT DISTINCT doc_id, sid AS shingle_id FROM (
@@ -143,8 +147,15 @@ object SparkEntry {
        |                         for i in range(1, len(ids) - 3)]) AS sid
        |  FROM ids)),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-       |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
-       |          FROM sh x JOIN sh y ON x.shingle_id = y.shingle_id AND x.doc_id < y.doc_id
+       |rare AS (SELECT shingle_id FROM (SELECT shingle_id, count(*) AS c FROM sh GROUP BY 1)
+       |         WHERE c > 1 AND c <= $cap),
+       |idx AS (SELECT sh.* FROM sh JOIN rare USING (shingle_id)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM idx x JOIN idx y ON x.shingle_id = y.shingle_id AND x.doc_id < y.doc_id),
+       |inter AS (SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_common
+       |          FROM cand
+       |          JOIN sh a ON a.doc_id = doc_a
+       |          JOIN sh b ON b.doc_id = doc_b AND b.shingle_id = a.shingle_id
        |          GROUP BY 1, 2),
        |jpairs AS (SELECT doc_a, doc_b, n_common,
        |       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
@@ -224,10 +235,29 @@ object SparkEntry {
        |sigs AS (SELECT doc_id, $coeffExprs FROM sids GROUP BY doc_id)""".stripMargin
   }
 
-  private val oracleMinhashPairs: String =
-    s"""WITH $oracleSigCtes
-       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id AND ($oracleBandEq)""".stripMargin
+  /** One row per (doc, band): the 4-band × 2-row explosion of the `sigs`
+    * CTE — the SQL twin of [[Dedup]]'s banded table (d4, d14).
+    */
+  private val oracleBandRows: String = (0 until 4)
+    .map(bi => s"SELECT doc_id, $bi AS band, sig_${2 * bi} AS r0, sig_${2 * bi + 1} AS r1 FROM sigs")
+    .mkString("\n  UNION ALL ")
+
+  private val oracleMinhashPairs: String = {
+    // band-key membership cap — the identical cap
+    // [[Dedup.candidatePairsFromSignatures]] applies (keys claimed by more
+    // than `cap` documents are dropped from pair enumeration)
+    val cap = graft.ops.Dedup.defaultMaxDf
+    s"""WITH $oracleSigCtes,
+       |bnd AS (
+       |  $oracleBandRows),
+       |cool AS (SELECT band, r0, r1 FROM (SELECT band, r0, r1, count(*) AS c
+       |                                   FROM bnd GROUP BY 1, 2, 3)
+       |         WHERE c <= $cap),
+       |bok AS (SELECT bnd.* FROM bnd JOIN cool USING (band, r0, r1))
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |FROM bok x JOIN bok y
+       |ON x.band = y.band AND x.r0 = y.r0 AND x.r1 = y.r1 AND x.doc_id < y.doc_id""".stripMargin
+  }
 
   /** d10: ingest-order near-dup filter — keep a doc iff no smaller doc_id
     * claims any of its band signatures (the batch twin of
@@ -731,6 +761,15 @@ object SparkEntry {
       Dedup.jaccardPairsBlocked(
         Dedup.shingleIdsFromArrays(Dedup.charIds(Tables.documents(s, dir)), 3),
         threshold = 0.5, maxDf = 20L)),
+    "d14_incremental_dedup" -> ((s, dir) => {
+      // ingestion-time screen for a growing corpus: which docs of the
+      // incoming batch (src0/src1 play the new arrivals) are already
+      // represented — verbatim (digest-join + exact confirm) or as a
+      // near-dup (MinHash-LSH band-key collision against the corpus index)
+      val docs = Tables.documents(s, dir)
+      val isNew = col("source").isin("src0", "src1")
+      Dedup.incrementalDedup(docs.filter(isNew), docs.filter(!isNew))
+    }),
     "d13_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: src0 plays the eval suite; corpus docs
       // sharing any 5-gram shingle with it are flagged (broadcast bench set)
@@ -1140,6 +1179,30 @@ object SparkEntry {
          |WHERE source <> 'src0'
          |GROUP BY 1
          |HAVING count(*) >= 1""".stripMargin
+    },
+    "d14_incremental_dedup" -> {
+      // exact screen: the digest equi-join reduces to text equality in SQL
+      // (the digest is an implementation detail — collisions are re-confirmed
+      // on the text, so digest-join ≡ text-join semantically); near screen:
+      // band-key semi-join of new-batch band rows against corpus band rows
+      s"""WITH $oracleSigCtes,
+         |src AS (SELECT doc_id, source FROM documents),
+         |nb AS (SELECT doc_id, text FROM documents WHERE source IN ('src0', 'src1')),
+         |corp AS (SELECT text FROM documents WHERE source NOT IN ('src0', 'src1')),
+         |ex AS (SELECT DISTINCT nb.doc_id FROM nb JOIN corp ON nb.text = corp.text),
+         |bnd AS (
+         |  $oracleBandRows),
+         |nbb AS (SELECT bnd.* FROM bnd JOIN src USING (doc_id)
+         |        WHERE source IN ('src0', 'src1')),
+         |cb AS (SELECT DISTINCT band, r0, r1 FROM bnd JOIN src USING (doc_id)
+         |       WHERE source NOT IN ('src0', 'src1')),
+         |nr AS (SELECT DISTINCT nbb.doc_id FROM nbb JOIN cb USING (band, r0, r1))
+         |SELECT nb.doc_id,
+         |       CAST(CASE WHEN ex.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS dup_exact,
+         |       CAST(CASE WHEN nr.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS dup_near
+         |FROM nb
+         |LEFT JOIN ex ON ex.doc_id = nb.doc_id
+         |LEFT JOIN nr ON nr.doc_id = nb.doc_id""".stripMargin
     },
     "d11_char_ngram_jaccard" -> {
       val p = graft.ops.Dedup.minhashPrime

@@ -60,11 +60,14 @@ object ShingleHash {
   /** The k-gram fold over one id array; distinct, first-occurrence order
     * (matching `array_distinct` so the HOF form and this one interleave).
     *
-    * Windows containing a NULL id yield no shingle — the HOF form folds
-    * them to a null shingle id, which nothing downstream can consume (null
-    * keys match no equi-join, `min` skips nulls), so results are identical
-    * while this form never emits null-key rows. (`ids.getLong` on a null
-    * slot would silently read 0 and fabricate a plausible-looking id.)
+    * Windows containing a NULL id yield no shingle, where the HOF form
+    * folds them to a null shingle id — so the two forms are identical for
+    * null-free id arrays (the only case the pipeline produces: `split()`
+    * never yields null tokens, so TokenHashArray emits no null slots). On
+    * a hypothetical null-bearing array the HOF's null row would still
+    * inflate `n_shingles` in a Jaccard denominator, which is why consumers
+    * use this form. (`ids.getLong` on a null slot would silently read 0
+    * and fabricate a plausible-looking id.)
     */
   def compute(ids: ArrayData, k: Int): ArrayData = {
     val n = ids.numElements()

@@ -10,4 +10,11 @@ object VectorFunctions {
     */
   def dotProduct(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.DotProduct.column(a, b)
+
+  /** Codegen'd 8-bit scalar-quantization encode over `array<double>`
+    * columns (vector, per-dimension mins, per-dimension maxs) — see
+    * [[org.apache.spark.sql.graft.QuantizeCode]].
+    */
+  def quantizeCode(vec: Column, mins: Column, maxs: Column): Column =
+    org.apache.spark.sql.graft.QuantizeCode.column(vec, mins, maxs)
 }

@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   *   - Near-dup avoids the O(n²) pairwise scan with the inverted-index /
   *     LSH-bucket pattern: explode to (feature, doc) pairs, self-join on the
   *     feature, so only documents sharing a shingle/band ever meet. Shuffle
-  *     cost is O(index size), not O(n²). Hot features (stopword-only
-  *     shingles) would skew the join at 100 TB — AQE skew-join handles
-  *     moderate skew, and the shingle width (k=5 words) keeps feature
-  *     frequency low by construction.
+  *     cost is O(index size), not O(n²). Hot features (viral boilerplate
+  *     shingles, band keys claimed by near-clone clusters) would still be
+  *     Θ(f²) in ONE join key — beyond what AQE skew-split can save — so
+  *     every pairwise candidate join runs behind the document-frequency cap
+  *     ([[defaultMaxDf]]): candidates must share a feature rarer than the
+  *     cap, and Jaccard scores are then verified exactly over the full sets.
   *   - MinHash uses k linear hashes `(a·id + b) mod p` over [[Vocab]] token
   *     ids — deterministic, oracle-reproducible, and computed in one
   *     aggregation pass (k mins per doc, no per-hash job).
@@ -122,24 +124,30 @@ object Dedup {
   def jaccardPairsById(tokenIds: DataFrame, k: Int = 5, threshold: Double = 0.5): DataFrame =
     jaccardPairsFromShingles(shingleIds(tokenIds, k), threshold)
 
-  /** Core inverted-index Jaccard over a (doc_id, shingle_id) table. */
-  def jaccardPairsFromShingles(shingles: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles.persist()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    // singleton shingles can never produce a pair — drop them before the
-    // self-join (most shingles are singletons in a non-duplicated corpus, so
-    // this shrinks the join input by an order of magnitude); the Jaccard
-    // denominator still counts every shingle via `sizes`
-    val shared = sh.groupBy(col("shingle_id")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).select(col("shingle_id"))
-    val shd = sh.join(shared, Seq("shingle_id"), "left_semi")
-    val inter = shd.as("x")
-      .join(shd.as("y"),
-        col("x.shingle_id") === col("y.shingle_id") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    jaccardFromIntersections(inter, sizes, threshold)
-  }
+  /** Default document-frequency cap for candidate generation (shingle df in
+    * the Jaccard index, membership per LSH band key). Every pairwise
+    * candidate join in this file runs behind this cap: a feature shared by
+    * f documents generates Θ(f²) candidate rows in ONE join key, so a
+    * single viral boilerplate shingle (or a band signature claimed by a
+    * near-clone cluster) would melt a task at corpus scale no matter how
+    * well AQE splits skew. Capped, the worst key costs Θ(cap²) — a
+    * constant. Recall: a pair whose EVERY shared feature is hotter than
+    * the cap is missed; at any real similarity threshold near-dup pairs
+    * share rare features too, and clusters wide enough to blow the cap are
+    * exactly the ones the O(m) keep-first screens ([[nearDupKeepFirst]],
+    * [[streamingNearDup]]) already handle without pair enumeration. The
+    * oracle SQL applies the identical cap, so results match row-for-row.
+    */
+  val defaultMaxDf: Long = 20L
+
+  /** Core inverted-index Jaccard over a (doc_id, shingle_id) table —
+    * df-capped ([[defaultMaxDf]]): candidates must share a RARE shingle;
+    * scores are then exact over the FULL sets (see [[jaccardPairsBlocked]],
+    * the single code path d2/d7/d9/d11 all run through).
+    */
+  def jaccardPairsFromShingles(shingles: DataFrame, threshold: Double,
+      maxDf: Long = defaultMaxDf): DataFrame =
+    jaccardPairsBlocked(shingles, threshold, maxDf)
 
   /** Shared scoring tail of the Jaccard variants: attach set sizes to the
     * (doc_a, doc_b, n_common) intersections, compute |∩|/(|A|+|B|−|∩|),
@@ -185,10 +193,7 @@ object Dedup {
   def jaccardPairsBlocked(shingles: DataFrame, threshold: Double, maxDf: Long): DataFrame = {
     val sh = shingles.persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val rare = sh.groupBy(col("shingle_id")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1 && col("c") <= maxDf)
-      .select(col("shingle_id"))
-    val idx = sh.join(rare, Seq("shingle_id"), "left_semi")
+    val idx = dfCappedIndex(sh, maxDf)
     val cand = idx.as("x")
       .join(idx.as("y"),
         col("x.shingle_id") === col("y.shingle_id") && col("x.doc_id") < col("y.doc_id"))
@@ -202,6 +207,19 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     jaccardFromIntersections(inter, sizes, threshold)
+  }
+
+  /** The df-capped inverted index: rows of `sh` whose shingle has
+    * `1 < df ≤ maxDf` (singletons can never produce a pair; hot shingles
+    * must never enter a self-join). Index SIZE is O(rows kept) — linear in
+    * f per shingle, never Θ(f²) — which DedupSpec pins with a
+    * 10 000-document boilerplate-shingle corpus.
+    */
+  private[graft] def dfCappedIndex(sh: DataFrame, maxDf: Long): DataFrame = {
+    val rare = sh.groupBy(col("shingle_id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1 && col("c") <= maxDf)
+      .select(col("shingle_id"))
+    sh.join(rare, Seq("shingle_id"), "left_semi")
   }
 
   /** MinHash parameters: k independent linear hashes over token ids,
@@ -268,14 +286,24 @@ object Dedup {
     * k/bands rows each; candidate pairs collide on (band, band-signature).
     * Output: (doc_a, doc_b) distinct candidate pairs.
     */
-  def minhashCandidatePairs(tokenIds: DataFrame, bands: Int = 4, shingleK: Int = 0): DataFrame =
+  def minhashCandidatePairs(tokenIds: DataFrame, bands: Int = 4, shingleK: Int = 0,
+      maxBucket: Long = defaultMaxDf): DataFrame =
     candidatePairsFromSignatures(
       if (shingleK > 0) minhashShingleSignatures(tokenIds, shingleK)
       else minhashSignatures(tokenIds),
-      bands)
+      bands, maxBucket)
 
-  /** LSH banding over a precomputed signature table (doc_id, sig_0…). */
-  def candidatePairsFromSignatures(sigs: DataFrame, bands: Int): DataFrame = {
+  /** LSH banding over a precomputed signature table (doc_id, sig_0…), with
+    * the band-key twin of the Jaccard df cap ([[defaultMaxDf]]): a band
+    * signature claimed by f documents would emit Θ(f²) pairs in one join
+    * key — exactly the hot-shingle failure mode, with a near-clone cluster
+    * playing the viral boilerplate. Keys with membership > maxBucket are
+    * dropped from pair enumeration (such clusters belong to the O(m)
+    * keep-first / grouping screens, not pairwise output); the oracle
+    * applies the identical cap.
+    */
+  def candidatePairsFromSignatures(sigs: DataFrame, bands: Int,
+      maxBucket: Long = defaultMaxDf): DataFrame = {
     val rowsPerBand = minhashCoeffs.size / bands
     val bandCols = (0 until bands).map { bi =>
       struct(
@@ -289,8 +317,12 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
       .persist() // both self-join sides share the signature computation
-    banded.as("x")
-      .join(banded.as("y"),
+    val cool = banded.groupBy(col("band"), col("sig")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxBucket)
+      .select(col("band"), col("sig"))
+    val b = banded.join(cool, Seq("band", "sig"), "left_semi")
+    b.as("x")
+      .join(b.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

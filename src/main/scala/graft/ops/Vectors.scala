@@ -121,13 +121,13 @@ object Vectors {
       .sortBy(_._1)
     val mnLit = typedlit(stats.map(_._2).toSeq)
     val mxLit = typedlit(stats.map(_._3).toSeq)
-    val codes = transform(col("embedding"), (x, i) => {
-      val lo = element_at(mnLit, i + 1)
-      val hi = element_at(mxLit, i + 1)
-      when(hi > lo,
-        least(floor((x.cast("double") - lo) * lit(255.0) / (hi - lo)), lit(255.0)))
-        .otherwise(lit(0.0))
-    })
+    // codegen'd encode (graft.functions.QuantizeCode): the HOF form
+    // (`transform` + per-element `element_at` on the broadcast literals) is
+    // interpreted — over a 100 TB corpus the encode pass would pay a lambda
+    // dispatch per element per row; the expression runs the identical
+    // arithmetic in the identical operation order inside WSCG (plan-pinned)
+    val codes = graft.functions.VectorFunctions.quantizeCode(
+      col("embedding").cast("array<double>"), mnLit, mxLit)
     val q = embeddings.select(col("vec_id"), codes.as("qv")).persist()
     val queries = q
       .filter(col("vec_id").isin(queryIds: _*))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 /** Bucketed table layout — the co-located-join half of the storage story
   * (the day-partition + sort-key half lives in
   * [[graft.binlog.Maintenance]]). The reference delegates physical
-  * distribution to its engine's sharding key (`00_readme_first.txt`
+  * distribution to its engine's sharding key (`README.md:122-137`
   * `Distributed` DDL — rows are routed to shards by a hash of the key);
   * Spark's equivalent for JOIN locality is bucketing: both tables are
   * hash-clustered into the same number of buckets on the join key at WRITE

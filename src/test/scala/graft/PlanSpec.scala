@@ -297,6 +297,19 @@ class PlanSpec extends SparkSpec {
     assert(decoded.count() === 50L)
   }
 
+  test("s8 quantization encode runs inside whole-stage codegen (no interpreted HOF)") {
+    // the encode pass over the corpus must be a codegen'd projection — the
+    // transform/element_at HOF it replaces evaluated interpreted, paying a
+    // lambda dispatch per element per row on a full-corpus pass
+    val q = SparkEntry.queries("s8_ann_quantized")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    val encodeLines = plan.linesIterator.filter(_.contains("quantize_code")).toSeq
+    assert(encodeLines.nonEmpty, plan)
+    encodeLines.foreach(l => assert(l.contains("*("), s"encode not codegen'd: $l\n$plan"))
+    // and no interpreted lambda remains anywhere in the s8 plan
+    assert(!plan.contains("lambdafunction"), plan)
+  }
+
   test("per-window top-1 uses a single shuffle pair (agg form, no window sort)") {
     val events = Seq(
       (Timestamp.valueOf("2024-01-01 00:01:00"), "g1", "1", "10", 1L)

@@ -267,10 +267,48 @@ class DedupSpec extends SparkSpec {
     // shingle too → n_common = 3 of 3 (exact score, not the capped one)
     assert(out.keySet === Set((1L, 2L)))
     assert(out((1L, 2L)) === ((3L, 1.0)))
-    // sanity: the UNCAPPED index would at least consider the hot-only pairs
-    val uncapped = Dedup.jaccardPairsFromShingles(sh, threshold = 0.0)
+    // sanity: under the DEFAULT cap (20) shingle 7's df of 6 is still
+    // rare enough to generate candidates — only above-cap features are
+    // excluded from pair enumeration
+    val defaultCap = Dedup.jaccardPairsFromShingles(sh, threshold = 0.0)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
-    assert(uncapped.contains((3L, 4L)))
+    assert(defaultCap.contains((3L, 4L)))
+  }
+
+  test("hot-key bound: a 10k-doc boilerplate shingle yields O(f) index rows, zero pairs") {
+    import org.apache.spark.sql.functions._
+    // every doc shares boilerplate shingle 999 (df = 10 000) and carries one
+    // unique shingle — the adversarial corpus where an uncapped inverted
+    // index would enumerate Θ(f²) ≈ 5·10⁷ candidate rows in ONE join key
+    val f = 10000L
+    val hot = spark.range(f).select(col("id").as("doc_id"), lit(999L).as("shingle_id"))
+    val uniq = spark.range(f).select(col("id").as("doc_id"), (col("id") + 100000L).as("shingle_id"))
+    val sh = hot.union(uniq)
+    // the df-capped index drops the hot shingle (df > cap) and every
+    // singleton: index rows are 0 ≤ O(f), never pair-quadratic
+    assert(Dedup.dfCappedIndex(sh, Dedup.defaultMaxDf).count() === 0L)
+    // and the full operator completes with no candidates at all — no pair
+    // shares a sub-cap shingle (threshold 0 would keep anything generated)
+    assert(Dedup.jaccardPairsFromShingles(sh, threshold = 0.0).count() === 0L)
+  }
+
+  test("band-key cap: a clone cluster wider than the cap is excluded from pair output") {
+    import org.apache.spark.sql.functions._
+    // 30 signature-identical docs (every band key claimed 30× > cap 20)
+    // plus one genuine near-dup pair on its own keys
+    val wide = spark.range(30).select(
+      (col("id").as("doc_id") +: (0 until 8).map(i => lit(1L).as(s"sig_$i"))): _*)
+    val pair = Seq(100L, 101L).toDF("doc_id").select(
+      (col("doc_id") +: (0 until 8).map(i => lit(50L + i).as(s"sig_$i"))): _*)
+    val out = Dedup.candidatePairsFromSignatures(wide.union(pair), bands = 4)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // uncapped this would be C(30,2) + 1 = 436 pairs; capped: just the pair
+    assert(out === Set((100L, 101L)))
+    // the wide cluster belongs to the O(m) keep-first screen instead, which
+    // has no cap and keeps exactly one representative of the 30
+    val sigs = wide.union(pair)
+    val kept = Dedup.candidatePairsFromSignatures(sigs, bands = 4, maxBucket = 1000)
+    assert(kept.count() === 30L * 29L / 2L + 1L)
   }
 
   test("auto CC: tight clusters stay on min-label; a long chain triggers the star fallback") {
@@ -287,6 +325,28 @@ class DedupSpec extends SparkSpec {
     val a = Dedup.dedupGroupsAuto(clusters).collect().map(_.toSeq).toSet
     val m = Dedup.dedupGroups(clusters).collect().map(_.toSeq).toSet
     assert(a === m)
+  }
+
+  test("incremental dedup: exact and near verdicts against a fixed corpus") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "unrelated corpus content with different words here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // verbatim in corpus
+      (11L, "the quick brown fox jumps over a lazy dog"),   // near (1 token off)
+      (12L, "completely fresh new document nothing shared at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(batch, corpus)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("dup_exact"), r.getAs[Long]("dup_near")))).toMap
+    // every batch doc gets a row; the verbatim copy trips both screens
+    assert(out.keySet === Set(10L, 11L, 12L))
+    assert(out(10L) === ((1L, 1L)))
+    // the near-dup is not an exact dup; the fresh doc trips neither
+    assert(out(11L)._1 === 0L)
+    assert(out(12L) === ((0L, 0L)))
   }
 
   test("minhash: identical docs have identical signatures and become a candidate pair") {
