@@ -1249,23 +1249,25 @@ object SparkEntry {
          |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
          |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
          |WHERE rank <= 10""".stripMargin,
-    // quantization is over RAW (unnormalized) embeddings: per-dimension
-    // min/max are exact aggs, the scale expression runs in the identical
-    // operand order on both engines, and the dot over integer-valued codes
-    // is exact in double — so codes, sims, and ranks are bit-reproducible
+    // quantization is over UNIT vectors (so scores approximate cosine) and
+    // scoring is decode-corrected: per-dimension min/max are exact aggs,
+    // encode `floor((x − mn)·255/(mx − mn))` and decode `mn + c·Δ` run in
+    // the identical operand order on both engines, products accumulate
+    // sequentially — so codes, sims, and ranks are bit-reproducible
     "s8_ann_quantized" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH $oracleEmbCte,
         |ex AS (SELECT vec_id, unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x FROM e),
         |stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i),
-        |codes AS (SELECT vec_id, i,
+        |codes AS (SELECT vec_id, i, mn, mx,
         |            CASE WHEN mx > mn THEN least(floor((x - mn) * 255.0 / (mx - mn)), 255.0)
         |                 ELSE 0.0 END AS c
         |          FROM ex JOIN stats USING (i)),
-        |qv AS (SELECT vec_id, list(c ORDER BY i) AS cv FROM codes GROUP BY vec_id),
-        |q AS (SELECT vec_id AS query_id, cv AS a FROM qv WHERE vec_id < 8),
-        |scored AS (SELECT query_id, qv.vec_id AS neighbor_id,
-        |             CAST(list_dot_product(a, qv.cv) AS BIGINT) AS sim
-        |           FROM q, qv WHERE qv.vec_id <> q.query_id)
+        |dec AS (SELECT vec_id, list(mn + c * ((mx - mn) / 255.0) ORDER BY i) AS dv
+        |        FROM codes GROUP BY vec_id),
+        |q AS (SELECT vec_id AS query_id, dv AS a FROM dec WHERE vec_id < 8),
+        |scored AS (SELECT query_id, dec.vec_id AS neighbor_id,
+        |             list_dot_product(a, dec.dv) AS sim
+        |           FROM q, dec WHERE dec.vec_id <> q.query_id)
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
         |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
         |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)

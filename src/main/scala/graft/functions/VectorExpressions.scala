@@ -1,11 +1,11 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType}
 
 /** Native Catalyst expression for the vector-similarity hot path.
   *
@@ -113,20 +113,21 @@ object DotProduct {
 /** 8-bit scalar-quantization encode for the s8 ANN path: element-wise
   * `code_i = hi_i > lo_i ? min(floor((x_i − lo_i)·255 / (hi_i − lo_i)), 255)
   *                       : 0`
-  * over a vector and the per-dimension corpus min/max arrays (literals —
-  * dimension stats are metadata-sized). The HOF formulation
-  * (`transform` + two `element_at`s on broadcast literals) is evaluated
-  * interpreted, paying a lambda dispatch plus two catalogue lookups per
-  * element per row — this expression runs the identical arithmetic, in the
-  * identical operation order (sub, mul, div, floor, clamp — so codes stay
-  * bit-reproducible against the oracle), as one primitive loop inside
+  * over a (unit) vector and the per-dimension corpus min/max arrays
+  * (literals — dimension stats are metadata-sized), emitted as BINARY: one
+  * byte per dimension, the 8×-smaller representation that is the entire
+  * point of scalar quantization at 100 TB (the corpus that travels through
+  * the scoring join is byte codes, not doubles). The HOF formulation this
+  * replaces (`transform` + two `element_at`s on broadcast literals) was
+  * evaluated interpreted, paying a lambda dispatch plus two lookups per
+  * element per row; this expression runs the identical arithmetic in the
+  * identical operation order (sub, mul, div, floor, clamp — codes stay
+  * bit-reproducible against the oracle) as one primitive loop inside
   * whole-stage codegen (plan-pinned in PlanSpec).
   *
-  * Null semantics: a null in any of the three array slots yields a null
-  * output element. (The HOF form's `least(floor(null…), 255.0)` would yield
-  * 255.0 on a null element because `least` skips nulls — an accident, not a
-  * contract; embeddings contain no null elements, so the two forms are
-  * identical on every input the pipeline produces — the ShingleHash stance.)
+  * Null semantics: strict — a null element in any input array yields a
+  * null RESULT (bytes cannot hold a null slot). Embeddings contain no null
+  * elements, so this is unreachable in the pipeline (ShingleHash stance).
   */
 case class QuantizeCode(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ImplicitCastInputTypes {
@@ -134,16 +135,15 @@ case class QuantizeCode(first: Expression, second: Expression, third: Expression
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType), ArrayType(DoubleType))
 
+  override def dataType: DataType = BinaryType
+
   private def elemNullable(e: Expression) = e.dataType match {
     case ArrayType(_, containsNull) => containsNull
     case _ => false
   }
 
-  override def dataType: DataType =
-    ArrayType(DoubleType,
-      containsNull = elemNullable(first) || elemNullable(second) || elemNullable(third))
-
-  override def nullable: Boolean = first.nullable || second.nullable || third.nullable
+  override def nullable: Boolean =
+    children.exists(_.nullable) || children.exists(elemNullable)
 
   override def prettyName: String = "quantize_code"
 
@@ -152,20 +152,19 @@ case class QuantizeCode(first: Expression, second: Expression, third: Expression
     val lo = mn.asInstanceOf[ArrayData]
     val hi = mx.asInstanceOf[ArrayData]
     val n = x.numElements()
-    val out = new Array[Any](n)
+    val out = new Array[Byte](n)
     var i = 0
     while (i < n) {
-      if (x.isNullAt(i) || lo.isNullAt(i) || hi.isNullAt(i)) out(i) = null
-      else {
-        val l = lo.getDouble(i)
-        val h = hi.getDouble(i)
-        out(i) =
-          if (h > l) math.min(math.floor((x.getDouble(i) - l) * 255.0 / (h - l)), 255.0)
-          else 0.0
-      }
+      if (x.isNullAt(i) || lo.isNullAt(i) || hi.isNullAt(i)) return null
+      val l = lo.getDouble(i)
+      val h = hi.getDouble(i)
+      val c =
+        if (h > l) math.min(math.floor((x.getDouble(i) - l) * 255.0 / (h - l)), 255.0)
+        else 0.0
+      out(i) = c.toInt.toByte
       i += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    out
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -176,50 +175,132 @@ case class QuantizeCode(first: Expression, second: Expression, third: Expression
       val l = ctx.freshName("lo")
       val h = ctx.freshName("hi")
       val c = ctx.freshName("c")
-      if (dataType.asInstanceOf[ArrayType].containsNull) {
-        // element nulls possible: box into an Object[] (GenericArrayData)
-        s"""
-           |int $n = $v.numElements();
-           |Object[] $out = new Object[$n];
-           |for (int $i = 0; $i < $n; $i++) {
-           |  if ($v.isNullAt($i) || $mn.isNullAt($i) || $mx.isNullAt($i)) {
-           |    $out[$i] = null;
-           |  } else {
-           |    double $l = $mn.getDouble($i);
-           |    double $h = $mx.getDouble($i);
-           |    double $c;
-           |    if ($h > $l) {
-           |      $c = java.lang.Math.floor(($v.getDouble($i) - $l) * 255.0 / ($h - $l));
-           |      if ($c > 255.0) $c = 255.0;
-           |    } else { $c = 0.0; }
-           |    $out[$i] = (Double) $c;
-           |  }
-           |}
-           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-         """.stripMargin
-      } else {
-        // all-non-null path: primitive double[] → UnsafeArrayData, no boxing
-        s"""
-           |int $n = $v.numElements();
-           |double[] $out = new double[$n];
-           |for (int $i = 0; $i < $n; $i++) {
-           |  double $l = $mn.getDouble($i);
-           |  double $h = $mx.getDouble($i);
-           |  double $c;
-           |  if ($h > $l) {
-           |    $c = java.lang.Math.floor(($v.getDouble($i) - $l) * 255.0 / ($h - $l));
-           |    if ($c > 255.0) $c = 255.0;
-           |  } else { $c = 0.0; }
-           |  $out[$i] = $c;
-           |}
-           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
-         """.stripMargin
-      }
+      // ev.isNull is the literal `false` when non-nullable — only emit the
+      // element-null guard when a null slot is actually possible
+      val nullCheck =
+        if (nullable)
+          s"if ($v.isNullAt($i) || $mn.isNullAt($i) || $mx.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |int $n = $v.numElements();
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
+         |  double $l = $mn.getDouble($i);
+         |  double $h = $mx.getDouble($i);
+         |  double $c;
+         |  if ($h > $l) {
+         |    $c = java.lang.Math.floor(($v.getDouble($i) - $l) * 255.0 / ($h - $l));
+         |    if ($c > 255.0) $c = 255.0;
+         |  } else { $c = 0.0; }
+         |  $out[$i] = (byte) (int) $c;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
     })
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Decode-corrected dot product over two 8-bit code vectors — the scoring
+  * half of scalar-quantized ANN: each byte is dequantized in-register
+  * (`lo_i + c_i·((hi_i − lo_i)/255)`, the standard SQ reconstruction) and
+  * the products accumulate sequentially, so the score approximates the
+  * TRUE unit-space dot (≈ cosine — recall tracked in RECALL.json) rather
+  * than an affine-distorted code dot. Codes stay bytes end-to-end: the 8×
+  * memory/bandwidth win survives the scoring join, and only this fused
+  * expression ever sees decoded doubles (one at a time, in-register — no
+  * decoded array is materialized). Arithmetic order is pinned
+  * (`lo + c·Δ`, product, left-to-right sum) so the DuckDB oracle
+  * reproduces scores bit-for-bit.
+  */
+case class DequantizeDot(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, BinaryType, ArrayType(DoubleType), ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  private def elemNullable(e: Expression) = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+
+  override def nullable: Boolean =
+    children.exists(_.nullable) || elemNullable(third) || elemNullable(fourth)
+
+  override def prettyName: String = "dequantize_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any, mn: Any, mx: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val lo = mn.asInstanceOf[ArrayData]
+    val hi = mx.asInstanceOf[ArrayData]
+    val n = math.min(x.length, y.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (lo.isNullAt(i) || hi.isNullAt(i)) return null
+      val l = lo.getDouble(i)
+      val d = (hi.getDouble(i) - l) / 255.0
+      acc += (l + (x(i) & 0xFF) * d) * (l + (y(i) & 0xFF) * d)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, mn, mx) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val l = ctx.freshName("lo")
+      val d = ctx.freshName("delta")
+      val nullCheck =
+        if (nullable)
+          s"if ($mn.isNullAt($i) || $mx.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
+         |  double $l = $mn.getDouble($i);
+         |  double $d = ($mx.getDouble($i) - $l) / 255.0;
+         |  $acc += ($l + ($a[$i] & 0xFF) * $d) * ($l + ($b[$i] & 0xFF) * $d);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
+object DequantizeDot {
+  def column(a: Column, b: Column, mins: Column, maxs: Column): Column =
+    ExpressionUtils.column(
+      DequantizeDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b),
+        ExpressionUtils.expression(mins), ExpressionUtils.expression(maxs)))
+
+  /** SQL registration triple for `SparkSessionExtensions.injectFunction`. */
+  val registration: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    new org.apache.spark.sql.catalyst.FunctionIdentifier("dequantize_dot"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[DequantizeDot].getName, "dequantize_dot"),
+    (args: Seq[Expression]) => {
+      require(args.length == 4, s"dequantize_dot expects 4 arguments, got ${args.length}")
+      DequantizeDot(args(0), args(1), args(2), args(3))
+    }
+  )
 }
 
 object QuantizeCode {

@@ -17,4 +17,11 @@ object VectorFunctions {
     */
   def quantizeCode(vec: Column, mins: Column, maxs: Column): Column =
     org.apache.spark.sql.graft.QuantizeCode.column(vec, mins, maxs)
+
+  /** Codegen'd decode-corrected dot product over two binary code columns
+    * (+ per-dimension min/max literals) — see
+    * [[org.apache.spark.sql.graft.DequantizeDot]].
+    */
+  def dequantizeDot(a: Column, b: Column, mins: Column, maxs: Column): Column =
+    org.apache.spark.sql.graft.DequantizeDot.column(a, b, mins, maxs)
 }

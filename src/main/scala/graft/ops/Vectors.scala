@@ -98,44 +98,45 @@ object Vectors {
   }
 
   /** Scalar-quantized ANN — the memory/bandwidth lever at 100 TB: map each
-    * dimension to an 8-bit code (per-dimension corpus min/max, 256 levels)
-    * and score with an INTEGER dot product over the codes. The quantized
-    * corpus is 8× smaller than float64 units (4× vs float32), integer
-    * accumulation never loses precision (max sum 64·255² ≪ 2⁶³), and the
-    * scoring pass stays inside the codegen'd dot-product expression.
+    * dimension of the UNIT vector to an 8-bit code (per-dimension corpus
+    * min/max, 256 levels, BINARY column — one byte per dimension, 8×
+    * smaller than the float64 units), and score with the decode-corrected
+    * dot ([[graft.functions.DequantizeDot]]): each byte dequantizes
+    * in-register to `lo_i + c_i·Δ_i` and the products accumulate
+    * sequentially, so the score approximates the true unit-space cosine —
+    * not an affine-distorted code dot (which round 3 shipped; RECALL.json
+    * exposed its recall@5 ≈ 0.03 vs ≈ 1.0 for this form). Only byte codes
+    * travel through the O(|Q|·N) scoring join; no decoded array is ever
+    * materialized.
     *
-    * Determinism: min/max are exact aggs (no summation), the scale
-    * expression `floor((x − mn)·255/(mx − mn))` is evaluated in the same
-    * operation order on both engines, and constant dimensions quantize to
-    * 0 — so codes, scores, and ranks are bit-reproducible cross-engine
-    * (oracle row s8). Dimension stats are collected once (d rows — a
-    * metadata-sized action, not a corpus read). Output: (query_id,
-    * neighbor_id, rank) — ties by smaller neighbor id, as everywhere.
+    * Determinism: normalization divides by the same sequential-fold norm on
+    * both engines, min/max are exact aggs (no summation), and encode/decode
+    * run in pinned operation order — so codes, scores, and ranks are
+    * bit-reproducible cross-engine (oracle row s8). Dimension stats are
+    * collected once (d rows — metadata-sized, not a corpus read). Output:
+    * (query_id, neighbor_id, rank) — ties by smaller neighbor id.
     */
   def quantizedTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val stats = embeddings
-      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+    val unit = withUnit(embeddings).select(col("vec_id"), col("unit")).persist()
+    val stats = unit
+      .select(posexplode(col("unit")).as(Seq("i", "x")))
       .groupBy(col("i"))
-      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .collect().map(r => (r.getAs[Int]("i"), r.getAs[Double]("mn"), r.getAs[Double]("mx")))
       .sortBy(_._1)
     val mnLit = typedlit(stats.map(_._2).toSeq)
     val mxLit = typedlit(stats.map(_._3).toSeq)
-    // codegen'd encode (graft.functions.QuantizeCode): the HOF form
-    // (`transform` + per-element `element_at` on the broadcast literals) is
-    // interpreted — over a 100 TB corpus the encode pass would pay a lambda
-    // dispatch per element per row; the expression runs the identical
-    // arithmetic in the identical operation order inside WSCG (plan-pinned)
-    val codes = graft.functions.VectorFunctions.quantizeCode(
-      col("embedding").cast("array<double>"), mnLit, mxLit)
-    val q = embeddings.select(col("vec_id"), codes.as("qv")).persist()
+    val codes = graft.functions.VectorFunctions.quantizeCode(col("unit"), mnLit, mxLit)
+    val q = unit.select(col("vec_id"), codes.as("qv")).persist()
     val queries = q
       .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("qv").as("a"))
     val scored = F.broadcast(queries)
       .join(q.select(col("vec_id").as("neighbor_id"), col("qv").as("b")),
         col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), dot(col("a"), col("b")).cast("long").as("sim"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions.dequantizeDot(
+          col("a"), col("b"), mnLit, mxLit).as("sim"))
     topKPerGroup(scored, "query_id", k)
   }
 

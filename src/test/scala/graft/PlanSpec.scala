@@ -302,12 +302,18 @@ class PlanSpec extends SparkSpec {
     // transform/element_at HOF it replaces evaluated interpreted, paying a
     // lambda dispatch per element per row on a full-corpus pass
     val q = SparkEntry.queries("s8_ann_quantized")(spark, "/root/testdata/sf0.001")
-    val plan = q.queryExecution.executedPlan.toString
-    val encodeLines = plan.linesIterator.filter(_.contains("quantize_code")).toSeq
-    assert(encodeLines.nonEmpty, plan)
-    encodeLines.foreach(l => assert(l.contains("*("), s"encode not codegen'd: $l\n$plan"))
-    // and no interpreted lambda remains anywhere in the s8 plan
-    assert(!plan.contains("lambdafunction"), plan)
+    // collect() (NOT count(), which builds a separate QueryExecution for
+    // the agg): AQE inserts WholeStageCodegen wrappers only when THIS
+    // query execution's stages actually run — and only the "Final Plan"
+    // section carries them (the toString appends the pre-AQE Initial Plan)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // encode AND decode-corrected scoring both sit in codegen spans
+    for (fn <- Seq("quantize_code", "dequantize_dot")) {
+      val lines = plan.linesIterator.filter(_.contains(fn)).toSeq
+      assert(lines.nonEmpty, s"$fn not in plan:\n$plan")
+      lines.foreach(l => assert(l.contains("*("), s"$fn not codegen'd: $l\n$plan"))
+    }
   }
 
   test("per-window top-1 uses a single shuffle pair (agg form, no window sort)") {
