@@ -545,6 +545,12 @@ object Dedup {
     * squares the convergence rate behind the same output contract. Lineage
     * is truncated per iteration (`localCheckpoint`), so plans stay flat.
     * The per-iteration driver sync is one `count` (a scalar, not data).
+    *
+    * 100 TB layout: persist the symmetrized edge table BUCKETED on the
+    * source node ([[graft.sources.BucketedLayout.writeBucketed]]) — the
+    * seed aggregation and every round's propagate join then plan with zero
+    * exchanges on the corpus-sized edge side (plan-pinned over the real d7
+    * pair-graph shape in BucketedLayoutSpec); only the label frame moves.
     */
   def dedupGroups(pairs: DataFrame): DataFrame =
     dedupGroupsCapped(pairs, maxRounds = Int.MaxValue).get

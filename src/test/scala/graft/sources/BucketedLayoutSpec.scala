@@ -55,6 +55,47 @@ class BucketedLayoutSpec extends SparkSpec {
     assert(catalog.exists(_.contains("Num Buckets")), catalog.mkString("\n"))
   }
 
+  test("d7 pair graph: bucketed edge table plans a CC round with zero exchanges") {
+    import graft.ops.{Dedup, Vocab}
+    // the REAL d7 input shape: near-dup pairs over the fixture documents,
+    // symmetrized exactly as dedupGroups does before its label-propagation
+    // loop — at 100 TB this edge table is corpus-sized and re-joined every
+    // CC round, so it is THE candidate for the bucketed layout
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = Dedup.jaccardPairsFromShingles(
+      Dedup.shingleIdsFromArrays(Vocab.hashTokenIdArrays(docs), 5), threshold = 0.5)
+    val sym = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    reset("d7_edges", "d7_edges_plain")
+    BucketedLayout.writeBucketed(sym, "d7_edges", "a", buckets = 8)
+    sym.write.mode("overwrite").saveAsTable("d7_edges_plain")
+    spark.sqlContext.clearCache() // pair-stage persists must not mask the scan
+
+    def ccRound(table: String) = {
+      val edges = spark.table(table)
+      // one min-label round: seed labels from the edge table (agg on the
+      // bucket key), propagate across edges (join on the bucket key)
+      val labels = edges.groupBy(col("a")).agg(min(col("b")).as("label"))
+      edges.hint("merge").join(labels, "a")
+        .select(col("b").as("doc_id"), col("label"))
+    }
+    // string-count shuffles: AdaptiveSparkPlanExec has no children, so a
+    // tree collect would see only the AQE root and miss every Exchange
+    def nShuffles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+        .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    val bucketed = ccRound("d7_edges")
+    // seed agg AND propagate join both ride the bucket partitioning: the
+    // corpus-sized edge table never re-shuffles across rounds
+    assert(nShuffles(bucketed) === 0, bucketed.queryExecution.executedPlan.toString)
+    // the unbucketed twin shuffles (layout, not data, removed the exchanges)
+    val plain = ccRound("d7_edges_plain")
+    assert(nShuffles(plain) >= 1, plain.queryExecution.executedPlan.toString)
+    // same answer either way
+    assert(bucketed.collect().toSet === plain.collect().toSet)
+    assert(bucketed.count() > 0)
+  }
+
   test("bucketed aggregation on the bucket key also skips the exchange") {
     writeEventsBucketed("ev_bucketed_agg")
     val agg = spark.table("ev_bucketed_agg").groupBy("user_id").agg(sum("n"))
