@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Vectors, Vocab}
+
+/** Synthetic scale probe for the dedup/ANN surface (round-3 verdict "next"
+  * #5): no sf1 testdata exists, so build one in-bench — the sf0.1 corpus
+  * ×8 with remapped ids and per-copy character-translated text (copies
+  * keep the per-document structure but don't collapse into one giant
+  * near-dup cluster) — and time the heavy operators at both scales. The
+  * artifact (`BENCH_scale.json`) records sec and output rows at N and 8N:
+  * ≈linear growth (ratio ~8–16×, plus output-row growth where duplicate
+  * structure multiplies) is the pass condition; a quadratic candidate
+  * stage would show a ~64× blowup.
+  *
+  * The probe also runs the ADVERSARIAL case the df cap exists for: every
+  * document of the 8N corpus gets one shared boilerplate sentence
+  * appended, making several shingles hot with df = 8N. Under the capped
+  * index (d2's production path) the query completes in ≈ the clean-corpus
+  * time; the uncapped index would enumerate Θ((8N)²) ≈ 2·10⁹ candidate
+  * rows in one join key — the task-melting failure mode. This is the
+  * empirical test that would have caught the round-3 finding #1.
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val out = if (args.length > 0) args(0) else "BENCH_scale.json"
+    val spark = Tables.session("graft-scale", s"local[$cpus]", cpus.toInt)
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val emb = Tables.embeddings(spark, sfDir)
+    val nDocs = docs.count()
+    val nVecs = emb.count()
+    val docStride = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val vecStride = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+
+    /** ×`f` corpus: copy k remaps ids by k·stride and character-translates
+      * the text (distinct per copy, so copies replicate the per-document
+      * near-dup structure instead of forming f-wide clusters).
+      */
+    def scaledDocs(f: Int): DataFrame = (0 until f).map { k =>
+      val t = if (k == 0) col("text")
+        else translate(col("text"), "aeiousnt", "aeiousnt".drop(k % 7) + "aeiousnt".take(k % 7))
+      docs.select((col("doc_id") + lit(k * docStride)).as("doc_id"), t.as("text"))
+    }.reduce(_ union _)
+
+    def scaledEmb(f: Int): DataFrame = (0 until f).map { k =>
+      emb.select((col("vec_id") + lit(k * vecStride)).as("vec_id"), col("embedding"))
+    }.reduce(_ union _)
+
+    val queries: Seq[(String, DataFrame => DataFrame, Boolean)] = Seq(
+      ("d2_jaccard_pairs", (d: DataFrame) =>
+        Dedup.jaccardPairsFromShingles(
+          Dedup.shingleIdsFromArrays(Vocab.hashTokenIdArrays(d), 5), threshold = 0.5), true),
+      ("d4_minhash_pairs", (d: DataFrame) =>
+        Dedup.candidatePairsFromSignatures(
+          Dedup.minhashSignaturesFromShingles(
+            Dedup.shingleIdsFromArrays(Vocab.hashTokenIdArrays(d), 5)), bands = 4), true),
+      ("d7_dedup_groups", (d: DataFrame) =>
+        Dedup.dedupGroupsAuto(
+          Dedup.jaccardPairsFromShingles(
+            Dedup.shingleIdsFromArrays(Vocab.hashTokenIdArrays(d), 5), threshold = 0.5)), true),
+      ("d10_neardup_keep_first", (d: DataFrame) => Dedup.nearDupKeepFirst(d), true),
+      ("s2_ann_ivf", (e: DataFrame) => {
+        val n = e.count()
+        Vectors.ivfTopK(e, Vectors.spacedCentroidIds(n), 0L until 8L, k = 5)
+      }, false),
+      ("s6_ann_ivf_twolevel", (e: DataFrame) => {
+        val n = e.count()
+        val fine = Vectors.spacedCentroidIds(n)
+        Vectors.ivfTopKTwoLevel(e, fine, Vectors.coarseSubset(fine), 0L until 8L, k = 5)
+      }, false)
+    )
+
+    def time(fn: () => DataFrame): (Double, Long) = {
+      spark.sqlContext.clearCache()
+      val t0 = System.nanoTime()
+      val rows = fn().count()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    def runAll(f: Int): Seq[(String, Double, Long)] = {
+      val d = scaledDocs(f)
+      val e = scaledEmb(f)
+      queries.map { case (name, fn, isDoc) =>
+        val (sec, rows) = time(() => fn(if (isDoc) d else e))
+        System.err.println(f"[scale x$f] $name%-24s $sec%8.2f s  $rows%10d rows")
+        (name, sec, rows)
+      }
+    }
+
+    // warmup (plan compilation) at a tiny scale so x1 isn't charged for JIT
+    val warmD = Tables.documents(spark, "/root/testdata/sf0.001").select(col("doc_id"), col("text"))
+    val warmE = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    queries.foreach { case (_, fn, isDoc) =>
+      try { fn(if (isDoc) warmD else warmE).count(); () }
+      catch { case e: Throwable => System.err.println(s"[scale] warmup failed: ${e.getMessage}") }
+      spark.sqlContext.clearCache()
+    }
+
+    val base = runAll(1)
+    val x8 = runAll(8)
+
+    // adversarial hot-shingle corpus: one boilerplate sentence appended to
+    // EVERY doc of the 8N corpus → its shingles have df = 8N; the df-capped
+    // candidate index must keep d2 at ≈ clean-corpus cost
+    val hotDocs = scaledDocs(8).select(col("doc_id"),
+      concat(col("text"), lit(" standard legal disclaimer boilerplate appended to every document")).as("text"))
+    val (hotSec, hotRows) = time(() =>
+      Dedup.jaccardPairsFromShingles(
+        Dedup.shingleIdsFromArrays(Vocab.hashTokenIdArrays(hotDocs), 5), threshold = 0.5))
+    System.err.println(f"[scale hot] d2_jaccard_pairs          $hotSec%8.2f s  $hotRows%10d rows")
+
+    def sect(rs: Seq[(String, Double, Long)]): String =
+      rs.map { case (n, s, r) => f""""$n":{"sec":$s%.3f,"rows":$r}""" }.mkString("{", ",", "}")
+    val ratios = base.zip(x8).map { case ((n, b, _), (_, s, _)) =>
+      f""""$n":${s / math.max(b, 1e-9)}%.2f""" }.mkString("{", ",", "}")
+    val json =
+      s"""{"sf":"$sfDir","n_docs":$nDocs,"n_vecs":$nVecs,"factor":8,""" +
+        s""""base":${sect(base)},"x8":${sect(x8)},"time_ratio_x8":$ratios,""" +
+        f""""hot_shingle":{"appended_to_all":true,"boilerplate_df":${nDocs * 8},"d2_sec":$hotSec%.3f,"d2_rows":$hotRows}}"""
+    Files.writeString(Paths.get(out), json + "\n")
+    println(json)
+    spark.stop()
+  }
+}
