@@ -770,6 +770,11 @@ object SparkEntry {
       val isNew = col("source").isin("src0", "src1")
       Dedup.incrementalDedup(docs.filter(isNew), docs.filter(!isNew))
     }),
+    "d15_block_dedup" -> ((s, dir) =>
+      // sub-document (line/block) exact dedup: 16-token blocks, global
+      // keep-first, documents reassembled from surviving blocks — the
+      // CCNet-style boilerplate scrub document-level screens can't express
+      Dedup.blockDedup(Tables.documents(s, dir))),
     "d13_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: src0 plays the eval suite; corpus docs
       // sharing any 5-gram shingle with it are flagged (broadcast bench set)
@@ -1180,6 +1185,24 @@ object SparkEntry {
          |GROUP BY 1
          |HAVING count(*) >= 1""".stripMargin
     },
+    "d15_block_dedup" ->
+      """WITH tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS token
+        |             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+        |             UNNEST(range(1, len(toks) + 1)) AS r(i)),
+        |blk AS (SELECT doc_id, pos // 16 AS idx, string_agg(token, ' ' ORDER BY pos) AS block
+        |        FROM tok GROUP BY doc_id, pos // 16),
+        |keep AS (SELECT doc_id, idx, block,
+        |                row_number() OVER (PARTITION BY block ORDER BY doc_id, idx) AS rn
+        |         FROM blk),
+        |cln AS (SELECT doc_id, string_agg(block, ' ' ORDER BY idx) AS clean_text,
+        |               CAST(count(*) AS BIGINT) AS n_kept
+        |        FROM keep WHERE rn = 1 GROUP BY doc_id),
+        |nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks FROM blk GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(cln.clean_text, '') AS clean_text,
+        |       nb.n_blocks, coalesce(cln.n_kept, CAST(0 AS BIGINT)) AS n_kept
+        |FROM documents d
+        |LEFT JOIN nb ON nb.doc_id = d.doc_id
+        |LEFT JOIN cln ON cln.doc_id = d.doc_id""".stripMargin,
     "d14_incremental_dedup" -> {
       // exact screen: the digest equi-join reduces to text equality in SQL
       // (the digest is an implementation detail — collisions are re-confirmed

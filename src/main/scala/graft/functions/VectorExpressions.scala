@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes, QuaternaryExpression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -319,6 +319,105 @@ object QuantizeCode {
     (args: Seq[Expression]) => {
       require(args.length == 3, s"quantize_code expects 3 arguments, got ${args.length}")
       QuantizeCode(args(0), args(1), args(2))
+    }
+  )
+}
+
+/** L2 normalization as one codegen'd expression — the front-end of EVERY
+  * ANN/embedding query (s1–s8, d6, d12 all normalize once and dot
+  * everywhere). The HOF formulation (`transform(v, x → x / sqrt(aggregate(
+  * v, 0.0, (acc, y) → acc + y·y)))`) is evaluated interpreted and re-enters
+  * the lambda interpreter per element; this expression runs the identical
+  * arithmetic — squares accumulated sequentially left-to-right, `sqrt`,
+  * then one divide per element, so unit vectors stay bit-identical to the
+  * oracle's `[x / sqrt(list_dot_product(v0, v0)) for x in v0]` — in one
+  * primitive loop inside whole-stage codegen. A zero vector divides by
+  * 0.0 exactly as the HOF did (IEEE ±Inf/NaN elements), preserving parity.
+  *
+  * Null semantics: strict — a null element yields a null result (the HOF's
+  * null arithmetic would poison the norm anyway; embeddings contain no
+  * null elements).
+  */
+case class UnitVector(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullable: Boolean = child.nullable || (child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
+
+  override def prettyName: String = "unit_vector"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val e = x.getDouble(i)
+      acc += e * e
+      i += 1
+    }
+    val norm = math.sqrt(acc)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = x.getDouble(i) / norm; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val norm = ctx.freshName("norm")
+      val out = ctx.freshName("out")
+      val e = ctx.freshName("e")
+      val nullCheck =
+        if (nullable) s"if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      val guard = if (nullable) s"if (!${ev.isNull})" else ""
+      s"""
+         |int $n = $v.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
+         |  double $e = $v.getDouble($i);
+         |  $acc += $e * $e;
+         |}
+         |$guard {
+         |  double $norm = java.lang.Math.sqrt($acc);
+         |  double[] $out = new double[$n];
+         |  for (int $j = 0; $j < $n; $j++) { $out[$j] = $v.getDouble($j) / $norm; }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UnitVector {
+  def column(v: Column): Column =
+    ExpressionUtils.column(UnitVector(ExpressionUtils.expression(v)))
+
+  /** SQL registration triple for `SparkSessionExtensions.injectFunction`. */
+  val registration: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    new org.apache.spark.sql.catalyst.FunctionIdentifier("unit_vector"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[UnitVector].getName, "unit_vector"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, s"unit_vector expects 1 argument, got ${args.length}")
+      UnitVector(args(0))
     }
   )
 }

@@ -24,4 +24,10 @@ object VectorFunctions {
     */
   def dequantizeDot(a: Column, b: Column, mins: Column, maxs: Column): Column =
     org.apache.spark.sql.graft.DequantizeDot.column(a, b, mins, maxs)
+
+  /** Codegen'd L2 normalization over an `array<double>` column — see
+    * [[org.apache.spark.sql.graft.UnitVector]].
+    */
+  def unitVector(v: Column): Column =
+    org.apache.spark.sql.graft.UnitVector.column(v)
 }

@@ -417,6 +417,58 @@ object Dedup {
         coalesce(col("n"), lit(0L)).as("dup_near"))
   }
 
+  /** Line/block-level exact dedup — the CCNet/RefinedWeb-style curation
+    * pass that operates BELOW document granularity: chop each document into
+    * consecutive `blockTokens`-token blocks, keep only the globally FIRST
+    * occurrence of every distinct block (order = (doc_id, block index)),
+    * and reassemble each document from its surviving blocks. Boilerplate
+    * shared across thousands of documents (headers, navigation, legal
+    * text) survives exactly once, in the earliest document — the dedup
+    * form that document-level screens (d1/d10) cannot express. Output:
+    * (doc_id, clean_text, n_blocks, n_kept) for every document.
+    *
+    * Scale shape: two shuffles, no self-join anywhere — (1) blocks shuffle
+    * on their content key for the per-key window (row_number per block
+    * key is O(m log m) in bucket size m, never O(m²); the key leads with
+    * `xxhash64(block)` so state comparisons short-circuit on 8 bytes and
+    * a digest collision can never merge distinct blocks), (2) survivors
+    * shuffle back on doc_id for reassembly. A corpus-wide boilerplate
+    * block lands in ONE bucket but costs only a linear scan of it.
+    */
+  def blockDedup(docs: DataFrame, blockTokens: Int = 16): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    // consecutive blocks: block i = tokens [i·k, (i+1)·k) joined by ' ' —
+    // reassembling every block reproduces the original text exactly
+    val blocksArr = transform(
+      // integer block count: Column `/` is double division, so truncate
+      // back (non-negative operands — identical to floor division)
+      sequence(lit(0), ((size(toks) - 1) / blockTokens).cast("int")),
+      i => struct(i.as("idx"),
+        array_join(slice(toks, i * blockTokens + 1, lit(blockTokens)), " ").as("block")))
+    val blocks = docs
+      .select(col("doc_id"), size(blocksArr).cast("long").as("n_blocks"), explode(blocksArr).as("b"))
+      .select(col("doc_id"), col("n_blocks"), col("b.idx").as("idx"), col("b.block").as("block"))
+    val perBlock = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(col("block")), col("block"))
+      .orderBy(col("doc_id"), col("idx"))
+    val kept = blocks
+      .withColumn("rn", row_number().over(perBlock))
+      .filter(col("rn") === 1)
+    val clean = kept
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("idx"), col("block")))),
+          p => p.getField("block")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"))
+      .join(blocks.select(col("doc_id"), col("n_blocks")).distinct(), Seq("doc_id"), "left")
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Benchmark decontamination — the training-data hygiene pass: flag
     * corpus documents that share at least `minOverlap` distinct k-gram
     * shingles with any document in `benchmark` (the eval/test suite whose

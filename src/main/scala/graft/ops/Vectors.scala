@@ -46,11 +46,17 @@ object Vectors {
     */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Attach the L2-normalized double vector as `unit`. */
+  /** Attach the L2-normalized double vector as `unit` — one codegen'd
+    * expression ([[graft.functions.VectorFunctions.unitVector]]): the HOF
+    * form (`transform` dividing by an `aggregate` fold) evaluated
+    * interpreted at the head of every ANN query; the expression runs the
+    * identical arithmetic (sequential square sum, sqrt, per-element
+    * divide — float→double casts are exact) inside whole-stage codegen,
+    * so unit vectors and every downstream hash stay bit-identical.
+    */
   def withUnit(df: DataFrame, vecCol: String = "embedding"): DataFrame =
-    df.withColumn("_norm", norm(col(vecCol)))
-      .withColumn("unit", transform(col(vecCol), x => x.cast("double") / col("_norm")))
-      .drop("_norm")
+    df.withColumn("unit",
+      graft.functions.VectorFunctions.unitVector(col(vecCol).cast("array<double>")))
 
   /** Exact top-k cosine neighbors for each query vector (`vec_id` in
     * `queryIds`), excluding self. Output: (query_id, neighbor_id, rank).

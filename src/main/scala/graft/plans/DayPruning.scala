@@ -128,6 +128,7 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(org.apache.spark.sql.graft.DotProduct.registration)
     ext.injectFunction(org.apache.spark.sql.graft.QuantizeCode.registration)
     ext.injectFunction(org.apache.spark.sql.graft.DequantizeDot.registration)
+    ext.injectFunction(org.apache.spark.sql.graft.UnitVector.registration)
     ext.injectFunction(org.apache.spark.sql.graft.TokenHash.registration)
     ext.injectFunction(org.apache.spark.sql.graft.DecodeEnvelope.registration)
     ext.injectFunction(org.apache.spark.sql.graft.EncodeEnvelope.registration)

@@ -308,8 +308,9 @@ class PlanSpec extends SparkSpec {
     // section carries them (the toString appends the pre-AQE Initial Plan)
     q.collect()
     val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    // encode AND decode-corrected scoring both sit in codegen spans
-    for (fn <- Seq("quantize_code", "dequantize_dot")) {
+    // normalization, encode, AND decode-corrected scoring all sit in
+    // codegen spans (the transform-HOF forms they replaced broke the span)
+    for (fn <- Seq("unit_vector", "quantize_code", "dequantize_dot")) {
       val lines = plan.linesIterator.filter(_.contains(fn)).toSeq
       assert(lines.nonEmpty, s"$fn not in plan:\n$plan")
       lines.foreach(l => assert(l.contains("*("), s"$fn not codegen'd: $l\n$plan"))

@@ -327,6 +327,24 @@ class DedupSpec extends SparkSpec {
     assert(a === m)
   }
 
+  test("block dedup: global keep-first on blocks, docs reassemble in order") {
+    val corpus = Seq(
+      (0L, "a b c x y z"),   // blocks (k=3): [a b c][x y z]
+      (1L, "a b c q r s"),   // [a b c] already claimed by doc 0 → drops it
+      (2L, "m m m m m m"),   // within-doc duplicate block → second drops
+      (3L, "p q")            // short doc: one 2-token block, untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.blockDedup(corpus, blockTokens = 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_blocks"), r.getAs[Long]("n_kept"))))
+      .toMap
+    assert(out(0L) === (("a b c x y z", 2L, 2L))) // first owner keeps everything
+    assert(out(1L) === (("q r s", 2L, 1L)))       // boilerplate scrubbed
+    assert(out(2L) === (("m m m", 2L, 1L)))       // intra-doc dup collapsed
+    assert(out(3L) === (("p q", 1L, 1L)))
+  }
+
   test("incremental dedup: exact and near verdicts against a fixed corpus") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
