@@ -770,6 +770,16 @@ object SparkEntry {
       val isNew = col("source").isin("src0", "src1")
       Dedup.incrementalDedup(docs.filter(isNew), docs.filter(!isNew))
     }),
+    "d16_dedup_keep_longest" -> ((s, dir) => {
+      // the step after grouping: keep the LONGEST doc per near-dup group
+      // (ties to the smaller id) + every ungrouped doc — the keep set a
+      // curation pipeline actually materializes
+      val docs = Tables.documents(s, dir)
+      val ids = Vocab.hashTokenIdArrays(docs)
+      Dedup.keepBest(docs,
+        Dedup.dedupGroupsAuto(
+          Dedup.jaccardPairsFromShingles(Dedup.shingleIdsFromArrays(ids, 5), threshold = 0.5)))
+    }),
     "d15_block_dedup" -> ((s, dir) =>
       // sub-document (line/block) exact dedup: 16-token blocks, global
       // keep-first, documents reassembled from surviving blocks — the
@@ -1185,6 +1195,25 @@ object SparkEntry {
          |GROUP BY 1
          |HAVING count(*) >= 1""".stripMargin
     },
+    "d16_dedup_keep_longest" ->
+      // groups via the same transitive-closure walk as d7/d9, then one
+      // longest-doc representative per group + all ungrouped docs
+      s"""WITH RECURSIVE $oracleJaccardCtes,
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM jpairs),
+         |walk AS (SELECT DISTINCT a AS doc_id, a AS reach FROM edges
+         |         UNION
+         |         SELECT w.doc_id, e.b FROM walk w JOIN edges e ON e.a = w.reach),
+         |grp AS (SELECT doc_id, min(reach) AS group_id FROM walk GROUP BY doc_id),
+         |reps AS (SELECT doc_id FROM (
+         |           SELECT g.doc_id,
+         |                  row_number() OVER (PARTITION BY g.group_id
+         |                    ORDER BY length(d.text) DESC, g.doc_id ASC) AS rn
+         |           FROM grp g JOIN documents d ON d.doc_id = g.doc_id)
+         |         WHERE rn = 1)
+         |SELECT doc_id FROM reps
+         |UNION ALL
+         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM grp)""".stripMargin,
     "d15_block_dedup" ->
       """WITH tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS token
         |             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,

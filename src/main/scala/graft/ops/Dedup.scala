@@ -435,16 +435,34 @@ object Dedup {
     * shuffle back on doc_id for reassembly. A corpus-wide boilerplate
     * block lands in ONE bucket but costs only a linear scan of it.
     */
-  def blockDedup(docs: DataFrame, blockTokens: Int = 16): DataFrame = {
+  /** The (idx, block) struct array for [[blockDedup]]/[[streamingBlockDedup]]:
+    * consecutive `blockTokens`-token blocks of `text`, space-joined — block
+    * i = tokens [i·k, (i+1)·k), so reassembling every block reproduces the
+    * original text exactly.
+    */
+  private def blockStructs(blockTokens: Int) = {
     val toks = TextOps.tokens(col("text"))
-    // consecutive blocks: block i = tokens [i·k, (i+1)·k) joined by ' ' —
-    // reassembling every block reproduces the original text exactly
-    val blocksArr = transform(
+    transform(
       // integer block count: Column `/` is double division, so truncate
       // back (non-negative operands — identical to floor division)
       sequence(lit(0), ((size(toks) - 1) / blockTokens).cast("int")),
       i => struct(i.as("idx"),
         array_join(slice(toks, i * blockTokens + 1, lit(blockTokens)), " ").as("block")))
+  }
+
+  /** Reassemble kept (idx, block) rows per doc: blocks in original order,
+    * space-joined, plus the survivor count.
+    */
+  private def reassembleBlocks(kept: DataFrame): DataFrame =
+    kept
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("idx"), col("block")))),
+          p => p.getField("block")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+
+  def blockDedup(docs: DataFrame, blockTokens: Int = 16): DataFrame = {
+    val blocksArr = blockStructs(blockTokens)
     val blocks = docs
       .select(col("doc_id"), size(blocksArr).cast("long").as("n_blocks"), explode(blocksArr).as("b"))
       .select(col("doc_id"), col("n_blocks"), col("b.idx").as("idx"), col("b.block").as("block"))
@@ -454,12 +472,7 @@ object Dedup {
     val kept = blocks
       .withColumn("rn", row_number().over(perBlock))
       .filter(col("rn") === 1)
-    val clean = kept
-      .groupBy(col("doc_id"))
-      .agg(
-        array_join(transform(array_sort(collect_list(struct(col("idx"), col("block")))),
-          p => p.getField("block")), " ").as("clean_text"),
-        count(lit(1)).as("n_kept"))
+    val clean = reassembleBlocks(kept)
     docs.select(col("doc_id"))
       .join(blocks.select(col("doc_id"), col("n_blocks")).distinct(), Seq("doc_id"), "left")
       .join(clean, Seq("doc_id"), "left")
@@ -467,6 +480,65 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         col("n_blocks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** Streaming twin of [[blockDedup]] — block-level dedup at ingest: a
+    * block survives iff it is the FIRST arrival of its content within the
+    * watermark horizon (over a doc_id-ordered feed this equals the batch
+    * form's (doc_id, idx) keep-first — the d10/d12 contract, spec-attested),
+    * and each document re-emits from its surviving blocks when its window
+    * closes. Same two-chained-stateful-op shape as [[streamingNearDup]]:
+    * `dropDuplicatesWithinWatermark` on the (digest, block) key — state is
+    * one entry per distinct block within the horizon, digest-led so state
+    * compares short-circuit on 8 bytes — then a windowed reassembly
+    * aggregation. Documents whose every block was already claimed emit no
+    * row (a stream can't see "all blocks dropped" statelessly); batch
+    * comparisons filter to `n_kept > 0`.
+    */
+  def streamingBlockDedup(docs: DataFrame, tsCol: String, delay: String,
+      blockTokens: Int = 16, windowDur: String = "10 seconds"): DataFrame = {
+    val blocksArr = blockStructs(blockTokens)
+    val blocks = docs
+      .select(col("doc_id"), col(tsCol), size(blocksArr).cast("long").as("n_blocks"),
+        explode(blocksArr).as("b"))
+      .select(col("doc_id"), col(tsCol), col("n_blocks"),
+        col("b.idx").as("idx"), col("b.block").as("block"))
+    blocks
+      .withColumn("digest", xxhash64(col("block")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("digest", "block")
+      .groupBy(window(col(tsCol), windowDur), col("doc_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("idx"), col("block")))),
+          p => p.getField("block")), " ").as("clean_text"),
+        max(col("n_blocks")).as("n_blocks"),
+        count(lit(1)).as("n_kept"))
+      .select(col("doc_id"), col("clean_text"), col("n_blocks"), col("n_kept"))
+  }
+
+  /** Representative selection after grouping — the curation step that runs
+    * on [[dedupGroupsAuto]]'s output: from every near-dup group keep the
+    * LONGEST document (the standard keep-best choice — near-dup groups
+    * usually contain truncated/paginated variants of one source; ties to
+    * the smaller doc_id), and keep every ungrouped document as its own
+    * representative. Output: the kept doc_ids.
+    *
+    * Scale shape: group sizes are bounded by construction (near-dup
+    * clusters), so the per-group argmax is a hash aggregation over
+    * (group_id) — one shuffle of (doc_id, group_id, len) triples; the
+    * ungrouped side is a left-anti join on doc_id. No window over the
+    * corpus, no text movement (length is computed at the scan).
+    */
+  def keepBest(docs: DataFrame, groups: DataFrame): DataFrame = {
+    val members = groups.join(
+      docs.select(col("doc_id"), length(col("text")).cast("long").as("len")), Seq("doc_id"))
+    val reps = members
+      .groupBy(col("group_id"))
+      .agg(max_by(col("doc_id"), struct(col("len"), -col("doc_id"))).as("doc_id"))
+      .select(col("doc_id"))
+    val singletons = docs.select(col("doc_id"))
+      .join(groups.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    reps.union(singletons)
   }
 
   /** Benchmark decontamination — the training-data hygiene pass: flag

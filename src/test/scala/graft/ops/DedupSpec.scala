@@ -345,6 +345,59 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === (("p q", 1L, 1L)))
   }
 
+  test("streaming block dedup ≡ batch over an id-ordered feed") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val corpus: Seq[(Long, String)] = Seq(
+      0L -> "a b c x y z",
+      1L -> "a b c q r s",   // loses the boilerplate block to doc 0
+      2L -> "a b c x y z",   // every block already claimed → emits nothing
+      3L -> "m m m m m m")   // intra-doc duplicate block
+    val expected = Dedup.blockDedup(corpus.toDF("doc_id", "text"), blockTokens = 3)
+      .filter(org.apache.spark.sql.functions.col("n_kept") > 0)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_blocks"), r.getAs[Long]("n_kept"))).toSet
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val q = Dedup.streamingBlockDedup(
+      ms.toDF().toDF("doc_id", "ts", "text"), "ts", delay = "5 seconds",
+      blockTokens = 3, windowDur = "10 seconds")
+      .writeStream.format("memory").queryName("sblockdedup")
+      .outputMode(OutputMode.Append).start()
+    val t0 = java.time.Instant.parse("2024-01-01T10:00:00Z")
+    corpus.zipWithIndex.foreach { case ((id, text), i) =>
+      ms.addData((id, Timestamp.from(t0.plusSeconds(i.toLong)), text))
+      q.processAllAvailable()
+    }
+    // sentinel far past window + watermark closes the reassembly window
+    ms.addData((99L, Timestamp.from(t0.plusSeconds(3600L)), "zz zz zz"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sblockdedup")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_blocks"), r.getAs[Long]("n_kept"))).toSet
+    assert(streamed === expected)
+    // the all-blocks-claimed doc is absent from the stream, present (empty)
+    // in the batch frame — the documented delta
+    assert(!streamed.exists(_._1 == 2L))
+  }
+
+  test("keep-best: longest doc represents each group, singletons kept as-is") {
+    val corpus = Seq(
+      (0L, "short version of the text"),
+      (1L, "a much longer version of the text with extra trailing context"),
+      (2L, "an unrelated singleton document"),
+      (3L, "tied length aa"),
+      (4L, "tied length bb")
+    ).toDF("doc_id", "text")
+    val groups = Seq((0L, 0L), (1L, 0L), (3L, 3L), (4L, 3L)).toDF("doc_id", "group_id")
+    val kept = Dedup.keepBest(corpus, groups).collect().map(_.getLong(0)).toSet
+    // group 0: doc 1 is longer; group 3: equal lengths → smaller id (3);
+    // doc 2 is ungrouped → kept
+    assert(kept === Set(1L, 2L, 3L))
+  }
+
   test("incremental dedup: exact and near verdicts against a fixed corpus") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
