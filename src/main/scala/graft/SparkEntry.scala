@@ -625,6 +625,32 @@ object SparkEntry {
       // skew-safe two-phase aggregation ≡ direct groupBy().count()
       graft.operators.Skew.saltedCount(
         Tables.events(s, dir), Seq("event_type"), salts = 32, countCol = "n_events")),
+    "t20_salted_join" -> ((s, dir) => {
+      // manual skew join: events (skewed fact) × customer-keyed dim via
+      // (key, salt) — result ≡ the plain inner join (the oracle); a hot
+      // user's rows spread over `salts` reducers instead of stalling one
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("value_cents"))
+      val users = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.operators.Skew.saltedJoin(ev, users, "user_id", salts = 8)
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value_cents")).as("cents"))
+    }),
+    "t21_sql_surface" -> ((s, dir) => {
+      // the registered-extension SQL surface: the same engine functions
+      // (token_hash / token_hash_array / shingle_hash) driven from plain
+      // spark.sql over a temp view — what a SQL-first user of the library
+      // writes; results hash-match the DataFrame path's oracle arithmetic
+      Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+      s.sql(s"""
+        SELECT doc_id,
+               token_hash(text) AS text_id,
+               CAST(size(shingle_hash(token_hash_array(split(text, ' ')), 5)) AS BIGINT)
+                 AS n_shingles
+        FROM documents_v""")
+    }),
     "t19_percentiles" -> ((s, dir) => {
       // exact discrete percentiles (p50/p90/p99 of value-cents per type) in
       // the histogram-compressed form: pre-aggregate counts per (group,
@@ -800,6 +826,15 @@ object SparkEntry {
       Vectors.cosineNearDupPairs(emb, Vectors.spacedCentroidIds(emb.count()), threshold = 0.4)
     }),
 
+    "d17_incremental_vector_dedup" -> ((s, dir) => {
+      // d14's embedding analog: new vectors (vec_id % 10 < 2 plays the
+      // incoming batch) flagged iff any sign-hash bucket is already
+      // claimed by the corpus side
+      val emb = Tables.embeddings(s, dir)
+      Vectors.incrementalLshDedup(
+        emb.filter(col("vec_id") % 10 < 2), emb.filter(col("vec_id") % 10 >= 2))
+    }),
+
     // ---- similarity search ----
     "s1_ann_bruteforce" -> ((s, dir) =>
       Vectors.bruteForceTopK(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
@@ -897,6 +932,16 @@ object SparkEntry {
       // multilingual data mixing: α=0.5 temperature rebalancing with a
       // deterministic hash-threshold keep decision — zero corpus shuffle
       TextOps.temperatureSample(Tables.documents(s, dir))),
+    "x16_corpus_stats" -> ((s, dir) =>
+      // the corpus report card: per-language volume/coverage in one
+      // map-side-combined pass (integer aggregates only — deterministic)
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          countDistinct(col("source")).as("n_sources"))),
 
     // ---- multimodal plumbing ----
     "m1_binary_meta" -> ((s, dir) =>
@@ -1074,6 +1119,34 @@ object SparkEntry {
     "t17_salted_agg" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+    // the salted (key, salt) join is result-identical to the plain inner
+    // join — the oracle is the unsalted formulation
+    "t20_salted_join" ->
+      """SELECT c.c_mktsegment, e.event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(e.value_cents) AS BIGINT) AS cents
+        |FROM (SELECT user_id, event_type,
+        |             CAST(round(value * 100) AS BIGINT) AS value_cents
+        |      FROM events) e
+        |JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY 1, 2""".stripMargin,
+    "t21_sql_surface" -> {
+      val p = graft.ops.Dedup.minhashPrime
+      s"""WITH $oracleTokCtes,
+         |ids AS (SELECT doc_id, list(token_id ORDER BY pos) AS ids FROM tid GROUP BY doc_id),
+         |sh AS (SELECT DISTINCT doc_id, sid AS shingle_id FROM (
+         |  SELECT doc_id, unnest([list_reduce(list_prepend(CAST(0 AS BIGINT), ids[i:i+4]),
+         |                                     (a, t) -> (a * 37 + t + 1) % $p)
+         |                         for i in range(1, len(ids) - 3)]) AS sid
+         |  FROM ids)),
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1)
+         |SELECT d.doc_id,
+         |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         [CAST(unicode(c) AS BIGINT) for c in string_split(d.text, '') if c <> '']),
+         |         (a, c) -> (a * 131 + c) % 2147483647) AS text_id,
+         |       coalesce(cnt.n, CAST(0 AS BIGINT)) AS n_shingles
+         |FROM documents d LEFT JOIN cnt ON cnt.doc_id = d.doc_id""".stripMargin
+    },
     "t19_percentiles" ->
       """WITH v AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events),
         |h AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
@@ -1177,6 +1250,17 @@ object SparkEntry {
     "d5_simhash" -> oracleSimhash,
     "d10_neardup_keep_first" -> oracleNearDupKeepFirst,
     "d12_vector_keep_first" -> oracleVectorKeepFirst,
+    "d17_incremental_vector_dedup" -> {
+      val anyMatch = (0 until 4).map(t => s"c.b$t = n.b$t").mkString(" OR ")
+      s"""WITH $oracleEmbCte,
+         |bt AS (SELECT vec_id, ${oracleLshTableCols(4)} FROM e),
+         |n AS (SELECT * FROM bt WHERE vec_id % 10 < 2),
+         |c AS (SELECT * FROM bt WHERE vec_id % 10 >= 2)
+         |SELECT n.vec_id,
+         |       CAST(CASE WHEN EXISTS (SELECT 1 FROM c WHERE $anyMatch)
+         |            THEN 1 ELSE 0 END AS BIGINT) AS dup_near
+         |FROM n""".stripMargin
+    },
     "d13_decontaminate" -> {
       val p = graft.ops.Dedup.minhashPrime
       s"""WITH $oracleTokCtes,
@@ -1474,6 +1558,13 @@ object SparkEntry {
          |WHERE (((d.doc_id % ${TextOps.fingerprintMod})
          |        * (2654435761 % ${TextOps.fingerprintMod}))
          |        % ${TextOps.fingerprintMod}) % 1000000 < r.keep_ppm""".stripMargin,
+    "x16_corpus_stats" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |       CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM documents GROUP BY 1""".stripMargin,
     "x12_global_shuffle" ->
       // one global row_number attests the bucketed prefix-count exactly
       s"""WITH k AS (SELECT doc_id,

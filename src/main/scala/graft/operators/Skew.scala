@@ -46,4 +46,23 @@ object Skew {
       .groupBy(keyCols: _*)
       .agg(sum(col("_partial")).as(sumCol))
   }
+
+  /** Salted equi-join — the manual skew-join for when the small side is too
+    * big to broadcast and one key dominates the big side (the case AQE's
+    * skew split handles only after a stage has already materialized the
+    * skew): the BIG side gets a random-free deterministic salt (hash of its
+    * whole row spread across `salts` buckets), the SMALL side is replicated
+    * once per salt value, and the join key becomes (key, salt) — a hot key's
+    * rows land on `salts` reducers instead of one. Result is exactly the
+    * plain inner equi-join (oracle row t20); cost is `salts`× the small
+    * side's shuffle volume — the standard replicate-vs-stall trade.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int = 8): DataFrame = {
+    val salted = big.withColumn("_salt",
+      pmod(xxhash64(struct(big.columns.map(col).toSeq: _*)), lit(salts)))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit((salts - 1).toLong))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
 }

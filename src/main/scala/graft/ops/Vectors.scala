@@ -543,6 +543,37 @@ object Vectors {
       }.reduce(_ + _)
     }: _*)
 
+  /** Incremental corpus dedup for embeddings — [[graft.ops.Dedup.incrementalDedup]]'s
+    * vector analog, the question a growing embedding store asks of every
+    * new batch: which incoming vectors are near-duplicates of something
+    * already ingested? A new vector is flagged iff ANY of its `nTables`
+    * sign-hash buckets is already claimed by a corpus vector (the same
+    * collision rule as [[lshKeepFirst]], against a fixed reference side).
+    * Output: (vec_id, dup_near) as a 0/1 BIGINT flag for EVERY new-batch
+    * vector.
+    *
+    * Scale shape: bucketing is a stateless projection on both sides (LSH
+    * needs no training); the corpus side reduces to its DISTINCT (table,
+    * bucket) keys — at most `nTables`·2^nPlanes rows regardless of corpus
+    * size, computed once per batch cadence (or maintained incrementally) —
+    * and the screen is one fixed-width semi join. A batch costs
+    * O(batch + distinct keys), never O(corpus).
+    */
+  def incrementalLshDedup(newBatch: DataFrame, corpus: DataFrame,
+      nTables: Int = 4, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    def keys(df: DataFrame): DataFrame =
+      withUnit(df).select(col("vec_id"),
+        posexplode(tableBucketsExpr(nTables, nPlanes, dim)).as(Seq("t", "bucket")))
+    val corpusKeys = keys(corpus).select(col("t"), col("bucket")).distinct()
+    val hits = keys(newBatch)
+      .join(corpusKeys, Seq("t", "bucket"), "left_semi")
+      .select(col("vec_id"))
+      .distinct()
+    newBatch.select(col("vec_id"))
+      .join(hits.withColumn("h", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("h"), lit(0L)).as("dup_near"))
+  }
+
   /** Streaming embedding dedup — dedup-on-ingest for a vector stream: a
     * vector is dropped iff ANY of its `nTables` sign-hash buckets collides
     * with one seen inside the watermark horizon (the embedding analog of
@@ -556,9 +587,8 @@ object Vectors {
   def streamingLshNearDup(embeddings: DataFrame, tsCol: String, delay: String,
       nTables: Int = 4, nPlanes: Int = 8, dim: Int = 64,
       windowDur: String = "10 seconds"): DataFrame = {
-    val unit = embeddings
-      .withColumn("_norm", norm(col("embedding")))
-      .withColumn("unit", transform(col("embedding"), x => x.cast("double") / col("_norm")))
+    val unit = embeddings.withColumn("unit",
+      graft.functions.VectorFunctions.unitVector(col("embedding").cast("array<double>")))
     val keyed = unit
       .select(col("vec_id"), col(tsCol),
         posexplode(tableBucketsExpr(nTables, nPlanes, dim)).as(Seq("t", "bucket")))

@@ -240,6 +240,19 @@ class PlanSpec extends SparkSpec {
     assert(joinExchanges.length <= 1, plan.toString)
   }
 
+  test("salted join equals direct join (skewed fact side)") {
+    import graft.operators.Skew
+    // heavily skewed fact: one hot key carries 80% of rows
+    val big = (0 until 1000).map(i => (if (i < 800) 1L else i.toLong % 50L, i.toLong))
+      .toDF("k", "v")
+    val small = (0L until 50L).map(i => (i, s"dim$i")).toDF("k", "name")
+    val salted = Skew.saltedJoin(big, small, "k", salts = 8)
+      .collect().map(_.toSeq).toSet
+    val plain = big.join(small, "k").collect().map(_.toSeq).toSet
+    assert(salted === plain)
+    assert(salted.nonEmpty)
+  }
+
   test("salted aggregation equals direct aggregation") {
     val direct = Tables.events(spark, "/root/testdata/sf0.001")
       .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))

@@ -133,6 +133,24 @@ class VectorsSpec extends SparkSpec {
     assert(again.map(_._2.toSeq) === trained.map(_._2.toSeq))
   }
 
+  test("incremental vector dedup flags bucket-colliding new vectors only") {
+    // corpus = vectors 0..9 of the fixture frame; new batch = an exact copy
+    // of vector 3 (collides in every table) and a distinct vector (100)
+    val base = (0 until 10).map { id =>
+      (id.toLong, Array.tabulate(8) { d =>
+        ((((id * 8 + d) * 2654435761L) % 997L) - 498L).toFloat / 498.0f
+      })
+    }
+    val newBatch = Seq(
+      (100L, base(3)._2),                                      // exact dup of corpus 3
+      (101L, Array.tabulate(8)(d => if (d == 0) -1.0f else 1.0f)) // unrelated direction
+    ).toDF("vec_id", "embedding")
+    val out = Vectors.incrementalLshDedup(newBatch, base.toDF("vec_id", "embedding"), dim = 8)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("dup_near")).toMap
+    assert(out(100L) === 1L)
+    assert(out.keySet === Set(100L, 101L)) // every new vector gets a verdict
+  }
+
   test("streaming LSH vector dedup ≡ batch keep-first over an id-ordered feed") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
