@@ -826,6 +826,13 @@ object SparkEntry {
       Vectors.cosineNearDupPairs(emb, Vectors.spacedCentroidIds(emb.count()), threshold = 0.4)
     }),
 
+    "d18_containment_pairs" -> ((s, dir) => {
+      // asymmetric near-dup: excerpt/quote detection — containment
+      // |∩|/min(|A|,|B|) catches a short doc embedded in a long one where
+      // Jaccard ≈ |A|/|B| stays under any threshold
+      val ids = Vocab.hashTokenIdArrays(Tables.documents(s, dir))
+      Dedup.containmentPairs(Dedup.shingleIdsFromArrays(ids, 5), threshold = 0.8)
+    }),
     "d17_incremental_vector_dedup" -> ((s, dir) => {
       // d14's embedding analog: new vectors (vec_id % 10 < 2 plays the
       // incoming batch) flagged iff any sign-hash bucket is already
@@ -1250,6 +1257,34 @@ object SparkEntry {
     "d5_simhash" -> oracleSimhash,
     "d10_neardup_keep_first" -> oracleNearDupKeepFirst,
     "d12_vector_keep_first" -> oracleVectorKeepFirst,
+    "d18_containment_pairs" -> {
+      val p = graft.ops.Dedup.minhashPrime
+      val cap = graft.ops.Dedup.defaultMaxDf
+      s"""WITH $oracleTokCtes,
+         |ids AS (SELECT doc_id, list(token_id ORDER BY pos) AS ids FROM tid GROUP BY doc_id),
+         |sh AS (SELECT DISTINCT doc_id, sid AS shingle_id FROM (
+         |  SELECT doc_id, unnest([list_reduce(list_prepend(CAST(0 AS BIGINT), ids[i:i+4]),
+         |                                     (a, t) -> (a * 37 + t + 1) % $p)
+         |                         for i in range(1, len(ids) - 3)]) AS sid
+         |  FROM ids)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |rare AS (SELECT shingle_id FROM (SELECT shingle_id, count(*) AS c FROM sh GROUP BY 1)
+         |         WHERE c > 1 AND c <= $cap),
+         |idx AS (SELECT sh.* FROM sh JOIN rare USING (shingle_id)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM idx x JOIN idx y ON x.shingle_id = y.shingle_id AND x.doc_id < y.doc_id),
+         |inter AS (SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_common
+         |          FROM cand
+         |          JOIN sh a ON a.doc_id = doc_a
+         |          JOIN sh b ON b.doc_id = doc_b AND b.shingle_id = a.shingle_id
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_common,
+         |       CAST(n_common AS DOUBLE) / least(sa.n, sb.n) AS containment
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.8""".stripMargin
+    },
     "d17_incremental_vector_dedup" -> {
       val anyMatch = (0 until 4).map(t => s"c.b$t = n.b$t").mkString(" OR ")
       s"""WITH $oracleEmbCte,

@@ -209,6 +209,38 @@ object Dedup {
     jaccardFromIntersections(inter, sizes, threshold)
   }
 
+  /** Containment near-dup pairs — the ASYMMETRIC similarity that catches
+    * excerpts, quotes, and truncated variants Jaccard misses: a short
+    * document wholly contained in a long one has |∩|/|∪| ≈ |A|/|B| (tiny)
+    * but containment |∩|/min(|A|,|B|) = 1. Same df-capped candidate
+    * generation / exact verification as [[jaccardPairsBlocked]] — only the
+    * scoring formula differs. Output: (doc_a, doc_b, n_common, containment)
+    * with doc_a < doc_b, containment ≥ `threshold`.
+    */
+  def containmentPairs(shingles: DataFrame, threshold: Double,
+      maxDf: Long = defaultMaxDf): DataFrame = {
+    val sh = shingles.persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val idx = dfCappedIndex(sh, maxDf)
+    val cand = idx.as("x")
+      .join(idx.as("y"),
+        col("x.shingle_id") === col("y.shingle_id") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle_id")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle_id")), Seq("doc_b", "shingle_id"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .withColumn("containment",
+        col("n_common").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("containment"))
+  }
+
   /** The df-capped inverted index: rows of `sh` whose shingle has
     * `1 < df ≤ maxDf` (singletons can never produce a pair; hot shingles
     * must never enter a self-join). Index SIZE is O(rows kept) — linear in

@@ -300,6 +300,34 @@ object Vectors {
   def ivfTopK(embeddings: DataFrame, centroidIds: Seq[Long], queryIds: Seq[Long], k: Int): DataFrame =
     topKWithinBuckets(ivfAssign(embeddings, centroidIds), queryIds, k)
 
+  /** Persist an IVF assignment as a BUCKETED index table — the
+    * build-once/query-many production layout: at 100 TB the assignment
+    * pass (O(N·C·d)) is the expensive stage, so it runs once and lands
+    * hash-clustered on `bucket`; every later probe reads the index
+    * exchange-free on the corpus side (plan-pinned in BucketedLayoutSpec).
+    */
+  def writeIvfIndex(assigned: DataFrame, table: String, buckets: Int = 32): Unit =
+    graft.sources.BucketedLayout.writeBucketed(
+      assigned.select(col("vec_id"), col("bucket"), col("unit")),
+      table, "bucket", buckets, sorted = false)
+
+  /** Batch ANN over a persisted index — for query BATCHES too large to
+    * broadcast (the offline scoring job: re-embed a corpus slice, find
+    * neighbors for all of it): score a (query_id, bucket, q) frame against
+    * the index by bucket equi-join. With the index bucketed on `bucket`
+    * the corpus side plans with zero exchanges; only the query batch and
+    * the final per-query ranking shuffle. Output: (query_id, neighbor_id,
+    * rank).
+    */
+  def ivfBatchTopKFromIndex(index: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = index
+      .select(col("vec_id").as("neighbor_id"), col("bucket"), col("unit").as("e"))
+      .join(queries.select(col("query_id"), col("bucket"), col("q")), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("q"), col("e")).as("sim"))
+    topKPerGroup(scored, "query_id", k)
+  }
+
   /** ⌈√C⌉ coarse parents spaced over an (ascending) fine-centroid id list —
     * [[spacedCentroidIds]] applied one level up; coarse ⊂ fine by
     * construction.

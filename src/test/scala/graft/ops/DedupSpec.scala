@@ -275,6 +275,27 @@ class DedupSpec extends SparkSpec {
     assert(defaultCap.contains((3L, 4L)))
   }
 
+  test("containment pairs: an excerpt scores 1.0 where jaccard stays low") {
+    import org.apache.spark.sql.functions.col
+    // doc 2 = the first 8 tokens of doc 1 → every shingle of 2 is in 1
+    val corpus = Seq(
+      (1L, "one two three four five six seven eight nine ten eleven twelve"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "totally different content in this unrelated document right here")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingleIdsFromArrays(Vocab.hashTokenIdArrays(corpus), 5)
+    val cont = Dedup.containmentPairs(sh, threshold = 0.8)
+      .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Double]("containment"))).toMap
+    assert(cont.keySet === Set((1L, 2L)))
+    assert(cont((1L, 2L)) === 1.0) // full containment
+    // the symmetric jaccard on the same pair is well under the threshold
+    val jac = Dedup.jaccardPairsFromShingles(sh, threshold = 0.0)
+      .filter(col("doc_a") === 1L && col("doc_b") === 2L)
+      .collect().head.getAs[Double]("jaccard")
+    assert(jac < 0.8, s"jaccard $jac unexpectedly high")
+  }
+
   test("hot-key bound: a 10k-doc boilerplate shingle yields O(f) index rows, zero pairs") {
     import org.apache.spark.sql.functions._
     // every doc shares boilerplate shingle 999 (df = 10 000) and carries one

@@ -96,6 +96,38 @@ class BucketedLayoutSpec extends SparkSpec {
     assert(bucketed.count() > 0)
   }
 
+  test("persisted IVF index: batch probe is exchange-free on the corpus side") {
+    import graft.ops.Vectors
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val assigned = Vectors.ivfAssign(emb, Vectors.spacedCentroidIds(emb.count()))
+    reset("ivf_index", "ivf_index_plain")
+    Vectors.writeIvfIndex(assigned, "ivf_index", buckets = 8)
+    assigned.write.mode("overwrite").saveAsTable("ivf_index_plain")
+    spark.sqlContext.clearCache()
+
+    def probe(table: String) = {
+      val index = spark.table(table).hint("merge")
+      // a query BATCH derived from the same layout (the offline-scoring
+      // shape: every corpus vector is also a query)
+      val queries = spark.table(table).hint("merge")
+        .select(col("vec_id").as("query_id"), col("bucket"), col("unit").as("q"))
+      Vectors.ivfBatchTopKFromIndex(index, queries, k = 3)
+    }
+    def nShuffles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+        .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // bucketed: the scoring join rides the bucket layout on BOTH derived
+    // sides — only the final per-query ranking re-keys (1 exchange)
+    val bucketed = probe("ivf_index")
+    assert(nShuffles(bucketed) === 1, bucketed.queryExecution.executedPlan.toString)
+    // unbucketed twin shuffles both scoring-join sides too
+    val plain = probe("ivf_index_plain")
+    assert(nShuffles(plain) >= 2, plain.queryExecution.executedPlan.toString)
+    // and the probe returns identical neighbors either way
+    assert(bucketed.collect().toSet === plain.collect().toSet)
+    assert(bucketed.count() > 0)
+  }
+
   test("bucketed aggregation on the bucket key also skips the exchange") {
     writeEventsBucketed("ev_bucketed_agg")
     val agg = spark.table("ev_bucketed_agg").groupBy("user_id").agg(sum("n"))
