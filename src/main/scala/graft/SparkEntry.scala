@@ -939,6 +939,15 @@ object SparkEntry {
       // multilingual data mixing: α=0.5 temperature rebalancing with a
       // deterministic hash-threshold keep decision — zero corpus shuffle
       TextOps.temperatureSample(Tables.documents(s, dir))),
+    "x17_upsample" -> ((s, dir) =>
+      // low-resource upsampling: α=0.5 repetition factors (capped at 4
+      // epochs), emitted as one row per (doc, epoch) — the mixture a
+      // training run actually reads; zero corpus shuffle
+      TextOps.upsample(Tables.documents(s, dir))),
+    "x18_token_zipf" -> ((s, dir) =>
+      // Zipf profile: distinct-token count per occurrence count — the
+      // tokenization sanity check; second agg is vocabulary-sized
+      TextOps.tokenFreqOfFreq(Vocab.hashTokenIds(Tables.documents(s, dir)))),
     "x16_corpus_stats" -> ((s, dir) =>
       // the corpus report card: per-language volume/coverage in one
       // map-side-combined pass (integer aggregates only — deterministic)
@@ -1593,6 +1602,17 @@ object SparkEntry {
          |WHERE (((d.doc_id % ${TextOps.fingerprintMod})
          |        * (2654435761 % ${TextOps.fingerprintMod}))
          |        % ${TextOps.fingerprintMod}) % 1000000 < r.keep_ppm""".stripMargin,
+    "x17_upsample" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |m AS (SELECT max(n) AS nmax FROM c),
+        |r AS (SELECT lang, LEAST(4, CAST(ceil(sqrt(CAST(nmax AS DOUBLE) / n)) AS BIGINT)) AS reps
+        |      FROM c, m)
+        |SELECT d.doc_id, d.lang, CAST(u.e AS BIGINT) AS epoch
+        |FROM documents d JOIN r USING (lang), UNNEST(range(1, r.reps + 1)) AS u(e)""".stripMargin,
+    "x18_token_zipf" ->
+      s"""WITH $oracleTokCtes,
+         |o AS (SELECT token_id, CAST(count(*) AS BIGINT) AS occurrences FROM tid GROUP BY 1)
+         |SELECT occurrences, CAST(count(*) AS BIGINT) AS n_tokens FROM o GROUP BY 1""".stripMargin,
     "x16_corpus_stats" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,

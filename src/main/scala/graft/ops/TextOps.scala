@@ -441,6 +441,46 @@ object TextOps {
       .select(col("doc_id"), col(strataCol), col("keep_ppm"))
   }
 
+  /** Low-resource upsampling — [[temperatureSample]]'s other half: where
+    * temperature sampling DOWN-weights dominant languages by dropping, a
+    * training mixture also UP-weights scarce ones by repetition. Each
+    * document is emitted `reps(lang)` times (an `epoch` index per copy),
+    * reps = min(maxFactor, ⌈√(n_max/n_lang)⌉) — the α=0.5 rate again, capped
+    * so no stratum repeats unboundedly (repetition beyond a few epochs is
+    * known to degrade models faster than it helps). Output: (doc_id, lang,
+    * epoch).
+    *
+    * Scale shape: one metadata-sized count pass (map-side combined), rates
+    * broadcast back, and the repetition is a per-row `explode(sequence)` —
+    * a narrow 1→reps flatMap, no shuffle of the corpus at all. Deterministic
+    * (no RNG; `sqrt` is IEEE-correctly-rounded on both engines).
+    */
+  def upsample(docs: DataFrame, strataCol: String = "lang", maxFactor: Int = 4): DataFrame = {
+    val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(max(col("n")).as("nmax"))))
+      .withColumn("reps",
+        least(lit(maxFactor.toLong),
+          ceil(sqrt(col("nmax").cast("double") / col("n"))).cast("long")))
+      .select(col(strataCol), col("reps"))
+    docs.select(col("doc_id"), col(strataCol))
+      .join(broadcast(rates), strataCol)
+      .select(col("doc_id"), col(strataCol),
+        explode(sequence(lit(1L), col("reps"))).as("epoch"))
+  }
+
+  /** Token frequency-of-frequency (Zipf profile): how many distinct token
+    * ids occur exactly k times in the corpus — the two-level aggregation
+    * that sanity-checks tokenization and exposes degenerate corpora (a
+    * boilerplate-heavy crawl shows mass at high k). Both aggregations are
+    * map-side combinable; the second input is vocabulary-sized, not
+    * corpus-sized. Output: (occurrences, n_tokens).
+    */
+  def tokenFreqOfFreq(tokenIds: DataFrame): DataFrame =
+    tokenIds
+      .groupBy(col("token_id")).agg(count(lit(1)).as("occurrences"))
+      .groupBy(col("occurrences")).agg(count(lit(1)).as("n_tokens"))
+
   /** Deterministic document fingerprint: position-weighted token hash folded
     * modulo a Mersenne prime. Token ids come from a corpus-level vocabulary
     * rank (see [[Vocab]]) so the oracle can reproduce the exact hash without

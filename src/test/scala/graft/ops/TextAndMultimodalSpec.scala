@@ -198,6 +198,33 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(TextOps.temperatureSample(corpus).collect().map(_.getLong(0)).toSet === kept)
   }
 
+  test("upsample: scarce strata repeat with epoch indexes, dominant stays single, cap holds") {
+    import org.apache.spark.sql.functions.col
+    // 8 'en' docs vs 2 'fr' docs: reps(en)=1, reps(fr)=ceil(sqrt(8/2))=2;
+    // a singleton stratum would want ceil(sqrt(8))=3 < cap 4
+    val corpus = ((0L until 8L).map(i => (i, s"text $i", "en")) ++
+      Seq((100L, "fr one", "fr"), (101L, "fr two", "fr"))).toDF("doc_id", "text", "lang")
+    val out = TextOps.upsample(corpus)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch")))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    (0L until 8L).foreach(i => assert(byDoc(i) === Seq(1L)))
+    assert(byDoc(100L) === Seq(1L, 2L))
+    assert(byDoc(101L) === Seq(1L, 2L))
+    // cap: a 1-doc stratum against a huge one clamps at maxFactor
+    val skewed = ((0L until 64L).map(i => (i, s"t$i", "en")) :+ ((999L, "solo", "xx")))
+      .toDF("doc_id", "text", "lang")
+    val capped = TextOps.upsample(skewed, maxFactor = 4)
+      .filter(col("doc_id") === 999L).count()
+    assert(capped === 4L) // ceil(sqrt(64)) = 8 clamped to 4
+  }
+
+  test("token freq-of-freq: counts distinct tokens per occurrence count") {
+    val tid = Vocab.hashTokenIds(Seq((0L, "a b b c c c")).toDF("doc_id", "text"))
+    val out = TextOps.tokenFreqOfFreq(tid)
+      .collect().map(r => r.getAs[Long]("occurrences") -> r.getAs[Long]("n_tokens")).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // a:1, b:2, c:3
+  }
+
   test("global shuffle: dense 0..N-1 permutation equal to the naive hash-order rank") {
     import org.apache.spark.sql.functions._
     val corpus = (0L until 500L).map(id => (id * 7, s"doc $id"))
