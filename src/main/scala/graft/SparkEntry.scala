@@ -826,6 +826,15 @@ object SparkEntry {
       Vectors.cosineNearDupPairs(emb, Vectors.spacedCentroidIds(emb.count()), threshold = 0.4)
     }),
 
+    "d19_cross_source_dups" -> ((s, dir) => {
+      // governance view: which source pairs re-serve each other's content —
+      // the d2 near-dup pair graph rolled up to canonical source pairs
+      val docs = Tables.documents(s, dir)
+      val ids = Vocab.hashTokenIdArrays(docs)
+      Dedup.crossSourceDupMatrix(
+        Dedup.jaccardPairsFromShingles(Dedup.shingleIdsFromArrays(ids, 5), threshold = 0.5),
+        docs)
+    }),
     "d18_containment_pairs" -> ((s, dir) => {
       // asymmetric near-dup: excerpt/quote detection — containment
       // |∩|/min(|A|,|B|) catches a short doc embedded in a long one where
@@ -1266,6 +1275,16 @@ object SparkEntry {
     "d5_simhash" -> oracleSimhash,
     "d10_neardup_keep_first" -> oracleNearDupKeepFirst,
     "d12_vector_keep_first" -> oracleVectorKeepFirst,
+    "d19_cross_source_dups" ->
+      s"""WITH $oracleJaccardCtes,
+         |src AS (SELECT doc_id, source FROM documents)
+         |SELECT least(sa.source, sb.source) AS source_a,
+         |       greatest(sa.source, sb.source) AS source_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM jpairs
+         |JOIN src sa ON sa.doc_id = doc_a
+         |JOIN src sb ON sb.doc_id = doc_b
+         |GROUP BY 1, 2""".stripMargin,
     "d18_containment_pairs" -> {
       val p = graft.ops.Dedup.minhashPrime
       val cap = graft.ops.Dedup.defaultMaxDf

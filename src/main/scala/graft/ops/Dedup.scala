@@ -514,6 +514,31 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Cross-source duplication matrix — the data-governance view of dedup:
+    * for every (source, source) pair, how many duplicate pairs span them?
+    * A crawl pipeline reads this to find which feeds re-serve each other's
+    * content (high off-diagonal mass) vs which re-serve themselves
+    * (diagonal). Works over ANY pair frame — exact-digest pairs, Jaccard
+    * pairs (d2), band candidates (d4) — so one matrix operator serves every
+    * dedup granularity. Sources are canonicalized (source_a ≤ source_b) so
+    * each unordered pair counts once. Output: (source_a, source_b, n_pairs).
+    *
+    * Scale shape: two broadcast-able joins of the (already sub-quadratic)
+    * pair frame against the (doc_id, source) projection — the corpus text
+    * never moves, and the matrix itself is |sources|² metadata.
+    */
+  def crossSourceDupMatrix(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "sa"), "doc_a")
+      .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "sb"), "doc_b")
+      .select(
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Streaming twin of [[blockDedup]] — block-level dedup at ingest: a
     * block survives iff it is the FIRST arrival of its content within the
     * watermark horizon (over a doc_id-ordered feed this equals the batch

@@ -348,6 +348,18 @@ class DedupSpec extends SparkSpec {
     assert(a === m)
   }
 
+  test("cross-source dup matrix: canonical source pairs, counts per pair") {
+    val corpus = Seq(
+      (0L, "t", "srcA"), (1L, "t", "srcB"), (2L, "t", "srcB"),
+      (3L, "u", "srcC"), (4L, "u", "srcC")
+    ).toDF("doc_id", "text", "source")
+    // any pair frame works; here: hand-built duplicate pairs
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val out = Dedup.crossSourceDupMatrix(pairs, corpus)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_pairs")).toMap
+    assert(out === Map(("srcA", "srcB") -> 2L, ("srcB", "srcB") -> 1L, ("srcC", "srcC") -> 1L))
+  }
+
   test("block dedup: global keep-first on blocks, docs reassemble in order") {
     val corpus = Seq(
       (0L, "a b c x y z"),   // blocks (k=3): [a b c][x y z]
