@@ -598,6 +598,67 @@ object Dedup {
     reps.union(singletons)
   }
 
+  /** Streaming twin of [[incrementalDedup]] — the ingest-time screen as a
+    * structured stream against a STATIC corpus frame: every arriving
+    * document gets the same two verdicts (verbatim-in-corpus, band-key
+    * collision) via stream-static joins, which Spark executes with the
+    * static side as a fixed build — no streaming state for the joins at
+    * all. The only stateful operator is the final windowed per-document
+    * combine (max of the evidence flags), so state is one row per in-flight
+    * document. Emits (doc_id, dup_exact, dup_near) when the window closes.
+    *
+    * At 100 TB the static side is the corpus digest/band-key INDEX (two
+    * narrow frames, ideally bucketed on their keys), not the corpus itself —
+    * the same reuse note as the batch form.
+    */
+  def streamingIncrementalDedup(docs: DataFrame, corpus: DataFrame,
+      tsCol: String, delay: String, k: Int = 5, bands: Int = 4,
+      windowDur: String = "10 seconds"): DataFrame = {
+    val corpusDigests = corpus
+      .select(xxhash64(col("text")).as("digest"), col("text").as("ctext")).distinct()
+    val corpusKeys = bandKeys(corpus, k, bands)
+      .select(col("band"), col("sig")).distinct().withColumn("hit", lit(1L))
+    // exact evidence: one row per arriving doc, flag from a stream-static
+    // left join (digest equi-join + exact text confirm — collision-safe)
+    val exactEv = docs
+      .withColumn("digest", xxhash64(col("text")))
+      .join(corpusDigests, Seq("digest"), "left")
+      .select(col("doc_id"), col(tsCol),
+        when(col("ctext").isNotNull && col("text") === col("ctext"), 1L)
+          .otherwise(0L).as("e"),
+        lit(0L).as("n"))
+    // near evidence: one row per (doc, band), flag iff the corpus claims
+    // the key. Docs too short to shingle emit no band rows — their exact
+    // row alone decides (dup_near stays 0, matching the batch form)
+    val sidsCol = org.apache.spark.sql.graft.ShingleHash.column(
+      org.apache.spark.sql.graft.TokenHashArray.column(TextOps.tokens(col("text"))), k)
+    val rowsPerBand = minhashCoeffs.size / bands
+    val sigCols = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("sids"), x => (x * a + b) % minhashPrime)).as(s"sig_$i")
+    }
+    val sigged = docs
+      .withColumn("sids", coalesce(sidsCol, array().cast("array<bigint>")))
+      .filter(size(col("sids")) > 0)
+      .select(col("doc_id") +: col(tsCol) +: sigCols: _*)
+    val bandCols = (0 until bands).map { bi =>
+      struct(
+        lit(bi).as("band"),
+        struct((0 until rowsPerBand).map(ri => col(s"sig_${bi * rowsPerBand + ri}").as(s"r$ri")): _*)
+          .as("sig"))
+    }
+    val nearEv = sigged
+      .select(col("doc_id"), col(tsCol), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col(tsCol), col("b.band").as("band"), col("b.sig").as("sig"))
+      .join(F.broadcast(corpusKeys), Seq("band", "sig"), "left")
+      .select(col("doc_id"), col(tsCol), lit(0L).as("e"),
+        coalesce(col("hit"), lit(0L)).as("n"))
+    exactEv.unionByName(nearEv)
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowDur), col("doc_id"))
+      .agg(max(col("e")).as("dup_exact"), max(col("n")).as("dup_near"))
+      .select(col("doc_id"), col("dup_exact"), col("dup_near"))
+  }
+
   /** Benchmark decontamination — the training-data hygiene pass: flag
     * corpus documents that share at least `minOverlap` distinct k-gram
     * shingles with any document in `benchmark` (the eval/test suite whose

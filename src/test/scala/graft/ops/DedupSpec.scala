@@ -453,6 +453,41 @@ class DedupSpec extends SparkSpec {
     assert(out(12L) === ((0L, 0L)))
   }
 
+  test("streaming incremental dedup ≡ batch against the same static corpus") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "unrelated corpus content with different words here")
+    ).toDF("doc_id", "text")
+    val batch: Seq[(Long, String)] = Seq(
+      10L -> "the quick brown fox jumps over the lazy dog", // verbatim
+      11L -> "the quick brown fox jumps over a lazy dog",   // near
+      12L -> "completely fresh new document nothing shared at all",
+      13L -> "hi")                                          // too short to shingle
+    val expected = Dedup.incrementalDedup(batch.toDF("doc_id", "text"), corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val q = Dedup.streamingIncrementalDedup(
+      ms.toDF().toDF("doc_id", "ts", "text"), corpus, "ts", delay = "5 seconds",
+      windowDur = "10 seconds")
+      .writeStream.format("memory").queryName("sincdedup")
+      .outputMode(OutputMode.Append).start()
+    val t0 = java.time.Instant.parse("2024-01-01T10:00:00Z")
+    batch.zipWithIndex.foreach { case ((id, text), i) =>
+      ms.addData((id, Timestamp.from(t0.plusSeconds(i.toLong)), text))
+      q.processAllAvailable()
+    }
+    ms.addData((99L, Timestamp.from(t0.plusSeconds(3600L)), "zz zz"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sincdedup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === expected)
+  }
+
   test("minhash: identical docs have identical signatures and become a candidate pair") {
     val tid = Vocab.tokenIds(docs)
     val sigs = Dedup.minhashSignatures(tid).collect()
