@@ -204,6 +204,48 @@ object EngineProperties extends Properties("graft") {
     }
   }
 
+  // (h) containment dominates jaccard (c/min ≥ c/(a+b−c)), and both run the
+  // same candidate generation — so jaccard pairs at a threshold are always
+  // a subset of containment pairs at the same threshold, scores in (0, 1]
+  property("containmentPairs ⊇ jaccardPairs at the same threshold") = {
+    val genShingles = Gen.chooseNum(4, 30).flatMap { n =>
+      Gen.listOfN(n, for {
+        d <- Gen.chooseNum(0L, 7L); s <- Gen.chooseNum(0L, 12L)
+      } yield (d, s))
+    }
+    Prop.forAll(genShingles, Gen.chooseNum(0.1d, 0.9d)) { (rows0, t) =>
+      val sh = rows0.distinct.toDF("doc_id", "shingle_id")
+      val jac = graft.ops.Dedup.jaccardPairsFromShingles(sh, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cont = graft.ops.Dedup.containmentPairs(sh, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("containment")).toMap
+      jac.subsetOf(cont.keySet) &&
+        cont.values.forall(c => c > 0.0 && c <= 1.0)
+    }
+  }
+
+  // (i) block dedup is the identity when no block content repeats: every
+  // document reassembles to its original text with all blocks kept
+  property("blockDedup reassembles identity when no block repeats") = {
+    val genDocs = Gen.chooseNum(1, 6).flatMap { n =>
+      Gen.sequence[List[(Long, String)], (Long, String)]((0 until n).map { d =>
+        Gen.chooseNum(1, 20).map { len =>
+          (d.toLong, (0 until len).map(i => s"w${d}x$i").mkString(" "))
+        }
+      })
+    }
+    Prop.forAll(genDocs, Gen.chooseNum(2, 5)) { (docs, k) =>
+      val out = graft.ops.Dedup.blockDedup(docs.toDF("doc_id", "text"), blockTokens = k)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("clean_text"), r.getAs[Long]("n_blocks"), r.getAs[Long]("n_kept"))))
+        .toMap
+      docs.forall { case (id, text) =>
+        val (clean, nb, nk) = out(id)
+        clean == text && nb == nk
+      }
+    }
+  }
+
   // (g) star-contraction CC ≡ simple min propagation on arbitrary graphs
   // (incl. chains — the case star contraction exists for)
   property("dedupGroupsStar ≡ dedupGroups") = {
