@@ -763,12 +763,15 @@ object SparkEntry {
         Dedup.jaccardPairsFromShingles(Dedup.shingleIdsFromArrays(ids, 5), threshold = 0.5))
     }),
     "d3_minhash_sigs" -> ((s, dir) =>
-      Dedup.minhashSignatures(Vocab.hashTokenIds(Tables.documents(s, dir)))),
-    "d4_minhash_pairs" -> ((s, dir) => {
-      val ids = Vocab.hashTokenIdArrays(Tables.documents(s, dir))
+      // all k signatures as ONE codegen projection over the token-id array
+      // (no explode, no aggregate, no exchange — min is duplicate-
+      // insensitive, so the exploded+distinct form it replaced is identical)
+      Dedup.minhashSignaturesFromIdArrays(
+        Vocab.hashTokenIdArrays(Tables.documents(s, dir)))),
+    "d4_minhash_pairs" -> ((s, dir) =>
       Dedup.candidatePairsFromSignatures(
-        Dedup.minhashSignaturesFromShingles(Dedup.shingleIdsFromArrays(ids, 5)), bands = 4)
-    }),
+        Dedup.minhashShingleSignaturesFromArrays(
+          Vocab.hashTokenIdArrays(Tables.documents(s, dir)), 5), bands = 4)),
     "d5_simhash" -> ((s, dir) =>
       Dedup.simhash(Vocab.hashTokenIds(Tables.documents(s, dir)))),
     "d10_neardup_keep_first" -> ((s, dir) =>

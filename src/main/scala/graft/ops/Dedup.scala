@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data curation over `documents`:
@@ -275,6 +275,41 @@ object Dedup {
     features.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** All k signatures of a feature-id ARRAY in one codegen'd pass
+    * ([[org.apache.spark.sql.graft.MinHashSigs]]); null for empty/null
+    * arrays ("too short to sign").
+    */
+  def minhashSigsCol(ids: Column): Column =
+    org.apache.spark.sql.graft.MinHashSigs.column(ids,
+      typedlit(minhashCoeffs.map(_._1)), typedlit(minhashCoeffs.map(_._2)))
+
+  /** Signatures as a pure PROJECTION over an id-array frame
+    * (doc_id, `idsCol`: array<bigint>) — the no-shuffle form of
+    * [[signaturesOver]]: the exploded path rebuilt each document's rows
+    * into a hash-aggregate just to fold them back to k minima; here the
+    * whole signature stays inside whole-stage codegen (no explode, no
+    * aggregate, no exchange). Identical output: min is order- and
+    * duplicate-insensitive, and docs whose id array is empty or null emit
+    * no row, exactly as their exploded rows were absent (MinHashSigsSpec
+    * pins both equivalences). Output: doc_id, sig_0 … sig_{k−1}.
+    */
+  def minhashSignaturesFromIdArrays(idsDf: DataFrame, idsCol: String = "ids"): DataFrame =
+    idsDf
+      .withColumn("sigs", minhashSigsCol(col(idsCol)))
+      .filter(col("sigs").isNotNull)
+      .select(col("doc_id") +: minhashCoeffs.indices.map(i => col("sigs")(i).as(s"sig_$i")): _*)
+
+  /** Shingle-set signatures over a (doc_id, ids) token-id-array frame
+    * ([[Vocab.hashTokenIdArrays]] shape) — the shingle fold and all k
+    * minima run as one codegen projection chain; the shingle array is
+    * never exploded.
+    */
+  def minhashShingleSignaturesFromArrays(idsDf: DataFrame, k: Int = 5): DataFrame =
+    minhashSignaturesFromIdArrays(
+      idsDf.select(col("doc_id"),
+        org.apache.spark.sql.graft.ShingleHash.column(col("ids"), k).as("sids")),
+      "sids")
+
   /** Shingle-id stream: ordered token-id array per doc, folded into k-gram
     * ids with a rolling polynomial `(acc·37 + id + 1) mod p`. Shingle-set
     * MinHash (vs token-set) is what makes LSH meaningful when the vocabulary
@@ -390,8 +425,7 @@ object Dedup {
     * short to shingle have no signature and emit no rows.
     */
   private def bandKeys(docs: DataFrame, k: Int, bands: Int): DataFrame = {
-    val sigs = minhashSignaturesFromShingles(
-      shingleIdsFromArrays(Vocab.hashTokenIdArrays(docs), k))
+    val sigs = minhashShingleSignaturesFromArrays(Vocab.hashTokenIdArrays(docs), k)
     val rowsPerBand = minhashCoeffs.size / bands
     val bandCols = (0 until bands).map { bi =>
       struct(
@@ -633,13 +667,14 @@ object Dedup {
     val sidsCol = org.apache.spark.sql.graft.ShingleHash.column(
       org.apache.spark.sql.graft.TokenHashArray.column(TextOps.tokens(col("text"))), k)
     val rowsPerBand = minhashCoeffs.size / bands
-    val sigCols = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("sids"), x => (x * a + b) % minhashPrime)).as(s"sig_$i")
-    }
+    // all k minima in one codegen pass (the HOF form re-entered the lambda
+    // interpreter once per coefficient per row)
     val sigged = docs
       .withColumn("sids", coalesce(sidsCol, array().cast("array<bigint>")))
       .filter(size(col("sids")) > 0)
-      .select(col("doc_id") +: col(tsCol) +: sigCols: _*)
+      .withColumn("sigs", minhashSigsCol(col("sids")))
+      .select(col("doc_id") +: col(tsCol) +:
+        minhashCoeffs.indices.map(i => col("sigs")(i).as(s"sig_$i")): _*)
     val bandCols = (0 until bands).map { bi =>
       struct(
         lit(bi).as("band"),
@@ -746,12 +781,13 @@ object Dedup {
     // batch twin keeps null-text docs — no signature, no candidate pair)
     val withSids = docs.withColumn("sids",
       coalesce(sidsCol, array().cast("array<bigint>")))
-    val sigCols = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("sids"), x => (x * a + b) % minhashPrime)).as(s"sig_$i")
-    }
+    // all k minima in one codegen pass (the HOF form re-entered the lambda
+    // interpreter once per coefficient per row)
     val sigged = withSids
       .filter(size(col("sids")) > 0)
-      .select(col("doc_id") +: col(tsCol) +: sigCols: _*)
+      .withColumn("sigs", minhashSigsCol(col("sids")))
+      .select(col("doc_id") +: col(tsCol) +:
+        minhashCoeffs.indices.map(i => col("sigs")(i).as(s"sig_$i")): _*)
     val bandCols = (0 until bands).map { bi =>
       struct(
         lit(bi).as("band"),

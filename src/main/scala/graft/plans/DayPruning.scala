@@ -134,5 +134,6 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(org.apache.spark.sql.graft.EncodeEnvelope.registration)
     ext.injectFunction(org.apache.spark.sql.graft.ShingleHash.registration)
     ext.injectFunction(org.apache.spark.sql.graft.TokenHashArray.registration)
+    ext.injectFunction(org.apache.spark.sql.graft.MinHashSigs.registration)
   }
 }
