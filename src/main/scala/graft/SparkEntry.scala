@@ -651,6 +651,11 @@ object SparkEntry {
                  AS n_shingles
         FROM documents_v""")
     }),
+    "t22_event_gaps" -> ((s, dir) =>
+      // LAG over a per-user total order (ts, event_id), aggregated per
+      // event_type in integer microseconds — the cadence/latency dashboard
+      // query; one shuffle for the window, map-side-combined agg after
+      graft.operators.Windows.interEventGaps(Tables.events(s, dir))),
     "t19_percentiles" -> ((s, dir) => {
       // exact discrete percentiles (p50/p90/p99 of value-cents per type) in
       // the histogram-compressed form: pre-aggregate counts per (group,
@@ -814,6 +819,12 @@ object SparkEntry {
       // keep-first, documents reassembled from surviving blocks — the
       // CCNet-style boilerplate scrub document-level screens can't express
       Dedup.blockDedup(Tables.documents(s, dir))),
+    "d20_boilerplate_ratio" -> ((s, dir) =>
+      // document-level readout of the d15 block index: fraction of each
+      // doc's 16-token blocks shared with ANY other document — the routing
+      // signal for block-scrub vs keep (window-min/max per block content,
+      // no self-join)
+      Dedup.boilerplateRatio(Tables.documents(s, dir))),
     "d13_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: src0 plays the eval suite; corpus docs
       // sharing any 5-gram shingle with it are flagged (broadcast bench set)
@@ -874,6 +885,17 @@ object SparkEntry {
       // corpus (a constant count would degrade to O(N²/C) pair scans)
       val emb = Tables.embeddings(s, dir)
       Vectors.ivfTopK(emb, Vectors.spacedCentroidIds(emb.count()), 0L until 8L, k = 5)
+    }),
+    "s10_ivf_profile" -> ((s, dir) => {
+      // index health check: per-bucket population of the spaced-centroid
+      // IVF assignment — the balance report that decides nprobe/centroid
+      // retraining; one assignment pass + a metadata-sized aggregation
+      val emb = Tables.embeddings(s, dir)
+      Vectors.ivfAssign(emb, Vectors.spacedCentroidIds(emb.count()))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("vec_id")).as("min_vec_id"),
+          max(col("vec_id")).as("max_vec_id"))
     }),
     "s3_ann_lsh" -> ((s, dir) =>
       Vectors.lshTopK(Tables.embeddings(s, dir), 0L until 8L, k = 5)),
@@ -960,6 +982,17 @@ object SparkEntry {
       // Zipf profile: distinct-token count per occurrence count — the
       // tokenization sanity check; second agg is vocabulary-sized
       TextOps.tokenFreqOfFreq(Vocab.hashTokenIds(Tables.documents(s, dir)))),
+    "x19_ngram_novelty" -> ((s, dir) =>
+      // ingest-order novelty: fraction of each doc's distinct 5-gram
+      // shingles FIRST seen in that doc — the O(corpus-shingles) "is this
+      // batch mostly dupes?" screen (one window-min, no pair join)
+      Dedup.ngramNovelty(Tables.documents(s, dir))),
+    "x20_shard_layout" -> ((s, dir) =>
+      // x12's deterministic shuffle cut into training shards: (shard,
+      // pos_in_shard) = (pos div 100, pos mod 100) — the file/offset
+      // addressing a data loader reads; pure arithmetic over the bounded
+      // prefix scan
+      TextOps.shardLayout(Tables.documents(s, dir), shardSize = 100L)),
     "x16_corpus_stats" -> ((s, dir) =>
       // the corpus report card: per-language volume/coverage in one
       // map-side-combined pass (integer aggregates only — deterministic)
@@ -1147,6 +1180,20 @@ object SparkEntry {
     "t17_salted_agg" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+    "t22_event_gaps" ->
+      // ns→µs truncation (CAST ts AS TIMESTAMP) matches Tables.events'
+      // `ts div 1000`; (us, event_id) is the same total order both engines
+      // lag over, and all aggregates are integer µs
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |                epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (SELECT event_type,
+        |             us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
+        |      FROM ev)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+        |       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+        |       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY event_type""".stripMargin,
     // the salted (key, salt) join is result-identical to the plain inner
     // join — the oracle is the unsalted formulation
     "t20_salted_join" ->
@@ -1382,6 +1429,23 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN nb ON nb.doc_id = d.doc_id
         |LEFT JOIN cln ON cln.doc_id = d.doc_id""".stripMargin,
+    "d20_boilerplate_ratio" ->
+      // shared ⟺ the block content's claimant set spans ≥2 docs ⟺
+      // min ≠ max over the content partition (same screen as the Spark side)
+      """WITH tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS token
+        |             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+        |             UNNEST(range(1, len(toks) + 1)) AS r(i)),
+        |blk AS (SELECT doc_id, pos // 16 AS idx, string_agg(token, ' ' ORDER BY pos) AS block
+        |        FROM tok GROUP BY doc_id, pos // 16),
+        |sh AS (SELECT doc_id,
+        |              CASE WHEN min(doc_id) OVER (PARTITION BY block)
+        |                        <> max(doc_id) OVER (PARTITION BY block)
+        |                   THEN 1 ELSE 0 END AS shared
+        |       FROM blk)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+        |       CAST(sum(shared) AS BIGINT) AS n_shared,
+        |       CAST(sum(shared) AS DOUBLE) / count(*) AS boilerplate_ratio
+        |FROM sh GROUP BY doc_id""".stripMargin,
     "d14_incremental_dedup" -> {
       // exact screen: the digest equi-join reduces to text equality in SQL
       // (the digest is an implementation detail — collisions are re-confirmed
@@ -1474,6 +1538,12 @@ object SparkEntry {
         |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
         |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
         |WHERE rank <= 10""".stripMargin,
+    "s10_ivf_profile" ->
+      s"""WITH $oracleEmbCte,
+         |$oracleSpacedAssigned
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
+         |       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+         |FROM av GROUP BY bucket""".stripMargin,
     "s2_ann_ivf" ->
       s"""WITH $oracleEmbCte,
          |$oracleSpacedAssigned,
@@ -1642,6 +1712,32 @@ object SparkEntry {
         |       CAST(max(n_chars) AS BIGINT) AS max_chars,
         |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
         |FROM documents GROUP BY 1""".stripMargin,
+    "x19_ngram_novelty" -> {
+      val p = graft.ops.Dedup.minhashPrime
+      s"""WITH $oracleTokCtes,
+         |ids AS (SELECT doc_id, list(token_id ORDER BY pos) AS ids FROM tid GROUP BY doc_id),
+         |sh AS (SELECT DISTINCT doc_id, sid AS shingle_id FROM (
+         |  SELECT doc_id, unnest([list_reduce(list_prepend(CAST(0 AS BIGINT), ids[i:i+4]),
+         |                                     (a, t) -> (a * 37 + t + 1) % $p)
+         |                         for i in range(1, len(ids) - 3)]) AS sid
+         |  FROM ids)),
+         |fs AS (SELECT shingle_id, min(doc_id) AS first_id FROM sh GROUP BY 1)
+         |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |       CAST(sum(CASE WHEN fs.first_id = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |       CAST(sum(CASE WHEN fs.first_id = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / count(*) AS novelty
+         |FROM sh JOIN fs USING (shingle_id) GROUP BY sh.doc_id""".stripMargin
+    },
+    "x20_shard_layout" ->
+      // same global row_number as the x12 oracle, then shard arithmetic
+      s"""WITH k AS (SELECT doc_id,
+         |       ((doc_id % ${TextOps.fingerprintMod}) * (2654435761 % ${TextOps.fingerprintMod}))
+         |         % ${TextOps.fingerprintMod} AS shuffle_key
+         |     FROM documents),
+         |pos AS (SELECT doc_id, row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS p FROM k)
+         |SELECT doc_id, CAST(p // 100 AS BIGINT) AS shard,
+         |       CAST(p % 100 AS BIGINT) AS pos_in_shard
+         |FROM pos""".stripMargin,
     "x12_global_shuffle" ->
       // one global row_number attests the bucketed prefix-count exactly
       s"""WITH k AS (SELECT doc_id,

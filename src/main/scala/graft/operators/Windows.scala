@@ -26,6 +26,36 @@ object Windows {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
 
+  /** Inter-event gap statistics per event_type — the LAG/LEAD shape a
+    * latency or cadence dashboard runs: for every event, the microseconds
+    * since the SAME user's previous event (total order: ts, then event_id,
+    * so ties never make the lag nondeterministic), aggregated per
+    * event_type of the later event. First events per user have no gap and
+    * contribute nothing. Output: (event_type, n_gaps, min_gap_us,
+    * max_gap_us, sum_gap_us) — integer microseconds only (no float sums),
+    * so the oracle matches exactly.
+    *
+    * Scale: one shuffle on user_id for the lag window (per-user event
+    * streams are small — no single-task key), then a map-side-combined
+    * aggregation on event_type. The lag is computed on integer
+    * microseconds (`unix_micros`), never on rendered timestamps.
+    */
+  def interEventGaps(events: DataFrame, tsCol: String = "ts"): DataFrame = {
+    val perUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col(tsCol), col("event_id"))
+    events
+      .withColumn("us", unix_micros(col(tsCol)))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(perUser))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        sum(col("gap_us")).as("sum_gap_us"))
+  }
+
   /** Gap-based sessionization per key: events within `gapSec` of the
     * previous event share a session; the session closes `gapSec` after its
     * last event (Spark `session_window` semantics — a new session starts

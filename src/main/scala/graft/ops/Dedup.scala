@@ -548,6 +548,67 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Per-document boilerplate ratio — the document-level readout of the
+    * block index [[blockDedup]] deduplicates with: the fraction of a
+    * document's `blockTokens`-token blocks whose content also appears in at
+    * least one OTHER document (nav bars, license headers, templated
+    * footers). A curation pipeline thresholds this to route
+    * mostly-boilerplate documents to block-level scrubbing (d15) or
+    * dropping, where x13's repetition ratio only sees INTRA-document
+    * repeats. Output: (doc_id, n_blocks, n_shared, boilerplate_ratio).
+    *
+    * Scale shape: one shuffle of the block rows on their content key, one
+    * shuffle back on doc_id — no self-join anywhere. "Shared across docs"
+    * is `min(doc_id) ≠ max(doc_id)` over the block-content window (O(m)
+    * per key — no countDistinct, no pair enumeration; the key leads with
+    * `xxhash64(block)` so comparisons short-circuit on 8 bytes), so a
+    * corpus-wide boilerplate block costs a linear scan of its ONE bucket.
+    */
+  def boilerplateRatio(docs: DataFrame, blockTokens: Int = 16): DataFrame = {
+    val blocks = docs
+      .select(col("doc_id"), explode(blockStructs(blockTokens)).as("b"))
+      .select(col("doc_id"), col("b.block").as("block"))
+    val perContent = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(col("block")), col("block"))
+    blocks
+      .withColumn("shared",
+        when(min(col("doc_id")).over(perContent) =!= max(col("doc_id")).over(perContent), 1L)
+          .otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("shared")).as("n_shared"))
+      .select(col("doc_id"), col("n_blocks"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_blocks")).as("boilerplate_ratio"))
+  }
+
+  /** Per-document n-gram novelty — how much of a document is NEW to the
+    * corpus in ingest order: the fraction of its distinct k-gram shingles
+    * whose first claimant (smallest doc_id anywhere in the corpus) is this
+    * document. Low novelty means the content was already covered by
+    * earlier documents — the continuous-crawl signal for down-weighting
+    * re-crawls and syndicated copies without running pairwise dedup at
+    * all. Output: (doc_id, n_shingles, n_novel, novelty); documents too
+    * short to shingle emit no row.
+    *
+    * Scale shape: NO pair join of any kind — one window-min over the
+    * shingle index (O(m) per shingle key; a corpus-wide boilerplate
+    * shingle is one linear bucket scan) and one aggregation back on
+    * doc_id. This is the operator that answers "is this batch mostly
+    * dupes?" at O(corpus shingles), where d2/d4 answer "of WHAT?" at pair
+    * cost.
+    */
+  def ngramNovelty(docs: DataFrame, k: Int = 5): DataFrame = {
+    val sh = shingleIdsFromArrays(Vocab.hashTokenIdArrays(docs), k)
+    val perShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle_id"))
+    sh
+      .withColumn("first_id", min(col("doc_id")).over(perShingle))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+  }
+
   /** Cross-source duplication matrix — the data-governance view of dedup:
     * for every (source, source) pair, how many duplicate pairs span them?
     * A crawl pipeline reads this to find which feeds re-serve each other's

@@ -350,6 +350,23 @@ object TextOps {
       .select(col("doc_id"), col("_prefix").as("shuffle_pos"))
   }
 
+  /** Training-shard layout — the step between [[globalShuffle]] and the
+    * trainer: cut the shuffled order into fixed-size shards
+    * (`shard = pos div shardSize`, `pos_in_shard = pos mod shardSize`), the
+    * (file, offset) addressing a data loader reads. Downstream, each shard
+    * is one output file (`repartition(col("shard"))` +
+    * `partitionBy("shard")` write), so shard contents — not just ids — are
+    * reproducible everywhere. Output: (doc_id, shard, pos_in_shard).
+    *
+    * Pure arithmetic on the shuffle position: inherits globalShuffle's
+    * bounded three-level prefix scan and adds zero shuffles.
+    */
+  def shardLayout(docs: DataFrame, shardSize: Long = 100L): DataFrame =
+    globalShuffle(docs).select(
+      col("doc_id"),
+      expr(s"shuffle_pos div $shardSize").as("shard"),
+      (col("shuffle_pos") % shardSize).as("pos_in_shard"))
+
   /** Intra-document repetition — the Gopher-style quality signal: the
     * fraction of a document's word k-grams that are repeats of an earlier
     * k-gram in the same document. High ratios flag boilerplate loops,

@@ -24,6 +24,26 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("inter-event gaps: per-user lag, ts ties broken by event_id, integer microseconds") {
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(sec: Int) = Timestamp.from(t0.toInstant.plusSeconds(sec.toLong))
+    val ev = Seq(
+      // user A: gaps 10s and 20s on type "x"
+      (1L, at(0), "A", "x"), (2L, at(10), "A", "x"), (3L, at(30), "A", "x"),
+      // user B: two events at the SAME ts — event_id orders them (gap 0),
+      // then 5s to the third
+      (4L, at(0), "B", "y"), (5L, at(0), "B", "y"), (6L, at(5), "B", "y"),
+      // user C: single event → no gap row
+      (7L, at(0), "C", "x")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Windows.interEventGaps(ev).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_gaps"), r.getAs[Long]("min_gap_us"),
+          r.getAs[Long]("max_gap_us"), r.getAs[Long]("sum_gap_us")))).toMap
+    assert(got("x") === ((2L, 10000000L, 20000000L, 30000000L)))
+    assert(got("y") === ((2L, 0L, 5000000L, 5000000L)))
+  }
+
   test("checked approx-distinct raises when the bound cannot hold") {
     // an impossible tolerance forces the assert path: the query must FAIL,
     // not return plausible numbers — this is what gives b13 teeth

@@ -500,6 +500,42 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)))
   }
 
+  test("boilerplate ratio: cross-doc shared blocks counted, intra-doc repeats are not shared") {
+    // 20-token docs = 2 blocks of 16 and 4; A and B share their first block
+    // (boilerplate header), C is unique, D repeats ITS OWN block twice
+    val header = (1 to 16).map(i => s"h$i").mkString(" ")
+    val docs = Seq(
+      (0L, header + " a1 a2 a3 a4"),
+      (1L, header + " b1 b2 b3 b4"),
+      (2L, (1 to 20).map(i => s"c$i").mkString(" ")),
+      (3L, ((1 to 16).map(i => s"d$i") ++ (1 to 16).map(i => s"d$i")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateRatio(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_blocks"), r.getAs[Long]("n_shared")))).toMap
+    assert(got(0L) === ((2L, 1L))) // header shared with doc 1
+    assert(got(1L) === ((2L, 1L)))
+    assert(got(2L) === ((2L, 0L))) // unique content
+    assert(got(3L) === ((2L, 0L))) // intra-doc repeat: same doc min=max
+  }
+
+  test("ngram novelty: first claimant novel, verbatim copy zero, short docs absent") {
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, base),            // everything first-seen here
+      (1L, base),            // verbatim copy → novelty 0
+      (2L, (1 to 12).map(i => s"z$i").mkString(" ")), // all fresh
+      (3L, "a b")            // too short to shingle at k=5
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramNovelty(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_novel"), r.getAs[Double]("novelty")))).toMap
+    assert(got(0L)._2 === 1.0)
+    assert(got(1L) === ((0L, 0.0)))
+    assert(got(2L)._2 === 1.0)
+    assert(!got.contains(3L))
+  }
+
   test("simhash: identical docs equal; near dups within small hamming distance") {
     val tid = Vocab.tokenIds(docs)
     val sh = Dedup.simhash(tid).collect()
