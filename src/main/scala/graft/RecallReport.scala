@@ -45,7 +45,14 @@ object RecallReport {
         Vectors.ivfTopKTwoLevel(emb, spacedIds, Vectors.coarseSubset(spacedIds), queries, k)),
       "lsh" -> (() => Vectors.lshTopK(emb, queries, k)),
       "lsh_multitable4" -> (() => Vectors.lshTopKMultiTable(emb, queries, k)),
-      "quantized8bit" -> (() => Vectors.quantizedTopK(emb, queries, k))
+      "quantized8bit" -> (() => Vectors.quantizedTopK(emb, queries, k)),
+      "pq_m8_ks16" -> (() => Vectors.pqTopK(emb, queries, k)),
+      "pq_trained" -> (() => {
+        import org.apache.spark.sql.functions.col
+        Vectors.pqTopKWithCodebook(
+          Vectors.withUnit(emb).select(col("vec_id"), col("unit")),
+          queries, k, 8, Vectors.trainedPqCodebooks(emb))
+      })
     )
     val recalls = variants.map { case (name, fn) =>
       val r = hits(fn()).intersect(exact).size.toDouble / exact.size

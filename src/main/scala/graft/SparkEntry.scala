@@ -886,6 +886,11 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Vectors.ivfTopK(emb, Vectors.spacedCentroidIds(emb.count()), 0L until 8L, k = 5)
     }),
+    "s9_ann_pq" -> ((s, dir) =>
+      // product quantization: 8 subspaces × 16 spaced sub-centroids →
+      // 8 BYTES per corpus vector through the scoring join (64× below
+      // float64), scored asymmetrically against the full query vector
+      Vectors.pqTopK(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
     "s10_ivf_profile" -> ((s, dir) => {
       // index health check: per-bucket population of the spaced-centroid
       // IVF assignment — the balance report that decides nprobe/centroid
@@ -1538,6 +1543,41 @@ object SparkEntry {
         |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
         |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
         |WHERE rank <= 10""".stripMargin,
+    // PQ with m=8 subspaces of 8 dims (d=64), ks=16 spaced centroids:
+    // squared distances and subspace dots fold left-to-right from 0.0 and
+    // the m partials add in subspace order — the exact accumulation order
+    // of PqEncode/PqAdcDot — so codes, sims, and ranks match bit-for-bit
+    "s9_ann_pq" ->
+      s"""WITH $oracleEmbCte,
+         |params AS (SELECT GREATEST(1, count(*) // 16) AS step FROM e),
+         |cent AS (SELECT CAST(vec_id // step AS BIGINT) AS cidx, v AS cv FROM e, params
+         |         WHERE vec_id % step = 0 AND vec_id < 16 * step),
+         |sdist AS (SELECT e.vec_id, t.s, c.cidx,
+         |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |              [(e.v[t.s*8+j] - c.cv[t.s*8+j]) * (e.v[t.s*8+j] - c.cv[t.s*8+j])
+         |               for j in range(1, 9)]),
+         |              (a, d) -> a + d) AS dist
+         |          FROM e, range(0, 8) t(s), cent c),
+         |codes AS (SELECT vec_id, s, cidx AS code FROM (
+         |            SELECT vec_id, s, cidx,
+         |                   row_number() OVER (PARTITION BY vec_id, s
+         |                     ORDER BY dist ASC, cidx ASC) AS rn
+         |            FROM sdist) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+         |parts AS (SELECT q.query_id, cd.vec_id AS neighbor_id, cd.s,
+         |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |              [q.qv[cd.s*8+j] * c.cv[cd.s*8+j] for j in range(1, 9)]),
+         |              (a, d) -> a + d) AS part
+         |          FROM q, codes cd JOIN cent c ON c.cidx = cd.code
+         |          WHERE cd.vec_id <> q.query_id),
+         |scored AS (SELECT query_id, neighbor_id,
+         |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(part ORDER BY s)),
+         |               (a, b) -> a + b) AS sim
+         |           FROM parts GROUP BY query_id, neighbor_id)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
+         |WHERE rank <= 10""".stripMargin,
     "s10_ivf_profile" ->
       s"""WITH $oracleEmbCte,
          |$oracleSpacedAssigned

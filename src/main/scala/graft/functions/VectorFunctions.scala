@@ -30,4 +30,16 @@ object VectorFunctions {
     */
   def unitVector(v: Column): Column =
     org.apache.spark.sql.graft.UnitVector.column(v)
+
+  /** Codegen'd product-quantization encode (m sub-codes, one byte each) —
+    * see [[org.apache.spark.sql.graft.PqEncode]].
+    */
+  def pqCode(vec: Column, centFlat: Column, m: Column): Column =
+    org.apache.spark.sql.graft.PqEncode.column(vec, centFlat, m)
+
+  /** Codegen'd asymmetric-distance PQ scoring (full query vector × m-byte
+    * neighbor code) — see [[org.apache.spark.sql.graft.PqAdcDot]].
+    */
+  def pqAdcDot(q: Column, code: Column, centFlat: Column): Column =
+    org.apache.spark.sql.graft.PqAdcDot.column(q, code, centFlat)
 }

@@ -146,6 +146,124 @@ object Vectors {
     topKPerGroup(scored, "query_id", k)
   }
 
+  /** Product-quantized ANN — the compression step BEYOND s8's scalar codes:
+    * the unit vector splits into `m` contiguous subspaces and each stores
+    * only the index of its nearest sub-centroid (of `ks`, squared-L2, ties
+    * to the smaller index) — m bytes per vector (d=64, m=8 → 8 bytes: 64×
+    * smaller than float64 units, 8× smaller than s8). Scoring is
+    * asymmetric (ADC): the query keeps its full vector and scores against
+    * each neighbor's reconstruction, read element-wise from the broadcast
+    * centroid literal inside the codegen'd [[graft.functions.VectorFunctions.pqAdcDot]]
+    * — no decoded array, no float corpus in the scoring join.
+    *
+    * Centroids are the `ks` SPACED corpus unit vectors (ids = multiples of
+    * N div ks — the d6/s2 determinism pattern: derived from N alone, no
+    * float means, so the DuckDB oracle reproduces codes and scores
+    * bit-for-bit; [[trainedCentroids]] is the quality seam a production
+    * index plugs in). Collecting them is ks·d doubles — metadata, not a
+    * corpus read. Output: (query_id, neighbor_id, rank).
+    *
+    * At 100 TB: encode is one codegen projection pass; the scoring join
+    * moves m bytes per neighbor; recall vs brute force is tracked per
+    * round in RECALL.json (s9 row), with IVF routing (s2/s6) composing in
+    * front to bound the candidate set.
+    */
+  def pqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int = 8, ks: Int = 16): DataFrame = {
+    val unit = withUnit(embeddings).select(col("vec_id"), col("unit")).persist()
+    val n = unit.count()
+    val step = math.max(1L, n / ks)
+    val centIds = (0 until ks).map(_ * step).filter(_ < n)
+    val centFlat = unit
+      .filter(col("vec_id").isin(centIds: _*))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1))
+      .sortBy(_._1)
+      .flatMap(_._2)
+      .toSeq
+    pqTopKWithCodebook(unit, queryIds, k, m, centFlat)
+  }
+
+  /** PQ search against an explicit flat codebook (ks "virtual" full-dim
+    * centroids, row-major — subspace s of virtual centroid c holds
+    * codebook entry c of subspace s) — the seam [[trainedPqCodebooks]]
+    * plugs into; the parity query (s9) passes the spaced-corpus-vector
+    * codebook through the same code. `unit` must be (vec_id, unit).
+    */
+  def pqTopKWithCodebook(unit: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int, centFlat: Seq[Double]): DataFrame = {
+    val centLit = typedlit(centFlat)
+    val codes = unit.select(col("vec_id"),
+      graft.functions.VectorFunctions.pqCode(col("unit"), centLit, lit(m)).as("code"))
+      .persist()
+    val queries = unit
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("unit").as("q"))
+    val scored = F.broadcast(queries)
+      .join(codes.select(col("vec_id").as("neighbor_id"), col("code")),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions.pqAdcDot(col("q"), col("code"), centLit).as("sim"))
+    topKPerGroup(scored, "query_id", k)
+  }
+
+  /** Per-subspace k-means codebooks for PQ — the production-quality path
+    * (the [[trainedCentroids]] analog for s9): squared-L2 Lloyd over each
+    * subspace's sample sub-vectors, driver-side on the same deterministic
+    * hash sample (≤ `sampleTarget`·d doubles — metadata at any corpus
+    * size), init spaced over the sample. Not oracle-attested (float means
+    * sum in engine-dependent order) but seed-deterministic within the
+    * engine; VectorsSpec pins recall ≥ the spaced codebook. Returns the
+    * flat layout [[pqTopKWithCodebook]] consumes.
+    */
+  def trainedPqCodebooks(embeddings: DataFrame, m: Int = 8, ks: Int = 16,
+      sampleTarget: Int = 4096, iters: Int = 10, seed: Long = 42L): Seq[Double] = {
+    val unit = withUnit(embeddings).select(col("vec_id"), col("unit"))
+    val n = embeddings.count()
+    val mm = math.max(1L, (n + sampleTarget - 1L) / sampleTarget.toLong)
+    val sample = unit
+      .filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(mm)) === 0)
+      .orderBy(col("vec_id"))
+      .collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    require(sample.length >= ks, s"sample ${sample.length} smaller than ks=$ks")
+    val dim = sample.head.length
+    val subDim = dim / m
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      val step = math.max(1, subs.length / ks)
+      var cents = Array.tabulate(ks)(i => subs(i * step).clone())
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+        acc
+      }
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(ks)(new Array[Double](subDim))
+        val counts = new Array[Long](ks)
+        subs.foreach { v =>
+          var best = 0; var bestDist = Double.MaxValue
+          var c = 0
+          while (c < ks) {
+            val dd = d2(v, cents(c))
+            if (dd < bestDist) { bestDist = dd; best = c } // ties: smaller c
+            c += 1
+          }
+          var i = 0
+          while (i < subDim) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(ks) { c =>
+          if (counts(c) == 0L) cents(c) // empty cluster keeps its codeword
+          else sums(c).map(_ / counts(c)) // plain L2 mean — no renormalize
+        }
+      }
+      cents
+    }
+    // assemble ks virtual full-dim centroids: slice s of virtual c = books(s)(c)
+    (0 until ks).flatMap(c => (0 until m).flatMap(s => books(s)(c).toSeq))
+  }
+
   /** Rank candidates per group by (sim desc, neighbor asc) and keep top-k. */
   private def topKPerGroup(scored: DataFrame, groupCol: String, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

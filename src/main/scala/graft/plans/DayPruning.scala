@@ -135,5 +135,7 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(org.apache.spark.sql.graft.ShingleHash.registration)
     ext.injectFunction(org.apache.spark.sql.graft.TokenHashArray.registration)
     ext.injectFunction(org.apache.spark.sql.graft.MinHashSigs.registration)
+    ext.injectFunction(org.apache.spark.sql.graft.PqEncode.registration)
+    ext.injectFunction(org.apache.spark.sql.graft.PqAdcDot.registration)
   }
 }

@@ -310,6 +310,17 @@ class PlanSpec extends SparkSpec {
     assert(decoded.count() === 50L)
   }
 
+  test("s9 PQ encode and ADC scoring run inside whole-stage codegen") {
+    val q = SparkEntry.queries("s9_ann_pq")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    for (fn <- Seq("unit_vector", "pq_code", "pq_adc_dot")) {
+      val lines = plan.linesIterator.filter(_.contains(fn)).toSeq
+      assert(lines.nonEmpty, s"$fn not in plan:\n$plan")
+      lines.foreach(l => assert(l.contains("*("), s"$fn not codegen'd: $l\n$plan"))
+    }
+  }
+
   test("s8 quantization encode runs inside whole-stage codegen (no interpreted HOF)") {
     // the encode pass over the corpus must be a codegen'd projection — the
     // transform/element_at HOF it replaces evaluated interpreted, paying a

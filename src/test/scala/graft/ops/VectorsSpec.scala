@@ -212,4 +212,68 @@ class VectorsSpec extends SparkSpec {
     assert(pairs.contains((0L, 2L)))
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
+
+  // deterministic 8-dim fixture for PQ (dim must divide by m)
+  private def pq16: org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(11)
+    (0 until 16).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("pq: every-vector-a-centroid corpus reconstructs exactly — ranking equals brute force") {
+    // n = ks = 16 → step 1, centroids = all vectors; each encodes to its own
+    // index (squared distance 0), so the ADC score IS the true unit dot and
+    // the PQ ranking must reproduce brute force
+    val brute = Vectors.bruteForceTopK(pq16, Seq(0L, 5L), k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    val pq = Vectors.pqTopK(pq16, Seq(0L, 5L), k = 5, m = 4, ks = 16)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    assert(pq === brute)
+  }
+
+  test("pq: trained codebooks don't lose recall vs spaced, and are seed-deterministic") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = (0L until 8L).toSeq
+    val exact = hits(Vectors.bruteForceTopK(emb, queries, k = 5))
+    val spaced = hits(Vectors.pqTopK(emb, queries, k = 5))
+    val book = Vectors.trainedPqCodebooks(emb, sampleTarget = 512)
+    val trained = hits(Vectors.pqTopKWithCodebook(
+      Vectors.withUnit(emb).select(col("vec_id"), col("unit")), queries, k = 5, 8, book))
+    val rSpaced = spaced.intersect(exact).size
+    val rTrained = trained.intersect(exact).size
+    assert(rTrained >= rSpaced, s"trained PQ recall $rTrained < spaced $rSpaced")
+    val again = Vectors.trainedPqCodebooks(emb, sampleTarget = 512)
+    assert(again === book)
+  }
+
+  test("pq: codes match a reference argmin over subspace slices") {
+    import org.apache.spark.sql.functions._
+    val m = 4
+    val unit = Vectors.withUnit(pq16).select(col("vec_id"), col("unit"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    // ks = 4 → step = 4 → centroid ids 0,4,8,12 (cidx order = id order)
+    val centIds = Seq(0L, 4L, 8L, 12L)
+    val cents = centIds.map(unit)
+    def refCode(v: Array[Double]): Seq[Int] = {
+      val subDim = v.length / m
+      (0 until m).map { s =>
+        val dists = cents.map { c =>
+          (0 until subDim).map { j => val d = v(s * subDim + j) - c(s * subDim + j); d * d }.sum
+        }
+        dists.indexOf(dists.min) // earliest index on ties, like the strict-< loop
+      }
+    }
+    val centFlat = typedlit(cents.flatMap(_.toSeq))
+    val got = Vectors.withUnit(pq16)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.pqCode(col("unit"), centFlat, lit(m)).as("code"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Array[Byte]]("code").map(_ & 0xFF).toSeq).toMap
+    unit.keys.foreach { id =>
+      assert(got(id) === refCode(unit(id)), s"vec $id")
+    }
+  }
 }
