@@ -409,6 +409,50 @@ object SparkEntry {
        |             WHERE rn = 1),
        |av AS (SELECT a.vec_id, a.bucket, e.v FROM assigned a JOIN e ON e.vec_id = a.vec_id)""".stripMargin
 
+  /** PQ code CTEs over the normalized `e` frame (m=8 subspaces of 8 dims,
+    * ks=16 spaced centroids — mirrors [[graft.ops.Vectors.spacedPqCodebook]]
+    * + [[org.apache.spark.sql.graft.PqEncode]]): squared distances fold
+    * left-to-right from 0.0 and argmin keeps the earliest index on ties,
+    * the exact accumulation/tie order of the codegen expressions. Yields
+    * `pcent` (cidx, cv) and `pcodes` (vec_id, s, code).
+    */
+  private val oraclePqCtes: String =
+    """pqp AS (SELECT GREATEST(1, count(*) // 16) AS step16 FROM e),
+      |pcent AS (SELECT CAST(vec_id // step16 AS BIGINT) AS cidx, v AS cv FROM e, pqp
+      |         WHERE vec_id % step16 = 0 AND vec_id < 16 * step16),
+      |sdist AS (SELECT e.vec_id, t.s, c.cidx,
+      |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |              [(e.v[t.s*8+j] - c.cv[t.s*8+j]) * (e.v[t.s*8+j] - c.cv[t.s*8+j])
+      |               for j in range(1, 9)]),
+      |              (a, d) -> a + d) AS dist
+      |          FROM e, range(0, 8) t(s), pcent c),
+      |pcodes AS (SELECT vec_id, s, cidx AS code FROM (
+      |            SELECT vec_id, s, cidx,
+      |                   row_number() OVER (PARTITION BY vec_id, s
+      |                     ORDER BY dist ASC, cidx ASC) AS rn
+      |            FROM sdist) WHERE rn = 1)""".stripMargin
+
+  /** ADC scoring + ranking tail shared by the PQ oracles: per-subspace dots
+    * fold sequentially, the m partials add in subspace order (list ORDER BY
+    * s), ranks tie to the smaller neighbor id.
+    */
+  private def oraclePqRank(candidates: String, k: Int): String =
+    s"""parts AS (SELECT q.query_id, nb.vec_id AS neighbor_id, cd.s,
+       |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |              [q.qv[cd.s*8+j] * c.cv[cd.s*8+j] for j in range(1, 9)]),
+       |              (a, d) -> a + d) AS part
+       |          FROM $candidates
+       |          JOIN pcodes cd ON cd.vec_id = nb.vec_id
+       |          JOIN pcent c ON c.cidx = cd.code),
+       |scored AS (SELECT query_id, neighbor_id,
+       |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(part ORDER BY s)),
+       |               (a, b) -> a + b) AS sim
+       |           FROM parts GROUP BY query_id, neighbor_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
+       |WHERE rank <= $k""".stripMargin
+
   /** Flagship (driver smoke-checks rows > 0 on sf0.001): all-windows top-1
     * transaction by size — the reference's headline query
     * (`compute_transaction_info.py:53-66`) in its batch-backfill form.
@@ -891,6 +935,13 @@ object SparkEntry {
       // 8 BYTES per corpus vector through the scoring join (64× below
       // float64), scored asymmetrically against the full query vector
       Vectors.pqTopK(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
+    "s11_ann_ivfpq" -> ((s, dir) => {
+      // the production composition: IVF routing bounds WHICH vectors are
+      // scored, PQ codes bound WHAT the scan reads — a probe touches
+      // O(√N · m) bytes instead of O(N·d) doubles
+      val emb = Tables.embeddings(s, dir)
+      Vectors.ivfPqTopK(emb, Vectors.spacedCentroidIds(emb.count()), 0L until 8L, k = 5)
+    }),
     "s10_ivf_profile" -> ((s, dir) => {
       // index health check: per-bucket population of the spaced-centroid
       // IVF assignment — the balance report that decides nprobe/centroid
@@ -1549,35 +1600,17 @@ object SparkEntry {
     // of PqEncode/PqAdcDot — so codes, sims, and ranks match bit-for-bit
     "s9_ann_pq" ->
       s"""WITH $oracleEmbCte,
-         |params AS (SELECT GREATEST(1, count(*) // 16) AS step FROM e),
-         |cent AS (SELECT CAST(vec_id // step AS BIGINT) AS cidx, v AS cv FROM e, params
-         |         WHERE vec_id % step = 0 AND vec_id < 16 * step),
-         |sdist AS (SELECT e.vec_id, t.s, c.cidx,
-         |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |              [(e.v[t.s*8+j] - c.cv[t.s*8+j]) * (e.v[t.s*8+j] - c.cv[t.s*8+j])
-         |               for j in range(1, 9)]),
-         |              (a, d) -> a + d) AS dist
-         |          FROM e, range(0, 8) t(s), cent c),
-         |codes AS (SELECT vec_id, s, cidx AS code FROM (
-         |            SELECT vec_id, s, cidx,
-         |                   row_number() OVER (PARTITION BY vec_id, s
-         |                     ORDER BY dist ASC, cidx ASC) AS rn
-         |            FROM sdist) WHERE rn = 1),
+         |$oraclePqCtes,
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
-         |parts AS (SELECT q.query_id, cd.vec_id AS neighbor_id, cd.s,
-         |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |              [q.qv[cd.s*8+j] * c.cv[cd.s*8+j] for j in range(1, 9)]),
-         |              (a, d) -> a + d) AS part
-         |          FROM q, codes cd JOIN cent c ON c.cidx = cd.code
-         |          WHERE cd.vec_id <> q.query_id),
-         |scored AS (SELECT query_id, neighbor_id,
-         |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(part ORDER BY s)),
-         |               (a, b) -> a + b) AS sim
-         |           FROM parts GROUP BY query_id, neighbor_id)
-         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
-         |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
-         |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
-         |WHERE rank <= 10""".stripMargin,
+         |${oraclePqRank("q JOIN e nb ON nb.vec_id <> q.query_id", 10)}""".stripMargin,
+    "s11_ann_ivfpq" ->
+      // IVF routing bounds the candidate set (same bucket), PQ codes bound
+      // the scan — both spaced-deterministic patterns compose unchanged
+      s"""WITH $oracleEmbCte,
+         |$oracleSpacedAssigned,
+         |$oraclePqCtes,
+         |q AS (SELECT vec_id AS query_id, bucket, v AS qv FROM av WHERE vec_id < 8),
+         |${oraclePqRank("q JOIN av nb ON nb.bucket = q.bucket AND nb.vec_id <> q.query_id", 5)}""".stripMargin,
     "s10_ivf_profile" ->
       s"""WITH $oracleEmbCte,
          |$oracleSpacedAssigned

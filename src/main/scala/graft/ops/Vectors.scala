@@ -171,17 +171,55 @@ object Vectors {
   def pqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       m: Int = 8, ks: Int = 16): DataFrame = {
     val unit = withUnit(embeddings).select(col("vec_id"), col("unit")).persist()
+    pqTopKWithCodebook(unit, queryIds, k, m, spacedPqCodebook(unit, ks))
+  }
+
+  /** The ks spaced corpus unit vectors as a flat PQ codebook (the
+    * deterministic parity codebook — derived from N alone, like
+    * [[spacedCentroidIds]]). `unit` must be (vec_id, unit); collects
+    * ks·d doubles (metadata).
+    */
+  def spacedPqCodebook(unit: DataFrame, ks: Int): Seq[Double] = {
     val n = unit.count()
     val step = math.max(1L, n / ks)
     val centIds = (0 until ks).map(_ * step).filter(_ < n)
-    val centFlat = unit
+    unit
       .filter(col("vec_id").isin(centIds: _*))
       .collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1))
       .sortBy(_._1)
       .flatMap(_._2)
       .toSeq
-    pqTopKWithCodebook(unit, queryIds, k, m, centFlat)
+  }
+
+  /** IVF-PQ — the production composition at 100 TB (the FAISS-style
+    * index): IVF routing bounds WHICH vectors are scored (the query's
+    * ⌈√N⌉-spaced-centroid bucket, like s2), PQ codes bound WHAT the scan
+    * reads (m bytes per candidate, like s9) — so a probe touches
+    * O(N/√N · m) bytes instead of O(N·d) doubles. Both determinism
+    * patterns compose unchanged (spaced centroids for routing, spaced
+    * codebook for codes), so the whole thing stays oracle-attestable;
+    * [[trainedCentroids]] / [[trainedPqCodebooks]] are the quality seams.
+    * Output: (query_id, neighbor_id, rank) within the query's bucket.
+    */
+  def ivfPqTopK(embeddings: DataFrame, centroidIds: Seq[Long], queryIds: Seq[Long],
+      k: Int, m: Int = 8, ks: Int = 16): DataFrame = {
+    val assigned = ivfAssign(embeddings, centroidIds)
+      .select(col("vec_id"), col("bucket"), col("unit")).persist()
+    val centLit = typedlit(spacedPqCodebook(assigned.select(col("vec_id"), col("unit")), ks))
+    val codes = assigned.select(col("vec_id"), col("bucket"),
+      graft.functions.VectorFunctions.pqCode(col("unit"), centLit, lit(m)).as("code"))
+      .persist()
+    val queries = assigned
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("bucket"), col("unit").as("q"))
+    val scored = F.broadcast(queries)
+      .join(codes.select(col("vec_id").as("neighbor_id"), col("bucket"), col("code")),
+        Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions.pqAdcDot(col("q"), col("code"), centLit).as("sim"))
+    topKPerGroup(scored, "query_id", k)
   }
 
   /** PQ search against an explicit flat codebook (ks "virtual" full-dim

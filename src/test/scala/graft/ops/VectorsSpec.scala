@@ -249,6 +249,19 @@ class VectorsSpec extends SparkSpec {
     assert(again === book)
   }
 
+  test("ivf-pq: a single routing bucket degenerates to plain PQ") {
+    // one centroid → every vector lands in bucket 0 → the candidate set is
+    // the whole corpus and IVF-PQ must reproduce pqTopK exactly (same
+    // spaced codebook, same ADC arithmetic)
+    val pq = Vectors.pqTopK(pq16, Seq(0L, 3L), k = 5, m = 4, ks = 16)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    val ivfpq = Vectors.ivfPqTopK(pq16, Seq(0L), Seq(0L, 3L), k = 5, m = 4, ks = 16)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    assert(ivfpq === pq)
+  }
+
   test("pq: codes match a reference argmin over subspace slices") {
     import org.apache.spark.sql.functions._
     val m = 4
