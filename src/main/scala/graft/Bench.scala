@@ -28,10 +28,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // local iteration aid (the driver never sets it): comma-separated
+    // query-name prefixes to time a subset on a quiet machine
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
     val failPenaltySec = 3600.0
     val spark = Tables.session("graft-bench", s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only.exists(name.startsWith) }
     ordered.foreach { case (name, fn) =>
       try { fn(spark, warmDir).count(); () } catch {
         case e: Throwable =>

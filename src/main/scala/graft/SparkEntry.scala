@@ -436,7 +436,7 @@ object SparkEntry {
     * fold sequentially, the m partials add in subspace order (list ORDER BY
     * s), ranks tie to the smaller neighbor id.
     */
-  private def oraclePqRank(candidates: String, k: Int): String =
+  private def oraclePqScored(candidates: String): String =
     s"""parts AS (SELECT q.query_id, nb.vec_id AS neighbor_id, cd.s,
        |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |              [q.qv[cd.s*8+j] * c.cv[cd.s*8+j] for j in range(1, 9)]),
@@ -447,7 +447,10 @@ object SparkEntry {
        |scored AS (SELECT query_id, neighbor_id,
        |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(part ORDER BY s)),
        |               (a, b) -> a + b) AS sim
-       |           FROM parts GROUP BY query_id, neighbor_id)
+       |           FROM parts GROUP BY query_id, neighbor_id)""".stripMargin
+
+  private def oraclePqRank(candidates: String, k: Int): String =
+    s"""${oraclePqScored(candidates)}
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
        |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
        |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
@@ -821,6 +824,13 @@ object SparkEntry {
       Dedup.candidatePairsFromSignatures(
         Dedup.minhashShingleSignaturesFromArrays(
           Vocab.hashTokenIdArrays(Tables.documents(s, dir)), 5), bands = 4)),
+    "d21_minhash_estimate" -> ((s, dir) =>
+      // the LSH candidates scored by the signature-slot-match estimator
+      // itself (no shingle re-read per pair — candidate scoring touches
+      // only k-long signature rows, metadata-sized at any document length)
+      Dedup.minhashEstimatedPairs(
+        Dedup.minhashShingleSignaturesFromArrays(
+          Vocab.hashTokenIdArrays(Tables.documents(s, dir)), 5), bands = 4)),
     "d5_simhash" -> ((s, dir) =>
       Dedup.simhash(Vocab.hashTokenIds(Tables.documents(s, dir)))),
     "d10_neardup_keep_first" -> ((s, dir) =>
@@ -942,6 +952,11 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Vectors.ivfPqTopK(emb, Vectors.spacedCentroidIds(emb.count()), 0L until 8L, k = 5)
     }),
+    "s12_ann_pq_rerank" -> ((s, dir) =>
+      // two-stage retrieval: the PQ byte-code scan shortlists 40
+      // candidates per query, then ONLY those are re-scored exactly —
+      // recall ≈ brute force without a float corpus scan
+      Vectors.pqRerankTopK(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
     "s10_ivf_profile" -> ((s, dir) => {
       // index health check: per-bucket population of the spaced-centroid
       // IVF assignment — the balance report that decides nprobe/centroid
@@ -1378,6 +1393,28 @@ object SparkEntry {
     "d9_dedup_groups_star" -> oracleDedupGroups,
     "d3_minhash_sigs" -> oracleMinhashSigs,
     "d4_minhash_pairs" -> oracleMinhashPairs,
+    "d21_minhash_estimate" -> {
+      val cap = graft.ops.Dedup.defaultMaxDf
+      val k = graft.ops.Dedup.minhashCoeffs.size
+      val matchSum = (0 until k)
+        .map(i => s"CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $oracleSigCtes,
+         |bnd AS (
+         |  $oracleBandRows),
+         |cool AS (SELECT band, r0, r1 FROM (SELECT band, r0, r1, count(*) AS c
+         |                                   FROM bnd GROUP BY 1, 2, 3)
+         |         WHERE c <= $cap),
+         |bok AS (SELECT bnd.* FROM bnd JOIN cool USING (band, r0, r1)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bok x JOIN bok y
+         |         ON x.band = y.band AND x.r0 = y.r0 AND x.r1 = y.r1 AND x.doc_id < y.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |       CAST($matchSum AS DOUBLE) / $k AS est_jaccard
+         |FROM cand c
+         |JOIN sigs sa ON sa.doc_id = c.doc_a
+         |JOIN sigs sb ON sb.doc_id = c.doc_b""".stripMargin
+    },
     "d5_simhash" -> oracleSimhash,
     "d10_neardup_keep_first" -> oracleNearDupKeepFirst,
     "d12_vector_keep_first" -> oracleVectorKeepFirst,
@@ -1603,6 +1640,25 @@ object SparkEntry {
          |$oraclePqCtes,
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
          |${oraclePqRank("q JOIN e nb ON nb.vec_id <> q.query_id", 10)}""".stripMargin,
+    "s12_ann_pq_rerank" ->
+      // stage 1 = s9's ADC shortlist (top-40 by PQ sim), stage 2 re-ranks
+      // only those by the exact dot over the full unit vectors
+      s"""WITH $oracleEmbCte,
+         |$oraclePqCtes,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+         |${oraclePqScored("q JOIN e nb ON nb.vec_id <> q.query_id")},
+         |coarse AS (SELECT query_id, neighbor_id FROM (
+         |            SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |              ORDER BY sim DESC, neighbor_id ASC) AS rn FROM scored) WHERE rn <= 40),
+         |rr AS (SELECT c.query_id, c.neighbor_id,
+         |         list_dot_product(q.qv, nb.v) AS sim2
+         |       FROM coarse c
+         |       JOIN e nb ON nb.vec_id = c.neighbor_id
+         |       JOIN q ON q.query_id = c.query_id)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim2 DESC, neighbor_id ASC) AS rank FROM rr)
+         |WHERE rank <= 10""".stripMargin,
     "s11_ann_ivfpq" ->
       // IVF routing bounds the candidate set (same bucket), PQ codes bound
       // the scan — both spaced-deterministic patterns compose unchanged

@@ -396,6 +396,35 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH candidates scored by the MinHash ESTIMATE itself — the stage a
+    * 100 TB near-dup pass actually runs when exact verification is too
+    * expensive to afford per pair: est_jaccard = (matching signature
+    * slots) / k, an unbiased estimator of the true shingle Jaccard
+    * (E[1{min_i(A)=min_i(B)}] = J). The exact paths (d2/d11) re-read the
+    * full shingle sets per candidate; this one touches only the k-long
+    * signature rows — candidate scoring is metadata-sized regardless of
+    * document length. Signature frames join back on doc id (hash joins on
+    * the capped candidate set). Output: (doc_a, doc_b, est_jaccard),
+    * est exact in binary for k = 8 (eighths), so cross-engine hash-stable.
+    */
+  def minhashEstimatedPairs(sigs: DataFrame, bands: Int,
+      maxBucket: Long = defaultMaxDf): DataFrame = {
+    val k = minhashCoeffs.size
+    val cand = candidatePairsFromSignatures(sigs, bands, maxBucket)
+    val sa = sigs.select(col("doc_id").as("doc_a") +:
+      minhashCoeffs.indices.map(i => col(s"sig_$i").as(s"a_$i")): _*)
+    val sb = sigs.select(col("doc_id").as("doc_b") +:
+      minhashCoeffs.indices.map(i => col(s"sig_$i").as(s"b_$i")): _*)
+    val matches = minhashCoeffs.indices
+      .map(i => when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sa, Seq("doc_a"))
+      .join(sb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / k).as("est_jaccard"))
+  }
+
   /** Batch twin of [[streamingNearDup]] — ingest-order near-dup filtering
     * with doc_id as the arrival order: keep a document iff none of its LSH
     * band signatures is already claimed by a smaller doc_id. Exactly the

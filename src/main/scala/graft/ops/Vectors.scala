@@ -245,6 +245,35 @@ object Vectors {
     topKPerGroup(scored, "query_id", k)
   }
 
+  /** Two-stage retrieval (coarse quantized scan → exact re-rank) — the
+    * standard production recall fix for quantized indexes: the PQ ADC scan
+    * shortlists `shortlist` candidates per query reading only m bytes per
+    * corpus vector (like s9), then ONLY those candidates are re-scored
+    * against their full unit vectors and the exact top-k kept. Quantization
+    * error then affects WHICH ~L candidates surface, not their final
+    * order — recall@k approaches brute force at a scan cost that never
+    * touches the float corpus (RECALL.json's `pq_rerank` row tracks it).
+    *
+    * At 100 TB: stage 1 is s9's byte-code scan; stage 2's shortlist is
+    * nq·L rows — broadcast to every executor, so the exact pass plans as
+    * one corpus scan + broadcast hash join (zero corpus shuffle; the scan
+    * reads only suspect vectors' floats if vec_id-clustered at write time).
+    */
+  def pqRerankTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      shortlist: Int = 40, m: Int = 8, ks: Int = 16): DataFrame = {
+    val unit = withUnit(embeddings).select(col("vec_id"), col("unit")).persist()
+    val coarse = pqTopKWithCodebook(unit, queryIds, shortlist, m, spacedPqCodebook(unit, ks))
+      .select(col("query_id"), col("neighbor_id"))
+    val queries = unit
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("unit").as("q"))
+    val scored = unit.select(col("vec_id").as("neighbor_id"), col("unit").as("b"))
+      .join(F.broadcast(coarse), Seq("neighbor_id"))
+      .join(F.broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("q"), col("b")).as("sim"))
+    topKPerGroup(scored, "query_id", k)
+  }
+
   /** Per-subspace k-means codebooks for PQ — the production-quality path
     * (the [[trainedCentroids]] analog for s9): squared-L2 Lloyd over each
     * subspace's sample sub-vectors, driver-side on the same deterministic

@@ -536,6 +536,28 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains(3L))
   }
 
+  test("minhash estimate: identical docs score 1.0, pairs match the candidate set") {
+    val sigs = Dedup.minhashShingleSignaturesFromArrays(
+      graft.ops.Vocab.hashTokenIdArrays(docs), 5)
+    val est = Dedup.minhashEstimatedPairs(sigs, bands = 4)
+    val rows = est.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("est_jaccard")).toMap
+    // the estimator scores exactly the LSH candidate pairs, nothing else
+    val cand = Dedup.candidatePairsFromSignatures(sigs, bands = 4).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(rows.keySet === cand)
+    // identical docs: every signature slot matches → estimate exactly 1.0
+    assert(rows((0L, 1L)) === 1.0)
+    // estimates are k-slot fractions in [0, 1]
+    rows.values.foreach { e =>
+      assert(e >= 0.0 && e <= 1.0)
+      assert((e * Dedup.minhashCoeffs.size) == math.round(e * Dedup.minhashCoeffs.size).toDouble)
+    }
+    // the near-dup pair (0,2) must score strictly below the exact dup pair
+    rows.get((0L, 2L)).foreach(e => assert(e < 1.0))
+  }
+
   test("simhash: identical docs equal; near dups within small hamming distance") {
     val tid = Vocab.tokenIds(docs)
     val sh = Dedup.simhash(tid).collect()

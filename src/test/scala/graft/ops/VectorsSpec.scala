@@ -262,6 +262,28 @@ class VectorsSpec extends SparkSpec {
     assert(ivfpq === pq)
   }
 
+  test("pq rerank: a corpus-wide shortlist recovers brute force exactly; recall ≥ plain PQ") {
+    // shortlist = whole corpus → stage 2 re-scores everything exactly, so
+    // the final ranking must BE the brute-force ranking regardless of how
+    // lossy the PQ shortlist scores were
+    val brute = Vectors.bruteForceTopK(corpus, Seq(1L, 2L), k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    val full = Vectors.pqRerankTopK(corpus, Seq(1L, 2L), k = 5, shortlist = 60)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    assert(full === brute)
+    // a partial shortlist can only improve on the raw PQ ranking (same
+    // candidates, exact scores) — recall is monotone vs plain pqTopK
+    val exact = hits(Vectors.bruteForceTopK(corpus, Seq(1L, 2L), k = 5))
+    val plain = hits(Vectors.pqTopK(corpus, Seq(1L, 2L), k = 5))
+    val rerank = hits(Vectors.pqRerankTopK(corpus, Seq(1L, 2L), k = 5, shortlist = 20))
+    assert(rerank.intersect(exact).size >= plain.intersect(exact).size)
+    // and the re-ranked neighbors are drawn from the PQ shortlist
+    val shortlist = hits(Vectors.pqTopK(corpus, Seq(1L, 2L), k = 20))
+    assert(rerank.subsetOf(shortlist))
+  }
+
   test("pq: codes match a reference argmin over subspace slices") {
     import org.apache.spark.sql.functions._
     val m = 4
