@@ -833,6 +833,11 @@ object SparkEntry {
           Vocab.hashTokenIdArrays(Tables.documents(s, dir)), 5), bands = 4)),
     "d5_simhash" -> ((s, dir) =>
       Dedup.simhash(Vocab.hashTokenIds(Tables.documents(s, dir)))),
+    "d22_simhash_pairs" -> ((s, dir) =>
+      // the fingerprints put to their dedup use: 60-bit simhash, 4×15-bit
+      // band keys (pigeonhole covers hamming ≤ 3), df-capped buckets, one
+      // XOR popcount per candidate — no shingle re-read, no float
+      Dedup.simhashPairs(Vocab.hashTokenIds(Tables.documents(s, dir)))),
     "d10_neardup_keep_first" -> ((s, dir) =>
       // ingest-order near-dup filter (batch twin of streamingNearDup):
       // keep a doc iff no smaller doc_id claims any of its band signatures
@@ -1416,6 +1421,33 @@ object SparkEntry {
          |JOIN sigs sb ON sb.doc_id = c.doc_b""".stripMargin
     },
     "d5_simhash" -> oracleSimhash,
+    "d22_simhash_pairs" -> {
+      val bits = 60; val chunks = 4; val cw = bits / chunks
+      val cap = graft.ops.Dedup.defaultMaxDf
+      val g = s"((token_id * 2654435761 + 2538058380) % ${1L << bits})"
+      val sums = (0 until bits)
+        .map(b => s"sum(CASE WHEN ($g >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b")
+        .mkString(",\n       ")
+      val hash = (0 until bits)
+        .map(b => s"CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      s"""WITH $oracleTokCtes,
+         |sums AS (SELECT doc_id,
+         |       $sums
+         |FROM tid GROUP BY doc_id),
+         |sh AS (SELECT doc_id, CAST($hash AS BIGINT) AS simhash FROM sums),
+         |ck AS (SELECT doc_id, simhash, t.band,
+         |         (simhash >> (t.band * $cw)) & ${(1L << cw) - 1} AS key
+         |       FROM sh, range(0, $chunks) t(band)),
+         |cool AS (SELECT band, key FROM (SELECT band, key, count(*) AS c
+         |                                FROM ck GROUP BY 1, 2) WHERE c <= $cap),
+         |ok AS (SELECT ck.* FROM ck JOIN cool USING (band, key)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |                x.simhash AS ha, y.simhash AS hb
+         |         FROM ok x JOIN ok y
+         |         ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin
+    },
     "d10_neardup_keep_first" -> oracleNearDupKeepFirst,
     "d12_vector_keep_first" -> oracleVectorKeepFirst,
     "d19_cross_source_dups" ->

@@ -1079,4 +1079,44 @@ object Dedup {
     }.reduce(_ + _)
     perDoc.select(col("doc_id"), hash.as("simhash"))
   }
+
+  /** SimHash near-dup PAIRS — the d5 signatures put to their actual dedup
+    * use, via the chunked-band scheme of the published web-dedup design
+    * (split the fingerprint into `chunks` bands; hamming(a,b) ≤ maxHamming
+    * with chunks > maxHamming forces ≥ 1 identical band by pigeonhole, so
+    * band-equality enumerates a candidate superset, then one XOR popcount
+    * per candidate verifies the exact distance). 60-bit fingerprints (not
+    * d5's 16) so a 15-bit band key is discriminative: candidate buckets
+    * stay corpus-fraction-sized, and the df cap bounds any clone cluster's
+    * key exactly as in the d4 band join (the oracle applies the identical
+    * cap). Per-candidate work is one integer XOR of two longs — no
+    * shingle-set re-read, no float. Output: (doc_a, doc_b, hamming ≤
+    * maxHamming).
+    */
+  def simhashPairs(tokenIds: DataFrame, bits: Int = 60, chunks: Int = 4,
+      maxHamming: Int = 3, maxBucket: Long = defaultMaxDf): DataFrame = {
+    require(chunks > maxHamming, "pigeonhole needs more bands than differing bits")
+    require(bits % chunks == 0 && bits < 63, s"bits=$bits must split into $chunks bands")
+    val cw = bits / chunks
+    val sh = simhash(tokenIds, bits)
+    val chunkCols = (0 until chunks).map(i =>
+      struct(lit(i).as("band"),
+        shiftright(col("simhash"), i * cw).bitwiseAND((1L << cw) - 1).as("key")))
+    val keyed = sh
+      .select(col("doc_id"), col("simhash"), explode(array(chunkCols: _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.band").as("band"), col("c.key").as("key"))
+      .persist() // both self-join sides share the fingerprint computation
+    val cool = keyed.groupBy(col("band"), col("key")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") <= maxBucket)
+      .select(col("band"), col("key"))
+    val k = keyed.join(cool, Seq("band", "key"), "left_semi")
+    k.as("x")
+      .join(k.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

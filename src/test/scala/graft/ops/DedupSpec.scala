@@ -558,6 +558,28 @@ class DedupSpec extends SparkSpec {
     rows.get((0L, 2L)).foreach(e => assert(e < 1.0))
   }
 
+  test("simhash pairs: exact dups at hamming 0, all pairs within the bound, unrelated absent") {
+    val tid = graft.ops.Vocab.hashTokenIds(docs)
+    val out = Dedup.simhashPairs(tid).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    // identical docs: identical 60-bit fingerprints → distance 0
+    assert(out((0L, 1L)) === 0L)
+    // the verify stage is exact: nothing beyond the bound leaks through
+    out.values.foreach(h => assert(h >= 0L && h <= 3L))
+    // doc 3 shares no tokens with 0/1/2 — its fingerprint is far from all
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // band-derived candidates never skip a qualifying pair: every pair of
+    // fingerprints within the bound appears (pigeonhole over 4 bands)
+    val fps = Dedup.simhash(tid, bits = 60).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
+    val want = (for {
+      (a, ha) <- fps; (b, hb) <- fps if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(out.keySet === want)
+  }
+
   test("simhash: identical docs equal; near dups within small hamming distance") {
     val tid = Vocab.tokenIds(docs)
     val sh = Dedup.simhash(tid).collect()

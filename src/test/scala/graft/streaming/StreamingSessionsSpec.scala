@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.operators.Windows
+
+case class SEv(user_id: String, ts: Timestamp)
+
+/** b12's session windows in streaming form: append-mode `session_window`
+  * over a watermarked feed must emit exactly the batch sessions once the
+  * watermark closes them — and each session exactly once (W2's
+  * closed-window contract).
+  */
+class StreamingSessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = 1700000000000L
+  private def ev(u: String, offsetSec: Long) = SEv(u, new Timestamp(t0 + offsetSec * 1000L))
+
+  // user a: events at 0/10/45 min — the 35-min gap (≥ 30) splits two
+  // sessions; user b: one event; user c: events 5 s apart, one session
+  private val feed = Seq(
+    ev("a", 0L), ev("a", 600L), ev("a", 2700L),
+    ev("b", 120L),
+    ev("c", 300L), ev("c", 305L))
+  // watermark flush: a far-future key whose own session stays open
+  private val flush = ev("zz", 90000L)
+
+  test("streaming session windows ≡ batch sessions, emitted once on close") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[SEv]
+    val q = StreamingSessions.sessions(ms.toDF(), keyCol = "user_id")
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode(OutputMode.Append).start()
+    // two-element chunks: session merging must work across micro-batches
+    feed.grouped(2).foreach { chunk =>
+      ms.addData(chunk)
+      q.processAllAvailable()
+    }
+    // advance the watermark past every real session's end, then run one
+    // more batch so the closed sessions actually emit
+    ms.addData(Seq(flush)); q.processAllAvailable()
+    ms.addData(Seq(flush)); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sessions_stream")
+      .filter($"user_id" =!= "zz")
+      .orderBy("user_id", "session_start").collect().map(_.toSeq)
+    val batch = Windows.sessions(feed.toDF(), keyCol = "user_id")
+      .orderBy("user_id", "session_start").collect().map(_.toSeq)
+    assert(streamed.toSeq === batch.toSeq)
+    // the split really happened: user a has two sessions
+    assert(streamed.count(_.head == "a") === 2)
+    // exactly-once emission: no session appears twice
+    assert(streamed.distinct.size === streamed.size)
+  }
+}
