@@ -763,6 +763,10 @@ object SparkEntry {
       graft.operators.Windows.slidingCounts(Tables.events(s, dir))),
     "b12_session_windows" -> ((s, dir) =>
       graft.operators.Windows.sessions(Tables.events(s, dir), keyCol = "user_id")),
+    "t23_daily_trends" -> ((s, dir) =>
+      // cumulative / 7-day moving average / day-over-day delta per type —
+      // windows run over the aggregated (day × type) frame, never raw rows
+      graft.operators.Windows.dailyTrends(Tables.events(s, dir))),
     "b13_approx_distinct" -> ((s, dir) =>
       // checked variant: the query RAISES if any group's HLL estimate is
       // off by > 3·rsd vs exact. Only cross-engine-deterministic columns are
@@ -1355,6 +1359,19 @@ object SparkEntry {
         |             event_type
         |      FROM events)
         |GROUP BY 1, 2""".stripMargin,
+    "t23_daily_trends" ->
+      """WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+        |                      CAST(count(*) AS BIGINT) AS n_events
+        |               FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n_events,
+        |       CAST(sum(n_events) OVER (PARTITION BY event_type ORDER BY day
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events,
+        |       CAST(sum(n_events) OVER w7 AS DOUBLE) / count(*) OVER w7 AS ma7,
+        |       CAST(n_events - coalesce(lag(n_events) OVER (PARTITION BY event_type ORDER BY day), 0)
+        |            AS BIGINT) AS delta
+        |FROM daily
+        |WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+        |              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     "b12_session_windows" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
         |m AS (SELECT user_id, t,

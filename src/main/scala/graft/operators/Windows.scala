@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
 
 /** Windowing operators beyond the reference's tumbling windows — the
@@ -71,6 +72,33 @@ object Windows {
         col("sw.start").as("session_start"),
         col("sw.end").as("session_end"),
         col("n_events"))
+
+  /** Day-over-day trend analytics over the per-type daily counts — the
+    * windowed-analytics report shape the reference's author wished for
+    * (`README.md:376-380`): running cumulative total, 7-day moving average
+    * (over observed days, row-framed), and day-over-day delta, per event
+    * type. One map-side-combined count pass reduces the corpus to the
+    * (day × type) frame first, so every window function runs over
+    * metadata-sized input — no window ever touches raw events, and the
+    * per-type partitions are day-count-sized (never a skewed-task risk).
+    * ma7 divides an exact integer window sum by an exact window count, so
+    * the double is cross-engine bit-stable.
+    */
+  def dailyTrends(events: DataFrame, tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col(tsCol)).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val byType = W.partitionBy(col("event_type")).orderBy(col("day"))
+    val last7 = byType.rowsBetween(-6, 0)
+    daily.select(
+      col("event_type"), col("day"), col("n_events"),
+      sum(col("n_events")).over(byType.rowsBetween(W.unboundedPreceding, 0))
+        .as("cum_events"),
+      (sum(col("n_events")).over(last7).cast("double")
+        / count(lit(1)).over(last7)).as("ma7"),
+      (col("n_events") - coalesce(lag(col("n_events"), 1).over(byType), lit(0L)))
+        .as("delta"))
+  }
 
   /** Daily distinct-user estimates via HyperLogLog++ — the approximate
     * rollup a 100 TB deployment uses where exact distinct would shuffle

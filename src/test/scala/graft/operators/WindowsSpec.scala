@@ -24,6 +24,27 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("daily trends: cumulative is a running total, ma7 row-framed, first delta = count") {
+    val out = Windows.dailyTrends(events)
+      .orderBy("event_type", "day").collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (_, rows) =>
+      // cumulative = prefix sum of n_events in day order
+      val counts = rows.map(_.getAs[Long]("n_events"))
+      val cums = rows.map(_.getAs[Long]("cum_events"))
+      assert(cums.toSeq === counts.scanLeft(0L)(_ + _).tail.toSeq)
+      // ma7 averages the last ≤7 observed days exactly
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val w = counts.slice(math.max(0, i - 6), i + 1)
+        assert(r.getAs[Double]("ma7") === w.sum.toDouble / w.length)
+      }
+      // day-over-day delta; the first observed day baselines at 0
+      val deltas = rows.map(_.getAs[Long]("delta"))
+      assert(deltas.head === counts.head)
+      assert(deltas.tail.toSeq === counts.sliding(2).map(p => p(1) - p(0)).toSeq)
+    }
+  }
+
   test("inter-event gaps: per-user lag, ts ties broken by event_id, integer microseconds") {
     val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
     def at(sec: Int) = Timestamp.from(t0.toInstant.plusSeconds(sec.toLong))
