@@ -836,12 +836,15 @@ object SparkEntry {
         Dedup.minhashShingleSignaturesFromArrays(
           Vocab.hashTokenIdArrays(Tables.documents(s, dir)), 5), bands = 4)),
     "d5_simhash" -> ((s, dir) =>
-      Dedup.simhash(Vocab.hashTokenIds(Tables.documents(s, dir)))),
+      // the codegen projection form — identical to the ±1-sum aggregation
+      // for every document with ≥ 1 token (SimHashBitsSpec)
+      Dedup.simhashFromArrays(Vocab.hashTokenIdArrays(Tables.documents(s, dir)))),
     "d22_simhash_pairs" -> ((s, dir) =>
-      // the fingerprints put to their dedup use: 60-bit simhash, 4×15-bit
+      // the fingerprints put to their dedup use: 60-bit simhash (one
+      // codegen projection pass — no explode, no 60-wide agg), 4×15-bit
       // band keys (pigeonhole covers hamming ≤ 3), df-capped buckets, one
       // XOR popcount per candidate — no shingle re-read, no float
-      Dedup.simhashPairs(Vocab.hashTokenIds(Tables.documents(s, dir)))),
+      Dedup.simhashPairsFromArrays(Vocab.hashTokenIdArrays(Tables.documents(s, dir)))),
     "d10_neardup_keep_first" -> ((s, dir) =>
       // ingest-order near-dup filter (batch twin of streamingNearDup):
       // keep a doc iff no smaller doc_id claims any of its band signatures

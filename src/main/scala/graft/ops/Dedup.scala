@@ -1080,6 +1080,23 @@ object Dedup {
     perDoc.select(col("doc_id"), hash.as("simhash"))
   }
 
+  /** [[simhash]] as a pure PROJECTION over a (doc_id, ids) token-id-array
+    * frame ([[Vocab.hashTokenIdArrays]] shape) — the whole fingerprint runs
+    * inside the codegen'd [[org.apache.spark.sql.graft.SimHashBits]]
+    * expression: no explode, no `bits`-wide hash-aggregate, no exchange
+    * before the banding stage. Per-bit ±1 sums are order-insensitive, so
+    * the output is identical to the aggregate form for every document with
+    * ≥ 1 token (SimHashBitsSpec pins it); token-less documents emit no row
+    * in either form.
+    */
+  def simhashFromArrays(idsDf: DataFrame, bits: Int = 16,
+      idsCol: String = "ids"): DataFrame =
+    idsDf
+      .withColumn("simhash",
+        org.apache.spark.sql.graft.SimHashBits.column(col(idsCol), bits))
+      .filter(col("simhash").isNotNull)
+      .select(col("doc_id"), col("simhash"))
+
   /** SimHash near-dup PAIRS — the d5 signatures put to their actual dedup
     * use, via the chunked-band scheme of the published web-dedup design
     * (split the fingerprint into `chunks` bands; hamming(a,b) ≤ maxHamming
@@ -1094,11 +1111,22 @@ object Dedup {
     * maxHamming).
     */
   def simhashPairs(tokenIds: DataFrame, bits: Int = 60, chunks: Int = 4,
-      maxHamming: Int = 3, maxBucket: Long = defaultMaxDf): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Long = defaultMaxDf): DataFrame =
+    simhashPairsOver(simhash(tokenIds, bits), bits, chunks, maxHamming, maxBucket)
+
+  /** [[simhashPairs]] over the codegen projection front-end — fingerprints
+    * come from [[simhashFromArrays]] (one WSCG pass, no explode/agg), the
+    * banding/verify stages are shared. The d22 query path.
+    */
+  def simhashPairsFromArrays(idsDf: DataFrame, bits: Int = 60, chunks: Int = 4,
+      maxHamming: Int = 3, maxBucket: Long = defaultMaxDf): DataFrame =
+    simhashPairsOver(simhashFromArrays(idsDf, bits), bits, chunks, maxHamming, maxBucket)
+
+  private def simhashPairsOver(sh: DataFrame, bits: Int, chunks: Int,
+      maxHamming: Int, maxBucket: Long): DataFrame = {
     require(chunks > maxHamming, "pigeonhole needs more bands than differing bits")
     require(bits % chunks == 0 && bits < 63, s"bits=$bits must split into $chunks bands")
     val cw = bits / chunks
-    val sh = simhash(tokenIds, bits)
     val chunkCols = (0 until chunks).map(i =>
       struct(lit(i).as("band"),
         shiftright(col("simhash"), i * cw).bitwiseAND((1L << cw) - 1).as("key")))
