@@ -137,5 +137,6 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(org.apache.spark.sql.graft.MinHashSigs.registration)
     ext.injectFunction(org.apache.spark.sql.graft.PqEncode.registration)
     ext.injectFunction(org.apache.spark.sql.graft.PqAdcDot.registration)
+    ext.injectFunction(org.apache.spark.sql.graft.SimHashBits.registration)
   }
 }

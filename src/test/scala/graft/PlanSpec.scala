@@ -341,6 +341,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d22 simhash fingerprints run inside whole-stage codegen (no 60-wide agg)") {
+    val q = SparkEntry.queries("d22_simhash_pairs")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the scan line re-prints the pushed-down isnotnull(simhash_bits(…))
+    // DataFilter — only evaluating operators must carry the codegen star
+    val lines = plan.linesIterator
+      .filter(l => l.contains("simhash_bits") && !l.contains("FileScan")).toSeq
+    assert(lines.nonEmpty, s"simhash_bits not in plan:\n$plan")
+    lines.foreach(l => assert(l.contains("*("), s"simhash_bits not codegen'd: $l\n$plan"))
+    // the fingerprint is a projection: no aggregate may sit below the
+    // banding stage's bucket count (exactly one agg pair for `cool`, one
+    // distinct pair — never a 60-column hash aggregate over token rows)
+    assert(!plan.contains("s_0#"), s"bit-sum agg columns leaked into the plan:\n$plan")
+  }
+
+  test("s12 rerank stage joins by broadcast (shortlist + queries), corpus never shuffles") {
+    val q = SparkEntry.queries("s12_ann_pq_rerank")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // both stage-2 joins (candidates→vectors, →query vectors) broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // no sort-merge join anywhere: the corpus side is never sort-shuffled
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("per-window top-1 uses a single shuffle pair (agg form, no window sort)") {
     val events = Seq(
       (Timestamp.valueOf("2024-01-01 00:01:00"), "g1", "1", "10", 1L)
