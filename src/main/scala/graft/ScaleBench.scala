@@ -67,6 +67,8 @@ object ScaleBench {
           Dedup.jaccardPairsFromShingles(
             Dedup.shingleIdsFromArrays(Vocab.hashTokenIdArrays(d), 5), threshold = 0.5)), true),
       ("d10_neardup_keep_first", (d: DataFrame) => Dedup.nearDupKeepFirst(d), true),
+      ("d22_simhash_pairs", (d: DataFrame) =>
+        Dedup.simhashPairsFromArrays(Vocab.hashTokenIdArrays(d)), true),
       ("s2_ann_ivf", (e: DataFrame) => {
         val n = e.count()
         Vectors.ivfTopK(e, Vectors.spacedCentroidIds(n), 0L until 8L, k = 5)
