@@ -592,6 +592,16 @@ object SparkEntry {
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_customers"),
           sum(round(col("c_acctbal") * 100).cast("long")).as("acctbal_c"))),
+    "t24_grouping_sets" -> ((s, dir) =>
+      // two independent one-column breakdowns in ONE pass — the
+      // grouping-sets shape neither rollup (t9) nor cube (t15) expresses;
+      // Expand multiplies rows map-side, then one partial-agg'd shuffle
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_c"))),
     "t10_in_subquery" -> ((s, dir) =>
       Tables.orders(s, dir)
         .join(Tables.customer(s, dir).filter(col("c_acctbal") > 9000),
@@ -1076,6 +1086,10 @@ object SparkEntry {
       // addressing a data loader reads; pure arithmetic over the bounded
       // prefix scan
       TextOps.shardLayout(Tables.documents(s, dir), shardSize = 100L)),
+    "x21_corpus_top_terms" -> ((s, dir) =>
+      // exact corpus-wide heavy hitters: vocabulary-sized partial-agg
+      // frame, TakeOrdered top-k — never a global sort
+      TextOps.corpusTopTerms(Tables.documents(s, dir))),
     "x16_corpus_stats" -> ((s, dir) =>
       // the corpus report card: per-language volume/coverage in one
       // map-side-combined pass (integer aggregates only — deterministic)
@@ -1229,6 +1243,12 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "t24_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))""".stripMargin,
     "t10_in_subquery" ->
       """SELECT o_orderstatus,
         |       CAST(count(*) AS BIGINT) AS n_orders,
@@ -1886,6 +1906,13 @@ object SparkEntry {
       s"""WITH $oracleTokCtes,
          |o AS (SELECT token_id, CAST(count(*) AS BIGINT) AS occurrences FROM tid GROUP BY 1)
          |SELECT occurrences, CAST(count(*) AS BIGINT) AS n_tokens FROM o GROUP BY 1""".stripMargin,
+    "x21_corpus_top_terms" ->
+      """SELECT term, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term
+        |ORDER BY n_occurrences DESC, term ASC
+        |LIMIT 25""".stripMargin,
     "x16_corpus_stats" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,

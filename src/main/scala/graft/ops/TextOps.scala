@@ -493,6 +493,24 @@ object TextOps {
     * map-side combinable; the second input is vocabulary-sized, not
     * corpus-sized. Output: (occurrences, n_tokens).
     */
+  /** Corpus-level heavy hitters: the exact top-k vocabulary terms by total
+    * occurrences (with their document frequencies) — the "what dominates
+    * this corpus?" report that catches boilerplate, crawl artifacts and
+    * tokenizer bugs before training. Two-phase exact at any scale: the
+    * count pass partial-aggregates map-side to a vocabulary-sized frame,
+    * and the final top-k plans as TakeOrderedAndProject (per-partition
+    * heaps merged on the driver, k rows — never a global sort). Ties at
+    * the boundary break by term asc, so the result is deterministic.
+    */
+  def corpusTopTerms(docs: DataFrame, k: Int = 25): DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("term").asc)
+      .limit(k)
+
   def tokenFreqOfFreq(tokenIds: DataFrame): DataFrame =
     tokenIds
       .groupBy(col("token_id")).agg(count(lit(1)).as("occurrences"))

@@ -50,6 +50,17 @@ class TextAndMultimodalSpec extends SparkSpec {
       (1L, "banana", 3L, 2L, 1L), (1L, "apple", 1L, 2L, 2L)))
   }
 
+  test("corpus top terms: occurrence-ranked, doc frequency, term-asc tie-break, top-k plan") {
+    val out = TextOps.corpusTopTerms(docs, k = 3).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("n_occurrences"), r.getAs[Long]("n_docs")))
+    // "the" occurs twice in one doc; the six singletons tie → term asc
+    assert(out.head === (("the", 2L, 1L)))
+    assert(out.map(_._1).toSeq === Seq("the", "a", "bb"))
+    // top-k must plan as TakeOrdered (per-partition heaps), not a global sort
+    val plan = TextOps.corpusTopTerms(docs, k = 3).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("multimodal: partition-batched decode ≡ codegen expression decode") {
     val a = Multimodal.decodeBatched(docs).toDF().orderBy("doc_id").collect()
     val b = Multimodal.decodeExpr(docs).orderBy("doc_id").collect()
