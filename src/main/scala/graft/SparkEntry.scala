@@ -1105,7 +1105,11 @@ object SparkEntry {
     "m1_binary_meta" -> ((s, dir) =>
       graft.ops.Multimodal.decodeExpr(Tables.documents(s, dir))),
     "m2_frame_sample" -> ((s, dir) =>
-      graft.ops.Multimodal.sampleFrames(Tables.documents(s, dir)))
+      graft.ops.Multimodal.sampleFrames(Tables.documents(s, dir))),
+    "m3_modality_stats" -> ((s, dir) =>
+      // modality routing report: tag in the decode pass, one map-side-
+      // combined agg — the multimodal twin of x16's language report card
+      graft.ops.Multimodal.modalityStats(Tables.documents(s, dir)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2020,6 +2024,20 @@ object SparkEntry {
         |       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
         |       CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
         |       CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "m3_modality_stats" ->
+      """WITH meta AS (SELECT doc_id,
+        |                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |                     CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+        |                     CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
+        |                     CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
+        |              FROM documents)
+        |SELECT ['audio', 'image', 'video'][CAST(n_bytes % 3 AS INTEGER) + 1] AS modality,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |       CAST(sum(n_frames) AS BIGINT) AS total_frames,
+        |       CAST(max(width) AS BIGINT) AS max_width,
+        |       CAST(max(height) AS BIGINT) AS max_height
+        |FROM meta GROUP BY 1""".stripMargin
   )
 }

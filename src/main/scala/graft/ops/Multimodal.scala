@@ -77,6 +77,27 @@ object Multimodal {
         (col("frame_idx") * frameBytes).as("byte_offset"),
         pmod(col("n_bytes") - col("frame_idx") * frameBytes, lit(256)).as("frame_checksum"))
 
+  /** Per-modality routing report: tag every payload with its modality (the
+    * stub derives a deterministic tag from the byte length; production
+    * reads a container/MIME sniff in the same decode pass) and aggregate
+    * the volume/shape stats a mixed-media pipeline reads before deciding
+    * per-modality processing — the multimodal twin of x16's per-language
+    * report card. One map-side-combined pass; the result is
+    * |modalities|-sized metadata.
+    */
+  def modalityStats(docs: DataFrame): DataFrame =
+    decodeExpr(docs)
+      .withColumn("modality",
+        element_at(typedlit(Seq("audio", "image", "video")),
+          pmod(col("n_bytes"), lit(3)).cast("int") + 1))
+      .groupBy(col("modality"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("n_frames")).as("total_frames"),
+        max(col("width")).as("max_width"),
+        max(col("height")).as("max_height"))
+
   /** Whole-stage-codegen rendering of the stub decode (pure column
     * expressions) — used by the oracle-checked query; proves the expression
     * path and the mapPartitions path agree (MultimodalSpec).

@@ -67,6 +67,16 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("modality stats: deterministic tag from byte length, per-modality volumes") {
+    // "a bb ccc" = 8 bytes → 8 % 3 = 2 → video; doc 1 = 28 bytes → 1 → image
+    val out = Multimodal.modalityStats(docs).collect()
+      .map(r => r.getAs[String]("modality") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_bytes"))).toMap
+    assert(out("video") === ((1L, 8L)))
+    assert(out("image") === ((1L, 28L)))
+    assert(!out.contains("audio"))
+  }
+
   test("curation pipeline: dup group survives when only its min-id member fails quality") {
     import org.apache.spark.sql.functions._
     val good = (("the quick brown fox jumps over a lazy dog and " * 4).trim)
