@@ -819,6 +819,20 @@ object SparkEntry {
       Dedup.dedupGroupsAuto(
         Dedup.jaccardPairsFromShingles(Dedup.shingleIdsFromArrays(ids, 5), threshold = 0.5))
     }),
+    "d23_dup_cluster_profile" -> ((s, dir) => {
+      // the governance histogram over d7's components: how many duplicate
+      // clusters of each size, how many docs (and how many deletable) they
+      // bind — the "how much would dedup save?" report; both aggs after
+      // the CC are cluster- then size-count-sized (metadata)
+      val ids = Vocab.hashTokenIdArrays(Tables.documents(s, dir))
+      Dedup.dedupGroupsAuto(
+        Dedup.jaccardPairsFromShingles(Dedup.shingleIdsFromArrays(ids, 5), threshold = 0.5))
+        .groupBy(col("group_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          (count(lit(1)) * col("cluster_size")).as("n_docs"),
+          (count(lit(1)) * (col("cluster_size") - 1)).as("n_deletable"))
+    }),
     "d9_dedup_groups_star" -> ((s, dir) => {
       // same pair graph as d7, grouped by the O(log² n) large-star /
       // small-star contraction — the variant adversarially long chains need
@@ -1437,6 +1451,20 @@ object SparkEntry {
         |FROM documents GROUP BY text""".stripMargin,
     "d2_jaccard_pairs" -> oracleJaccardPairs,
     "d7_dedup_groups" -> oracleDedupGroups,
+    "d23_dup_cluster_profile" ->
+      s"""WITH RECURSIVE $oracleJaccardCtes,
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM jpairs),
+         |walk AS (SELECT DISTINCT a AS doc_id, a AS reach FROM edges
+         |         UNION
+         |         SELECT w.doc_id, e.b FROM walk w JOIN edges e ON e.a = w.reach),
+         |g AS (SELECT doc_id, min(reach) AS group_id FROM walk GROUP BY doc_id),
+         |cl AS (SELECT group_id, CAST(count(*) AS BIGINT) AS cluster_size FROM g GROUP BY 1)
+         |SELECT cluster_size,
+         |       CAST(count(*) AS BIGINT) AS n_clusters,
+         |       CAST(count(*) * cluster_size AS BIGINT) AS n_docs,
+         |       CAST(count(*) * (cluster_size - 1) AS BIGINT) AS n_deletable
+         |FROM cl GROUP BY cluster_size""".stripMargin,
     // components are a property of the graph, not the algorithm: the star
     // contraction shares d7's transitive-closure oracle
     "d9_dedup_groups_star" -> oracleDedupGroups,
