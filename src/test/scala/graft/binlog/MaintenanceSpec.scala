@@ -69,6 +69,25 @@ class MaintenanceSpec extends SparkSpec {
       === Seq("DELETE" -> 1L, "INSERT" -> 12L))
   }
 
+  test("K7 small-file compaction: file count collapses to the byte target, rows identical") {
+    val path = tmpDir("small_files") + "/part"
+    val df = (0 until 500).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    df.repartition(20).write.parquet(path) // 20 tiny files
+    def files = new java.io.File(path).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.endsWith(".crc"))
+    assert(files === 20)
+    val (before, after) = Maintenance.compact(spark, path) // 128 MB target → 1 file
+    assert(before === 20)
+    assert(after === 1)
+    assert(files === 1)
+    // content survives the rewrite byte-for-byte (values, not just counts)
+    val got = spark.read.parquet(path).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === (0 until 500).map(i => (i.toLong, s"v$i")))
+    // already-compact directory: no rewrite, same counts back
+    assert(Maintenance.compact(spark, path) === ((1, 1)))
+  }
+
   test("P14 rand-shard routing: round-robin repartition balances and preserves rows") {
     // the reference routes INSERTs to a random shard (rand() in the
     // Distributed DDL / random server pick); Spark's round-robin

@@ -18,6 +18,36 @@ case class SEv(user_id: String, ts: Timestamp)
 class StreamingSessionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("sliding window counts: the batch operator runs unchanged as a watermarked stream") {
+    // Windows.slidingCounts claims batch/streaming parity — prove it: the
+    // SAME call over a watermarked MemoryStream in append mode must emit
+    // exactly the batch frame once windows close
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def ev(offSec: Long, typ: String) = (new Timestamp(base + offSec * 1000L), typ)
+    val feed = Seq(ev(0L, "INSERT"), ev(30L, "INSERT"), ev(310L, "UPDATE"),
+      ev(620L, "INSERT"), ev(900L, "DELETE"))
+    val flush = ev(90000L, "FLUSH")
+    val ms = MemoryStream[(Timestamp, String)]
+    val q = graft.operators.Windows.slidingCounts(
+      ms.toDF().toDF("ts", "event_type").withWatermark("ts", "30 minutes"))
+      .writeStream.format("memory").queryName("sliding_stream")
+      .outputMode(OutputMode.Append).start()
+    feed.grouped(2).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+    ms.addData(Seq(flush)); q.processAllAvailable()
+    ms.addData(Seq(flush)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sliding_stream")
+      .filter($"event_type" =!= "FLUSH")
+      .orderBy("window_start", "event_type").collect().map(_.toSeq)
+    val batch = graft.operators.Windows.slidingCounts(
+      feed.toDF("ts", "event_type"))
+      .orderBy("window_start", "event_type").collect().map(_.toSeq)
+    assert(streamed.toSeq === batch.toSeq)
+    // each event lands in win/slide = 2 windows: the sliding shape showed up
+    assert(streamed.map(_(1)).count(_ == "INSERT") > 2)
+  }
+
   private val t0 = 1700000000000L
   private def ev(u: String, offsetSec: Long) = SEv(u, new Timestamp(t0 + offsetSec * 1000L))
 
