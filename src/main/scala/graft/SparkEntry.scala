@@ -1100,6 +1100,10 @@ object SparkEntry {
       // addressing a data loader reads; pure arithmetic over the bounded
       // prefix scan
       TextOps.shardLayout(Tables.documents(s, dir), shardSize = 100L)),
+    "x22_split_assignment" -> ((s, dir) =>
+      // deterministic 90/5/5 split: pure doc_id-hash projection — stable
+      // under corpus growth, so held-out data never bleeds into training
+      TextOps.assignSplits(Tables.documents(s, dir))),
     "x21_corpus_top_terms" -> ((s, dir) =>
       // exact corpus-wide heavy hitters: vocabulary-sized partial-agg
       // frame, TakeOrdered top-k — never a global sort
@@ -1938,6 +1942,14 @@ object SparkEntry {
       s"""WITH $oracleTokCtes,
          |o AS (SELECT token_id, CAST(count(*) AS BIGINT) AS occurrences FROM tid GROUP BY 1)
          |SELECT occurrences, CAST(count(*) AS BIGINT) AS n_tokens FROM o GROUP BY 1""".stripMargin,
+    "x22_split_assignment" ->
+      s"""SELECT doc_id, lang,
+         |       CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, lang,
+         |             (((doc_id % ${TextOps.fingerprintMod})
+         |               * (2654435761 % ${TextOps.fingerprintMod}))
+         |               % ${TextOps.fingerprintMod}) % 100 AS h
+         |      FROM documents)""".stripMargin,
     "x21_corpus_top_terms" ->
       """SELECT term, CAST(count(*) AS BIGINT) AS n_occurrences,
         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs

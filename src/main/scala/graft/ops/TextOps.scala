@@ -458,6 +458,26 @@ object TextOps {
       .select(col("doc_id"), col(strataCol), col("keep_ppm"))
   }
 
+  /** Deterministic train/validation/test split — the reproducibility
+    * primitive every training corpus needs: assignment is a pure hash of
+    * doc_id (the x15 keep-decision arithmetic over a 0–99 range), so it is
+    * (a) a zero-shuffle projection, (b) identical across engines and runs,
+    * and (c) STABLE UNDER CORPUS GROWTH — a document keeps its split when
+    * new data arrives, so yesterday's held-out set never bleeds into
+    * tomorrow's training set. Splits partition the corpus exactly (every
+    * doc gets exactly one tag).
+    */
+  def assignSplits(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "split percentages must leave room for a test slice")
+    val p = fingerprintMod
+    val h = (((col("doc_id") % p) * lit(2654435761L % p)) % p) % 100L
+    docs.select(col("doc_id"), col("lang"),
+      when(h < trainPct, "train")
+        .when(h < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Low-resource upsampling — [[temperatureSample]]'s other half: where
     * temperature sampling DOWN-weights dominant languages by dropping, a
     * training mixture also UP-weights scarce ones by repetition. Each

@@ -67,6 +67,22 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("split assignment: exact partition, deterministic, stable under corpus growth") {
+    val big = (0L until 1000L).map(i => (i, s"t$i", "en")).toDF("doc_id", "text", "lang")
+    val splits = TextOps.assignSplits(big).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    // every doc gets exactly one tag; all three splits materialize
+    assert(splits.size === 1000)
+    assert(splits.values.toSet === Set("train", "val", "test"))
+    // growth stability: the first half alone assigns identically
+    val half = TextOps.assignSplits(big.filter($"doc_id" < 500)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(half === splits.filter(_._1 < 500))
+    // proportions land near 90/5/5 (hash spread, not exact)
+    val train = splits.values.count(_ == "train")
+    assert(train > 850 && train < 950, s"train=$train")
+  }
+
   test("modality stats: deterministic tag from byte length, per-modality volumes") {
     // "a bb ccc" = 8 bytes → 8 % 3 = 2 → video; doc 1 = 28 bytes → 1 → image
     val out = Multimodal.modalityStats(docs).collect()
