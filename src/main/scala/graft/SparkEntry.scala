@@ -1100,6 +1100,20 @@ object SparkEntry {
       // addressing a data loader reads; pure arithmetic over the bounded
       // prefix scan
       TextOps.shardLayout(Tables.documents(s, dir), shardSize = 100L)),
+    "x23_quarantined_split" -> ((s, dir) => {
+      // the split a training run actually materializes: x22's growth-
+      // stable assignment with d13's benchmark-contaminated docs forced
+      // into a quarantine slice — overlap with the eval suite (src0) must
+      // never reach ANY split, train least of all
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("source") =!= "src0")
+      val flagged = Dedup.decontaminate(corpus, docs.filter(col("source") === "src0"))
+        .select(col("doc_id"), lit(true).as("contaminated"))
+      TextOps.assignSplits(corpus)
+        .join(F.broadcast(flagged), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          when(col("contaminated"), lit("quarantine")).otherwise(col("split")).as("split"))
+    }),
     "x22_split_assignment" -> ((s, dir) =>
       // deterministic 90/5/5 split: pure doc_id-hash projection — stable
       // under corpus growth, so held-out data never bleeds into training
@@ -1942,6 +1956,32 @@ object SparkEntry {
       s"""WITH $oracleTokCtes,
          |o AS (SELECT token_id, CAST(count(*) AS BIGINT) AS occurrences FROM tid GROUP BY 1)
          |SELECT occurrences, CAST(count(*) AS BIGINT) AS n_tokens FROM o GROUP BY 1""".stripMargin,
+    "x23_quarantined_split" -> {
+      val p = graft.ops.Dedup.minhashPrime
+      s"""WITH $oracleTokCtes,
+         |ids AS (SELECT doc_id, list(token_id ORDER BY pos) AS ids FROM tid GROUP BY doc_id),
+         |sh AS (SELECT DISTINCT doc_id, sid AS shingle_id FROM (
+         |  SELECT doc_id, unnest([list_reduce(list_prepend(CAST(0 AS BIGINT), ids[i:i+4]),
+         |                                     (a, t) -> (a * 37 + t + 1) % $p)
+         |                         for i in range(1, len(ids) - 3)]) AS sid
+         |  FROM ids)),
+         |src AS (SELECT doc_id, source, lang FROM documents),
+         |bench AS (SELECT DISTINCT shingle_id FROM sh JOIN src USING (doc_id)
+         |          WHERE source = 'src0'),
+         |bad AS (SELECT DISTINCT s.doc_id
+         |        FROM sh s JOIN src USING (doc_id) JOIN bench USING (shingle_id)
+         |        WHERE source <> 'src0')
+         |SELECT d.doc_id, d.lang,
+         |       CASE WHEN bad.doc_id IS NOT NULL THEN 'quarantine'
+         |            WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id, lang,
+         |             (((doc_id % ${TextOps.fingerprintMod})
+         |               * (2654435761 % ${TextOps.fingerprintMod}))
+         |               % ${TextOps.fingerprintMod}) % 100 AS h
+         |      FROM documents WHERE source <> 'src0') d
+         |LEFT JOIN bad ON bad.doc_id = d.doc_id""".stripMargin
+    },
     "x22_split_assignment" ->
       s"""SELECT doc_id, lang,
          |       CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split

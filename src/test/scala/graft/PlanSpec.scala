@@ -188,6 +188,15 @@ class PlanSpec extends SparkSpec {
     assert(r === 11.0)
   }
 
+  test("simhash_bits is SQL-callable and matches the DataFrame path") {
+    import spark.implicits._
+    val viaSql = spark.sql(
+      "SELECT simhash_bits(array(42L, 99L), 16) AS h").collect().head.getLong(0)
+    val viaDf = graft.ops.Dedup.simhashFromArrays(
+      Seq((1L, Seq(42L, 99L))).toDF("doc_id", "ids"), 16).collect().head.getLong(1)
+    assert(viaSql === viaDf)
+  }
+
   test("kafka source option mapping covers assign/offsets/auth (S1/S2)") {
     val src = graft.sources.BinlogSources.KafkaBinlogSource(
       bootstrapServers = "broker:9092",
