@@ -1100,6 +1100,15 @@ object SparkEntry {
       // addressing a data loader reads; pure arithmetic over the bounded
       // prefix scan
       TextOps.shardLayout(Tables.documents(s, dir), shardSize = 100L)),
+    "x24_chunking" -> ((s, dir) =>
+      // RAG/long-context chunker: 64-token windows every 48 tokens —
+      // offsets only (the loader slices); projection + generator, no
+      // shuffle anywhere
+      TextOps.chunkDocs(Tables.documents(s, dir))),
+    "x25_source_quality" -> ((s, dir) =>
+      // feed-level health dashboard: volumes + stopword / type-token
+      // ratios per source, one map-side-combined pass
+      TextOps.sourceQualityReport(Tables.documents(s, dir))),
     "x23_quarantined_split" -> ((s, dir) => {
       // the split a training run actually materializes: x22's growth-
       // stable assignment with d13's benchmark-contaminated docs forced
@@ -1956,6 +1965,29 @@ object SparkEntry {
       s"""WITH $oracleTokCtes,
          |o AS (SELECT token_id, CAST(count(*) AS BIGINT) AS occurrences FROM tid GROUP BY 1)
          |SELECT occurrences, CAST(count(*) AS BIGINT) AS n_tokens FROM o GROUP BY 1""".stripMargin,
+    "x24_chunking" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, n,
+        |             CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END AS n_chunks
+        |      FROM t)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |       CAST(i * 48 AS BIGINT) AS start_token,
+        |       CAST(LEAST(64, n - i * 48) AS BIGINT) AS n_chunk_tokens
+        |FROM (SELECT doc_id, n, unnest(range(0, n_chunks)) AS i FROM c)""".stripMargin,
+    "x25_source_quality" ->
+      """WITH t AS (SELECT doc_id, source,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       CAST(len(list_filter(string_split(text, ' '),
+        |              t -> list_contains(['the','a','of','and','to','in'], t))) AS BIGINT) AS n_stopwords
+        |FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(sum(n_stopwords) AS DOUBLE) / sum(n_tokens) AS stopword_ratio,
+        |       CAST(sum(n_distinct_tokens) AS DOUBLE) / sum(n_tokens) AS type_token_ratio
+        |FROM t GROUP BY source""".stripMargin,
     "x23_quarantined_split" -> {
       val p = graft.ops.Dedup.minhashPrime
       s"""WITH $oracleTokCtes,

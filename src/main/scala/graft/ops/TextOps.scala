@@ -458,6 +458,49 @@ object TextOps {
       .select(col("doc_id"), col(strataCol), col("keep_ppm"))
   }
 
+  /** Overlapping token-window chunker — the retrieval/long-context prep
+    * step: document d with n tokens yields chunks of `chunkTokens` tokens
+    * starting every `chunkTokens − overlap` (the last chunk may be short;
+    * a doc shorter than one chunk yields exactly one). Emits offsets, not
+    * text — the loader slices; the chunk table is (corpus tokens /
+    * stride)-sized metadata. Pure projection + generator: no shuffle, no
+    * window, chunk counts derived per-row from the token count alone.
+    */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "overlap must be < chunk size")
+    val stride = (chunkTokens - overlap).toLong
+    val n = size(tokens(col("text"))).cast("long")
+    val nChunks = when(n <= chunkTokens, lit(1L))
+      .otherwise(expr(s"(size(split(text, ' ')) - $chunkTokens + $stride - 1) div $stride") + 1L)
+    docs
+      .select(col("doc_id"), n.as("n_tokens"),
+        explode(sequence(lit(0L), nChunks - 1L)).as("chunk_idx"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_token"),
+        least(lit(chunkTokens.toLong), col("n_tokens") - col("chunk_idx") * stride)
+          .as("n_chunk_tokens"))
+  }
+
+  /** Per-source corpus health report — the feed-level quality dashboard a
+    * crawl operator reads: document volume, token volume, and the
+    * corpus-quality ratios (stopword share, type-token ratio) per source.
+    * Integer sums map-side-combine; the two ratios are single divisions of
+    * exact integer sums, so the doubles are cross-engine stable.
+    */
+  def sourceQualityReport(docs: DataFrame): DataFrame =
+    tokenStats(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_stopwords")).cast("double") / sum(col("n_tokens")))
+          .as("stopword_ratio"),
+        (sum(col("n_distinct_tokens")).cast("double") / sum(col("n_tokens")))
+          .as("type_token_ratio"))
+
   /** Deterministic train/validation/test split — the reproducibility
     * primitive every training corpus needs: assignment is a pure hash of
     * doc_id (the x15 keep-decision arithmetic over a 0–99 range), so it is

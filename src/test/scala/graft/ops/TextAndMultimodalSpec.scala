@@ -67,6 +67,31 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("chunker: full coverage with the right overlap, short docs one chunk") {
+    // 10 tokens, chunk 4, overlap 1 → stride 3 → chunks at 0,3,6 cover
+    // [0,4) [3,7) [6,10): the last is full, every token covered
+    val ten = Seq((1L, (0 until 10).map(i => s"w$i").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val chunks = TextOps.chunkDocs(ten, chunkTokens = 4, overlap = 1)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getAs[Long]("start_token"), r.getAs[Long]("n_chunk_tokens")))
+    assert(chunks.toSeq === Seq((0L, 4L), (3L, 4L), (6L, 4L)))
+    // ragged tail: 11 tokens → a 4th chunk of 2
+    val eleven = Seq((1L, (0 until 11).map(i => s"w$i").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val ragged = TextOps.chunkDocs(eleven, chunkTokens = 4, overlap = 1)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getAs[Long]("start_token"), r.getAs[Long]("n_chunk_tokens")))
+    assert(ragged.toSeq === Seq((0L, 4L), (3L, 4L), (6L, 4L), (9L, 2L)))
+    // every token index falls inside some chunk (coverage, no gaps)
+    val covered = ragged.flatMap { case (s, n) => s until (s + n) }.toSet
+    assert(covered === (0L until 11L).toSet)
+    // a doc shorter than one chunk yields exactly one short chunk
+    val short = TextOps.chunkDocs(docs.filter($"doc_id" === 0L), chunkTokens = 64).collect()
+    assert(short.length === 1)
+    assert(short.head.getAs[Long]("n_chunk_tokens") === 3L)
+  }
+
   test("split assignment: exact partition, deterministic, stable under corpus growth") {
     val big = (0L until 1000L).map(i => (i, s"t$i", "en")).toDF("doc_id", "text", "lang")
     val splits = TextOps.assignSplits(big).collect()
