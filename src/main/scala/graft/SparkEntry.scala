@@ -592,6 +592,16 @@ object SparkEntry {
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_customers"),
           sum(round(col("c_acctbal") * 100).cast("long")).as("acctbal_c"))),
+    "t26_outer_join" -> ((s, dir) =>
+      // LEFT OUTER with the filter INSIDE the join condition (the planner
+      // case where pushing it to WHERE would wrongly drop unmatched left
+      // rows): regions keep a row even with zero A-named nations, and the
+      // null-aware count(col) makes the zero visible
+      Tables.region(s, dir)
+        .join(Tables.nation(s, dir).filter(col("n_name").startsWith("A")),
+          col("r_regionkey") === col("n_regionkey"), "left")
+        .groupBy(col("r_name"))
+        .agg(count(col("n_name")).as("n_a_nations"))),
     "t24_grouping_sets" -> ((s, dir) =>
       // two independent one-column breakdowns in ONE pass — the
       // grouping-sets shape neither rollup (t9) nor cube (t15) expresses;
@@ -796,6 +806,23 @@ object SparkEntry {
         BinlogEvents.sizeBytes.as("size_bytes"),
         col("single_statement_affected_rows").as("affected_rows"))
       graft.streaming.TransactionAssembler.assembleBatch(b, gapSec = 86400L)
+    }),
+
+    "b16_txn_duration_histogram" -> ((s, dir) => {
+      // the reporting layer over b14's assembly: how long do transactions
+      // run, and how much work rides in each duration class? The histogram
+      // domain is seconds-valued spend times — value-domain compressed
+      // (t19 pattern), so the second agg is metadata-sized
+      val b = binlog(s, dir).select(
+        col("gtid"), col("execute_time"),
+        BinlogEvents.pos.as("pos"),
+        BinlogEvents.sizeBytes.as("size_bytes"),
+        col("single_statement_affected_rows").as("affected_rows"))
+      graft.streaming.TransactionAssembler.assembleBatch(b, gapSec = 86400L)
+        .groupBy(col("transaction_spend_time"))
+        .agg(count(lit(1)).as("n_transactions"),
+          sum(col("n_events")).as("total_events"),
+          sum(col("transaction_affected_rows")).as("total_affected_rows"))
     }),
 
     // ---- dedup surface ----
@@ -1184,6 +1211,24 @@ object SparkEntry {
         |       CAST(sum(affected_rows) AS BIGINT) AS transaction_affected_rows,
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY gtid, session_id""".stripMargin),
+    "b16_txn_duration_histogram" ->
+      (oracleBinlogCte + """,
+        |m AS (SELECT *, epoch_us(execute_time) AS t_us FROM b),
+        |g AS (SELECT *, CASE WHEN lag(t_us) OVER w IS NULL
+        |                          OR t_us - lag(t_us) OVER w > 86400000000 THEN 1 ELSE 0 END AS new_s
+        |      FROM m WINDOW w AS (PARTITION BY gtid ORDER BY t_us, pos)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY gtid ORDER BY t_us, pos
+        |                                 ROWS UNBOUNDED PRECEDING) AS session_id FROM g),
+        |txn AS (SELECT CAST(epoch(date_trunc('second', max(execute_time)))
+        |               - epoch(date_trunc('second', min(execute_time))) AS BIGINT) AS transaction_spend_time,
+        |               CAST(count(*) AS BIGINT) AS n_events,
+        |               CAST(sum(affected_rows) AS BIGINT) AS affected
+        |        FROM s GROUP BY gtid, session_id)
+        |SELECT transaction_spend_time,
+        |       CAST(count(*) AS BIGINT) AS n_transactions,
+        |       CAST(sum(n_events) AS BIGINT) AS total_events,
+        |       CAST(sum(affected) AS BIGINT) AS total_affected_rows
+        |FROM txn GROUP BY 1""".stripMargin),
     "b15_binary_decode" ->
       """SELECT event_id AS binlog_pos,
         |       epoch_ms(CAST(ts AS TIMESTAMP)) AS execute_ms,
@@ -1288,6 +1333,12 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "t26_outer_join" ->
+      """SELECT r_name, CAST(count(n_name) AS BIGINT) AS n_a_nations
+        |FROM region
+        |LEFT JOIN (SELECT * FROM nation WHERE n_name LIKE 'A%') n
+        |  ON r_regionkey = n_regionkey
+        |GROUP BY r_name""".stripMargin,
     "t24_grouping_sets" ->
       """SELECT o_orderpriority, o_orderstatus,
         |       CAST(count(*) AS BIGINT) AS n_orders,
