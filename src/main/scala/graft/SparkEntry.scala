@@ -133,7 +133,9 @@ object SparkEntry {
   /** Shared CTE chain ending in `jpairs` (the thresholded Jaccard pairs) —
     * consumed by both the d2 pair query and the d7 grouping query.
     */
-  private val oracleJaccardCtes: String = {
+  private val oracleJaccardCtes: String = oracleJaccardCtesAt(0.5)
+
+  private def oracleJaccardCtesAt(threshold: Double): String = {
     val p = graft.ops.Dedup.minhashPrime
     val cap = graft.ops.Dedup.defaultMaxDf
     // df-capped candidate generation / exact verification — the identical
@@ -162,7 +164,7 @@ object SparkEntry {
        |FROM inter
        |JOIN sizes sa ON sa.doc_id = doc_a
        |JOIN sizes sb ON sb.doc_id = doc_b
-       |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5)""".stripMargin
+       |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= $threshold)""".stripMargin
   }
 
   private val oracleJaccardPairs: String =
@@ -879,6 +881,16 @@ object SparkEntry {
       Dedup.candidatePairsFromSignatures(
         Dedup.minhashShingleSignaturesFromArrays(
           Vocab.hashTokenIdArrays(Tables.documents(s, dir)), 5), bands = 4)),
+    "d24_threshold_sweep" -> ((s, dir) => {
+      // the threshold-tuning report: every capped candidate pair scored
+      // once (threshold 0), histogrammed by score decile — one pass
+      // answers "what would each cutoff keep?" instead of re-running d2
+      // per candidate threshold
+      val ids = Vocab.hashTokenIdArrays(Tables.documents(s, dir))
+      Dedup.jaccardPairsFromShingles(Dedup.shingleIdsFromArrays(ids, 5), threshold = 0.0)
+        .groupBy(floor(col("jaccard") * 10).cast("long").as("score_band"))
+        .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+    }),
     "d21_minhash_estimate" -> ((s, dir) =>
       // the LSH candidates scored by the signature-slot-match estimator
       // itself (no shingle re-read per pair — candidate scoring touches
@@ -1548,6 +1560,12 @@ object SparkEntry {
     "d9_dedup_groups_star" -> oracleDedupGroups,
     "d3_minhash_sigs" -> oracleMinhashSigs,
     "d4_minhash_pairs" -> oracleMinhashPairs,
+    "d24_threshold_sweep" ->
+      s"""WITH ${oracleJaccardCtesAt(0.0)}
+         |SELECT CAST(floor(jaccard * 10) AS BIGINT) AS score_band,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       max(jaccard) AS max_jaccard
+         |FROM jpairs GROUP BY 1""".stripMargin,
     "d21_minhash_estimate" -> {
       val cap = graft.ops.Dedup.defaultMaxDf
       val k = graft.ops.Dedup.minhashCoeffs.size
