@@ -66,32 +66,36 @@ object Maintenance {
     * at 100 TB the file count (NameNode/listing pressure, per-file open
     * cost, one scan task per tiny file) becomes the bottleneck long before
     * the bytes do. Rewrites one directory into ⌈bytes / targetBytes⌉
-    * files via a round-robin repartition, staging into a sibling `.tmp`
-    * directory and swapping only after the write commits — a crash before
-    * the swap leaves the original intact (the same maintenance-window
-    * contract as [[applyTtl]]; run it per partition directory, not on a
-    * live write target). Returns (files before, files after).
+    * files via a round-robin repartition, staged and swapped through the
+    * same `_compacting`/`_old` rename protocol as [[compactPartials]]
+    * (crash before the first rename: original untouched; crash between
+    * renames: [[recoverCompaction]] restores `_old` at the next startup —
+    * no window ever loses both copies). Run it per partition directory in
+    * a maintenance window, not on a live write target. Returns (files
+    * before, files after).
     */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    recoverCompaction(spark, path)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val base = new org.apache.hadoop.fs.Path(path)
-    val dataFiles = fs.listStatus(base).toSeq
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val base = p(path)
+    def dataFiles = fs.listStatus(base).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
     val before = dataFiles.size
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     if (before <= nOut) return (before, before) // already compact: no rewrite
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    spark.read.parquet(path).repartition(nOut).write.parquet(tmp.toString)
-    // commit point: replace the original directory with the staged one
-    fs.delete(base, true)
-    fs.rename(tmp, base)
-    val after = fs.listStatus(base).toSeq
-      .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
-    (before, after)
+    val tmp = path.stripSuffix("/") + "_compacting"
+    val old = path.stripSuffix("/") + "_old"
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    fs.delete(p(old), true)
+    fs.rename(base, p(old))
+    fs.rename(p(tmp), base)
+    fs.delete(p(old), true)
+    (before, dataFiles.size)
   }
 
   /** W5: idempotent append of a window result — skip if any row for this

@@ -86,6 +86,14 @@ class MaintenanceSpec extends SparkSpec {
     assert(got.toSeq === (0 until 500).map(i => (i.toLong, s"v$i")))
     // already-compact directory: no rewrite, same counts back
     assert(Maintenance.compact(spark, path) === ((1, 1)))
+    // crash window between the two renames: compact() self-heals via
+    // recoverCompaction before doing anything else
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "_old"))
+    assert(Maintenance.compact(spark, path) === ((1, 1)))
+    assert(spark.read.parquet(path).count() === 500L)
   }
 
   test("P14 rand-shard routing: round-robin repartition balances and preserves rows") {
