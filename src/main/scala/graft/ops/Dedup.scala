@@ -407,9 +407,12 @@ object Dedup {
     * the capped candidate set). Output: (doc_a, doc_b, est_jaccard),
     * est exact in binary for k = 8 (eighths), so cross-engine hash-stable.
     */
-  def minhashEstimatedPairs(sigs: DataFrame, bands: Int,
+  def minhashEstimatedPairs(sigsIn: DataFrame, bands: Int,
       maxBucket: Long = defaultMaxDf): DataFrame = {
     val k = minhashCoeffs.size
+    // the signature projection feeds the band join AND both score sides —
+    // persist it so the corpus front-end runs once, not three times
+    val sigs = sigsIn.persist()
     val cand = candidatePairsFromSignatures(sigs, bands, maxBucket)
     val sa = sigs.select(col("doc_id").as("doc_a") +:
       minhashCoeffs.indices.map(i => col(s"sig_$i").as(s"a_$i")): _*)

@@ -559,18 +559,23 @@ object TextOps {
   /** Corpus-level heavy hitters: the exact top-k vocabulary terms by total
     * occurrences (with their document frequencies) — the "what dominates
     * this corpus?" report that catches boilerplate, crawl artifacts and
-    * tokenizer bugs before training. Two-phase exact at any scale: the
-    * count pass partial-aggregates map-side to a vocabulary-sized frame,
-    * and the final top-k plans as TakeOrderedAndProject (per-partition
-    * heaps merged on the driver, k rows — never a global sort). Ties at
-    * the boundary break by term asc, so the result is deterministic.
+    * tokenizer bugs before training. Exact at any scale, in three clean
+    * stages: a (term, doc_id) pre-aggregation (plain hash agg with
+    * map-side combine — NOT a count_distinct, whose Expand would double
+    * every token row), the vocabulary-sized rollup summing term
+    * frequencies and counting claimant docs, and a final top-k that plans
+    * as TakeOrderedAndProject (per-partition heaps merged on the driver,
+    * k rows — never a global sort). Ties at the boundary break by term
+    * asc, so the result is deterministic.
     */
   def corpusTopTerms(docs: DataFrame, k: Int = 25): DataFrame =
     docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
       .groupBy(col("term"))
-      .agg(count(lit(1)).as("n_occurrences"),
-        count_distinct(col("doc_id")).as("n_docs"))
+      .agg(sum(col("tf")).as("n_occurrences"),
+        count(lit(1)).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("term").asc)
       .limit(k)
 
