@@ -271,6 +271,15 @@ class PlanSpec extends SparkSpec {
       salts = 32, countCol = "n_events")
       .orderBy("event_type").collect()
     assert(direct.toSeq === salted.toSeq)
+    // the sum twin, same contract
+    val directSum = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(col("event_type")).agg(sum(col("event_id")).as("total"))
+      .orderBy("event_type").collect()
+    val saltedSum = graft.operators.Skew.saltedSum(
+      Tables.events(spark, "/root/testdata/sf0.001"), Seq("event_type"), "event_id",
+      salts = 32)
+      .orderBy("event_type").collect()
+    assert(directSum.toSeq === saltedSum.toSeq)
   }
 
   test("b14 batch assembly: one exchange (gtid hash feeds window AND final agg)") {

@@ -536,6 +536,16 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains(3L))
   }
 
+  test("jaccardPairsById (exploded front-end) ≡ the array-projection path") {
+    val byId = Dedup.jaccardPairsById(graft.ops.Vocab.hashTokenIds(docs))
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq)
+    val byArray = Dedup.jaccardPairsFromShingles(
+      Dedup.shingleIdsFromArrays(graft.ops.Vocab.hashTokenIdArrays(docs), 5), threshold = 0.5)
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq)
+    assert(byId.toSeq === byArray.toSeq)
+    assert(byId.nonEmpty)
+  }
+
   test("minhash estimate: identical docs score 1.0, pairs match the candidate set") {
     val sigs = Dedup.minhashShingleSignaturesFromArrays(
       graft.ops.Vocab.hashTokenIdArrays(docs), 5)
