@@ -77,7 +77,13 @@ object ScaleBench {
         val n = e.count()
         val fine = Vectors.spacedCentroidIds(n)
         Vectors.ivfTopKTwoLevel(e, fine, Vectors.coarseSubset(fine), 0L until 8L, k = 5)
-      }, false)
+      }, false),
+      ("s9_ann_pq", (e: DataFrame) =>
+        // the full-corpus encode pass + byte-code scan — the PQ cost model
+        Vectors.pqTopK(e, 0L until 8L, k = 10), false),
+      ("x11_pack_sequences", (d: DataFrame) =>
+        // the three-level prefix scan — must stay flat as groups multiply
+        graft.ops.TextOps.packSequences(d, budget = 2048L, groupSize = 8L), true)
     )
 
     def time(fn: () => DataFrame): (Double, Long) = {

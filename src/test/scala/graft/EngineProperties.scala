@@ -183,6 +183,31 @@ object EngineProperties extends Properties("graft") {
     }
   }
 
+  // chunker tiling: for any doc length / chunk size / overlap, chunks
+  // start every (size − overlap), cover every token index exactly once per
+  // pass modulo the overlap, the last chunk is never empty, and the chunk
+  // count matches the closed-form ⌈(n − size)/stride⌉ + 1
+  property("chunkDocs tiles any document exactly") = {
+    val gen = for {
+      n <- Gen.chooseNum(1, 200)
+      size <- Gen.chooseNum(2, 32)
+      overlap <- Gen.chooseNum(0, size - 1)
+    } yield (n, size, overlap)
+    Prop.forAll(gen) { case (n, size, overlap) =>
+      val doc = Seq((1L, (0 until n).map(i => s"w$i").mkString(" "), "en"))
+        .toDF("doc_id", "text", "lang")
+      val chunks = graft.ops.TextOps.chunkDocs(doc, size, overlap)
+        .orderBy("chunk_idx").collect()
+        .map(r => (r.getAs[Long]("chunk_idx"), r.getAs[Long]("start_token"),
+          r.getAs[Long]("n_chunk_tokens")))
+      val stride = (size - overlap).toLong
+      val expected = if (n <= size) 1L else (n - size + stride - 1) / stride + 1
+      chunks.length.toLong == expected &&
+        chunks.forall { case (i, s, len) => s == i * stride && len >= 1 && len <= size } &&
+        chunks.flatMap { case (_, s, len) => s until (s + len) }.toSet == (0L until n.toLong).toSet
+    }
+  }
+
   // (i) df-capped jaccard: a subset of the uncapped pairs, and every
   // surviving pair's score is the EXACT uncapped score (verification over
   // full sets, not the capped index)
