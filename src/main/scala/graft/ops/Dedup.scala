@@ -515,6 +515,37 @@ object Dedup {
         coalesce(col("n"), lit(0L)).as("dup_near"))
   }
 
+  /** The corpus side of [[incrementalDedup]]'s near screen, PERSISTED: the
+    * band-key index as a bucketed table (flattened key columns
+    * (band, r0, r1) + claimant doc_id, hash-clustered on the key), written
+    * once per corpus rev and reused by every ingest batch. With the index
+    * bucketed, the per-batch screen plans with ZERO exchanges on the
+    * corpus side (BucketedLayoutSpec pins it) — a batch costs
+    * O(batch + matches), and the 100 TB corpus is never re-shingled or
+    * re-shuffled per ingest.
+    */
+  def writeBandKeyIndex(docs: DataFrame, table: String, buckets: Int = 32,
+      k: Int = 5, bands: Int = 4): Unit =
+    bandKeys(docs, k, bands)
+      .select(col("band"), col("sig.r0").as("r0"), col("sig.r1").as("r1"), col("doc_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, "band", "r0", "r1")
+      .saveAsTable(table)
+
+  /** [[incrementalDedup]]'s near verdict against a persisted
+    * [[writeBandKeyIndex]] table: the arriving batch's band keys left-semi
+    * join the index on the bucketed key columns — only the (small) batch
+    * side shuffles. Returns the near-duplicate doc_ids of the batch.
+    */
+  def incrementalNearFromIndex(newBatch: DataFrame, index: DataFrame,
+      k: Int = 5, bands: Int = 4): DataFrame =
+    bandKeys(newBatch, k, bands)
+      .select(col("doc_id"), col("band"), col("sig.r0").as("r0"), col("sig.r1").as("r1"))
+      .join(index.select(col("band"), col("r0"), col("r1")),
+        Seq("band", "r0", "r1"), "left_semi")
+      .select(col("doc_id"))
+      .distinct()
+
   /** Line/block-level exact dedup — the CCNet/RefinedWeb-style curation
     * pass that operates BELOW document granularity: chop each document into
     * consecutive `blockTokens`-token blocks, keep only the globally FIRST

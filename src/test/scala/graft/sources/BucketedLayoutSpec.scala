@@ -128,6 +128,39 @@ class BucketedLayoutSpec extends SparkSpec {
     assert(bucketed.count() > 0)
   }
 
+  test("persisted band-key index: the ingest screen is exchange-free on the corpus side") {
+    import graft.ops.Dedup
+    // corpus = src != src0, batch = src0 — the d14 shape, but the corpus
+    // side is a PERSISTED bucketed index instead of re-shingled per batch
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val batch = docs.filter(col("source") === "src0")
+    reset("band_index", "band_index_plain")
+    Dedup.writeBandKeyIndex(corpus, "band_index", buckets = 8)
+    spark.table("band_index").write.mode("overwrite").saveAsTable("band_index_plain")
+
+    def exchangesOnIndexSide(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val bucketed = Dedup.incrementalNearFromIndex(batch, spark.table("band_index").hint("merge"))
+    val plain = Dedup.incrementalNearFromIndex(batch, spark.table("band_index_plain").hint("merge"))
+    // bucketed: the index-side scan feeds the semi join with NO exchange
+    // below it (only the batch side and the final distinct re-key);
+    // unbucketed twin shuffles the index side too
+    val nB = exchangesOnIndexSide(bucketed).linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    val nP = exchangesOnIndexSide(plain).linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(nB < nP, s"bucketed=$nB plain=$nP")
+    // identical verdicts either way, and they match the all-in-one op's
+    // near flags over the same corpus/batch split
+    val viaIndex = bucketed.collect().map(_.getLong(0)).toSet
+    assert(viaIndex === plain.collect().map(_.getLong(0)).toSet)
+    val allInOne = Dedup.incrementalDedup(batch, corpus)
+      .filter(col("dup_near") === 1L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaIndex === allInOne)
+  }
+
   test("bucketed aggregation on the bucket key also skips the exchange") {
     writeEventsBucketed("ev_bucketed_agg")
     val agg = spark.table("ev_bucketed_agg").groupBy("user_id").agg(sum("n"))
