@@ -594,6 +594,18 @@ object SparkEntry {
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_customers"),
           sum(round(col("c_acctbal") * 100).cast("long")).as("acctbal_c"))),
+    "t27_unpivot" -> ((s, dir) =>
+      // wide→long reshaping (melt): the per-language report card unpivoted
+      // to (lang, metric, value) rows — the Expand-based generator shape,
+      // metadata-sized input after the first aggregation
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .unpivot(Array(col("lang")),
+          Array(col("n_docs"), col("total_chars"), col("max_chars")),
+          "metric", "value")),
     "t26_outer_join" -> ((s, dir) =>
       // LEFT OUTER with the filter INSIDE the join condition (the planner
       // case where pushing it to WHERE would wrongly drop unmatched left
@@ -1345,6 +1357,14 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "t27_unpivot" ->
+      """WITH w AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |                  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |                  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |           FROM documents GROUP BY lang)
+        |SELECT lang, 'n_docs' AS metric, n_docs AS value FROM w
+        |UNION ALL SELECT lang, 'total_chars', total_chars FROM w
+        |UNION ALL SELECT lang, 'max_chars', max_chars FROM w""".stripMargin,
     "t26_outer_join" ->
       """SELECT r_name, CAST(count(n_name) AS BIGINT) AS n_a_nations
         |FROM region
