@@ -1174,6 +1174,10 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"),
           when(col("contaminated"), lit("quarantine")).otherwise(col("split")).as("split"))
     }),
+    "x26_budget_sample" -> ((s, dir) =>
+      // "a ~5000-token random subset": hash-order prefix token sums via
+      // the shared three-level scan, keep while the running total fits
+      TextOps.sampleUnderTokenBudget(Tables.documents(s, dir), tokenBudget = 5000L)),
     "x22_split_assignment" -> ((s, dir) =>
       // deterministic 90/5/5 split: pure doc_id-hash projection — stable
       // under corpus growth, so held-out data never bleeds into training
@@ -2103,6 +2107,20 @@ object SparkEntry {
          |      FROM documents WHERE source <> 'src0') d
          |LEFT JOIN bad ON bad.doc_id = d.doc_id""".stripMargin
     },
+    "x26_budget_sample" ->
+      s"""WITH t AS (SELECT doc_id,
+         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |                  ((doc_id % ${TextOps.fingerprintMod})
+         |                   * (2654435761 % ${TextOps.fingerprintMod}))
+         |                   % ${TextOps.fingerprintMod} AS skey
+         |           FROM documents),
+         |p AS (SELECT doc_id, n_tokens,
+         |             CAST(coalesce(sum(n_tokens) OVER (ORDER BY skey, doc_id
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |               AS cum_tokens_before
+         |      FROM t)
+         |SELECT doc_id, n_tokens, cum_tokens_before
+         |FROM p WHERE cum_tokens_before < 5000""".stripMargin,
     "x22_split_assignment" ->
       s"""SELECT doc_id, lang,
          |       CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split

@@ -350,6 +350,28 @@ object TextOps {
       .select(col("doc_id"), col("_prefix").as("shuffle_pos"))
   }
 
+  /** Deterministic token-budget sampling — "give me a ~B-token random
+    * subset of the corpus": documents are taken in the same deterministic
+    * hash order as [[globalShuffle]] until their running token total
+    * reaches the budget (a doc is kept iff the corpus tokens BEFORE it in
+    * hash order fit the budget, so the subset overshoots by at most one
+    * document and is identical on every engine/run — and GROWS STABLY: new
+    * corpus docs interleave without reshuffling previous selections beyond
+    * the budget boundary). Third consumer of the bounded three-level
+    * [[exclusivePrefix]] scan (after packing and the global shuffle):
+    * no global-ORDER-BY window, no driver loop. Output: (doc_id,
+    * n_tokens, cum_tokens_before) for the selected docs.
+    */
+  def sampleUnderTokenBudget(docs: DataFrame, tokenBudget: Long): DataFrame = {
+    val p = fingerprintMod
+    val h = ((col("doc_id") % p) * lit(2654435761L % p)) % p
+    val keyed = docs.select(col("doc_id"), h.as("skey"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    exclusivePrefix(keyed, "skey", "doc_id", "n_tokens", 1L << 21)
+      .filter(col("_prefix") < tokenBudget)
+      .select(col("doc_id"), col("n_tokens"), col("_prefix").as("cum_tokens_before"))
+  }
+
   /** Training-shard layout — the step between [[globalShuffle]] and the
     * trainer: cut the shuffled order into fixed-size shards
     * (`shard = pos div shardSize`, `pos_in_shard = pos mod shardSize`), the
