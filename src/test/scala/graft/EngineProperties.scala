@@ -183,6 +183,60 @@ object EngineProperties extends Properties("graft") {
     }
   }
 
+  // budget sampling: the selected set is exactly the docs whose
+  // hash-order prefix fits the budget — a PREFIX of the globalShuffle
+  // order (never a hole), total-before-last < budget, and any budget ≥
+  // the corpus total selects everything
+  property("sampleUnderTokenBudget selects a hash-order prefix") = {
+    val genDocs = Gen.chooseNum(1, 40).flatMap { n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 12))
+    }
+    Prop.forAll(genDocs, Gen.chooseNum(1L, 200L)) { (lens, budget) =>
+      val docs = lens.zipWithIndex.map { case (len, i) =>
+        (i.toLong, (0 until len).map(j => s"w${i}_$j").mkString(" "), "en")
+      }.toDF("doc_id", "text", "lang")
+      val selected = graft.ops.TextOps.sampleUnderTokenBudget(docs, budget)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens_before"))).toMap
+      val order = graft.ops.TextOps.globalShuffle(docs)
+        .orderBy("shuffle_pos").collect().map(_.getAs[Long]("doc_id"))
+      val lenOf = lens.zipWithIndex.map { case (l, i) => i.toLong -> l.toLong }.toMap
+      // reference: walk the shuffle order accumulating tokens
+      val expect = scala.collection.mutable.Map[Long, (Long, Long)]()
+      var cum = 0L
+      order.foreach { id =>
+        if (cum < budget) expect(id) = (lenOf(id), cum)
+        cum += lenOf(id)
+      }
+      selected == expect.toMap
+    }
+  }
+
+  // estimator range and partitioning invariance: estimates are exact
+  // k-slot fractions, and the (pair → estimate) map is identical under
+  // any repartitioning of the input
+  property("minhashEstimatedPairs: k-slot fractions, partitioning-invariant") = {
+    val genDocs = Gen.chooseNum(2, 10).flatMap { n =>
+      Gen.listOfN(n, Gen.chooseNum(5, 15).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))))
+    }
+    Prop.forAll(genDocs, Gen.chooseNum(1, 8)) { (tokenLists, parts) =>
+      val docs = tokenLists.zipWithIndex.map { case (ts, i) =>
+        (i.toLong, ts.mkString(" "))
+      }.toDF("doc_id", "text")
+      def run(df: DataFrame) = graft.ops.Dedup.minhashEstimatedPairs(
+        graft.ops.Dedup.minhashShingleSignaturesFromArrays(
+          graft.ops.Vocab.hashTokenIdArrays(df), 5), bands = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val a = run(docs)
+      val b = run(docs.repartition(parts))
+      val k = graft.ops.Dedup.minhashCoeffs.size
+      a == b && a.values.forall { e =>
+        e >= 0.0 && e <= 1.0 && (e * k) == math.round(e * k).toDouble
+      }
+    }
+  }
+
   // chunker tiling: for any doc length / chunk size / overlap, chunks
   // start every (size − overlap), cover every token index exactly once per
   // pass modulo the overlap, the last chunk is never empty, and the chunk
