@@ -606,6 +606,16 @@ object SparkEntry {
         .unpivot(Array(col("lang")),
           Array(col("n_docs"), col("total_chars"), col("max_chars")),
           "metric", "value")),
+    "t28_sql_simhash" -> ((s, dir) => {
+      // the round-4 codegen expression on the registered-extension SQL
+      // surface (t21 pattern): plain spark.sql produces bit-identical
+      // fingerprints to the DataFrame path — same oracle as d5
+      Tables.documents(s, dir).createOrReplaceTempView("documents_sql2")
+      s.sql("""
+        SELECT doc_id,
+               simhash_bits(token_hash_array(split(text, ' ')), 16) AS simhash
+        FROM documents_sql2""")
+    }),
     "t26_outer_join" -> ((s, dir) =>
       // LEFT OUTER with the filter INSIDE the join condition (the planner
       // case where pushing it to WHERE would wrongly drop unmatched left
@@ -1613,6 +1623,7 @@ object SparkEntry {
          |JOIN sigs sb ON sb.doc_id = c.doc_b""".stripMargin
     },
     "d5_simhash" -> oracleSimhash,
+    "t28_sql_simhash" -> oracleSimhash,
     "d22_simhash_pairs" -> {
       val bits = 60; val chunks = 4; val cw = bits / chunks
       val cap = graft.ops.Dedup.defaultMaxDf
