@@ -756,28 +756,15 @@ object SparkEntry {
       // cents), so the window input is orders of magnitude below row count;
       // the percentile is the smallest value whose running count reaches
       // ⌈p·n⌉ (no float interpolation — cross-engine exact).
-      val cents = round(col("value") * 100).cast("long")
-      // persist: the histogram feeds both the totals and the cumulative
-      // window — without it each branch re-scans and re-aggregates events
-      val h = Tables.events(s, dir)
-        .groupBy(col("event_type"), cents.as("v"))
-        .agg(count(lit(1)).as("c"))
-        .persist()
-      val totals = h.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
-      // nulls LAST to match DuckDB's default (Spark defaults nulls first —
-      // a null value bucket would shift every cumulative count)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type")).orderBy(col("v").asc_nulls_last)
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      val cum = h.withColumn("cum", sum(col("c")).over(w))
-      import s.implicits._
-      val ps = Seq(0.5, 0.9, 0.99).toDF("p")
-      cum.join(F.broadcast(totals), "event_type")
-        .join(F.broadcast(ps), col("cum") >= ceil(col("p") * col("n")))
-        .groupBy(col("event_type"), col("p"))
-        .agg(min(col("v")).as("pct_cents"), min(col("n")).as("n_rows"))
+      graft.operators.Percentiles.discrete(Tables.events(s, dir), "event_type",
+        round(col("value") * 100).cast("long"), Seq(0.5, 0.9, 0.99), "pct_cents")
     }),
+    "x27_length_percentiles" -> ((s, dir) =>
+      // per-language document-length distribution (p50/p90/p99 chars) —
+      // the curation question x16's min/max can't answer; same
+      // histogram-compressed exact-percentile machinery as t19
+      graft.operators.Percentiles.discrete(Tables.documents(s, dir), "lang",
+        col("n_chars").cast("long"), Seq(0.5, 0.9, 0.99), "pct_chars")),
 
     // ---- more binlog surface ----
     "b9_retention_window" -> ((s, dir) => {
@@ -807,6 +794,15 @@ object SparkEntry {
       graft.operators.Windows.slidingCounts(Tables.events(s, dir))),
     "b12_session_windows" -> ((s, dir) =>
       graft.operators.Windows.sessions(Tables.events(s, dir), keyCol = "user_id")),
+    "b17_table_trends" -> ((s, dir) =>
+      // the reference's per-table daily MV (b6), taken to its reporting
+      // conclusion: cumulative / moving-average / delta per table — the
+      // "which table's write rate changed?" DBA dashboard; windows run over
+      // the (day × table) frame only
+      graft.operators.Windows.dailyTrends(
+        Tables.events(s, dir)
+          .withColumn("table", concat(lit("t"), pmod(col("event_id"), lit(8)))),
+        keyCol = "table")),
     "t23_daily_trends" -> ((s, dir) =>
       // cumulative / 7-day moving average / day-over-day delta per type —
       // windows run over the aggregated (day × type) frame, never raw rows
@@ -1480,6 +1476,19 @@ object SparkEntry {
         |JOIN t ON t.event_type = cum.event_type
         |JOIN (VALUES (0.5), (0.9), (0.99)) ps(p) ON cum >= ceil(p * n)
         |GROUP BY 1, 2""".stripMargin,
+    "x27_length_percentiles" ->
+      """WITH h AS (SELECT lang, CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |t AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+        |cum AS (SELECT lang, v,
+        |               CAST(sum(c) OVER (PARTITION BY lang ORDER BY v
+        |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |        FROM h)
+        |SELECT cum.lang, p, min(v) AS pct_chars, CAST(min(n) AS BIGINT) AS n_rows
+        |FROM cum
+        |JOIN t ON t.lang = cum.lang
+        |JOIN (VALUES (0.5), (0.9), (0.99)) ps(p) ON cum >= ceil(p * n)
+        |GROUP BY 1, 2""".stripMargin,
     "t11_cast_order_topk" ->
       """SELECT CAST(event_id AS VARCHAR) AS binlog_pos,
         |       event_id AS pos_num,
@@ -1524,6 +1533,20 @@ object SparkEntry {
         |             event_type
         |      FROM events)
         |GROUP BY 1, 2""".stripMargin,
+    "b17_table_trends" ->
+      """WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |                      't' || (event_id % 8) AS "table",
+        |                      CAST(count(*) AS BIGINT) AS n_events
+        |               FROM events GROUP BY 1, 2)
+        |SELECT "table", day, n_events,
+        |       CAST(sum(n_events) OVER (PARTITION BY "table" ORDER BY day
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events,
+        |       CAST(sum(n_events) OVER w7 AS DOUBLE) / count(*) OVER w7 AS ma7,
+        |       CAST(n_events - coalesce(lag(n_events) OVER (PARTITION BY "table" ORDER BY day), 0)
+        |            AS BIGINT) AS delta
+        |FROM daily
+        |WINDOW w7 AS (PARTITION BY "table" ORDER BY day
+        |              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     "t23_daily_trends" ->
       """WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
         |                      CAST(count(*) AS BIGINT) AS n_events

@@ -84,14 +84,15 @@ object Windows {
     * ma7 divides an exact integer window sum by an exact window count, so
     * the double is cross-engine bit-stable.
     */
-  def dailyTrends(events: DataFrame, tsCol: String = "ts"): DataFrame = {
+  def dailyTrends(events: DataFrame, tsCol: String = "ts",
+      keyCol: String = "event_type"): DataFrame = {
     val daily = events
-      .groupBy(to_date(col(tsCol)).as("day"), col("event_type"))
+      .groupBy(to_date(col(tsCol)).as("day"), col(keyCol))
       .agg(count(lit(1)).as("n_events"))
-    val byType = W.partitionBy(col("event_type")).orderBy(col("day"))
+    val byType = W.partitionBy(col(keyCol)).orderBy(col("day"))
     val last7 = byType.rowsBetween(-6, 0)
     daily.select(
-      col("event_type"), col("day"), col("n_events"),
+      col(keyCol), col("day"), col("n_events"),
       sum(col("n_events")).over(byType.rowsBetween(W.unboundedPreceding, 0))
         .as("cum_events"),
       (sum(col("n_events")).over(last7).cast("double")
