@@ -899,6 +899,18 @@ object SparkEntry {
       Dedup.candidatePairsFromSignatures(
         Dedup.minhashShingleSignaturesFromArrays(
           Vocab.hashTokenIdArrays(Tables.documents(s, dir)), 5), bands = 4)),
+    "d25_snapshot_diff" -> ((s, dir) => {
+      // rev-over-rev governance: docs <400 play the old rev, docs ≥100
+      // the new (every-7th modified) — added/removed/changed/same counts
+      // from fixed-width digest rows, text never shuffles
+      val docs = Tables.documents(s, dir)
+      Dedup.snapshotDiff(
+        docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= 100)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+              .otherwise(col("text"))))
+    }),
     "d24_threshold_sweep" -> ((s, dir) => {
       // the threshold-tuning report: every capped candidate pair scored
       // once (threshold 0), histogrammed by score decile — one pass
@@ -1617,6 +1629,19 @@ object SparkEntry {
     "d9_dedup_groups_star" -> oracleDedupGroups,
     "d3_minhash_sigs" -> oracleMinhashSigs,
     "d4_minhash_pairs" -> oracleMinhashPairs,
+    "d25_snapshot_diff" ->
+      // the oracle classifies on text equality; Spark on xxhash64 digests —
+      // identical up to a 2⁻⁶⁴ collision (the d8/d14 digest contract)
+      """WITH oldr AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+        |newr AS (SELECT doc_id,
+        |                CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+        |         FROM documents WHERE doc_id >= 100),
+        |j AS (SELECT o.text AS ot, n.text AS nt
+        |      FROM oldr o FULL OUTER JOIN newr n ON o.doc_id = n.doc_id)
+        |SELECT CASE WHEN ot IS NULL THEN 'added' WHEN nt IS NULL THEN 'removed'
+        |            WHEN ot = nt THEN 'same' ELSE 'changed' END AS status,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM j GROUP BY 1""".stripMargin,
     "d24_threshold_sweep" ->
       s"""WITH ${oracleJaccardCtesAt(0.0)}
          |SELECT CAST(floor(jaccard * 10) AS BIGINT) AS score_band,

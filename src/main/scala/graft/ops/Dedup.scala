@@ -515,6 +515,28 @@ object Dedup {
         coalesce(col("n"), lit(0L)).as("dup_near"))
   }
 
+  /** Corpus snapshot diff — the rev-over-rev governance query a managed
+    * dataset runs after every rebuild: match documents by doc_id across
+    * two revisions and classify each as `same` (digest equal), `changed`
+    * (present in both, digest differs), `added`, or `removed`; report
+    * counts per class. Both sides reduce to (doc_id, digest) — fixed-width
+    * rows, text never shuffles — and the full outer join is one shuffle
+    * on doc_id (bucket both revs on doc_id at write time and it plans
+    * exchange-free). Output: (status, n_docs).
+    */
+  def snapshotDiff(oldRev: DataFrame, newRev: DataFrame): DataFrame = {
+    val a = oldRev.select(col("doc_id"), xxhash64(col("text")).as("old_digest"))
+    val b = newRev.select(col("doc_id"), xxhash64(col("text")).as("new_digest"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(
+        when(col("old_digest").isNull, "added")
+          .when(col("new_digest").isNull, "removed")
+          .when(col("old_digest") === col("new_digest"), "same")
+          .otherwise("changed").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** The corpus side of [[incrementalDedup]]'s near screen, PERSISTED: the
     * band-key index as a bucketed table (flattened key columns
     * (band, r0, r1) + claimant doc_id, hash-clustered on the key), written
