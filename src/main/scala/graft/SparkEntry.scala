@@ -803,6 +803,23 @@ object SparkEntry {
         Tables.events(s, dir)
           .withColumn("table", concat(lit("t"), pmod(col("event_id"), lit(8)))),
         keyCol = "table")),
+    "t29_range_frames" -> ((s, dir) => {
+      // the RANGE-framed twin of t23's ROWS windows: a calendar-correct
+      // trailing-7-day sum (value-range frame over day numbers — skips
+      // in the date series shrink the window, where a ROWS frame would
+      // silently reach further back); days_observed exposes the width
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("day_num",
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+      val cal = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day_num"))
+        .rangeBetween(-6, 0)
+      daily.select(col("event_type"), col("day"), col("n_events"),
+        sum(col("n_events")).over(cal).as("sum7_cal"),
+        count(lit(1)).over(cal).cast("long").as("days_observed"))
+    }),
     "t23_daily_trends" -> ((s, dir) =>
       // cumulative / 7-day moving average / day-over-day delta per type —
       // windows run over the aggregated (day × type) frame, never raw rows
@@ -1158,6 +1175,11 @@ object SparkEntry {
       // Zipf profile: distinct-token count per occurrence count — the
       // tokenization sanity check; second agg is vocabulary-sized
       TextOps.tokenFreqOfFreq(Vocab.hashTokenIds(Tables.documents(s, dir)))),
+    "x28_token_novelty" -> ((s, dir) =>
+      // vocabulary growth (Heaps'-law check): per-doc count of tokens
+      // first seen in that doc — one window-min over the token index,
+      // no pair join
+      Dedup.tokenNovelty(Vocab.hashTokenIds(Tables.documents(s, dir)))),
     "x19_ngram_novelty" -> ((s, dir) =>
       // ingest-order novelty: fraction of each doc's distinct 5-gram
       // shingles FIRST seen in that doc — the O(corpus-shingles) "is this
@@ -1545,6 +1567,17 @@ object SparkEntry {
         |             event_type
         |      FROM events)
         |GROUP BY 1, 2""".stripMargin,
+    "t29_range_frames" ->
+      """WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+        |                      CAST(count(*) AS BIGINT) AS n_events
+        |               FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT *, CAST(day - DATE '1970-01-01' AS BIGINT) AS day_num FROM daily)
+        |SELECT event_type, day, n_events,
+        |       CAST(sum(n_events) OVER w AS BIGINT) AS sum7_cal,
+        |       CAST(count(*) OVER w AS BIGINT) AS days_observed
+        |FROM d2
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     "b17_table_trends" ->
       """WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
         |                      't' || (event_id % 8) AS "table",
@@ -2202,6 +2235,14 @@ object SparkEntry {
         |       CAST(max(n_chars) AS BIGINT) AS max_chars,
         |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
         |FROM documents GROUP BY 1""".stripMargin,
+    "x28_token_novelty" ->
+      s"""WITH $oracleTokCtes,
+         |dt AS (SELECT DISTINCT doc_id, token_id FROM tid),
+         |ft AS (SELECT token_id, min(doc_id) AS first_id FROM dt GROUP BY 1)
+         |SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+         |       CAST(sum(CASE WHEN ft.first_id = dt.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_new_tokens
+         |FROM dt JOIN ft USING (token_id) GROUP BY 1""".stripMargin,
     "x19_ngram_novelty" -> {
       val p = graft.ops.Dedup.minhashPrime
       s"""WITH $oracleTokCtes,

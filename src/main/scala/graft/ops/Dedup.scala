@@ -694,6 +694,26 @@ object Dedup {
         (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
   }
 
+  /** Token-level novelty — [[ngramNovelty]]'s vocabulary sibling (the
+    * Heaps'-law check): for each document in ingest order, how many of its
+    * distinct tokens are NEW to the corpus (first claimant by smallest
+    * doc_id)? Summing n_new_tokens over doc_id order gives the vocabulary
+    * growth curve; a flattening curve says the corpus has stopped teaching
+    * the tokenizer anything. Same scale shape as x19: one window-min over
+    * the (doc_id, token_id) index — no pair join — then an aggregation
+    * back on doc_id. Output: (doc_id, n_distinct_tokens, n_new_tokens).
+    */
+  def tokenNovelty(tokenIds: DataFrame): DataFrame = {
+    val dt = tokenIds.select(col("doc_id"), col("token_id")).distinct()
+    val perTok = org.apache.spark.sql.expressions.Window.partitionBy(col("token_id"))
+    dt
+      .withColumn("first_id", min(col("doc_id")).over(perTok))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_distinct_tokens"),
+        sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L)).as("n_new_tokens"))
+  }
+
   /** Cross-source duplication matrix — the data-governance view of dedup:
     * for every (source, source) pair, how many duplicate pairs span them?
     * A crawl pipeline reads this to find which feeds re-serve each other's
