@@ -845,6 +845,23 @@ object SparkEntry {
       graft.streaming.TransactionAssembler.assembleBatch(b, gapSec = 86400L)
     }),
 
+    "b18_ordering_integrity" -> ((s, dir) => {
+      // replication-integrity check: within each gtid's (execute_time,
+      // pos) order, how often does the binlog position run BACKWARD?
+      // Nonzero counts mean out-of-order apply or position reuse — the
+      // first thing a DBA audits when downstream counts drift. One window
+      // per gtid (per-stream partitions, never one task) + one map-side-
+      // combined aggregation
+      val b = binlog(s, dir).select(
+        col("gtid"), col("execute_time"), BinlogEvents.pos.as("pos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("gtid")).orderBy(col("execute_time"), col("pos"))
+      b.withColumn("prev", lag(col("pos"), 1).over(w))
+        .groupBy(col("gtid"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("prev").isNotNull && col("pos") < col("prev"), 1L)
+            .otherwise(0L)).as("n_violations"))
+    }),
     "b16_txn_duration_histogram" -> ((s, dir) => {
       // the reporting layer over b14's assembly: how long do transactions
       // run, and how much work rides in each duration class? The histogram
@@ -1279,6 +1296,15 @@ object SparkEntry {
         |       CAST(sum(affected_rows) AS BIGINT) AS transaction_affected_rows,
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY gtid, session_id""".stripMargin),
+    "b18_ordering_integrity" ->
+      (oracleBinlogCte + """,
+        |m AS (SELECT gtid, pos,
+        |             lag(pos) OVER (PARTITION BY gtid ORDER BY execute_time, pos) AS prev
+        |      FROM b)
+        |SELECT gtid, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN prev IS NOT NULL AND pos < prev THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_violations
+        |FROM m GROUP BY 1""".stripMargin),
     "b16_txn_duration_histogram" ->
       (oracleBinlogCte + """,
         |m AS (SELECT *, epoch_us(execute_time) AS t_us FROM b),
