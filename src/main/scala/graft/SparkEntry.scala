@@ -820,6 +820,20 @@ object SparkEntry {
         sum(col("n_events")).over(cal).as("sum7_cal"),
         count(lit(1)).over(cal).cast("long").as("days_observed"))
     }),
+    "t30_bloom_semi" -> ((s, dir) => {
+      // runtime Bloom-filter pruning: lineitem ⋉ (brand-filtered part).
+      // The bitmap is one bounded-size aggregation over the small side,
+      // broadcast as a literal and probed with codegen'd built-ins INSIDE
+      // the lineitem scan — at 100 TB only the ~selectivity fraction of
+      // lineitem reaches the exact semi join's shuffle. Result is exactly
+      // the plain IN-subquery (the oracle).
+      val smallParts = Tables.part(s, dir).filter(col("p_brand") === "Brand#13")
+      graft.operators.BloomFilter
+        .semiJoin(Tables.lineitem(s, dir), smallParts, "l_partkey", "p_partkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"))
+    }),
     "t23_daily_trends" -> ((s, dir) =>
       // cumulative / 7-day moving average / day-over-day delta per type —
       // windows run over the aggregated (day × type) frame, never raw rows
@@ -1604,6 +1618,12 @@ object SparkEntry {
         |FROM d2
         |WINDOW w AS (PARTITION BY event_type ORDER BY day_num
         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "t30_bloom_semi" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13')
+        |GROUP BY 1""".stripMargin,
     "b17_table_trends" ->
       """WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
         |                      't' || (event_id % 8) AS "table",
