@@ -834,6 +834,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"))
     }),
+    "t31_zorder_key" -> ((s, dir) => {
+      // Morton-interleaved clustering key (K7/O3 taken to two dimensions):
+      // sorting by z bounds BOTH p_size and the hash dimension per file,
+      // so min/max skipping prunes on either predicate — a single-column
+      // sort only ever prunes its leading column. The key arithmetic is
+      // pure built-in bit ops (one WSCG span) and oracle-attested
+      val p = Tables.part(s, dir).select(col("p_partkey"),
+        col("p_size").cast("long").as("x"), (col("p_partkey") % 4096).as("y"))
+      p.select(col("p_partkey"), col("x"), col("y"),
+          graft.operators.ZOrder.zValue(col("x"), col("y")).as("z"))
+        .orderBy(col("z"), col("p_partkey"))
+        .limit(100)
+    }),
     "t23_daily_trends" -> ((s, dir) =>
       // cumulative / 7-day moving average / day-over-day delta per type —
       // windows run over the aggregated (day × type) frame, never raw rows
@@ -1618,6 +1631,12 @@ object SparkEntry {
         |FROM d2
         |WINDOW w AS (PARTITION BY event_type ORDER BY day_num
         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "t31_zorder_key" ->
+      s"""SELECT p_partkey, x, y,
+         |       ${graft.operators.ZOrder.zValueSql("x", "y")} AS z
+         |FROM (SELECT p_partkey, CAST(p_size AS BIGINT) AS x,
+         |             p_partkey % 4096 AS y FROM part)
+         |ORDER BY z, p_partkey LIMIT 100""".stripMargin,
     "t30_bloom_semi" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
         |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
