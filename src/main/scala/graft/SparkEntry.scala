@@ -847,6 +847,15 @@ object SparkEntry {
         .orderBy(col("z"), col("p_partkey"))
         .limit(100)
     }),
+    "t32_pagerank" -> ((s, dir) => {
+      // PageRank over the part↔supplier co-occurrence graph (bipartite,
+      // node ids disambiguated by parity). Fixed 5 rounds of join+agg;
+      // adjacency persists once, only the node-sized rank frame iterates —
+      // the weighted companion of the d7/d9 component machinery
+      val edges = Tables.lineitem(s, dir).select(
+        (col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.operators.Graph.pageRank(edges, iterations = 5)
+    }),
     "t23_daily_trends" -> ((s, dir) =>
       // cumulative / 7-day moving average / day-over-day delta per type —
       // windows run over the aggregated (day × type) frame, never raw rows
@@ -1637,6 +1646,10 @@ object SparkEntry {
          |FROM (SELECT p_partkey, CAST(p_size AS BIGINT) AS x,
          |             p_partkey % 4096 AS y FROM part)
          |ORDER BY z, p_partkey LIMIT 100""".stripMargin,
+    "t32_pagerank" ->
+      graft.operators.Graph.pageRankSql(
+        "SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem",
+        iterations = 5),
     "t30_bloom_semi" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
         |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranksOf(edges: Seq[(Long, Long)], iters: Int = 5): Map[Long, Double] =
+    Graph.pageRank(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("path graph: middle node dominates, ends symmetric, mass sums to 1") {
+    val r = ranksOf(Seq((1L, 2L), (2L, 3L)))
+    assert(r.keySet === Set(1L, 2L, 3L))
+    assert(math.abs(r(1L) - r(3L)) < 1e-12) // symmetry is exact
+    assert(r(2L) > r(1L))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("star graph: hub outranks every leaf; duplicate/self edges ignored") {
+    val edges = (2L to 9L).map(leaf => (1L, leaf)) ++
+      Seq((1L, 2L), (2L, 1L), (5L, 5L)) // dup, reversed dup, self-loop
+    val r = ranksOf(edges)
+    assert(r.keySet === (1L to 9L).toSet)
+    val leaves = (2L to 9L).map(r)
+    assert(leaves.forall(l => r(1L) > l))
+    // all leaves are structurally identical → identical rank
+    assert(leaves.distinct.size === 1)
+  }
+
+  test("result is invariant to input partitioning") {
+    val edges = (1L to 200L).map(i => (i, (i * 7) % 200 + 1))
+    val a = ranksOf(edges)
+    val b = Graph.pageRank(edges.toDF("src", "dst").repartition(13), 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12, s"node $k") }
+  }
+
+  test("unrolled SQL text contains one CTE per round and the final select") {
+    val sql = Graph.pageRankSql("SELECT a AS src, b AS dst FROM t", 3)
+    assert(sql.contains("pr3 AS"))
+    assert(!sql.contains("pr4 AS"))
+    assert(sql.endsWith("SELECT node, rank FROM pr3"))
+  }
+}
