@@ -854,7 +854,11 @@ object SparkEntry {
       // the weighted companion of the d7/d9 component machinery
       val edges = Tables.lineitem(s, dir).select(
         (col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      // ranks are order-dependent float sums (not bit-stable across
+      // engines); parts-per-billion rounding makes the compare integer-
+      // exact — FP noise is ~1e-15 relative, 5 orders below the quantum
       graft.operators.Graph.pageRank(edges, iterations = 5)
+        .select(col("node"), round(col("rank") * lit(1e9)).cast("long").as("rank_ppb"))
     }),
     "t23_daily_trends" -> ((s, dir) =>
       // cumulative / 7-day moving average / day-over-day delta per type —
@@ -1647,9 +1651,10 @@ object SparkEntry {
          |             p_partkey % 4096 AS y FROM part)
          |ORDER BY z, p_partkey LIMIT 100""".stripMargin,
     "t32_pagerank" ->
-      graft.operators.Graph.pageRankSql(
-        "SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem",
-        iterations = 5),
+      s"""SELECT node, CAST(round(rank * 1e9) AS BIGINT) AS rank_ppb FROM (
+         |${graft.operators.Graph.pageRankSql(
+             "SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem",
+             iterations = 5)})""".stripMargin,
     "t30_bloom_semi" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
         |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
