@@ -860,6 +860,11 @@ object SparkEntry {
       graft.operators.Graph.pageRank(edges, iterations = 5)
         .select(col("node"), round(col("rank") * lit(1e9)).cast("long").as("rank_ppb"))
     }),
+    "x29_collocations" -> ((s, dir) =>
+      // corpus collocations ranked by lift (monotone with PMI — no
+      // cross-engine ln in the compare); zip-slice bigrams, vocab-sized
+      // marginals broadcast back, TakeOrdered top-k
+      TextOps.collocations(Tables.documents(s, dir))),
     "t23_daily_trends" -> ((s, dir) =>
       // cumulative / 7-day moving average / day-over-day delta per type —
       // windows run over the aggregated (day × type) frame, never raw rows
@@ -1655,6 +1660,19 @@ object SparkEntry {
          |${graft.operators.Graph.pageRankSql(
              "SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem",
              iterations = 5)})""".stripMargin,
+    "x29_collocations" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |       FROM tok WHERE len(t) >= 2),
+        |cab AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2),
+        |ca AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY 1),
+        |cb AS (SELECT w2, CAST(sum(c_ab) AS BIGINT) AS c_b FROM cab GROUP BY 1),
+        |n AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM cab)
+        |SELECT w1, w2, c_ab,
+        |       CAST(round(1e6 * (SELECT n FROM n) * c_ab / (c_a * c_b)) AS BIGINT) AS lift_ppm
+        |FROM cab JOIN ca USING (w1) JOIN cb USING (w2)
+        |WHERE c_ab >= 5
+        |ORDER BY lift_ppm DESC, w1, w2 LIMIT 100""".stripMargin,
     "t30_bloom_semi" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
         |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c

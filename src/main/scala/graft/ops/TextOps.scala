@@ -634,4 +634,41 @@ object TextOps {
         count(lit(1)).as("n_tokens")
       )
   }
+
+  /** Collocation mining: the corpus's most-associated adjacent token pairs,
+    * ranked by lift = N·c(ab) / (c(a·)·c(·b)) over the bigram contingency
+    * table. Lift is a strictly monotone transform of PMI (PMI = log lift),
+    * so ranking by lift IS ranking by PMI — without betting the oracle
+    * compare on cross-engine `ln` parity. Emitted as ppm longs: the only
+    * float op is one identically-associated multiply/divide chain over
+    * exact counts, bit-equal in any IEEE engine.
+    *
+    * Scale shape: bigrams come from one zip-slice projection (no
+    * self-join); c(ab) is a map-side-combined aggregation; both marginals
+    * re-aggregate the VOCABULARY²-sized pair table and broadcast back; the
+    * final top-k is TakeOrdered, never a global sort.
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 100): DataFrame = {
+    val t = tokens(col("text"))
+    val n1 = greatest(size(t) - 1, lit(0))
+    val bigrams = docs
+      .select(explode(arrays_zip(slice(t, lit(1), n1), slice(t, lit(2), n1))).as("bg"))
+      .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
+    val cab = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .persist() // three consumers: marginals ×2 + the scored join
+    val ca = cab.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
+    val cb = cab.groupBy(col("w2")).agg(sum(col("c_ab")).as("c_b"))
+    val n = cab.agg(sum(col("c_ab")).as("n"))
+    cab
+      .join(broadcast(ca), Seq("w1"))
+      .join(broadcast(cb), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .filter(col("c_ab") >= minCount)
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(lit(1e6) * col("n") * col("c_ab") / (col("c_a") * col("c_b")))
+          .cast("long").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

@@ -302,4 +302,20 @@ class TextAndMultimodalSpec extends SparkSpec {
       .zipWithIndex.map { case (id, i) => (id, i.toLong) }.toMap
     out.foreach { case (id, pos) => assert(pos === naive(id), s"doc $id") }
   }
+
+  test("collocations: always-adjacent pair outranks independent pairs; counts exact") {
+    import org.apache.spark.sql.functions._
+    // "new york" appears 6 times, always adjacent; filler tokens co-occur
+    // with everything (low lift). minCount=2 keeps the signal pairs only.
+    val docs = (1L to 6L).map(i => (i, s"new york is t$i big t$i")) :+
+      (7L, "is big is big is big")
+    val out = TextOps.collocations(docs.toDF("doc_id", "text"), minCount = 2, k = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Long]("c_ab"), r.getAs[Long]("lift_ppm")))).toMap
+    assert(out(("new", "york"))._1 === 6L)
+    // perfect left-and-right-exclusive adjacency → lift = N / c_ab: the
+    // maximum possible for a pair seen c_ab times — must rank above any
+    // filler pair ("is", "big") that also occurs independently
+    assert(out(("new", "york"))._2 > out(("is", "big"))._2)
+  }
 }
