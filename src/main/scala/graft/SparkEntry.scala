@@ -860,6 +860,10 @@ object SparkEntry {
       graft.operators.Graph.pageRank(edges, iterations = 5)
         .select(col("node"), round(col("rank") * lit(1e9)).cast("long").as("rank_ppb"))
     }),
+    "x30_char_entropy" -> ((s, dir) =>
+      // compression-style quality gate: per-doc char-histogram Shannon
+      // entropy in micro-bits (degenerate repetition ≈ 0, mojibake high)
+      TextOps.charEntropy(Tables.documents(s, dir))),
     "x29_collocations" -> ((s, dir) =>
       // corpus collocations ranked by lift (monotone with PMI — no
       // cross-engine ln in the compare); zip-slice bigrams, vocab-sized
@@ -1660,6 +1664,17 @@ object SparkEntry {
          |${graft.operators.Graph.pageRankSql(
              "SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem",
              iterations = 5)})""".stripMargin,
+    "x30_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        |       FROM ch WHERE ch <> '' GROUP BY 1, 2),
+        |e AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+        |             CAST(count(*) AS BIGINT) AS n_distinct,
+        |             sum(c * log2(c)) AS s
+        |      FROM cc GROUP BY 1)
+        |SELECT doc_id, n_chars, n_distinct,
+        |       CAST(round(1e6 * (log2(n_chars) - s / n_chars)) AS BIGINT) AS entropy_ubits
+        |FROM e""".stripMargin,
     "x29_collocations" ->
       """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
         |bg AS (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2

@@ -635,6 +635,28 @@ object TextOps {
       )
   }
 
+  /** Character-level Shannon entropy per document — the compression-style
+    * quality signal (near-zero entropy = degenerate repetition, unusually
+    * high = binary junk / mojibake) that length and stopword ratios miss.
+    * Computed as `log2(n) - Σ c·log2(c) / n` over the per-doc char
+    * histogram: one explode + two map-side-combined aggregations, no
+    * shuffle wider than (doc_id, char). Emitted as micro-bits: the log2
+    * noise across engines (~1 ulp/term) is 8 orders below the quantum.
+    */
+  def charEntropy(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * log2(col("c"))).as("s"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+        round(lit(1e6) * (log2(col("n_chars")) - col("s") / col("n_chars")))
+          .cast("long").as("entropy_ubits"))
+
   /** Collocation mining: the corpus's most-associated adjacent token pairs,
     * ranked by lift = N·c(ab) / (c(a·)·c(·b)) over the bigram contingency
     * table. Lift is a strictly monotone transform of PMI (PMI = log lift),

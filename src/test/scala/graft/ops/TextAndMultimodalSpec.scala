@@ -318,4 +318,20 @@ class TextAndMultimodalSpec extends SparkSpec {
     // filler pair ("is", "big") that also occurs independently
     assert(out(("new", "york"))._2 > out(("is", "big"))._2)
   }
+
+  test("char entropy: uniform alphabet hits log2(k) exactly, repetition hits 0") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "aaaaaaaa"),     // 0 bits
+      (2L, "abababab"),     // 1 bit
+      (3L, "abcdabcd"),     // 2 bits
+      (4L, "")              // no chars → absent from output
+    ).toDF("doc_id", "text")
+    val out = TextOps.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_chars"), r.getAs[Long]("entropy_ubits"))).toMap
+    assert(out(1L) === (8L, 0L))
+    assert(out(2L) === (8L, 1000000L))
+    assert(out(3L) === (8L, 2000000L))
+    assert(!out.contains(4L))
+  }
 }
