@@ -860,6 +860,36 @@ object SparkEntry {
       graft.operators.Graph.pageRank(edges, iterations = 5)
         .select(col("node"), round(col("rank") * lit(1e9)).cast("long").as("rank_ppb"))
     }),
+    "t33_full_outer" -> ((s, dir) => {
+      // FULL OUTER completes the join-type surface (inner/left/semi/anti
+      // already attested): hourly purchases vs errors — sparse enough that
+      // both sides contribute unmatched hours, kept with zero-coalesced
+      // counts. Both inputs aggregate BEFORE the join (hour-sized frames)
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_purchases"))
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_errors"))
+      purchases.join(errors, Seq("hour"), "full")
+        .select(col("hour"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+    }),
+    "t34_rank_family" -> ((s, dir) => {
+      // the rank-normalization window family over customers within each
+      // nation: percent_rank / cume_dist are single exact int divisions
+      // (bit-stable), ntile buckets are ints; total order via custkey
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, dir).select(
+        col("c_custkey"), col("c_nationkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).cast("long").as("quartile"))
+    }),
     "x30_char_entropy" -> ((s, dir) =>
       // compression-style quality gate: per-doc char-histogram Shannon
       // entropy in micro-bits (degenerate repetition ≈ 0, mojibake high)
@@ -1664,6 +1694,24 @@ object SparkEntry {
          |${graft.operators.Graph.pageRankSql(
              "SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem",
              iterations = 5)})""".stripMargin,
+    "t33_full_outer" ->
+      """WITH p AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |                  CAST(count(*) AS BIGINT) AS n_purchases
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |             CAST(count(*) AS BIGINT) AS n_errors
+        |      FROM events WHERE event_type = 'error' GROUP BY 1)
+        |SELECT coalesce(p.hour, e.hour) AS hour,
+        |       coalesce(n_purchases, 0) AS n_purchases,
+        |       coalesce(n_errors, 0) AS n_errors
+        |FROM p FULL OUTER JOIN e ON p.hour = e.hour""".stripMargin,
+    "t34_rank_family" ->
+      """SELECT c_custkey, c_nationkey,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""".stripMargin,
     "x30_char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
         |cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
