@@ -860,6 +860,10 @@ object SparkEntry {
       graft.operators.Graph.pageRank(edges, iterations = 5)
         .select(col("node"), round(col("rank") * lit(1e9)).cast("long").as("rank_ppb"))
     }),
+    "m4_dup_frames" -> ((s, dir) =>
+      // duplicate frames shared across distinct documents (digest-keyed,
+      // payload never shuffled) — the multimodal twin of d8 exact dedup
+      graft.ops.Multimodal.duplicateFrames(Tables.documents(s, dir), frameChars = 100)),
     "t33_full_outer" -> ((s, dir) => {
       // FULL OUTER completes the join-type surface (inner/left/semi/anti
       // already attested): hourly purchases vs errors — sparse enough that
@@ -1694,6 +1698,16 @@ object SparkEntry {
          |${graft.operators.Graph.pageRankSql(
              "SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem",
              iterations = 5)})""".stripMargin,
+    "m4_dup_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         md5(substring(text, CAST(i * 100 + 1 AS INT), 100)) AS frame_md5
+        |  FROM documents, UNNEST(range(0, (length(text) - 1) // 100 + 1)) AS r(i)
+        |  WHERE text IS NOT NULL AND length(text) > 0)
+        |SELECT frame_md5, CAST(count(*) AS BIGINT) AS n_copies,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       min(doc_id) AS first_doc
+        |FROM f GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
     "t33_full_outer" ->
       """WITH p AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
         |                  CAST(count(*) AS BIGINT) AS n_purchases

@@ -98,6 +98,29 @@ object Multimodal {
         max(col("width")).as("max_width"),
         max(col("height")).as("max_height"))
 
+  /** Cross-video duplicate-frame detection — the multimodal face of exact
+    * dedup: tile every payload into fixed-width frames (the stub frames the
+    * text; a real decoder emits per-frame perceptual hashes in the same
+    * shape), key each frame by md5, and report frames appearing in ≥ 2
+    * distinct documents. Shuffle carries (digest, ids) — never payloads —
+    * the same digest-first discipline as d8; output is duplicate-sized,
+    * not corpus-sized.
+    */
+  def duplicateFrames(docs: DataFrame, frameChars: Int = 1000): DataFrame =
+    docs
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L),
+          expr(s"(length(text) - 1) div $frameChars"))).as("frame_idx"))
+      .select(col("doc_id"),
+        md5(expr(s"substring(text, CAST(frame_idx * $frameChars + 1 AS INT), $frameChars)"))
+          .as("frame_md5"))
+      .groupBy(col("frame_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+
   /** Whole-stage-codegen rendering of the stub decode (pure column
     * expressions) — used by the oracle-checked query; proves the expression
     * path and the mapPartitions path agree (MultimodalSpec).
