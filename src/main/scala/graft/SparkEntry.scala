@@ -864,6 +864,34 @@ object SparkEntry {
       // duplicate frames shared across distinct documents (digest-keyed,
       // payload never shuffled) — the multimodal twin of d8 exact dedup
       graft.ops.Multimodal.duplicateFrames(Tables.documents(s, dir), frameChars = 100)),
+    "t35_correlated_scalar" -> ((s, dir) => {
+      // correlated scalar subquery — Catalyst decorrelates it into an
+      // aggregate + left outer join (no per-row re-execution; the t21
+      // pattern: plain spark.sql on registered views). Nations with no
+      // customer keep a NULL max (coalesced to -1 for the compare)
+      Tables.nation(s, dir).createOrReplaceTempView("nation_t35")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_t35")
+      s.sql("""
+        SELECT n_nationkey, n_name,
+               coalesce((SELECT CAST(round(max(c_acctbal) * 100) AS BIGINT)
+                         FROM customer_t35 WHERE c_nationkey = n_nationkey), -1)
+                 AS max_bal_c
+        FROM nation_t35""")
+    }),
+    "t36_offset_windows" -> ((s, dir) => {
+      // the offset-window family (lag/lead/first/nth) over each user's
+      // event sequence: previous/next event type, session start, second
+      // event — one window, one shuffle on user_id, total order by (ts,
+      // event_id) so every offset is deterministic
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir).select(
+        col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        first(col("event_type")).over(w).as("first_type"),
+        nth_value(col("event_type"), 2).over(w).as("second_type"))
+    }),
     "t33_full_outer" -> ((s, dir) => {
       // FULL OUTER completes the join-type surface (inner/left/semi/anti
       // already attested): hourly purchases vs errors — sparse enough that
@@ -894,6 +922,11 @@ object SparkEntry {
         cume_dist().over(w).as("cd"),
         ntile(4).over(w).cast("long").as("quartile"))
     }),
+    "x31_char_lm_score" -> ((s, dir) =>
+      // corpus-trained char-bigram LM cross-entropy per doc (bits/char ×
+      // 1e6) — the perplexity-style quality gate; model is vocab²-sized
+      // and broadcast, the corpus never shuffles
+      TextOps.charLmScore(Tables.documents(s, dir))),
     "x30_char_entropy" -> ((s, dir) =>
       // compression-style quality gate: per-doc char-histogram Shannon
       // entropy in micro-bits (degenerate repetition ≈ 0, mojibake high)
@@ -1708,6 +1741,19 @@ object SparkEntry {
         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |       min(doc_id) AS first_doc
         |FROM f GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+    "t35_correlated_scalar" ->
+      """SELECT n_nationkey, n_name,
+        |       coalesce((SELECT CAST(round(max(c_acctbal) * 100) AS BIGINT)
+        |                 FROM customer WHERE c_nationkey = n_nationkey), -1) AS max_bal_c
+        |FROM nation""".stripMargin,
+    "t36_offset_windows" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |       lag(event_type, 1) OVER w AS prev_type,
+        |       lead(event_type, 1) OVER w AS next_type,
+        |       first_value(event_type) OVER w AS first_type,
+        |       nth_value(event_type, 2) OVER w AS second_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)""".stripMargin,
     "t33_full_outer" ->
       """WITH p AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
         |                  CAST(count(*) AS BIGINT) AS n_purchases
@@ -1726,6 +1772,17 @@ object SparkEntry {
         |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""".stripMargin,
+    "x31_char_lm_score" ->
+      """WITH cs AS (SELECT doc_id, string_split(text, '') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS c1, unnest(t[2:len(t)]) AS c2
+        |       FROM cs WHERE len(t) >= 2),
+        |bgf AS (SELECT * FROM bg WHERE c1 <> '' AND c2 <> ''),
+        |pair AS (SELECT c1, c2, CAST(count(*) AS BIGINT) AS c12 FROM bgf GROUP BY 1, 2),
+        |uni AS (SELECT c1, CAST(sum(c12) AS BIGINT) AS c1n FROM pair GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(round(1e6 * sum(-log2(c12 / c1n)) / count(*)) AS BIGINT) AS xent_ubits
+        |FROM bgf JOIN pair USING (c1, c2) JOIN uni USING (c1)
+        |GROUP BY doc_id""".stripMargin,
     "x30_char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
         |cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c

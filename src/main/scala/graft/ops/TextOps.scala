@@ -657,6 +657,43 @@ object TextOps {
         round(lit(1e6) * (log2(col("n_chars")) - col("s") / col("n_chars")))
           .cast("long").as("entropy_ubits"))
 
+  /** Statistical language-model quality scoring — the KenLM-perplexity
+    * stand-in a curation pipeline runs where a real n-gram LM is overkill:
+    * train a character-bigram model on the corpus itself (one vocabulary²-
+    * sized count pass, broadcast back), then score each document by its
+    * mean negative log2 bigram probability (= cross-entropy in bits/char).
+    * Typical text scores low; random or out-of-distribution character
+    * soup scores high. Two map-side-combined aggregations + one broadcast
+    * join — the corpus shuffles nothing wider than (doc_id, char pair).
+    *
+    * Emitted as micro-bits (the x30 discipline): per-term log2 noise is
+    * ~1 ulp, 8 orders below the rounding quantum.
+    */
+  def charLmScore(docs: DataFrame): DataFrame = {
+    val cs = split(col("text"), "")
+    val n1 = greatest(size(cs) - 1, lit(0))
+    val bigrams = docs
+      .select(col("doc_id"),
+        explode(arrays_zip(slice(cs, lit(1), n1), slice(cs, lit(2), n1))).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("c1"), col("bg.1").as("c2"))
+      // zero-width split can leave a trailing "" element (engine-specific);
+      // drop pairs touching it on BOTH sides of the oracle compare
+      .filter(col("c1") =!= "" && col("c2") =!= "")
+    val pair = bigrams.groupBy(col("c1"), col("c2"))
+      .agg(count(lit(1)).as("c12"))
+      .persist() // model: consumed by the unigram marginal and the scorer
+    val uni = pair.groupBy(col("c1")).agg(sum(col("c12")).as("c1n"))
+    val model = pair.join(uni, Seq("c1"))
+    bigrams
+      .join(broadcast(model), Seq("c1", "c2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(-log2(col("c12") / col("c1n"))).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(lit(1e6) * col("s") / col("n_bigrams")).cast("long")
+          .as("xent_ubits"))
+  }
+
   /** Collocation mining: the corpus's most-associated adjacent token pairs,
     * ranked by lift = N·c(ab) / (c(a·)·c(·b)) over the bigram contingency
     * table. Lift is a strictly monotone transform of PMI (PMI = log lift),

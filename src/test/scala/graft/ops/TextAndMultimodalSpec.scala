@@ -334,4 +334,21 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(out(3L) === (8L, 2000000L))
     assert(!out.contains(4L))
   }
+
+  test("char LM score: perfectly predictable docs score 0, OOD mixing scores higher") {
+    // disjoint deterministic alphabets: every bigram has p=1 → 0 bits/char
+    val clean = Seq((1L, "abababababab"), (2L, "zqzqzqzqzqzq"))
+      .toDF("doc_id", "text")
+    val c = TextOps.charLmScore(clean).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("xent_ubits")).toMap
+    assert(c(1L) === 0L)
+    assert(c(2L) === 0L)
+    // add a doc that crosses the alphabets: its transitions are corpus-rare
+    // → it must score strictly above the in-distribution doc
+    val mixed = Seq((1L, "abababababab"), (3L, "azbqazbqazbq"))
+      .toDF("doc_id", "text")
+    val m = TextOps.charLmScore(mixed).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("xent_ubits")).toMap
+    assert(m(3L) > m(1L))
+  }
 }
