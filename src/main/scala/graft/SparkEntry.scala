@@ -184,6 +184,48 @@ object SparkEntry {
        |         SELECT w.doc_id, e.b FROM walk w JOIN edges e ON e.a = w.reach)
        |SELECT doc_id, min(reach) AS group_id FROM walk GROUP BY doc_id""".stripMargin
 
+  /** MMR oracle: greedy diversified selection unrolled as one CTE pair per
+    * round (pick, then accumulate) — kept textually parallel to
+    * [[graft.ops.Vectors.mmrRerank]]'s loop.
+    */
+  // lazy: refers to oracleEmbCte, which is declared further down the object
+  private lazy val oracleMmr: String = {
+    val (k, shortlist, lam) = (5, 20, 0.5)
+    val base =
+      s"""WITH $oracleEmbCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+         |sc AS (SELECT query_id, e.vec_id AS neighbor_id, ${oracleCos("q.qv", "e.v")} AS sim, e.v AS ev
+         |       FROM q, e WHERE e.vec_id <> q.query_id),
+         |short AS (SELECT query_id, neighbor_id, sim, ev FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rn FROM sc) WHERE rn <= $shortlist),
+         |pairs AS (SELECT x.query_id, x.neighbor_id AS a, y.neighbor_id AS b,
+         |                 ${oracleCos("x.ev", "y.ev")} AS sim_ab
+         |          FROM short x JOIN short y ON x.query_id = y.query_id
+         |           AND x.neighbor_id <> y.neighbor_id),
+         |selu1 AS (SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS mmr_rank FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rn FROM short) WHERE rn = 1)""".stripMargin
+    val rounds = (2 to k).map { i =>
+      s"""sel$i AS (SELECT query_id, neighbor_id, CAST($i AS BIGINT) AS mmr_rank FROM (
+         |    SELECT s.query_id, s.neighbor_id,
+         |           row_number() OVER (PARTITION BY s.query_id
+         |             ORDER BY ($lam * s.sim - ${1.0 - lam} * p.pen) DESC, s.neighbor_id ASC) AS rn
+         |    FROM short s
+         |    JOIN (SELECT pr.query_id, pr.a, max(pr.sim_ab) AS pen
+         |          FROM pairs pr JOIN selu${i - 1} t
+         |            ON t.query_id = pr.query_id AND t.neighbor_id = pr.b
+         |          GROUP BY 1, 2) p
+         |      ON p.query_id = s.query_id AND p.a = s.neighbor_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM selu${i - 1} t2
+         |      WHERE t2.query_id = s.query_id AND t2.neighbor_id = s.neighbor_id)
+         |  ) WHERE rn = 1),
+         |selu$i AS (SELECT * FROM selu${i - 1} UNION ALL SELECT * FROM sel$i)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n") +
+      s"\nSELECT query_id, neighbor_id, mmr_rank FROM selu$k"
+  }
+
   /** LSH oracle: the plane literals are generated from the same arithmetic
     * as [[Vectors.lshPlanes]], so both engines bucket identically.
     */
@@ -1177,6 +1219,12 @@ object SparkEntry {
     // ---- similarity search ----
     "s1_ann_bruteforce" -> ((s, dir) =>
       Vectors.bruteForceTopK(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
+    "s13_ann_mmr" -> ((s, dir) =>
+      // diversified retrieval: greedy MMR over the per-query shortlist —
+      // corpus-sized work is one scoring pass; selection is k fixed
+      // argmax rounds over metadata-sized frames
+      Vectors.mmrRerank(Tables.embeddings(s, dir), 0L until 8L, k = 5,
+        shortlist = 20)),
     "s8_ann_quantized" -> ((s, dir) =>
       // 8-bit scalar quantization + integer-dot scoring: the 100 TB
       // memory/bandwidth form (codes are 8x smaller than float64 units)
@@ -2150,6 +2198,7 @@ object SparkEntry {
          |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
          |FROM av x JOIN av y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |WHERE ${oracleCos("x.v", "y.v")} >= 0.4""".stripMargin,
+    "s13_ann_mmr" -> oracleMmr,
     "s1_ann_bruteforce" ->
       s"""WITH $oracleEmbCte,
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),

@@ -274,6 +274,70 @@ object Vectors {
     topKPerGroup(scored, "query_id", k)
   }
 
+  /** MMR (maximal-marginal-relevance) diversified re-rank — the retrieval
+    * step after top-k: greedily pick `k` results that balance similarity to
+    * the query against redundancy with what's already picked,
+    * `mmr(d) = λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)`.
+    *
+    * Scale shape: the corpus-sized work is exactly the brute-force scoring
+    * pass (queries broadcast, corpus streams); everything after operates on
+    * the per-query SHORTLIST (top-`shortlist` candidates + their O(n²)
+    * pairwise sims — hundreds of rows per query, metadata-sized). The
+    * greedy selection unrolls as `k` deterministic argmax steps (window
+    * row_number with id tie-break), the same fixed-round discipline as
+    * [[graft.operators.Graph.pageRank]], so the whole operator is
+    * oracle-attestable; a real deployment would swap the brute-force
+    * front-end for any of the IVF/PQ shortlists (s2–s12) unchanged.
+    */
+  def mmrRerank(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 5,
+      shortlist: Int = 20, lambda: Double = 0.5): DataFrame = {
+    val unit = withUnit(embeddings).select(col("vec_id"), col("unit")).persist()
+    val queries = unit
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("unit").as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val short = F.broadcast(queries)
+      .join(unit.select(col("vec_id").as("neighbor_id"), col("unit").as("e")),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("q"), col("e")).as("sim"), col("e"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= shortlist)
+      .persist()
+    val cand = short.select(col("query_id"), col("neighbor_id"), col("sim"))
+    val pairs = short.select(col("query_id"), col("neighbor_id").as("a"), col("e").as("ea"))
+      .join(short.select(col("query_id"), col("neighbor_id").as("b"), col("e").as("eb")),
+        Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"), dot(col("ea"), col("eb")).as("sim_ab"))
+      .persist()
+    // step 1: plain argmax of sim; steps 2..k: argmax of the MMR score
+    var selected = cand
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("mmr_rank"))
+    for (i <- 2 to k) {
+      val rem = cand.join(selected.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val pen = pairs
+        .join(selected.select(col("query_id"), col("neighbor_id").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a"))
+        .agg(max(col("sim_ab")).as("pen"))
+      val wi = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("mmr").desc, col("neighbor_id").asc)
+      val next = rem
+        .join(pen, rem("query_id") === pen("query_id") && rem("neighbor_id") === pen("a"))
+        .select(rem("query_id"), col("neighbor_id"),
+          (lit(lambda) * col("sim") - lit(1.0 - lambda) * col("pen")).as("mmr"))
+        .withColumn("rn", row_number().over(wi)).filter(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), lit(i.toLong).as("mmr_rank"))
+      selected = selected.union(next)
+    }
+    selected
+  }
+
   /** Per-subspace k-means codebooks for PQ — the production-quality path
     * (the [[trainedCentroids]] analog for s9): squared-L2 Lloyd over each
     * subspace's sample sub-vectors, driver-side on the same deterministic

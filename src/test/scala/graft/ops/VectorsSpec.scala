@@ -311,4 +311,30 @@ class VectorsSpec extends SparkSpec {
       assert(got(id) === refCode(unit(id)), s"vec $id")
     }
   }
+
+  test("MMR re-rank: near-duplicate of the top hit is demoted below a diverse result") {
+    import org.apache.spark.sql.functions._
+    // query 0 ≈ (1,0); 10 and 11 are near-identical top hits; 12 is a
+    // slightly-less-similar but DIVERSE direction; 13 is orthogonal filler
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (10L, Array(0.99f, 0.14f, 0.0f)),
+      (11L, Array(0.99f, 0.141f, 0.0f)), // twin of 10
+      (12L, Array(0.9f, -0.43f, 0.0f)),
+      (13L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val mmr = Vectors.mmrRerank(emb, Seq(0L), k = 3, shortlist = 4)
+      .orderBy(col("mmr_rank"))
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("mmr_rank")))
+    // rank 1 is the plain argmax (one of the twins); rank 2 must NOT be its
+    // twin — the diversity penalty pushes the diverse 12 (or 13) ahead
+    assert(Set(10L, 11L).contains(mmr(0)._1))
+    assert(!Set(10L, 11L).contains(mmr(1)._1))
+    // the full plain top-3 WOULD have taken both twins
+    val plain = Vectors.bruteForceTopK(emb, Seq(0L), k = 3)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(Set(10L, 11L).subsetOf(plain))
+    assert(mmr.map(_._2).toSeq === Seq(1L, 2L, 3L))
+    assert(mmr.map(_._1).distinct.length === 3)
+  }
 }
