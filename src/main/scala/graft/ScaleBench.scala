@@ -83,7 +83,21 @@ object ScaleBench {
         Vectors.pqTopK(e, 0L until 8L, k = 10), false),
       ("x11_pack_sequences", (d: DataFrame) =>
         // the three-level prefix scan — must stay flat as groups multiply
-        graft.ops.TextOps.packSequences(d, budget = 2048L, groupSize = 8L), true)
+        graft.ops.TextOps.packSequences(d, budget = 2048L, groupSize = 8L), true),
+      ("x29_collocations", (d: DataFrame) =>
+        // vocab²-sized marginals must stay metadata-sized as docs multiply
+        graft.ops.TextOps.collocations(d), true),
+      ("x30_char_entropy", (d: DataFrame) =>
+        graft.ops.TextOps.charEntropy(d), true),
+      ("x31_char_lm_score", (d: DataFrame) =>
+        // model stays vocab²-sized; scoring is one broadcast-join pass
+        graft.ops.TextOps.charLmScore(d), true),
+      ("m4_dup_frames", (d: DataFrame) =>
+        graft.ops.Multimodal.duplicateFrames(d, frameChars = 100), true),
+      ("s13_ann_mmr", (e: DataFrame) =>
+        // corpus-sized work is one scoring pass; greedy rounds are
+        // shortlist-sized and must not grow with N
+        Vectors.mmrRerank(e, 0L until 8L, k = 5, shortlist = 20), false)
     )
 
     def time(fn: () => DataFrame): (Double, Long) = {

@@ -906,6 +906,17 @@ object SparkEntry {
       // duplicate frames shared across distinct documents (digest-keyed,
       // payload never shuffled) — the multimodal twin of d8 exact dedup
       graft.ops.Multimodal.duplicateFrames(Tables.documents(s, dir), frameChars = 100)),
+    "b19_window_funnel" -> ((s, dir) =>
+      // windowFunnel parity (the reference engine's flagship product-
+      // analytics function): view→click→purchase within 7 days of the
+      // first view, strictly ordered; staged per-user-frame aggregation,
+      // never a per-user event collection
+      graft.operators.Windows.funnel(Tables.events(s, dir),
+        Seq("view", "click", "purchase"), windowSec = 604800L)),
+    "b20_cohort_retention" -> ((s, dir) =>
+      // cohort × week-offset retention matrix: two event-log aggregations
+      // joined on the user-sized frame
+      graft.operators.Windows.cohortRetention(Tables.events(s, dir))),
     "t35_correlated_scalar" -> ((s, dir) => {
       // correlated scalar subquery — Catalyst decorrelates it into an
       // aggregate + left outer join (no per-row re-execution; the t21
@@ -1789,6 +1800,37 @@ object SparkEntry {
         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |       min(doc_id) AS first_doc
         |FROM f GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+    "b19_window_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+        |            FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(s1.t1) AS t1, min(CAST(e.ts AS TIMESTAMP)) AS t2
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+        |         AND CAST(e.ts AS TIMESTAMP) <= s1.t1 + INTERVAL 604800 SECOND
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(s2.t1) AS t1, min(CAST(e.ts AS TIMESTAMP)) AS t3
+        |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+        |         AND CAST(e.ts AS TIMESTAMP) <= s2.t1 + INTERVAL 604800 SECOND
+        |       GROUP BY 1),
+        |lv AS (SELECT user_id, 1 AS level FROM s1
+        |       UNION ALL SELECT user_id, 2 FROM s2
+        |       UNION ALL SELECT user_id, 3 FROM s3)
+        |SELECT CAST(level AS BIGINT) AS level, CAST(count(*) AS BIGINT) AS n_users
+        |FROM (SELECT user_id, max(level) AS level FROM lv GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
+    "b20_cohort_retention" ->
+      """WITH fs AS (SELECT user_id,
+        |              min(date_trunc('week', CAST(ts AS TIMESTAMP))) AS cohort_week
+        |            FROM events GROUP BY 1),
+        |aw AS (SELECT DISTINCT user_id,
+        |              date_trunc('week', CAST(ts AS TIMESTAMP)) AS active_week
+        |       FROM events)
+        |SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+        |       CAST(datediff('day', cohort_week, active_week) // 7 AS BIGINT) AS week_offset,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM aw JOIN fs USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "t35_correlated_scalar" ->
       """SELECT n_nationkey, n_name,
         |       coalesce((SELECT CAST(round(max(c_acctbal) * 100) AS BIGINT)

@@ -143,4 +143,67 @@ object Windows {
         when(assert_true(col("rel_err") <= lit(tolSigma * rsd),
           concat(lit(s"HLL estimate off by more than ${tolSigma}·rsd: rel_err="),
             col("rel_err"))).isNull, lit(true)))
+
+  /** ClickHouse-`windowFunnel` analog: how far does each user progress
+    * through an ordered step sequence, with every step inside `windowSec`
+    * of the FIRST step's first occurrence and timestamps strictly
+    * increasing. Output: (level, n_users) for levels 1..steps.length.
+    *
+    * Execution shape: one staged aggregation per step — filter the step's
+    * events, join the previous stage's per-user anchor (user-count-sized,
+    * not event-count-sized), take `min(ts)` past the anchor. No per-user
+    * event collection, no window sort: each stage is a filter + hash join
+    * + partial-agg'd min, so a 100 TB event log streams through k times
+    * (or once, if the k filters are fused into one pass by a caller that
+    * pre-splits by type). The per-user frame is the only thing carried
+    * between stages.
+    */
+  def funnel(events: DataFrame, steps: Seq[String], windowSec: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty)
+    // stage 1: anchor = first occurrence of the first step
+    var stage = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("t1"))
+      .withColumn("t_prev", col("t1"))
+    var levels = stage.select(col(userCol), lit(1L).as("level"))
+    for (i <- 1 until steps.length) {
+      stage = events.filter(col(typeCol) === steps(i))
+        .join(stage.select(col(userCol), col("t1"), col("t_prev")), Seq(userCol))
+        .filter(col(tsCol) > col("t_prev") &&
+          col(tsCol) <= col("t1") + expr(s"INTERVAL $windowSec SECONDS"))
+        .groupBy(col(userCol))
+        .agg(min(col("t1")).as("t1"), min(col(tsCol)).as("t_prev"))
+      levels = levels.union(stage.select(col(userCol), lit((i + 1).toLong).as("level")))
+    }
+    // a user reaching level k appears in levels 1..k → max per user, then
+    // count users per level reached
+    levels.groupBy(col(userCol)).agg(max(col("level")).as("level"))
+      .groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Cohort retention: users grouped by first-activity week (their cohort),
+    * counted as retained in week offsets 0..k if they have any event that
+    * week. Two aggregations over the event log (first-seen, then
+    * user-week activity) joined on the user-sized frame — the standard
+    * growth-analytics matrix, shuffle-bounded by distinct (user, week).
+    */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val week = (d: org.apache.spark.sql.Column) => date_trunc("week", d)
+    val firstSeen = events.groupBy(col(userCol))
+      .agg(min(week(col(tsCol))).as("cohort_week"))
+    val active = events
+      .select(col(userCol), week(col(tsCol)).as("active_week"))
+      .distinct()
+    active.join(firstSeen, Seq(userCol))
+      // integral div: weeks are both Monday-truncated so the day gap is an
+      // exact multiple of 7; float division would be exact here but `div`
+      // states the intent
+      .withColumn("week_offset",
+        expr("datediff(active_week, cohort_week) div 7").cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

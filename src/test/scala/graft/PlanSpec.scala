@@ -385,6 +385,44 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("t30 bloom probe is a codegen'd filter feeding a broadcast semi join") {
+    val q = SparkEntry.queries("t30_bloom_semi")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the bitmap probe (xxhash64 against the literal word array) must sit
+    // in a Filter inside a WSCG span, not in any join operator
+    val probeLines = plan.linesIterator.filter(l =>
+      l.contains("Filter") && l.contains("xxhash64")).toSeq
+    assert(probeLines.nonEmpty, s"bloom probe filter missing:\n$plan")
+    probeLines.foreach(l => assert(l.contains("*("), s"probe not codegen'd: $l"))
+    // exact confirm joins the (distinct, small) key set by broadcast
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("x29/x31 model joins broadcast; the corpus side never sort-shuffles") {
+    for (name <- Seq("x29_collocations", "x31_char_lm_score")) {
+      val q = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(plan.contains("BroadcastHashJoin"), s"$name:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$name:\n$plan")
+    }
+  }
+
+  test("t32 pagerank reuses the persisted adjacency across rounds") {
+    val q = SparkEntry.queries("t32_pagerank")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // every round's join reads the one cached adjacency (InMemoryTableScan
+    // per round); the lineitem source is scanned only inside the cached
+    // relation's own build plan, never per round at the top level
+    assert(plan.contains("InMemoryTableScan"), plan)
+    val topLevelScans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && !l.contains("InMemoryRelation")).size
+    assert(topLevelScans <= 1, s"adjacency recomputed from source:\n$plan")
+  }
+
   test("per-window top-1 uses a single shuffle pair (agg form, no window sort)") {
     val events = Seq(
       (Timestamp.valueOf("2024-01-01 00:01:00"), "g1", "1", "10", 1L)

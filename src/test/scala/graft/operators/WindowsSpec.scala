@@ -78,4 +78,46 @@ class WindowsSpec extends SparkSpec {
       case t => t.getMessage != null && t.getMessage.contains("HLL")
     }, ex.toString)
   }
+
+  test("funnel: levels respect order and window; out-of-order/late steps don't count") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: full funnel inside the window → level 3
+      (t("2024-01-01 10:00:00"), 1L, "view"),
+      (t("2024-01-01 11:00:00"), 1L, "click"),
+      (t("2024-01-01 12:00:00"), 1L, "purchase"),
+      // u2: purchase BEFORE click (order violation) → level 2
+      (t("2024-01-01 10:00:00"), 2L, "view"),
+      (t("2024-01-01 12:00:00"), 2L, "click"),
+      (t("2024-01-01 11:00:00"), 2L, "purchase"),
+      // u3: click outside the 2h window (anchored at its view) → level 1
+      (t("2024-01-01 10:00:00"), 3L, "view"),
+      (t("2024-01-01 13:00:00"), 3L, "click"),
+      // u4: never viewed → no level at all
+      (t("2024-01-01 10:00:00"), 4L, "click"),
+      (t("2024-01-01 10:30:00"), 4L, "purchase")
+    ).toDF("ts", "user_id", "event_type")
+    val out = Windows.funnel(ev, Seq("view", "click", "purchase"), windowSec = 7200L)
+      .collect().map(r => r.getAs[Long]("level") -> r.getAs[Long]("n_users")).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // u3, u2, u1
+  }
+
+  test("cohort retention: week-0 count equals cohort size; later offsets only actives") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (t("2024-01-01 10:00:00"), 1L, "view"), // Mon wk0 cohort
+      (t("2024-01-08 10:00:00"), 1L, "view"), // active wk1
+      (t("2024-01-22 10:00:00"), 1L, "view"), // active wk3 (skips wk2)
+      (t("2024-01-02 10:00:00"), 2L, "view"), // wk0 cohort, never returns
+      (t("2024-01-10 10:00:00"), 3L, "view")  // wk1 cohort
+    ).toDF("ts", "user_id", "event_type")
+    val out = Windows.cohortRetention(ev).collect()
+      .map(r => (r.getAs[Timestamp]("cohort_week").toString.take(10),
+        r.getAs[Long]("week_offset")) -> r.getAs[Long]("n_users")).toMap
+    assert(out(("2024-01-01", 0L)) === 2L) // u1 + u2
+    assert(out(("2024-01-01", 1L)) === 1L) // u1
+    assert(out(("2024-01-01", 3L)) === 1L) // u1
+    assert(!out.contains(("2024-01-01", 2L)))
+    assert(out(("2024-01-08", 0L)) === 1L) // u3
+  }
 }
