@@ -33,11 +33,13 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iterations: Int = 5,
       damping: Double = 0.85): DataFrame = {
-    val e = edges
+    val raw = edges
       .select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // one distinct over the symmetrized stream (instead of distinct-then-
+    // distinct): a single wide shuffle canonicalizes duplicates in either
+    // orientation
+    val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
     // (src, dst, deg): the loop-invariant adjacency, persisted once
     val adj = sym

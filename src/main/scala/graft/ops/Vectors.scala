@@ -333,7 +333,11 @@ object Vectors {
           (lit(lambda) * col("sim") - lit(1.0 - lambda) * col("pen")).as("mmr"))
         .withColumn("rn", row_number().over(wi)).filter(col("rn") === 1)
         .select(col("query_id"), col("neighbor_id"), lit(i.toLong).as("mmr_rank"))
-      selected = selected.union(next)
+      // truncate lineage each round: `selected` feeds BOTH the next round's
+      // anti-join/penalty AND the final union — without an eager checkpoint
+      // round i re-executes rounds 1..i-1 (O(k²) stages). The frame is
+      // (queries × i) rows — metadata — so the checkpoint is free
+      selected = selected.union(next).localCheckpoint()
     }
     selected
   }

@@ -351,4 +351,42 @@ object EngineProperties extends Properties("graft") {
       }
     }
   }
+
+  property("bloom semiJoin ≡ plain left-semi for any key sets and bitmap size") = {
+    val genCase = for {
+      big <- Gen.listOfN(60, Gen.chooseNum(-500L, 500L))
+      small <- Gen.listOfN(20, Gen.chooseNum(-500L, 500L))
+      bits <- Gen.oneOf(64, 256, 1 << 12) // tiny bitmaps force false positives
+    } yield (big, small, bits)
+    Prop.forAll(genCase) { case (big, small, bits) =>
+      val b = big.map(k => (k, s"p$k")).toDF("k", "payload")
+      val s = small.map(Tuple1(_)).toDF("sk")
+      val viaBloom = graft.operators.BloomFilter
+        .semiJoin(b, s, "k", "sk", numBits = bits)
+        .select("k").as[Long].collect().sorted.toSeq
+      val plain = b.join(s.distinct(), col("k") === col("sk"), "left_semi")
+        .select("k").as[Long].collect().sorted.toSeq
+      viaBloom == plain
+    }
+  }
+
+  property("pageRank: mass ≈ 1, all nodes present, partitioning-invariant") = {
+    val genEdges = Gen.chooseNum(2, 15).flatMap(n => Gen.listOfN(n, for {
+      a <- Gen.chooseNum(0L, 9L); b <- Gen.chooseNum(0L, 9L)
+    } yield (a, b)))
+    Prop.forAll(genEdges) { edges0 =>
+      val edges = edges0.filter { case (a, b) => a != b }
+      edges.isEmpty || {
+        val df = edges.toDF("src", "dst")
+        val r = graft.operators.Graph.pageRank(df, iterations = 3).collect()
+          .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+        val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.toSet
+        val r2 = graft.operators.Graph.pageRank(df.repartition(7), iterations = 3)
+          .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+        r.keySet == nodes &&
+          math.abs(r.values.sum - 1.0) < 1e-9 &&
+          nodes.forall(n => math.abs(r(n) - r2(n)) < 1e-12)
+      }
+    }
+  }
 }
