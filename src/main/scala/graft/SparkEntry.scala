@@ -906,6 +906,19 @@ object SparkEntry {
       // duplicate frames shared across distinct documents (digest-keyed,
       // payload never shuffled) — the multimodal twin of d8 exact dedup
       graft.ops.Multimodal.duplicateFrames(Tables.documents(s, dir), frameChars = 100)),
+    "t37_approx_pct_checked" -> ((s, dir) =>
+      // the b13 discipline for quantile sketches: percentile_approx runs
+      // next to the exact histogram percentiles and RAISES outside the
+      // exact ±0.001 quantile window; only deterministic columns return
+      graft.operators.Percentiles.discreteChecked(
+        Tables.events(s, dir)
+          .select(col("event_type"), round(col("value") * 100).cast("long").as("v_c")),
+        "event_type", col("v_c"), Seq(0.5, 0.95), "pct_cents")),
+    "x32_heavy_hitters_checked" -> ((s, dir) =>
+      // freqItems sketch next to exact counts: raises if the sketch drops
+      // a true heavy hitter (its no-false-negative guarantee); emits the
+      // deterministic exact heavy hitters, never the sketch contents
+      TextOps.heavyHittersChecked(Tables.documents(s, dir), support = 0.001)),
     "b19_window_funnel" -> ((s, dir) =>
       // windowFunnel parity (the reference engine's flagship product-
       // analytics function): view→click→purchase within 7 days of the
@@ -1800,6 +1813,26 @@ object SparkEntry {
         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |       min(doc_id) AS first_doc
         |FROM f GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+    "t37_approx_pct_checked" ->
+      """WITH v AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |h AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+        |cum AS (SELECT event_type, v,
+        |               CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |        FROM h)
+        |SELECT cum.event_type, p, min(v) AS pct_cents, CAST(min(n) AS BIGINT) AS n_rows,
+        |       TRUE AS sketch_ok
+        |FROM cum
+        |JOIN t ON t.event_type = cum.event_type
+        |JOIN (VALUES (0.5), (0.95)) ps(p) ON cum >= ceil(p * n)
+        |GROUP BY 1, 2""".stripMargin,
+    "x32_heavy_hitters_checked" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT term, n, TRUE AS sketch_ok
+        |FROM c, t WHERE n > 0.001 * total""".stripMargin,
     "b19_window_funnel" ->
       """WITH s1 AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
         |            FROM events WHERE event_type = 'view' GROUP BY 1),

@@ -35,4 +35,40 @@ object Percentiles {
       .groupBy(col(groupCol), col("p"))
       .agg(min(col("v")).as(pctCol), min(col("n")).as("n_rows"))
   }
+
+  /** Self-checked approximate percentiles (the b13 discipline for quantile
+    * sketches): run `percentile_approx` (KLL-style mergeable sketch — the
+    * one-pass form a 100 TB scan actually affords) NEXT TO the exact
+    * histogram percentiles, and RAISE unless each sketch value lands inside
+    * the exact [p−δ, p+δ] quantile window (the sketch's rank-error
+    * guarantee is n/accuracy ≪ δ·n). Only cross-engine-deterministic
+    * columns are returned — the exact percentile and the `sketch_ok` flag
+    * whose computation forces the assert — so the oracle hash-verifies the
+    * rows while the assert bounds the engine-specific estimate.
+    */
+  def discreteChecked(df: DataFrame, groupCol: String, value: Column,
+      ps: Seq[Double], pctCol: String, accuracy: Int = 10000,
+      delta: Double = 0.001): DataFrame = {
+    val allPs = ps.flatMap(p => Seq(p - delta, p, p + delta))
+      .filter(p => p > 0 && p <= 1).distinct
+    val exact = discrete(df, groupCol, value, allPs, pctCol).persist()
+    val approx = df.groupBy(col(groupCol))
+      .agg(percentile_approx(value, typedlit(ps), lit(accuracy)).as("apx"))
+    ps.zipWithIndex.map { case (p, i) =>
+      val e = exact.filter(col("p") === p)
+        .select(col(groupCol), col(pctCol), col("n_rows"))
+      val lo = exact.filter(col("p") === (p - delta))
+        .select(col(groupCol), col(pctCol).as("lo"))
+      val hi = exact.filter(col("p") === (p + delta))
+        .select(col(groupCol), col(pctCol).as("hi"))
+      e.join(lo, groupCol).join(hi, groupCol)
+        .join(approx.select(col(groupCol),
+          element_at(col("apx"), i + 1).as("a")), groupCol)
+        .select(col(groupCol), lit(p).as("p"), col(pctCol), col("n_rows"),
+          when(assert_true(col("a") >= col("lo") && col("a") <= col("hi"),
+            concat(lit(s"percentile_approx outside exact ±$delta window at p=$p: "),
+              col("a"), lit(" not in ["), col("lo"), lit(", "), col("hi"), lit("]")))
+            .isNull, lit(true)).as("sketch_ok"))
+    }.reduce(_ union _)
+  }
 }

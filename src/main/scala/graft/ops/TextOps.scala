@@ -635,6 +635,31 @@ object TextOps {
       )
   }
 
+  /** Self-checked frequent-items sketch (the b13 discipline for heavy-hitter
+    * sketches): `df.stat.freqItems` (Karp–Shenker–Papadimitriou one-pass
+    * counting — what a 100 TB scan affords when the exact vocabulary agg
+    * is too wide) carries a NO-FALSE-NEGATIVES guarantee: every item with
+    * frequency > support·N is in the sketch. This operator runs the sketch
+    * next to the exact counts and RAISES if any true heavy hitter is
+    * missing; returned rows are the exact heavy hitters (deterministic —
+    * the partition-order-dependent sketch contents are never emitted) plus
+    * the `sketch_ok` flag that forces the assert.
+    */
+  def heavyHittersChecked(docs: DataFrame, support: Double = 0.001): DataFrame = {
+    val toks = docs.select(explode(tokens(col("text"))).as("term"))
+    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("n")).persist()
+    val total = counts.agg(sum(col("n"))).head.getLong(0)
+    // sketch pass: ≤ 1/support candidate items, collected as one array row
+    val sketch = toks.stat.freqItems(Seq("term"), support)
+      .head.getSeq[String](0).toSet
+    counts
+      .filter(col("n") > lit(support) * lit(total))
+      .select(col("term"), col("n"),
+        when(assert_true(col("term").isInCollection(sketch),
+          concat(lit("true heavy hitter missing from freqItems sketch: "),
+            col("term"))).isNull, lit(true)).as("sketch_ok"))
+  }
+
   /** Character-level Shannon entropy per document — the compression-style
     * quality signal (near-zero entropy = degenerate repetition, unusually
     * high = binary junk / mojibake) that length and stopword ratios miss.

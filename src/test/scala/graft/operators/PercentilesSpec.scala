@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PercentilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val data = (1L to 1000L).map(v => ("a", v)).toDF("g", "v")
+
+  test("discrete percentiles: smallest value reaching the target rank") {
+    val out = Percentiles.discrete(data, "g", $"v", Seq(0.5, 0.9), "pct")
+      .collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+    assert(out(0.5) === 500L)
+    assert(out(0.9) === 900L)
+  }
+
+  test("checked variant passes with honest accuracy and reports exact values") {
+    val out = Percentiles.discreteChecked(data, "g", $"v", Seq(0.5, 0.95), "pct")
+      .collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("sketch_ok"))
+      val p = r.getAs[Double]("p")
+      assert(r.getAs[Long]("pct") === math.ceil(p * 1000).toLong)
+    }
+  }
+
+  test("checked variant raises when the sketch cannot meet the window") {
+    // adversarial shape for a low-accuracy sketch: the true median (rank
+    // 5001) is the FIRST value after a 5000-deep duplicate run, so a rank
+    // error of ±n/accuracy lands almost anywhere in [1, 1001] value-space
+    // while the near-zero window demands exactly 2..3 — the assert fires
+    val skewed = (Seq.fill(5000)(1L) ++ (2L to 5002L)).map(v => ("a", v))
+      .toDF("g", "v")
+    val ex = intercept[Throwable] {
+      Percentiles.discreteChecked(skewed, "g", $"v", Seq(0.5), "pct",
+        accuracy = 10, delta = 1e-9).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("percentile_approx outside")),
+      ex.toString)
+  }
+}

@@ -351,4 +351,16 @@ class TextAndMultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getAs[Long]("xent_ubits")).toMap
     assert(m(3L) > m(1L))
   }
+
+  test("heavy hitters checked: exact items above support, sketch attested") {
+    // 100 docs: "common" in all (freq 100/400), "half" in 50, rest unique
+    val docs = (1L to 100L)
+      .map(i => (i, s"common ${if (i <= 50) "half" else s"rare$i"} u$i w$i"))
+      .toDF("doc_id", "text")
+    val out = TextOps.heavyHittersChecked(docs, support = 0.1).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Boolean]("sketch_ok")))
+    // total tokens = 400; threshold 40: only "common" (100) and "half" (50)
+    assert(out.map(t => t._1 -> t._2).toMap === Map("common" -> 100L, "half" -> 50L))
+    assert(out.forall(_._3))
+  }
 }
