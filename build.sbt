@@ -29,5 +29,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // java.sql.Timestamp string parsing reads the JVM zone — pin it so
   // wall-clock fixtures mean UTC everywhere
   "-Duser.timezone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~200 suites share one forked JVM; 8g left the old gen within one full
+  // GC of the block-manager + status-store working set under parallel
+  // suites — 12g restores headroom (the env var still overrides)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )

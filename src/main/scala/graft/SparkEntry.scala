@@ -914,6 +914,13 @@ object SparkEntry {
         Tables.events(s, dir)
           .select(col("event_type"), round(col("value") * 100).cast("long").as("v_c")),
         "event_type", col("v_c"), Seq(0.5, 0.95), "pct_cents")),
+    "x33_bm25_search" -> ((s, dir) =>
+      // lexical retrieval next to the ANN surface: BM25 top-10 per query
+      // over the inverted index; query terms broadcast, scoring touches
+      // only their postings; ppm scores keep ranking cross-engine-exact
+      TextOps.bm25Search(Tables.documents(s, dir), Seq(
+        (0L, "hash join batch"), (1L, "vector scan filter"),
+        (2L, "window agg order")), k = 10)),
     "x32_heavy_hitters_checked" -> ((s, dir) =>
       // freqItems sketch next to exact counts: raises if the sketch drops
       // a true heavy hitter (its no-false-negative guarantee); emits the
@@ -1827,6 +1834,29 @@ object SparkEntry {
         |JOIN t ON t.event_type = cum.event_type
         |JOIN (VALUES (0.5), (0.95)) ps(p) ON cum >= ceil(p * n)
         |GROUP BY 1, 2""".stripMargin,
+    "x33_bm25_search" ->
+      """WITH q(query_id, term) AS (VALUES
+        |  (0, 'hash'), (0, 'join'), (0, 'batch'),
+        |  (1, 'vector'), (1, 'scan'), (1, 'filter'),
+        |  (2, 'window'), (2, 'agg'), (2, 'order')),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |l AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM p GROUP BY 1),
+        |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(len) AS avglen FROM l)
+        |SELECT query_id, doc_id, score_ppm, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT query_id, doc_id, score_ppm,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY score_ppm DESC, doc_id ASC) AS rank
+        |  FROM (
+        |    SELECT CAST(q.query_id AS BIGINT) AS query_id, p.doc_id,
+        |           CAST(round(1e6 * sum(ln((st.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+        |             (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * l.len / st.avglen))))
+        |             AS BIGINT) AS score_ppm
+        |    FROM p JOIN q ON p.term = q.term JOIN d ON d.term = p.term
+        |      JOIN l ON l.doc_id = p.doc_id CROSS JOIN st
+        |    GROUP BY 1, 2))
+        |WHERE rank <= 10""".stripMargin,
     "x32_heavy_hitters_checked" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
         |c AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),

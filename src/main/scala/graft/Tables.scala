@@ -79,5 +79,14 @@ object Tables {
         sys.props.getOrElse("graft.warehouse",
           s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"))
       .config("spark.ui.enabled", "false")
+      // long-lived sessions (the test JVM runs ~200 suites through one
+      // session; a production driver runs for days): without retention
+      // caps the SQL status store accumulates plan metrics for every
+      // execution ever run — observed as ~1M SQLPlanMetric instances and
+      // an old-gen full of them after a few thousand queries
+      .config("spark.sql.ui.retainedExecutions", "50")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
 }

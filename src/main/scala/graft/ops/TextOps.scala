@@ -635,6 +635,59 @@ object TextOps {
       )
   }
 
+  /** BM25 full-text relevance search — the retrieval counterpart of the ANN
+    * surface for the lexical side: score documents against a small query
+    * batch over the corpus inverted index (term → (doc, tf) postings) and
+    * return the top-k per query.
+    *
+    *   idf(t)  = ln((N − df + 0.5) / (df + 0.5) + 1)      (Robertson/Lucene)
+    *   s(q, d) = Σ_t idf · tf·(k1+1) / (tf + k1·(1 − b + b·len/avglen))
+    *
+    * Scale shape: postings and doc lengths are one explode + two map-side-
+    * combined aggregations (the x7 machinery); the QUERY term table is
+    * tiny and broadcast, so scoring touches only postings of query terms —
+    * the posting-list intersection a search engine does, as a broadcast
+    * semi-join; top-k is a per-query window over the matched docs only.
+    * Scores are emitted as ppm longs (micro-relevance): the only
+    * cross-engine float risk is ~1 ulp of `ln`, 9 orders below the
+    * quantum, so ranking ties break identically everywhere.
+    */
+  def bm25Search(docs: DataFrame, queries: Seq[(Long, String)], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val postings = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist() // feeds lengths, df, and the scoring join
+    val lens = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+    val dfs = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avglen"))
+    val qterms = queries
+      .flatMap { case (qid, text) => text.split(" ").distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val scored = postings
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfs.join(broadcast(qterms.select(col("term")).distinct()),
+        Seq("term"))), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        (log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avglen"))))
+          .as("s"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(lit(1e6) * sum(col("s"))).cast("long").as("score_ppm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Self-checked frequent-items sketch (the b13 discipline for heavy-hitter
     * sketches): `df.stat.freqItems` (Karp–Shenker–Papadimitriou one-pass
     * counting — what a 100 TB scan affords when the exact vocabulary agg

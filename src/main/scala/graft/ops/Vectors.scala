@@ -339,6 +339,9 @@ object Vectors {
       // (queries × i) rows — metadata — so the checkpoint is free
       selected = selected.union(next).localCheckpoint()
     }
+    // the output is fully materialized by the final checkpoint — release
+    // the corpus-sized caches instead of leaving them to the caller
+    unit.unpersist(); short.unpersist(); pairs.unpersist()
     selected
   }
 

@@ -339,6 +339,9 @@ object EngineProperties extends Properties("graft") {
         perm.sliding(2).map { case List(a, b) => (math.min(a, b), math.max(a, b)) }.toList
       })
     Prop.forAll(genGraph) { edges0 =>
+      // every sample runs multi-round CC with per-round persists; drop the
+      // previous sample's cache so the shared session's old gen stays flat
+      spark.sqlContext.clearCache()
       // scalacheck shrinking bypasses generator filters — re-drop self-loops
       val edges = edges0.filter { case (a, b) => a != b }
       edges.isEmpty || {
@@ -375,6 +378,7 @@ object EngineProperties extends Properties("graft") {
       a <- Gen.chooseNum(0L, 9L); b <- Gen.chooseNum(0L, 9L)
     } yield (a, b)))
     Prop.forAll(genEdges) { edges0 =>
+      spark.sqlContext.clearCache() // pageRank persists its adjacency per call
       val edges = edges0.filter { case (a, b) => a != b }
       edges.isEmpty || {
         val df = edges.toDF("src", "dst")

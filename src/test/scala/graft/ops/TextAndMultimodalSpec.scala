@@ -352,6 +352,39 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(m(3L) > m(1L))
   }
 
+  test("duplicate frames: only cross-document tiles report; within-doc repeats don't") {
+    val docs = Seq(
+      (1L, "AAAABBBB"), // shares tile AAAA with doc 2, BBBB with nobody else
+      (2L, "AAAACCCC"),
+      (3L, "DDDDDDDD"), // repeats its own tile twice — but only 1 distinct doc
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Multimodal.duplicateFrames(docs, frameChars = 4)
+      .collect().map(r => (r.getAs[Long]("n_copies"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("first_doc")))
+    assert(out.toSeq === Seq((2L, 2L, 1L))) // the shared AAAA tile only
+  }
+
+  test("bm25: multi-term match outranks single-term; rare term outweighs common") {
+    val docs = Seq(
+      (1L, "spark shuffle join optimizer"),  // both query terms
+      (2L, "spark scan filter pushdown"),    // common term only
+      (3L, "shuffle exchange partitions"),   // rare term only
+      (4L, "spark spark spark spark"),       // common term, high tf
+      (5L, "totally unrelated words here"),
+      (6L, "spark runtime"), (7L, "spark sql"), (8L, "spark core")
+    ).toDF("doc_id", "text")
+    // "spark" df=6 (common), "shuffle" df=2 (rare)
+    val out = TextOps.bm25Search(docs, Seq((0L, "spark shuffle")), k = 8)
+      .collect().map(r => r.getAs[Long]("rank") -> r.getAs[Long]("doc_id")).toMap
+    assert(out(1L) === 1L) // both terms win
+    // the rare-term-only doc must outrank every common-term-only doc
+    val rankOf = out.map(_.swap)
+    assert(rankOf(3L) < rankOf(2L))
+    assert(rankOf(3L) < rankOf(4L))
+    assert(!rankOf.contains(5L)) // no matching term → not retrieved
+  }
+
   test("heavy hitters checked: exact items above support, sketch attested") {
     // 100 docs: "common" in all (freq 100/400), "half" in 50, rest unique
     val docs = (1L to 100L)
