@@ -742,6 +742,19 @@ object SparkEntry {
         .join(F.broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .cube(col("n_name"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n_customers"))),
+    "t38_grouping_sets" -> ((s, dir) =>
+      // arbitrary grouping-set lattice — the general form t9's ROLLUP and
+      // t15's CUBE are shorthands of: per-(status, priority), per-status,
+      // and grand-total slices in ONE pass (Catalyst Expand: each input
+      // row fans out once per set, then a single hash aggregate — no
+      // re-scan per slice, partial aggs map-side as usual)
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq.empty[org.apache.spark.sql.Column]),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")) * 100).cast("long").as("total_cents"))),
     "t16_above_avg" -> ((s, dir) => {
       // customers above their nation's mean balance — integer-exact form:
       // cents*count > sum(cents) avoids cross-engine double averaging
@@ -1250,6 +1263,14 @@ object SparkEntry {
     // ---- similarity search ----
     "s1_ann_bruteforce" -> ((s, dir) =>
       Vectors.bruteForceTopK(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
+    "s14_knn_graph" -> ((s, dir) =>
+      // every vector's top-3 in-bucket neighbors — N^1.5 pair work via the
+      // √N IVF blocking; the edge list near-dup clustering consumes
+      Vectors.knnGraph(Tables.embeddings(s, dir), k = 3)),
+    "s15_ann_radius" -> ((s, dir) =>
+      // threshold retrieval: everything ≥ τ-similar in the query's IVF
+      // bucket — float-free output, the d6 discipline query-centric
+      Vectors.radiusSearch(Tables.embeddings(s, dir), 0L until 8L, tau = 0.2)),
     "s13_ann_mmr" -> ((s, dir) =>
       // diversified retrieval: greedy MMR over the per-query shortlist —
       // corpus-sized work is one scoring pass; selection is k fixed
@@ -1663,6 +1684,11 @@ object SparkEntry {
       """SELECT n_name, c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY CUBE (n_name, c_mktsegment)""".stripMargin,
+    "t38_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin,
     "t16_above_avg" ->
       """WITH c AS (SELECT c_nationkey,
         |                  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c
@@ -2304,6 +2330,24 @@ object SparkEntry {
          |FROM av x JOIN av y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |WHERE ${oracleCos("x.v", "y.v")} >= 0.4""".stripMargin,
     "s13_ann_mmr" -> oracleMmr,
+    "s15_ann_radius" ->
+      s"""WITH $oracleEmbCte,
+         |$oracleSpacedAssigned,
+         |q AS (SELECT vec_id AS query_id, bucket, v AS qv FROM av WHERE vec_id < 8)
+         |SELECT q.query_id, av.vec_id AS neighbor_id
+         |FROM q JOIN av ON av.bucket = q.bucket AND av.vec_id <> q.query_id
+         |WHERE ${oracleCos("q.qv", "av.v")} >= 0.2""".stripMargin,
+    "s14_knn_graph" ->
+      s"""WITH $oracleEmbCte,
+         |$oracleSpacedAssigned,
+         |scored AS (SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id,
+         |                  ${oracleCos("a.v", "b.v")} AS sim
+         |           FROM av a JOIN av b ON a.bucket = b.bucket
+         |            AND a.vec_id <> b.vec_id)
+         |SELECT src_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT src_id, neighbor_id, row_number() OVER (PARTITION BY src_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
+         |WHERE rank <= 3""".stripMargin,
     "s1_ann_bruteforce" ->
       s"""WITH $oracleEmbCte,
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),

@@ -402,6 +402,53 @@ object Vectors {
     (0 until ks).flatMap(c => (0 until m).flatMap(s => books(s)(c).toSeq))
   }
 
+  /** k-NN graph construction — every vector's top-k neighbors, not a query
+    * batch's: the structure near-dup clustering (feed the edges to
+    * [[graft.ops.Dedup.dedupGroups]]), graph-based ANN indexes, and
+    * embedding-space diagnostics are built from. Brute force is O(N²·d);
+    * this is the d6 discipline applied to ranked neighbors: IVF-bucket the
+    * corpus with ⌈√N⌉ spaced centroids, self-join WITHIN buckets
+    * (Σ m² ≈ N^1.5 pair work), rank per source vector. Neighbors are
+    * in-bucket by construction (the recall trade d6/s2 document); a vector
+    * alone in its bucket reports no edges.
+    */
+  def knnGraph(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    val assigned = ivfAssign(embeddings, spacedCentroidIds(embeddings.count()))
+      .select(col("vec_id"), col("bucket"), col("unit"))
+      .persist() // both sides of the bucket self-join
+    val scored = assigned.select(col("vec_id").as("src_id"),
+        col("bucket"), col("unit").as("a"))
+      .join(assigned.select(col("vec_id").as("neighbor_id"),
+        col("bucket"), col("unit").as("b")), Seq("bucket"))
+      .filter(col("src_id") =!= col("neighbor_id"))
+      .select(col("src_id"), col("neighbor_id"), dot(col("a"), col("b")).as("sim"))
+    topKPerGroup(scored, "src_id", k)
+  }
+
+  /** Radius (threshold) search — the OTHER retrieval mode: not "the k
+    * best" but "every vector at least τ-similar" (duplicate sweeps with a
+    * fixed bar, recall-oriented candidate generation, d6's pair screen
+    * turned query-centric). Same IVF routing as the top-k family: queries
+    * probe only their own ⌈√N⌉-spaced bucket, so a probe scores O(√N)
+    * candidates, not N. Output is float-free (query_id, neighbor_id) —
+    * the τ comparison runs on engine doubles, the emitted columns stay
+    * integer-exact (the d6 discipline).
+    */
+  def radiusSearch(embeddings: DataFrame, queryIds: Seq[Long], tau: Double): DataFrame = {
+    val assigned = ivfAssign(embeddings, spacedCentroidIds(embeddings.count()))
+      .select(col("vec_id"), col("bucket"), col("unit"))
+      .persist() // query side re-reads the corpus assignment
+    val queries = assigned
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("bucket"), col("unit").as("q"))
+    F.broadcast(queries)
+      .join(assigned.select(col("vec_id").as("neighbor_id"), col("bucket"),
+        col("unit").as("b")), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(dot(col("q"), col("b")) >= tau)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
   /** Rank candidates per group by (sim desc, neighbor asc) and keep top-k. */
   private def topKPerGroup(scored: DataFrame, groupCol: String, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

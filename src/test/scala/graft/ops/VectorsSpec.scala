@@ -312,6 +312,55 @@ class VectorsSpec extends SparkSpec {
     }
   }
 
+  test("knn graph: matches a driver-side in-bucket reference; singleton buckets emit no edges") {
+    import org.apache.spark.sql.functions.col
+    val k = 3
+    val got = Vectors.knnGraph(corpus, k = k).collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("rank"))).toSet
+    // driver-side reference: spaced centroids, argmax-cosine assignment
+    // (strict > scan in ascending centroid order = ties to smaller id),
+    // exhaustive in-bucket rank by (sim desc, neighbor id asc)
+    val unit = Vectors.withUnit(corpus).select(col("vec_id"), col("unit"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val cents = Vectors.spacedCentroidIds(60)
+    val bucketOf = unit.map { case (id, v) =>
+      id -> cents.foldLeft((Long.MinValue, Double.NegativeInfinity)) {
+        case ((bc, bs), c) =>
+          val s = dot(v, unit(c)); if (s > bs) (c, s) else (bc, bs)
+      }._1
+    }
+    val ref = unit.keys.flatMap { src =>
+      unit.keys.toSeq
+        .filter(o => o != src && bucketOf(o) == bucketOf(src))
+        .map(o => (o, dot(unit(src), unit(o))))
+        .sortBy { case (o, s) => (-s, o) }
+        .take(k).zipWithIndex
+        .map { case ((o, _), i) => (src, o, (i + 1).toLong) }
+    }.toSet
+    assert(got === ref)
+    assert(got.nonEmpty)
+    // two orthogonal vectors → ⌈√2⌉ = 2 centroids → each alone in its own
+    // bucket → no edges at all (the documented recall trade)
+    val lone = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Vectors.knnGraph(lone, k = k).count() === 0L)
+  }
+
+  test("radius search: threshold and self-exclusion, scoped to the query's bucket") {
+    // spaced centroids for n=5 are ids {0,1,2} → buckets: {0,1,4} (ties to
+    // the smaller centroid id) and {2,3}
+    def run(tau: Double) = Vectors.radiusSearch(emb, Seq(0L), tau).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // only the identical vector clears τ=0.5; self is excluded
+    assert(run(0.5) === Set((0L, 1L)))
+    // τ=-1 admits the whole bucket — but NOT vector 2, which is MORE
+    // similar than 4 yet lives in the other bucket (the IVF recall trade)
+    assert(run(-1.0) === Set((0L, 1L), (0L, 4L)))
+  }
+
   test("MMR re-rank: near-duplicate of the top hit is demoted below a diverse result") {
     import org.apache.spark.sql.functions._
     // query 0 ≈ (1,0); 10 and 11 are near-identical top hits; 12 is a
