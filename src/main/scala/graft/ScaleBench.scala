@@ -97,7 +97,12 @@ object ScaleBench {
       ("s13_ann_mmr", (e: DataFrame) =>
         // corpus-sized work is one scoring pass; greedy rounds are
         // shortlist-sized and must not grow with N
-        Vectors.mmrRerank(e, 0L until 8L, k = 5, shortlist = 20), false)
+        Vectors.mmrRerank(e, 0L until 8L, k = 5, shortlist = 20), false),
+      ("s14_knn_graph", (e: DataFrame) =>
+        // the one FULL N^1.5 stage (every vector scored in its bucket):
+        // expected ×8 ratio is 8^1.5 ≈ 23 — far under the 64× a quadratic
+        // all-pairs scan would show; rows grow exactly 8× (3 edges/vector)
+        Vectors.knnGraph(e, k = 3), false)
     )
 
     def time(fn: () => DataFrame): (Double, Long) = {
