@@ -708,6 +708,23 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("asof_o_orderkey").as("last_orderkey"))
     }),
 
+    "t39_asof_tolerance" -> ((s, dir) => {
+      // tolerance-bounded as-of (click→view attribution): each click takes
+      // the same user's most recent view ONLY if it happened within 6 h —
+      // staler matches go NULL instead of attributing to the distant past
+      // (feature-freshness semantics; one projection over the t12 scan)
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts"), col("event_id").as("view_id"))
+      graft.operators.AsOfJoin
+        .asOfWithin(clicks, views, Seq("user_id"), "ts", "vts", "view_id",
+          Seq("view_id"), toleranceSec = 6L * 3600L)
+        .select(col("event_id"), col("user_id"),
+          col("asof_view_id").as("attributed_view"))
+    }),
+
     "t18_band_join" -> ((s, dir) => {
       // keyless range join via time-axis binning (one day's clicks ×
       // views within ±1 h) — a cross join with a range filter would be
@@ -1783,6 +1800,19 @@ object SparkEntry {
         |        WHERE o_custkey = e.user_id AND o_orderdate <= CAST(e.ts AS TIMESTAMP)
         |        ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) AS last_orderkey
         |FROM events e""".stripMargin,
+    "t39_asof_tolerance" ->
+      // the within-window most-recent IS the unbounded most-recent when it
+      // clears the window (any other row is older) — both forms agree
+      """WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS vt
+        |      FROM events WHERE event_type = 'view')
+        |SELECT c.event_id, c.user_id,
+        |       (SELECT view_id FROM v
+        |        WHERE v.user_id = c.user_id AND v.vt <= c.t
+        |          AND v.vt >= c.t - INTERVAL 6 HOUR
+        |        ORDER BY v.vt DESC, view_id DESC LIMIT 1) AS attributed_view
+        |FROM c""".stripMargin,
     "t18_band_join" ->
       // the oracle takes the brute form (DuckDB's IEJoin handles the range
       // predicate); Spark takes the binned equi-join — same pair set

@@ -34,9 +34,33 @@ object AsOfJoin {
     */
   def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String, tieCol: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String]): DataFrame =
+    core(left, right, keyCols, leftTs, rightTs, tieCol, payloadCols, None)
+
+  /** [[asOf]] bounded by a freshness tolerance — pandas `merge_asof`'s
+    * `tolerance`, kdb's windowed form: the matched right row is kept only
+    * when `leftTs − rightTs ≤ toleranceSec`; a staler match yields NULL
+    * payloads instead of silently attaching reference data from the
+    * distant past (the guard a trades-to-quotes or feature-freshness
+    * pipeline needs). Because the unbounded match is the MOST RECENT right
+    * row, bounding it afterwards is exact — any other row is older still —
+    * so the tolerance costs one post-scan projection, never a second join
+    * or a widened window.
+    */
+  def asOfWithin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, tieCol: String,
+      payloadCols: Seq[String], toleranceSec: Long): DataFrame =
+    core(left, right, keyCols, leftTs, rightTs, tieCol, payloadCols,
+      Some(toleranceSec))
+
+  private def core(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, tieCol: String,
+      payloadCols: Seq[String], toleranceSec: Option[Long]): DataFrame = {
     val key = keyCols.map(col)
-    val payload = struct((tieCol +: payloadCols).distinct.map(col): _*)
+    // the payload carries the matched right timestamp so the tolerance
+    // check can run after the scan (pure projection, no second join)
+    val payload = struct(col(rightTs).cast("timestamp").as("_rts") +:
+      (tieCol +: payloadCols).distinct.map(col): _*)
     val taggedRight = right.select(
       key :+ col(rightTs).cast("timestamp").as("_ts") :+ lit(0).as("_side") :+
         col(tieCol).cast("long").as("_tie") :+ payload.as("_payload"): _*)
@@ -57,8 +81,15 @@ object AsOfJoin {
     val matched = unioned
       .withColumn("_asof", last(col("_payload"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
+    val fresh = toleranceSec match {
+      case None => lit(true)
+      case Some(tol) =>
+        unix_micros(col("_asof").getField("_rts")) >=
+          unix_micros(col("_ts")) - lit(tol * 1000000L)
+    }
     val outCols = left.columns.map(c => col("_left").getField(c).as(c)) ++
-      payloadCols.map(c => col("_asof").getField(c).as(s"asof_$c"))
+      payloadCols.map(c =>
+        when(fresh, col("_asof").getField(c)).as(s"asof_$c"))
     matched.select(outCols: _*)
   }
 }

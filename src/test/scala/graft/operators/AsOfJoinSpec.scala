@@ -31,4 +31,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(3L) === None)      // nothing at or before t=50
     assert(got(4L) === None)      // no rows for k2
   }
+
+  test("tolerance-bounded as-of nulls stale matches; the boundary is inclusive") {
+    val left = Seq(
+      (1L, "k1", ts(200)),  // match at 150, 50 s old → inside tol=60
+      (2L, "k1", ts(210)),  // match at 150, exactly 60 s old → inclusive
+      (3L, "k1", ts(211)),  // match at 150, 61 s old → stale, NULL
+      (4L, "k2", ts(100))   // no right rows at all → NULL
+    ).toDF("id", "key", "t")
+    val right = Seq(
+      ("k1", ts(100), 10L),
+      ("k1", ts(150), 12L)
+    ).toDF("key", "rt", "ref")
+
+    val out = AsOfJoin.asOfWithin(left, right, Seq("key"), "t", "rt", "ref",
+      Seq("ref"), toleranceSec = 60L).orderBy("id").collect()
+    val got = out.map(r => r.getAs[Long]("id") ->
+      Option(r.getAs[java.lang.Long]("asof_ref")).map(_.toLong)).toMap
+    assert(got(1L) === Some(12L))
+    assert(got(2L) === Some(12L)) // leftTs − rightTs == tol: kept
+    // NOT 10L: the tolerance bounds the MOST RECENT match, it never
+    // falls back to an even older row
+    assert(got(3L) === None)
+    assert(got(4L) === None)
+  }
 }
