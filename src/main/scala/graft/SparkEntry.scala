@@ -1365,6 +1365,11 @@ object SparkEntry {
     "x3_langid" -> ((s, dir) => TextOps.languageId(Tables.documents(s, dir))),
     "x4_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(Vocab.hashTokenIds(Tables.documents(s, dir)))),
+    "x34_winnowing" -> ((s, dir) =>
+      // MOSS-style winnowing: per-w-window min over positional k-gram
+      // hashes, distinct — one codegen'd expression, shuffle-free until
+      // the per-doc summary agg
+      TextOps.winnowFingerprints(Tables.documents(s, dir), k = 5, w = 4)),
     "x5_regex_tokens" -> ((s, dir) =>
       TextOps.regexTokenStats(Tables.documents(s, dir))),
     "x6_curation" -> ((s, dir) =>
@@ -2793,6 +2798,25 @@ object SparkEntry {
          |            % 2147483647 AS BIGINT) AS fingerprint,
          |       CAST(count(*) AS BIGINT) AS n_tokens
          |FROM tid GROUP BY doc_id""".stripMargin,
+    "x34_winnowing" ->
+      // positional k=5 gram hashes (same fold as the d2 oracle, pre-
+      // DISTINCT), min per complete w=4 window, distinct per doc; docs
+      // without a complete window emit no row
+      s"""WITH $oracleTokCtes,
+         |ids AS (SELECT doc_id, list(token_id ORDER BY pos) AS ids FROM tid GROUP BY doc_id),
+         |psh AS (SELECT doc_id, i - 1 AS p, len(ids) - 4 AS m,
+         |               list_reduce(list_prepend(CAST(0 AS BIGINT), ids[i:i+4]),
+         |                           (a, t) -> (a * 37 + t + 1) % 2147483647) AS sid
+         |        FROM ids, UNNEST(range(1, len(ids) - 3)) AS r(i)
+         |        WHERE len(ids) >= 5),
+         |wmin AS (SELECT doc_id, p, m,
+         |                min(sid) OVER (PARTITION BY doc_id ORDER BY p
+         |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |         FROM psh),
+         |sel AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE p <= m - 4)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+         |       CAST(sum(fp) % 2147483647 AS BIGINT) AS fp_checksum
+         |FROM sel GROUP BY doc_id""".stripMargin,
     "x5_regex_tokens" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,

@@ -613,6 +613,28 @@ object TextOps {
     */
   val fingerprintMod: Long = 2147483647L // 2^31 - 1
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003 — the MOSS scheme): positional k-gram hashes → each w-window's
+    * minimum → distinct selected values, the whole algorithm inside the
+    * codegen'd [[org.apache.spark.sql.graft.WinnowHash]] expression, so
+    * the corpus pass is a shuffle-free whole-stage-codegen projection.
+    * Guarantee: token matches of length ≥ w+k−1 between two documents
+    * share a fingerprint while only ~2/(w+1) of k-grams are kept — the
+    * density/recall dial [[fingerprint]]'s single print and the distinct
+    * shingle set don't have. Output is the per-document summary
+    * (count + mod-p checksum — compact and integer-exact); the exploded
+    * fingerprint rows are what a plagiarism/overlap index would store.
+    * Docs with fewer than k+w−1 tokens have no complete window → no row.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
+    Vocab.hashTokenIdArrays(docs)
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.WinnowHash.column(col("ids"), k, w)).as("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"),
+        (sum(col("fp")) % fingerprintMod).cast("long").as("fp_checksum"))
+
   /** Fingerprint over a pre-tokenized (doc_id, pos, token_id) long table:
     * sum of per-term `((token_id+1) mod P)·((pos+1) mod P) mod P`, mod P,
     * plus length. Order-sensitive — permuted documents get different
