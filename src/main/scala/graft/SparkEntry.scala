@@ -1152,6 +1152,10 @@ object SparkEntry {
       Dedup.candidatePairsFromSignatures(
         Dedup.minhashShingleSignaturesFromArrays(
           Vocab.hashTokenIdArrays(Tables.documents(s, dir)), 5), bands = 4)),
+    "d26_winnow_overlap" -> ((s, dir) =>
+      // plagiarism-style overlap: pairs sharing >= 3 winnowed fingerprints
+      // under the df cap — the sparse-index pair join winnowing exists for
+      Dedup.winnowOverlapPairs(Tables.documents(s, dir))),
     "d25_snapshot_diff" -> ((s, dir) => {
       // rev-over-rev governance: docs <400 play the old rev, docs ≥100
       // the new (every-7th modified) — added/removed/changed/same counts
@@ -2111,6 +2115,27 @@ object SparkEntry {
     "d9_dedup_groups_star" -> oracleDedupGroups,
     "d3_minhash_sigs" -> oracleMinhashSigs,
     "d4_minhash_pairs" -> oracleMinhashPairs,
+    "d26_winnow_overlap" ->
+      s"""WITH $oracleTokCtes,
+         |ids AS (SELECT doc_id, list(token_id ORDER BY pos) AS ids FROM tid GROUP BY doc_id),
+         |psh AS (SELECT doc_id, i - 1 AS p, len(ids) - 4 AS m,
+         |               list_reduce(list_prepend(CAST(0 AS BIGINT), ids[i:i+4]),
+         |                           (a, t) -> (a * 37 + t + 1) % 2147483647) AS sid
+         |        FROM ids, UNNEST(range(1, len(ids) - 3)) AS r(i)
+         |        WHERE len(ids) >= 5),
+         |wmin AS (SELECT doc_id, p, m,
+         |                min(sid) OVER (PARTITION BY doc_id ORDER BY p
+         |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |         FROM psh),
+         |sel AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE p <= m - 4),
+         |rare AS (SELECT fp FROM sel GROUP BY fp
+         |         HAVING count(*) > 1 AND count(*) <= ${graft.ops.Dedup.defaultMaxDf}),
+         |idx AS (SELECT sel.* FROM sel JOIN rare USING (fp))
+         |SELECT doc_a, doc_b, n_shared FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |WHERE n_shared >= 3""".stripMargin,
     "d25_snapshot_diff" ->
       // the oracle classifies on text equality; Spark on xxhash64 digests —
       // identical up to a 2⁻⁶⁴ collision (the d8/d14 digest contract)

@@ -241,6 +241,32 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("containment"))
   }
 
+  /** Winnowing overlap pairs — what winnowing fingerprints exist FOR
+    * (plagiarism / near-copy detection, Schleimer et al. SIGMOD 2003):
+    * document pairs sharing at least `minShared` SELECTED fingerprints
+    * (each shared fingerprint certifies a shared token run of ≥ w+k−1).
+    * The candidate index is the winnowed set — ~2/(w+1) the density of
+    * d2's full shingle index, so the pair join costs that factor SQUARED
+    * less — under the same df cap (a fingerprint in more than `maxDf`
+    * docs is boilerplate, not copying evidence, and counting it would
+    * both melt the join and inflate scores; capped-index sharing IS the
+    * operator's score, by design, on both engine and oracle).
+    */
+  def winnowOverlapPairs(docs: DataFrame, k: Int = 5, w: Int = 4,
+      minShared: Long = 3L, maxDf: Long = defaultMaxDf): DataFrame = {
+    // per-doc distinct is guaranteed by the expression itself
+    val fps = graft.ops.Vocab.hashTokenIdArrays(docs).select(col("doc_id"),
+      explode(org.apache.spark.sql.graft.WinnowHash.column(col("ids"), k, w))
+        .as("shingle_id"))
+    val idx = dfCappedIndex(fps, maxDf)
+    idx.as("a")
+      .join(idx.as("b"),
+        col("a.shingle_id") === col("b.shingle_id") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** The df-capped inverted index: rows of `sh` whose shingle has
     * `1 < df ≤ maxDf` (singletons can never produce a pair; hot shingles
     * must never enter a self-join). Index SIZE is O(rows kept) — linear in

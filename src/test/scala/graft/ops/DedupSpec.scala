@@ -590,6 +590,34 @@ class DedupSpec extends SparkSpec {
     assert(out.keySet === want)
   }
 
+  test("winnow overlap: a copied passage is found; boilerplate past the df cap never scores") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val words = (0 until 1200).map(i => s"w$i")
+    def text(ws: Seq[String]) = ws.mkString(" ")
+    // a 12-token passage (≥ w+k−1 = 8, so it must share fingerprints)
+    // copied from doc 0 into doc 1; docs 2+ are pairwise-DISJOINT filler
+    val passage = words.slice(0, 12)
+    val docs = (
+      Seq(0L -> text(passage ++ words.slice(100, 140)),
+          1L -> text(words.slice(200, 230) ++ passage)) ++
+      (2L until 30L).map(i => i -> text(words.slice(240 + i.toInt * 30, 270 + i.toInt * 30)))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(docs, minShared = 1L).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Long]("n_shared"))
+      .toMap
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) >= 1L)
+    // a boilerplate sentence present in EVERY doc (df = 30 > cap = 20)
+    // contributes no evidence: the filler docs still produce no pairs
+    val boiler = " standard legal disclaimer appended to every document x y z"
+    val withBoiler = docs.select(col("doc_id"),
+      concat(col("text"), lit(boiler)).as("text"))
+    val bp = Dedup.winnowOverlapPairs(withBoiler, minShared = 1L).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(bp.contains((0L, 1L)))
+    assert(!bp.exists { case (a, b) => a >= 2L && b >= 2L })
+  }
+
   test("simhash: identical docs equal; near dups within small hamming distance") {
     val tid = Vocab.tokenIds(docs)
     val sh = Dedup.simhash(tid).collect()
