@@ -359,6 +359,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x34 winnowing runs inside whole-stage codegen; no shuffle below the doc summary") {
+    val q = SparkEntry.queries("x34_winnowing")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    for (fn <- Seq("token_hash_array", "winnow_hash")) {
+      val lines = plan.linesIterator
+        .filter(l => l.contains(fn) && !l.contains("FileScan")).toSeq
+      assert(lines.nonEmpty, s"$fn not in plan:\n$plan")
+      lines.foreach(l => assert(l.contains("*("), s"$fn not codegen'd: $l\n$plan"))
+    }
+    // the whole fingerprint pass is a projection: exactly ONE exchange in
+    // the plan — the per-doc summary aggregation's partial→final shuffle
+    assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      s"fingerprint pass shuffled more than the summary agg:\n$plan")
+  }
+
   test("d22 simhash fingerprints run inside whole-stage codegen (no 60-wide agg)") {
     val q = SparkEntry.queries("d22_simhash_pairs")(spark, "/root/testdata/sf0.001")
     q.collect()
