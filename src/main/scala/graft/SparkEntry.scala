@@ -1230,6 +1230,22 @@ object SparkEntry {
         Dedup.dedupGroupsAuto(
           Dedup.jaccardPairsFromShingles(Dedup.shingleIdsFromArrays(ids, 5), threshold = 0.5)))
     }),
+    "d27_dedup_keep_quality" -> ((s, dir) => {
+      // quality-aware representative: per near-dup group keep the doc with
+      // the highest stopword-naturalness ppm (ties → smaller id), not the
+      // longest — the FineWeb-style pick; same groups, different argmax
+      val docs = Tables.documents(s, dir)
+      val ids = Vocab.hashTokenIdArrays(docs)
+      val groups = Dedup.dedupGroupsAuto(
+        Dedup.jaccardPairsFromShingles(Dedup.shingleIdsFromArrays(ids, 5), threshold = 0.5))
+      val toks = TextOps.tokens(col("text"))
+      val nTok = size(toks).cast("long")
+      val nStop = size(filter(toks, t =>
+        array_contains(typedlit(TextOps.stopwords), t))).cast("long")
+      val scored = docs.select(col("doc_id"),
+        round(lit(1e6) * nStop / nTok).cast("long").as("score"))
+      Dedup.keepBestScored(docs, groups, scored)
+    }),
     "d15_block_dedup" -> ((s, dir) =>
       // sub-document (line/block) exact dedup: 16-token blocks, global
       // keep-first, documents reassembled from surviving blocks — the
@@ -2290,6 +2306,29 @@ object SparkEntry {
          |                  row_number() OVER (PARTITION BY g.group_id
          |                    ORDER BY length(d.text) DESC, g.doc_id ASC) AS rn
          |           FROM grp g JOIN documents d ON d.doc_id = g.doc_id)
+         |         WHERE rn = 1)
+         |SELECT doc_id FROM reps
+         |UNION ALL
+         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM grp)""".stripMargin,
+    "d27_dedup_keep_quality" ->
+      // d16's walk with the quality argmax: stopword ppm DESC, doc_id ASC
+      s"""WITH RECURSIVE $oracleJaccardCtes,
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM jpairs),
+         |walk AS (SELECT DISTINCT a AS doc_id, a AS reach FROM edges
+         |         UNION
+         |         SELECT w.doc_id, e.b FROM walk w JOIN edges e ON e.a = w.reach),
+         |grp AS (SELECT doc_id, min(reach) AS group_id FROM walk GROUP BY doc_id),
+         |q AS (SELECT doc_id,
+         |             CAST(round(1e6 * CAST(len(list_filter(string_split(text, ' '),
+         |                    s -> list_contains(['the','a','of','and','to','in'], s))) AS BIGINT)
+         |                  / len(string_split(text, ' '))) AS BIGINT) AS score
+         |      FROM documents),
+         |reps AS (SELECT doc_id FROM (
+         |           SELECT g.doc_id,
+         |                  row_number() OVER (PARTITION BY g.group_id
+         |                    ORDER BY q.score DESC, g.doc_id ASC) AS rn
+         |           FROM grp g JOIN q ON q.doc_id = g.doc_id)
          |         WHERE rn = 1)
          |SELECT doc_id FROM reps
          |UNION ALL

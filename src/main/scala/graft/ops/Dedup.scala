@@ -812,12 +812,23 @@ object Dedup {
     * ungrouped side is a left-anti join on doc_id. No window over the
     * corpus, no text movement (length is computed at the scan).
     */
-  def keepBest(docs: DataFrame, groups: DataFrame): DataFrame = {
-    val members = groups.join(
-      docs.select(col("doc_id"), length(col("text")).cast("long").as("len")), Seq("doc_id"))
+  def keepBest(docs: DataFrame, groups: DataFrame): DataFrame =
+    keepBestScored(docs, groups,
+      docs.select(col("doc_id"), length(col("text")).cast("long").as("score")))
+
+  /** Representative selection under an ARBITRARY per-document integer
+    * score (largest wins, ties to the smaller doc_id) — the seam
+    * [[keepBest]] (longest text) and the quality-aware d27 form (highest
+    * stopword-naturalness ppm, the FineWeb-style pick) share: one argmax
+    * aggregate per group over the (doc_id, score) frame plus an anti-join
+    * for the ungrouped docs. Scores must be integers — a double score
+    * would put cross-engine ulp differences on the argmax boundary.
+    */
+  def keepBestScored(docs: DataFrame, groups: DataFrame, scored: DataFrame): DataFrame = {
+    val members = groups.join(scored.select(col("doc_id"), col("score")), Seq("doc_id"))
     val reps = members
       .groupBy(col("group_id"))
-      .agg(max_by(col("doc_id"), struct(col("len"), -col("doc_id"))).as("doc_id"))
+      .agg(max_by(col("doc_id"), struct(col("score"), -col("doc_id"))).as("doc_id"))
       .select(col("doc_id"))
     val singletons = docs.select(col("doc_id"))
       .join(groups.select(col("doc_id")), Seq("doc_id"), "left_anti")

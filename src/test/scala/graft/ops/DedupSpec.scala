@@ -618,6 +618,20 @@ class DedupSpec extends SparkSpec {
     assert(!bp.exists { case (a, b) => a >= 2L && b >= 2L })
   }
 
+  test("keepBestScored: score argmax with smaller-id ties; ungrouped docs always kept") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(0L, 1L, 2L, 3L, 4L).map(i => (i, s"doc $i text"))
+      .toDF("doc_id", "text")
+    val groups = Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 2L)).toDF("doc_id", "group_id")
+    val scored = Seq((0L, 5L), (1L, 9L), (2L, 7L), (3L, 7L)).toDF("doc_id", "score")
+    val kept = Dedup.keepBestScored(corpus, groups, scored)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // group 0: higher score wins (1); group 2: tie → smaller id (2);
+    // doc 4 is in no group → kept unconditionally
+    assert(kept === Set(1L, 2L, 4L))
+  }
+
   test("simhash: identical docs equal; near dups within small hamming distance") {
     val tid = Vocab.tokenIds(docs)
     val sh = Dedup.simhash(tid).collect()
