@@ -1271,6 +1271,21 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Vectors.cosineNearDupPairs(emb, Vectors.spacedCentroidIds(emb.count()), threshold = 0.4)
     }),
+    "d28_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup end-to-end: d6's bucketed cosine pairs → CC groups → keep
+      // per group the member LEAST similar to its IVF centroid (the paper's
+      // most-informative-exemplar rule); output is the float-free kept-id set.
+      // Star contraction directly (not the d7 auto form): embedding
+      // similarity chains (A~B~C without A~C), so min-label pays O(diameter)
+      // rounds — and each extra cached-plan round grows driver-side analysis
+      // — where star stays O(log² n). Groups persist because the keep stage
+      // consumes them twice (argmin members + ungrouped anti-join).
+      val emb = Tables.embeddings(s, dir)
+      val cids = Vectors.spacedCentroidIds(emb.count())
+      val pairs = Vectors.cosineNearDupPairs(emb, cids, threshold = 0.4)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      Vectors.semanticKeep(emb, cids, Dedup.dedupGroupsStar(pairs).persist())
+    }),
 
     "d19_cross_source_dups" -> ((s, dir) => {
       // governance view: which source pairs re-serve each other's content —
@@ -2428,6 +2443,34 @@ object SparkEntry {
          |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
          |FROM av x JOIN av y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |WHERE ${oracleCos("x.v", "y.v")} >= 0.4""".stripMargin,
+    "d28_semantic_dedup" ->
+      // transitive closure over the 0.35-pair graph, then per-group argmin
+      // of the assigned-centroid affinity (aff ASC, vec_id ASC) — the
+      // affinity is sc.cs of the winning assignment row, identical operands
+      // and fold order to the Spark dot
+      s"""WITH RECURSIVE $oracleEmbCte,
+         |$oracleSpacedAssigned,
+         |aff AS (SELECT sc.vec_id, sc.cs AS aff
+         |        FROM sc JOIN assigned a
+         |          ON a.vec_id = sc.vec_id AND a.bucket = sc.centroid_id),
+         |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b
+         |          FROM av x JOIN av y
+         |            ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |          WHERE ${oracleCos("x.v", "y.v")} >= 0.4),
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |walk AS (SELECT DISTINCT a AS vec_id, a AS reach FROM edges
+         |         UNION
+         |         SELECT w.vec_id, g.b FROM walk w JOIN edges g ON g.a = w.reach),
+         |grp AS (SELECT vec_id, min(reach) AS group_id FROM walk GROUP BY vec_id),
+         |reps AS (SELECT vec_id FROM (
+         |           SELECT g.vec_id,
+         |                  row_number() OVER (PARTITION BY g.group_id
+         |                    ORDER BY f.aff ASC, g.vec_id ASC) AS rn
+         |           FROM grp g JOIN aff f ON f.vec_id = g.vec_id)
+         |         WHERE rn = 1)
+         |SELECT vec_id FROM reps
+         |UNION ALL
+         |SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT vec_id FROM grp)""".stripMargin,
     "s13_ann_mmr" -> oracleMmr,
     "s15_ann_radius" ->
       s"""WITH $oracleEmbCte,

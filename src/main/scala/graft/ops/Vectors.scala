@@ -950,4 +950,39 @@ object Vectors {
       .filter(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"))
   }
+
+  /** SemDeDup representative selection (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"): given
+    * semantic duplicate `groups` ((doc_id=vec_id, group_id) from the CC over
+    * [[cosineNearDupPairs]]), keep per group the member LEAST cosine-similar
+    * to its assigned IVF centroid — the paper's finding that the most
+    * atypical exemplar preserves the most training signal — ties to the
+    * smaller vec_id; vectors in no group are kept unconditionally.
+    *
+    * Same shape as [[graft.ops.Dedup.keepBestScored]] (one argmin aggregate
+    * per group + an anti-join), but the score here is the raw double
+    * centroid affinity, NOT a rounded integer: the dot folds left-to-right
+    * over identical operands in both engines (the s14 ranking discipline),
+    * so the argmin boundary is bit-reproducible without quantizing. The
+    * affinity pass is one broadcast join against the C = ⌈√N⌉ centroid rows
+    * — the corpus never shuffles before the group argmin.
+    */
+  def semanticKeep(embeddings: DataFrame, centroidIds: Seq[Long],
+      groups: DataFrame): DataFrame = {
+    val assigned = ivfAssign(embeddings, centroidIds)
+    val cent = withUnit(embeddings)
+      .filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("bucket"), col("unit").as("cu"))
+    val aff = assigned.join(F.broadcast(cent), Seq("bucket"))
+      .select(col("vec_id"), dot(col("unit"), col("cu")).as("aff"))
+    val members = groups.select(col("doc_id").as("vec_id"), col("group_id"))
+      .join(aff, Seq("vec_id"))
+    val reps = members
+      .groupBy(col("group_id"))
+      .agg(min_by(col("vec_id"), struct(col("aff"), col("vec_id"))).as("vec_id"))
+      .select(col("vec_id"))
+    val singles = embeddings.select(col("vec_id"))
+      .join(groups.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
+    reps.unionByName(singles)
+  }
 }

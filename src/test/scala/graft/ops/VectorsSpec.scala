@@ -386,4 +386,26 @@ class VectorsSpec extends SparkSpec {
     assert(mmr.map(_._2).toSeq === Seq(1L, 2L, 3L))
     assert(mmr.map(_._1).distinct.length === 3)
   }
+
+  test("semanticKeep: per group keeps the LEAST centroid-similar member, ties to smaller id; ungrouped kept") {
+    import org.apache.spark.sql.functions.col
+    // single centroid (1,0): affinities are the normalized x-components —
+    // 1 ≈ 0.995, 2 = 0.6, 3 = 0.8; 5 and 6 mirror to the SAME affinity 0.8
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.09f)),
+      (2L, Array(0.6f, 0.8f)),
+      (3L, Array(0.8f, 0.6f)),
+      (4L, Array(0.0f, 1.0f)),
+      (5L, Array(0.8f, 0.6f)),
+      (6L, Array(0.8f, -0.6f))
+    ).toDF("vec_id", "embedding")
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "group_id")
+    val kept = Vectors.semanticKeep(vecs, Seq(0L), groups)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    // group 1: min affinity is vec 2; group 5: exact affinity tie → smaller
+    // id 5; vecs 0 and 4 are in no group → kept unconditionally
+    assert(kept === Set(2L, 5L, 0L, 4L))
+  }
 }
