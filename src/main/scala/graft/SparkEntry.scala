@@ -932,6 +932,26 @@ object SparkEntry {
       graft.operators.Graph.pageRank(edges, iterations = 5)
         .select(col("node"), round(col("rank") * lit(1e9)).cast("long").as("rank_ppb"))
     }),
+    "t40_triangles" -> ((s, dir) => {
+      // per-node triangle counts over the part co-purchase graph (parts
+      // sharing an order). Degree-ordered orientation bounds wedge work by
+      // the oriented out-degree (O(arboricity) per node): a part in every
+      // order generates zero wedges because all its edges point into it —
+      // the skew armor the hot-shingle df cap gives the dedup surface,
+      // applied to graph enumeration. One ship-year window: co-purchase
+      // projections densify quadratically with basket overlap, so the
+      // analysis window — not the operator — is what bounds graph density
+      // (full-history edges at sf0.1 already cost 40M wedges; 100 TB of
+      // them would be the graph the orientation alone can't save)
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1996-01-01"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+        .select(col("pk").as("src"), col("pk2").as("dst"))
+      graft.operators.Graph.triangleCounts(edges)
+    }),
     "m4_dup_frames" -> ((s, dir) =>
       // duplicate frames shared across distinct documents (digest-keyed,
       // payload never shuffled) — the multimodal twin of d8 exact dedup
@@ -1906,6 +1926,14 @@ object SparkEntry {
          |${graft.operators.Graph.pageRankSql(
              "SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem",
              iterations = 5)})""".stripMargin,
+    "t40_triangles" ->
+      graft.operators.Graph.triangleCountsSql(
+        """SELECT a.l_partkey AS src, b.l_partkey AS dst
+          |FROM (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
+          |        AND l_shipdate < DATE '1996-01-01') a
+          |JOIN (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
+          |        AND l_shipdate < DATE '1996-01-01') b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""".stripMargin),
     "m4_dup_frames" ->
       """WITH f AS (
         |  SELECT doc_id,

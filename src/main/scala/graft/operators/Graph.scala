@@ -59,6 +59,83 @@ object Graph {
     ranks
   }
 
+  /** Per-node triangle participation counts over an UNDIRECTED graph given
+    * as an edge list `(src, dst)`; self-loops and duplicate edges (either
+    * orientation) are dropped; nodes in no triangle are absent from the
+    * output.
+    *
+    * Scale shape: every edge is oriented from its lower-(degree, id)
+    * endpoint to its higher one, and wedges are enumerated only at each
+    * edge's TAIL. That bounds per-node wedge work by the oriented
+    * out-degree — O(α) for graphs of arboricity α, the standard bound that
+    * makes triangle listing survive power-law degree skew: a celebrity node
+    * of degree 10⁶ generates zero wedges because every incident edge points
+    * INTO it. Three shuffles total (degree agg, wedge self-join on the tail,
+    * closing-edge join), all hashed on node/edge keys — no global sort, no
+    * driver state.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val raw = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = raw
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    // (u, v, dv): edge oriented tail→head by (deg, id); dv rides along so
+    // wedge endpoints can be ordered without re-joining degrees
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+      .persist()
+    val o1 = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val o2 = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val wedges = o1.join(o2, Seq("u"))
+      .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
+    // the closing edge (x, y) is itself oriented x→y (both exceed u in the
+    // (deg, id) order and x precedes y in it) — one equi-join finds it
+    val tri = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    tri.select(col("u").as("node"))
+      .unionAll(tri.select(col("x").as("node")))
+      .unionAll(tri.select(col("y").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+
+  /** [[triangleCounts]] as DuckDB SQL over the same `(src, dst)` edge CTE,
+    * kept textually parallel so the two stay provably in lockstep.
+    */
+  def triangleCountsSql(edgesCte: String): String =
+    s"""WITH e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |            FROM ($edgesCte) WHERE src <> dst),
+       |deg AS (SELECT node, count(*) AS deg FROM (
+       |          SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+       |        GROUP BY node),
+       |o AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b)
+       |                  THEN e0.a ELSE e0.b END AS u,
+       |             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b)
+       |                  THEN e0.b ELSE e0.a END AS v,
+       |             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b)
+       |                  THEN db.deg ELSE da.deg END AS dv
+       |      FROM e0 JOIN deg da ON da.node = e0.a JOIN deg db ON db.node = e0.b),
+       |tri AS (SELECT o1.u, o1.v AS x, o2.v AS y
+       |        FROM o o1 JOIN o o2
+       |          ON o1.u = o2.u
+       |         AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))
+       |        JOIN o oc ON oc.u = o1.v AND oc.v = o2.v),
+       |corners AS (SELECT u AS node FROM tri
+       |            UNION ALL SELECT x FROM tri
+       |            UNION ALL SELECT y FROM tri)
+       |SELECT node, CAST(count(*) AS BIGINT) AS triangles
+       |FROM corners GROUP BY node""".stripMargin
+
   /** The identical computation as DuckDB SQL: `edgesCte` must produce
     * columns `(src, dst)`; rounds are unrolled as chained CTEs (recursive
     * CTEs can't aggregate in the recursive term). Kept textually parallel

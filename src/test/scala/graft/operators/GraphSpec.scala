@@ -37,6 +37,34 @@ class GraphSpec extends SparkSpec {
     a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12, s"node $k") }
   }
 
+  private def trianglesOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangleCounts(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("K4 plus a pendant: every K4 node sits in 3 triangles, pendant absent") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val r = trianglesOf(k4 :+ (4L, 5L))
+    assert(r === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangle with dup/reversed/self edges counts once per corner; square without diagonal has none") {
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (1L, 2L), (3L, 3L))
+    assert(trianglesOf(tri) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(trianglesOf(square) === Map.empty)
+  }
+
+  test("triangle counts are invariant to input partitioning and match the SQL twin's shape") {
+    val edges = (1L to 120L).flatMap(i => Seq((i, i % 40 + 1), (i, i % 7 + 1)))
+    val a = trianglesOf(edges)
+    val b = Graph.triangleCounts(edges.toDF("src", "dst").repartition(13))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    assert(a.values.sum % 3 === 0) // every triangle contributes exactly 3 corners
+    val sql = Graph.triangleCountsSql("SELECT a AS src, b AS dst FROM t")
+    assert(sql.contains("least(src, dst)") && sql.contains("GROUP BY node"))
+  }
+
   test("unrolled SQL text contains one CTE per round and the final select") {
     val sql = Graph.pageRankSql("SELECT a AS src, b AS dst FROM t", 3)
     assert(sql.contains("pr3 AS"))
