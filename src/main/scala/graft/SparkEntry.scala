@@ -1205,6 +1205,18 @@ object SparkEntry {
       Dedup.minhashEstimatedPairs(
         Dedup.minhashShingleSignaturesFromArrays(
           Vocab.hashTokenIdArrays(Tables.documents(s, dir)), 5), bands = 4)),
+    "d29_lsh_confusion" -> ((s, dir) => {
+      // the checked-sketch report for the banding itself: exact-Jaccard
+      // truth (d2) vs LSH candidates (d4) → tp/fp/fn + ppm precision and
+      // recall in one metadata row — the numbers that tune (bands, rows)
+      // before a 100 TB pass. One shared token front-end; both pair sets
+      // are df/bucket-capped, the outer join is pair-set-sized
+      val ids = Vocab.hashTokenIdArrays(Tables.documents(s, dir)).persist()
+      Dedup.sketchConfusion(
+        Dedup.jaccardPairsFromShingles(Dedup.shingleIdsFromArrays(ids, 5), threshold = 0.5),
+        Dedup.candidatePairsFromSignatures(
+          Dedup.minhashShingleSignaturesFromArrays(ids, 5), bands = 4))
+    }),
     "d5_simhash" -> ((s, dir) =>
       // the codegen projection form — identical to the ±1-sum aggregation
       // for every document with ≥ 1 token (SimHashBitsSpec)
@@ -2236,6 +2248,24 @@ object SparkEntry {
          |JOIN sigs sa ON sa.doc_id = c.doc_a
          |JOIN sigs sb ON sb.doc_id = c.doc_b""".stripMargin
     },
+    "d29_lsh_confusion" ->
+      // truth (d2's exact capped Jaccard) vs candidates (d4's capped
+      // banding), each as its own scoped WITH subquery; ppm ratios use
+      // floor (round() ties break differently across engines)
+      s"""WITH tru AS (SELECT doc_a, doc_b FROM ($oracleJaccardPairs)),
+         |cnd AS (SELECT doc_a, doc_b FROM ($oracleMinhashPairs)),
+         |j AS (SELECT t.doc_a AS ta, c.doc_a AS ca
+         |      FROM tru t FULL OUTER JOIN cnd c
+         |        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+         |k AS (SELECT
+         |  CAST(sum(CASE WHEN ta IS NOT NULL AND ca IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS true_pos,
+         |  CAST(sum(CASE WHEN ta IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS false_pos,
+         |  CAST(sum(CASE WHEN ca IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS false_neg
+         |  FROM j)
+         |SELECT true_pos, false_pos, false_neg,
+         |       CAST(floor(1e6 * true_pos / (true_pos + false_pos)) AS BIGINT) AS precision_ppm,
+         |       CAST(floor(1e6 * true_pos / (true_pos + false_neg)) AS BIGINT) AS recall_ppm
+         |FROM k""".stripMargin,
     "d5_simhash" -> oracleSimhash,
     "t28_sql_simhash" -> oracleSimhash,
     "d22_simhash_pairs" -> {

@@ -454,6 +454,37 @@ object Dedup {
         (matches.cast("double") / k).as("est_jaccard"))
   }
 
+  /** Sketch-quality confusion report — the b13/t37/x32 "checked sketch"
+    * discipline applied to the LSH candidate generator itself: given the
+    * TRUTH pair set (exact Jaccard ≥ τ, d2) and a CANDIDATE pair set (LSH
+    * banding, d4), count agreements and both error sides, plus
+    * floor-truncated ppm precision/recall (floor, not round: DuckDB rounds
+    * half away from zero while Spark rounds HALF_UP, so a ratio landing on
+    * a .5 ppm boundary would diverge; floor is identical in both).
+    *
+    * This is the report that decides banding parameters BEFORE a 100 TB
+    * run: both inputs are already df/bucket-capped pair frames (corpus-
+    * bounded, not corpus-squared), the full-outer join is pair-set-sized,
+    * and the output is one metadata row. false_neg here means "a true
+    * near-dup pair no band caught" — the quantity the (bands, rows) tuning
+    * trades against candidate volume.
+    */
+  def sketchConfusion(truth: DataFrame, candidates: DataFrame): DataFrame = {
+    val t = truth.select(col("doc_a"), col("doc_b"), lit(1).as("in_t"))
+    val c = candidates.select(col("doc_a"), col("doc_b"), lit(1).as("in_c"))
+    t.join(c, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(when(col("in_t").isNotNull && col("in_c").isNotNull, 1L).otherwise(0L))
+          .as("true_pos"),
+        sum(when(col("in_t").isNull, 1L).otherwise(0L)).as("false_pos"),
+        sum(when(col("in_c").isNull, 1L).otherwise(0L)).as("false_neg"))
+      .select(col("true_pos"), col("false_pos"), col("false_neg"),
+        floor(lit(1e6) * col("true_pos") / (col("true_pos") + col("false_pos")))
+          .cast("long").as("precision_ppm"),
+        floor(lit(1e6) * col("true_pos") / (col("true_pos") + col("false_neg")))
+          .cast("long").as("recall_ppm"))
+  }
+
   /** Batch twin of [[streamingNearDup]] — ingest-order near-dup filtering
     * with doc_id as the arrival order: keep a document iff none of its LSH
     * band signatures is already claimed by a smaller doc_id. Exactly the

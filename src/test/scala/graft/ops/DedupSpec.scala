@@ -632,6 +632,19 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 2L, 4L))
   }
 
+  test("sketchConfusion: tp/fp/fn partition the union; ppm ratios floor-truncate") {
+    val truth = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val cand = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val r = Dedup.sketchConfusion(truth, cand).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("true_pos") === 2L)
+    assert(row.getAs[Long]("false_pos") === 2L)
+    assert(row.getAs[Long]("false_neg") === 1L)
+    assert(row.getAs[Long]("precision_ppm") === 500000L)     // 2/4
+    assert(row.getAs[Long]("recall_ppm") === 666666L)        // floor(2/3 · 1e6)
+  }
+
   test("simhash: identical docs equal; near dups within small hamming distance") {
     val tid = Vocab.tokenIds(docs)
     val sh = Dedup.simhash(tid).collect()
