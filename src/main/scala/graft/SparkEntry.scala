@@ -1205,6 +1205,20 @@ object SparkEntry {
       Dedup.minhashEstimatedPairs(
         Dedup.minhashShingleSignaturesFromArrays(
           Vocab.hashTokenIdArrays(Tables.documents(s, dir)), 5), bands = 4)),
+    "d30_idf_cosine" -> ((s, dir) =>
+      // IR-weighted near-dup scoring: sparse cosine over 5-gram shingle
+      // features with quantized ⌊10⁶/df⌋ weights — rare shared shingles
+      // dominate the score (weighted resemblance), where d2's Jaccard
+      // counts all shingles equally. Integer partial sums keep norms/dots
+      // exact and aggregation-order-free; candidates from the df-capped
+      // rare-feature index, verified over full feature sets. Unigram
+      // features would be vacuous here: the corpus has 31 distinct tokens,
+      // every one hot — shingles are where rarity lives (as d2 relies on)
+      Dedup.idfCosinePairs(
+        Dedup.shingleIdsFromArrays(
+          Vocab.hashTokenIdArrays(Tables.documents(s, dir)), 5)
+          .withColumnRenamed("shingle_id", "token_id"),
+        threshold = 0.5)),
     "d29_lsh_confusion" -> ((s, dir) => {
       // the checked-sketch report for the banding itself: exact-Jaccard
       // truth (d2) vs LSH candidates (d4) → tp/fp/fn + ppm precision and
@@ -2247,6 +2261,35 @@ object SparkEntry {
          |FROM cand c
          |JOIN sigs sa ON sa.doc_id = c.doc_a
          |JOIN sigs sb ON sb.doc_id = c.doc_b""".stripMargin
+    },
+    "d30_idf_cosine" -> {
+      val cap = graft.ops.Dedup.defaultMaxDf
+      s"""WITH $oracleSigCtes,
+         |terms AS (SELECT doc_id, shingle_id AS token_id FROM sids),
+         |w AS (SELECT token_id, CAST(floor(1000000 / count(*)) AS BIGINT) AS w
+         |      FROM terms GROUP BY token_id),
+         |tw AS (SELECT t.doc_id, t.token_id, w.w FROM terms t JOIN w USING (token_id)),
+         |norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS nsq FROM tw GROUP BY doc_id),
+         |idx AS (SELECT doc_id, token_id FROM terms
+         |        JOIN (SELECT token_id FROM terms GROUP BY token_id
+         |              HAVING count(*) > 1 AND count(*) <= $cap) USING (token_id)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM idx x JOIN idx y
+         |           ON x.token_id = y.token_id AND x.doc_id < y.doc_id),
+         |dots AS (SELECT c.doc_a, c.doc_b, CAST(sum(a.w * a.w) AS BIGINT) AS dw
+         |         FROM cand c
+         |         JOIN tw a ON a.doc_id = c.doc_a
+         |         JOIN tw b ON b.doc_id = c.doc_b AND b.token_id = a.token_id
+         |         GROUP BY c.doc_a, c.doc_b),
+         |scored AS (SELECT d.doc_a, d.doc_b, d.dw,
+         |                  CAST(d.dw AS DOUBLE) /
+         |                    (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cosine
+         |           FROM dots d
+         |           JOIN norms na ON na.doc_id = d.doc_a
+         |           JOIN norms nb ON nb.doc_id = d.doc_b)
+         |SELECT doc_a, doc_b, dw,
+         |       CAST(floor(1e6 * cosine) AS BIGINT) AS cos_ppm
+         |FROM scored WHERE cosine >= 0.5""".stripMargin
     },
     "d29_lsh_confusion" ->
       // truth (d2's exact capped Jaccard) vs candidates (d4's capped

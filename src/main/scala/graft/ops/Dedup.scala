@@ -454,6 +454,60 @@ object Dedup {
         (matches.cast("double") / k).as("est_jaccard"))
   }
 
+  /** Inverse-df-weighted sparse cosine similarity pairs — the IR-style
+    * complement of set Jaccard (d2/d11): two documents score high for
+    * sharing RARE terms even when their full vocabularies diverge, the
+    * weighting that finds topical twins where Jaccard needs verbatim
+    * overlap. Candidate generation reuses the df-capped inverted index
+    * (candidates must share a term with 1 < df ≤ maxDf), verification runs
+    * over the FULL term sets — the d11 candidate/verify split, so scores
+    * are exact and only recall is capped.
+    *
+    * Weights are QUANTIZED to integers — w_t = ⌊10⁶/df_t⌋ — so every
+    * partial sum (norms, dot products) is a long: exact, overflow-safe
+    * (≤ 10¹² per term, docs have ≲ 10³ distinct terms), and independent of
+    * aggregation order. A float idf (ln N/df) would hit two cross-engine
+    * traps at once: libm `log` is not correctly rounded, and double sums
+    * depend on partition fold order. The only float math left is one
+    * division and two IEEE-exact sqrts per PAIR, identical operand bits in
+    * both engines — the same discipline as d6's threshold compare.
+    *
+    * Input: exploded (doc_id, token_id) rows (dupes fine — distinct'd
+    * here). Output: (doc_a, doc_b, dw, cos_ppm) for cosine ≥ threshold.
+    */
+  def idfCosinePairs(tokenIds: DataFrame, threshold: Double = 0.5,
+      maxDf: Long = defaultMaxDf): DataFrame = {
+    val terms = tokenIds.select(col("doc_id"), col("token_id")).distinct().persist()
+    val w = terms.groupBy(col("token_id"))
+      .agg(count(lit(1)).as("df"))
+      .select(col("token_id"), floor(lit(1000000L) / col("df")).cast("long").as("w"))
+    val tw = terms.join(w, Seq("token_id")).persist()
+    val norms = tw.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("nsq"))
+    val idx = dfCappedIndex(
+      terms.select(col("doc_id"), col("token_id").as("shingle_id")), maxDf)
+    val cand = idx.as("x")
+      .join(idx.as("y"),
+        col("x.shingle_id") === col("y.shingle_id") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // shared-term weight products: w_t is term-determined, so the pair dot
+    // is Σ w_t² over A ∩ B — each candidate costs |A| join rows, and
+    // candidates are few by construction
+    val dots = cand
+      .join(tw.select(col("doc_id").as("doc_a"), col("token_id"), col("w")), Seq("doc_a"))
+      .join(tw.select(col("doc_id").as("doc_b"), col("token_id")), Seq("doc_b", "token_id"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("w") * col("w")).as("dw"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("nsq").as("na")), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("nsq").as("nb")), Seq("doc_b"))
+      .withColumn("cosine", col("dw").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("dw"),
+        floor(lit(1e6) * col("cosine")).cast("long").as("cos_ppm"))
+  }
+
   /** Sketch-quality confusion report — the b13/t37/x32 "checked sketch"
     * discipline applied to the LSH candidate generator itself: given the
     * TRUTH pair set (exact Jaccard ≥ τ, d2) and a CANDIDATE pair set (LSH

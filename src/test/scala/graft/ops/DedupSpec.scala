@@ -632,6 +632,27 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 2L, 4L))
   }
 
+  test("idfCosinePairs: identical docs score 1.0; rare-term twins outscore hot-term pairs; no rare shared term → absent") {
+    // terms: 100 is hot (df=4, sub-cap), 7/8 rare (df=2); docs 1,2 are
+    // identical; docs 3,4 share only the hot term
+    val tid = Seq(
+      (1L, 100L), (1L, 7L), (1L, 8L),
+      (2L, 100L), (2L, 7L), (2L, 8L),
+      (3L, 100L), (3L, 55L),
+      (4L, 100L), (4L, 66L)
+    ).toDF("doc_id", "token_id")
+    val rows = Dedup.idfCosinePairs(tid, threshold = 0.0)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Long]("cos_ppm")).toMap
+    // identical vectors: cosine exactly 1.0 → 1_000_000 ppm
+    assert(rows((1L, 2L)) === 1000000L)
+    // 3↔4 share only the hot term; it IS under the df cap here, so the
+    // pair appears, but its cosine is far below the identical pair's
+    assert(rows.contains((3L, 4L)) && rows((3L, 4L)) < rows((1L, 2L)))
+    // 1↔3: shared terms = hot only → rare-term index still admits it via
+    // token 100 (df=4 ≤ cap) but score stays low
+    assert(rows.getOrElse((1L, 3L), 0L) < 500000L)
+  }
+
   test("sketchConfusion: tp/fp/fn partition the union; ppm ratios floor-truncate") {
     val truth = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
     val cand = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 7L)).toDF("doc_a", "doc_b")
