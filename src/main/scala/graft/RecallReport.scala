@@ -48,6 +48,7 @@ object RecallReport {
       "quantized8bit" -> (() => Vectors.quantizedTopK(emb, queries, k)),
       "pq_m8_ks16" -> (() => Vectors.pqTopK(emb, queries, k)),
       "pq_rerank40" -> (() => Vectors.pqRerankTopK(emb, queries, k)),
+      "jl_rerank40" -> (() => Vectors.jlRerankTopK(emb, queries, k)),
       "ivfpq" -> (() => Vectors.ivfPqTopK(emb, spacedIds, queries, k)),
       "pq_trained" -> (() => {
         import org.apache.spark.sql.functions.col

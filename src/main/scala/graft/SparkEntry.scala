@@ -1361,6 +1361,11 @@ object SparkEntry {
     // ---- similarity search ----
     "s1_ann_bruteforce" -> ((s, dir) =>
       Vectors.bruteForceTopK(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
+    "s16_ann_jl" -> ((s, dir) =>
+      // Rademacher JL projection (64→16 dense ±1 dims, deterministic sign
+      // hash) → shortlist in the small space → exact re-rank: the
+      // dimensionality lever next to s8/s9's quantization levers
+      Vectors.jlRerankTopK(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
     "s14_knn_graph" -> ((s, dir) =>
       // every vector's top-3 in-bucket neighbors — N^1.5 pair work via the
       // √N IVF blocking; the edge list near-dup clustering consumes
@@ -2596,6 +2601,35 @@ object SparkEntry {
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
          |scored AS (SELECT query_id, e.vec_id AS neighbor_id, ${oracleCos("q.qv", "e.v")} AS sim
          |           FROM q, e WHERE e.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
+         |WHERE rank <= 10""".stripMargin,
+    "s16_ann_jl" ->
+      // identical sign matrix from the same integer hash; projections fold
+      // via list_dot_product in the same order as the codegen'd dot, then
+      // normalize exactly as the e CTE does
+      s"""WITH $oracleEmbCte,
+         |dim AS (SELECT len(v) AS d FROM e LIMIT 1),
+         |sgn AS (SELECT j, list(CASE WHEN (i * 2654435761 + j * 40503) % 2147483648 // 65536 % 2 = 0
+         |                            THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv
+         |        FROM range(16) t(j), (SELECT unnest(range((SELECT d FROM dim))) AS i)
+         |        GROUP BY j),
+         |p0 AS (SELECT vec_id, list(list_dot_product(e.v, s.sv) ORDER BY s.j) AS pv
+         |       FROM e, sgn s GROUP BY vec_id),
+         |p AS (SELECT vec_id, [x / sqrt(list_dot_product(pv, pv)) for x in pv] AS pu FROM p0),
+         |shortl AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY list_dot_product(q.pu, c.pu) DESC, c.vec_id ASC) AS rn
+         |  FROM p q JOIN p c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 8)
+         | WHERE rn <= 40),
+         |scored AS (SELECT s.query_id, s.neighbor_id,
+         |                  ${oracleCos("eq.v", "ec.v")} AS sim
+         |           FROM shortl s
+         |           JOIN e eq ON eq.vec_id = s.query_id
+         |           JOIN e ec ON ec.vec_id = s.neighbor_id)
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
          |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
          |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)

@@ -274,6 +274,59 @@ object Vectors {
     topKPerGroup(scored, "query_id", k)
   }
 
+  /** Johnson–Lindenstrauss random-projection ANN — the dimensionality lever
+    * that is NOT quantization: project unit vectors onto `planes` dense ±1
+    * directions (a Rademacher JL map — Achlioptas 2003 shows ±1 entries
+    * give the full JL distortion guarantee with no Gaussian sampling),
+    * shortlist by cosine in the small space, then exact re-rank over the
+    * original vectors — the s12 two-stage shape with a 4× (64→16) cheaper
+    * shortlist scoring pass.
+    *
+    * The sign matrix is DETERMINISTIC — sign(i, j) from middle bits of a
+    * multiplicative integer hash (pure long arithmetic, so the SQL oracle
+    * regenerates the identical matrix; middle bits, because the parity of
+    * `i·a + j·b` with odd a, b is just parity(i+j) — a rank-2 pattern, not
+    * a hash). Each projection coordinate is one codegen'd [[dot]] against
+    * a literal sign vector: the corpus pass stays inside whole-stage
+    * codegen, no HOF, no shuffle; only (vec_id, 16-double) projections —
+    * 4× smaller than the corpus — enter the shortlist join.
+    */
+  def jlRerankTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      planes: Int = 16, shortlist: Int = 40): DataFrame = {
+    val unit = withUnit(embeddings).select(col("vec_id"), col("unit")).persist()
+    // dimension probe: one row, metadata-sized (the quantizedTopK pattern)
+    val d = unit.select(size(col("unit")).as("d")).head().getAs[Int]("d")
+    def sign(i: Int, j: Int): Double =
+      if ((i.toLong * 2654435761L + j.toLong * 40503L) % 2147483648L / 65536L % 2L == 0L) 1.0
+      else -1.0
+    val proj = array((0 until planes).map { j =>
+      dot(col("unit"), typedlit((0 until d).map(i => sign(i, j))))
+    }: _*)
+    val p = unit
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.unitVector(proj).as("pu"))
+      .persist()
+    val pq = p.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("pu").as("qp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim_p").desc, col("neighbor_id").asc)
+    val short = F.broadcast(pq)
+      .join(p.select(col("vec_id").as("neighbor_id"), col("pu").as("ep")),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qp"), col("ep")).as("sim_p"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val queries = unit.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("unit").as("q"))
+    val scored = unit.select(col("vec_id").as("neighbor_id"), col("unit").as("b"))
+      .join(F.broadcast(short), Seq("neighbor_id"))
+      .join(F.broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("q"), col("b")).as("sim"))
+    topKPerGroup(scored, "query_id", k)
+  }
+
   /** MMR (maximal-marginal-relevance) diversified re-rank — the retrieval
     * step after top-k: greedily pick `k` results that balance similarity to
     * the query against redundancy with what's already picked,

@@ -387,6 +387,38 @@ class VectorsSpec extends SparkSpec {
     assert(mmr.map(_._1).distinct.length === 3)
   }
 
+  test("jlRerankTopK: with shortlist ≥ corpus the exact re-rank makes it ≡ brute force") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(24)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank"))).toSet
+    val jl = pairs(Vectors.jlRerankTopK(vecs, 0L until 4L, k = 5, planes = 8, shortlist = 40))
+    val bf = pairs(Vectors.bruteForceTopK(vecs, 0L until 4L, k = 5))
+    assert(jl === bf)
+  }
+
+  test("jlRerankTopK: narrow shortlist still recovers most exact neighbors (JL preserves geometry)") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    // clustered corpus (the regime ANN actually serves): 20 centers, small
+    // per-point noise — true neighbors are genuinely close, which is what
+    // the distortion bound protects; uniform-random vectors (all sims ≈ 0)
+    // are the adversarial case where no shortlist can separate near-ties
+    val centers = Array.fill(20)(Array.fill(32)(rnd.nextFloat() * 2f - 1f))
+    val vecs = (0L until 200L).map { i =>
+      val c = centers((i % 20).toInt)
+      (i, c.map(x => x + rnd.nextFloat() * 0.2f - 0.1f))
+    }.toDF("vec_id", "embedding")
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val jl = hits(Vectors.jlRerankTopK(vecs, 0L until 8L, k = 5, planes = 16, shortlist = 40))
+    val bf = hits(Vectors.bruteForceTopK(vecs, 0L until 8L, k = 5))
+    val recall = jl.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"JL recall@5 was $recall")
+  }
+
   test("semanticKeep: per group keeps the LEAST centroid-similar member, ties to smaller id; ungrouped kept") {
     import org.apache.spark.sql.functions.col
     // single centroid (1,0): affinities are the normalized x-components —
