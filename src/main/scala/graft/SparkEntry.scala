@@ -1054,6 +1054,19 @@ object SparkEntry {
       // compression-style quality gate: per-doc char-histogram Shannon
       // entropy in micro-bits (degenerate repetition ≈ 0, mojibake high)
       TextOps.charEntropy(Tables.documents(s, dir))),
+    "x36_pareto_frontier" -> ((s, dir) => {
+      // the efficient edge of the length/naturalness trade-off: docs no
+      // other doc beats on BOTH n_chars and stopword ppm — what any
+      // scalarized quality weighting could ever select. Dominance runs in
+      // the value domain of n_chars (distinct-x window), not over rows
+      val toks = TextOps.tokens(col("text"))
+      val nTok = size(toks).cast("long")
+      val nStop = size(filter(toks, t =>
+        array_contains(typedlit(TextOps.stopwords), t))).cast("long")
+      val scored = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"),
+        round(lit(1e6) * nStop / nTok).cast("long").as("stopword_ppm"))
+      TextOps.paretoFront(scored, "n_chars", "stopword_ppm")
+    }),
     "x29_collocations" -> ((s, dir) =>
       // corpus collocations ranked by lift (monotone with PMI — no
       // cross-engine ln in the compare); zip-slice bigrams, vocab-sized
@@ -2102,6 +2115,24 @@ object SparkEntry {
         |SELECT doc_id, n_chars, n_distinct,
         |       CAST(round(1e6 * (log2(n_chars) - s / n_chars)) AS BIGINT) AS entropy_ubits
         |FROM e""".stripMargin,
+    "x36_pareto_frontier" ->
+      // same value-domain dominance: max y per distinct x, running
+      // strict-prior max over x DESC, admit y = ymax AND y > prior
+      """WITH scored AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(round(1e6 * CAST(len(list_filter(string_split(text, ' '),
+        |                s -> list_contains(['the','a','of','and','to','in'], s))) AS BIGINT)
+        |              / len(string_split(text, ' '))) AS BIGINT) AS stopword_ppm
+        |  FROM documents),
+        |perx AS (SELECT n_chars, max(stopword_ppm) AS ymax FROM scored GROUP BY n_chars),
+        |fr AS (SELECT n_chars, ymax AS stopword_ppm FROM (
+        |         SELECT n_chars, ymax,
+        |                max(ymax) OVER (ORDER BY n_chars DESC
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+        |         FROM perx)
+        |       WHERE prior IS NULL OR ymax > prior)
+        |SELECT s.doc_id, s.n_chars, s.stopword_ppm
+        |FROM scored s JOIN fr USING (n_chars, stopword_ppm)""".stripMargin,
     "x29_collocations" ->
       """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
         |bg AS (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2

@@ -807,6 +807,34 @@ object TextOps {
     * re-aggregate the VOCABULARY²-sized pair table and broadcast back; the
     * final top-k is TakeOrdered, never a global sort.
     */
+  /** Pareto frontier (skyline) over two maximize-objectives — the
+    * multi-objective data-selection primitive: keep the rows no other row
+    * dominates (x' ≥ x AND y' ≥ y with at least one strict). A curation
+    * pass uses it to see the quality/length trade-off's efficient edge
+    * instead of committing to one scalarized score (x15/x26 pick weights;
+    * this shows what any weighting could ever pick).
+    *
+    * Scale shape: dominance collapses to the VALUE DOMAIN of x — max(y)
+    * per distinct x, then one running strict-prior max over distinct x
+    * descending (the t19 histogram-compression discipline: the global-sort
+    * window runs over |distinct x| rows, not corpus rows), then a semi
+    * join admits exactly the undominated (x, y) combos. Ties on both
+    * coordinates are all kept (neither strictly dominates). Rows with a
+    * NULL objective can't join the frontier — excluded in both engines by
+    * join-on-null semantics.
+    */
+  def paretoFront(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val perX = df.groupBy(col(xCol)).agg(max(col(yCol)).as("_ymax"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(xCol).desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val frontier = perX
+      .withColumn("_prior", max(col("_ymax")).over(w))
+      .filter(col("_prior").isNull || col("_ymax") > col("_prior"))
+      .select(col(xCol), col("_ymax").as(yCol))
+    df.join(frontier, Seq(xCol, yCol), "left_semi")
+  }
+
   def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 100): DataFrame = {
     val t = tokens(col("text"))
     val n1 = greatest(size(t) - 1, lit(0))

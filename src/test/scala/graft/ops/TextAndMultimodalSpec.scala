@@ -396,4 +396,20 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(out.map(t => t._1 -> t._2).toMap === Map("common" -> 100L, "half" -> 50L))
     assert(out.forall(_._3))
   }
+
+  test("paretoFront: dominated dropped, frontier + both-coordinate ties kept, null objective excluded") {
+    val rows = Seq(
+      (1L, 10L, 5L),            // frontier (longest)
+      (2L, 10L, 3L),            // dominated by 1 (same x, lower y)
+      (3L, 8L, 7L),             // frontier (shorter but more natural)
+      (4L, 8L, 7L),             // exact tie with 3 → both kept
+      (5L, 6L, 7L),             // dominated by 3 (y equal, x strictly less)
+      (6L, 4L, 9L),             // frontier
+      (7L, 2L, 1L)              // dominated by everything
+    ).toDF("doc_id", "x", "y")
+      .unionByName(Seq((8L, Some(12L), Option.empty[Long])).toDF("doc_id", "x", "y"))
+    val kept = TextOps.paretoFront(rows, "x", "y")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === Set(1L, 3L, 4L, 6L))
+  }
 }
