@@ -1076,6 +1076,11 @@ object SparkEntry {
       // cumulative / 7-day moving average / day-over-day delta per type —
       // windows run over the aggregated (day × type) frame, never raw rows
       graft.operators.Windows.dailyTrends(Tables.events(s, dir))),
+    "t41_gap_fill" -> ((s, dir) =>
+      // dense key × day grid with LOCF: missing days carry the previous
+      // close; the LOCF window runs over the spine (keys × days), never
+      // over raw events
+      graft.operators.Windows.gapFillLocf(Tables.events(s, dir))),
     "b13_approx_distinct" -> ((s, dir) =>
       // checked variant: the query RAISES if any group's HLL estimate is
       // off by > 3·rsd vs exact. Only cross-engine-deterministic columns are
@@ -2166,6 +2171,29 @@ object SparkEntry {
         |FROM daily
         |WINDOW w7 AS (PARTITION BY "table" ORDER BY day
         |              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "t41_gap_fill" ->
+      // daily close = max(v) at the day's max ts (the same two-step the
+      // struct-max resolves); spine via end-exclusive range over [d0, d1+1)
+      """WITH d0 AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, ts,
+        |                   CAST(round(value * 100) AS BIGINT) AS v
+        |            FROM events),
+        |mx AS (SELECT event_type, day, max(ts) AS mt FROM d0 GROUP BY 1, 2),
+        |daily AS (SELECT d.event_type, d.day, max(d.v) AS close_c
+        |          FROM d0 d JOIN mx ON mx.event_type = d.event_type
+        |                            AND mx.day = d.day AND d.ts = mx.mt
+        |          GROUP BY 1, 2),
+        |span AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |spine AS (SELECT k.event_type, CAST(g.day AS DATE) AS day
+        |          FROM (SELECT DISTINCT event_type FROM daily) k,
+        |               (SELECT unnest(range(lo, hi + INTERVAL 1 DAY, INTERVAL 1 DAY)) AS day
+        |                FROM span) g)
+        |SELECT s.event_type, s.day,
+        |       last_value(d.close_c IGNORE NULLS) OVER (
+        |         PARTITION BY s.event_type ORDER BY s.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_filled,
+        |       CAST(d.close_c IS NOT NULL AS INT) AS observed
+        |FROM spine s LEFT JOIN daily d
+        |  ON d.event_type = s.event_type AND d.day = s.day""".stripMargin,
     "t23_daily_trends" ->
       """WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
         |                      CAST(count(*) AS BIGINT) AS n_events

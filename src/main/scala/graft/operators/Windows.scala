@@ -17,6 +17,41 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
 
+  /** Calendar gap-fill with last-observation-carried-forward — the
+    * dashboard-series primitive t23/t33 stop short of: a key × day grid
+    * with no missing days, where each absent day carries the previous
+    * day's closing reading (and days before a key's first observation stay
+    * NULL — LOCF has nothing to carry). The daily close is the reading at
+    * the day's max timestamp (ties → larger scaled value: deterministic,
+    * and attested cross-engine since both engines resolve the same
+    * two-step max). Readings are centi-scaled longs (the t37 discipline).
+    *
+    * Scale shape: raw events collapse to (key, day) closes in one partial-
+    * agg shuffle; the spine is |keys| × |days| — metadata against the
+    * event volume that produced it — and the LOCF window sorts within key
+    * partitions of that spine, never over raw events. The span aggregate
+    * is a 1-row broadcast.
+    */
+  def gapFillLocf(events: DataFrame, tsCol: String = "ts",
+      keyCol: String = "event_type", valCol: String = "value"): DataFrame = {
+    val v = round(col(valCol) * 100).cast("long")
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(max(struct(col(tsCol).as("t"), v.as("v"))).as("m"))
+      .select(col(keyCol), col("day"), col("m.v").as("close_c"))
+      .persist() // three consumers: span, key domain, and the grid join
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = daily.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(span))
+      .select(col(keyCol), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = W.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    spine.join(daily, Seq(keyCol, "day"), "left_outer")
+      .select(col(keyCol), col("day"),
+        last(col("close_c"), ignoreNulls = true).over(w).as("close_filled"),
+        col("close_c").isNotNull.cast("int").as("observed"))
+  }
+
   /** Sliding event-time counts: `win`-second windows every `slide` seconds
     * per event_type. An event lands in win/slide windows.
     */

@@ -120,4 +120,27 @@ class WindowsSpec extends SparkSpec {
     assert(!out.contains(("2024-01-01", 2L)))
     assert(out(("2024-01-08", 0L)) === 1L) // u3
   }
+
+  test("gapFillLocf: dense spine, gaps carry the last close, pre-first-observation stays null") {
+    val e = Seq(
+      ("2024-01-01 09:00:00", "a", 1.00),
+      ("2024-01-01 17:00:00", "a", 2.00),  // day close for a@01-01 = 200
+      ("2024-01-04 10:00:00", "a", 5.00),  // 01-02, 01-03 are gaps
+      ("2024-01-03 10:00:00", "b", 7.00)   // b unseen before 01-03
+    ).map { case (t, k, v) => (Timestamp.valueOf(t), k, v) }
+      .toDF("ts", "event_type", "value")
+    val out = Windows.gapFillLocf(e).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString) ->
+        (if (r.isNullAt(2)) None else Some(r.getAs[Long]("close_filled")), r.getAs[Int]("observed")))
+      .toMap
+    // spine spans the global [min, max] day for every key: 4 days × 2 keys
+    assert(out.size === 8)
+    assert(out(("a", "2024-01-01")) === (Some(200L), 1))
+    assert(out(("a", "2024-01-02")) === (Some(200L), 0)) // carried
+    assert(out(("a", "2024-01-03")) === (Some(200L), 0)) // still carried
+    assert(out(("a", "2024-01-04")) === (Some(500L), 1))
+    assert(out(("b", "2024-01-01")) === (None, 0))       // before first obs
+    assert(out(("b", "2024-01-03")) === (Some(700L), 1))
+    assert(out(("b", "2024-01-04")) === (Some(700L), 0))
+  }
 }
