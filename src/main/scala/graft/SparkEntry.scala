@@ -1102,6 +1102,12 @@ object SparkEntry {
       graft.streaming.TransactionAssembler.assembleBatch(b, gapSec = 86400L)
     }),
 
+    "b21_state_replay" -> ((s, dir) =>
+      // what does each row look like NOW: latest-op-per-key compaction
+      // with tombstones (last op = 'error' removes the key) — one
+      // map-side-combinable hash agg riding the unique position, no sort
+      // window; n_ops carries the compaction ratio
+      graft.binlog.StateReplay.currentState(binlog(s, dir))),
     "b18_ordering_integrity" -> ((s, dir) => {
       // replication-integrity check: within each gtid's (execute_time,
       // pos) order, how often does the binlog position run BACKWARD?
@@ -1638,6 +1644,16 @@ object SparkEntry {
         |       CAST(sum(affected_rows) AS BIGINT) AS transaction_affected_rows,
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY gtid, session_id""".stripMargin),
+    "b21_state_replay" ->
+      // latest per key via the unique position: max(pos) then join back —
+      // the two-step the struct-max resolves in one agg
+      (oracleBinlogCte + """,
+        |mx AS (SELECT gtid, CAST(count(*) AS BIGINT) AS n_ops, max(pos) AS last_pos
+        |       FROM b GROUP BY gtid)
+        |SELECT m.gtid, m.n_ops, m.last_pos, b.event_type AS last_op,
+        |       b.size_bytes AS last_size
+        |FROM mx m JOIN b ON b.gtid = m.gtid AND b.pos = m.last_pos
+        |WHERE b.event_type <> 'error'""".stripMargin),
     "b18_ordering_integrity" ->
       (oracleBinlogCte + """,
         |m AS (SELECT gtid, pos,

@@ -27,6 +27,22 @@ class TransactionStatsSpec extends SparkSpec {
     .toDF("execute_time", "gtid", "binlog_pos", "single_statement_size",
       "single_statement_affected_rows")
 
+  test("state replay: last op per key wins, tombstoned keys absent, n_ops counts full history") {
+    val b = Seq(
+      ("k1", 1L, "signup", 10L), ("k1", 3L, "click", 30L), ("k1", 2L, "view", 20L),
+      ("k2", 4L, "signup", 40L), ("k2", 5L, "error", 50L), // tombstoned
+      ("k3", 6L, "error", 60L), ("k3", 7L, "purchase", 70L) // revived after delete
+    ).map { case (g, p, op, sz) => (g, p.toString, op, sz.toString) }
+      .toDF("gtid", "binlog_pos", "event_type", "single_statement_size")
+    val out = StateReplay.currentState(b).collect()
+      .map(r => r.getAs[String]("gtid") ->
+        (r.getAs[Long]("n_ops"), r.getAs[Long]("last_pos"), r.getAs[String]("last_op"), r.getAs[Long]("last_size")))
+      .toMap
+    assert(out === Map(
+      "k1" -> (3L, 3L, "click", 30L),
+      "k3" -> (2L, 7L, "purchase", 70L)))
+  }
+
   test("reference worked example: transaction_size = 1820") {
     val out = TransactionStats
       .forRange(workedExample, ts("2020-05-30 10:00:00"), ts("2020-05-30 10:05:00"), "5min")
