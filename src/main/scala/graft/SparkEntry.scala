@@ -952,6 +952,19 @@ object SparkEntry {
         .select(col("pk").as("src"), col("pk2").as("dst"))
       graft.operators.Graph.triangleCounts(edges)
     }),
+    "t42_kcore" -> ((s, dir) => {
+      // the 3-core of the same ship-year co-purchase graph: where cohesive
+      // part clusters live after peeling the long tail. Fixed 8 peel
+      // rounds — deterministic and attestable whether or not converged
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1996-01-01"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+        .select(col("pk").as("src"), col("pk2").as("dst"))
+      graft.operators.Graph.kCore(edges, k = 3, rounds = 8)
+    }),
     "m4_dup_frames" -> ((s, dir) =>
       // duplicate frames shared across distinct documents (digest-keyed,
       // payload never shuffled) — the multimodal twin of d8 exact dedup
@@ -1999,6 +2012,15 @@ object SparkEntry {
           |JOIN (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
           |        AND l_shipdate < DATE '1996-01-01') b
           |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""".stripMargin),
+    "t42_kcore" ->
+      graft.operators.Graph.kCoreSql(
+        """SELECT a.l_partkey AS src, b.l_partkey AS dst
+          |FROM (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
+          |        AND l_shipdate < DATE '1996-01-01') a
+          |JOIN (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
+          |        AND l_shipdate < DATE '1996-01-01') b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""".stripMargin,
+        k = 3, rounds = 8),
     "m4_dup_frames" ->
       """WITH f AS (
         |  SELECT doc_id,

@@ -136,6 +136,64 @@ object Graph {
        |SELECT node, CAST(count(*) AS BIGINT) AS triangles
        |FROM corners GROUP BY node""".stripMargin
 
+  /** k-core peeling with a FIXED round count — the degeneracy lens on the
+    * same edge frames ([[pageRank]] scores centrality, CC answers
+    * membership, [[triangleCounts]] measures closure; the k-core is where
+    * cohesive subgroups live and where spam rings concentrate). Each round
+    * drops every node whose CURRENT degree is < k and the edges touching
+    * it; surviving nodes' degrees fall as neighbors leave, so peeling
+    * cascades. Fixed `rounds` (not to-fixpoint) for the t32 reason: the
+    * result is deterministic and oracle-attestable whether or not the peel
+    * has converged, and the job count is scheduled, not chased — each
+    * round is one degree aggregation + two semi joins, all hashed on node
+    * ids, with `localCheckpoint` truncating lineage per round: round i's
+    * plan references round i−1 THREE times (the degree filter twice via
+    * both semi joins, the edge frame once), so without truncation the
+    * LOGICAL plan grows 3^r — persist caches data but analysis still
+    * walks the full tree (the d28 cached-plan lesson, measured here as an
+    * OOM building the round-8 plan on a 7-edge graph).
+    *
+    * Output: (node, degree) of the surviving subgraph after `rounds`
+    * peels — degree ≥ k for every row once converged.
+    */
+  def kCore(edges: DataFrame, k: Int = 3, rounds: Int = 8): DataFrame = {
+    val raw = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    var sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val alive = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      sym = sym
+        .join(alive, Seq("src"), "left_semi")
+        .join(alive.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+    }
+    sym.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .select(col("src").as("node"), col("degree"))
+  }
+
+  /** [[kCore]] as DuckDB SQL — rounds unrolled as chained CTEs, textually
+    * parallel so the two stay provably in lockstep. Every round CTE is
+    * MATERIALIZED: DuckDB inlines plain CTEs, and with each round
+    * referencing its predecessor three times the inlined plan is 3^r base
+    * scans — the oracle-side image of the lineage blowup `localCheckpoint`
+    * truncates on the Spark side.
+    */
+  def kCoreSql(edgesCte: String, k: Int = 3, rounds: Int = 8): String = {
+    val base =
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($edgesCte) WHERE src <> dst),
+         |s0 AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e)""".stripMargin
+    val peels = (1 to rounds).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT src FROM (SELECT src, count(*) AS deg FROM s${i - 1} GROUP BY src)
+         |        WHERE deg >= $k),
+         |s$i AS MATERIALIZED (SELECT t.src, t.dst FROM s${i - 1} t
+         |        JOIN a$i x ON t.src = x.src JOIN a$i y ON t.dst = y.src)""".stripMargin
+    }
+    (base +: peels).mkString(",\n") +
+      s"\nSELECT src AS node, CAST(count(*) AS BIGINT) AS degree FROM s$rounds GROUP BY src"
+  }
+
   /** The identical computation as DuckDB SQL: `edgesCte` must produce
     * columns `(src, dst)`; rounds are unrolled as chained CTEs (recursive
     * CTEs can't aggregate in the recursive term). Kept textually parallel

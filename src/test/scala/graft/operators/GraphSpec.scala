@@ -65,6 +65,29 @@ class GraphSpec extends SparkSpec {
     assert(sql.contains("least(src, dst)") && sql.contains("GROUP BY node"))
   }
 
+  private def coreOf(edges: Seq[(Long, Long)], k: Int, rounds: Int = 8): Map[Long, Long] =
+    Graph.kCore(edges.toDF("src", "dst"), k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCore: K4 with a pendant chain — the chain peels away cascade-style, K4 survives at k=3") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    // chain 4-5-6-7: 5,6,7 have degree ≤ 2, and peeling cascades through
+    val r = coreOf(k4 ++ Seq((4L, 5L), (5L, 6L), (6L, 7L)), k = 3)
+    assert(r === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: triangle survives k=2, everything peels at k=3; empty core is empty") {
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    assert(coreOf(tri, k = 2) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(coreOf(tri, k = 3) === Map.empty)
+  }
+
+  test("kCore SQL twin unrolls one peel per round") {
+    val sql = Graph.kCoreSql("SELECT a AS src, b AS dst FROM t", k = 3, rounds = 4)
+    assert(sql.contains("s4 AS") && !sql.contains("s5 AS"))
+    assert(sql.endsWith("FROM s4 GROUP BY src"))
+  }
+
   test("unrolled SQL text contains one CTE per round and the final select") {
     val sql = Graph.pageRankSql("SELECT a AS src, b AS dst FROM t", 3)
     assert(sql.contains("pr3 AS"))
