@@ -1067,6 +1067,12 @@ object SparkEntry {
       // compression-style quality gate: per-doc char-histogram Shannon
       // entropy in micro-bits (degenerate repetition ≈ 0, mojibake high)
       TextOps.charEntropy(Tables.documents(s, dir))),
+    "x37_cdc_chunks" -> ((s, dir) =>
+      // content-defined chunk boundaries (rolling hash ≡ 0 mod 64): the
+      // insertion-resilient chunking the storage-dedup stack (chunk md5 →
+      // d8 exact dedup) needs where fixed tiles (m4/x24) lose every tile
+      // after one inserted byte
+      TextOps.cdcChunks(Tables.documents(s, dir))),
     "x36_pareto_frontier" -> ((s, dir) => {
       // the efficient edge of the length/naturalness trade-off: docs no
       // other doc beats on BOTH n_chars and stopword ppm — what any
@@ -2158,6 +2164,34 @@ object SparkEntry {
         |SELECT doc_id, n_chars, n_distinct,
         |       CAST(round(1e6 * (log2(n_chars) - s / n_chars)) AS BIGINT) AS entropy_ubits
         |FROM e""".stripMargin,
+    "x37_cdc_chunks" -> {
+      val p = graft.ops.Dedup.minhashPrime
+      // the identical lead-chain fold, unrolled textually
+      val acc = (0 until 3).foldLeft("CAST(0 AS BIGINT)") { (a, i) =>
+        val c = if (i == 0) "cp" else s"lead(cp, $i) OVER w"
+        s"(($a * 37 + $c + 1) % $p)"
+      }
+      s"""WITH ch AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, CAST(unicode(cs[i]) AS BIGINT) AS cp
+         |            FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents
+         |                  WHERE text IS NOT NULL AND length(text) > 0) t,
+         |            UNNEST(range(1, len(cs) + 1)) AS r(i)
+         |            WHERE cs[i] <> ''),
+         |h AS (SELECT doc_id, pos, $acc AS acc FROM ch
+         |      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |b AS (SELECT doc_id, pos,
+         |             CASE WHEN acc IS NOT NULL AND acc % 64 = 0 THEN 1 ELSE 0 END AS bnd
+         |      FROM h),
+         |ci AS (SELECT doc_id, pos,
+         |              CAST(coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_idx
+         |       FROM b),
+         |sp AS (SELECT doc_id, chunk_idx, min(pos) AS start_pos,
+         |              CAST(count(*) AS BIGINT) AS chunk_len
+         |       FROM ci GROUP BY 1, 2)
+         |SELECT s.doc_id, s.chunk_idx, s.start_pos, s.chunk_len,
+         |       md5(substring(d.text, CAST(s.start_pos AS INT), CAST(s.chunk_len AS INT))) AS chunk_md5
+         |FROM sp s JOIN documents d USING (doc_id)""".stripMargin
+    },
     "x36_pareto_frontier" ->
       // same value-domain dominance: max y per distinct x, running
       // strict-prior max over x DESC, admit y = ymax AND y > prior

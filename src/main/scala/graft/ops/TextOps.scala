@@ -807,6 +807,55 @@ object TextOps {
     * re-aggregate the VOCABULARY²-sized pair table and broadcast back; the
     * final top-k is TakeOrdered, never a global sort.
     */
+  /** Content-defined chunking (the rsync/LBFS/restic boundary rule): cut a
+    * chunk wherever the rolling k-gram hash of the character stream is ≡ 0
+    * mod `divisor` (expected chunk length ≈ divisor chars). Unlike the
+    * fixed-width x24 chunks, boundaries move WITH the content — inserting
+    * a prefix shifts every byte but the tail's boundaries re-align at the
+    * first surviving cut, so downstream exact dedup (d8 digests over
+    * chunk_md5) still recognizes the unchanged chunks. Fixed-width tiling
+    * loses every tile after a one-byte insertion; that asymmetry is the
+    * entire storage-dedup literature in one sentence.
+    *
+    * Same fold, same modulus as [[graft.ops.Dedup.charIds]]+ShingleHash
+    * ((a·37 + c + 1) mod P, chars as code points), so the hash is the one
+    * the near-dup surface already attests. Per-char work is a window
+    * `lead` chain inside one per-doc sort — no self-join, no shuffle
+    * after the doc partition; chunk spans aggregate to |chunks| rows
+    * (corpus/divisor — metadata), and chunk text is read once per chunk
+    * via substring for the digest.
+    *
+    * Output: (doc_id, chunk_idx, start_pos [1-based], chunk_len,
+    * chunk_md5). Null/empty docs yield no chunks.
+    */
+  def cdcChunks(docs: DataFrame, k: Int = 3, divisor: Long = 64L): DataFrame = {
+    val p = graft.ops.Dedup.minhashPrime
+    val d = docs.filter(col("text").isNotNull && length(col("text")) > 0)
+    val chars = graft.ops.Dedup.charIds(d)
+      .select(col("doc_id"), posexplode(col("ids")).as(Seq("pos0", "cid")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("cid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    var acc: Column = lit(0L)
+    for (i <- 0 until k)
+      acc = (acc * 37 + lead(col("cid"), i).over(w) + 1) % p
+    // a null lead near the doc tail poisons acc → no boundary there: the
+    // final chunk runs to the end (k-gram must be complete to cut)
+    val bnd = when(acc.isNotNull && acc % divisor === 0, 1L).otherwise(0L)
+    val idx = chars
+      .withColumn("bnd", bnd)
+      .withColumn("chunk_idx",
+        coalesce(sum(col("bnd"))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+    idx.groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(min(col("pos")).as("start_pos"), count(lit(1)).as("chunk_len"))
+      .join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_pos"), col("chunk_len"),
+        md5(expr("substring(text, CAST(start_pos AS INT), CAST(chunk_len AS INT))"))
+          .as("chunk_md5"))
+  }
+
   /** Pareto frontier (skyline) over two maximize-objectives — the
     * multi-objective data-selection primitive: keep the rows no other row
     * dominates (x' ≥ x AND y' ≥ y with at least one strict). A curation

@@ -397,6 +397,43 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(out.forall(_._3))
   }
 
+  test("cdcChunks: chunks tile each doc exactly; identical docs chunk identically; empty/null docs absent") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, ""), (4L, null))
+      .toDF("doc_id", "text")
+    val rows = TextOps.cdcChunks(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("start_pos"), r.getAs[Long]("chunk_len"), r.getAs[String]("chunk_md5")))
+    assert(rows.map(_._1).toSet === Set(1L, 2L))
+    Seq(1L, 2L).foreach { id =>
+      val cs = rows.filter(_._1 == id).sortBy(_._2)
+      assert(cs.head._3 === 1L)
+      assert(cs.map(_._4).sum === base.length.toLong)
+      // contiguous spans: each chunk starts where the previous ended
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 === a._3 + a._4); case _ =>
+      }
+    }
+    // identical text → identical chunking and digests
+    assert(rows.filter(_._1 == 1L).map(t => (t._2, t._3, t._4, t._5)).sortBy(_._1).toSeq ===
+      rows.filter(_._1 == 2L).map(t => (t._2, t._3, t._4, t._5)).sortBy(_._1).toSeq)
+  }
+
+  test("cdcChunks: boundaries are content-defined — a prefix insertion preserves the tail's chunk digests") {
+    val rnd = new scala.util.Random(13)
+    val body = (1 to 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq((1L, body), (2L, "INSERTED-PREFIX-NOT-A-MULTIPLE " + body))
+      .toDF("doc_id", "text")
+    val byDoc = TextOps.cdcChunks(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (k, v) => k -> v.map(_.getAs[String]("chunk_md5")).toSet }
+    val shared = byDoc(1L).intersect(byDoc(2L)).size
+    // fixed-width tiling would share ~0 tiles (offset shift); CDC re-aligns
+    // after the first surviving boundary
+    assert(shared >= byDoc(1L).size / 2,
+      s"only $shared of ${byDoc(1L).size} chunks survived the insertion")
+  }
+
   test("paretoFront: dominated dropped, frontier + both-coordinate ties kept, null objective excluded") {
     val rows = Seq(
       (1L, 10L, 5L),            // frontier (longest)
