@@ -24,6 +24,13 @@ object StateReplay {
     * DML verb, and rows whose LAST op is `deleteOp` are tombstoned away.
     * `n_ops` counts the full history (deletes included) — the compaction
     * ratio |events| / |keys| falls out of it.
+    *
+    * Runs UNCHANGED as a Structured Streaming aggregation (Complete mode):
+    * the struct-max is an incrementally-maintainable agg, so each
+    * micro-batch updates only touched keys, and a tombstone arriving later
+    * RETRACTS its key from the output — the continuously-maintained mirror
+    * table a binlog consumer actually serves (spec-attested stream ≡
+    * batch, the b14 twin discipline).
     */
   def currentState(binlog: DataFrame, deleteOp: String = "error"): DataFrame =
     binlog
