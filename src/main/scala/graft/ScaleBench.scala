@@ -102,7 +102,26 @@ object ScaleBench {
         // the one FULL N^1.5 stage (every vector scored in its bucket):
         // expected ×8 ratio is 8^1.5 ≈ 23 — far under the 64× a quadratic
         // all-pairs scan would show; rows grow exactly 8× (3 edges/vector)
-        Vectors.knnGraph(e, k = 3), false)
+        Vectors.knnGraph(e, k = 3), false),
+      ("d30_idf_cosine", (d: DataFrame) =>
+        // weighted-cosine candidate/verify split: candidates stay rare-
+        // feature-bounded as the corpus multiplies
+        Dedup.idfCosinePairs(
+          Dedup.shingleIdsFromArrays(Vocab.hashTokenIdArrays(d), 5)
+            .withColumnRenamed("shingle_id", "token_id"), threshold = 0.5), true),
+      ("x37_cdc_chunks", (d: DataFrame) =>
+        // per-char lead-chain window — must scale with chars, not chars²
+        graft.ops.TextOps.cdcChunks(d), true),
+      ("s16_ann_jl", (e: DataFrame) =>
+        // projection pass is O(N·planes·d); shortlist join carries 16-dim
+        // rows only
+        Vectors.jlRerankTopK(e, 0L until 8L, k = 10), false),
+      ("d28_semantic_dedup", (e: DataFrame) => {
+        val cids = Vectors.spacedCentroidIds(e.count())
+        val pairs = Vectors.cosineNearDupPairs(e, cids, threshold = 0.4)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        Vectors.semanticKeep(e, cids, Dedup.dedupGroupsStar(pairs).persist())
+      }, false)
     )
 
     def time(fn: () => DataFrame): (Double, Long) = {
@@ -134,6 +153,35 @@ object ScaleBench {
     val base = runAll(1)
     val x8 = runAll(8)
 
+    // graph surface: ×f disjoint copies of the ship-year co-purchase graph
+    // (remapped node ids) — validates no stage is globally super-linear
+    // (wedge work is per-component, so disjoint copies must scale ≈×8)
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1995-01-01") &&
+        col("l_shipdate") < lit("1996-01-01"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges0 = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+      .filter(col("pk") < col("pk2"))
+      .select(col("pk").as("src"), col("pk2").as("dst")).persist()
+    val nodeStride = edges0.agg(max(col("dst"))).head.getLong(0) + 1L
+    def scaledEdges(f: Int): DataFrame = (0 until f).map { k =>
+      edges0.select((col("src") + lit(k * nodeStride)).as("src"),
+        (col("dst") + lit(k * nodeStride)).as("dst"))
+    }.reduce(_ union _)
+    val graphQs: Seq[(String, DataFrame => DataFrame)] = Seq(
+      ("t40_triangles", e => graft.operators.Graph.triangleCounts(e)),
+      ("t42_kcore", e => graft.operators.Graph.kCore(e, k = 3, rounds = 8)))
+    def runGraph(f: Int): Seq[(String, Double, Long)] = {
+      val e = scaledEdges(f)
+      graphQs.map { case (name, fn) =>
+        val (sec, rows) = time(() => fn(e))
+        System.err.println(f"[scale x$f] $name%-24s $sec%8.2f s  $rows%10d rows")
+        (name, sec, rows)
+      }
+    }
+    val gBase = runGraph(1)
+    val gX8 = runGraph(8)
+
     // adversarial hot-shingle corpus: one boilerplate sentence appended to
     // EVERY doc of the 8N corpus → its shingles have df = 8N; the df-capped
     // candidate index must keep d2 at ≈ clean-corpus cost
@@ -148,9 +196,12 @@ object ScaleBench {
       rs.map { case (n, s, r) => f""""$n":{"sec":$s%.3f,"rows":$r}""" }.mkString("{", ",", "}")
     val ratios = base.zip(x8).map { case ((n, b, _), (_, s, _)) =>
       f""""$n":${s / math.max(b, 1e-9)}%.2f""" }.mkString("{", ",", "}")
+    val gRatios = gBase.zip(gX8).map { case ((n, b, _), (_, s, _)) =>
+      f""""$n":${s / math.max(b, 1e-9)}%.2f""" }.mkString("{", ",", "}")
     val json =
       s"""{"sf":"$sfDir","n_docs":$nDocs,"n_vecs":$nVecs,"factor":8,""" +
         s""""base":${sect(base)},"x8":${sect(x8)},"time_ratio_x8":$ratios,""" +
+        s""""graph_base":${sect(gBase)},"graph_x8":${sect(gX8)},"graph_time_ratio_x8":$gRatios,""" +
         f""""hot_shingle":{"appended_to_all":true,"boilerplate_df":${nDocs * 8},"d2_sec":$hotSec%.3f,"d2_rows":$hotRows}}"""
     Files.writeString(Paths.get(out), json + "\n")
     println(json)

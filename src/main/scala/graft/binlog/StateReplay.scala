@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * log compaction / a Delta-Hudi upsert merge: latest record per key wins,
   * a tombstone op removes the key.
   *
-  * Scale shape: ONE hash aggregation — `max(struct(pos, …))` rides the
-  * unique monotone position, so the "latest per key" needs no sort window
-  * and partial-aggregates map-side before the only shuffle (the same
-  * argmax-by-struct discipline as A1–A8's `max_by` rows). A 100 TB replay
-  * compacts each partition to |keys| rows before anything moves.
+  * Scale shape: ONE aggregation — `max(struct(pos, …))` rides the unique
+  * monotone position, so the "latest per key" needs no sort window and
+  * partial-aggregates map-side before the only shuffle (the same
+  * argmax-by-struct discipline as A1–A8's `max_by` rows; it plans as
+  * SortAggregate because struct buffers aren't hash-aggregable — the
+  * partial still runs before the exchange, which is the load-bearing
+  * property, PlanSpec-pinned). A 100 TB replay compacts each partition to
+  * |keys| rows before anything moves.
   */
 object StateReplay {
 

@@ -446,4 +446,49 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("WindowExec"), plan)
   }
+
+  test("round-4 late additions keep their scale shapes: equi-joins only, no global windows") {
+    val dir = "/root/testdata/sf0.001"
+    // t40/t42: wedge and peel joins are all equi-joins — a cartesian or
+    // broadcast-nested-loop here would be the quadratic failure mode
+    for (q <- Seq("t40_triangles", "t42_kcore")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: $plan")
+    }
+    // d30: candidate/verify split — equi-joins only, and the pair stage
+    // never degenerates to a cross product
+    val d30 = SparkEntry.queries("d30_idf_cosine")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!d30.contains("CartesianProduct"), d30)
+    assert(!d30.contains("BroadcastNestedLoopJoin"), d30)
+    // x37: every window is doc-partitioned (the per-char lead chain and
+    // the chunk-index prefix sum both key on doc_id — no global sort).
+    // Logical plan, not executedPlan: AQE wraps the physical tree in a
+    // non-final AdaptiveSparkPlan whose children collect() can't reach
+    val x37lp = SparkEntry.queries("x37_cdc_chunks")(spark, dir).queryExecution.optimizedPlan
+    val bare = x37lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(bare.isEmpty, s"x37 has ${bare.size} partition-less window(s)")
+    // b21: latest-per-key is ONE aggregation (SortAggregate — struct
+    // buffers aren't hash-aggregable) with a map-side partial before the
+    // only exchange; no sort-based window anywhere
+    val b21 = SparkEntry.queries("b21_state_replay")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!b21.contains("WindowExec"), b21)
+    assert(b21.contains("partial_max"), b21)
+    // x36: the dominance window runs over the distinct-x frame, i.e.
+    // AFTER an aggregate — the one window's child must be the per-x max,
+    // so the global sort is value-domain-sized, not corpus-sized
+    val x36lp = SparkEntry.queries("x36_pareto_frontier")(spark, dir).queryExecution.optimizedPlan
+    val x36w = x36lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(x36w.size === 1, s"x36 expected exactly one window, got ${x36w.size}")
+    assert(x36w.head.child.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty, s"x36 window must consume the value-domain aggregate:\n${x36w.head.child}")
+  }
 }
