@@ -81,6 +81,39 @@ object SparkEntry {
       |                 (a, c) -> (a * 131 + c) % 2147483647) AS token_id
       |        FROM tok)""".stripMargin
 
+  /** The x37 CDC chunker as a standalone SELECT producing (doc_id,
+    * chunk_idx, start_pos, chunk_len, chunk_md5) — shared by x37 and the
+    * d31 storage-dedup rollup.
+    */
+  private val oracleCdcChunksSql: String = {
+    val p = graft.ops.Dedup.minhashPrime
+    // the identical lead-chain fold, unrolled textually
+    val acc = (0 until 3).foldLeft("CAST(0 AS BIGINT)") { (a, i) =>
+      val c = if (i == 0) "cp" else s"lead(cp, $i) OVER w"
+      s"(($a * 37 + $c + 1) % $p)"
+    }
+    s"""WITH ch AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, CAST(unicode(cs[i]) AS BIGINT) AS cp
+       |            FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents
+       |                  WHERE text IS NOT NULL AND length(text) > 0) t,
+       |            UNNEST(range(1, len(cs) + 1)) AS r(i)
+       |            WHERE cs[i] <> ''),
+       |h AS (SELECT doc_id, pos, $acc AS acc FROM ch
+       |      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |b AS (SELECT doc_id, pos,
+       |             CASE WHEN acc IS NOT NULL AND acc % 64 = 0 THEN 1 ELSE 0 END AS bnd
+       |      FROM h),
+       |ci AS (SELECT doc_id, pos,
+       |              CAST(coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_idx
+       |       FROM b),
+       |sp AS (SELECT doc_id, chunk_idx, min(pos) AS start_pos,
+       |              CAST(count(*) AS BIGINT) AS chunk_len
+       |       FROM ci GROUP BY 1, 2)
+       |SELECT s.doc_id, s.chunk_idx, s.start_pos, s.chunk_len,
+       |       md5(substring(d.text, CAST(s.start_pos AS INT), CAST(s.chunk_len AS INT))) AS chunk_md5
+       |FROM sp s JOIN documents d USING (doc_id)""".stripMargin
+  }
+
   private val oracleMinhashSigs: String = {
     val exprs = graft.ops.Dedup.minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       s"CAST(min((token_id * $a + $b) % ${graft.ops.Dedup.minhashPrime}) AS BIGINT) AS sig_$i"
@@ -965,6 +998,15 @@ object SparkEntry {
         .select(col("pk").as("src"), col("pk2").as("dst"))
       graft.operators.Graph.kCore(edges, k = 3, rounds = 8)
     }),
+    "t43_tree_paths" -> ((s, dir) => {
+      // hierarchy flattening by pointer doubling: every part resolves to
+      // its root and depth in the synthetic decimal-digit forest
+      // (parent = key/10) in 4 doubling rounds — ⌈log₂ depth⌉ shuffle
+      // stages, not depth sequential joins
+      val pf = Tables.part(s, dir).select(col("p_partkey").as("node"),
+        when(col("p_partkey") >= 10, expr("p_partkey DIV 10")).as("parent"))
+      graft.operators.Graph.treePaths(pf, rounds = 4)
+    }),
     "m4_dup_frames" -> ((s, dir) =>
       // duplicate frames shared across distinct documents (digest-keyed,
       // payload never shuffled) — the multimodal twin of d8 exact dedup
@@ -1073,6 +1115,20 @@ object SparkEntry {
       // d8 exact dedup) needs where fixed tiles (m4/x24) lose every tile
       // after one inserted byte
       TextOps.cdcChunks(Tables.documents(s, dir))),
+    "d31_cdc_dedup" -> ((s, dir) =>
+      // what chunk-level dedup buys per source: x37's digests rolled up to
+      // (chunks, distinct chunks, chars before/after, saved ppm) — two
+      // metadata-collapsing aggs, chunk text never shuffles
+      TextOps.cdcDedupReport(Tables.documents(s, dir))),
+    "x38_contamination_score" -> ((s, dir) => {
+      // d13's binary flag as a spectrum: per-doc benchmark-overlap ppm for
+      // the WHOLE corpus (zero-hit docs score 0) — bench set broadcast,
+      // one pass, one doc_id agg
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationScore(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"))
+    }),
     "x36_pareto_frontier" -> ((s, dir) => {
       // the efficient edge of the length/naturalness trade-off: docs no
       // other doc beats on BOTH n_chars and stopword ppm — what any
@@ -2027,6 +2083,11 @@ object SparkEntry {
           |        AND l_shipdate < DATE '1996-01-01') b
           |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""".stripMargin,
         k = 3, rounds = 8),
+    "t43_tree_paths" ->
+      graft.operators.Graph.treePathsSql(
+        """SELECT p_partkey AS node,
+          |       CASE WHEN p_partkey >= 10 THEN p_partkey // 10 END AS parent
+          |FROM part""".stripMargin),
     "m4_dup_frames" ->
       """WITH f AS (
         |  SELECT doc_id,
@@ -2164,34 +2225,24 @@ object SparkEntry {
         |SELECT doc_id, n_chars, n_distinct,
         |       CAST(round(1e6 * (log2(n_chars) - s / n_chars)) AS BIGINT) AS entropy_ubits
         |FROM e""".stripMargin,
-    "x37_cdc_chunks" -> {
-      val p = graft.ops.Dedup.minhashPrime
-      // the identical lead-chain fold, unrolled textually
-      val acc = (0 until 3).foldLeft("CAST(0 AS BIGINT)") { (a, i) =>
-        val c = if (i == 0) "cp" else s"lead(cp, $i) OVER w"
-        s"(($a * 37 + $c + 1) % $p)"
-      }
-      s"""WITH ch AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, CAST(unicode(cs[i]) AS BIGINT) AS cp
-         |            FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents
-         |                  WHERE text IS NOT NULL AND length(text) > 0) t,
-         |            UNNEST(range(1, len(cs) + 1)) AS r(i)
-         |            WHERE cs[i] <> ''),
-         |h AS (SELECT doc_id, pos, $acc AS acc FROM ch
-         |      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-         |b AS (SELECT doc_id, pos,
-         |             CASE WHEN acc IS NOT NULL AND acc % 64 = 0 THEN 1 ELSE 0 END AS bnd
-         |      FROM h),
-         |ci AS (SELECT doc_id, pos,
-         |              CAST(coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
-         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_idx
-         |       FROM b),
-         |sp AS (SELECT doc_id, chunk_idx, min(pos) AS start_pos,
-         |              CAST(count(*) AS BIGINT) AS chunk_len
-         |       FROM ci GROUP BY 1, 2)
-         |SELECT s.doc_id, s.chunk_idx, s.start_pos, s.chunk_len,
-         |       md5(substring(d.text, CAST(s.start_pos AS INT), CAST(s.chunk_len AS INT))) AS chunk_md5
-         |FROM sp s JOIN documents d USING (doc_id)""".stripMargin
-    },
+    "x37_cdc_chunks" -> oracleCdcChunksSql,
+    "d31_cdc_dedup" ->
+      // same chunk frame, rolled up per source; same-digest chunks have
+      // equal length, so max(chunk_len) per digest is exact
+      s"""WITH c AS (SELECT * FROM ($oracleCdcChunksSql)),
+         |j AS (SELECT c.chunk_md5, c.chunk_len, d.source
+         |      FROM c JOIN documents d USING (doc_id)),
+         |pd AS (SELECT source, chunk_md5, count(*) AS n_copies,
+         |              max(chunk_len) AS chunk_len
+         |       FROM j GROUP BY 1, 2)
+         |SELECT source,
+         |       CAST(sum(n_copies) AS BIGINT) AS n_chunks,
+         |       CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+         |       CAST(sum(chunk_len * n_copies) AS BIGINT) AS chars_total,
+         |       CAST(sum(chunk_len) AS BIGINT) AS chars_distinct,
+         |       CAST(round(1e6 * (sum(chunk_len * n_copies) - sum(chunk_len))
+         |                  / sum(chunk_len * n_copies)) AS BIGINT) AS saved_ppm
+         |FROM pd GROUP BY 1""".stripMargin,
     "x36_pareto_frontier" ->
       // same value-domain dominance: max y per distinct x, running
       // strict-prior max over x DESC, admit y = ymax AND y > prior
@@ -2542,6 +2593,30 @@ object SparkEntry {
          |WHERE source <> 'src0'
          |GROUP BY 1
          |HAVING count(*) >= 1""".stripMargin
+    },
+    "x38_contamination_score" -> {
+      val p = graft.ops.Dedup.minhashPrime
+      // d13's shingle frame, LEFT-joined so every shingled corpus doc
+      // scores (zero-hit docs at 0 ppm)
+      s"""WITH $oracleTokCtes,
+         |ids AS (SELECT doc_id, list(token_id ORDER BY pos) AS ids FROM tid GROUP BY doc_id),
+         |sh AS (SELECT DISTINCT doc_id, sid AS shingle_id FROM (
+         |  SELECT doc_id, unnest([list_reduce(list_prepend(CAST(0 AS BIGINT), ids[i:i+4]),
+         |                                     (a, t) -> (a * 37 + t + 1) % $p)
+         |                         for i in range(1, len(ids) - 3)]) AS sid
+         |  FROM ids)),
+         |src AS (SELECT doc_id, source FROM documents),
+         |bench AS (SELECT DISTINCT shingle_id FROM sh JOIN src USING (doc_id)
+         |          WHERE source = 'src0')
+         |SELECT s.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_shingles,
+         |       CAST(count(b.shingle_id) AS BIGINT) AS n_hits,
+         |       CAST(round(1e6 * count(b.shingle_id) / count(*)) AS BIGINT)
+         |         AS contamination_ppm
+         |FROM sh s JOIN src USING (doc_id)
+         |     LEFT JOIN bench b USING (shingle_id)
+         |WHERE source <> 'src0'
+         |GROUP BY 1""".stripMargin
     },
     "d16_dedup_keep_longest" ->
       // groups via the same transitive-closure walk as d7/d9, then one

@@ -194,6 +194,57 @@ object Graph {
       s"\nSELECT src AS node, CAST(count(*) AS BIGINT) AS degree FROM s$rounds GROUP BY src"
   }
 
+  /** Root-and-depth resolution over a FOREST given as `(node, parent)`
+    * rows (parent NULL for roots) — the hierarchy-flattening primitive
+    * (category trees, reply chains, BOM roll-ups) the relational surface
+    * otherwise walks one level at a time: every node resolves to
+    * `(root_key, depth)` in `rounds` self-joins.
+    *
+    * Scale shape: POINTER DOUBLING. Each round joins the state frame with
+    * itself (`state.ptr = state'.node`), composing ancestor links so the
+    * chased distance doubles — after r rounds every node ≤ 2^r deep has
+    * its exact root and depth. The naive parent-chase is O(depth)
+    * sequential shuffle stages; doubling schedules ⌈log₂ depth⌉, the
+    * difference between 16 stages and 4 on a deep hierarchy at 100 TB.
+    * Roots carry a self-loop of hop-weight 0, so composition is
+    * idempotent once converged (further rounds add depth 0) — a fixed
+    * round count is safe, not merely attestable. `localCheckpoint`
+    * truncates lineage per round: round i references round i−1 twice, so
+    * the untruncated logical plan is 2^r scans (the t42/d28 lesson).
+    */
+  def treePaths(nodes: DataFrame, rounds: Int = 4): DataFrame = {
+    var st = nodes.select(col("node"),
+      coalesce(col("parent"), col("node")).as("ptr"),
+      when(col("parent").isNull, 0L).otherwise(1L).as("depth"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      st = st
+        .join(st.select(col("node").as("ptr"), col("ptr").as("nxt"),
+          col("depth").as("hop")), Seq("ptr"))
+        .select(col("node"), col("nxt").as("ptr"),
+          (col("depth") + col("hop")).as("depth"))
+        .localCheckpoint(true)
+    }
+    st.select(col("node"), col("ptr").as("root_key"), col("depth"))
+  }
+
+  /** [[treePaths]] as DuckDB SQL: `parentCte` must produce columns
+    * `(node, parent)` with NULL parent for roots. The oracle chases one
+    * level per recursion (recursive CTEs can't express doubling); the two
+    * agree wherever the forest's depth ≤ 2^rounds — the precondition
+    * [[treePaths]] documents.
+    */
+  def treePathsSql(parentCte: String): String =
+    s"""WITH RECURSIVE pf AS ($parentCte),
+       |anc AS (SELECT node, node AS cur, CAST(0 AS BIGINT) AS depth FROM pf
+       |        UNION ALL
+       |        SELECT a.node, p.parent, a.depth + 1
+       |        FROM anc a JOIN pf p ON p.node = a.cur
+       |        WHERE p.parent IS NOT NULL)
+       |SELECT a.node, a.cur AS root_key, a.depth
+       |FROM anc a JOIN pf r ON r.node = a.cur
+       |WHERE r.parent IS NULL""".stripMargin
+
   /** The identical computation as DuckDB SQL: `edgesCte` must produce
     * columns `(src, dst)`; rounds are unrolled as chained CTEs (recursive
     * CTEs can't aggregate in the recursive term). Kept textually parallel

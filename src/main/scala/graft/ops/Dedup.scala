@@ -1037,6 +1037,41 @@ object Dedup {
       .select(col("shingle_id")).distinct()
       .collect().map(_.getLong(0))
 
+  /** Fractional contamination score — [[decontaminate]]'s binary flag as
+    * a spectrum: for EVERY corpus document with at least one k-gram
+    * shingle, the share of its distinct shingles that appear anywhere in
+    * the benchmark, in ppm. Hygiene dashboards want the distribution (how
+    * contaminated, how deeply, across the whole corpus), not only the
+    * ≥-threshold membership [[decontaminate]] returns — a doc at
+    * 990 000 ppm is an eval copy; one at 300 ppm shares a stock phrase.
+    *
+    * Same scale shape as [[decontaminate]]: the benchmark's distinct
+    * shingle set is broadcast and the corpus streams through scan →
+    * codegen'd shingle projection → broadcast LEFT join → one
+    * partial-first aggregation on doc_id (already the corpus key).
+    * Zero-hit documents survive the left join and score 0, so the full
+    * corpus is covered in the same single pass.
+    *
+    * Output: (doc_id, n_shingles, n_hits, contamination_ppm).
+    */
+  def contaminationScore(corpus: DataFrame, benchmark: DataFrame,
+      k: Int = 5): DataFrame = {
+    val corpusSh = shingleIdsFromArrays(Vocab.hashTokenIdArrays(corpus), k)
+    val benchSh = shingleIdsFromArrays(Vocab.hashTokenIdArrays(benchmark), k)
+      .select(col("shingle_id")).distinct()
+      .withColumn("hit", lit(1L))
+    corpusSh
+      .join(F.broadcast(benchSh), Seq("shingle_id"), "left")
+      .groupBy(col("doc_id"))
+      // shingle ids are distinct per doc, so count(*) = distinct shingles
+      // and sum(hit) = distinct benchmark overlap
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        round(lit(1e6) * col("n_hits") / col("n_shingles")).cast("long")
+          .as("contamination_ppm"))
+  }
+
   /** Streaming near-dup — dedup-on-ingest by MinHash-LSH band keys: a
     * document is dropped iff ANY of its `bands` band signatures collides
     * with one seen earlier inside the watermark horizon.

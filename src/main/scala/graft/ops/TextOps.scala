@@ -856,6 +856,37 @@ object TextOps {
           .as("chunk_md5"))
   }
 
+  /** Corpus storage-dedup report over [[cdcChunks]] — per source: chunk
+    * count, distinct-digest chunk count, chars before/after chunk-level
+    * dedup, and the saved share in ppm. The question the storage stack
+    * asks before enabling chunk dedup: what does content-defined chunking
+    * actually buy on THIS corpus (boilerplate-heavy sources save a lot,
+    * high-entropy ones nothing).
+    *
+    * Scale shape: two partial-first hash aggregations — (source, digest)
+    * then source — each collapsing toward metadata (|distinct digests|,
+    * then |sources| rows). Chunk text never moves: digests are computed
+    * where the document lives (inside [[cdcChunks]]'s per-doc pass), and
+    * only (digest, length) pairs shuffle. Same-digest chunks have equal
+    * length by construction (the digest is over the chunk text), so
+    * max(len) per digest is exact, not a heuristic.
+    */
+  def cdcDedupReport(docs: DataFrame): DataFrame = {
+    val ch = cdcChunks(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val perDigest = ch.groupBy(col("source"), col("chunk_md5"))
+      .agg(count(lit(1)).as("n_copies"), max(col("chunk_len")).as("chunk_len"))
+    perDigest.groupBy(col("source"))
+      .agg(sum(col("n_copies")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(col("chunk_len") * col("n_copies")).as("chars_total"),
+        sum(col("chunk_len")).as("chars_distinct"))
+      .select(col("source"), col("n_chunks"), col("n_distinct_chunks"),
+        col("chars_total"), col("chars_distinct"),
+        round(lit(1e6) * (col("chars_total") - col("chars_distinct"))
+          / col("chars_total")).cast("long").as("saved_ppm"))
+  }
+
   /** Pareto frontier (skyline) over two maximize-objectives — the
     * multi-objective data-selection primitive: keep the rows no other row
     * dominates (x' ≥ x AND y' ≥ y with at least one strict). A curation

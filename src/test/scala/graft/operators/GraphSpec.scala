@@ -94,4 +94,35 @@ class GraphSpec extends SparkSpec {
     assert(!sql.contains("pr4 AS"))
     assert(sql.endsWith("SELECT node, rank FROM pr3"))
   }
+
+  private def treeOf(nodes: Seq[(Long, Option[Long])], rounds: Int = 4): Map[Long, (Long, Long)] =
+    Graph.treePaths(nodes.toDF("node", "parent"), rounds)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("treePaths: a 10-deep chain resolves root and exact depth in 4 doubling rounds") {
+    val chain = (1L to 10L).map(i => (i, if (i == 1) None else Some(i - 1)))
+    val r = treeOf(chain) // depth ≤ 9 ≤ 2^4
+    assert(r === (1L to 10L).map(i => i -> ((1L, i - 1))).toMap)
+  }
+
+  test("treePaths: doubling covers depth up to exactly 2^rounds, and converged rows are idempotent") {
+    val chain = (1L to 5L).map(i => (i, if (i == 1) None else Some(i - 1)))
+    assert(treeOf(chain, rounds = 2) === treeOf(chain, rounds = 6)) // depth 4 = 2^2
+    // a forest: second tree rooted at 100
+    val forest = chain ++ Seq((100L, None: Option[Long]), (101L, Some(100L)))
+    val r = treeOf(forest)
+    assert(r(101L) === ((100L, 1L)) && r(100L) === ((100L, 0L)) && r(5L) === ((1L, 4L)))
+  }
+
+  test("treePaths result is invariant to input partitioning; SQL twin chases one level per recursion") {
+    val nodes = (1L to 300L).map(i => (i, if (i < 10) None else Some(i / 10)))
+    val a = treeOf(nodes)
+    val b = Graph.treePaths(nodes.toDF("node", "parent").repartition(13), 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(a === b)
+    assert(a(299L) === ((2L, 2L))) // 299 → 29 → 2
+    val sql = Graph.treePathsSql("SELECT n AS node, p AS parent FROM t")
+    assert(sql.contains("WITH RECURSIVE") && sql.contains("p.node = a.cur"))
+    assert(sql.contains("WHERE r.parent IS NULL"))
+  }
 }

@@ -46,6 +46,24 @@ class DedupSpec extends SparkSpec {
     assert(strict === Set(10L))
   }
 
+  test("contaminationScore covers the whole corpus: full copy 1e6 ppm, partial fractional, clean 0") {
+    val bench = Seq((0L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // 5/5 shingles hit
+      (11L, "the quick brown fox jumps far away from here"), // 1/5
+      (12L, "completely different words entirely here now again today ok"), // 0/5
+      (13L, "too short to shingle") // 4 tokens: no shingles, absent
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationScore(corpus, bench)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_hits"),
+          r.getAs[Long]("contamination_ppm")))).toMap
+    assert(out === Map(
+      10L -> ((5L, 5L, 1000000L)),
+      11L -> ((5L, 1L, 200000L)),
+      12L -> ((5L, 0L, 0L))))
+  }
+
   test("stateless decontamination screens a stream identically to the batch op") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

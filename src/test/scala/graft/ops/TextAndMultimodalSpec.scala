@@ -434,6 +434,24 @@ class TextAndMultimodalSpec extends SparkSpec {
       s"only $shared of ${byDoc(1L).size} chunks survived the insertion")
   }
 
+  test("cdcDedupReport: a duplicated doc halves distinct chars in its source; a unique source saves nothing") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val other = (1 to 50).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, "a", base), (2L, "a", base), // full duplicate within source a
+      (3L, "b", other) // single doc: every chunk distinct
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.cdcDedupReport(docs).collect()
+      .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("n_chunks"),
+        r.getAs[Long]("n_distinct_chunks"), r.getAs[Long]("chars_total"),
+        r.getAs[Long]("chars_distinct"), r.getAs[Long]("saved_ppm")))).toMap
+    val (na, da, ta, ua, sa) = out("a")
+    assert(ta === 2L * base.length && ua === base.length.toLong && sa === 500000L)
+    assert(na === 2 * da)
+    val (nb, db, tb, ub, sb) = out("b")
+    assert(nb === db && tb === ub && sb === 0L)
+  }
+
   test("paretoFront: dominated dropped, frontier + both-coordinate ties kept, null objective excluded") {
     val rows = Seq(
       (1L, 10L, 5L),            // frontier (longest)
