@@ -1042,6 +1042,11 @@ object SparkEntry {
       // cohort × week-offset retention matrix: two event-log aggregations
       // joined on the user-sized frame
       graft.operators.Windows.cohortRetention(Tables.events(s, dir))),
+    "b22_peak_concurrency" -> ((s, dir) =>
+      // sweep-line over b12's session intervals: ±1 boundary deltas netted
+      // per timestamp, running sum via the bounded three-level prefix scan
+      // (never a global-ORDER-BY window), per-day max = peak concurrency
+      graft.operators.Windows.peakConcurrency(Tables.events(s, dir))),
     "t35_correlated_scalar" -> ((s, dir) => {
       // correlated scalar subquery — Catalyst decorrelates it into an
       // aggregate + left outer join (no per-row re-execution; the t21
@@ -1120,6 +1125,12 @@ object SparkEntry {
       // (chunks, distinct chunks, chars before/after, saved ppm) — two
       // metadata-collapsing aggs, chunk text never shuffles
       TextOps.cdcDedupReport(Tables.documents(s, dir))),
+    "d32_dup_spans" -> ((s, dir) =>
+      // exact duplicated-substring spans (Lee et al. 2022 ExactSubstr):
+      // positional 5-grams shared by ≥2 docs, merged into maximal spans —
+      // WHERE the duplication sits, not just that docs are similar; no
+      // pair join anywhere (semi-join screen + per-doc windows)
+      Dedup.dupSpans(Tables.documents(s, dir))),
     "x38_contamination_score" -> ((s, dir) => {
       // d13's binary flag as a spectrum: per-doc benchmark-overlap ppm for
       // the WHOLE corpus (zero-hit docs score 0) — bench set broadcast,
@@ -1465,6 +1476,11 @@ object SparkEntry {
       // hash) → shortlist in the small space → exact re-rank: the
       // dimensionality lever next to s8/s9's quantization levers
       Vectors.jlRerankTopK(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
+    "s17_knn_classify" -> ((s, dir) =>
+      // retrieval applied to labeling: each query's label = majority vote
+      // of its 10 exact nearest neighbors (votes desc, ties to smaller
+      // label) — the semi-supervised label-propagation pass
+      Vectors.knnClassify(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
     "s14_knn_graph" -> ((s, dir) =>
       // every vector's top-3 in-bucket neighbors — N^1.5 pair work via the
       // √N IVF blocking; the edge list near-dup clustering consumes
@@ -2172,6 +2188,36 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_users
         |FROM aw JOIN fs USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    "b22_peak_concurrency" ->
+      // b12's sessions → ±1 boundary deltas netted per timestamp (half-open
+      // [start, end): concurrency AT t is prev + net) → running sum →
+      // per-day max; the oracle's global window is our three-level scan
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+        |m AS (SELECT user_id, t,
+        |             CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |                    OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= INTERVAL 30 MINUTE
+        |                  THEN 1 ELSE 0 END AS new_s
+        |      FROM e),
+        |s AS (SELECT user_id, t,
+        |             sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |                              ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m),
+        |sess AS (SELECT user_id, min(t) AS st, max(t) + INTERVAL 30 MINUTE AS en
+        |         FROM s GROUP BY user_id, sid),
+        |pts AS (SELECT st AS t, 1 AS delta FROM sess
+        |        UNION ALL SELECT en, -1 FROM sess),
+        |byts AS (SELECT t, sum(delta) AS net,
+        |                sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS starts,
+        |                sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS ends
+        |         FROM pts GROUP BY t),
+        |run AS (SELECT t, starts, ends,
+        |               sum(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS open_after
+        |        FROM byts)
+        |SELECT CAST(t AS DATE) AS day,
+        |       CAST(max(open_after) AS BIGINT) AS peak_concurrent,
+        |       CAST(sum(starts) AS BIGINT) AS sessions_started,
+        |       CAST(sum(ends) AS BIGINT) AS sessions_ended
+        |FROM run GROUP BY 1""".stripMargin,
     "t35_correlated_scalar" ->
       """SELECT n_nationkey, n_name,
         |       coalesce((SELECT CAST(round(max(c_acctbal) * 100) AS BIGINT)
@@ -2243,6 +2289,34 @@ object SparkEntry {
          |       CAST(round(1e6 * (sum(chunk_len * n_copies) - sum(chunk_len))
          |                  / sum(chunk_len * n_copies)) AS BIGINT) AS saved_ppm
          |FROM pd GROUP BY 1""".stripMargin,
+    "d32_dup_spans" ->
+      // same positional 5-gram fold as d26's psh CTE; duplicated = ≥2
+      // distinct docs; islands via cummax interval merge (identical window
+      // semantics both engines); ppm by integer division
+      s"""WITH $oracleTokCtes,
+         |ids AS (SELECT doc_id, list(token_id ORDER BY pos) AS ids FROM tid GROUP BY doc_id),
+         |psh AS (SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens, i - 1 AS p,
+         |               list_reduce(list_prepend(CAST(0 AS BIGINT), ids[i:i+4]),
+         |                           (a, t) -> (a * 37 + t + 1) % 2147483647) AS sid
+         |        FROM ids, UNNEST(range(1, len(ids) - 3)) AS r(i)
+         |        WHERE len(ids) >= 5),
+         |dup AS (SELECT sid FROM psh GROUP BY sid HAVING count(DISTINCT doc_id) >= 2),
+         |hit AS (SELECT doc_id, n_tokens, p, p + 4 AS e FROM psh
+         |        WHERE sid IN (SELECT sid FROM dup)),
+         |fl AS (SELECT doc_id, n_tokens, p, e,
+         |              max(e) OVER (PARTITION BY doc_id ORDER BY p
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+         |       FROM hit),
+         |sp AS (SELECT doc_id, n_tokens, p, e,
+         |              sum(CASE WHEN prev_e IS NULL OR p > prev_e + 1 THEN 1 ELSE 0 END)
+         |                OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS span_id
+         |       FROM fl),
+         |spans AS (SELECT doc_id, n_tokens, span_id, min(p) AS s, max(e) AS e
+         |          FROM sp GROUP BY doc_id, n_tokens, span_id)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+         |       CAST(max(e - s + 1) AS BIGINT) AS max_span_tokens,
+         |       CAST((1000000 * sum(e - s + 1)) // n_tokens AS BIGINT) AS dup_token_ppm
+         |FROM spans GROUP BY doc_id, n_tokens""".stripMargin,
     "x36_pareto_frontier" ->
       // same value-domain dominance: max y per distinct x, running
       // strict-prior max over x DESC, admit y = ymax AND y > prior
@@ -2840,6 +2914,24 @@ object SparkEntry {
          |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
          |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
          |WHERE rank <= 10""".stripMargin,
+    "s17_knn_classify" ->
+      // s1's exact top-10 (bit-identical dots and ranks), then a vote
+      // count and a (votes desc, label asc) argmax — all integer
+      s"""WITH $oracleEmbCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+         |scored AS (SELECT query_id, e.vec_id AS neighbor_id, ${oracleCos("q.qv", "e.v")} AS sim
+         |           FROM q, e WHERE e.vec_id <> q.query_id),
+         |top AS (SELECT query_id, neighbor_id FROM (
+         |          SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
+         |        WHERE rank <= 10),
+         |v AS (SELECT t.query_id, emb.label, count(*) AS votes
+         |      FROM top t JOIN embeddings emb ON emb.vec_id = t.neighbor_id
+         |      GROUP BY 1, 2)
+         |SELECT query_id, label AS pred_label, CAST(votes AS BIGINT) AS votes
+         |FROM (SELECT query_id, label, votes, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY votes DESC, label ASC) AS rn FROM v)
+         |WHERE rn = 1""".stripMargin,
     // quantization is over UNIT vectors (so scores approximate cosine) and
     // scoring is decode-corrected: per-dimension min/max are exact aggs,
     // encode `floor((x − mn)·255/(mx − mn))` and decode `mn + c·Δ` run in

@@ -17,18 +17,28 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark 4 cannot map
-    * to TimestampType. Sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true`; this loader then rebuilds a
-    * microsecond TimestampType column (UTC, floor division — matches DuckDB's
-    * ns→µs cast truncation used by the oracle).
+  /** `events.ts` has shipped in two physical encodings across driver
+    * testdata generations: INT64 TIMESTAMP(NANOS) (reads as LongType under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, which the session sets)
+    * and TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads as
+    * TIMESTAMP_NTZ). This loader normalizes either to a microsecond
+    * TimestampType column — UTC wall clock, matching DuckDB's
+    * `CAST(ts AS TIMESTAMP)` in the oracle — by branching on the FILE
+    * schema (a metadata read, no data pass).
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read
-      .parquet(s"$sfDir/events.parquet")
-      // integral `div`, not `/`: Long./ promotes to double, which cannot
-      // represent epoch-nanos exactly and rounds the last microsecond
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integral `div`, not `/`: Long./ promotes to double, which cannot
+        // represent epoch-nanos exactly and rounds the last microsecond
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // session timeZone is UTC, so the NTZ wall clock IS the UTC instant
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -33,23 +33,34 @@ object BinlogEvents {
   def load(spark: SparkSession, sfDir: String): DataFrame =
     shape(Tables.events(spark, sfDir))
 
-  /** Range-restricted load with the predicate applied to the *raw* ns-epoch
-    * column before the timestamp rebuild: a filter on the derived timestamp
-    * cannot reach the parquet reader (it's a computed column), but the long
-    * comparison pushes down and skips row groups via min/max stats — the
-    * O3 sort-key data-skipping path (SURVEY.md §4). Semantically identical
-    * to filtering `execute_time` afterwards (ns bounds are exact supersets
-    * of the µs-truncated values).
+  /** Range-restricted load with the predicate applied to the *raw* stored
+    * column before the timestamp rebuild: a filter on a derived timestamp
+    * cannot reach the parquet reader (it's a computed column), but a
+    * comparison on the stored column pushes down and skips row groups via
+    * min/max stats — the O3 sort-key data-skipping path (SURVEY.md §4).
+    * Branches on the file schema like [[graft.Tables.events]]: ns-epoch
+    * longs get long bounds (exact supersets of the µs-truncated values);
+    * µs TIMESTAMP_NTZ gets NTZ literals built from the UTC wall clock of
+    * the bounds (the session is pinned to UTC).
     */
   def loadRange(spark: SparkSession, sfDir: String,
       start: java.sql.Timestamp, end: java.sql.Timestamp): DataFrame = {
-    val startNs = start.getTime * 1000000L
-    val endNs = end.getTime * 1000000L
-    shape(
-      spark.read
-        .parquet(s"$sfDir/events.parquet")
-        .filter(col("ts") >= startNs && col("ts") < endNs)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val ranged = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        val startNs = start.getTime * 1000000L
+        val endNs = end.getTime * 1000000L
+        raw.filter(col("ts") >= startNs && col("ts") < endNs)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        def utcWall(t: java.sql.Timestamp) =
+          t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+        raw.filter(col("ts") >= lit(utcWall(start)) && col("ts") < lit(utcWall(end)))
+          .withColumn("ts", col("ts").cast("timestamp"))
+      case _ =>
+        raw.filter(col("ts") >= lit(start) && col("ts") < lit(end))
+    }
+    shape(ranged)
   }
 
   /** Same mapping over an arbitrary events-schema DataFrame (used by the

@@ -241,4 +241,42 @@ object Windows {
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Peak concurrency per day — the sweep-line over session intervals:
+    * how many sessions were simultaneously open at the busiest instant of
+    * each day (plus sessions started/ended that day). Sessions are
+    * [[sessions]]' half-open [start, end) intervals; each boundary emits a
+    * ±1 delta, deltas NET per distinct timestamp (for half-open intervals
+    * the concurrency value AT t is prev + net — the intra-instant
+    * open-before-close ordering is not an observable state), and the
+    * running sum over boundary timestamps is the concurrency step
+    * function, whose per-day max is the peak. The capacity-planning query
+    * every session store answers.
+    *
+    * Scale shape: raw events collapse to sessions in one session_window
+    * aggregation; boundaries net per timestamp with map-side combine; and
+    * the global running sum is [[graft.ops.TextOps.exclusivePrefix]] — the
+    * bounded three-level scan (4th consumer, after packing / global
+    * shuffle / budget sampling) — never a single-task global-ORDER-BY
+    * window over the boundary frame.
+    */
+  def peakConcurrency(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", gapSec: Int = 1800): DataFrame = {
+    val sess = sessions(events, keyCol, tsCol, gapSec)
+    val points = sess.select(col("session_start").as("t"), lit(1L).as("delta"))
+      .unionAll(sess.select(col("session_end").as("t"), lit(-1L).as("delta")))
+    val byTs = points.groupBy(col("t"))
+      .agg(sum(col("delta")).as("net"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("starts"),
+        sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("ends"))
+      .withColumn("tl", unix_micros(col("t")))
+    // bucketWidth 10¹⁰ µs (~2.8 h): a year of boundaries spans ~3·10³
+    // buckets, so every scan level stays metadata-sized
+    graft.ops.TextOps.exclusivePrefix(byTs, "tl", "tl", "net", 10000000000L)
+      .withColumn("open_after", col("_prefix") + col("net"))
+      .groupBy(to_date(col("t")).as("day"))
+      .agg(max(col("open_after")).as("peak_concurrent"),
+        sum(col("starts")).as("sessions_started"),
+        sum(col("ends")).as("sessions_ended"))
+  }
 }

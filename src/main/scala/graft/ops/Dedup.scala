@@ -1380,4 +1380,61 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Exact duplicated-SUBSTRING span report — token-level substring dedup à
+    * la Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better", the ExactSubstr screen): a positional k-gram is *duplicated*
+    * when at least `minDf` distinct documents contain it; maximal runs of
+    * duplicated grams merge into spans (a run of consecutive gram positions
+    * p..q is one duplicated substring of q−p+k tokens), and overlapping /
+    * adjacent token intervals [p, p+k−1] are union-merged so coverage never
+    * double-counts. Output per document with ≥1 span: span count, longest
+    * span in tokens, and duplicated-token coverage in ppm (integer
+    * division — cross-engine exact).
+    *
+    * Scale shape: the positional index is O(corpus tokens) rows — the same
+    * cost class as the d2 inverted index — the duplicated-gram screen is one
+    * partial-agg'd distinct count + a semi join (NO pair join anywhere, so
+    * no df cap is even needed: a boilerplate gram shared by 10⁶ docs
+    * contributes one semi-join probe per occurrence, never Θ(f²) pairs),
+    * and the island merge runs in per-document windows bounded by document
+    * length. The front-end is the codegen'd `shingle_hash_pos` projection
+    * (reference `README.md` dedups whole rows; substring-level spans are the
+    * training-pipeline extension).
+    */
+  def dupSpans(docs: DataFrame, k: Int = 5, minDf: Int = 2): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ids = Vocab.hashTokenIdArrays(docs)
+    val pos = ids
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_tokens"),
+        posexplode(org.apache.spark.sql.graft.PositionalShingleHash.column(col("ids"), k))
+          .as(Seq("pos", "sid")))
+      .filter(col("sid").isNotNull)
+      .withColumn("pos", col("pos").cast("long")) // span arithmetic in BIGINT
+      .persist() // index + duplicated-gram screen share the projection
+    val dupSids = pos.groupBy(col("sid"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("sid"))
+    val byDoc = W.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = pos.join(dupSids, Seq("sid"), "left_semi")
+      .withColumn("end", col("pos") + lit(k - 1))
+      // interval union-merge: a gram opens a new span iff it starts past the
+      // running max end + 1 of all earlier grams (cummax handles nested
+      // intervals that a lag()-based merge would split)
+      .withColumn("prev_end",
+        max(col("end")).over(byDoc.rowsBetween(W.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(byDoc))
+      .groupBy(col("doc_id"), col("n_tokens"), col("span_id"))
+      .agg(min(col("pos")).as("s"), max(col("end")).as("e"))
+    spans
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        max(col("e") - col("s") + 1).as("max_span_tokens"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+      .select(col("doc_id"), col("n_dup_spans"), col("max_span_tokens"),
+        expr("(1000000 * dup_tokens) div n_tokens").as("dup_token_ppm"))
+  }
 }

@@ -302,7 +302,7 @@ object TextOps {
     * frames are value-count-sized and broadcast. `idCol` breaks orderCol
     * ties so the prefix is total-order deterministic.
     */
-  private[ops] def exclusivePrefix(df: DataFrame, orderCol: String, idCol: String,
+  private[graft] def exclusivePrefix(df: DataFrame, orderCol: String, idCol: String,
       valueCol: String, bucketWidth: Long): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val base = df.withColumn("_grp", expr(s"$orderCol div $bucketWidth"))

@@ -1038,4 +1038,34 @@ object Vectors {
       .join(groups.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
     reps.unionByName(singles)
   }
+
+  /** k-NN majority-vote classification — the retrieval surface applied to
+    * labeling: predict each query vector's `label` as the mode of its k
+    * exact nearest neighbors' labels (votes desc, ties to the smaller
+    * label — total-order deterministic). Output: (query_id, pred_label,
+    * votes).
+    *
+    * Scale shape: rides entirely on [[bruteForceTopK]]'s scoring join (swap
+    * in any ANN shortlist for the 100 TB corpus — the vote step is
+    * identical); the |Q|·k hit list then broadcasts against the corpus's
+    * (vec_id, label) projection, so the label join moves metadata only, and
+    * the vote aggregation is |Q|·k rows. The classic semi-supervised
+    * labeling pass a training pipeline runs to propagate scarce human
+    * labels across a corpus.
+    */
+  def knnClassify(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val topk = bruteForceTopK(embeddings, queryIds, k)
+    val labels = embeddings.select(col("vec_id").as("neighbor_id"), col("label"))
+    val votes = F.broadcast(topk)
+      .join(labels, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label").asc)
+    votes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+  }
 }

@@ -133,6 +133,7 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(org.apache.spark.sql.graft.DecodeEnvelope.registration)
     ext.injectFunction(org.apache.spark.sql.graft.EncodeEnvelope.registration)
     ext.injectFunction(org.apache.spark.sql.graft.ShingleHash.registration)
+    ext.injectFunction(org.apache.spark.sql.graft.PositionalShingleHash.registration)
     ext.injectFunction(org.apache.spark.sql.graft.WinnowHash.registration)
     ext.injectFunction(org.apache.spark.sql.graft.TokenHashArray.registration)
     ext.injectFunction(org.apache.spark.sql.graft.MinHashSigs.registration)

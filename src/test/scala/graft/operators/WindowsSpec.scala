@@ -24,6 +24,28 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("peakConcurrency: sweep-line peaks, same-instant close/open nets, cross-day close counts") {
+    // u1 [10:00,10:40) u2 [10:20,10:50) u3 [10:45,11:15) u5 [10:40,11:10)
+    // u4 [23:50, 00:20 next day). At 10:40 u1 closes as u5 opens (net 0);
+    // peak 3 at 10:45 (u2,u5,u3 open)
+    val ev = Seq(
+      ("2024-03-01 10:00:00", "u1"), ("2024-03-01 10:10:00", "u1"),
+      ("2024-03-01 10:20:00", "u2"), ("2024-03-01 10:45:00", "u3"),
+      ("2024-03-01 10:40:00", "u5"), ("2024-03-01 23:50:00", "u4")
+    ).map { case (t, u) => (Timestamp.valueOf(t), u) }.toDF("ts", "user_id")
+    val out = Windows.peakConcurrency(ev).orderBy("day").collect()
+    assert(out.length === 2)
+    val d1 = out.head
+    assert(d1.getAs[java.sql.Date]("day").toString === "2024-03-01")
+    assert(d1.getAs[Long]("peak_concurrent") === 3L)
+    assert(d1.getAs[Long]("sessions_started") === 5L)
+    assert(d1.getAs[Long]("sessions_ended") === 4L)
+    val d2 = out.last
+    assert(d2.getAs[Long]("peak_concurrent") === 0L)
+    assert(d2.getAs[Long]("sessions_started") === 0L)
+    assert(d2.getAs[Long]("sessions_ended") === 1L)
+  }
+
   test("daily trends: cumulative is a running total, ma7 row-framed, first delta = count") {
     val out = Windows.dailyTrends(events)
       .orderBy("event_type", "day").collect()

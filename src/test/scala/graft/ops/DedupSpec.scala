@@ -692,4 +692,35 @@ class DedupSpec extends SparkSpec {
     val hamming = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
     assert(hamming <= 4, s"near-dup hamming distance was $hamming")
   }
+
+  test("dupSpans: a planted shared passage yields one exact span; unique docs emit nothing") {
+    // 12 tokens of unique prefix/suffix around a shared 8-token passage:
+    // duplicated 5-grams are exactly the 4 starting inside the passage, so
+    // the merged span covers its 8 tokens and nothing else
+    val passage = "the quick brown fox jumps over lazy dogs"
+    def uniq(seed: Int, n: Int) = (0 until n).map(i => s"u${seed}_$i").mkString(" ")
+    val spanDocs = Seq(
+      (0L, s"${uniq(0, 6)} $passage ${uniq(1, 6)}"),
+      (1L, s"${uniq(2, 6)} $passage ${uniq(3, 6)}"),
+      (2L, uniq(4, 20))).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(spanDocs, k = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dup_spans"), r.getAs[Long]("max_span_tokens"),
+          r.getAs[Long]("dup_token_ppm"))).toMap
+    assert(out.keySet === Set(0L, 1L))
+    // 20 tokens per doc, span = 8 tokens → ppm = floor(8e6/20) = 400000
+    assert(out(0L) === ((1L, 8L, 400000L)))
+    assert(out(1L) === ((1L, 8L, 400000L)))
+
+    // adjacent-but-disjoint duplicated runs separated by ≥1 unique token
+    // stay two spans; coverage never double-counts overlapping grams
+    val two = Seq(
+      (0L, s"$passage ${uniq(9, 4)} $passage"),
+      (1L, s"${uniq(8, 5)} $passage ${uniq(7, 7)}")).toDF("doc_id", "text")
+    val r0 = Dedup.dupSpans(two, k = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dup_spans"), r.getAs[Long]("max_span_tokens"))).toMap
+    assert(r0(0L)._1 === 2L)
+    assert(r0(0L)._2 === 8L)
+  }
 }

@@ -13,6 +13,25 @@ class VectorsSpec extends SparkSpec {
     (4L, Array(0.0f, 0.0f, 1.0f))
   ).toDF("vec_id", "embedding")
 
+  test("knnClassify: majority label of the exact top-k, votes desc then smaller label") {
+    // query 0's 3-NN are 1, 2, 3 (see brute-force test): labels 7, 7, 9 →
+    // majority 7 with 2 votes
+    val labeled = emb.withColumn("label",
+      org.apache.spark.sql.functions.expr(
+        "CASE vec_id WHEN 1 THEN 7 WHEN 2 THEN 7 WHEN 3 THEN 9 ELSE 5 END").cast("int"))
+    val out = Vectors.knnClassify(labeled, Seq(0L), k = 3).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Int]("pred_label") === 7)
+    assert(out.head.getAs[Long]("votes") === 2L)
+    // vote tie (k=2: neighbors 1 and 2 relabeled 7 and 3) → smaller label
+    val tied = emb.withColumn("label",
+      org.apache.spark.sql.functions.expr(
+        "CASE vec_id WHEN 1 THEN 7 WHEN 2 THEN 3 ELSE 5 END").cast("int"))
+    val out2 = Vectors.knnClassify(tied, Seq(0L), k = 2).collect()
+    assert(out2.head.getAs[Int]("pred_label") === 3)
+    assert(out2.head.getAs[Long]("votes") === 1L)
+  }
+
   test("brute-force top-k: ranks by cosine, excludes self, deterministic ties") {
     val out = Vectors.bruteForceTopK(emb, Seq(0L), k = 3).orderBy("rank").collect()
     assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L, 3L))
