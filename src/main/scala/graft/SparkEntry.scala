@@ -1047,6 +1047,11 @@ object SparkEntry {
       // per timestamp, running sum via the bounded three-level prefix scan
       // (never a global-ORDER-BY window), per-day max = peak concurrency
       graft.operators.Windows.peakConcurrency(Tables.events(s, dir))),
+    "b23_transition_matrix" -> ((s, dir) =>
+      // first-order Markov behavioral counts: per-user next-event pairs →
+      // (from, to) counts with conditional ppm over the metadata-sized
+      // type×type frame
+      graft.operators.Windows.transitionMatrix(Tables.events(s, dir))),
     "t35_correlated_scalar" -> ((s, dir) => {
       // correlated scalar subquery — Catalyst decorrelates it into an
       // aggregate + left outer join (no per-row re-execution; the t21
@@ -1131,6 +1136,11 @@ object SparkEntry {
       // WHERE the duplication sits, not just that docs are similar; no
       // pair join anywhere (semi-join screen + per-doc windows)
       Dedup.dupSpans(Tables.documents(s, dir))),
+    "d33_span_excision" -> ((s, dir) =>
+      // the excision the span report exists for: corpus rewritten with
+      // every duplicated span cut; untouched docs pass through verbatim,
+      // exact copies come back empty (one giant span)
+      Dedup.excisedCorpus(Tables.documents(s, dir))),
     "x38_contamination_score" -> ((s, dir) => {
       // d13's binary flag as a spectrum: per-doc benchmark-overlap ppm for
       // the WHOLE corpus (zero-hit docs score 0) — bench set broadcast,
@@ -1140,6 +1150,10 @@ object SparkEntry {
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"))
     }),
+    "x39_gate_ablation" -> ((s, dir) =>
+      // which quality gate bites? per-component fail and UNIQUE-fail
+      // counts (drop-the-gate admittance) in one codegen'd flag pass
+      TextOps.gateAblation(Tables.documents(s, dir))),
     "x36_pareto_frontier" -> ((s, dir) => {
       // the efficient edge of the length/naturalness trade-off: docs no
       // other doc beats on BOTH n_chars and stopword ppm — what any
@@ -2218,6 +2232,16 @@ object SparkEntry {
         |       CAST(sum(starts) AS BIGINT) AS sessions_started,
         |       CAST(sum(ends) AS BIGINT) AS sessions_ended
         |FROM run GROUP BY 1""".stripMargin,
+    "b23_transition_matrix" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |                  lead(event_type) OVER (PARTITION BY user_id
+        |                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+        |           FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n
+        |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+        |       CAST((1000000 * n) // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_ppm
+        |FROM c""".stripMargin,
     "t35_correlated_scalar" ->
       """SELECT n_nationkey, n_name,
         |       coalesce((SELECT CAST(round(max(c_acctbal) * 100) AS BIGINT)
@@ -2317,6 +2341,47 @@ object SparkEntry {
          |       CAST(max(e - s + 1) AS BIGINT) AS max_span_tokens,
          |       CAST((1000000 * sum(e - s + 1)) // n_tokens AS BIGINT) AS dup_token_ppm
          |FROM spans GROUP BY doc_id, n_tokens""".stripMargin,
+    "d33_span_excision" ->
+      // same span derivation as d32, then: covered positions unnest from
+      // the disjoint merged intervals, kept tokens reassemble in order,
+      // span-free docs pass through verbatim, fully-covered docs → ''
+      s"""WITH $oracleTokCtes,
+         |ids AS (SELECT doc_id, list(token_id ORDER BY pos) AS ids FROM tid GROUP BY doc_id),
+         |psh AS (SELECT doc_id, i - 1 AS p,
+         |               list_reduce(list_prepend(CAST(0 AS BIGINT), ids[i:i+4]),
+         |                           (a, t) -> (a * 37 + t + 1) % 2147483647) AS sid
+         |        FROM ids, UNNEST(range(1, len(ids) - 3)) AS r(i)
+         |        WHERE len(ids) >= 5),
+         |dup AS (SELECT sid FROM psh GROUP BY sid HAVING count(DISTINCT doc_id) >= 2),
+         |hit AS (SELECT doc_id, p, p + 4 AS e FROM psh
+         |        WHERE sid IN (SELECT sid FROM dup)),
+         |fl AS (SELECT doc_id, p, e,
+         |              max(e) OVER (PARTITION BY doc_id ORDER BY p
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+         |       FROM hit),
+         |sp AS (SELECT doc_id, p, e,
+         |              sum(CASE WHEN prev_e IS NULL OR p > prev_e + 1 THEN 1 ELSE 0 END)
+         |                OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS span_id
+         |       FROM fl),
+         |spans AS (SELECT doc_id, span_id, min(p) AS s, max(e) AS e
+         |          FROM sp GROUP BY doc_id, span_id),
+         |cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM spans),
+         |sdocs AS (SELECT DISTINCT doc_id FROM spans),
+         |kept AS (SELECT t.doc_id, t.pos, t.token FROM tok t
+         |         JOIN sdocs USING (doc_id)
+         |         WHERE NOT EXISTS (SELECT 1 FROM cov c
+         |                           WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+         |reb AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+         |               CAST(count(*) AS BIGINT) AS n_tokens_kept
+         |        FROM kept GROUP BY doc_id)
+         |SELECT s.doc_id, coalesce(r.clean_text, '') AS clean_text,
+         |       CAST(coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept
+         |FROM sdocs s LEFT JOIN reb r USING (doc_id)
+         |UNION ALL
+         |SELECT d.doc_id, d.text AS clean_text,
+         |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens_kept
+         |FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM sdocs)""".stripMargin,
     "x36_pareto_frontier" ->
       // same value-domain dominance: max y per distinct x, running
       // strict-prior max over x DESC, admit y = ymax AND y > prior
@@ -3043,6 +3108,40 @@ object SparkEntry {
         |                 AND mean_token_len <= 12.0 AND n_stop > 0
         |            THEN 1 ELSE 0 END AS quality_pass
         |FROM t""".stripMargin,
+    "x39_gate_ablation" ->
+      // identical gate expressions to x2; unique-fail = fails this gate
+      // and no other; 3 literal rows from one aggregate
+      """WITH t AS (SELECT
+        |       CASE WHEN len(string_split(text, ' ')) < 32 THEN 1 ELSE 0 END AS f_len,
+        |       CASE WHEN NOT (CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |                        / len(string_split(text, ' ')) >= 2.0
+        |                      AND CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |                        / len(string_split(text, ' ')) <= 12.0)
+        |            THEN 1 ELSE 0 END AS f_shape,
+        |       CASE WHEN NOT (len(list_filter(string_split(text, ' '),
+        |              s -> list_contains(['the','a','of','and','to','in'], s))) > 0)
+        |            THEN 1 ELSE 0 END AS f_stop
+        |     FROM documents),
+        |a AS (SELECT count(*) AS n_docs,
+        |             sum((1 - f_len) * (1 - f_shape) * (1 - f_stop)) AS n_pass,
+        |             sum(f_len) AS len_fail,
+        |             sum(f_len * (1 - f_shape) * (1 - f_stop)) AS len_unique,
+        |             sum(f_shape) AS shape_fail,
+        |             sum(f_shape * (1 - f_len) * (1 - f_stop)) AS shape_unique,
+        |             sum(f_stop) AS stop_fail,
+        |             sum(f_stop * (1 - f_len) * (1 - f_shape)) AS stop_unique
+        |      FROM t)
+        |SELECT 'min_tokens' AS gate, CAST(len_fail AS BIGINT) AS n_fail,
+        |       CAST(len_unique AS BIGINT) AS n_unique_fail,
+        |       CAST(n_docs AS BIGINT) AS n_docs, CAST(n_pass AS BIGINT) AS n_pass FROM a
+        |UNION ALL
+        |SELECT 'mean_token_len', CAST(shape_fail AS BIGINT),
+        |       CAST(shape_unique AS BIGINT), CAST(n_docs AS BIGINT),
+        |       CAST(n_pass AS BIGINT) FROM a
+        |UNION ALL
+        |SELECT 'has_stopword', CAST(stop_fail AS BIGINT),
+        |       CAST(stop_unique AS BIGINT), CAST(n_docs AS BIGINT),
+        |       CAST(n_pass AS BIGINT) FROM a""".stripMargin,
     "x6_curation" ->
       """WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
         |t AS (SELECT doc_id,

@@ -279,4 +279,32 @@ object Windows {
         sum(col("starts")).as("sessions_started"),
         sum(col("ends")).as("sessions_ended"))
   }
+
+  /** Event-type transition matrix — first-order Markov behavioral counts:
+    * for each (from_type → to_type) pair, how many times a user's next
+    * event (by event time, ids breaking ties) was `to_type`, plus the
+    * conditional probability in ppm (integer division — cross-engine
+    * exact). The "what do users do after X?" query behind funnel design
+    * (b19) and sessionization sanity checks.
+    *
+    * Scale shape: one per-user window (partitions bounded by a user's
+    * event count — never a global sort) feeding one partial-agg'd count;
+    * the probability window runs over the |types|² count frame, which is
+    * metadata-sized.
+    */
+  def transitionMatrix(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type"): DataFrame = {
+    val byUser = W.partitionBy(col(keyCol)).orderBy(col(tsCol), col("event_id"))
+    val pairs = events
+      .select(col(keyCol), col(tsCol), col("event_id"), col(typeCol))
+      .withColumn("next_type", lead(col(typeCol), 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+    pairs
+      .groupBy(col(typeCol).as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("from_total",
+        sum(col("n_transitions")).over(W.partitionBy(col("from_type"))))
+      .withColumn("prob_ppm", expr("(1000000 * n_transitions) div from_total"))
+      .drop("from_total")
+  }
 }

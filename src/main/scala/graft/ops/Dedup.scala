@@ -1402,7 +1402,21 @@ object Dedup {
     * (reference `README.md` dedups whole rows; substring-level spans are the
     * training-pipeline extension).
     */
-  def dupSpans(docs: DataFrame, k: Int = 5, minDf: Int = 2): DataFrame = {
+  def dupSpans(docs: DataFrame, k: Int = 5, minDf: Int = 2): DataFrame =
+    dupSpanIntervals(docs, k, minDf)
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        max(col("e") - col("s") + 1).as("max_span_tokens"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+      .select(col("doc_id"), col("n_dup_spans"), col("max_span_tokens"),
+        expr("(1000000 * dup_tokens) div n_tokens").as("dup_token_ppm"))
+
+  /** The merged duplicated-span intervals behind [[dupSpans]] — one row per
+    * maximal span: (doc_id, n_tokens, span_id, s, e) with s/e inclusive
+    * token positions. Factored out so the excision pass ([[excisedCorpus]])
+    * and the report share one definition.
+    */
+  def dupSpanIntervals(docs: DataFrame, k: Int = 5, minDf: Int = 2): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val ids = Vocab.hashTokenIdArrays(docs)
     val pos = ids
@@ -1417,7 +1431,7 @@ object Dedup {
       .filter(col("df") >= minDf)
       .select(col("sid"))
     val byDoc = W.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val spans = pos.join(dupSids, Seq("sid"), "left_semi")
+    pos.join(dupSids, Seq("sid"), "left_semi")
       .withColumn("end", col("pos") + lit(k - 1))
       // interval union-merge: a gram opens a new span iff it starts past the
       // running max end + 1 of all earlier grams (cummax handles nested
@@ -1429,12 +1443,46 @@ object Dedup {
       .withColumn("span_id", sum(col("new_span")).over(byDoc))
       .groupBy(col("doc_id"), col("n_tokens"), col("span_id"))
       .agg(min(col("pos")).as("s"), max(col("end")).as("e"))
-    spans
-      .groupBy(col("doc_id"), col("n_tokens"))
-      .agg(count(lit(1)).as("n_dup_spans"),
-        max(col("e") - col("s") + 1).as("max_span_tokens"),
-        sum(col("e") - col("s") + 1).as("dup_tokens"))
-      .select(col("doc_id"), col("n_dup_spans"), col("max_span_tokens"),
-        expr("(1000000 * dup_tokens) div n_tokens").as("dup_token_ppm"))
+  }
+
+  /** The excision pass duplicated-span *reporting* exists for — Lee et al.
+    * 2022's actual dedup action: rewrite the corpus with every duplicated
+    * span CUT, keeping each document's surviving tokens in order. Documents
+    * without spans pass through verbatim (no rebuild, no shuffle for the
+    * untouched majority); fully-duplicated documents come back as the empty
+    * string with 0 kept tokens (exact copies are one giant span — the d1
+    * exact-dup class handled at substring granularity).
+    *
+    * Scale shape: [[dupSpanIntervals]]'s screen (no pair join), then the
+    * rebuild touches ONLY span-bearing documents (left-semi gate before the
+    * tokens explode is the same corpus-never-shuffles discipline as s7):
+    * covered positions explode from the merged disjoint intervals (O(covered
+    * tokens)), the anti join drops them, and per-doc reassembly is one
+    * hash aggregation. The untouched majority is a metadata-only anti join.
+    */
+  def excisedCorpus(docs: DataFrame, k: Int = 5, minDf: Int = 2): DataFrame = {
+    val spans = dupSpanIntervals(docs, k, minDf)
+      .select(col("doc_id"), col("s"), col("e")).persist()
+    val spanDocs = spans.select(col("doc_id")).distinct()
+    // merged intervals are disjoint per doc, so no distinct needed
+    val covered = spans.select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("pos"))
+    val affected = docs
+      .join(spanDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")))
+      .withColumn("pos", col("pos").cast("long"))
+    val kept = affected.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+            p => p.getField("token"))).as("clean_text"))
+    val rebuilt = spanDocs.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
+    val untouched = docs.join(spanDocs, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text").as("clean_text"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens_kept"))
+    rebuilt.unionByName(untouched)
   }
 }

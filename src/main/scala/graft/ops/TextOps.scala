@@ -75,6 +75,54 @@ object TextOps {
     )
   }
 
+  /** Quality-gate ablation — which filter bites? For each component of
+    * [[qualityPassExpr]] (token count ≥ 32, mean token length in [2, 12],
+    * ≥ 1 stopword): how many documents fail it at all, and how many fail
+    * ONLY it (the documents that gate *uniquely* rejects — dropping the
+    * gate would admit exactly these). The report a curation pipeline reads
+    * before tuning thresholds: a gate with many fails but zero unique
+    * fails is redundant; one with many unique fails deserves scrutiny.
+    *
+    * Scale shape: one pass of codegen'd flag projections into a single
+    * partial-agg'd global aggregate; the 3-row output explodes from that
+    * one metadata row. Gate definitions are shared with the x2/x6 quality
+    * surface by construction (same expressions, same thresholds).
+    */
+  def gateAblation(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => array_contains(typedlit(stopwords), t))).cast("long")
+    val meanLen = (length(col("text")) - (nTok - 1)).cast("double") / nTok
+    val flags = docs.select(
+      when(nTok < 32, 1L).otherwise(0L).as("f_len"),
+      when(!(meanLen >= 2.0 && meanLen <= 12.0), 1L).otherwise(0L).as("f_shape"),
+      when(!(nStop > 0), 1L).otherwise(0L).as("f_stop"))
+    val one = flags.agg(
+      count(lit(1)).as("n_docs"),
+      sum((lit(1L) - col("f_len")) * (lit(1L) - col("f_shape")) * (lit(1L) - col("f_stop")))
+        .as("n_pass"),
+      sum(col("f_len")).as("len_fail"),
+      sum(col("f_len") * (lit(1L) - col("f_shape")) * (lit(1L) - col("f_stop")))
+        .as("len_unique"),
+      sum(col("f_shape")).as("shape_fail"),
+      sum(col("f_shape") * (lit(1L) - col("f_len")) * (lit(1L) - col("f_stop")))
+        .as("shape_unique"),
+      sum(col("f_stop")).as("stop_fail"),
+      sum(col("f_stop") * (lit(1L) - col("f_len")) * (lit(1L) - col("f_shape")))
+        .as("stop_unique"))
+    one.select(explode(array(
+        struct(lit("min_tokens").as("gate"), col("len_fail").as("n_fail"),
+          col("len_unique").as("n_unique_fail"), col("n_docs"), col("n_pass")),
+        struct(lit("mean_token_len").as("gate"), col("shape_fail").as("n_fail"),
+          col("shape_unique").as("n_unique_fail"), col("n_docs"), col("n_pass")),
+        struct(lit("has_stopword").as("gate"), col("stop_fail").as("n_fail"),
+          col("stop_unique").as("n_unique_fail"), col("n_docs"), col("n_pass"))))
+        .as("g"))
+      .select(col("g.gate").as("gate"), col("g.n_fail").as("n_fail"),
+        col("g.n_unique_fail").as("n_unique_fail"),
+        col("g.n_docs").as("n_docs"), col("g.n_pass").as("n_pass"))
+  }
+
   /** Language-ID: score each candidate language by hits of its marker-token
     * list, predict the argmax (ties broken by fixed language order). The
     * corpus is synthetic word-soup, so markers are drawn from its vocabulary

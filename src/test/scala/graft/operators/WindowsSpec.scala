@@ -46,6 +46,23 @@ class WindowsSpec extends SparkSpec {
     assert(d2.getAs[Long]("sessions_ended") === 1L)
   }
 
+  test("transitionMatrix: per-user next-event pairs, conditional ppm per from-type") {
+    // u1: A→B→A ; u2: A→B — transitions: A→B ×2, B→A ×1
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-03-01 10:00:00"), 1L, "A"),
+      (2L, Timestamp.valueOf("2024-03-01 10:01:00"), 1L, "B"),
+      (3L, Timestamp.valueOf("2024-03-01 10:02:00"), 1L, "A"),
+      (4L, Timestamp.valueOf("2024-03-01 11:00:00"), 2L, "A"),
+      (5L, Timestamp.valueOf("2024-03-01 11:05:00"), 2L, "B")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Windows.transitionMatrix(ev).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n_transitions"), r.getAs[Long]("prob_ppm"))).toMap
+    assert(out === Map(
+      ("A", "B") -> ((2L, 1000000L)),
+      ("B", "A") -> ((1L, 1000000L))))
+  }
+
   test("daily trends: cumulative is a running total, ma7 row-framed, first delta = count") {
     val out = Windows.dailyTrends(events)
       .orderBy("event_type", "day").collect()

@@ -723,4 +723,28 @@ class DedupSpec extends SparkSpec {
     assert(r0(0L)._1 === 2L)
     assert(r0(0L)._2 === 8L)
   }
+
+  test("excisedCorpus: spans cut in order, untouched docs verbatim, exact copies come back empty") {
+    val passage = "the quick brown fox jumps over lazy dogs"
+    def uniq(seed: Int, n: Int) = (0 until n).map(i => s"u${seed}_$i").mkString(" ")
+    val pre0 = uniq(0, 6); val post0 = uniq(1, 6)
+    val pre1 = uniq(2, 6); val post1 = uniq(3, 6)
+    val clone = s"${uniq(5, 3)} ${uniq(6, 3)}"
+    val corpus = Seq(
+      (0L, s"$pre0 $passage $post0"),
+      (1L, s"$pre1 $passage $post1"),
+      (2L, uniq(4, 20)),   // untouched
+      (3L, clone),         // exact copy of 4 → fully covered... but only 6
+      (4L, clone)          // tokens (< k=5+? 6 ≥ 5: one dup 5-gram run)
+    ).toDF("doc_id", "text")
+    val out = Dedup.excisedCorpus(corpus, k = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens_kept"))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    assert(out(0L) === ((s"$pre0 $post0", 12L)))
+    assert(out(1L) === ((s"$pre1 $post1", 12L)))
+    assert(out(2L) === ((uniq(4, 20), 20L)))   // verbatim, full token count
+    assert(out(3L) === (("", 0L)))             // whole doc duplicated
+    assert(out(4L) === (("", 0L)))
+  }
 }

@@ -467,4 +467,21 @@ class TextAndMultimodalSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(kept === Set(1L, 3L, 4L, 6L))
   }
+
+  test("gateAblation: per-gate fail and unique-fail counts partition correctly") {
+    val good = ("wxyz " * 40).trim + " the" // 41 tokens, has stopword, meanLen ≈ 4
+    val shortDoc = "the of a"             // fails ONLY min_tokens (3 tokens)
+    val noStop = ("xyz " * 40).trim       // fails ONLY has_stopword
+    // fails min_tokens AND has_stopword (2 tokens, no stopword): unique none
+    val both = "abc def"
+    val docs = Seq((0L, good), (1L, shortDoc), (2L, noStop), (3L, both))
+      .toDF("doc_id", "text")
+    val out = TextOps.gateAblation(docs).collect()
+      .map(r => r.getAs[String]("gate") ->
+        (r.getAs[Long]("n_fail"), r.getAs[Long]("n_unique_fail"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("n_pass"))).toMap
+    assert(out("min_tokens") === ((2L, 1L, 4L, 1L)))
+    assert(out("has_stopword") === ((2L, 1L, 4L, 1L)))
+    assert(out("mean_token_len") === ((0L, 0L, 4L, 1L)))
+  }
 }
