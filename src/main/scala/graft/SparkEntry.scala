@@ -864,6 +864,12 @@ object SparkEntry {
       graft.operators.Percentiles.discrete(Tables.events(s, dir), "event_type",
         round(col("value") * 100).cast("long"), Seq(0.5, 0.9, 0.99), "pct_cents")
     }),
+    "t44_mad" -> ((s, dir) => {
+      // robust dispersion: exact lower-median of |x − median| per type,
+      // both medians over value-domain-compressed histograms (t19 ×2)
+      graft.operators.Percentiles.mad(Tables.events(s, dir), "event_type",
+        round(col("value") * 100).cast("long"), "mad_cents")
+    }),
     "x27_length_percentiles" -> ((s, dir) =>
       // per-language document-length distribution (p50/p90/p99 chars) —
       // the curation question x16's min/max can't answer; same
@@ -1052,6 +1058,10 @@ object SparkEntry {
       // (from, to) counts with conditional ppm over the metadata-sized
       // type×type frame
       graft.operators.Windows.transitionMatrix(Tables.events(s, dir))),
+    "b24_new_users" -> ((s, dir) =>
+      // DAU dashboard: active/new/cumulative users per day; cumulative
+      // window over the day-count-sized frame only
+      graft.operators.Windows.newUsersDaily(Tables.events(s, dir))),
     "t35_correlated_scalar" -> ((s, dir) => {
       // correlated scalar subquery — Catalyst decorrelates it into an
       // aggregate + left outer join (no per-row re-execution; the t21
@@ -1154,6 +1164,10 @@ object SparkEntry {
       // which quality gate bites? per-component fail and UNIQUE-fail
       // counts (drop-the-gate admittance) in one codegen'd flag pass
       TextOps.gateAblation(Tables.documents(s, dir))),
+    "x40_vocab_coverage" -> ((s, dir) =>
+      // tokenizer OOV diagnostic: top-1000 vocab (count desc, token asc),
+      // per-source OOV ppm — vocab broadcasts, corpus never shuffles
+      TextOps.vocabCoverage(Tables.documents(s, dir))),
     "x36_pareto_frontier" -> ((s, dir) => {
       // the efficient edge of the length/naturalness trade-off: docs no
       // other doc beats on BOTH n_chars and stopword ppm — what any
@@ -2004,6 +2018,34 @@ object SparkEntry {
         |JOIN t ON t.event_type = cum.event_type
         |JOIN (VALUES (0.5), (0.9), (0.99)) ps(p) ON cum >= ceil(p * n)
         |GROUP BY 1, 2""".stripMargin,
+    "t44_mad" ->
+      // two lower-median passes over integer histograms (t19's machinery
+      // applied to values, then to |x − median|)
+      """WITH v AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |h AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+        |cum AS (SELECT event_type, v,
+        |               CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |        FROM h),
+        |med AS (SELECT cum.event_type, min(v) AS med
+        |        FROM cum JOIN t ON t.event_type = cum.event_type
+        |        WHERE cum >= ceil(0.5 * n) GROUP BY 1),
+        |d AS (SELECT v.event_type, med, abs(v.v - med) AS d
+        |      FROM v JOIN med ON med.event_type = v.event_type),
+        |hd AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+        |td AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM hd GROUP BY 1),
+        |cumd AS (SELECT event_type, d,
+        |                CAST(sum(c) OVER (PARTITION BY event_type ORDER BY d
+        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |         FROM hd)
+        |SELECT cumd.event_type, min(med.med) AS median, min(d) AS mad_cents,
+        |       CAST(min(n) AS BIGINT) AS n_rows
+        |FROM cumd
+        |JOIN td ON td.event_type = cumd.event_type
+        |JOIN med ON med.event_type = cumd.event_type
+        |WHERE cum >= ceil(0.5 * n)
+        |GROUP BY 1""".stripMargin,
     "x27_length_percentiles" ->
       """WITH h AS (SELECT lang, CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
         |           FROM documents GROUP BY 1, 2),
@@ -2242,6 +2284,16 @@ object SparkEntry {
         |SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
         |       CAST((1000000 * n) // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_ppm
         |FROM c""".stripMargin,
+    "b24_new_users" ->
+      """WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+        |nu AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM fs GROUP BY 1),
+        |ac AS (SELECT CAST(ts AS DATE) AS day,
+        |              CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+        |       FROM events GROUP BY 1)
+        |SELECT ac.day, active_users, coalesce(new_users, 0) AS new_users,
+        |       CAST(sum(coalesce(new_users, 0)) OVER (ORDER BY ac.day
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM ac LEFT JOIN nu ON nu.day = ac.day""".stripMargin,
     "t35_correlated_scalar" ->
       """SELECT n_nationkey, n_name,
         |       coalesce((SELECT CAST(round(max(c_acctbal) * 100) AS BIGINT)
@@ -3142,6 +3194,19 @@ object SparkEntry {
         |SELECT 'has_stopword', CAST(stop_fail AS BIGINT),
         |       CAST(stop_unique AS BIGINT), CAST(n_docs AS BIGINT),
         |       CAST(n_pass AS BIGINT) FROM a""".stripMargin,
+    "x40_vocab_coverage" ->
+      // identical vocab selection: count desc, token asc, top 1000
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        |vc AS (SELECT token FROM (
+        |         SELECT token, row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rn
+        |         FROM tk GROUP BY token)
+        |       WHERE rn <= 1000)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN vc.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+        |       CAST((1000000 * sum(CASE WHEN vc.token IS NULL THEN 1 ELSE 0 END))
+        |              // count(*) AS BIGINT) AS oov_ppm
+        |FROM tk LEFT JOIN vc ON vc.token = tk.token
+        |GROUP BY 1""".stripMargin,
     "x6_curation" ->
       """WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
         |t AS (SELECT doc_id,

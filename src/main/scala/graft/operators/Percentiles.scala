@@ -36,6 +36,30 @@ object Percentiles {
       .agg(min(col("v")).as(pctCol), min(col("n")).as("n_rows"))
   }
 
+  /** Exact median absolute deviation — the robust dispersion statistic —
+    * composed from two [[discrete]] median passes: per-group median over
+    * the value histogram, then the median of |x − median| over the
+    * deviation histogram. Both medians are lower-medians (smallest value
+    * whose cumulative count reaches ⌈n/2⌉) over integer domains, so the
+    * result is cross-engine exact — no float interpolation anywhere.
+    *
+    * Scale shape: the group medians frame is group-count-sized and
+    * broadcasts back onto the rows for the deviation projection; each
+    * median pass is the t19 histogram discipline (windows over the
+    * value-domain-compressed histogram, never the raw rows).
+    */
+  def mad(df: DataFrame, groupCol: String, value: Column,
+      madCol: String): DataFrame = {
+    val med = discrete(df, groupCol, value, Seq(0.5), "med")
+      .select(col(groupCol), col("med"))
+    val dev = df.select(col(groupCol), value.as("v"))
+      .join(broadcast(med), Seq(groupCol))
+      .select(col(groupCol), col("med"), abs(col("v") - col("med")).as("d"))
+    discrete(dev, groupCol, col("d"), Seq(0.5), madCol)
+      .join(broadcast(med), Seq(groupCol))
+      .select(col(groupCol), col("med").as("median"), col(madCol), col("n_rows"))
+  }
+
   /** Self-checked approximate percentiles (the b13 discipline for quantile
     * sketches): run `percentile_approx` (KLL-style mergeable sketch — the
     * one-pass form a 100 TB scan actually affords) NEXT TO the exact

@@ -280,6 +280,29 @@ object Windows {
         sum(col("ends")).as("sessions_ended"))
   }
 
+  /** Daily active/new-user split with cumulative reach — the DAU dashboard:
+    * per day, distinct active users, users seen for the FIRST time that
+    * day, and the running total of distinct users ever seen. Two
+    * partial-agg'd aggregations over the event log (first-seen per user,
+    * distinct per day) joined on the day spine; the cumulative window runs
+    * over the day-count-sized frame only (a year is 365 rows — metadata,
+    * same class as t23's trend windows).
+    */
+  def newUsersDaily(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val firstSeen = events.groupBy(col(keyCol))
+      .agg(min(to_date(col(tsCol))).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val active = events.select(to_date(col(tsCol)).as("day"), col(keyCol))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("active_users"))
+    active.join(firstSeen, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(W.orderBy(col("day"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+  }
+
   /** Event-type transition matrix — first-order Markov behavioral counts:
     * for each (from_type → to_type) pair, how many times a user's next
     * event (by event time, ids breaking ties) was `to_type`, plus the

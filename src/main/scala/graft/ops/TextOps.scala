@@ -123,6 +123,33 @@ object TextOps {
         col("g.n_docs").as("n_docs"), col("g.n_pass").as("n_pass"))
   }
 
+  /** Tokenizer-vocabulary coverage — the OOV diagnostic a tokenizer/corpus
+    * pairing is judged by: build the top-`vocabSize` token vocabulary
+    * (count desc, token asc — TakeOrdered, deterministic), then per source
+    * report total tokens, out-of-vocabulary tokens, and OOV rate in ppm.
+    * A source with a high OOV rate either needs vocab expansion or is
+    * noise (the practical question behind byte-fallback decisions).
+    *
+    * Scale shape: one persisted token explode feeds both the vocabulary
+    * count (map-side combined, vocabulary-sized output, top-k via
+    * TakeOrdered — no full sort) and the coverage pass, where the vocab
+    * broadcasts (≤ vocabSize rows) so the corpus never shuffles.
+    */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val tok = docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .persist()
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token").asc)
+      .limit(vocabSize)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_ppm", expr("(1000000 * oov_tokens) div n_tokens"))
+  }
+
   /** Language-ID: score each candidate language by hits of its marker-token
     * list, predict the argmax (ties broken by fixed language order). The
     * corpus is synthetic word-soup, so markers are drawn from its vocabulary

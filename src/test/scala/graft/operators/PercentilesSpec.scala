@@ -43,4 +43,17 @@ class PercentilesSpec extends SparkSpec {
     assert(msgs(ex).exists(m => m != null && m.contains("percentile_approx outside")),
       ex.toString)
   }
+
+  test("mad: lower-median of absolute deviations, exact on asymmetric data") {
+    // g=a: values 1,2,3,10 → lower median = 2 (cum 2 ≥ ⌈4/2⌉), deviations
+    // |1-2|,|0|,|1|,|8| = 1,0,1,8 → sorted 0,1,1,8 → lower median = 1
+    // g=b: values 5,5,5 → median 5, deviations 0,0,0 → mad 0
+    val df = (Seq(1L, 2L, 3L, 10L).map(("a", _)) ++ Seq(5L, 5L, 5L).map(("b", _)))
+      .toDF("g", "v")
+    val out = Percentiles.mad(df, "g", $"v", "mad").collect()
+      .map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("median"), r.getAs[Long]("mad"), r.getAs[Long]("n_rows"))).toMap
+    assert(out("a") === ((2L, 1L, 4L)))
+    assert(out("b") === ((5L, 0L, 3L)))
+  }
 }

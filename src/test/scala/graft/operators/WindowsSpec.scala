@@ -46,6 +46,21 @@ class WindowsSpec extends SparkSpec {
     assert(d2.getAs[Long]("sessions_ended") === 1L)
   }
 
+  test("newUsersDaily: first-seen split, actives distinct, cumulative reach") {
+    // day1: u1,u2 (both new) ; day2: u1 again + u3 new ; day3: u1,u2,u3 (none new)
+    val ev = Seq(
+      ("2024-03-01 09:00:00", 1L), ("2024-03-01 10:00:00", 2L),
+      ("2024-03-01 11:00:00", 1L), // same-day repeat: active counts once
+      ("2024-03-02 09:00:00", 1L), ("2024-03-02 10:00:00", 3L),
+      ("2024-03-03 09:00:00", 1L), ("2024-03-03 10:00:00", 2L),
+      ("2024-03-03 11:00:00", 3L)
+    ).map { case (t, u) => (Timestamp.valueOf(t), u) }.toDF("ts", "user_id")
+    val out = Windows.newUsersDaily(ev).orderBy("day").collect()
+      .map(r => (r.getAs[Long]("active_users"), r.getAs[Long]("new_users"),
+        r.getAs[Long]("cum_users")))
+    assert(out.toSeq === Seq((2L, 2L, 2L), (2L, 1L, 3L), (3L, 0L, 3L)))
+  }
+
   test("transitionMatrix: per-user next-event pairs, conditional ppm per from-type") {
     // u1: A→B→A ; u2: A→B — transitions: A→B ×2, B→A ×1
     val ev = Seq(

@@ -468,6 +468,24 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(kept === Set(1L, 3L, 4L, 6L))
   }
 
+  test("vocabCoverage: top-k vocab with deterministic ties, per-source OOV ppm") {
+    // vocab size 2: counts — aa×3, bb×2, cc×2, zz×1 → top-2 = aa, bb
+    // (cc ties bb at 2 but loses the token-asc tie-break... bb < cc asc,
+    // so top-2 by (count desc, token asc) = aa, bb)
+    val docs = Seq(
+      (0L, "aa bb cc", "s1"),
+      (1L, "aa bb cc", "s1"),
+      (2L, "aa zz", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.vocabCoverage(docs, vocabSize = 2).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("oov_tokens"),
+          r.getAs[Long]("oov_ppm"))).toMap
+    // s1: 6 tokens, cc×2 OOV → 333333 ppm; s2: 2 tokens, zz OOV → 500000
+    assert(out("s1") === ((6L, 2L, 333333L)))
+    assert(out("s2") === ((2L, 1L, 500000L)))
+  }
+
   test("gateAblation: per-gate fail and unique-fail counts partition correctly") {
     val good = ("wxyz " * 40).trim + " the" // 41 tokens, has stopword, meanLen ≈ 4
     val shortDoc = "the of a"             // fails ONLY min_tokens (3 tokens)
