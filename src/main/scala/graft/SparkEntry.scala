@@ -757,6 +757,19 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("asof_view_id").as("attributed_view"))
     }),
+    "t45_asof_nearest" -> ((s, dir) => {
+      // merge_asof(direction='nearest'): each event takes the user's order
+      // closest in time EITHER direction (equal distances → backward);
+      // same union-and-scan as t12, two running frames, zero extra joins
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
+      graft.operators.AsOfJoin
+        .asOfNearest(ev, ord, Seq("user_id"), "ts", "o_orderdate",
+          "o_orderkey", Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_o_orderkey").as("nearest_orderkey"))
+    }),
 
     "t18_band_join" -> ((s, dir) => {
       // keyless range join via time-axis binning (one day's clicks ×
@@ -1509,6 +1522,15 @@ object SparkEntry {
       // of its 10 exact nearest neighbors (votes desc, ties to smaller
       // label) — the semi-supervised label-propagation pass
       Vectors.knnClassify(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
+    "s18_embedding_leakage" -> ((s, dir) => {
+      // the vector twin of d13/x38 decontamination: test split (vec_id%10
+      // < 2) screened against the train split via shared sign-hash
+      // buckets, exact cosine confirm, per-test leak count + nearest
+      val emb = Tables.embeddings(s, dir)
+      Vectors.crossCorpusLeakage(
+        emb.filter(col("vec_id") % 10 < 2),
+        emb.filter(col("vec_id") % 10 >= 2), threshold = 0.4)
+    }),
     "s14_knn_graph" -> ((s, dir) =>
       // every vector's top-3 in-bucket neighbors — N^1.5 pair work via the
       // √N IVF blocking; the edge list near-dup clustering consumes
@@ -2071,6 +2093,18 @@ object SparkEntry {
         |       (SELECT o_orderkey FROM orders
         |        WHERE o_custkey = e.user_id AND o_orderdate <= CAST(e.ts AS TIMESTAMP)
         |        ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) AS last_orderkey
+        |FROM events e""".stripMargin,
+    "t45_asof_nearest" ->
+      // nearest by |Δt|; equal distances prefer backward; backward ties →
+      // larger orderkey (the asOf contract), forward ties → smaller
+      """SELECT event_id, user_id,
+        |       (SELECT o_orderkey FROM orders o
+        |        WHERE o.o_custkey = e.user_id
+        |        ORDER BY abs(epoch_us(o.o_orderdate) - epoch_us(CAST(e.ts AS TIMESTAMP))) ASC,
+        |                 CASE WHEN o.o_orderdate <= CAST(e.ts AS TIMESTAMP) THEN 0 ELSE 1 END ASC,
+        |                 CASE WHEN o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+        |                      THEN -o_orderkey ELSE o_orderkey END ASC
+        |        LIMIT 1) AS nearest_orderkey
         |FROM events e""".stripMargin,
     "t39_asof_tolerance" ->
       // the within-window most-recent IS the unbounded most-recent when it
@@ -2755,6 +2789,27 @@ object SparkEntry {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE CAST(n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.8""".stripMargin
+    },
+    "s18_embedding_leakage" -> {
+      val anyMatch = (0 until 4).map(t => s"te.b$t = tr.b$t").mkString(" OR ")
+      s"""WITH $oracleEmbCte,
+         |bt AS (SELECT vec_id, ${oracleLshTableCols(4)} FROM e),
+         |te AS (SELECT * FROM bt WHERE vec_id % 10 < 2),
+         |tr AS (SELECT * FROM bt WHERE vec_id % 10 >= 2),
+         |cand AS (SELECT DISTINCT te.vec_id AS test_id, tr.vec_id AS train_id
+         |         FROM te JOIN tr ON ($anyMatch)),
+         |sc AS (SELECT c.test_id, c.train_id, ${oracleCos("et.v", "ev.v")} AS sim
+         |       FROM cand c
+         |       JOIN e et ON et.vec_id = c.test_id
+         |       JOIN e ev ON ev.vec_id = c.train_id),
+         |g AS (SELECT test_id, train_id,
+         |             row_number() OVER (PARTITION BY test_id
+         |               ORDER BY sim DESC, train_id ASC) AS rn,
+         |             count(*) OVER (PARTITION BY test_id) AS n_leaks
+         |      FROM sc WHERE sim >= 0.4)
+         |SELECT test_id, CAST(n_leaks AS BIGINT) AS n_leaks,
+         |       train_id AS nearest_train_id
+         |FROM g WHERE rn = 1""".stripMargin
     },
     "d17_incremental_vector_dedup" -> {
       val anyMatch = (0 until 4).map(t => s"c.b$t = n.b$t").mkString(" OR ")

@@ -53,6 +53,58 @@ object AsOfJoin {
     core(left, right, keyCols, leftTs, rightTs, tieCol, payloadCols,
       Some(toleranceSec))
 
+  /** Nearest-in-time join — pandas `merge_asof(direction='nearest')`: attach
+    * the right row minimizing |leftTs − rightTs| within the key. On equal
+    * distances the BACKWARD row wins (attribution prefers causes over
+    * effects); backward ties on equal timestamps take the largest `tieCol`
+    * (the [[asOf]] contract), forward ties the smallest (first in scan
+    * order). Left rows whose key has no right rows get NULL payloads.
+    *
+    * Same union-and-scan cost as [[asOf]]: one shuffle on the key, one
+    * sorted scan carrying TWO running frames (last-non-null behind, first-
+    * non-null ahead), and the nearest choice is a pure projection — never
+    * a second join or a per-row subquery.
+    */
+  def asOfNearest(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, tieCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val key = keyCols.map(col)
+    val payload = struct(col(rightTs).cast("timestamp").as("_rts") +:
+      (tieCol +: payloadCols).distinct.map(col): _*)
+    val taggedRight = right.select(
+      key :+ col(rightTs).cast("timestamp").as("_ts") :+ lit(0).as("_side") :+
+        col(tieCol).cast("long").as("_tie") :+ payload.as("_payload"): _*)
+    val leftCols = left.columns.map(col)
+    val taggedLeft = left.select(
+      key :+ col(leftTs).cast("timestamp").as("_ts") :+ lit(1).as("_side") :+
+        lit(Long.MaxValue).as("_tie") :+ lit(null).cast(taggedRight.schema("_payload").dataType)
+          .as("_payload") :+ struct(leftCols: _*).as("_left"): _*)
+    val unioned = taggedLeft
+      .select((keyCols.map(col) ++ Seq(col("_ts"), col("_side"), col("_tie"),
+        col("_payload"), col("_left"))): _*)
+      .unionByName(taggedRight.withColumn("_left",
+        lit(null).cast(taggedLeft.schema("_left").dataType)))
+    val ord = Window
+      .partitionBy(key: _*)
+      .orderBy(col("_ts").asc, col("_side").asc, col("_tie").asc)
+    val backW = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // right rows at the left row's own timestamp sort BEFORE it (side 0 <
+    // 1), so the forward frame sees strictly-later rights only — equal-ts
+    // matches are distance-0 backward matches and win regardless
+    val fwdW = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = unioned
+      .withColumn("_back", last(col("_payload"), ignoreNulls = true).over(backW))
+      .withColumn("_fwd", first(col("_payload"), ignoreNulls = true).over(fwdW))
+      .filter(col("_side") === 1)
+    val distBack = unix_micros(col("_ts")) - unix_micros(col("_back").getField("_rts"))
+    val distFwd = unix_micros(col("_fwd").getField("_rts")) - unix_micros(col("_ts"))
+    val useBack = col("_fwd").isNull || (col("_back").isNotNull && distBack <= distFwd)
+    val chosen = when(useBack, col("_back")).otherwise(col("_fwd"))
+    val outCols = left.columns.map(c => col("_left").getField(c).as(c)) ++
+      payloadCols.map(c => chosen.getField(c).as(s"asof_$c"))
+    matched.select(outCols: _*)
+  }
+
   private def core(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String, tieCol: String,
       payloadCols: Seq[String], toleranceSec: Option[Long]): DataFrame = {

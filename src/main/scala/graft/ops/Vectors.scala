@@ -1039,6 +1039,43 @@ object Vectors {
     reps.unionByName(singles)
   }
 
+  /** Embedding-level benchmark leakage — the vector twin of the d13/x38
+    * token-overlap decontamination screens: for every TEST vector, which
+    * TRAIN vectors are near-duplicates (cosine ≥ threshold)? Candidates
+    * come from the stateless multi-table sign-hash buckets (any shared
+    * (table, bucket) key — the d12/d17 keying, identical for both corpora
+    * because the planes are deterministic), then every candidate pair is
+    * scored exactly. Output per leaked test vector: the leak count and the
+    * nearest train id (sim desc, id asc).
+    *
+    * Scale shape: candidate generation is a bucket equi-join (index-sized,
+    * never |test|×|train|), the exact confirm touches only candidates, and
+    * the unit vectors join back by id so the bucket join moves (id, key)
+    * pairs only — neither corpus's vectors shuffle through the candidate
+    * join.
+    */
+  def crossCorpusLeakage(test: DataFrame, train: DataFrame,
+      threshold: Double = 0.8, nTables: Int = 4, nPlanes: Int = 8,
+      dim: Int = 64): DataFrame = {
+    def keys(df: DataFrame): DataFrame =
+      withUnit(df).select(col("vec_id"),
+        posexplode(tableBucketsExpr(nTables, nPlanes, dim)).as(Seq("t", "bucket")))
+    val pairs = keys(test).select(col("vec_id").as("test_id"), col("t"), col("bucket"))
+      .join(keys(train).select(col("vec_id").as("train_id"), col("t"), col("bucket")),
+        Seq("t", "bucket"))
+      .select(col("test_id"), col("train_id"))
+      .distinct()
+    val tu = withUnit(test).select(col("vec_id").as("test_id"), col("unit").as("tu"))
+    val ru = withUnit(train).select(col("vec_id").as("train_id"), col("unit").as("ru"))
+    pairs.join(tu, Seq("test_id")).join(ru, Seq("train_id"))
+      .select(col("test_id"), col("train_id"), dot(col("tu"), col("ru")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("test_id"))
+      .agg(count(lit(1)).as("n_leaks"),
+        max_by(col("train_id"), struct(col("sim"), (-col("train_id")).as("ni")))
+          .as("nearest_train_id"))
+  }
+
   /** k-NN majority-vote classification — the retrieval surface applied to
     * labeling: predict each query vector's `label` as the mode of its k
     * exact nearest neighbors' labels (votes desc, ties to the smaller

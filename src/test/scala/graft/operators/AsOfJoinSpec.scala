@@ -55,4 +55,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(3L) === None)
     assert(got(4L) === None)
   }
+
+  test("nearest: min |Δt| either direction, equal distances prefer backward") {
+    val left = Seq(
+      (1L, "k1", ts(110)),  // back=100 (d10), fwd=150 (d40) → back 10
+      (2L, "k1", ts(140)),  // back=100 (d40), fwd=150 (d10) → fwd 12
+      (3L, "k1", ts(125)),  // equidistant (25/25) → backward wins
+      (4L, "k1", ts(60)),   // before all rights → forward 10
+      (5L, "k2", ts(100))   // no rights → null
+    ).toDF("id", "key", "t")
+    val right = Seq(
+      ("k1", ts(100), 10L),
+      ("k1", ts(100), 11L), // backward ties → larger ref
+      ("k1", ts(150), 12L),
+      ("k1", ts(150), 13L)  // forward ties → smaller ref... but backward
+    ).toDF("key", "rt", "ref")
+    val out = AsOfJoin.asOfNearest(left, right, Seq("key"), "t", "rt", "ref", Seq("ref"))
+      .orderBy("id").collect()
+    val got = out.map(r => r.getAs[Long]("id") ->
+      Option(r.getAs[java.lang.Long]("asof_ref")).map(_.toLong)).toMap
+    assert(got(1L) === Some(11L)) // backward at 100, tie → 11
+    assert(got(2L) === Some(12L)) // forward at 150, tie → smaller ref 12
+    assert(got(3L) === Some(11L)) // equidistant → backward
+    assert(got(4L) === Some(10L)) // nothing behind → earliest ahead, tie → smaller ref
+    assert(got(5L) === None)
+  }
 }

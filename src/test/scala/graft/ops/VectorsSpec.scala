@@ -13,6 +13,27 @@ class VectorsSpec extends SparkSpec {
     (4L, Array(0.0f, 0.0f, 1.0f))
   ).toDF("vec_id", "embedding")
 
+  test("crossCorpusLeakage: near-identical cross-split vectors found, count + nearest exact") {
+    // test split: 0, 1; train split: 2 (≈ identical to 0), 3 (identical to
+    // 0), 4 (orthogonal to everything in test)
+    val test = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (2L, Array(0.99f, 0.01f, 0.0f)),
+      (3L, Array(1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Vectors.crossCorpusLeakage(test, train, threshold = 0.9, dim = 3)
+      .collect()
+      .map(r => r.getAs[Long]("test_id") ->
+        (r.getAs[Long]("n_leaks"), r.getAs[Long]("nearest_train_id"))).toMap
+    // vec 0 leaks against 2 and 3 (identical 3 beats near-identical 2);
+    // vec 1 has no train vector over the threshold
+    assert(out.keySet === Set(0L))
+    assert(out(0L)._1 === 2L)
+    assert(out(0L)._2 === 3L)
+  }
+
   test("knnClassify: majority label of the exact top-k, votes desc then smaller label") {
     // query 0's 3-NN are 1, 2, 3 (see brute-force test): labels 7, 7, 9 →
     // majority 7 with 2 votes
