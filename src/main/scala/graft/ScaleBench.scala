@@ -121,6 +121,21 @@ object ScaleBench {
         val pairs = Vectors.cosineNearDupPairs(e, cids, threshold = 0.4)
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
         Vectors.semanticKeep(e, cids, Dedup.dedupGroupsStar(pairs).persist())
+      }, false),
+      ("d32_dup_spans", (d: DataFrame) =>
+        // positional index + semi join + per-doc windows: no pair join
+        // anywhere, so even a corpus-wide duplicated sentence costs O(f)
+        Dedup.dupSpans(d), true),
+      ("d33_span_excision", (d: DataFrame) =>
+        // rebuild touches only span-bearing docs; the untouched majority
+        // is a metadata-only anti join
+        Dedup.excisedCorpus(d), true),
+      ("s18_embedding_leakage", (e: DataFrame) => {
+        val test = e.filter(col("vec_id") % 10 < 2)
+        val train = e.filter(col("vec_id") % 10 >= 2)
+        // bucket equi-join candidates: must grow with bucket occupancy,
+        // never |test|×|train|
+        Vectors.crossCorpusLeakage(test, train, threshold = 0.4)
       }, false)
     )
 
