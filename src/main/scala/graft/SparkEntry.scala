@@ -1057,6 +1057,11 @@ object SparkEntry {
       // never a per-user event collection
       graft.operators.Windows.funnel(Tables.events(s, dir),
         Seq("view", "click", "purchase"), windowSec = 604800L)),
+    "t46_funnel_latency" -> ((s, dir) =>
+      // the question b19's level counts stop short of: exact p50/p90/p99
+      // time-to-convert for completed funnels, t19 histogram discipline
+      graft.operators.Windows.funnelLatency(Tables.events(s, dir),
+        Seq("view", "click", "purchase"), windowSec = 604800L)),
     "b20_cohort_retention" -> ((s, dir) =>
       // cohort × week-offset retention matrix: two event-log aggregations
       // joined on the user-sized frame
@@ -1181,6 +1186,10 @@ object SparkEntry {
       // tokenizer OOV diagnostic: top-1000 vocab (count desc, token asc),
       // per-source OOV ppm — vocab broadcasts, corpus never shuffles
       TextOps.vocabCoverage(Tables.documents(s, dir))),
+    "x41_dedup_savings" -> ((s, dir) =>
+      // the pre-pipeline budget question: per-source tokens raw vs after
+      // exact dedup (keep-min rep), saving in ppm
+      TextOps.dedupSavings(Tables.documents(s, dir))),
     "x36_pareto_frontier" -> ((s, dir) => {
       // the efficient edge of the length/naturalness trade-off: docs no
       // other doc beats on BOTH n_chars and stopword ppm — what any
@@ -1751,7 +1760,11 @@ object SparkEntry {
     "m3_modality_stats" -> ((s, dir) =>
       // modality routing report: tag in the decode pass, one map-side-
       // combined agg — the multimodal twin of x16's language report card
-      graft.ops.Multimodal.modalityStats(Tables.documents(s, dir)))
+      graft.ops.Multimodal.modalityStats(Tables.documents(s, dir))),
+    "m5_interleave" -> ((s, dir) =>
+      // training-batch assembly after routing: round-robin positions
+      // across modalities via the per-modality bounded prefix count
+      graft.ops.Multimodal.interleaveByModality(Tables.documents(s, dir)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3603,6 +3616,59 @@ object SparkEntry {
         |       CAST(sum(n_frames) AS BIGINT) AS total_frames,
         |       CAST(max(width) AS BIGINT) AS max_width,
         |       CAST(max(height) AS BIGINT) AS max_height
-        |FROM meta GROUP BY 1""".stripMargin
+        |FROM meta GROUP BY 1""".stripMargin,
+    "m5_interleave" ->
+      // same modality tag; within-modality rank ordered by doc_id, global
+      // position = rank × |modalities| + modality index
+      """WITH meta AS (SELECT doc_id,
+        |                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |              FROM documents),
+        |tag AS (SELECT doc_id,
+        |               ['audio', 'image', 'video'][CAST(n_bytes % 3 AS INTEGER) + 1] AS modality
+        |        FROM meta)
+        |SELECT doc_id, modality,
+        |       CAST((row_number() OVER (PARTITION BY modality ORDER BY doc_id) - 1) * 3
+        |            + CASE modality WHEN 'audio' THEN 0 WHEN 'image' THEN 1 ELSE 2 END
+        |            AS BIGINT) AS interleave_pos
+        |FROM tag""".stripMargin,
+    "t46_funnel_latency" ->
+      // b19's staged CTEs, then the t19 percentile machinery over whole-
+      // second elapsed times of completed funnels
+      """WITH s1 AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+        |            FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(s1.t1) AS t1, min(CAST(e.ts AS TIMESTAMP)) AS t2
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+        |         AND CAST(e.ts AS TIMESTAMP) <= s1.t1 + INTERVAL 604800 SECOND
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(s2.t1) AS t1, min(CAST(e.ts AS TIMESTAMP)) AS t3
+        |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+        |         AND CAST(e.ts AS TIMESTAMP) <= s2.t1 + INTERVAL 604800 SECOND
+        |       GROUP BY 1),
+        |v AS (SELECT 'all' AS funnel,
+        |             (epoch_us(t3) - epoch_us(t1)) // 1000000 AS v FROM s3),
+        |h AS (SELECT funnel, v, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+        |t AS (SELECT funnel, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+        |cum AS (SELECT funnel, v,
+        |               CAST(sum(c) OVER (PARTITION BY funnel ORDER BY v
+        |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |        FROM h)
+        |SELECT cum.funnel, p, min(v) AS pct_sec, CAST(min(n) AS BIGINT) AS n_rows
+        |FROM cum
+        |JOIN t ON t.funnel = cum.funnel
+        |JOIN (VALUES (0.5), (0.9), (0.99)) ps(p) ON cum >= ceil(p * n)
+        |GROUP BY 1, 2""".stripMargin,
+    "x41_dedup_savings" ->
+      """WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |tk AS (SELECT d.doc_id, d.source,
+        |              CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |              CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS keep
+        |       FROM documents d LEFT JOIN reps r ON r.doc_id = d.doc_id)
+        |SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tokens_raw,
+        |       CAST(sum(keep * n_tokens) AS BIGINT) AS tokens_kept,
+        |       CAST((1000000 * (sum(n_tokens) - sum(keep * n_tokens)))
+        |              // sum(n_tokens) AS BIGINT) AS saved_ppm
+        |FROM tk GROUP BY 1""".stripMargin
   )
 }

@@ -196,13 +196,31 @@ object Windows {
   def funnel(events: DataFrame, steps: Seq[String], windowSec: Long,
       userCol: String = "user_id", tsCol: String = "ts",
       typeCol: String = "event_type"): DataFrame = {
+    val stages = funnelStages(events, steps, windowSec, userCol, tsCol, typeCol)
+    val levels = stages.zipWithIndex.map { case (s, i) =>
+      s.select(col(userCol), lit((i + 1).toLong).as("level"))
+    }.reduce(_ union _)
+    // a user reaching level k appears in levels 1..k → max per user, then
+    // count users per level reached
+    levels.groupBy(col(userCol)).agg(max(col("level")).as("level"))
+      .groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+  }
+
+  /** The staged per-user frames behind [[funnel]]: element i is the frame
+    * of users who reached step i+1, carrying the anchor time `t1` and the
+    * step's reach time `t_prev`. Shared by the level counts and the
+    * latency percentiles.
+    */
+  private def funnelStages(events: DataFrame, steps: Seq[String], windowSec: Long,
+      userCol: String, tsCol: String, typeCol: String): Seq[DataFrame] = {
     require(steps.nonEmpty)
     // stage 1: anchor = first occurrence of the first step
     var stage = events.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol))
       .agg(min(col(tsCol)).as("t1"))
       .withColumn("t_prev", col("t1"))
-    var levels = stage.select(col(userCol), lit(1L).as("level"))
+    val buf = Seq.newBuilder[DataFrame]
+    buf += stage
     for (i <- 1 until steps.length) {
       stage = events.filter(col(typeCol) === steps(i))
         .join(stage.select(col(userCol), col("t1"), col("t_prev")), Seq(userCol))
@@ -210,12 +228,27 @@ object Windows {
           col(tsCol) <= col("t1") + expr(s"INTERVAL $windowSec SECONDS"))
         .groupBy(col(userCol))
         .agg(min(col("t1")).as("t1"), min(col(tsCol)).as("t_prev"))
-      levels = levels.union(stage.select(col(userCol), lit((i + 1).toLong).as("level")))
+      buf += stage
     }
-    // a user reaching level k appears in levels 1..k → max per user, then
-    // count users per level reached
-    levels.groupBy(col(userCol)).agg(max(col("level")).as("level"))
-      .groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+    buf.result()
+  }
+
+  /** Time-to-convert percentiles — the question the funnel's level counts
+    * stop short of: for users who COMPLETED the funnel, how long did the
+    * whole path take? Exact p50/p90/p99 of (last-step time − anchor time)
+    * in whole seconds, computed with the t19 histogram discipline
+    * ([[graft.operators.Percentiles.discrete]]) over the completions
+    * frame — the window input is the distinct-elapsed-seconds histogram,
+    * never raw completions.
+    */
+  def funnelLatency(events: DataFrame, steps: Seq[String], windowSec: Long,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99), userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type"): DataFrame = {
+    val completions =
+      funnelStages(events, steps, windowSec, userCol, tsCol, typeCol).last
+    val elapsed = completions.select(lit("all").as("funnel"),
+      expr("(unix_micros(t_prev) - unix_micros(t1)) div 1000000").as("elapsed_sec"))
+    Percentiles.discrete(elapsed, "funnel", col("elapsed_sec"), ps, "pct_sec")
   }
 
   /** Cohort retention: users grouped by first-activity week (their cohort),

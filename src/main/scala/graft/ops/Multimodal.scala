@@ -133,4 +133,35 @@ object Multimodal {
       pmod(length(col("payload")).cast("long") * 7, lit(480)).cast("long").as("height"),
       (expr("length(payload) div 1000") + 1).cast("long").as("n_frames")
     )
+
+  /** Modality-balanced deterministic interleave — the training-batch
+    * assembly step after routing (m3): give every sample an explicit
+    * global position such that consecutive positions round-robin across
+    * modalities (audio, image, video, …), so a sequential reader sees a
+    * balanced media mix instead of whole modality runs. Position =
+    * within-modality rank × |modalities| + modality index; with unequal
+    * modality volumes the tail thins out to the surviving modalities
+    * (positions stay unique and order-dense enough for a sort key, which
+    * is their only job).
+    *
+    * Scale shape: the within-modality rank is the bounded three-level
+    * [[graft.ops.TextOps.exclusivePrefix]] count (5th consumer) run per
+    * modality — |modalities| is a small constant — never a per-modality
+    * single-task window; everything else is a codegen projection.
+    */
+  def interleaveByModality(docs: DataFrame): DataFrame = {
+    val tagged = decodeExpr(docs)
+      .withColumn("modality",
+        element_at(typedlit(Seq("audio", "image", "video")),
+          pmod(col("n_bytes"), lit(3)).cast("int") + 1))
+      .select(col("doc_id"), col("modality"))
+    val mods = Seq("audio", "image", "video")
+    mods.zipWithIndex.map { case (m, mi) =>
+      graft.ops.TextOps.exclusivePrefix(
+          tagged.filter(col("modality") === m).withColumn("one", lit(1L)),
+          "doc_id", "doc_id", "one", 1000000L)
+        .select(col("doc_id"), col("modality"),
+          (col("_prefix") * mods.size + mi).as("interleave_pos"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -123,6 +123,29 @@ object TextOps {
         col("g.n_docs").as("n_docs"), col("g.n_pass").as("n_pass"))
   }
 
+  /** Dedup savings by source — the budget question before running the
+    * pipeline: per source, total tokens, tokens surviving exact dedup
+    * (keep-min-doc per identical text, x6's representative rule), and the
+    * saving in ppm. A source dominated by mirrored copies shows its
+    * redundancy here before any near-dup machinery runs.
+    *
+    * Scale shape: representative selection is the d1 hash aggregation
+    * (digest-first at 100 TB); token counts are a codegen projection; the
+    * savings roll up in one partial-agg'd source aggregate.
+    */
+  def dedupSavings(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val reps = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("keep"))
+    toks.join(reps, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tokens_raw"),
+        sum(when(col("keep").isNotNull, col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+      .withColumn("saved_ppm",
+        expr("(1000000 * (tokens_raw - tokens_kept)) div tokens_raw"))
+  }
+
   /** Tokenizer-vocabulary coverage — the OOV diagnostic a tokenizer/corpus
     * pairing is judged by: build the top-`vocabSize` token vocabulary
     * (count desc, token asc — TakeOrdered, deterministic), then per source

@@ -46,6 +46,27 @@ class WindowsSpec extends SparkSpec {
     assert(d2.getAs[Long]("sessions_ended") === 1L)
   }
 
+  test("funnelLatency: exact elapsed-seconds percentiles over completed funnels only") {
+    // u1 completes view→click→purchase in 100 s; u2 in 300 s; u3 stalls at
+    // click (never counted)
+    def e(u: Long, off: Long, t: String) =
+      (u * 100 + off, Timestamp.valueOf(s"2024-03-01 10:0${0}:00").getTime + off * 1000L, u, t)
+    val rows = Seq(
+      e(1L, 0L, "view"), e(1L, 40L, "click"), e(1L, 100L, "purchase"),
+      e(2L, 0L, "view"), e(2L, 200L, "click"), e(2L, 300L, "purchase"),
+      e(3L, 0L, "view"), e(3L, 10L, "click")
+    ).map { case (id, ms, u, t) => (id, new Timestamp(ms), u, t) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Windows.funnelLatency(rows, Seq("view", "click", "purchase"),
+        windowSec = 604800L).collect()
+      .map(r => r.getAs[Double]("p") -> (r.getAs[Long]("pct_sec"), r.getAs[Long]("n_rows")))
+      .toMap
+    // two completions (100 s, 300 s): lower-median = 100, p90/p99 = 300
+    assert(out(0.5) === ((100L, 2L)))
+    assert(out(0.9) === ((300L, 2L)))
+    assert(out(0.99) === ((300L, 2L)))
+  }
+
   test("newUsersDaily: first-seen split, actives distinct, cumulative reach") {
     // day1: u1,u2 (both new) ; day2: u1 again + u3 new ; day3: u1,u2,u3 (none new)
     val ev = Seq(

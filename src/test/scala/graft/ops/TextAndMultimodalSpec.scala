@@ -118,6 +118,43 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(!out.contains("audio"))
   }
 
+  test("interleaveByModality: round-robin positions, dense per-modality ranks, unique sort key") {
+    // 9 docs engineered so lengths cycle 8/28/30 bytes → video/image/audio
+    val rows = (0 until 9).map { i =>
+      val len = Seq(8, 28, 30)(i % 3)
+      (i.toLong, "x" * len)
+    }.toDF("doc_id", "text")
+    val out = Multimodal.interleaveByModality(rows).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("modality"), r.getAs[Long]("interleave_pos")))
+    assert(out.length === 9)
+    // positions unique; each modality's positions are rank*3 + its index
+    assert(out.map(_._3).distinct.length === 9)
+    val byMod = out.groupBy(_._2)
+    val idx = Map("audio" -> 0L, "image" -> 1L, "video" -> 2L)
+    byMod.foreach { case (m, rs) =>
+      val sorted = rs.sortBy(_._1).map(_._3)
+      assert(sorted === rs.indices.map(r => r * 3L + idx(m)), s"modality $m")
+    }
+    // consecutive positions 0,1,2 are three different modalities
+    val first3 = out.filter(_._3 < 3).map(_._2).toSet
+    assert(first3.size === 3)
+  }
+
+  test("dedupSavings: duplicated tokens counted against their source, clean source saves 0") {
+    val docs = Seq(
+      (0L, "aa bb cc dd", "s1"),   // rep of the identical pair
+      (1L, "aa bb cc dd", "s1"),   // dropped → 4 tokens saved in s1
+      (2L, "ee ff", "s2")          // unique → saves nothing
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.dedupSavings(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("tokens_raw"), r.getAs[Long]("tokens_kept"),
+          r.getAs[Long]("saved_ppm"))).toMap
+    assert(out("s1") === ((8L, 4L, 500000L)))
+    assert(out("s2") === ((2L, 2L, 0L)))
+  }
+
   test("curation pipeline: dup group survives when only its min-id member fails quality") {
     import org.apache.spark.sql.functions._
     val good = (("the quick brown fox jumps over a lazy dog and " * 4).trim)
