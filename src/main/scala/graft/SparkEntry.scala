@@ -1080,6 +1080,10 @@ object SparkEntry {
       // DAU dashboard: active/new/cumulative users per day; cumulative
       // window over the day-count-sized frame only
       graft.operators.Windows.newUsersDaily(Tables.events(s, dir))),
+    "t47_session_paths" -> ((s, dir) =>
+      // top-20 within-session event trigrams: two windows on one per-user
+      // sort, metadata-sized trigram count, TakeOrdered
+      graft.operators.Windows.sessionPaths(Tables.events(s, dir))),
     "t35_correlated_scalar" -> ((s, dir) => {
       // correlated scalar subquery — Catalyst decorrelates it into an
       // aggregate + left outer join (no per-row re-execution; the t21
@@ -1190,6 +1194,10 @@ object SparkEntry {
       // the pre-pipeline budget question: per-source tokens raw vs after
       // exact dedup (keep-min rep), saving in ppm
       TextOps.dedupSavings(Tables.documents(s, dir))),
+    "x42_packing_efficiency" -> ((s, dir) =>
+      // was the token budget well spent? per-seq fills rolled up to one
+      // metadata row (mean fill ppm, straddle overshoot at fill_max)
+      TextOps.packingEfficiency(Tables.documents(s, dir))),
     "x36_pareto_frontier" -> ((s, dir) => {
       // the efficient edge of the length/naturalness trade-off: docs no
       // other doc beats on BOTH n_chars and stopword ppm — what any
@@ -1531,6 +1539,11 @@ object SparkEntry {
       // of its 10 exact nearest neighbors (votes desc, ties to smaller
       // label) — the semi-supervised label-propagation pass
       Vectors.knnClassify(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
+    "s19_ivf_recall" -> ((s, dir) =>
+      // the checked-sketch discipline applied to ANN routing: per-query
+      // recall of IVF vs the exact top-10 — a deterministic fact of
+      // data+parameters, so a routing regression fails the gate
+      Vectors.ivfRecall(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
     "s18_embedding_leakage" -> ((s, dir) => {
       // the vector twin of d13/x38 decontamination: test split (vec_id%10
       // < 2) screened against the train split via shared sign-hash
@@ -2331,6 +2344,27 @@ object SparkEntry {
         |SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
         |       CAST((1000000 * n) // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_ppm
         |FROM c""".stripMargin,
+    "t47_session_paths" ->
+      // lag-based sessionization (the b12 split rule), trigrams via two
+      // leads on the same in-session order, deterministic top-20
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  CAST(ts AS TIMESTAMP) AS t FROM events),
+        |m AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+        |                       OR t - lag(t) OVER w >= INTERVAL 30 MINUTE
+        |                     THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m),
+        |tri AS (SELECT event_type AS step1,
+        |               lead(event_type, 1) OVER w2 AS step2,
+        |               lead(event_type, 2) OVER w2 AS step3
+        |        FROM s WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY t, event_id))
+        |SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n_paths
+        |FROM tri WHERE step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
+        |LIMIT 20""".stripMargin,
     "b24_new_users" ->
       """WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
         |nu AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM fs GROUP BY 1),
@@ -3192,6 +3226,34 @@ object SparkEntry {
          |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
          |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
          |WHERE rank <= 5""".stripMargin,
+    "s19_ivf_recall" ->
+      // exact top-10 ∩ IVF top-10 per query; recall is deterministic, so
+      // zero-hit queries still emit a 0 row
+      s"""WITH $oracleEmbCte,
+         |$oracleSpacedAssigned,
+         |qall AS (SELECT vec_id AS query_id FROM e WHERE vec_id < 8),
+         |bq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+         |bscored AS (SELECT query_id, e.vec_id AS neighbor_id, ${oracleCos("bq.qv", "e.v")} AS sim
+         |            FROM bq, e WHERE e.vec_id <> bq.query_id),
+         |btop AS (SELECT query_id, neighbor_id FROM (
+         |           SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |             ORDER BY sim DESC, neighbor_id ASC) AS rn FROM bscored)
+         |         WHERE rn <= 10),
+         |iq AS (SELECT vec_id AS query_id, bucket, v AS qv FROM av WHERE vec_id < 8),
+         |iscored AS (SELECT iq.query_id, av.vec_id AS neighbor_id, ${oracleCos("iq.qv", "av.v")} AS sim
+         |            FROM iq JOIN av ON av.bucket = iq.bucket AND av.vec_id <> iq.query_id),
+         |itop AS (SELECT query_id, neighbor_id FROM (
+         |           SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |             ORDER BY sim DESC, neighbor_id ASC) AS rn FROM iscored)
+         |         WHERE rn <= 10),
+         |hits AS (SELECT b.query_id, count(*) AS n_hits
+         |         FROM btop b JOIN itop i
+         |           ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         |         GROUP BY 1)
+         |SELECT q.query_id,
+         |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST((1000000 * coalesce(h.n_hits, 0)) // 10 AS BIGINT) AS recall_ppm
+         |FROM qall q LEFT JOIN hits h ON h.query_id = q.query_id""".stripMargin,
     "s3_ann_lsh" -> oracleLsh,
     "s4_ann_ivf_multiprobe" -> oracleIvfMultiProbe,
     "s5_ann_lsh_multitable" -> oracleLshMulti,
@@ -3315,6 +3377,21 @@ object SparkEntry {
         |      FROM t)
         |SELECT doc_id, n_tokens, cum // 2048 AS seq_id, cum % 2048 AS seq_offset
         |FROM c""".stripMargin,
+    "x42_packing_efficiency" ->
+      """WITH t AS (SELECT doc_id,
+        |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |          FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |      CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        |      FROM t),
+        |f AS (SELECT cum // 2048 AS seq_id, sum(n_tokens) AS fill FROM c GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_seqs,
+        |       CAST(sum(fill) AS BIGINT) AS total_tokens,
+        |       CAST(min(fill) AS BIGINT) AS fill_min,
+        |       CAST(max(fill) AS BIGINT) AS fill_max,
+        |       CAST((1000000 * sum(fill)) // (count(*) * 2048) AS BIGINT) AS fill_avg_ppm
+        |FROM f""".stripMargin,
     "s7_ann_filtered" ->
       s"""WITH $oracleEmbCte,
          |qual AS (SELECT doc_id,

@@ -313,6 +313,40 @@ object Windows {
         sum(col("ends")).as("sessions_ended"))
   }
 
+  /** Top common in-session event paths — "what do users actually do?": the
+    * most frequent within-session event-type trigrams, sessions split on
+    * the same ≥ gap rule as [[sessions]] (lag-based, so the trigram window
+    * and the session id share one per-user sort). Deterministic top-k by
+    * (count desc, then the three types asc).
+    *
+    * Scale shape: two windows over the same per-user (ts, id) sort — one
+    * shuffle — then a partial-agg'd trigram count (≤ |types|³ groups,
+    * metadata) and TakeOrdered for the top-k; raw events never sort
+    * globally.
+    */
+  def sessionPaths(events: DataFrame, gapSec: Int = 1800, topK: Int = 20,
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    val byUser = W.partitionBy(col(userCol)).orderBy(col(tsCol), col("event_id"))
+    val sessioned = events
+      .withColumn("_prev", lag(col(tsCol), 1).over(byUser))
+      .withColumn("_new",
+        when(col("_prev").isNull ||
+          unix_micros(col(tsCol)) - unix_micros(col("_prev")) >= gapSec * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("_sid", sum(col("_new")).over(byUser))
+    val bySession = W.partitionBy(col(userCol), col("_sid"))
+      .orderBy(col(tsCol), col("event_id"))
+    sessioned
+      .withColumn("step2", lead(col(typeCol), 1).over(bySession))
+      .withColumn("step3", lead(col(typeCol), 2).over(bySession))
+      .filter(col("step3").isNotNull)
+      .groupBy(col(typeCol).as("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("step1").asc, col("step2").asc, col("step3").asc)
+      .limit(topK)
+  }
+
   /** Daily active/new-user split with cumulative reach — the DAU dashboard:
     * per day, distinct active users, users seen for the FIRST time that
     * day, and the running total of distinct users ever seen. Two

@@ -387,6 +387,32 @@ object TextOps {
         (col("_prefix") % budget).as("seq_offset"))
   }
 
+  /** Packing-efficiency report — was the token budget well spent? One
+    * metadata row over [[packSequences]]' assignment: sequence count,
+    * total tokens, the min/max per-sequence fill, and mean fill as ppm of
+    * the budget. A fill ppm well under 10⁶ means the packer is leaving
+    * sequence capacity on the table (documents straddling budget
+    * boundaries overflow their opening sequence — that overshoot shows up
+    * as max fill > budget, the signal to split long documents upstream
+    * with the x24 chunker).
+    *
+    * Scale shape: one partial-agg'd (seq_id) aggregate over the packing
+    * frame, then one global metadata-sized aggregate.
+    */
+  def packingEfficiency(docs: DataFrame, budget: Long = 2048L,
+      groupSize: Long = 32768L): DataFrame = {
+    val fills = packSequences(docs, budget, groupSize)
+      .groupBy(col("seq_id"))
+      .agg(sum(col("n_tokens")).as("fill"))
+    fills.agg(
+      count(lit(1)).as("n_seqs"),
+      sum(col("fill")).as("total_tokens"),
+      min(col("fill")).as("fill_min"),
+      max(col("fill")).as("fill_max"))
+      .withColumn("fill_avg_ppm",
+        expr(s"(1000000 * total_tokens) div (n_seqs * $budget)"))
+  }
+
   /** Exclusive prefix sum of `valueCol` over rows ordered by
     * (`orderCol`, `idCol`) — the distributed scan primitive behind
     * [[packSequences]] and [[globalShuffle]]. Appends `_prefix` = sum of

@@ -1076,6 +1076,31 @@ object Vectors {
           .as("nearest_train_id"))
   }
 
+  /** IVF recall self-report — the b13 checked-sketch discipline applied to
+    * ANN routing, as a deterministic query: per query, how many of the
+    * exact top-k does the spaced-centroid IVF probe return? Both rankings
+    * are bit-reproducible (the s14 dot discipline), so recall is a FACT of
+    * the dataset+parameters, not an estimate — this is RECALL.json's
+    * headline number surfaced on the oracle-checked query path, where a
+    * routing regression (bad centroids, too-small nprobe) fails the gate
+    * instead of drifting silently.
+    */
+  def ivfRecall(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val exact = bruteForceTopK(embeddings, queryIds, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfTopK(embeddings, spacedCentroidIds(embeddings.count()), queryIds, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    queryIds.toDF("query_id")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr(s"(1000000 * coalesce(n_hits, 0)) div $k").as("recall_ppm"))
+  }
+
   /** k-NN majority-vote classification — the retrieval surface applied to
     * labeling: predict each query vector's `label` as the mode of its k
     * exact nearest neighbors' labels (votes desc, ties to the smaller

@@ -46,6 +46,22 @@ class WindowsSpec extends SparkSpec {
     assert(d2.getAs[Long]("sessions_ended") === 1L)
   }
 
+  test("sessionPaths: trigrams never cross a session boundary, deterministic top order") {
+    // u1 session1: A B C D → ABC, BCD; a 40-min gap, then session2: A B C
+    // → ABC. u2: A B C → ABC. Expect ABC×3, BCD×1; no trigram spans the gap
+    def e(id: Long, u: Long, offMin: Long, t: String) =
+      (id, new Timestamp(1700000000000L + offMin * 60000L), u, t)
+    val rows = Seq(
+      e(1, 1, 0, "A"), e(2, 1, 1, "B"), e(3, 1, 2, "C"), e(4, 1, 3, "D"),
+      e(5, 1, 43, "A"), e(6, 1, 44, "B"), e(7, 1, 45, "C"),
+      e(8, 2, 0, "A"), e(9, 2, 1, "B"), e(10, 2, 2, "C")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Windows.sessionPaths(rows).collect()
+      .map(r => (r.getAs[String]("step1"), r.getAs[String]("step2"),
+        r.getAs[String]("step3")) -> r.getAs[Long]("n_paths")).toMap
+    assert(out === Map(("A", "B", "C") -> 3L, ("B", "C", "D") -> 1L))
+  }
+
   test("funnelLatency: exact elapsed-seconds percentiles over completed funnels only") {
     // u1 completes view→click→purchase in 100 s; u2 in 300 s; u3 stalls at
     // click (never counted)

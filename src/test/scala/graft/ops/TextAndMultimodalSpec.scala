@@ -141,6 +141,24 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(first3.size === 3)
   }
 
+  test("packingEfficiency: fills partition total tokens, straddle shows up in fill_max") {
+    // budget 10: docs of 4/4/4 tokens → doc 2 (prefix 8) straddles into
+    // seq 0: fills are seq0 = 12, seq1 = 0? No: prefix 0,4,8 → seq ids
+    // 0,0,0 → one seq, fill 12 > budget (straddle overshoot)
+    val rows = Seq((0L, "a b c d"), (1L, "e f g h"), (2L, "i j k l"))
+      .toDF("doc_id", "text")
+    val out = TextOps.packingEfficiency(rows, budget = 10L).collect().head
+    assert(out.getAs[Long]("n_seqs") === 1L)
+    assert(out.getAs[Long]("total_tokens") === 12L)
+    assert(out.getAs[Long]("fill_max") === 12L) // overshoot visible
+    assert(out.getAs[Long]("fill_avg_ppm") === 1200000L)
+    // two sequences once a doc pushes the prefix past the budget
+    val rows2 = rows.unionByName(Seq((3L, "m n o p")).toDF("doc_id", "text"))
+    val out2 = TextOps.packingEfficiency(rows2, budget = 10L).collect().head
+    assert(out2.getAs[Long]("n_seqs") === 2L)
+    assert(out2.getAs[Long]("total_tokens") === 16L)
+  }
+
   test("dedupSavings: duplicated tokens counted against their source, clean source saves 0") {
     val docs = Seq(
       (0L, "aa bb cc dd", "s1"),   // rep of the identical pair

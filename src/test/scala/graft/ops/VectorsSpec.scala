@@ -13,6 +13,21 @@ class VectorsSpec extends SparkSpec {
     (4L, Array(0.0f, 0.0f, 1.0f))
   ).toDF("vec_id", "embedding")
 
+  test("ivfRecall: one row per query, hits bounded by k, ppm arithmetic exact") {
+    val out = Vectors.ivfRecall(emb, Seq(0L, 3L), k = 2).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Long]("recall_ppm"))).toMap
+    assert(out.keySet === Set(0L, 3L))
+    out.values.foreach { case (h, ppm) =>
+      assert(h >= 0L && h <= 2L)
+      assert(ppm === 1000000L * h / 2)
+    }
+    // query 0's exact top-2 are {1, 2}, but 2 is itself a spaced centroid
+    // (its own bucket) so IVF's single-probe search misses it: exactly the
+    // routing miss this report exists to surface
+    assert(out(0L) === ((1L, 500000L)))
+  }
+
   test("crossCorpusLeakage: near-identical cross-split vectors found, count + nearest exact") {
     // test split: 0, 1; train split: 2 (≈ identical to 0), 3 (identical to
     // 0), 4 (orthogonal to everything in test)
