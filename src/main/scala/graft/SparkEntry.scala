@@ -1084,6 +1084,10 @@ object SparkEntry {
       // top-20 within-session event trigrams: two windows on one per-user
       // sort, metadata-sized trigram count, TakeOrdered
       graft.operators.Windows.sessionPaths(Tables.events(s, dir))),
+    "b25_hourly_profile" -> ((s, dir) =>
+      // load seasonality: peak hour (ties earlier) + totals per type from
+      // a ≤24·|types| metadata frame
+      graft.operators.Windows.hourlyProfile(Tables.events(s, dir))),
     "t35_correlated_scalar" -> ((s, dir) => {
       // correlated scalar subquery — Catalyst decorrelates it into an
       // aggregate + left outer join (no per-row re-execution; the t21
@@ -1198,6 +1202,10 @@ object SparkEntry {
       // was the token budget well spent? per-seq fills rolled up to one
       // metadata row (mean fill ppm, straddle overshoot at fill_max)
       TextOps.packingEfficiency(Tables.documents(s, dir))),
+    "x43_source_drift" -> ((s, dir) =>
+      // domain-shift screen: per-source L1 ppm distance from the corpus
+      // token distribution over the deterministic top-1000 vocab
+      TextOps.sourceDrift(Tables.documents(s, dir))),
     "x36_pareto_frontier" -> ((s, dir) => {
       // the efficient edge of the length/naturalness trade-off: docs no
       // other doc beats on BOTH n_chars and stopword ppm — what any
@@ -1544,6 +1552,11 @@ object SparkEntry {
       // recall of IVF vs the exact top-10 — a deterministic fact of
       // data+parameters, so a routing regression fails the gate
       Vectors.ivfRecall(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
+    "s20_pq_distortion" -> ((s, dir) =>
+      // s19's twin for the other ANN error source: mean |exact − ADC|
+      // over each query's exact top-10, per-pair ppb floor then integer
+      // mean — why the s12 re-rank stage exists, as a gated number
+      Vectors.pqDistortion(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
     "s18_embedding_leakage" -> ((s, dir) => {
       // the vector twin of d13/x38 decontamination: test split (vec_id%10
       // < 2) screened against the train split via shared sign-hash
@@ -2365,6 +2378,19 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
         |LIMIT 20""".stripMargin,
+    "b25_hourly_profile" ->
+      """WITH h AS (SELECT event_type,
+        |                  CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hour,
+        |                  CAST(count(*) AS BIGINT) AS n_events
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, hour, n_events,
+        |             row_number() OVER (PARTITION BY event_type
+        |               ORDER BY n_events DESC, hour ASC) AS rn,
+        |             sum(n_events) OVER (PARTITION BY event_type) AS total
+        |      FROM h)
+        |SELECT event_type, hour AS peak_hour, n_events AS peak_events,
+        |       CAST(total AS BIGINT) AS total_events
+        |FROM r WHERE rn = 1""".stripMargin,
     "b24_new_users" ->
       """WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
         |nu AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM fs GROUP BY 1),
@@ -3254,6 +3280,28 @@ object SparkEntry {
          |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
          |       CAST((1000000 * coalesce(h.n_hits, 0)) // 10 AS BIGINT) AS recall_ppm
          |FROM qall q LEFT JOIN hits h ON h.query_id = q.query_id""".stripMargin,
+    "s20_pq_distortion" ->
+      // exact sims of the brute top-10, PQ ADC sims for the SAME pairs via
+      // the shared codebook CTEs, per-pair ppb floor, integer mean
+      s"""WITH $oracleEmbCte,
+         |$oraclePqCtes,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+         |bscored AS (SELECT query_id, e2.vec_id AS neighbor_id,
+         |                   ${oracleCos("q.qv", "e2.v")} AS esim
+         |            FROM q, e e2 WHERE e2.vec_id <> q.query_id),
+         |btop AS (SELECT query_id, neighbor_id, esim FROM (
+         |           SELECT query_id, neighbor_id, esim, row_number() OVER (PARTITION BY query_id
+         |             ORDER BY esim DESC, neighbor_id ASC) AS rn FROM bscored)
+         |         WHERE rn <= 10),
+         |${oraclePqScored(
+            "q JOIN btop b ON b.query_id = q.query_id JOIN e nb ON nb.vec_id = b.neighbor_id")},
+         |err AS (SELECT s.query_id,
+         |               CAST(floor(abs(b.esim - s.sim) * 1000000000) AS BIGINT) AS err_ppb
+         |        FROM scored s JOIN btop b
+         |          ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id)
+         |SELECT query_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(err_ppb) // count(*) AS BIGINT) AS mean_abs_err_ppb
+         |FROM err GROUP BY 1""".stripMargin,
     "s3_ann_lsh" -> oracleLsh,
     "s4_ann_ivf_multiprobe" -> oracleIvfMultiProbe,
     "s5_ann_lsh_multitable" -> oracleLshMulti,
@@ -3736,6 +3784,26 @@ object SparkEntry {
         |JOIN t ON t.funnel = cum.funnel
         |JOIN (VALUES (0.5), (0.9), (0.99)) ps(p) ON cum >= ceil(p * n)
         |GROUP BY 1, 2""".stripMargin,
+    "x43_source_drift" ->
+      // same vocab rule as x40; vocab tokens absent from a source
+      // contribute their full corpus mass via the grid LEFT join
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tot AS (SELECT count(*) AS n FROM tk),
+        |vc AS (SELECT token, CAST((1000000 * c) // (SELECT n FROM tot) AS BIGINT) AS corpus_ppm
+        |       FROM (SELECT token, count(*) AS c,
+        |                    row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rn
+        |             FROM tk GROUP BY token)
+        |       WHERE rn <= 1000),
+        |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens FROM tk GROUP BY 1),
+        |sc AS (SELECT source, token, CAST(count(*) AS BIGINT) AS cs
+        |       FROM tk JOIN vc USING (token) GROUP BY 1, 2),
+        |grid AS (SELECT st.source, st.n_tokens, vc.token, vc.corpus_ppm,
+        |                CAST((1000000 * coalesce(sc.cs, 0)) // st.n_tokens AS BIGINT) AS src_ppm
+        |         FROM st CROSS JOIN vc
+        |         LEFT JOIN sc ON sc.source = st.source AND sc.token = vc.token)
+        |SELECT source, CAST(min(n_tokens) AS BIGINT) AS n_tokens,
+        |       CAST(sum(abs(src_ppm - corpus_ppm)) AS BIGINT) AS drift_ppm_l1
+        |FROM grid GROUP BY 1""".stripMargin,
     "x41_dedup_savings" ->
       """WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
         |tk AS (SELECT d.doc_id, d.source,

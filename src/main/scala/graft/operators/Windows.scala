@@ -313,6 +313,23 @@ object Windows {
         sum(col("ends")).as("sessions_ended"))
   }
 
+  /** Hour-of-day seasonality — per event type, the busiest hour (ties to
+    * the earlier hour), its event count, and the type's total: the load
+    * profile capacity planning and alert-threshold tuning read. One
+    * partial-agg'd (type, hour) count — ≤ 24·|types| rows — then one
+    * argmax aggregate over that metadata frame.
+    */
+  def hourlyProfile(events: DataFrame, tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame =
+    events
+      .groupBy(col(typeCol), hour(col(tsCol)).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col(typeCol))
+      .agg(
+        max_by(col("hour"), struct(col("n_events"), -col("hour"))).as("peak_hour"),
+        max(struct(col("n_events"), -col("hour"))).getField("n_events").as("peak_events"),
+        sum(col("n_events")).as("total_events"))
+
   /** Top common in-session event paths — "what do users actually do?": the
     * most frequent within-session event-type trigrams, sessions split on
     * the same ≥ gap rule as [[sessions]] (lag-based, so the trigram window

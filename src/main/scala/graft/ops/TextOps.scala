@@ -123,6 +123,40 @@ object TextOps {
         col("g.n_docs").as("n_docs"), col("g.n_pass").as("n_pass"))
   }
 
+  /** Source distribution drift — how far does each source's token
+    * distribution sit from the corpus-wide one? L1 distance in ppm over
+    * the deterministic top-`vocabSize` vocabulary (count desc, token asc —
+    * [[vocabCoverage]]'s rule): Σ_vocab |ppm_source(t) − ppm_corpus(t)|,
+    * with vocabulary tokens absent from a source contributing their full
+    * corpus mass. The domain-shift screen run before mixing a new source
+    * into training data; all arithmetic is integer ppm.
+    *
+    * Scale shape: one persisted token explode feeds the corpus counts,
+    * per-source totals, and per-(source, vocab-token) counts; the drift
+    * sums over a |sources| × vocabSize broadcast grid — metadata.
+    */
+  def sourceDrift(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val tok = docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .persist()
+    val corpusTotal = tok.count()
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token").asc)
+      .limit(vocabSize)
+      .select(col("token"), expr(s"(1000000 * c) div $corpusTotal").as("corpus_ppm"))
+    val sourceTotals = tok.groupBy(col("source")).agg(count(lit(1)).as("n_tokens"))
+    val sourceCounts = tok
+      .join(broadcast(vocab.select(col("token"))), Seq("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("cs"))
+    sourceTotals
+      .crossJoin(broadcast(vocab))
+      .join(sourceCounts, Seq("source", "token"), "left")
+      .withColumn("src_ppm", expr("(1000000 * coalesce(cs, 0)) div n_tokens"))
+      .withColumn("d", abs(col("src_ppm") - col("corpus_ppm")))
+      .groupBy(col("source"))
+      .agg(min(col("n_tokens")).as("n_tokens"), sum(col("d")).as("drift_ppm_l1"))
+  }
+
   /** Dedup savings by source — the budget question before running the
     * pipeline: per source, total tokens, tokens surviving exact dedup
     * (keep-min-doc per identical text, x6's representative rule), and the

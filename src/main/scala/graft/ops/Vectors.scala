@@ -1076,6 +1076,38 @@ object Vectors {
           .as("nearest_train_id"))
   }
 
+  /** PQ distortion report — s19's twin for the OTHER ANN error source:
+    * routing loses candidates (recall), quantization mis-scores them
+    * (distortion). For each query's exact top-k, the mean |exact cosine −
+    * PQ ADC score| in parts-per-billion (per-pair floor then integer
+    * mean — no float aggregation). Read next to s19: high recall + high
+    * distortion means the codes need more subspaces/centroids even though
+    * routing is fine; the re-rank stage (s12) exists precisely because
+    * this number is nonzero.
+    */
+  def pqDistortion(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int = 8, ks: Int = 16): DataFrame = {
+    val unit = withUnit(embeddings).select(col("vec_id"), col("unit")).persist()
+    val centLit = typedlit(spacedPqCodebook(unit, ks))
+    val exactTop = bruteForceTopK(embeddings, queryIds, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val queries = unit.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("unit").as("q"))
+    val codes = unit.select(col("vec_id").as("neighbor_id"),
+      graft.functions.VectorFunctions.pqCode(col("unit"), centLit, lit(m)).as("code"),
+      col("unit").as("e"))
+    F.broadcast(exactTop)
+      .join(codes, Seq("neighbor_id"))
+      .join(F.broadcast(queries), Seq("query_id"))
+      .select(col("query_id"),
+        floor(abs(dot(col("q"), col("e")) -
+          graft.functions.VectorFunctions.pqAdcDot(col("q"), col("code"), centLit))
+          * 1e9).cast("long").as("err_ppb"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(err_ppb) div count(1)").as("mean_abs_err_ppb"))
+  }
+
   /** IVF recall self-report — the b13 checked-sketch discipline applied to
     * ANN routing, as a deterministic query: per query, how many of the
     * exact top-k does the spaced-centroid IVF probe return? Both rankings

@@ -46,6 +46,21 @@ class WindowsSpec extends SparkSpec {
     assert(d2.getAs[Long]("sessions_ended") === 1L)
   }
 
+  test("hourlyProfile: peak hour argmax with earlier-hour ties, totals exact") {
+    val ev = Seq(
+      ("2024-03-01 09:10:00", "A"), ("2024-03-01 09:20:00", "A"),
+      ("2024-03-01 14:10:00", "A"),
+      // B: hours 7 and 9 tie at 1 → earlier hour wins
+      ("2024-03-01 07:00:00", "B"), ("2024-03-02 09:00:00", "B")
+    ).map { case (t, ty) => (Timestamp.valueOf(t), ty) }.toDF("ts", "event_type")
+    val out = Windows.hourlyProfile(ev).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("peak_hour"), r.getAs[Long]("peak_events"),
+          r.getAs[Long]("total_events"))).toMap
+    assert(out("A") === ((9L, 2L, 3L)))
+    assert(out("B") === ((7L, 1L, 2L)))
+  }
+
   test("sessionPaths: trigrams never cross a session boundary, deterministic top order") {
     // u1 session1: A B C D → ABC, BCD; a 40-min gap, then session2: A B C
     // → ABC. u2: A B C → ABC. Expect ABC×3, BCD×1; no trigram spans the gap

@@ -141,6 +141,24 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(first3.size === 3)
   }
 
+  test("sourceDrift: identical distribution drifts 0, disjoint vocabulary drifts maximally") {
+    // s1 and s2 share the corpus distribution exactly; s3 is all-OOV
+    // relative to the top-2 vocab (its tokens are rare → out of vocab)
+    val docs = Seq(
+      (0L, "aa bb aa bb", "s1"),
+      (1L, "aa bb aa bb", "s2"),
+      (2L, "zz yy", "s3")
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.sourceDrift(docs, vocabSize = 2).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("drift_ppm_l1")).toMap
+    // corpus: 10 tokens — aa×4, bb×4, zz×1, yy×1 → vocab {aa, bb}, each
+    // corpus_ppm = 400000; s1/s2: src_ppm = 500000 each → drift 200000
+    assert(out("s1") === 200000L)
+    assert(out("s2") === 200000L)
+    // s3 has no vocab tokens: drift = 400000 + 400000
+    assert(out("s3") === 800000L)
+  }
+
   test("packingEfficiency: fills partition total tokens, straddle shows up in fill_max") {
     // budget 10: docs of 4/4/4 tokens → doc 2 (prefix 8) straddles into
     // seq 0: fills are seq0 = 12, seq1 = 0? No: prefix 0,4,8 → seq ids

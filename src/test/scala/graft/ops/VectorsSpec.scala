@@ -13,6 +13,18 @@ class VectorsSpec extends SparkSpec {
     (4L, Array(0.0f, 0.0f, 1.0f))
   ).toDF("vec_id", "embedding")
 
+  test("pqDistortion: one row per query over real 64-dim vectors, errors bounded and nonneg") {
+    val emb64 = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Vectors.pqDistortion(emb64, Seq(0L, 1L), k = 5).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("mean_abs_err_ppb"))).toMap
+    assert(out.keySet === Set(0L, 1L))
+    out.values.foreach { case (n, e) =>
+      assert(n === 5L)
+      assert(e >= 0L && e < 2000000000L) // |cosine diff| < 2 by construction
+    }
+  }
+
   test("ivfRecall: one row per query, hits bounded by k, ppm arithmetic exact") {
     val out = Vectors.ivfRecall(emb, Seq(0L, 3L), k = 2).collect()
       .map(r => r.getAs[Long]("query_id") ->
