@@ -1088,6 +1088,10 @@ object SparkEntry {
       // load seasonality: peak hour (ties earlier) + totals per type from
       // a ≤24·|types| metadata frame
       graft.operators.Windows.hourlyProfile(Tables.events(s, dir))),
+    "b26_props_stats" -> ((s, dir) =>
+      // query the JSON you landed: per-type stats of props.$.k straight
+      // from the string column, malformed/missing counted not crashed
+      graft.operators.Windows.propsFieldStats(Tables.events(s, dir))),
     "t35_correlated_scalar" -> ((s, dir) => {
       // correlated scalar subquery — Catalyst decorrelates it into an
       // aggregate + left outer join (no per-row re-execution; the t21
@@ -1557,6 +1561,10 @@ object SparkEntry {
       // over each query's exact top-10, per-pair ppb floor then integer
       // mean — why the s12 re-rank stage exists, as a gated number
       Vectors.pqDistortion(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
+    "s21_vector_health" -> ((s, dir) =>
+      // the pre-index sanity gate: dim consistency, null/zero-norm/non-
+      // finite counts, norm range ppb — one projection + one metadata agg
+      Vectors.vectorHealth(Tables.embeddings(s, dir))),
     "s18_embedding_leakage" -> ((s, dir) => {
       // the vector twin of d13/x38 decontamination: test split (vec_id%10
       // < 2) screened against the train split via shared sign-hash
@@ -2401,6 +2409,14 @@ object SparkEntry {
         |       CAST(sum(coalesce(new_users, 0)) OVER (ORDER BY ac.day
         |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
         |FROM ac LEFT JOIN nu ON nu.day = ac.day""".stripMargin,
+    "b26_props_stats" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+        |       CAST(sum(v) AS BIGINT) AS sum_v,
+        |       CAST(min(v) AS BIGINT) AS min_v,
+        |       CAST(max(v) AS BIGINT) AS max_v
+        |FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS v FROM events)
+        |GROUP BY 1""".stripMargin,
     "t35_correlated_scalar" ->
       """SELECT n_nationkey, n_name,
         |       coalesce((SELECT CAST(round(max(c_acctbal) * 100) AS BIGINT)
@@ -3302,6 +3318,28 @@ object SparkEntry {
          |SELECT query_id, CAST(count(*) AS BIGINT) AS n_pairs,
          |       CAST(sum(err_ppb) // count(*) AS BIGINT) AS mean_abs_err_ppb
          |FROM err GROUP BY 1""".stripMargin,
+    "s21_vector_health" ->
+      // same fold order for the norm (list_dot_product ≡ the codegen'd
+      // dot), sqrt + floor ppb integer-exact
+      """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |                  CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS is_null
+        |           FROM embeddings),
+        |n AS (SELECT CAST(len(v) AS BIGINT) AS dim, is_null,
+        |             CASE WHEN is_null = 1 THEN NULL
+        |                  WHEN isnan(list_dot_product(v, v)) OR isinf(list_dot_product(v, v))
+        |                    THEN -1
+        |                  ELSE CAST(floor(sqrt(list_dot_product(v, v)) * 1000000000) AS BIGINT)
+        |             END AS norm_ppb
+        |      FROM b)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |       CAST(count(DISTINCT dim) AS BIGINT) AS n_distinct_dims,
+        |       CAST(max(dim) AS BIGINT) AS dim,
+        |       CAST(sum(is_null) AS BIGINT) AS n_null,
+        |       CAST(sum(CASE WHEN norm_ppb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+        |       CAST(sum(CASE WHEN norm_ppb = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_non_finite,
+        |       CAST(min(CASE WHEN norm_ppb > 0 THEN norm_ppb END) AS BIGINT) AS min_norm_ppb,
+        |       CAST(max(norm_ppb) AS BIGINT) AS max_norm_ppb
+        |FROM n""".stripMargin,
     "s3_ann_lsh" -> oracleLsh,
     "s4_ann_ivf_multiprobe" -> oracleIvfMultiProbe,
     "s5_ann_lsh_multitable" -> oracleLshMulti,

@@ -313,6 +313,31 @@ object Windows {
         sum(col("ends")).as("sessions_ended"))
   }
 
+  /** Semi-structured props analytics — the JSON-column surface: per event
+    * type, stats of the numeric `$.k` field extracted straight from the
+    * JSON string (no pre-parsed schema), plus a malformed/missing count.
+    * The reference's event `props` is exactly this shape (b7 decodes it at
+    * ingest; this queries it in place — the "query the JSON you landed"
+    * path a CDC store needs when the payload schema drifts faster than
+    * the table schema).
+    *
+    * Scale shape: `get_json_object` is a codegen'd projection in the scan
+    * pass; the aggregate is one partial-agg'd |types|-sized frame.
+    */
+  def propsFieldStats(events: DataFrame, field: String = "k",
+      typeCol: String = "event_type"): DataFrame = {
+    val v = get_json_object(col("props"), s"$$.$field").cast("long")
+    events
+      .select(col(typeCol), v.as("v"))
+      .groupBy(col(typeCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum(col("v")).as("sum_v"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+  }
+
   /** Hour-of-day seasonality — per event type, the busiest hour (ties to
     * the earlier hour), its event count, and the type's total: the load
     * profile capacity planning and alert-threshold tuning read. One

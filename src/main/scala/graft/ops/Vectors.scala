@@ -1076,6 +1076,37 @@ object Vectors {
           .as("nearest_train_id"))
   }
 
+  /** Embedding-corpus health screen — the sanity pass before any index
+    * build: dimension consistency (an off-dimension row poisons every dot
+    * product), zero-norm and non-finite vectors (they break cosine), and
+    * the norm range in ppb (floor — integer-exact). One codegen projection
+    * into one metadata-sized aggregate; at 100 TB this is the cheap gate
+    * that catches a bad embedding-model deploy before the O(N·√N) index
+    * pass spends real money on poisoned vectors.
+    */
+  def vectorHealth(embeddings: DataFrame): DataFrame = {
+    val norm2 = dot(col("embedding").cast("array<double>"),
+      col("embedding").cast("array<double>"))
+    embeddings
+      .select(
+        size(col("embedding")).cast("long").as("dim"),
+        norm2.as("n2"),
+        when(col("embedding").isNull, 1L).otherwise(0L).as("is_null"))
+      .select(col("dim"), col("is_null"),
+        when(col("is_null") === 1L, null).otherwise(
+          when(isnan(col("n2")) || col("n2") === Double.PositiveInfinity, -1L)
+            .otherwise(floor(sqrt(col("n2")) * 1e9).cast("long"))).as("norm_ppb"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        count_distinct(col("dim")).as("n_distinct_dims"),
+        max(col("dim")).as("dim"),
+        sum(col("is_null")).as("n_null"),
+        sum(when(col("norm_ppb") === 0L, 1L).otherwise(0L)).as("n_zero_norm"),
+        sum(when(col("norm_ppb") === -1L, 1L).otherwise(0L)).as("n_non_finite"),
+        min(when(col("norm_ppb") > 0L, col("norm_ppb"))).as("min_norm_ppb"),
+        max(col("norm_ppb")).as("max_norm_ppb"))
+  }
+
   /** PQ distortion report — s19's twin for the OTHER ANN error source:
     * routing loses candidates (recall), quantization mis-scores them
     * (distortion). For each query's exact top-k, the mean |exact cosine −

@@ -46,6 +46,21 @@ class WindowsSpec extends SparkSpec {
     assert(d2.getAs[Long]("sessions_ended") === 1L)
   }
 
+  test("propsFieldStats: JSON field extracted in place, malformed and missing counted") {
+    val ev = Seq(
+      ("A", """{"k": 5}"""), ("A", """{"k": 7}"""),
+      ("A", """{"other": 1}"""),  // missing k
+      ("B", "not json at all"),   // malformed → missing
+      ("B", """{"k": 3}""")
+    ).toDF("event_type", "props")
+    val out = Windows.propsFieldStats(ev).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_missing"),
+          r.getAs[Long]("sum_v"), r.getAs[Long]("min_v"), r.getAs[Long]("max_v"))).toMap
+    assert(out("A") === ((3L, 1L, 12L, 5L, 7L)))
+    assert(out("B") === ((2L, 1L, 3L, 3L, 3L)))
+  }
+
   test("hourlyProfile: peak hour argmax with earlier-hour ties, totals exact") {
     val ev = Seq(
       ("2024-03-01 09:10:00", "A"), ("2024-03-01 09:20:00", "A"),

@@ -13,6 +13,24 @@ class VectorsSpec extends SparkSpec {
     (4L, Array(0.0f, 0.0f, 1.0f))
   ).toDF("vec_id", "embedding")
 
+  test("vectorHealth: nulls, zero norms, non-finite, and mixed dims all surface") {
+    val rows = Seq(
+      (0L, Array(3.0f, 4.0f)),             // norm 5
+      (1L, Array(0.0f, 0.0f)),             // zero norm
+      (2L, Array(Float.NaN, 1.0f)),        // non-finite
+      (3L, Array(1.0f, 0.0f, 0.0f))        // off-dimension
+    ).toDF("vec_id", "embedding")
+      .unionByName(Seq((4L, Option.empty[Array[Float]])).toDF("vec_id", "embedding"))
+    val out = Vectors.vectorHealth(rows).collect().head
+    assert(out.getAs[Long]("n_vectors") === 5L)
+    assert(out.getAs[Long]("n_distinct_dims") === 2L) // 2 and 3
+    assert(out.getAs[Long]("n_null") === 1L)
+    assert(out.getAs[Long]("n_zero_norm") === 1L)
+    assert(out.getAs[Long]("n_non_finite") === 1L)
+    assert(out.getAs[Long]("min_norm_ppb") === 1000000000L) // unit vector id 3
+    assert(out.getAs[Long]("max_norm_ppb") === 5000000000L) // norm 5
+  }
+
   test("pqDistortion: one row per query over real 64-dim vectors, errors bounded and nonneg") {
     val emb64 = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Vectors.pqDistortion(emb64, Seq(0L, 1L), k = 5).collect()
