@@ -574,6 +574,15 @@ object SparkEntry {
           .withColumn("schema", concat(lit("db"), pmod(col("user_id"), lit(4))))
           .withColumn("table", concat(lit("t"), pmod(col("event_id"), lit(8)))),
         "schema", "table")),
+    "b27_dml_mix" -> ((s, dir) =>
+      // the database portrait in ratio form: per (day, table) DML-type
+      // shares in ppm — a doubled UPDATE share stands out at any volume
+      DailyCounts.dmlMix(
+        Tables.events(s, dir)
+          .withColumnRenamed("ts", "execute_time")
+          .withColumn("schema", concat(lit("db"), pmod(col("user_id"), lit(4))))
+          .withColumn("table", concat(lit("t"), pmod(col("event_id"), lit(8)))),
+        "schema", "table")),
     "b7_ingest_flatten" -> ((s, dir) =>
       Ingest.projectRow(
         Ingest.dropTransactionBegin(
@@ -877,6 +886,16 @@ object SparkEntry {
       graft.operators.Percentiles.discrete(Tables.events(s, dir), "event_type",
         round(col("value") * 100).cast("long"), Seq(0.5, 0.9, 0.99), "pct_cents")
     }),
+    "t48_ltv_deciles" -> ((s, dir) =>
+      // scale-correct ntile: exact decile thresholds from the compressed
+      // spend histogram, 9 unrolled codegen comparisons assign buckets —
+      // no global sort anywhere
+      graft.operators.Percentiles.decileReport(
+        Tables.orders(s, dir).groupBy(col("o_custkey"))
+          // cast per-order cents to long BEFORE summing: a double sum's
+          // accumulation order is engine-dependent at the ulp
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("spend_c")),
+        col("spend_c"))),
     "t44_mad" -> ((s, dir) => {
       // robust dispersion: exact lower-median of |x − median| per type,
       // both medians over value-domain-compressed histograms (t19 ×2)
@@ -1210,6 +1229,10 @@ object SparkEntry {
       // domain-shift screen: per-source L1 ppm distance from the corpus
       // token distribution over the deterministic top-1000 vocab
       TextOps.sourceDrift(Tables.documents(s, dir))),
+    "x45_curriculum" -> ((s, dir) =>
+      // short-to-long curriculum: exact length-decile bands, hash-mixed
+      // within band, dense positions via the bounded prefix count
+      TextOps.curriculumOrder(Tables.documents(s, dir))),
     "x36_pareto_frontier" -> ((s, dir) => {
       // the efficient edge of the length/naturalness trade-off: docs no
       // other doc beats on BOTH n_chars and stopword ppm — what any
@@ -1888,6 +1911,18 @@ object SparkEntry {
         |       event_type,
         |       CAST(count(*) AS BIGINT) AS event_count
         |FROM events GROUP BY 1, 2, 3, 4""".stripMargin,
+    "b27_dml_mix" ->
+      """WITH c AS (SELECT CAST(ts AS DATE) AS day,
+        |                  'db' || (user_id % 4) AS "schema",
+        |                  't' || (event_id % 8) AS "table",
+        |                  event_type,
+        |                  CAST(count(*) AS BIGINT) AS n_events
+        |           FROM events GROUP BY 1, 2, 3, 4)
+        |SELECT day, "schema", "table", event_type, n_events,
+        |       CAST((1000000 * n_events)
+        |              // sum(n_events) OVER (PARTITION BY day, "schema", "table")
+        |            AS BIGINT) AS share_ppm
+        |FROM c""".stripMargin,
     "b7_ingest_flatten" ->
       """SELECT CAST(event_id AS VARCHAR) AS binlog_pos,
         |       event_type,
@@ -2087,6 +2122,49 @@ object SparkEntry {
         |JOIN t ON t.event_type = cum.event_type
         |JOIN (VALUES (0.5), (0.9), (0.99)) ps(p) ON cum >= ceil(p * n)
         |GROUP BY 1, 2""".stripMargin,
+    "t48_ltv_deciles" ->
+      // identical bounds (lower-percentile thresholds at .1….9 over the
+      // spend histogram), identical strictly-greater bucket rule
+      """WITH sp AS (SELECT o_custkey,
+        |              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |            FROM orders GROUP BY 1),
+        |h AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM sp GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+        |cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |        FROM h),
+        |bnd AS (SELECT p, min(v) AS b
+        |        FROM cum, t,
+        |             (VALUES (0.1), (0.2), (0.3), (0.4), (0.5),
+        |                     (0.6), (0.7), (0.8), (0.9)) ps(p)
+        |        WHERE cum >= ceil(p * n) GROUP BY p)
+        |SELECT CAST(1 + (SELECT count(*) FROM bnd WHERE sp.v > bnd.b) AS BIGINT) AS decile,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM sp GROUP BY 1""".stripMargin,
+    "x45_curriculum" ->
+      // same decile thresholds over token counts, same multiplicative
+      // hash, positions = dense rank over (band·2³² + hash, doc_id)
+      """WITH tkn AS (SELECT doc_id,
+        |               CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |h AS (SELECT n AS v, CAST(count(*) AS BIGINT) AS c FROM tkn GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+        |cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |        FROM h),
+        |bnd AS (SELECT p, min(v) AS b
+        |        FROM cum, t,
+        |             (VALUES (0.1), (0.2), (0.3), (0.4), (0.5),
+        |                     (0.6), (0.7), (0.8), (0.9)) ps(p)
+        |        WHERE cum >= ceil(p * n) GROUP BY p),
+        |banded AS (SELECT doc_id,
+        |                  1 + (SELECT count(*) FROM bnd WHERE tkn.n > bnd.b) AS band
+        |           FROM tkn),
+        |keyed AS (SELECT doc_id, band,
+        |                 band * 4294967296 +
+        |                   ((doc_id % 2147483647) * (2654435761 % 2147483647)) % 2147483647 AS k
+        |          FROM banded)
+        |SELECT doc_id, CAST(band AS BIGINT) AS band,
+        |       CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT) AS curriculum_pos
+        |FROM keyed""".stripMargin,
     "t44_mad" ->
       // two lower-median passes over integer histograms (t19's machinery
       // applied to values, then to |x − median|)

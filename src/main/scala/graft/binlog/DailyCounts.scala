@@ -55,6 +55,29 @@ object DailyCounts {
       .groupBy(keys.map(col): _*)
       .agg(sum(col(valueCol)).as(valueCol))
 
+  /** DML-mix portrait — the reference's "database portrait" read in ratio
+    * form: per (day, schema, table), the share of each DML type in ppm
+    * next to its count, so a table whose UPDATE share doubles overnight
+    * stands out regardless of volume. One count aggregation (the MV2
+    * frame plus event_type) and a ppm projection against the per-table
+    * window total — the window runs over the (day × table × type) frame,
+    * metadata-sized relative to the log.
+    */
+  def dmlMix(events: org.apache.spark.sql.DataFrame, schemaCol: String,
+      tableCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = events
+      .groupBy(to_date(col("execute_time")).as("day"),
+        col(schemaCol).as("schema"), col(tableCol).as("table"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    counts
+      .withColumn("day_total",
+        sum(col("n_events")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("day"), col("schema"), col("table"))))
+      .withColumn("share_ppm", expr("(1000000 * n_events) div day_total"))
+      .drop("day_total")
+  }
+
   /** Compaction job (SURVEY.md §7 step 5): rewrite the partials table fully
     * collapsed — the explicit analog of a background MergeTree merge. Pure
     * transformation; the maintenance wrapper in [[Maintenance]] handles the

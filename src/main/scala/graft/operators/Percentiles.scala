@@ -60,6 +60,32 @@ object Percentiles {
       .select(col(groupCol), col("med").as("median"), col(madCol), col("n_rows"))
   }
 
+  /** Decile assignment at scale — the histogram-threshold form of
+    * `ntile(10)`: compute the nine exact decile boundaries over the
+    * value-domain-compressed histogram ([[discrete]] at p = 0.1 … 0.9),
+    * broadcast them (9 longs), and bucket every row by counting
+    * boundaries strictly below its value — a codegen projection, where a
+    * windowed ntile would global-sort the whole frame. Ties at a boundary
+    * all land in the same decile (deterministic; exact row balance is
+    * ntile's contract, not this one's — at 100 TB you want the
+    * value-defined buckets anyway, so equal values never split).
+    * Output: per decile (1…10), row count and value sum.
+    */
+  def decileReport(df: DataFrame, value: Column): DataFrame = {
+    val spark = df.sparkSession
+    val v = df.select(value.as("v"), lit("all").as("g"))
+    val bounds = discrete(v, "g", col("v"), (1 to 9).map(_ / 10.0), "b")
+      .select(col("b")).collect().map(_.getLong(0)).sorted
+    // bounds are driver-side: unroll the bucket test into 9 codegen'd
+    // comparisons (no interpreted HOF in the per-row path)
+    val decile = bounds
+      .map(b => when(col("v") > lit(b), 1L).otherwise(0L))
+      .reduce(_ + _) + lit(1L)
+    v.select(col("v"), decile.as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+  }
+
   /** Self-checked approximate percentiles (the b13 discipline for quantile
     * sketches): run `percentile_approx` (KLL-style mergeable sketch — the
     * one-pass form a 100 TB scan actually affords) NEXT TO the exact

@@ -123,6 +123,37 @@ object TextOps {
         col("g.n_docs").as("n_docs"), col("g.n_pass").as("n_pass"))
   }
 
+  /** Curriculum ordering — short-to-long training schedule with in-band
+    * shuffling: band = exact length decile (histogram thresholds, the t48
+    * discipline — never a global ntile sort), position = dense rank in
+    * (band, deterministic doc hash) order via the bounded three-level
+    * prefix count. Batches read in `curriculum_pos` order see easy
+    * (short) documents first and a hash-shuffled mix within each band —
+    * the standard length-curriculum shape, reproducible on any engine.
+    */
+  def curriculumOrder(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val bounds = graft.operators.Percentiles
+      .discrete(base.withColumn("g", lit("all")), "g", col("n_tokens"),
+        (1 to 9).map(_ / 10.0), "b")
+      .select(col("b")).collect().map(_.getLong(0)).sorted
+    val band = bounds
+      .map(b => when(col("n_tokens") > lit(b), 1L).otherwise(0L))
+      .reduce(_ + _) + lit(1L)
+    val p = fingerprintMod
+    val h = ((col("doc_id") % p) * lit(2654435761L % p)) % p
+    // order key: band then hash (p < 2³¹, so band·2³² never collides)
+    val keyed = base
+      .withColumn("band", band)
+      .withColumn("_key", col("band") * lit(4294967296L) + h)
+      .withColumn("one", lit(1L))
+    // bucketWidth 2²⁴: ~128 hash buckets per band (~1280 groups), so no
+    // within-bucket window partition approaches band size
+    exclusivePrefix(keyed, "_key", "doc_id", "one", 16777216L)
+      .select(col("doc_id"), col("band"), col("_prefix").as("curriculum_pos"))
+  }
+
   /** Source distribution drift — how far does each source's token
     * distribution sit from the corpus-wide one? L1 distance in ppm over
     * the deterministic top-`vocabSize` vocabulary (count desc, token asc —

@@ -44,6 +44,24 @@ class PercentilesSpec extends SparkSpec {
       ex.toString)
   }
 
+  test("decileReport: value-defined buckets, ties never split, counts and sums partition") {
+    // values 1..100: bounds at 10,20,…,90 → deciles of exactly 10 rows
+    val df = (1L to 100L).toDF("v")
+    val out = Percentiles.decileReport(df, $"v").collect()
+      .map(r => r.getAs[Long]("decile") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("sum_v"))).toMap
+    assert(out.keySet === (1L to 10L).toSet)
+    assert(out.values.map(_._1).sum === 100L)
+    assert(out(1L) === ((10L, (1L to 10L).sum)))
+    assert(out(10L) === ((10L, (91L to 100L).sum)))
+    // heavy ties: one value dominating a boundary all lands in ONE decile
+    val tied = (Seq.fill(95)(5L) ++ Seq(1L, 2L, 3L, 4L, 6L)).toDF("v")
+    val t = Percentiles.decileReport(tied, $"v").collect()
+      .map(r => r.getAs[Long]("decile") -> r.getAs[Long]("n_rows")).toMap
+    assert(t.values.sum === 100L)
+    assert(t.getOrElse(1L, 0L) >= 95L || t.exists(_._2 >= 95L)) // the run stays whole
+  }
+
   test("mad: lower-median of absolute deviations, exact on asymmetric data") {
     // g=a: values 1,2,3,10 → lower median = 2 (cum 2 ≥ ⌈4/2⌉), deviations
     // |1-2|,|0|,|1|,|8| = 1,0,1,8 → sorted 0,1,1,8 → lower median = 1

@@ -141,6 +141,23 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(first3.size === 3)
   }
 
+  test("curriculumOrder: positions dense 0..N-1, bands non-decreasing along the order") {
+    val rows = (0 until 60).map { i =>
+      (i.toLong, (Seq.fill(1 + i % 20)("w")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = TextOps.curriculumOrder(rows)
+      .orderBy("curriculum_pos").collect()
+      .map(r => (r.getAs[Long]("curriculum_pos"), r.getAs[Long]("band"),
+        r.getAs[Long]("doc_id")))
+    assert(out.map(_._1).toSeq === (0L until 60L).toSeq) // dense, collision-free
+    val bands = out.map(_._2)
+    assert(bands.zip(bands.tail).forall { case (a, b) => a <= b }) // short→long
+    assert(bands.min === 1L && bands.max === 10L)
+    // within a band the order is hash-mixed, not doc_id order
+    val firstBand = out.filter(_._2 == 1L).map(_._3)
+    assert(firstBand.length > 2 && firstBand.toSeq != firstBand.sorted.toSeq)
+  }
+
   test("sourceDrift: identical distribution drifts 0, disjoint vocabulary drifts maximally") {
     // s1 and s2 share the corpus distribution exactly; s3 is all-OOV
     // relative to the top-2 vocab (its tokens are rare → out of vocab)
