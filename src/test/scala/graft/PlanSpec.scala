@@ -491,4 +491,45 @@ class PlanSpec extends SparkSpec {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
     }.nonEmpty, s"x36 window must consume the value-domain aggregate:\n${x36w.head.child}")
   }
+
+  test("this round's additions keep their scale shapes: no pair joins, broadcasts, bounded windows") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Sort => LSort}
+    // d32/d33: the duplicated-gram screen is a semi join + per-doc
+    // windows — NO cartesian/BNLJ pair stage anywhere
+    for (q <- Seq("d32_dup_spans", "d33_span_excision", "s18_embedding_leakage")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: $plan")
+    }
+    // d32's merge windows are doc-partitioned, never global
+    val d32lp = SparkEntry.queries("d32_dup_spans")(spark, dir).queryExecution.optimizedPlan
+    assert(d32lp.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }.isEmpty, "d32 has a partition-less window")
+    // x40/x43: the vocabulary reaches the coverage join as a broadcast
+    for (q <- Seq("x40_vocab_coverage", "x43_source_drift")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+        s"$q vocab join must broadcast: $plan")
+    }
+    // t48: decile assignment is a projection + hash aggregate — no global
+    // Sort over the row frame (the ntile shape this op exists to avoid);
+    // TakeOrdered on the tiny threshold frame is fine
+    val t48lp = SparkEntry.queries("t48_ltv_deciles")(spark, dir).queryExecution.optimizedPlan
+    assert(t48lp.collect { case s: LSort if s.global => s }.isEmpty,
+      s"t48 must not global-sort: $t48lp")
+    // b22/x45: the prefix scan stays three-level — every window carries a
+    // partition spec
+    for (q <- Seq("b22_peak_concurrency", "x45_curriculum")) {
+      val lp = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
+      assert(lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
+        s"$q has a partition-less window")
+    }
+    // t45: nearest as-of is the union-and-scan — exactly zero Join nodes
+    val t45lp = SparkEntry.queries("t45_asof_nearest")(spark, dir).queryExecution.optimizedPlan
+    assert(t45lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, s"t45 must be join-free (union-and-scan): $t45lp")
+  }
 }
