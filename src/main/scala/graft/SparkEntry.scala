@@ -1821,7 +1821,19 @@ object SparkEntry {
     "m5_interleave" -> ((s, dir) =>
       // training-batch assembly after routing: round-robin positions
       // across modalities via the per-modality bounded prefix count
-      graft.ops.Multimodal.interleaveByModality(Tables.documents(s, dir)))
+      graft.ops.Multimodal.interleaveByModality(Tables.documents(s, dir))),
+    "m6_size_percentiles" -> ((s, dir) =>
+      // storage planning per modality: exact byte-size percentiles over
+      // the compressed histogram (t19 machinery)
+      graft.ops.Multimodal.sizePercentiles(Tables.documents(s, dir))),
+    "s22_cross_knn" -> ((s, dir) => {
+      // the embedding-match join: every test vector's top-3 train
+      // neighbors among its bucket candidates — s14 across two corpora
+      val emb = Tables.embeddings(s, dir)
+      Vectors.crossCorpusTopK(
+        emb.filter(col("vec_id") % 10 < 2),
+        emb.filter(col("vec_id") % 10 >= 2), k = 3)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3396,6 +3408,42 @@ object SparkEntry {
          |SELECT query_id, CAST(count(*) AS BIGINT) AS n_pairs,
          |       CAST(sum(err_ppb) // count(*) AS BIGINT) AS mean_abs_err_ppb
          |FROM err GROUP BY 1""".stripMargin,
+    "s22_cross_knn" ->
+      // s18's bucket-candidate CTEs with a per-query rank tail instead of
+      // the threshold screen
+      s"""WITH $oracleEmbCte,
+         |bt AS (SELECT vec_id, ${oracleLshTableCols(4)} FROM e),
+         |te AS (SELECT * FROM bt WHERE vec_id % 10 < 2),
+         |tr AS (SELECT * FROM bt WHERE vec_id % 10 >= 2),
+         |cand AS (SELECT DISTINCT te.vec_id AS query_id, tr.vec_id AS neighbor_id
+         |         FROM te JOIN tr ON (te.b0 = tr.b0 OR te.b1 = tr.b1
+         |                             OR te.b2 = tr.b2 OR te.b3 = tr.b3)),
+         |sc AS (SELECT c.query_id, c.neighbor_id, ${oracleCos("et.v", "ev.v")} AS sim
+         |       FROM cand c
+         |       JOIN e et ON et.vec_id = c.query_id
+         |       JOIN e ev ON ev.vec_id = c.neighbor_id)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM sc)
+         |WHERE rank <= 3""".stripMargin,
+    "m6_size_percentiles" ->
+      """WITH meta AS (SELECT doc_id,
+        |                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |              FROM documents),
+        |v AS (SELECT ['audio', 'image', 'video'][CAST(n_bytes % 3 AS INTEGER) + 1] AS modality,
+        |             n_bytes AS v
+        |      FROM meta),
+        |h AS (SELECT modality, v, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+        |t AS (SELECT modality, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+        |cum AS (SELECT modality, v,
+        |               CAST(sum(c) OVER (PARTITION BY modality ORDER BY v
+        |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |        FROM h)
+        |SELECT cum.modality, p, min(v) AS pct_bytes, CAST(min(n) AS BIGINT) AS n_rows
+        |FROM cum
+        |JOIN t ON t.modality = cum.modality
+        |JOIN (VALUES (0.5), (0.9), (0.99)) ps(p) ON cum >= ceil(p * n)
+        |GROUP BY 1, 2""".stripMargin,
     "s21_vector_health" ->
       // same fold order for the norm (list_dot_product ≡ the codegen'd
       // dot), sqrt + floor ppb integer-exact

@@ -134,6 +134,21 @@ object Multimodal {
       (expr("length(payload) div 1000") + 1).cast("long").as("n_frames")
     )
 
+  /** Per-modality payload-size percentiles — the storage-planning twin of
+    * [[modalityStats]]: exact p50/p90/p99 of payload bytes per modality
+    * through the shared histogram-percentile machinery
+    * ([[graft.operators.Percentiles.discrete]] — windows over the
+    * value-domain-compressed byte histogram, never raw rows).
+    */
+  def sizePercentiles(docs: DataFrame): DataFrame = {
+    val tagged = decodeExpr(docs)
+      .withColumn("modality",
+        element_at(typedlit(Seq("audio", "image", "video")),
+          pmod(col("n_bytes"), lit(3)).cast("int") + 1))
+    graft.operators.Percentiles.discrete(
+      tagged, "modality", col("n_bytes"), Seq(0.5, 0.9, 0.99), "pct_bytes")
+  }
+
   /** Modality-balanced deterministic interleave — the training-batch
     * assembly step after routing (m3): give every sample an explicit
     * global position such that consecutive positions round-robin across

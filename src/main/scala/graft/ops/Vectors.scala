@@ -1076,6 +1076,31 @@ object Vectors {
           .as("nearest_train_id"))
   }
 
+  /** Cross-corpus k-NN join — [[crossCorpusLeakage]]'s retrieval sibling:
+    * EVERY test vector gets its top-k train-side neighbors among its
+    * sign-hash bucket candidates (the s14 discipline across two corpora —
+    * the embedding-match join powering transfer labeling, eval-to-train
+    * attribution, and RAG source alignment at corpus×corpus scale).
+    * Candidates are index-sized, the exact confirm touches only them,
+    * ranks tie (sim desc, train_id asc).
+    */
+  def crossCorpusTopK(test: DataFrame, train: DataFrame, k: Int,
+      nTables: Int = 4, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    def keys(df: DataFrame): DataFrame =
+      withUnit(df).select(col("vec_id"),
+        posexplode(tableBucketsExpr(nTables, nPlanes, dim)).as(Seq("t", "bucket")))
+    val pairs = keys(test).select(col("vec_id").as("query_id"), col("t"), col("bucket"))
+      .join(keys(train).select(col("vec_id").as("neighbor_id"), col("t"), col("bucket")),
+        Seq("t", "bucket"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val tu = withUnit(test).select(col("vec_id").as("query_id"), col("unit").as("q"))
+    val ru = withUnit(train).select(col("vec_id").as("neighbor_id"), col("unit").as("e"))
+    val scored = pairs.join(tu, Seq("query_id")).join(ru, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("q"), col("e")).as("sim"))
+    topKPerGroup(scored, "query_id", k)
+  }
+
   /** Embedding-corpus health screen — the sanity pass before any index
     * build: dimension consistency (an off-dimension row poisons every dot
     * product), zero-norm and non-finite vectors (they break cosine), and

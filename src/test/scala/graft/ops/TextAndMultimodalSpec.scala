@@ -118,6 +118,17 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(!out.contains("audio"))
   }
 
+  test("sizePercentiles: lower-percentile bytes per modality, exact on a known histogram") {
+    // all docs 9 bytes → 9 % 3 = 0 → audio; p50/p90/p99 all = 9
+    val docs = Seq((0L, "x" * 9), (1L, "y" * 9), (2L, "z" * 9)).toDF("doc_id", "text")
+    val out = Multimodal.sizePercentiles(docs).collect()
+      .map(r => (r.getAs[String]("modality"), r.getAs[Double]("p")) ->
+        r.getAs[Long]("pct_bytes")).toMap
+    assert(out(("audio", 0.5)) === 9L)
+    assert(out(("audio", 0.99)) === 9L)
+    assert(out.keySet.map(_._1) === Set("audio"))
+  }
+
   test("interleaveByModality: round-robin positions, dense per-modality ranks, unique sort key") {
     // 9 docs engineered so lengths cycle 8/28/30 bytes → video/image/audio
     val rows = (0 until 9).map { i =>

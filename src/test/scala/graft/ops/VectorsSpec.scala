@@ -13,6 +13,24 @@ class VectorsSpec extends SparkSpec {
     (4L, Array(0.0f, 0.0f, 1.0f))
   ).toDF("vec_id", "embedding")
 
+  test("crossCorpusTopK: every test vector ranked against bucket-mates only, exact order") {
+    val test = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (2L, Array(0.99f, 0.01f, 0.0f)),
+      (3L, Array(1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.98f, 0.02f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Vectors.crossCorpusTopK(test, train, k = 2, dim = 3).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq
+      }
+    // query 0's bucket-mates include its near-clones: identical 3 first,
+    // then 2 (0.99 beats 0.98)
+    assert(out(0L) === Seq(3L, 2L))
+  }
+
   test("vectorHealth: nulls, zero norms, non-finite, and mixed dims all surface") {
     val rows = Seq(
       (0L, Array(3.0f, 4.0f)),             // norm 5
