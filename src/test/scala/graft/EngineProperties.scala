@@ -373,6 +373,69 @@ object EngineProperties extends Properties("graft") {
     }
   }
 
+  property("transitionMatrix: Σ transitions = events − active users; ppm sums ≈ 1e6 per from-type") = {
+    val genEvs = Gen.chooseNum(3, 60).flatMap(n => Gen.listOfN(n, for {
+      u <- Gen.chooseNum(1L, 5L)
+      off <- Gen.chooseNum(0, 5000)
+      t <- Gen.oneOf("A", "B", "C")
+    } yield (u, off, t)))
+    Prop.forAll(genEvs) { evs0 =>
+      // unique (user, ts) so the per-user order is total regardless of ids
+      val evs = evs0.zipWithIndex.map { case ((u, off, t), i) =>
+        (i.toLong, new Timestamp(1700000000000L + off * 1000L + i), u, t)
+      }
+      val df = evs.toDF("event_id", "ts", "user_id", "event_type")
+      val m = graft.operators.Windows.transitionMatrix(df).collect()
+      val total = m.map(_.getAs[Long]("n_transitions")).sum
+      val users = evs.map(_._3).distinct.size
+      val ppmOk = m.groupBy(_.getAs[String]("from_type")).forall { case (_, rows) =>
+        val s = rows.map(_.getAs[Long]("prob_ppm")).sum
+        // floor-division shortfall is at most (#to-types − 1)
+        s <= 1000000L && s > 1000000L - rows.length
+      }
+      total == (evs.size - users) && ppmOk
+    }
+  }
+
+  property("decileReport: counts and sums partition the input for any values") = {
+    val genVals = Gen.chooseNum(10, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1000L, 1000L)))
+    Prop.forAll(genVals) { vs =>
+      val out = graft.operators.Percentiles.decileReport(vs.toDF("v"), col("v")).collect()
+      val counts = out.map(_.getAs[Long]("n_rows")).sum
+      val sums = out.map(_.getAs[Long]("sum_v")).sum
+      val deciles = out.map(_.getAs[Long]("decile"))
+      counts == vs.size && sums == vs.sum &&
+        deciles.forall(d => d >= 1L && d <= 10L)
+    }
+  }
+
+  property("dupSpans/excision fixpoint: a cleaned corpus has no duplicated grams left") = {
+    // random corpora of unique filler with a shared passage planted in a
+    // random subset of docs — after excision, re-running the span report
+    // must find nothing (the Lee et al. dedup fixpoint)
+    val gen = for {
+      nDocs <- Gen.chooseNum(2, 5)
+      passLen <- Gen.chooseNum(5, 9)
+      carriers <- Gen.pick(2, 0 until (nDocs max 2))
+    } yield (nDocs max 2, passLen, carriers.toSet)
+    Prop.forAll(gen) { case (nDocs, passLen, carriers) =>
+      val passage = (0 until passLen).map(i => s"p$i").mkString(" ")
+      val docs = (0 until nDocs).map { d =>
+        val pre = (0 until 6).map(i => s"u${d}_a$i").mkString(" ")
+        val post = (0 until 6).map(i => s"u${d}_b$i").mkString(" ")
+        val text = if (carriers(d)) s"$pre $passage $post" else s"$pre $post"
+        (d.toLong, text)
+      }
+      spark.sqlContext.clearCache() // span ops persist their index per call
+      val df = docs.toDF("doc_id", "text")
+      val cleaned = graft.ops.Dedup.excisedCorpus(df, k = 5)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val residual = graft.ops.Dedup.dupSpans(cleaned, k = 5).count()
+      residual == 0L
+    }
+  }
+
   property("pageRank: mass ≈ 1, all nodes present, partitioning-invariant") = {
     val genEdges = Gen.chooseNum(2, 15).flatMap(n => Gen.listOfN(n, for {
       a <- Gen.chooseNum(0L, 9L); b <- Gen.chooseNum(0L, 9L)
