@@ -1469,6 +1469,14 @@ object SparkEntry {
       val isNew = col("source").isin("src0", "src1")
       Dedup.incrementalDedup(docs.filter(isNew), docs.filter(!isNew))
     }),
+    "d35_bloom_incremental" -> ((s, dir) => {
+      // d14's exact screen with the corpus digest set compressed into a
+      // FIXED 2 KiB Bloom bitmap: batch probes in-scan, only survivors
+      // join — the bounded-memory ingest screen; verdict ≡ the join form
+      val docs = Tables.documents(s, dir)
+      val isNew = col("source").isin("src0", "src1")
+      Dedup.incrementalExactBloom(docs.filter(isNew), docs.filter(!isNew))
+    }),
     "d16_dedup_keep_longest" -> ((s, dir) => {
       // the step after grouping: keep the LONGEST doc per near-dup group
       // (ties to the smaller id) + every ungrouped doc — the keep set a
@@ -1785,6 +1793,22 @@ object SparkEntry {
         .join(F.broadcast(flagged), Seq("doc_id"), "left")
         .select(col("doc_id"), col("lang"),
           when(col("contaminated"), lit("quarantine")).otherwise(col("split")).as("split"))
+    }),
+    "x46_vector_quarantined_split" -> ((s, dir) => {
+      // x23's quarantine with EMBEDDING-level evidence: docs whose vector
+      // leaks against the benchmark split (s18's screen) are forced out of
+      // every training slice — token overlap (d13) catches verbatim
+      // copies, this catches paraphrases the embedding still recognizes
+      val emb = Tables.embeddings(s, dir)
+      val leaked = Vectors.crossCorpusLeakage(
+          emb.filter(col("vec_id") % 10 < 2),
+          emb.filter(col("vec_id") % 10 >= 2), threshold = 0.4)
+        .select(col("test_id").as("doc_id"), lit(true).as("leaked"))
+      TextOps.assignSplits(
+          Tables.documents(s, dir).filter(col("doc_id") % 10 < 2))
+        .join(F.broadcast(leaked), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          when(col("leaked"), lit("quarantine")).otherwise(col("split")).as("split"))
     }),
     "x26_budget_sample" -> ((s, dir) =>
       // "a ~5000-token random subset": hash-order prefix token sums via
@@ -3144,6 +3168,15 @@ object SparkEntry {
          |LEFT JOIN ex ON ex.doc_id = nb.doc_id
          |LEFT JOIN nr ON nr.doc_id = nb.doc_id""".stripMargin
     },
+    "d35_bloom_incremental" ->
+      // the Bloom bitmap is an implementation detail (prefilter + exact
+      // confirm ≡ the exact join): the oracle is d14's exact screen alone
+      """WITH nb AS (SELECT doc_id, text FROM documents WHERE source IN ('src0', 'src1')),
+        |corp AS (SELECT text FROM documents WHERE source NOT IN ('src0', 'src1')),
+        |ex AS (SELECT DISTINCT nb.doc_id FROM nb JOIN corp ON nb.text = corp.text)
+        |SELECT nb.doc_id,
+        |       CAST(CASE WHEN ex.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS dup_exact
+        |FROM nb LEFT JOIN ex ON ex.doc_id = nb.doc_id""".stripMargin,
     "d11_char_ngram_jaccard" -> {
       val p = graft.ops.Dedup.minhashPrime
       s"""WITH ch AS (SELECT doc_id, i AS pos, CAST(unicode(cs[i]) AS BIGINT) AS cp
@@ -3728,6 +3761,32 @@ object SparkEntry {
          |      FROM documents WHERE source <> 'src0') d
          |LEFT JOIN bad ON bad.doc_id = d.doc_id""".stripMargin
     },
+    "x46_vector_quarantined_split" ->
+      // x22's split formula over the test subset; quarantine = s18's leak
+      // screen (bucket candidates + exact cosine ≥ 0.4)
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+         |e AS (SELECT vec_id, [x / sqrt(list_dot_product(v0, v0)) for x in v0] AS v FROM e0),
+         |bt AS (SELECT vec_id, ${oracleLshTableCols(4)} FROM e),
+         |te AS (SELECT * FROM bt WHERE vec_id % 10 < 2),
+         |tr AS (SELECT * FROM bt WHERE vec_id % 10 >= 2),
+         |cand AS (SELECT DISTINCT te.vec_id AS test_id, tr.vec_id AS train_id
+         |         FROM te JOIN tr ON (te.b0 = tr.b0 OR te.b1 = tr.b1
+         |                             OR te.b2 = tr.b2 OR te.b3 = tr.b3)),
+         |leaked AS (SELECT DISTINCT c.test_id AS doc_id
+         |           FROM cand c
+         |           JOIN e et ON et.vec_id = c.test_id
+         |           JOIN e ev ON ev.vec_id = c.train_id
+         |           WHERE list_dot_product(et.v, ev.v) >= 0.4)
+         |SELECT d.doc_id, d.lang,
+         |       CASE WHEN l.doc_id IS NOT NULL THEN 'quarantine'
+         |            WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id, lang,
+         |             (((doc_id % ${TextOps.fingerprintMod})
+         |               * (2654435761 % ${TextOps.fingerprintMod}))
+         |               % ${TextOps.fingerprintMod}) % 100 AS h
+         |      FROM documents WHERE doc_id % 10 < 2) d
+         |LEFT JOIN leaked l ON l.doc_id = d.doc_id""".stripMargin,
     "x26_budget_sample" ->
       s"""WITH t AS (SELECT doc_id,
          |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

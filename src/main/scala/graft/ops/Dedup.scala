@@ -1411,6 +1411,35 @@ object Dedup {
       .select(col("doc_id"), col("n_dup_spans"), col("max_span_tokens"),
         expr("(1000000 * dup_tokens) div n_tokens").as("dup_token_ppm"))
 
+  /** Bounded-memory incremental EXACT screen — [[incrementalDedup]]'s
+    * digest join behind a Bloom prefilter (t30's bitmap machinery): the
+    * corpus digests OR into a FIXED-size bitmap (2 KiB of longs by
+    * default — broadcastable at any corpus size, where a broadcast of the
+    * digest set itself grows with the corpus), the batch probes it with
+    * codegen'd built-ins inside its scan span, and only might-contain
+    * survivors reach the digest join + byte-exact text confirm. Bloom
+    * false positives are killed by the confirm and false negatives are
+    * impossible, so the verdict is identical to the join-only form
+    * (DedupSpec pins the equality); on a mostly-novel batch the join
+    * shuffles ≈ (hit-rate + FP-rate) of the batch instead of all of it.
+    */
+  def incrementalExactBloom(newBatch: DataFrame, corpus: DataFrame,
+      numBits: Int = 1 << 17): DataFrame = {
+    val nb = newBatch.select(col("doc_id"), xxhash64(col("text")).as("digest"), col("text"))
+    val cd = corpus.select(xxhash64(col("text")).as("digest"), col("text").as("ctext"))
+    val bits = graft.operators.BloomFilter
+      .buildBits(cd.select(col("digest")), "digest", numBits)
+    val hits = nb
+      .filter(graft.operators.BloomFilter.mightContain(bits)(col("digest")))
+      .join(cd, Seq("digest"))
+      .filter(col("text") === col("ctext"))
+      .select(col("doc_id"))
+      .distinct()
+    newBatch.select(col("doc_id"))
+      .join(hits.withColumn("e", lit(1L)), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("e"), lit(0L)).as("dup_exact"))
+  }
+
   /** The merged duplicated-span intervals behind [[dupSpans]] — one row per
     * maximal span: (doc_id, n_tokens, span_id, s, e) with s/e inclusive
     * token positions. Factored out so the excision pass ([[excisedCorpus]])

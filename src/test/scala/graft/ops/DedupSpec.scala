@@ -724,6 +724,22 @@ class DedupSpec extends SparkSpec {
     assert(r0(0L)._2 === 8L)
   }
 
+  test("incrementalExactBloom ≡ the join-only exact screen; tiny bitmaps stay exact") {
+    val batch = Seq(
+      (0L, "alpha beta gamma"), (1L, "delta epsilon"), (2L, "unique one"),
+      (3L, "another unique")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "alpha beta gamma"), (11L, "delta epsilon"), (12L, "corpus only"))
+      .toDF("doc_id", "text")
+    def run(bits: Int) = Dedup.incrementalExactBloom(batch, corpus, numBits = bits)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_exact")).toMap
+    val expected = Map(0L -> 1L, 1L -> 1L, 2L -> 0L, 3L -> 0L)
+    assert(run(1 << 17) === expected)
+    // a deliberately tiny bitmap (64 bits, heavy FP rate): the exact
+    // confirm kills every false positive — the verdict never changes
+    assert(run(64) === expected)
+  }
+
   test("excisedCorpus: spans cut in order, untouched docs verbatim, exact copies come back empty") {
     val passage = "the quick brown fox jumps over lazy dogs"
     def uniq(seed: Int, n: Int) = (0 until n).map(i => s"u${seed}_$i").mkString(" ")
