@@ -574,6 +574,15 @@ object SparkEntry {
           .withColumn("schema", concat(lit("db"), pmod(col("user_id"), lit(4))))
           .withColumn("table", concat(lit("t"), pmod(col("event_id"), lit(8)))),
         "schema", "table")),
+    "t49_share_rollup" -> ((s, dir) =>
+      // percent-of-parent at two levels: table-in-schema and schema-in-day
+      // ppm shares on one metadata-sized count frame
+      DailyCounts.shareRollup(
+        Tables.events(s, dir)
+          .withColumnRenamed("ts", "execute_time")
+          .withColumn("schema", concat(lit("db"), pmod(col("user_id"), lit(4))))
+          .withColumn("table", concat(lit("t"), pmod(col("event_id"), lit(8)))),
+        "schema", "table")),
     "b27_dml_mix" -> ((s, dir) =>
       // the database portrait in ratio form: per (day, table) DML-type
       // shares in ppm — a doubled UPDATE share stands out at any volume
@@ -1225,6 +1234,10 @@ object SparkEntry {
       // was the token budget well spent? per-seq fills rolled up to one
       // metadata row (mean fill ppm, straddle overshoot at fill_max)
       TextOps.packingEfficiency(Tables.documents(s, dir))),
+    "x47_pipeline_waterfall" -> ((s, dir) =>
+      // the curation cost story: docs/tokens surviving raw → exact dedup
+      // → quality → quota sample, four metadata rows
+      TextOps.pipelineWaterfall(Tables.documents(s, dir))),
     "x43_source_drift" -> ((s, dir) =>
       // domain-shift screen: per-source L1 ppm distance from the corpus
       // token distribution over the deterministic top-1000 vocab
@@ -1947,6 +1960,20 @@ object SparkEntry {
         |       event_type,
         |       CAST(count(*) AS BIGINT) AS event_count
         |FROM events GROUP BY 1, 2, 3, 4""".stripMargin,
+    "t49_share_rollup" ->
+      """WITH c AS (SELECT CAST(ts AS DATE) AS day,
+        |                  'db' || (user_id % 4) AS "schema",
+        |                  't' || (event_id % 8) AS "table",
+        |                  CAST(count(*) AS BIGINT) AS n_events
+        |           FROM events GROUP BY 1, 2, 3)
+        |SELECT day, "schema", "table", n_events,
+        |       CAST((1000000 * n_events)
+        |              // sum(n_events) OVER (PARTITION BY day, "schema") AS BIGINT)
+        |         AS table_share_ppm,
+        |       CAST((1000000 * sum(n_events) OVER (PARTITION BY day, "schema"))
+        |              // sum(n_events) OVER (PARTITION BY day) AS BIGINT)
+        |         AS schema_share_ppm
+        |FROM c""".stripMargin,
     "b27_dml_mix" ->
       """WITH c AS (SELECT CAST(ts AS DATE) AS day,
         |                  'db' || (user_id % 4) AS "schema",
@@ -4027,6 +4054,43 @@ object SparkEntry {
         |SELECT source, CAST(min(n_tokens) AS BIGINT) AS n_tokens,
         |       CAST(sum(abs(src_ppm - corpus_ppm)) AS BIGINT) AS drift_ppm_l1
         |FROM grid GROUP BY 1""".stripMargin,
+    "x47_pipeline_waterfall" ->
+      // the same stage rules as x6/x8/x10: exact rep = min doc per text,
+      // x2's quality predicate, the multiplicative-hash quota sample
+      s"""WITH tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+         |reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |ex AS (SELECT d.* FROM documents d JOIN reps USING (doc_id)),
+         |q AS (SELECT * FROM ex
+         |      WHERE len(string_split(text, ' ')) >= 32
+         |        AND CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         |              / len(string_split(text, ' ')) >= 2.0
+         |        AND CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         |              / len(string_split(text, ' ')) <= 12.0
+         |        AND len(list_filter(string_split(text, ' '),
+         |              s -> list_contains(['the','a','of','and','to','in'], s))) > 0),
+         |samp AS (SELECT doc_id FROM (
+         |           SELECT doc_id, row_number() OVER (PARTITION BY lang
+         |             ORDER BY ((doc_id % ${TextOps.fingerprintMod})
+         |                       * (2654435761 % ${TextOps.fingerprintMod}))
+         |                       % ${TextOps.fingerprintMod} ASC, doc_id ASC) AS rn
+         |           FROM q) WHERE rn <= 50),
+         |sq AS (SELECT q.* FROM q JOIN samp USING (doc_id))
+         |SELECT CAST(1 AS BIGINT) AS stage_ord, 'raw' AS stage,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(coalesce(sum(n), 0) AS BIGINT) AS n_tokens
+         |FROM documents JOIN tk USING (doc_id)
+         |UNION ALL
+         |SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT),
+         |       CAST(coalesce(sum(n), 0) AS BIGINT)
+         |FROM ex JOIN tk USING (doc_id)
+         |UNION ALL
+         |SELECT 3, 'quality_gate', CAST(count(*) AS BIGINT),
+         |       CAST(coalesce(sum(n), 0) AS BIGINT)
+         |FROM q JOIN tk USING (doc_id)
+         |UNION ALL
+         |SELECT 4, 'lang_quota_sample', CAST(count(*) AS BIGINT),
+         |       CAST(coalesce(sum(n), 0) AS BIGINT)
+         |FROM sq JOIN tk USING (doc_id)""".stripMargin,
     "x41_dedup_savings" ->
       """WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
         |tk AS (SELECT d.doc_id, d.source,

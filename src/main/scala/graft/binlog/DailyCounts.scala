@@ -78,6 +78,28 @@ object DailyCounts {
       .drop("day_total")
   }
 
+  /** Two-level share rollup — [[dmlMix]]'s structural sibling: each
+    * table's share of its schema and each schema's share of the day, in
+    * ppm, on one (day × schema × table) count frame. Both ratio windows
+    * run over that metadata-sized frame; the percent-of-parent dashboard
+    * shape at two levels.
+    */
+  def shareRollup(events: org.apache.spark.sql.DataFrame, schemaCol: String,
+      tableCol: String): org.apache.spark.sql.DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    events
+      .groupBy(to_date(col("execute_time")).as("day"),
+        col(schemaCol).as("schema"), col(tableCol).as("table"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("schema_total",
+        sum(col("n_events")).over(W.partitionBy(col("day"), col("schema"))))
+      .withColumn("day_total",
+        sum(col("n_events")).over(W.partitionBy(col("day"))))
+      .select(col("day"), col("schema"), col("table"), col("n_events"),
+        expr("(1000000 * n_events) div schema_total").as("table_share_ppm"),
+        expr("(1000000 * schema_total) div day_total").as("schema_share_ppm"))
+  }
+
   /** Compaction job (SURVEY.md §7 step 5): rewrite the partials table fully
     * collapsed — the explicit analog of a background MergeTree merge. Pure
     * transformation; the maintenance wrapper in [[Maintenance]] handles the

@@ -188,6 +188,32 @@ object TextOps {
       .agg(min(col("n_tokens")).as("n_tokens"), sum(col("d")).as("drift_ppm_l1"))
   }
 
+  /** Pipeline waterfall — the stage-by-stage accounting every curation run
+    * reports: documents and tokens surviving raw → exact dedup (keep-min
+    * rep) → quality gate → language-quota sample, as four metadata rows.
+    * Each stage composes the previous one's survivors (the x10 pipeline's
+    * stages, instrumented), so the waterfall IS the pipeline's cost story:
+    * where the corpus shrinks, and by how many tokens.
+    */
+  def pipelineWaterfall(docs: DataFrame, quota: Int = 50): DataFrame = {
+    def stat(df: DataFrame, ord: Long, name: String) =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(size(tokens(col("text"))).cast("long")), lit(0L)).as("n_tokens"))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    val exact = docs.join(
+      docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi").persist()
+    val quality = exact.filter(qualityPassExpr(col("text"))).persist()
+    val sampled = quality.join(
+      stratifiedSample(quality, "lang", quota).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    stat(docs, 1L, "raw")
+      .unionByName(stat(exact, 2L, "exact_dedup"))
+      .unionByName(stat(quality, 3L, "quality_gate"))
+      .unionByName(stat(sampled, 4L, "lang_quota_sample"))
+  }
+
   /** Dedup savings by source — the budget question before running the
     * pipeline: per source, total tokens, tokens surviving exact dedup
     * (keep-min-doc per identical text, x6's representative rule), and the

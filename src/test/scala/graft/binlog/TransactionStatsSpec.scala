@@ -78,6 +78,22 @@ class TransactionStatsSpec extends SparkSpec {
     }
   }
 
+  test("shareRollup: table shares sum to ~1e6 per schema, schema shares per day") {
+    val ev = Seq(
+      ("2024-03-01 10:00:00", "s1", "a"), ("2024-03-01 10:01:00", "s1", "a"),
+      ("2024-03-01 10:02:00", "s1", "b"),
+      ("2024-03-01 11:00:00", "s2", "c")
+    ).map { case (t, s, tb) => (Timestamp.valueOf(t), s, tb) }
+      .toDF("execute_time", "schema", "table")
+    val out = DailyCounts.shareRollup(ev, "schema", "table").collect()
+      .map(r => (r.getAs[String]("schema"), r.getAs[String]("table")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("table_share_ppm"),
+          r.getAs[Long]("schema_share_ppm"))).toMap
+    assert(out(("s1", "a")) === ((2L, 666666L, 750000L))) // 2/3 of s1; s1 = 3/4 of day
+    assert(out(("s1", "b")) === ((1L, 333333L, 750000L)))
+    assert(out(("s2", "c")) === ((1L, 1000000L, 250000L)))
+  }
+
   test("per-window stats invariant under input permutation") {
     val rnd = new scala.util.Random(7)
     val rows = (1 to 300).map { i =>

@@ -169,6 +169,28 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(firstBand.length > 2 && firstBand.toSeq != firstBand.sorted.toSeq)
   }
 
+  test("pipelineWaterfall: monotone survivors, stages apply their own rules") {
+    val good = ("wxyz " * 40).trim + " the"
+    val docs = Seq(
+      (0L, good, "en"), (1L, good, "en"),       // dup pair: stage 2 drops one
+      (2L, "too short", "en"),                  // stage 3 drops
+      (3L, good + " more", "fr")                // survives everything
+    ).toDF("doc_id", "text", "lang")
+    val out = TextOps.pipelineWaterfall(docs, quota = 50).collect()
+      .map(r => r.getAs[Long]("stage_ord") ->
+        (r.getAs[String]("stage"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+      .toMap
+    assert(out(1L)._2 === 4L)
+    assert(out(2L)._2 === 3L)            // one of the dup pair dropped
+    assert(out(3L)._2 === 2L)            // short doc gated
+    assert(out(4L)._2 === 2L)            // quota 50 keeps both survivors
+    // docs never increase and tokens shrink with them
+    val ds = (1L to 4L).map(out(_)._2)
+    assert(ds.zip(ds.tail).forall { case (a, b) => b <= a })
+    val ts = (1L to 4L).map(out(_)._3)
+    assert(ts.zip(ts.tail).forall { case (a, b) => b <= a })
+  }
+
   test("sourceDrift: identical distribution drifts 0, disjoint vocabulary drifts maximally") {
     // s1 and s2 share the corpus distribution exactly; s3 is all-OOV
     // relative to the top-2 vocab (its tokens are rare → out of vocab)
