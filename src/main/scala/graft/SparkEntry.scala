@@ -336,6 +336,32 @@ object SparkEntry {
        |ON x.band = y.band AND x.r0 = y.r0 AND x.r1 = y.r1 AND x.doc_id < y.doc_id""".stripMargin
   }
 
+  /** [[oracleMinhashPairs]] generalized to any band count dividing the
+    * 8-hash signature (bands = 2 → 4-row keys, 8 → 1-row keys), with the
+    * identical membership cap — the d36 sweep's per-config candidates.
+    */
+  private def oracleMinhashPairsFor(bands: Int): String = {
+    val rows = 8 / bands
+    val cap = graft.ops.Dedup.defaultMaxDf
+    val bandRows = (0 until bands).map { bi =>
+      val keyCols = (0 until rows).map(j => s"sig_${rows * bi + j} AS k$j").mkString(", ")
+      s"SELECT doc_id, $bi AS band, $keyCols FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    val keyList = (0 until rows).map(j => s"k$j").mkString(", ")
+    val keyEq = (0 until rows).map(j => s"x.k$j = y.k$j").mkString(" AND ")
+    val groupBy = (1 to rows + 1).mkString(", ")
+    s"""WITH $oracleSigCtes,
+       |bnd AS (
+       |  $bandRows),
+       |cool AS (SELECT band, $keyList FROM (SELECT band, $keyList, count(*) AS c
+       |                                     FROM bnd GROUP BY $groupBy)
+       |         WHERE c <= $cap),
+       |bok AS (SELECT bnd.* FROM bnd JOIN cool USING (band, $keyList))
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |FROM bok x JOIN bok y
+       |ON x.band = y.band AND $keyEq AND x.doc_id < y.doc_id""".stripMargin
+  }
+
   /** d10: ingest-order near-dup filter — keep a doc iff no smaller doc_id
     * claims any of its band signatures (the batch twin of
     * [[Dedup.streamingNearDup]]'s key-collision rule).
@@ -1435,6 +1461,20 @@ object SparkEntry {
           Vocab.hashTokenIdArrays(Tables.documents(s, dir)), 5)
           .withColumnRenamed("shingle_id", "token_id"),
         threshold = 0.5)),
+    "d36_band_sweep" -> ((s, dir) => {
+      // d29 swept across configurations: precision/recall of 2/4/8-band
+      // LSH vs the same exact-Jaccard truth — the (bands, rows) tuning
+      // table read BEFORE committing a 100 TB banding pass. One shared
+      // signature table; each config adds only its band-key join
+      val ids = Vocab.hashTokenIdArrays(Tables.documents(s, dir)).persist()
+      val sh = Dedup.shingleIdsFromArrays(ids, 5)
+      val sigs = Dedup.minhashSignaturesFromShingles(sh).persist()
+      val truth = Dedup.jaccardPairsFromShingles(sh, threshold = 0.5).persist()
+      Seq(2, 4, 8).map { b =>
+        Dedup.sketchConfusion(truth, Dedup.candidatePairsFromSignatures(sigs, b))
+          .withColumn("bands", lit(b.toLong))
+      }.reduce(_ unionByName _)
+    }),
     "d29_lsh_confusion" -> ((s, dir) => {
       // the checked-sketch report for the banding itself: exact-Jaccard
       // truth (d2) vs LSH candidates (d4) → tp/fp/fn + ppm precision and
@@ -2932,6 +2972,28 @@ object SparkEntry {
          |SELECT doc_a, doc_b, dw,
          |       CAST(floor(1e6 * cosine) AS BIGINT) AS cos_ppm
          |FROM scored WHERE cosine >= 0.5""".stripMargin
+    },
+    "d36_band_sweep" -> {
+      def confSel(b: Int): String =
+        s"""SELECT CAST($b AS BIGINT) AS bands, true_pos, false_pos, false_neg,
+           |       CAST(floor(1e6 * true_pos / (true_pos + false_pos)) AS BIGINT) AS precision_ppm,
+           |       CAST(floor(1e6 * true_pos / (true_pos + false_neg)) AS BIGINT) AS recall_ppm
+           |FROM (SELECT
+           |  CAST(sum(CASE WHEN ta IS NOT NULL AND ca IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS true_pos,
+           |  CAST(sum(CASE WHEN ta IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS false_pos,
+           |  CAST(sum(CASE WHEN ca IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS false_neg
+           |  FROM (SELECT t.doc_a AS ta, c.doc_a AS ca
+           |        FROM tru t FULL OUTER JOIN c$b c
+           |          ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b))""".stripMargin
+      s"""WITH tru AS (SELECT doc_a, doc_b FROM ($oracleJaccardPairs)),
+         |c2 AS (SELECT doc_a, doc_b FROM (${oracleMinhashPairsFor(2)})),
+         |c4 AS (SELECT doc_a, doc_b FROM (${oracleMinhashPairsFor(4)})),
+         |c8 AS (SELECT doc_a, doc_b FROM (${oracleMinhashPairsFor(8)}))
+         |${confSel(2)}
+         |UNION ALL
+         |${confSel(4)}
+         |UNION ALL
+         |${confSel(8)}""".stripMargin
     },
     "d29_lsh_confusion" ->
       // truth (d2's exact capped Jaccard) vs candidates (d4's capped
