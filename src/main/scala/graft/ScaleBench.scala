@@ -136,7 +136,13 @@ object ScaleBench {
         // bucket equi-join candidates: must grow with bucket occupancy,
         // never |test|×|train|
         Vectors.crossCorpusLeakage(test, train, threshold = 0.4)
-      }, false)
+      }, false),
+      ("d35_bloom_incremental", (d: DataFrame) =>
+        // the bitmap stays 2 KiB at ANY corpus size; batch cost must track
+        // batch size + hit rate, not corpus size
+        Dedup.incrementalExactBloom(
+          d.filter(col("doc_id") % 10 < 2),
+          d.filter(col("doc_id") % 10 >= 2)), true)
     )
 
     def time(fn: () => DataFrame): (Double, Long) = {
