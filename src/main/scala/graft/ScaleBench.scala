@@ -137,6 +137,12 @@ object ScaleBench {
         // never |test|×|train|
         Vectors.crossCorpusLeakage(test, train, threshold = 0.4)
       }, false),
+      ("x48_pps_sample", (d: DataFrame) =>
+        // three-level prefix scan + one-row broadcast total: cost must
+        // track rows; the k picks stay fixed as the corpus multiplies
+        graft.ops.TextOps.ppsSample(
+          d.select(col("doc_id"), lit("s").as("source"),
+            length(col("text")).cast("long").as("n_chars")), k = 500L), true),
       ("d35_bloom_incremental", (d: DataFrame) =>
         // the bitmap stays 2 KiB at ANY corpus size; batch cost must track
         // batch size + hit rate, not corpus size

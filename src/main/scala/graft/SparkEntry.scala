@@ -970,6 +970,10 @@ object SparkEntry {
 
     "b11_sliding_counts" -> ((s, dir) =>
       graft.operators.Windows.slidingCounts(Tables.events(s, dir))),
+    "t50_sliding_distinct" -> ((s, dir) =>
+      // unique users per 15-min window refreshed every 5: the distinct
+      // twin of b11 — Expand + two-phase agg, partial dedup before shuffle
+      graft.operators.Windows.slidingDistinct(Tables.events(s, dir))),
     "b12_session_windows" -> ((s, dir) =>
       graft.operators.Windows.sessions(Tables.events(s, dir), keyCol = "user_id")),
     "b17_table_trends" -> ((s, dir) =>
@@ -1799,6 +1803,11 @@ object SparkEntry {
       // multilingual data mixing: α=0.5 temperature rebalancing with a
       // deterministic hash-threshold keep decision — zero corpus shuffle
       TextOps.temperatureSample(Tables.documents(s, dir))),
+    "x48_pps_sample" -> ((s, dir) =>
+      // systematic probability-proportional-to-size sampling: exactly 500
+      // picks at every total/500-th character of cumulative weight; exact
+      // integer arithmetic end-to-end, prefix via the bounded 3-level scan
+      TextOps.ppsSample(Tables.documents(s, dir))),
     "x17_upsample" -> ((s, dir) =>
       // low-resource upsampling: α=0.5 repetition factors (capped at 4
       // epochs), emitted as one row per (doc, epoch) — the mixture a
@@ -2378,6 +2387,15 @@ object SparkEntry {
         |             event_type
         |      FROM events)
         |GROUP BY 1, 2""".stripMargin,
+    "t50_sliding_distinct" ->
+      """SELECT make_timestamp(s * 1000000) AS window_start,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM (SELECT unnest([f, f - 300, f - 600]) AS s, user_id
+        |      FROM (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300 AS BIGINT) AS f,
+        |                   user_id
+        |            FROM events))
+        |GROUP BY 1""".stripMargin,
     "t29_range_frames" ->
       """WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
         |                      CAST(count(*) AS BIGINT) AS n_events
@@ -3790,6 +3808,16 @@ object SparkEntry {
          |WHERE (((d.doc_id % ${TextOps.fingerprintMod})
          |        * (2654435761 % ${TextOps.fingerprintMod}))
          |        % ${TextOps.fingerprintMod}) % 1000000 < r.keep_ppm""".stripMargin,
+    "x48_pps_sample" ->
+      """WITH t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tot FROM documents),
+        |p AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+        |             CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre
+        |      FROM documents)
+        |SELECT doc_id, source, n_chars,
+        |       CAST(((pre + n_chars) * 500) // tot - (pre * 500) // tot AS BIGINT) AS n_hits
+        |FROM p, t
+        |WHERE ((pre + n_chars) * 500) // tot - (pre * 500) // tot > 0""".stripMargin,
     "x17_upsample" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         |m AS (SELECT max(n) AS nmax FROM c),

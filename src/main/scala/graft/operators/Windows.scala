@@ -62,6 +62,26 @@ object Windows {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
 
+  /** Sliding distinct-user counts — the concurrency dashboard's "unique
+    * visitors in the last `win` seconds, refreshed every `slide`": each
+    * event lands in win/slide windows (map-side generator, as in
+    * [[slidingCounts]]), then a COUNT(DISTINCT user_id) per window.
+    *
+    * Scale: Spark plans the distinct as Expand + a two-phase aggregate —
+    * the (window, user) pairs partial-deduplicate map-side before the
+    * shuffle, so the exchange carries at most one row per (window, user)
+    * per partition, never one per event; the second aggregate then counts
+    * per window. No per-window sort, no state beyond the agg buffers.
+    */
+  def slidingDistinct(events: DataFrame, tsCol: String = "ts",
+      win: Int = 900, slide: Int = 300): DataFrame =
+    events
+      .groupBy(window(col(tsCol), s"$win seconds", s"$slide seconds").as("w"))
+      .agg(countDistinct(col("user_id")).as("distinct_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("distinct_users"),
+        col("n_events"))
+
   /** Inter-event gap statistics per event_type — the LAG/LEAD shape a
     * latency or cadence dashboard runs: for every event, the microseconds
     * since the SAME user's previous event (total order: ts, then event_id,

@@ -695,6 +695,43 @@ object TextOps {
       .select(col("doc_id"), col(strataCol), col("keep_ppm"))
   }
 
+  /** Systematic probability-proportional-to-size (PPS) sampling — the
+    * survey-sampling discipline applied to corpus selection: lay every
+    * document's weight (its `n_chars`) end-to-end on a number line in
+    * doc_id order, then take one pick at every multiple of
+    * `total_weight / k`. A document is selected iff its weight interval
+    * straddles a pick point; a document heavier than the stride is
+    * selected multiple times (`n_hits` > 1 — the upsampling twin of
+    * [[upsample]]'s per-stratum factor, here falling out of the weights
+    * alone). Exactly `k` hits are issued in total, with inclusion
+    * probability proportional to size — the unequal-probability design
+    * [[stratifiedSample]] (equal per-stratum quotas) and
+    * [[temperatureSample]] (per-stratum keep-rates) don't express.
+    *
+    * EXACT INTEGER ARITHMETIC throughout: the hit count for a weight
+    * interval (pre, pre+w] is `((pre+w)·k) div tot − (pre·k) div tot` —
+    * no RNG, no floats, no cross-engine ulp risk in the selected SET
+    * (the failure mode that rules out exponential-clock / A-ES keys for
+    * an oracle-hashed query). Requires `k · tot < 2⁶³`: at a 10¹⁴-char
+    * corpus that allows k up to ~9·10⁴; beyond that, split the pick
+    * index into (div, mod) pairs before multiplying.
+    *
+    * Scale: the running weight is [[exclusivePrefix]] (6th consumer) —
+    * three bounded levels, never a global-ORDER-BY window; the total is
+    * a one-row broadcast; selection is then a pure projection + filter.
+    * Output: (doc_id, source, n_chars, n_hits) for selected docs.
+    */
+  def ppsSample(docs: DataFrame, k: Long = 500L): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
+    val pre = exclusivePrefix(base, "doc_id", "doc_id", "n_chars", 1L << 21)
+    val tot = base.agg(sum(col("n_chars")).as("_tot"))
+    pre.crossJoin(broadcast(tot))
+      .withColumn("n_hits",
+        expr(s"((_prefix + n_chars) * ${k}L) div _tot - (_prefix * ${k}L) div _tot"))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("n_hits"))
+  }
+
   /** Overlapping token-window chunker — the retrieval/long-context prep
     * step: document d with n tokens yields chunks of `chunkTokens` tokens
     * starting every `chunkTokens − overlap` (the last chunk may be short;

@@ -264,4 +264,20 @@ class WindowsSpec extends SparkSpec {
     assert(out(("b", "2024-01-03")) === (Some(700L), 1))
     assert(out(("b", "2024-01-04")) === (Some(700L), 0))
   }
+
+  test("slidingDistinct: win/slide fan-out, users deduped per window") {
+    // three events of two users inside one slide slot → the same 3 windows
+    // each see distinct 2 / events 3; one lone event 19 min later → 3 more
+    // windows at distinct 1 / events 1
+    val ev = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "u1"),
+      (Timestamp.valueOf("2024-01-01 10:00:30"), "u1"),
+      (Timestamp.valueOf("2024-01-01 10:01:00"), "u2"),
+      (Timestamp.valueOf("2024-01-01 10:20:00"), "u1")
+    ).toDF("ts", "user_id")
+    val out = Windows.slidingDistinct(ev).collect()
+      .map(r => (r.getAs[Long]("distinct_users"), r.getAs[Long]("n_events")))
+      .sorted.toSeq
+    assert(out === Seq((1L, 1L), (1L, 1L), (1L, 1L), (2L, 3L), (2L, 3L), (2L, 3L)))
+  }
 }

@@ -625,4 +625,29 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(out("has_stopword") === ((2L, 1L, 4L, 1L)))
     assert(out("mean_token_len") === ((0L, 0L, 4L, 1L)))
   }
+
+  test("ppsSample: exactly k hits, stride-heavy docs always in, partition-invariant") {
+    import org.apache.spark.sql.functions._
+    val corpus = (0L until 100L)
+      .map(i => (i, s"s${i % 3}", 10L + i % 7))
+      .toDF("doc_id", "source", "n_chars")
+    val r = TextOps.ppsSample(corpus, k = 20L)
+    assert(r.agg(sum($"n_hits")).collect().head.getLong(0) === 20L)
+
+    // plant one doc carrying ~75x the stride: it must absorb most picks
+    val heavy = corpus.union(Seq((999L, "big", 100000L))
+      .toDF("doc_id", "source", "n_chars"))
+    val rh = TextOps.ppsSample(heavy, k = 20L)
+    assert(rh.agg(sum($"n_hits")).collect().head.getLong(0) === 20L)
+    val hit = rh.filter($"doc_id" === 999L).collect().head.getAs[Long]("n_hits")
+    assert(hit >= 18L) // weight/total ≈ 0.987 of 20 picks
+    // any doc heavier than the stride is selected at least once
+    assert(rh.filter($"doc_id" === 999L).count() === 1L)
+
+    // the selected multiset is a pure function of the data, not its layout
+    val a = r.orderBy("doc_id").collect().toSeq
+    val b = TextOps.ppsSample(corpus.repartition(7), k = 20L)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
 }
