@@ -1610,6 +1610,12 @@ object SparkEntry {
         Dedup.jaccardPairsFromShingles(Dedup.shingleIdsFromArrays(ids, 5), threshold = 0.5),
         docs)
     }),
+    "d37_source_overlap" -> ((s, dir) =>
+      // corpus cartography: exact shingle-set Jaccard between every source
+      // pair — content-level overlap whether or not any document pair
+      // crosses the near-dup threshold; no self-join (per-shingle source
+      // sets are |sources|-bounded)
+      Dedup.sourceOverlapMatrix(Tables.documents(s, dir))),
     "d18_containment_pairs" -> ((s, dir) => {
       // asymmetric near-dup: excerpt/quote detection — containment
       // |∩|/min(|A|,|B|) catches a short doc embedded in a long one where
@@ -3072,6 +3078,21 @@ object SparkEntry {
          |JOIN src sa ON sa.doc_id = doc_a
          |JOIN src sb ON sb.doc_id = doc_b
          |GROUP BY 1, 2""".stripMargin,
+    "d37_source_overlap" ->
+      s"""WITH $oracleJaccardCtes,
+         |ss AS (SELECT DISTINCT d.source, s.shingle_id
+         |       FROM sh s JOIN documents d USING (doc_id)),
+         |szs AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY 1),
+         |com AS (SELECT a.source AS source_a, b.source AS source_b,
+         |               CAST(count(*) AS BIGINT) AS n_common
+         |        FROM ss a JOIN ss b
+         |          ON a.shingle_id = b.shingle_id AND a.source < b.source
+         |        GROUP BY 1, 2)
+         |SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_common,
+         |       (1000000 * n_common) // (sa.n + sb.n - n_common) AS jaccard_ppm
+         |FROM com
+         |JOIN szs sa ON sa.source = source_a
+         |JOIN szs sb ON sb.source = source_b""".stripMargin,
     "d18_containment_pairs" -> {
       val p = graft.ops.Dedup.minhashPrime
       val cap = graft.ops.Dedup.defaultMaxDf

@@ -850,6 +850,47 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Source-level shingle-overlap matrix — corpus cartography: where
+    * [[crossSourceDupMatrix]] counts DOCUMENT pairs a dedup stage already
+    * found, this measures how much raw CONTENT two feeds share whether or
+    * not any single document crosses the near-dup threshold: the exact
+    * Jaccard of the sources' distinct k-gram shingle sets (diffuse
+    * boilerplate, syndicated fragments, partial mirrors all register).
+    * Output: (source_a, source_b, n_a, n_b, n_common, jaccard_ppm) for
+    * every pair sharing ≥ 1 shingle, source_a < source_b.
+    *
+    * Scale shape: the corpus collapses to (source, shingle) DISTINCT
+    * rows, then ONE aggregation per shingle collects its source set —
+    * bounded by |sources|, so the pair fan-out per shingle is ≤
+    * C(|sources|, 2) rows of metadata and there is NO self-join anywhere
+    * (a hot shingle shared by every source costs O(|sources|²), never
+    * O(f²) over its document frequency). Set sizes are |sources| rows,
+    * broadcast back. `1e6 · n_common` needs n_common < 2⁶³/10⁶ —
+    * comfortable past 10¹² distinct shared shingles.
+    */
+  def sourceOverlapMatrix(docs: DataFrame, k: Int = 5): DataFrame = {
+    val sh = shingleIdsFromArrays(graft.ops.Vocab.hashTokenIdArrays(docs), k)
+    val srcSh = sh
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("shingle_id")).distinct().persist()
+    val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val common = srcSh
+      .groupBy(col("shingle_id"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(srcs, (x, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)),
+          |            y -> struct(x AS source_a, y AS source_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_common"),
+        expr("(1000000 * n_common) div (n_a + n_b - n_common)").as("jaccard_ppm"))
+  }
+
   /** Streaming twin of [[blockDedup]] — block-level dedup at ingest: a
     * block survives iff it is the FIRST arrival of its content within the
     * watermark horizon (over a doc_id-ordered feed this equals the batch

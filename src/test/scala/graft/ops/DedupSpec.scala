@@ -763,4 +763,25 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === (("", 0L)))             // whole doc duplicated
     assert(out(4L) === (("", 0L)))
   }
+
+  test("sourceOverlapMatrix: exact per-source shingle Jaccard, no zero-overlap rows") {
+    // s1: {abcde, bcdef} (doc 1 re-serves abcde — distinct per source);
+    // s2: {abcde, bcdex}; s3: {pqrst} disjoint → only the (s1, s2) row,
+    // n_common 1, J = 1/3
+    val corpus = Seq(
+      (0L, "a b c d e f", "s1"),
+      (1L, "a b c d e", "s1"),
+      (2L, "a b c d e x", "s2"),
+      (3L, "p q r s t", "s3")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlapMatrix(corpus).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("source_a") === "s1")
+    assert(r.getAs[String]("source_b") === "s2")
+    assert(r.getAs[Long]("n_a") === 2L)
+    assert(r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Long]("n_common") === 1L)
+    assert(r.getAs[Long]("jaccard_ppm") === 333333L)
+  }
 }
