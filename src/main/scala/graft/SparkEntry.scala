@@ -1120,6 +1120,10 @@ object SparkEntry {
       // time-to-convert for completed funnels, t19 histogram discipline
       graft.operators.Windows.funnelLatency(Tables.events(s, dir),
         Seq("view", "click", "purchase"), windowSec = 604800L)),
+    "t51_attribution" -> ((s, dir) =>
+      // first-/last-touch revenue attribution: both touches from ONE
+      // per-user RANGE-framed window pass — no events×events lookback join
+      graft.operators.Windows.attribution(Tables.events(s, dir))),
     "b20_cohort_retention" -> ((s, dir) =>
       // cohort × week-offset retention matrix: two event-log aggregations
       // joined on the user-sized frame
@@ -4117,6 +4121,30 @@ object SparkEntry {
         |            + CASE modality WHEN 'audio' THEN 0 WHEN 'image' THEN 1 ELSE 2 END
         |            AS BIGINT) AS interleave_pos
         |FROM tag""".stripMargin,
+    "t51_attribution" ->
+      // the same struct-min/max-over-RANGE-frame pass; struct comparison
+      // is lexicographic (tus, event_id, ch) on both engines
+      """WITH e AS (SELECT user_id, event_type, value, event_id,
+        |                  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS tus
+        |           FROM events),
+        |t AS (SELECT *,
+        |  min(CASE WHEN event_type IN ('view', 'click', 'signup')
+        |        THEN {'tus': tus, 'event_id': event_id, 'ch': event_type} END)
+        |    OVER w AS ft,
+        |  max(CASE WHEN event_type IN ('view', 'click', 'signup')
+        |        THEN {'tus': tus, 'event_id': event_id, 'ch': event_type} END)
+        |    OVER w AS lt
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        |               RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)),
+        |c AS (SELECT value, coalesce(ft['ch'], 'direct') AS first_ch,
+        |             coalesce(lt['ch'], 'direct') AS last_ch
+        |      FROM t WHERE event_type = 'purchase'),
+        |u AS (SELECT 'first' AS kind, first_ch AS channel, value FROM c
+        |      UNION ALL SELECT 'last', last_ch, value FROM c)
+        |SELECT channel, kind, CAST(count(*) AS BIGINT) AS n_conversions,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM u GROUP BY 1, 2""".stripMargin,
     "t46_funnel_latency" ->
       // b19's staged CTEs, then the t19 percentile machinery over whole-
       // second elapsed times of completed funnels

@@ -459,4 +459,45 @@ object Windows {
       .withColumn("prob_ppm", expr("(1000000 * n_transitions) div from_total"))
       .drop("from_total")
   }
+
+  /** First-/last-touch conversion attribution — the marketing-analytics
+    * question the funnel doesn't answer: each `purchase` is credited to
+    * the converting user's EARLIEST (first-touch) and LATEST (last-touch)
+    * preceding touch event (`view`/`click`/`signup`) within a `lookbackSec`
+    * window; purchases with no in-window touch credit the `direct`
+    * channel. Output: one row per (channel, kind∈{first,last}) with the
+    * conversion count and the attributed revenue in integer cents.
+    *
+    * Both touches fall out of ONE per-user RANGE-framed window pass:
+    * min/max of a (ts, event_id, channel) struct over the value-domain
+    * frame `[-lookback µs, -1]` (peers at the purchase's own timestamp are
+    * excluded on both engines; ts ties among touches break on event_id —
+    * total-order deterministic). No self-join of events against events —
+    * the per-event lookback join a naive implementation writes — and no
+    * global sort: one hash exchange on user_id (per-user streams are
+    * small), then a map-side-combined metadata-sized aggregation.
+    */
+  def attribution(events: DataFrame, lookbackSec: Long = 86400L): DataFrame = {
+    val touches = Seq("view", "click", "signup")
+    val w = W.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-lookbackSec * 1000000L, -1L)
+    val tagged = events
+      .select(col("user_id"), col("event_type"), col("value"), col("event_id"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("touch", when(col("event_type").isin(touches: _*),
+        struct(col("tus"), col("event_id"), col("event_type").as("ch"))))
+      .withColumn("ft", min(col("touch")).over(w))
+      .withColumn("lt", max(col("touch")).over(w))
+    tagged
+      .filter(col("event_type") === "purchase")
+      .select(col("value"),
+        coalesce(col("ft.ch"), lit("direct")).as("first_ch"),
+        coalesce(col("lt.ch"), lit("direct")).as("last_ch"))
+      .select(col("value"), explode(array(
+        struct(lit("first").as("kind"), col("first_ch").as("channel")),
+        struct(lit("last").as("kind"), col("last_ch").as("channel")))).as("a"))
+      .groupBy(col("a.channel").as("channel"), col("a.kind").as("kind"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
+  }
 }

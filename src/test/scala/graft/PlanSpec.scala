@@ -532,4 +532,29 @@ class PlanSpec extends SparkSpec {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
     }.isEmpty, s"t45 must be join-free (union-and-scan): $t45lp")
   }
+
+  test("post-inventory additions keep their scale shapes: pps windows bounded, t50 partial dedup, d37 join-free pairs") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Sort => LSort}
+    // x48: the prefix scan stays three-level (every window partitioned)
+    // and nothing global-sorts the corpus frame
+    val x48lp = SparkEntry.queries("x48_pps_sample")(spark, dir).queryExecution.optimizedPlan
+    assert(x48lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
+      s"x48 has a partition-less window: $x48lp")
+    assert(x48lp.collect { case s: LSort if s.global => s }.isEmpty,
+      s"x48 must not global-sort: $x48lp")
+    // t50: the distinct plans as Expand + two-phase aggregate — partial
+    // (window, user) dedup before the exchange, never raw events through
+    val t50 = SparkEntry.queries("t50_sliding_distinct")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(t50.contains("Expand"), s"t50 must plan Expand for the distinct: $t50")
+    assert(t50.contains("partial"), s"t50 must partial-aggregate before the shuffle: $t50")
+    // d37: per-shingle source sets explode from ONE aggregation — no
+    // self-join pair stage, no cartesian anywhere
+    val d37 = SparkEntry.queries("d37_source_overlap")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!d37.contains("CartesianProduct") && !d37.contains("BroadcastNestedLoopJoin"),
+      s"d37 must not pair-join: $d37")
+    assert(d37.contains("collect_set"), s"d37 pairs must come from the source-set agg: $d37")
+  }
 }

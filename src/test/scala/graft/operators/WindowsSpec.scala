@@ -265,6 +265,29 @@ class WindowsSpec extends SparkSpec {
     assert(out(("b", "2024-01-04")) === (Some(700L), 0))
   }
 
+  test("attribution: first/last touch within lookback, direct fallback, stale touch ignored") {
+    val t0 = 1700000000000L
+    def e(id: Long, u: Long, typ: String, offSec: Long, v: Double) =
+      (id, new Timestamp(t0 + offSec * 1000L), u, typ, v)
+    val ev = Seq(
+      // u1: view → click → purchase inside the day: first=view, last=click
+      e(1, 1, "view", 0, 0.0), e(2, 1, "click", 100, 0.0),
+      e(3, 1, "purchase", 200, 10.0),
+      // u2: cold purchase → direct both ways
+      e(4, 2, "purchase", 0, 5.0),
+      // u3: only touch is 200 000 s stale (> 86 400) → direct both ways
+      e(5, 3, "view", 0, 0.0), e(6, 3, "purchase", 200000, 7.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Windows.attribution(ev).collect()
+      .map(r => (r.getAs[String]("channel"), r.getAs[String]("kind")) ->
+        ((r.getAs[Long]("n_conversions"), r.getAs[Long]("value_cents")))).toMap
+    assert(out(("view", "first")) === ((1L, 1000L)))
+    assert(out(("click", "last")) === ((1L, 1000L)))
+    assert(out(("direct", "first")) === ((2L, 1200L)))
+    assert(out(("direct", "last")) === ((2L, 1200L)))
+    assert(out.size === 4)
+  }
+
   test("slidingDistinct: win/slide fan-out, users deduped per window") {
     // three events of two users inside one slide slot → the same 3 windows
     // each see distinct 2 / events 3; one lone event 19 min later → 3 more
