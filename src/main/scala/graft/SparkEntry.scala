@@ -1124,6 +1124,16 @@ object SparkEntry {
       // first-/last-touch revenue attribution: both touches from ONE
       // per-user RANGE-framed window pass — no events×events lookback join
       graft.operators.Windows.attribution(Tables.events(s, dir))),
+    "b28_write_anomalies" -> ((s, dir) =>
+      // daily count vs trailing-7-day mean ± 3σ, the z-test cross-
+      // multiplied into exact integers — windows over the (day × type)
+      // frame only
+      graft.operators.Windows.writeAnomalies(Tables.events(s, dir))),
+    "b29_id_gaps" -> ((s, dir) =>
+      // replication completeness: missing-id count/gap profile per day —
+      // the one-task-per-day lag window decomposed over id buckets +
+      // a metadata-sized boundary pass
+      graft.operators.Windows.idGapReport(Tables.events(s, dir))),
     "b20_cohort_retention" -> ((s, dir) =>
       // cohort × week-offset retention matrix: two event-log aggregations
       // joined on the user-sized frame
@@ -4121,6 +4131,36 @@ object SparkEntry {
         |            + CASE modality WHEN 'audio' THEN 0 WHEN 'image' THEN 1 ELSE 2 END
         |            AS BIGINT) AS interleave_pos
         |FROM tag""".stripMargin,
+    "b29_id_gaps" ->
+      // the naive single-window form IS the oracle; the engine's bucket
+      // decomposition must reproduce it exactly
+      """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_id FROM events),
+        |g AS (SELECT day, event_id,
+        |             event_id - lag(event_id) OVER (PARTITION BY day ORDER BY event_id) - 1 AS gp
+        |      FROM e)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(min(event_id) AS BIGINT) AS min_id,
+        |       CAST(max(event_id) AS BIGINT) AS max_id,
+        |       CAST(coalesce(sum(CASE WHEN gp > 0 THEN gp END), 0) AS BIGINT) AS n_missing,
+        |       CAST(coalesce(sum(CASE WHEN gp > 0 THEN 1 END), 0) AS BIGINT) AS n_gaps,
+        |       CAST(coalesce(max(CASE WHEN gp > 0 THEN gp END), 0) AS BIGINT) AS max_gap
+        |FROM g GROUP BY day""".stripMargin,
+    "b28_write_anomalies" ->
+      """WITH d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+        |                  CAST(count(*) AS BIGINT) AS n_events
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT *,
+        |        CAST(count(n_events) OVER w AS BIGINT) AS trail_n,
+        |        CAST(sum(n_events) OVER w AS BIGINT) AS trail_sum,
+        |        CAST(sum(n_events * n_events) OVER w AS BIGINT) AS trail_sumsq
+        |      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |x AS (SELECT *, 7 * n_events - trail_sum AS dev FROM t WHERE trail_n = 7)
+        |SELECT day, event_type, n_events, trail_sum,
+        |       CASE WHEN dev * dev > 9 * (7 * trail_sumsq - trail_sum * trail_sum)
+        |            THEN CASE WHEN dev > 0 THEN 'high' ELSE 'low' END
+        |            ELSE 'normal' END AS direction
+        |FROM x""".stripMargin,
     "t51_attribution" ->
       // the same struct-min/max-over-RANGE-frame pass; struct comparison
       // is lexicographic (tus, event_id, ch) on both engines

@@ -460,6 +460,90 @@ object Windows {
       .drop("from_total")
   }
 
+  /** Per-day event-id gap report — the completeness check a replication
+    * DBA runs when downstream counts drift: within each day's id range,
+    * how many ids are missing, in how many gaps, and how wide is the
+    * worst one? Output: (day, n_events, min_id, max_id, n_missing,
+    * n_gaps, max_gap). Duplicate ids never count as gaps (a −1 delta is
+    * filtered), and `n_missing` always equals `(max−min+1) − n_events`
+    * for unique ids (spec-asserted identity).
+    *
+    * Scale: the naive form — `lag(id) OVER (PARTITION BY day ORDER BY
+    * id)` — puts an entire day (billions of rows at 100 TB) in ONE task.
+    * This runs the b22/x45 bounded decomposition instead: ids bucket by
+    * `id div bucketWidth`, the lag window partitions by (day, bucket) —
+    * bounded tasks — and the gaps that straddle bucket boundaries come
+    * from a second lag over the per-bucket (lo, hi) summaries, a
+    * metadata-sized frame ordered by bucket (empty buckets are simply
+    * absent rows; comparing ids, not bucket indices, keeps their spans
+    * counted). The two levels partition the gap set exactly, so the
+    * result is identical to the naive form (spec-pinned at a boundary).
+    */
+  def idGapReport(events: DataFrame, tsCol: String = "ts",
+      bucketWidth: Long = 100000L): DataFrame = {
+    val base = events
+      .select(to_date(col(tsCol)).as("day"), col("event_id"))
+      .withColumn("bkt", expr(s"event_id div $bucketWidth"))
+    val inBkt = W.partitionBy(col("day"), col("bkt")).orderBy(col("event_id"))
+    val perBkt = base
+      .withColumn("g", col("event_id") - lag(col("event_id"), 1).over(inBkt) - 1)
+      .groupBy(col("day"), col("bkt"))
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("lo"), max(col("event_id")).as("hi"),
+        sum(when(col("g") > 0, col("g")).otherwise(0L)).as("miss_in"),
+        sum(when(col("g") > 0, 1L).otherwise(0L)).as("gaps_in"),
+        max(when(col("g") > 0, col("g"))).as("maxgap_in"))
+    val perDay = W.partitionBy(col("day")).orderBy(col("bkt"))
+    perBkt
+      .withColumn("bg", col("lo") - lag(col("hi"), 1).over(perDay) - 1)
+      .groupBy(col("day"))
+      .agg(sum(col("n")).as("n_events"),
+        min(col("lo")).as("min_id"), max(col("hi")).as("max_id"),
+        (sum(col("miss_in")) +
+          coalesce(sum(when(col("bg") > 0, col("bg"))), lit(0L))).as("n_missing"),
+        (sum(col("gaps_in")) +
+          coalesce(sum(when(col("bg") > 0, 1L)), lit(0L))).as("n_gaps"),
+        greatest(coalesce(max(col("maxgap_in")), lit(0L)),
+          coalesce(max(when(col("bg") > 0, col("bg"))), lit(0L))).as("max_gap"))
+  }
+
+  /** Daily write-rate anomaly screen — the "did something change?" pass a
+    * DBA runs over the portrait's daily counts (b5/b17's frame): each
+    * (day, event_type) count is tested against the trailing `trail`
+    * observed days' mean ± 3σ. The 3σ test runs in EXACT INTEGER
+    * arithmetic — `|x − s/n| > 3·σ_pop` cross-multiplies to
+    * `(n·x − s)² > 9·(n·ss − s²)` over the trailing count `n`, sum `s`
+    * and sum-of-squares `ss` — so there is no float mean/stddev to drift
+    * cross-engine (needs day counts below ~2⁶¹/(3·trail) ≈ 10¹⁷ for the
+    * squares; comfortable for any daily partition). Days with fewer than
+    * `trail` predecessors are warm-up and emit nothing. Output: (day,
+    * event_type, n_events, trail_sum, direction ∈ {high, low, normal}).
+    *
+    * Scale: the window runs over the aggregated (day × type) frame —
+    * metadata-sized — never raw events; the daily aggregation itself is
+    * map-side-combined.
+    */
+  def writeAnomalies(events: DataFrame, tsCol: String = "ts",
+      trail: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col(tsCol)).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = W.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-trail, -1)
+    daily
+      .withColumn("trail_n", count(col("n_events")).over(w))
+      .withColumn("trail_sum", sum(col("n_events")).over(w))
+      .withColumn("trail_sumsq", sum(col("n_events") * col("n_events")).over(w))
+      .filter(col("trail_n") === trail)
+      .withColumn("dev", expr(s"$trail * n_events - trail_sum"))
+      .withColumn("direction", expr(
+        s"""CASE WHEN dev * dev > 9 * ($trail * trail_sumsq - trail_sum * trail_sum)
+           |     THEN CASE WHEN dev > 0 THEN 'high' ELSE 'low' END
+           |     ELSE 'normal' END""".stripMargin))
+      .select(col("day"), col("event_type"), col("n_events"), col("trail_sum"),
+        col("direction"))
+  }
+
   /** First-/last-touch conversion attribution — the marketing-analytics
     * question the funnel doesn't answer: each `purchase` is credited to
     * the converting user's EARLIEST (first-touch) and LATEST (last-touch)

@@ -265,6 +265,44 @@ class WindowsSpec extends SparkSpec {
     assert(out(("b", "2024-01-04")) === (Some(700L), 0))
   }
 
+  test("idGapReport: bucket decomposition counts boundary gaps, dense day reports zero") {
+    val base = 1700006400000L // 2023-11-15 00:00:00 UTC
+    // day 1 ids {1,2,3,7,8,25}, bucketWidth 10: 3→7 is an in-bucket gap
+    // (3 missing), 8→25 straddles buckets 0→2 with bucket 1 empty (16
+    // missing — the boundary path must skip the empty bucket by id, not
+    // index); day 2 ids {40,41} are dense
+    val ev = (Seq(1L, 2L, 3L, 7L, 8L, 25L).map(id => (base, id)) ++
+      Seq(40L, 41L).map(id => (base + 86400000L, id)))
+      .map { case (t, id) => (new Timestamp(t + id), id) }
+      .toDF("ts", "event_id")
+    val out = Windows.idGapReport(ev, bucketWidth = 10L).collect()
+      .map(r => r.getAs[Long]("min_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("max_id"),
+          r.getAs[Long]("n_missing"), r.getAs[Long]("n_gaps"),
+          r.getAs[Long]("max_gap")))).toMap
+    assert(out(1L) === ((6L, 25L, 19L, 2L, 16L)))
+    // identity: n_missing = (max − min + 1) − n_events
+    assert(19L === (25L - 1L + 1L) - 6L)
+    assert(out(40L) === ((2L, 41L, 0L, 0L, 0L)))
+  }
+
+  test("writeAnomalies: planted spike flags high, spike-inflated variance suppresses, warm-up silent") {
+    val base = 1700006400000L // 2023-11-15 00:00:00 UTC
+    // days 1–7: 10 events each; day 8: 100 (spike over a zero-variance
+    // week → high); day 9: 1 event, but the trailing week now contains
+    // the spike, so the inflated σ keeps it normal
+    val counts = (1 to 7).map(_ -> 10) :+ (8 -> 100) :+ (9 -> 1)
+    val ev = counts.flatMap { case (d, n) =>
+      (1 to n).map(i => (new Timestamp(base + d * 86400000L + i * 1000L), s"u$i", "INSERT"))
+    }.toDF("ts", "user_id", "event_type")
+    val out = Windows.writeAnomalies(ev).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("n_events"), r.getAs[String]("direction"))).toMap
+    assert(out.size === 2) // days 2–7 are warm-up (< 7 predecessors)
+    assert(out("2023-11-23") === ((100L, "high")))
+    assert(out("2023-11-24") === ((1L, "normal")))
+  }
+
   test("attribution: first/last touch within lookback, direct fallback, stale touch ignored") {
     val t0 = 1700000000000L
     def e(id: Long, u: Long, typ: String, offSec: Long, v: Double) =
