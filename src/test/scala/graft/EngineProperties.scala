@@ -456,4 +456,47 @@ object EngineProperties extends Properties("graft") {
       }
     }
   }
+
+  property("ppsSample: exactly k hits for any weights and k; heavy docs always selected") = {
+    val genCase = for {
+      ws <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 1000L)).map(_.take(60))
+      k <- Gen.chooseNum(1L, 40L)
+    } yield (ws, k)
+    Prop.forAll(genCase) { case (ws, k) =>
+      val tot = ws.sum
+      tot == 0L || {
+        val docs = ws.zipWithIndex
+          .map { case (w, i) => (i.toLong, s"s${i % 3}", w) }
+          .toDF("doc_id", "source", "n_chars")
+        val out = graft.ops.TextOps.ppsSample(docs, k).collect()
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+        val stride = tot.toDouble / k
+        out.values.sum == k &&
+          ws.zipWithIndex.forall { case (w, i) =>
+            w <= stride || out.contains(i.toLong) // heavier than stride ⇒ hit
+          }
+      }
+    }
+  }
+
+  property("idGapReport: bucket decomposition ≡ naive window for any ids and widths") = {
+    val genCase = for {
+      ids <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 400L)).map(_.distinct.take(50))
+      width <- Gen.oneOf(1L, 7L, 64L, 100000L) // width 1 makes EVERY gap a boundary gap
+    } yield (ids, width)
+    Prop.forAll(genCase) { case (ids, width) =>
+      val ev = ids.map(id => (new Timestamp(1700006400000L + id), id))
+        .toDF("ts", "event_id")
+      val r = graft.operators.Windows.idGapReport(ev, bucketWidth = width)
+        .collect().head
+      val sorted = ids.sorted
+      val gaps = sorted.zip(sorted.tail).map { case (a, b) => b - a - 1 }.filter(_ > 0)
+      r.getAs[Long]("n_events") == ids.length.toLong &&
+        r.getAs[Long]("min_id") == sorted.head &&
+        r.getAs[Long]("max_id") == sorted.last &&
+        r.getAs[Long]("n_missing") == (sorted.last - sorted.head + 1 - ids.length) &&
+        r.getAs[Long]("n_gaps") == gaps.length.toLong &&
+        r.getAs[Long]("max_gap") == (if (gaps.isEmpty) 0L else gaps.max)
+    }
+  }
 }
