@@ -1669,6 +1669,10 @@ object SparkEntry {
       // over each query's exact top-10, per-pair ppb floor then integer
       // mean — why the s12 re-rank stage exists, as a gated number
       Vectors.pqDistortion(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
+    "s23_probe_sweep" -> ((s, dir) =>
+      // the d36 tuning-table discipline applied to IVF routing: recall@10
+      // at nprobe 1/2/4/8 vs the exact truth, one row per config
+      Vectors.probeSweep(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
     "s21_vector_health" -> ((s, dir) =>
       // the pre-index sanity gate: dim consistency, null/zero-norm/non-
       // finite counts, norm range ppb — one projection + one metadata agg
@@ -3561,6 +3565,47 @@ object SparkEntry {
          |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
          |       CAST((1000000 * coalesce(h.n_hits, 0)) // 10 AS BIGINT) AS recall_ppm
          |FROM qall q LEFT JOIN hits h ON h.query_id = q.query_id""".stripMargin,
+    "s23_probe_sweep" -> {
+      // one multiprobe block per config over the SHARED centroid ranking
+      // (qp); each config contributes one (nprobe, n_hits) row
+      val k = 10
+      val qn = 8
+      val cfg = Seq(1, 2, 4, 8)
+      val blocks = cfg.map { np =>
+        s"""iq_$np AS (SELECT qp.query_id, qp.bucket, e.v AS qv
+           |          FROM qp JOIN e ON e.vec_id = qp.query_id WHERE qp.rn <= $np),
+           |isc_$np AS (SELECT q.query_id, av.vec_id AS neighbor_id, ${oracleCos("q.qv", "av.v")} AS sim
+           |          FROM iq_$np q JOIN av ON av.bucket = q.bucket AND av.vec_id <> q.query_id),
+           |itop_$np AS (SELECT query_id, neighbor_id FROM (
+           |            SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+           |              ORDER BY sim DESC, neighbor_id ASC) AS rn FROM isc_$np)
+           |          WHERE rn <= $k)""".stripMargin
+      }.mkString(",\n")
+      val rows = cfg.map { np =>
+        s"""SELECT CAST($np AS BIGINT) AS nprobe,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM btop b
+           |        JOIN itop_$np i ON i.query_id = b.query_id
+           |         AND i.neighbor_id = b.neighbor_id) AS n_hits""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $oracleEmbCte,
+         |$oracleSpacedAssigned,
+         |bq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $qn),
+         |bscored AS (SELECT query_id, e.vec_id AS neighbor_id, ${oracleCos("bq.qv", "e.v")} AS sim
+         |            FROM bq, e WHERE e.vec_id <> bq.query_id),
+         |btop AS (SELECT query_id, neighbor_id FROM (
+         |           SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |             ORDER BY sim DESC, neighbor_id ASC) AS rn FROM bscored)
+         |         WHERE rn <= $k),
+         |qp AS (SELECT vec_id AS query_id, centroid_id AS bucket, rn FROM (
+         |         SELECT vec_id, centroid_id,
+         |                row_number() OVER (PARTITION BY vec_id
+         |                  ORDER BY cs DESC, centroid_id ASC) AS rn
+         |         FROM sc WHERE vec_id < $qn)),
+         |$blocks
+         |SELECT nprobe, n_hits, CAST(${qn * k} AS BIGINT) AS n_truth,
+         |       (1000000 * n_hits) // ${qn * k} AS recall_ppm
+         |FROM ($rows)""".stripMargin
+    },
     "s20_pq_distortion" ->
       // exact sims of the brute top-10, PQ ADC sims for the SAME pairs via
       // the shared codebook CTEs, per-pair ppb floor, integer mean

@@ -1189,6 +1189,37 @@ object Vectors {
         expr(s"(1000000 * coalesce(n_hits, 0)) div $k").as("recall_ppm"))
   }
 
+  /** IVF probe-sweep tuning table — the d36 band-sweep discipline applied
+    * to ANN routing: recall@k of multi-probe IVF at each nprobe config,
+    * against the exact brute-force truth, in ONE query. s19 gates one
+    * routing config; this is the table an operator reads to CHOOSE the
+    * config — where the recall curve flattens, extra probes only buy
+    * candidate cost. Output: (nprobe, n_hits, n_truth, recall_ppm), all
+    * exact integers (recall is a deterministic fact of data+parameters).
+    *
+    * Scale shape: the truth pass is one brute-force scoring join over the
+    * |Q| broadcast queries; each config is the s4 multi-probe plan
+    * (broadcast centroids, per-query probe window, bucket equi-join);
+    * configs union at the one-row-per-config level. Recall@k is
+    * monotonically non-decreasing in nprobe (spec-pinned) — a sweep that
+    * isn't is a routing bug.
+    */
+  def probeSweep(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      probes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val cids = spacedCentroidIds(embeddings.count())
+    val exact = bruteForceTopK(embeddings, queryIds, k)
+      .select(col("query_id"), col("neighbor_id")).persist()
+    probes.map { np =>
+      val approx = ivfTopKMultiProbe(embeddings, cids, queryIds, k, np)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(np.toLong).as("nprobe"), col("n_hits"))
+    }.reduce(_ union _)
+      .withColumn("n_truth", lit(queryIds.size.toLong * k))
+      .withColumn("recall_ppm", expr("(1000000 * n_hits) div n_truth"))
+  }
+
   /** k-NN majority-vote classification — the retrieval surface applied to
     * labeling: predict each query vector's `label` as the mode of its k
     * exact nearest neighbors' labels (votes desc, ties to the smaller

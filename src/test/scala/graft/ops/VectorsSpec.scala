@@ -543,4 +543,15 @@ class VectorsSpec extends SparkSpec {
     // id 5; vecs 0 and 4 are in no group → kept unconditionally
     assert(kept === Set(2L, 5L, 0L, 4L))
   }
+
+  test("probeSweep: recall monotone in nprobe, probing every bucket recovers brute force") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val nBuckets = Vectors.spacedCentroidIds(emb.count()).size
+    val out = Vectors.probeSweep(emb, 0L until 4L, k = 5,
+      probes = Seq(1, 2, nBuckets)).collect()
+      .map(r => r.getAs[Long]("nprobe") -> r.getAs[Long]("n_hits")).toMap
+    assert(out(1L) <= out(2L) && out(2L) <= out(nBuckets.toLong))
+    // nprobe = all buckets searches the whole corpus → exact recall
+    assert(out(nBuckets.toLong) === 4L * 5L)
+  }
 }
