@@ -1832,6 +1832,10 @@ object SparkEntry {
       // picks at every total/500-th character of cumulative weight; exact
       // integer arithmetic end-to-end, prefix via the bounded 3-level scan
       TextOps.ppsSample(Tables.documents(s, dir))),
+    "x49_vocab_growth" -> ((s, dir) =>
+      // Heaps-law curve: types vs tokens at corpus quarters — one vocab-
+      // sized shuffle, integer quarter tests shared with the oracle
+      TextOps.vocabGrowth(Tables.documents(s, dir))),
     "x17_upsample" -> ((s, dir) =>
       // low-resource upsampling: α=0.5 repetition factors (capped at 4
       // epochs), emitted as one row per (doc, epoch) — the mixture a
@@ -3888,6 +3892,19 @@ object SparkEntry {
          |WHERE (((d.doc_id % ${TextOps.fingerprintMod})
          |        * (2654435761 % ${TextOps.fingerprintMod}))
          |        % ${TextOps.fingerprintMod}) % 1000000 < r.keep_ppm""".stripMargin,
+    "x49_vocab_growth" ->
+      s"""WITH $oracleTokCtes,
+         |m AS (SELECT max(doc_id) AS max_id FROM documents),
+         |fd AS (SELECT token_id, min(doc_id) AS first_doc FROM tid GROUP BY 1),
+         |qs AS (SELECT unnest([1, 2, 3, 4]) AS q)
+         |SELECT CAST(q * 25 AS BIGINT) AS pct,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM documents, m
+         |        WHERE doc_id * 4 < (max_id + 1) * q) AS n_docs,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM tid, m
+         |        WHERE doc_id * 4 < (max_id + 1) * q) AS n_tokens,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM fd, m
+         |        WHERE first_doc * 4 < (max_id + 1) * q) AS n_types
+         |FROM qs""".stripMargin,
     "x48_pps_sample" ->
       """WITH t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tot FROM documents),
         |p AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,

@@ -732,6 +732,43 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("n_chars"), col("n_hits"))
   }
 
+  /** Vocabulary-growth (Heaps-law) curve — the "is more data still buying
+    * new language?" diagnostic: distinct token types vs token instances
+    * after 25/50/75/100 % of the corpus (by doc_id order). A flattening
+    * types curve under a linear tokens curve is the Heaps-law saturation
+    * signal a data-acquisition decision reads. Output: (pct, n_docs,
+    * n_tokens, n_types), exact integers.
+    *
+    * The quarter membership test is pure integer arithmetic —
+    * `doc_id · 4 < (max_id + 1) · q` — shared verbatim with the oracle
+    * (never `doc_id < X div 4`, whose floor would have to round
+    * identically). Scale shape: ONE vocab-sized shuffle (min first_doc
+    * per token id); instance and doc counts are map-side-combined
+    * conditional sums against the broadcast one-row max; no windows, no
+    * sort, and the hash token ids are a pure projection (no vocab build).
+    */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    val tid = graft.ops.Vocab.hashTokenIdArrays(docs)
+      .select(col("doc_id"), explode(col("ids")).as("token_id"))
+    val m = docs.agg(max(col("doc_id")).as("max_id"))
+    val qs = Seq(1, 2, 3, 4)
+    def conds(pre: String, idCol: String) = qs.map(q =>
+      sum(when(expr(s"$idCol * 4 < (max_id + 1) * $q"), 1L).otherwise(0L))
+        .as(s"${pre}_$q"))
+    val ty = tid.groupBy(col("token_id")).agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(m))
+      .agg(conds("ty", "first_doc").head, conds("ty", "first_doc").tail: _*)
+    val nt = tid.crossJoin(broadcast(m))
+      .agg(conds("nt", "doc_id").head, conds("nt", "doc_id").tail: _*)
+    val nd = docs.select(col("doc_id")).crossJoin(broadcast(m))
+      .agg(conds("nd", "doc_id").head, conds("nd", "doc_id").tail: _*)
+    ty.crossJoin(nt).crossJoin(nd)
+      .select(explode(array(qs.map(q => struct(
+        lit(q * 25L).as("pct"), col(s"nd_$q").as("n_docs"),
+        col(s"nt_$q").as("n_tokens"), col(s"ty_$q").as("n_types"))): _*)).as("r"))
+      .select(col("r.pct"), col("r.n_docs"), col("r.n_tokens"), col("r.n_types"))
+  }
+
   /** Overlapping token-window chunker — the retrieval/long-context prep
     * step: document d with n tokens yields chunks of `chunkTokens` tokens
     * starting every `chunkTokens − overlap` (the last chunk may be short;

@@ -626,6 +626,24 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(out("mean_token_len") === ((0L, 0L, 4L, 1L)))
   }
 
+  test("vocabGrowth: types count first occurrences only, tokens count instances, quarters nest") {
+    import org.apache.spark.sql.functions._
+    // ids 0–3: quarter boundaries at 1/2/3/4 docs. Doc 0 has a repeat
+    // ("aa aa bb" = 3 instances, 2 types); "bb" reappearing in doc 1 must
+    // NOT count as a new type; each later doc adds exactly one new type
+    val corpus = Seq(
+      (0L, "aa aa bb"), (1L, "bb cc"), (2L, "dd"), (3L, "ee aa")
+    ).toDF("doc_id", "text")
+    val out = TextOps.vocabGrowth(corpus).collect()
+      .map(r => r.getAs[Long]("pct") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_types")))).toMap
+    assert(out(25L) === ((1L, 3L, 2L)))
+    assert(out(50L) === ((2L, 5L, 3L)))
+    assert(out(75L) === ((3L, 6L, 4L)))
+    assert(out(100L) === ((4L, 8L, 5L)))
+  }
+
   test("ppsSample: exactly k hits, stride-heavy docs always in, partition-invariant") {
     import org.apache.spark.sql.functions._
     val corpus = (0L until 100L)
