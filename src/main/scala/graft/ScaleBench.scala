@@ -143,6 +143,16 @@ object ScaleBench {
         graft.ops.TextOps.ppsSample(
           d.select(col("doc_id"), lit("s").as("source"),
             length(col("text")).cast("long").as("n_chars")), k = 500L), true),
+      ("d37_source_overlap", (d: DataFrame) =>
+        // per-shingle source sets stay |sources|-bounded as docs multiply:
+        // the pair stage must ride at index-build cost, never f² in the
+        // hottest shingle's document frequency
+        graft.ops.Dedup.sourceOverlapMatrix(
+          d.withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(20))))), true),
+      ("x49_vocab_growth", (d: DataFrame) =>
+        // one vocab-sized shuffle + conditional sums: must track corpus
+        // size, with the quarter tests costing nothing extra
+        graft.ops.TextOps.vocabGrowth(d), true),
       ("d35_bloom_incremental", (d: DataFrame) =>
         // the bitmap stays 2 KiB at ANY corpus size; batch cost must track
         // batch size + hit rate, not corpus size
