@@ -207,7 +207,11 @@ object ScaleBench {
     }.reduce(_ union _)
     val graphQs: Seq[(String, DataFrame => DataFrame)] = Seq(
       ("t40_triangles", e => graft.operators.Graph.triangleCounts(e)),
-      ("t42_kcore", e => graft.operators.Graph.kCore(e, k = 3, rounds = 8)))
+      ("t42_kcore", e => graft.operators.Graph.kCore(e, k = 3, rounds = 8)),
+      ("t52_label_prop", e => graft.operators.Graph.labelPropagation(e, rounds = 4)),
+      ("t53_bfs_reach", e => graft.operators.Graph.bfsDistances(e,
+        e.select(col("src").as("node")).filter(col("node") % 997 === 0).distinct(),
+        rounds = 4)))
     def runGraph(f: Int): Seq[(String, Double, Long)] = {
       val e = scaledEdges(f)
       graphQs.map { case (name, fn) =>

@@ -1075,6 +1075,38 @@ object SparkEntry {
         .select(col("pk").as("src"), col("pk2").as("dst"))
       graft.operators.Graph.kCore(edges, k = 3, rounds = 8)
     }),
+    "t52_label_prop" -> ((s, dir) => {
+      // community detection on the ship-year co-purchase graph — the
+      // missing member of the graph suite (CC: membership, PageRank:
+      // centrality, k-core: cohesion, LPA: dense regions). Synchronous
+      // label propagation, 4 fixed rounds; the per-node argmax is the
+      // integer encoding max(cnt·K + (K−1−label)), so ties break to the
+      // smallest label identically on both engines — no max_by bet
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1996-01-01"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+        .select(col("pk").as("src"), col("pk2").as("dst"))
+      graft.operators.Graph.labelPropagation(edges, rounds = 4)
+    }),
+    "t53_bfs_reach" -> ((s, dir) => {
+      // blast radius: exact hop distance (≤ 4) from the size-50 parts
+      // through the ship-year co-purchase graph — multi-source BFS with a
+      // fixed horizon; monotone min-relaxation makes extra rounds
+      // idempotent, so the fixed count is safe, not merely attestable
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1996-01-01"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+        .select(col("pk").as("src"), col("pk2").as("dst"))
+      val seeds = Tables.part(s, dir).filter(col("p_size") === 50)
+        .select(col("p_partkey").as("node"))
+      graft.operators.Graph.bfsDistances(edges, seeds, rounds = 4)
+    }),
     "t43_tree_paths" -> ((s, dir) => {
       // hierarchy flattening by pointer doubling: every part resolves to
       // its root and depth in the synthetic decimal-digit forest
@@ -1630,6 +1662,16 @@ object SparkEntry {
       // crosses the near-dup threshold; no self-join (per-shingle source
       // sets are |sources|-bounded)
       Dedup.sourceOverlapMatrix(Tables.documents(s, dir))),
+    "d38_similar_docs" -> ((s, dir) => {
+      // lexical more-like-this: for each query doc (doc_id % 7 = 0), the
+      // top-3 most-Jaccard-similar corpus docs through the df-capped
+      // index — the point-query twin of d2's all-pairs sweep (and of the
+      // ANN point lookups s1/s22 on the vector side). Integer-ppm scores
+      // keep the per-query ranking cross-engine exact
+      val ids = Vocab.hashTokenIdArrays(Tables.documents(s, dir))
+      Dedup.similarDocsTopK(Dedup.shingleIdsFromArrays(ids, 5),
+        queryPred = col("doc_id") % 7 === 0, k = 3)
+    }),
     "d18_containment_pairs" -> ((s, dir) => {
       // asymmetric near-dup: excerpt/quote detection — containment
       // |∩|/min(|A|,|B|) catches a short doc embedded in a long one where
@@ -2463,6 +2505,25 @@ object SparkEntry {
           |        AND l_shipdate < DATE '1996-01-01') b
           |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""".stripMargin,
         k = 3, rounds = 8),
+    "t52_label_prop" ->
+      graft.operators.Graph.labelPropagationSql(
+        """SELECT a.l_partkey AS src, b.l_partkey AS dst
+          |FROM (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
+          |        AND l_shipdate < DATE '1996-01-01') a
+          |JOIN (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
+          |        AND l_shipdate < DATE '1996-01-01') b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""".stripMargin,
+        rounds = 4),
+    "t53_bfs_reach" ->
+      graft.operators.Graph.bfsDistancesSql(
+        """SELECT a.l_partkey AS src, b.l_partkey AS dst
+          |FROM (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
+          |        AND l_shipdate < DATE '1996-01-01') a
+          |JOIN (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
+          |        AND l_shipdate < DATE '1996-01-01') b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""".stripMargin,
+        "SELECT p_partkey AS node FROM part WHERE p_size = 50",
+        rounds = 4),
     "t43_tree_paths" ->
       graft.operators.Graph.treePathsSql(
         """SELECT p_partkey AS node,
@@ -3100,6 +3161,27 @@ object SparkEntry {
          |JOIN src sa ON sa.doc_id = doc_a
          |JOIN src sb ON sb.doc_id = doc_b
          |GROUP BY 1, 2""".stripMargin,
+    "d38_similar_docs" ->
+      // same sh/sizes/idx chain as d2; per-query top-3 by the identical
+      // integer-ppm score, ties to the smaller neighbor_id
+      s"""WITH $oracleJaccardCtes,
+         |qi AS (SELECT doc_id AS query_id, shingle_id FROM idx WHERE doc_id % 7 = 0),
+         |dcand AS (SELECT DISTINCT qi.query_id, idx.doc_id AS neighbor_id
+         |          FROM qi JOIN idx ON idx.shingle_id = qi.shingle_id
+         |           AND idx.doc_id <> qi.query_id),
+         |dint AS (SELECT query_id, neighbor_id, CAST(count(*) AS BIGINT) AS n_common
+         |         FROM dcand
+         |         JOIN sh a ON a.doc_id = query_id
+         |         JOIN sh b ON b.doc_id = neighbor_id AND b.shingle_id = a.shingle_id
+         |         GROUP BY 1, 2),
+         |dsc AS (SELECT query_id, neighbor_id, n_common,
+         |               CAST((n_common * 1000000) // (sa.n + sb.n - n_common) AS BIGINT) AS sim_ppm
+         |        FROM dint JOIN sizes sa ON sa.doc_id = query_id
+         |                  JOIN sizes sb ON sb.doc_id = neighbor_id)
+         |SELECT query_id, neighbor_id, n_common, sim_ppm, CAST(rn AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim_ppm DESC, neighbor_id ASC) AS rn FROM dsc)
+         |WHERE rn <= 3""".stripMargin,
     "d37_source_overlap" ->
       s"""WITH $oracleJaccardCtes,
          |ss AS (SELECT DISTINCT d.source, s.shingle_id

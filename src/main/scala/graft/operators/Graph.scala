@@ -245,6 +245,131 @@ object Graph {
        |FROM anc a JOIN pf r ON r.node = a.cur
        |WHERE r.parent IS NULL""".stripMargin
 
+  /** Synchronous label propagation (Raghavan et al. 2007) with a FIXED
+    * round count — community detection on the same edge frames: CC answers
+    * "connected at all?", LPA answers "which dense region?" (a chain of
+    * weak bridges is ONE component but many communities). Each node starts
+    * as its own label; each round every node adopts the most frequent label
+    * among its neighbors, ties to the SMALLEST label — the argmax is the
+    * integer encoding `max(cnt·K + (K−1−label))` (no `max_by`, whose
+    * tie order is engine-defined), so the update is deterministic and the
+    * unrolled-CTE oracle reproduces it bit-for-bit. `labelBound` K must
+    * exceed every node id; `cnt·K` stays far under 2⁶³ for any graph whose
+    * node count is below K (cnt ≤ n < K ≤ 2³¹ ⇒ product < 2⁶²).
+    *
+    * Scale shape per round: one hash join (sym ⋈ labels, both hashed on
+    * the source node) + two aggregations ((dst, label) counts, then the
+    * per-dst argmax) — label frames are node-sized metadata, the persisted
+    * adjacency never re-shuffles, and a fixed round count schedules the
+    * job graph up front (the t32/t42 discipline). Synchronous update is
+    * the distributed-safe variant: asynchronous LPA (update-in-place) is
+    * order-dependent and unreproducible across partitionings.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4,
+      labelBound: Long = 1L << 31): DataFrame = {
+    val raw = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var lab = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      lab = sym
+        .join(lab, sym("src") === lab("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(col("cnt") * labelBound + (lit(labelBound - 1) - col("label")))
+          .as("s"))
+        .select(col("dst").as("node"),
+          (lit(labelBound - 1) - col("s") % labelBound).as("label"))
+    }
+    lab
+  }
+
+  /** Multi-source BFS hop distances with a FIXED round count — k-hop
+    * reachability over a general graph: every node within `rounds` hops of
+    * the seed set resolves to its exact hop distance (blast-radius /
+    * influence-sphere queries; [[treePaths]] is the forest special case,
+    * this is the general-graph frontier expansion). Nodes farther than
+    * `rounds` hops are absent — the fixed horizon IS the query ("within k
+    * hops"), so the result is deterministic and oracle-attestable whether
+    * or not the full graph is reached.
+    *
+    * Scale shape per round: one hash join (sym ⋈ dist on the source node)
+    * + one min-aggregation over (previous ∪ relaxed) — the dist frame is
+    * reached-node-sized metadata, the persisted adjacency never
+    * re-shuffles. `localCheckpoint` truncates lineage per round: round i
+    * references round i−1 twice (join + union), so the untruncated
+    * logical plan is 2^r scans (the t42/t43 lesson). Relaxation is
+    * monotone (min of dist+1), so extra rounds past convergence are
+    * idempotent — a fixed count is safe, not merely attestable.
+    *
+    * `seeds`: one column `node`. Output: (node, dist), dist ≤ rounds.
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+      rounds: Int = 4): DataFrame = {
+    val raw = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = sym
+        .join(dist, sym("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** [[bfsDistances]] as DuckDB SQL — rounds unrolled as chained
+    * MATERIALIZED CTEs (round i references round i−1 twice; inlining would
+    * re-expand 2^r base scans — the oracle-side image of the
+    * `localCheckpoint` truncation). `seedsCte` must produce column `node`.
+    */
+  def bfsDistancesSql(edgesCte: String, seedsCte: String,
+      rounds: Int = 4): String = {
+    val base =
+      s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesCte) WHERE src <> dst),
+         |sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |d0 AS MATERIALIZED (SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist FROM ($seedsCte))""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+         |        SELECT s.dst AS node, d.dist + 1 AS dist
+         |        FROM sym s JOIN d${i - 1} d ON d.node = s.src
+         |        UNION ALL SELECT node, dist FROM d${i - 1})
+         |      GROUP BY node)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d$rounds"
+  }
+
+  /** [[labelPropagation]] as DuckDB SQL — rounds unrolled as chained CTE
+    * pairs (neighbor-label counts, then the encoded argmax), textually
+    * parallel so the two stay provably in lockstep.
+    */
+  def labelPropagationSql(edgesCte: String, rounds: Int = 4,
+      labelBound: Long = 1L << 31): String = {
+    val k = labelBound
+    val base =
+      s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesCte) WHERE src <> dst),
+         |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""c$i AS (SELECT s.dst, l.label, CAST(count(*) AS BIGINT) AS cnt
+         |        FROM sym s JOIN l${i - 1} l ON l.node = s.src GROUP BY 1, 2),
+         |l$i AS (SELECT dst AS node,
+         |               CAST(${k - 1} AS BIGINT) - max(cnt * $k + (${k - 1} - label)) % $k AS label
+         |        FROM c$i GROUP BY dst)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"\nSELECT node, CAST(label AS BIGINT) AS label FROM l$rounds"
+  }
+
   /** The identical computation as DuckDB SQL: `edgesCte` must produce
     * columns `(src, dst)`; rounds are unrolled as chained CTEs (recursive
     * CTEs can't aggregate in the recursive term). Kept textually parallel

@@ -241,6 +241,55 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("containment"))
   }
 
+  /** Lexical "more-like-this" retrieval — the point-query form of the pair
+    * surface: for every QUERY document (rows matching `queryPred`), the
+    * `k` corpus documents with the highest exact Jaccard similarity, found
+    * through the same df-capped inverted index as [[jaccardPairsBlocked]]
+    * (candidates must share a rare shingle with the query; scores are then
+    * exact over the FULL sets). This is what d2's all-pairs sweep can't
+    * answer cheaply: "given THIS doc, what already looks like it?" — the
+    * curation-time lookup (and the lexical twin of the ANN point queries
+    * s1/s22, as BM25/x33 is of term search).
+    *
+    * Similarity is emitted as integer ppm (`n_common·10⁶ div union`) so the
+    * top-k ordering — (sim_ppm DESC, neighbor_id ASC) — is cross-engine
+    * exact, the t19/x29 integer-score discipline. The per-query rank window
+    * partitions on query_id and candidates per query are index-bounded
+    * (df ≤ cap per shared shingle), so no window partition can melt a task.
+    *
+    * Output: (query_id, neighbor_id, n_common, sim_ppm, rank ≤ k).
+    */
+  def similarDocsTopK(shingles: DataFrame, queryPred: Column, k: Int = 3,
+      maxDf: Long = defaultMaxDf): DataFrame = {
+    val sh = shingles.persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val idx = dfCappedIndex(sh, maxDf)
+    val qidx = idx.filter(queryPred)
+      .select(col("doc_id").as("query_id"), col("shingle_id"))
+    val cand = qidx.join(idx, Seq("shingle_id"))
+      .filter(col("query_id") =!= col("doc_id"))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("query_id"), col("shingle_id")), Seq("query_id"))
+      .join(sh.select(col("doc_id").as("neighbor_id"), col("shingle_id")),
+        Seq("neighbor_id", "shingle_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(count(lit(1)).as("n_common"))
+    val scored = inter
+      .join(sizes.withColumnRenamed("doc_id", "query_id").withColumnRenamed("n_shingles", "na"), "query_id")
+      .join(sizes.withColumnRenamed("doc_id", "neighbor_id").withColumnRenamed("n_shingles", "nb"), "neighbor_id")
+      .withColumn("sim_ppm", expr("n_common * 1000000 div (na + nb - n_common)"))
+    val perQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim_ppm").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(perQuery))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("n_common"),
+        col("sim_ppm"), col("rank").cast("long").as("rank"))
+  }
+
   /** Winnowing overlap pairs — what winnowing fingerprints exist FOR
     * (plagiarism / near-copy detection, Schleimer et al. SIGMOD 2003):
     * document pairs sharing at least `minShared` SELECTED fingerprints

@@ -479,6 +479,57 @@ object EngineProperties extends Properties("graft") {
     }
   }
 
+  property("bfsDistances ≡ driver-side BFS for any graph and seed set") = {
+    val genCase = for {
+      n <- Gen.chooseNum(2, 12)
+      edges <- Gen.listOfN(n, for {
+        a <- Gen.chooseNum(0L, 9L); b <- Gen.chooseNum(0L, 9L)
+      } yield (a, b))
+      seeds <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 9L)).map(_.distinct.take(3))
+    } yield (edges.filter { case (a, b) => a != b }, seeds)
+    Prop.forAll(genCase) { case (edges, seeds) =>
+      spark.sqlContext.clearCache()
+      val rounds = 4
+      val r = graft.operators.Graph.bfsDistances(
+        edges.toDF("src", "dst"), seeds.toDF("node"), rounds)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      // reference BFS on the driver
+      val adj = (edges ++ edges.map(_.swap)).groupMap(_._1)(_._2)
+      var dist = seeds.map(_ -> 0L).toMap
+      for (_ <- 1 to rounds) {
+        val relaxed = dist.toSeq.flatMap { case (u, d) =>
+          adj.getOrElse(u, Nil).map(_ -> (d + 1)) }
+        dist = (dist.toSeq ++ relaxed).groupMapReduce(_._1)(_._2)(math.min)
+      }
+      r == dist
+    }
+  }
+
+  property("labelPropagation: labels come from the node's own component; partitioning-invariant") = {
+    val genEdges = Gen.chooseNum(2, 15).flatMap(n => Gen.listOfN(n, for {
+      a <- Gen.chooseNum(0L, 9L); b <- Gen.chooseNum(0L, 9L)
+    } yield (a, b))).map(_.filter { case (a, b) => a != b })
+    Prop.forAll(genEdges) { edges =>
+      spark.sqlContext.clearCache()
+      edges.isEmpty || {
+        val df = edges.toDF("src", "dst")
+        val r = graft.operators.Graph.labelPropagation(df, rounds = 3)
+          .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+        val r2 = graft.operators.Graph.labelPropagation(df.repartition(7), 3)
+          .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+        // driver-side components (labels can never cross a component)
+        val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+        def find(x: Long): Long =
+          if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+        edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+        val comp = nodes.map(n => n -> find(n)).toMap
+        r.keySet == nodes.toSet && r == r2 &&
+          nodes.forall(n => comp(r(n)) == comp(n))
+      }
+    }
+  }
+
   property("idGapReport: bucket decomposition ≡ naive window for any ids and widths") = {
     val genCase = for {
       ids <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 400L)).map(_.distinct.take(50))

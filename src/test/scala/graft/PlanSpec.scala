@@ -437,6 +437,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("InMemoryTableScan"), plan)
   }
 
+  test("t52/t53 graph rounds keep their scale shapes") {
+    // t52: no checkpoint (linear lineage) — all 4 rounds sit in ONE plan,
+    // every join an equi-join, the persisted adjacency on the path
+    val lp = SparkEntry.queries("t52_label_prop")(spark, "/root/testdata/sf0.001")
+    lp.collect()
+    val lpPlan = lp.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!lpPlan.contains("CartesianProduct"), lpPlan)
+    assert(!lpPlan.contains("BroadcastNestedLoopJoin"), lpPlan)
+    assert(lpPlan.contains("InMemoryTableScan"), lpPlan)
+    // t53: per-round localCheckpoint — the FINAL plan must be the
+    // truncated checkpoint scan, not a 2^r-deep join tree (the t42/t43
+    // lineage lesson, pinned at the query level)
+    val bfs = SparkEntry.queries("t53_bfs_reach")(spark, "/root/testdata/sf0.001")
+    bfs.collect()
+    val bfsPlan = bfs.queryExecution.executedPlan.toString
+    assert(bfsPlan.contains("Scan ExistingRDD"), bfsPlan)
+    assert(!bfsPlan.contains("SortMergeJoin") && !bfsPlan.contains("BroadcastHashJoin"),
+      bfsPlan)
+  }
+
   test("per-window top-1 uses a single shuffle pair (agg form, no window sort)") {
     val events = Seq(
       (Timestamp.valueOf("2024-01-01 00:01:00"), "g1", "1", "10", 1L)

@@ -125,4 +125,61 @@ class GraphSpec extends SparkSpec {
     assert(sql.contains("WITH RECURSIVE") && sql.contains("p.node = a.cur"))
     assert(sql.contains("WHERE r.parent IS NULL"))
   }
+
+  private def distsOf(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      rounds: Int = 4): Map[Long, Long] =
+    Graph.bfsDistances(edges.toDF("src", "dst"), seeds.toDF("node"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("bfsDistances: exact hop distances, horizon cut, idempotent past convergence") {
+    // path 1-2-3-4-5-6 with a shortcut 1-4: dist(4) = 1 via the shortcut
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (1L, 4L))
+    assert(distsOf(edges, Seq(1L)) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L, 6L -> 3L))
+    // horizon 1: only the frontier; unreached nodes absent
+    assert(distsOf(edges, Seq(1L), rounds = 1) ===
+      Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+    // extra rounds past convergence change nothing (monotone relaxation)
+    assert(distsOf(edges, Seq(1L), rounds = 8) === distsOf(edges, Seq(1L), rounds = 4))
+  }
+
+  test("bfsDistances: multi-source takes the nearer seed; isolated seeds sit at 0") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val r = distsOf(edges, Seq(1L, 5L, 99L))
+    assert(r === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L, 99L -> 0L))
+  }
+
+  private def labelsOf(edges: Seq[(Long, Long)], rounds: Int = 4): Map[Long, Long] =
+    Graph.labelPropagation(edges.toDF("src", "dst"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation: bridged triangles resolve to two communities") {
+    // two triangles joined by one weak edge — ONE connected component but
+    // two dense regions; 4 synchronous rounds (hand-derived with the
+    // min-label tie rule) settle each triangle on its own label
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L))
+    assert(labelsOf(edges) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation: clique absorbs its pendant; dup/self edges ignored") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = k4 ++ Seq((1L, 5L), (2L, 1L), (3L, 3L)) // pendant, rev-dup, self
+    val r = labelsOf(edges)
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("labelPropagation: deterministic under repartitioning; ties break to the smallest label") {
+    // a 3-path oscillates with period 2 under synchronous update — the
+    // fixed round count makes the result deterministic anyway, and the
+    // exact labels pin the min-label tie rule (node 2 sees {1,3}: tie → 1)
+    val path = Seq((1L, 2L), (2L, 3L))
+    assert(labelsOf(path, rounds = 1) === Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+    val edges = (1L to 150L).map(i => (i, (i * 11) % 150 + 1))
+    val a = labelsOf(edges)
+    val b = Graph.labelPropagation(edges.toDF("src", "dst").repartition(13), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
 }

@@ -784,4 +784,31 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Long]("n_common") === 1L)
     assert(r.getAs[Long]("jaccard_ppm") === 333333L)
   }
+
+  test("similarDocsTopK: exact ppm scores, id-asc tie-break, unrelated docs absent") {
+    import org.apache.spark.sql.functions._
+    // doc 10's 5-gram shingles: abcde bcdef cdefg defgh (4); docs 20/50
+    // share 3 of them (J = 3/5), doc 30 shares 1 (J = 1/7), doc 40 none
+    val corpus = Seq(
+      (10L, "a b c d e f g h"),
+      (20L, "a b c d e f g x"),
+      (50L, "a b c d e f g x"),
+      (30L, "a b c d e z1 z2 z3"),
+      (40L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingleIdsFromArrays(Vocab.hashTokenIdArrays(corpus), 5)
+    val out = Dedup.similarDocsTopK(sh, queryPred = col("doc_id") === 10L, k = 3)
+      .collect().map(r => (r.getAs[Long]("rank"),
+        (r.getAs[Long]("neighbor_id"), r.getAs[Long]("n_common"),
+          r.getAs[Long]("sim_ppm")))).toMap
+    // identical scores for 20 and 50 → neighbor_id ascending breaks the tie
+    assert(out === Map(
+      1L -> ((20L, 3L, 600000L)),
+      2L -> ((50L, 3L, 600000L)),
+      3L -> ((30L, 1L, 142857L))))
+    // only the query doc's rows come back — corpus docs are not queries
+    val all = Dedup.similarDocsTopK(sh, queryPred = col("doc_id") === 10L, k = 3)
+      .select("query_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(all === Set(10L))
+  }
 }
