@@ -1091,6 +1091,12 @@ object SparkEntry {
         .select(col("pk").as("src"), col("pk2").as("dst"))
       graft.operators.Graph.labelPropagation(edges, rounds = 4)
     }),
+    "t54_decayed_trend" -> ((s, dir) =>
+      // "trending now": per-type activity with yesterday worth half of
+      // today — integer 2^-age weights (a right shift, no float pow), so
+      // the score is cross-engine exact; counts reduce per (type, day)
+      // before any weighting touches them
+      graft.operators.Windows.decayedTrend(Tables.events(s, dir))),
     "t53_bfs_reach" -> ((s, dir) => {
       // blast radius: exact hop distance (≤ 4) from the size-50 parts
       // through the ship-year co-purchase graph — multi-source BFS with a
@@ -1982,6 +1988,16 @@ object SparkEntry {
       // storage planning per modality: exact byte-size percentiles over
       // the compressed histogram (t19 machinery)
       graft.ops.Multimodal.sizePercentiles(Tables.documents(s, dir))),
+    "m7_alignment_report" -> ((s, dir) =>
+      // referential integrity before any cross-modal join: docs without
+      // an embedding drop out of every vector-side operator; orphan
+      // embeddings pollute the index with unreachable hits. One
+      // full-outer hash join carrying only the id columns. The doc side
+      // is the post-curation corpus (doc_id % 10 = 3 deleted upstream),
+      // so the orphan-vector path is attested, not just possible
+      graft.ops.Vectors.alignmentReport(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 3),
+        Tables.embeddings(s, dir))),
     "s22_cross_knn" -> ((s, dir) => {
       // the embedding-match join: every test vector's top-3 train
       // neighbors among its bucket candidates — s14 across two corpora
@@ -3732,6 +3748,28 @@ object SparkEntry {
          |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
          |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM sc)
          |WHERE rank <= 3""".stripMargin,
+    "m7_alignment_report" ->
+      """SELECT status, CAST(count(*) AS BIGINT) AS n_rows FROM (
+        |  SELECT CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL THEN 'aligned'
+        |              WHEN e.vec_id IS NULL THEN 'doc_only'
+        |              ELSE 'vec_only' END AS status
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 3) d
+        |  FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id)
+        |GROUP BY 1""".stripMargin,
+    "t54_decayed_trend" ->
+      // the identical integer shift: 10^6 // 2^min(age, 62); counts reduce
+      // per (type, day) first on both engines
+      """WITH daily AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |                      CAST(count(*) AS BIGINT) AS n
+        |               FROM events GROUP BY 1, 2),
+        |mx AS (SELECT max(day) AS max_day FROM daily),
+        |wtd AS (SELECT event_type, n,
+        |               1000000 // (CAST(1 AS BIGINT) << least(
+        |                 date_diff('day', day, (SELECT max_day FROM mx)), 62)) AS w
+        |        FROM daily)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+        |       CAST(sum(n * w) AS BIGINT) AS trend_ppm
+        |FROM wtd GROUP BY 1""".stripMargin,
     "m6_size_percentiles" ->
       """WITH meta AS (SELECT doc_id,
         |                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

@@ -156,6 +156,36 @@ object Windows {
         .as("delta"))
   }
 
+  /** Exponentially time-decayed activity scores — the "trending now"
+    * ranking ([[dailyTrends]] reports raw counts; decay answers which keys
+    * are hot NOW, with yesterday worth half of today): each event
+    * contributes `2^−age_days` of weight relative to the corpus's last
+    * day. The decay weight is the INTEGER `10⁶ div 2^min(age, 62)` —
+    * a right shift, not a float `pow`, so the score is cross-engine exact
+    * (the b28/t48 integer discipline; ages ≥ 20 days decay to 0 ppm
+    * exactly, which IS the half-life-1-day contract, and the 62 clamp
+    * keeps the shift defined for arbitrarily old corpora).
+    *
+    * Scale shape: counts reduce per (key, day) FIRST — partial-agg-first,
+    * the shuffle carries one row per key×day, never per event; the
+    * max-day anchor is a one-row broadcast; the weighting pass runs over
+    * the metadata-sized day-count frame. Output: (key, n_events,
+    * trend_ppm) with trend_ppm = Σ count(day)·w(age).
+    */
+  def decayedTrend(events: DataFrame, tsCol: String = "ts",
+      keyCol: String = "event_type"): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val anchor = daily.agg(max(col("day")).as("max_day"))
+    daily.join(broadcast(anchor))
+      .withColumn("age", datediff(col("max_day"), col("day")))
+      .withColumn("w", expr("1000000 div shiftleft(cast(1 as bigint), least(age, 62))"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("n") * col("w")).as("trend_ppm"))
+  }
+
   /** Daily distinct-user estimates via HyperLogLog++ — the approximate
     * rollup a 100 TB deployment uses where exact distinct would shuffle
     * every key (SURVEY.md §2.5 "absent from the reference"; exposed because

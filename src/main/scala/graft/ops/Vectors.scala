@@ -1132,6 +1132,27 @@ object Vectors {
         max(col("norm_ppb")).as("max_norm_ppb"))
   }
 
+  /** Text↔embedding alignment screen — the referential-integrity check a
+    * multimodal corpus runs before any cross-modal join ([[vectorHealth]]
+    * gates vector CONTENT; this gates vector COVERAGE): which documents
+    * have an embedding, which don't (they silently drop out of every
+    * vector-side operator — semantic dedup, leakage screens, ANN), and
+    * which embeddings are orphans (their document was deleted upstream —
+    * they pollute the index with unreachable hits). One full-outer hash
+    * join on the id, then a 3-row status rollup; at 100 TB both sides
+    * carry only their id column into the shuffle.
+    *
+    * Output: (status ∈ aligned | doc_only | vec_only, n_rows).
+    */
+  def alignmentReport(docs: DataFrame, embeddings: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(embeddings.select(col("vec_id")),
+        col("doc_id") === col("vec_id"), "full_outer")
+      .select(when(col("doc_id").isNotNull && col("vec_id").isNotNull, "aligned")
+        .when(col("vec_id").isNull, "doc_only")
+        .otherwise("vec_only").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n_rows"))
+
   /** PQ distortion report — s19's twin for the OTHER ANN error source:
     * routing loses candidates (recall), quantization mis-scores them
     * (distortion). For each query's exact top-k, the mean |exact cosine −

@@ -341,4 +341,20 @@ class WindowsSpec extends SparkSpec {
       .sorted.toSeq
     assert(out === Seq((1L, 1L), (1L, 1L), (1L, 1L), (2L, 3L), (2L, 3L), (2L, 3L)))
   }
+
+  test("decayedTrend: exact 2^-age ppm weights; ages past 20 days contribute 0") {
+    // B: 1 event on the anchor day, 2 one day old, 4 two days old, 1
+    // twenty-five days old → 10⁶ + 2·5·10⁵ + 4·25·10⁴ + 0 = 3·10⁶
+    // A: 4 events all on the anchor day → 4·10⁶
+    val ev = (Seq.fill(4)(("2024-02-01 12:00:00", "A")) ++
+      Seq(("2024-02-01 09:00:00", "B")) ++
+      Seq.fill(2)(("2024-01-31 09:00:00", "B")) ++
+      Seq.fill(4)(("2024-01-30 23:59:59", "B")) ++
+      Seq(("2024-01-07 00:00:00", "B")))
+      .map { case (t, k) => (Timestamp.valueOf(t), k) }.toDF("ts", "event_type")
+    val out = Windows.decayedTrend(ev).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("trend_ppm")))).toMap
+    assert(out === Map("A" -> ((4L, 4000000L)), "B" -> ((8L, 3000000L))))
+  }
 }

@@ -49,6 +49,14 @@ class VectorsSpec extends SparkSpec {
     assert(out.getAs[Long]("max_norm_ppb") === 5000000000L) // norm 5
   }
 
+  test("alignmentReport: aligned/doc_only/vec_only partition both id sets") {
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val vecs = Seq(2L, 3L, 4L, 5L).toDF("vec_id")
+    val out = Vectors.alignmentReport(docs, vecs).collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n_rows")).toMap
+    assert(out === Map("aligned" -> 2L, "doc_only" -> 1L, "vec_only" -> 2L))
+  }
+
   test("pqDistortion: one row per query over real 64-dim vectors, errors bounded and nonneg") {
     val emb64 = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Vectors.pqDistortion(emb64, Seq(0L, 1L), k = 5).collect()
