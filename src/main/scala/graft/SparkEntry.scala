@@ -259,6 +259,55 @@ object SparkEntry {
       s"\nSELECT query_id, neighbor_id, mmr_rank FROM selu$k"
   }
 
+  /** s24 beam-search oracle: the kNN graph (s14's CTE), then each beam
+    * round unrolled as an expand/score/prune CTE pair — kept textually
+    * parallel to [[graft.ops.Vectors.beamSearch]]'s loop.
+    */
+  // lazy: refers to oracleEmbCte/oracleSpacedAssigned, declared further down
+  private lazy val oracleBeam: String = {
+    val (k, beam, rounds, graphK) = (5, 8, 3, 3)
+    val entries = (0 until 8).map(_ * 25L).mkString(", ")
+    val base =
+      s"""WITH $oracleEmbCte,
+         |$oracleSpacedAssigned,
+         |g AS (SELECT src_id, neighbor_id FROM (
+         |    SELECT src_id, neighbor_id, row_number() OVER (PARTITION BY src_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rn
+         |    FROM (SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id,
+         |                 ${oracleCos("a.v", "b.v")} AS sim
+         |          FROM av a JOIN av b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id))
+         |    WHERE rn <= $graphK),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+         |ent AS (SELECT unnest([$entries]) AS node),
+         |b0 AS (SELECT query_id, node, sim FROM (
+         |    SELECT x.*, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, node ASC) AS rn FROM (
+         |      SELECT q.query_id, ent.node, ${oracleCos("q.qv", "e.v")} AS sim
+         |      FROM q CROSS JOIN ent JOIN e ON e.vec_id = ent.node
+         |      WHERE ent.node <> q.query_id) x)
+         |    WHERE rn <= $beam)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""c$i AS (SELECT DISTINCT query_id, node FROM (
+         |    SELECT s.query_id, g.neighbor_id AS node
+         |    FROM b${i - 1} s JOIN g ON g.src_id = s.node
+         |    UNION ALL SELECT query_id, node FROM b${i - 1})),
+         |b$i AS (SELECT query_id, node, sim FROM (
+         |    SELECT x.*, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, node ASC) AS rn FROM (
+         |      SELECT c.query_id, c.node, ${oracleCos("q.qv", "e.v")} AS sim
+         |      FROM c$i c JOIN q ON q.query_id = c.query_id
+         |      JOIN e ON e.vec_id = c.node
+         |      WHERE c.node <> c.query_id) x)
+         |    WHERE rn <= $beam)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"""
+         |SELECT query_id, node AS neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+         |  SELECT query_id, node, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, node ASC) AS rn FROM b$rounds)
+         |WHERE rn <= $k""".stripMargin
+  }
+
   /** LSH oracle: the plane literals are generated from the same arithmetic
     * as [[Vectors.lshPlanes]], so both engines bucket identically.
     */
@@ -1717,6 +1766,14 @@ object SparkEntry {
       // over each query's exact top-10, per-pair ppb floor then integer
       // mean — why the s12 re-rank stage exists, as a gated number
       Vectors.pqDistortion(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
+    "s24_ann_beam" -> ((s, dir) =>
+      // graph-based ANN — the fourth index family (hashing/routing/
+      // quantization/graph): HNSW-style beam search over s14's kNN graph
+      // as a relational fixpoint; fixed 3 rounds, beam 8, deterministic
+      // prune, so the walk is oracle-attestable. Query cost is
+      // O(rounds·beam·graphK·d), independent of N once the graph exists
+      Vectors.beamSearch(Tables.embeddings(s, dir), queryIds = 0L until 8L,
+        entryIds = (0 until 8).map(_ * 25L), k = 5, beam = 8, rounds = 3)),
     "s23_probe_sweep" -> ((s, dir) =>
       // the d36 tuning-table discipline applied to IVF routing: recall@10
       // at nprobe 1/2/4/8 vs the exact truth, one row per config
@@ -3667,6 +3724,7 @@ object SparkEntry {
          |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
          |       CAST((1000000 * coalesce(h.n_hits, 0)) // 10 AS BIGINT) AS recall_ppm
          |FROM qall q LEFT JOIN hits h ON h.query_id = q.query_id""".stripMargin,
+    "s24_ann_beam" -> oracleBeam,
     "s23_probe_sweep" -> {
       // one multiprobe block per config over the SHARED centroid ranking
       // (qp); each config contributes one (nprobe, n_hits) row

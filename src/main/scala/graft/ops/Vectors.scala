@@ -478,6 +478,65 @@ object Vectors {
     topKPerGroup(scored, "src_id", k)
   }
 
+  /** Graph-based ANN: beam search over the [[knnGraph]] edge structure —
+    * the fourth index family next to hashing (LSH), routing (IVF), and
+    * quantization (PQ/SQ): HNSW-style engines answer queries by WALKING a
+    * neighbor graph, and this is that walk as a relational fixpoint. From
+    * a fixed entry set, each round expands the current beam's graph
+    * neighbors, re-scores, and keeps the best `beam` nodes per query
+    * (ties to the smaller id); after a fixed `rounds` horizon the top-k
+    * of the final beam is the answer. Fixed rounds + deterministic
+    * pruning make the walk oracle-attestable (the s24 oracle unrolls the
+    * identical rounds; the t32/t42 discipline applied to ANN).
+    *
+    * Scale shape per round: the frontier is (queries × beam)-sized
+    * metadata; expansion is one hash join against the persisted edge
+    * list, scoring one hash join against the unit-vector frame with the
+    * query side broadcast, and the prune window partitions per query
+    * over ≤ beam·(graphK+1) candidates — no stage ever touches more
+    * than the frontier's neighborhood, which is what makes graph-ANN
+    * attractive at 100 TB: query cost is O(rounds·beam·graphK·d),
+    * independent of N once the graph exists.
+    */
+  def beamSearch(embeddings: DataFrame, queryIds: Seq[Long],
+      entryIds: Seq[Long], k: Int = 5, beam: Int = 8, rounds: Int = 3,
+      graphK: Int = 3): DataFrame = {
+    val unit = withUnit(embeddings).select(col("vec_id"), col("unit")).persist()
+    val graph = knnGraph(embeddings, graphK)
+      .select(col("src_id"), col("neighbor_id")).persist()
+    val queries = F.broadcast(unit.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("unit").as("qv")))
+    def scoreAndPrune(cand: DataFrame): DataFrame = {
+      val scored = cand
+        .join(unit.select(col("vec_id").as("node"), col("unit").as("nv")), Seq("node"))
+        .join(queries, Seq("query_id"))
+        .filter(col("query_id") =!= col("node"))
+        .select(col("query_id"), col("node"), dot(col("qv"), col("nv")).as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("sim").desc, col("node").asc)
+      scored.withColumn("rn", F.row_number().over(w))
+        .filter(col("rn") <= beam)
+        .select(col("query_id"), col("node"), col("sim"))
+    }
+    val entries = unit.filter(col("vec_id").isin(entryIds: _*))
+      .select(col("vec_id").as("node"))
+    var state = scoreAndPrune(queries.select(col("query_id")).crossJoin(entries))
+    for (_ <- 1 to rounds) {
+      val expanded = state.select(col("query_id"), col("node").as("src_id"))
+        .join(graph, Seq("src_id"))
+        .select(col("query_id"), col("neighbor_id").as("node"))
+        .unionByName(state.select(col("query_id"), col("node")))
+        .distinct()
+      state = scoreAndPrune(expanded)
+    }
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("node").asc)
+    state.withColumn("rank", F.row_number().over(wf))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("node").as("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Radius (threshold) search — the OTHER retrieval mode: not "the k
     * best" but "every vector at least τ-similar" (duplicate sweeps with a
     * fixed bar, recall-oriented candidate generation, d6's pair screen

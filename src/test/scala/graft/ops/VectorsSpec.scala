@@ -49,6 +49,27 @@ class VectorsSpec extends SparkSpec {
     assert(out.getAs[Long]("max_norm_ppb") === 5000000000L) // norm 5
   }
 
+  test("beamSearch: walks the graph to neighbors the entry set doesn't contain") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Vectors.beamSearch(emb, queryIds = Seq(0L, 1L),
+      entryIds = (0 until 8).map(_ * 25L), k = 5, beam = 8, rounds = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("rank")))
+    // exactly k ranked rows per query, ranks dense from 1
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet === Set(0L, 1L))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to 5L))
+    }
+    // the walk must reach beyond the fixed entry set (otherwise it's just
+    // a rerank of the entries): at least one result is a non-entry node
+    val entrySet = (0 until 8).map(_ * 25L).toSet
+    assert(out.exists(r => !entrySet.contains(r._2)), out.mkString(", "))
+    // never returns the query itself
+    assert(out.forall(r => r._1 != r._2))
+  }
+
   test("alignmentReport: aligned/doc_only/vec_only partition both id sets") {
     val docs = Seq(1L, 2L, 3L).toDF("doc_id")
     val vecs = Seq(2L, 3L, 4L, 5L).toDF("vec_id")
