@@ -55,7 +55,9 @@ object RecallReport {
         Vectors.pqTopKWithCodebook(
           Vectors.withUnit(emb).select(col("vec_id"), col("unit")),
           queries, k, 8, Vectors.trainedPqCodebooks(emb))
-      })
+      }),
+      "graph_beam8x3" -> (() => Vectors.beamSearch(emb, queries,
+        entryIds = spacedIds, k = k, beam = 8, rounds = 3))
     )
     val recalls = variants.map { case (name, fn) =>
       val r = hits(fn()).intersect(exact).size.toDouble / exact.size

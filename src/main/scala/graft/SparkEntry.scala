@@ -266,7 +266,6 @@ object SparkEntry {
   // lazy: refers to oracleEmbCte/oracleSpacedAssigned, declared further down
   private lazy val oracleBeam: String = {
     val (k, beam, rounds, graphK) = (5, 8, 3, 3)
-    val entries = (0 until 8).map(_ * 25L).mkString(", ")
     val base =
       s"""WITH $oracleEmbCte,
          |$oracleSpacedAssigned,
@@ -278,7 +277,7 @@ object SparkEntry {
          |          FROM av a JOIN av b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id))
          |    WHERE rn <= $graphK),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
-         |ent AS (SELECT unnest([$entries]) AS node),
+         |ent AS (SELECT centroid_id AS node FROM cent),
          |b0 AS (SELECT query_id, node, sim FROM (
          |    SELECT x.*, row_number() OVER (PARTITION BY query_id
          |      ORDER BY sim DESC, node ASC) AS rn FROM (
@@ -1770,10 +1769,17 @@ object SparkEntry {
       // graph-based ANN — the fourth index family (hashing/routing/
       // quantization/graph): HNSW-style beam search over s14's kNN graph
       // as a relational fixpoint; fixed 3 rounds, beam 8, deterministic
-      // prune, so the walk is oracle-attestable. Query cost is
-      // O(rounds·beam·graphK·d), independent of N once the graph exists
-      Vectors.beamSearch(Tables.embeddings(s, dir), queryIds = 0L until 8L,
-        entryIds = (0 until 8).map(_ * 25L), k = 5, beam = 8, rounds = 3)),
+      // prune, so the walk is oracle-attestable. Entry points are the IVF
+      // centroids (the DiskANN-style seed set): the kNN edges are
+      // in-bucket, so one entry per bucket makes every region reachable.
+      // Query cost is O(rounds·beam·graphK·d), independent of N once the
+      // graph exists
+      {
+        val emb = Tables.embeddings(s, dir)
+        Vectors.beamSearch(emb, queryIds = 0L until 8L,
+          entryIds = Vectors.spacedCentroidIds(emb.count()),
+          k = 5, beam = 8, rounds = 3)
+      }),
     "s23_probe_sweep" -> ((s, dir) =>
       // the d36 tuning-table discipline applied to IVF routing: recall@10
       // at nprobe 1/2/4/8 vs the exact truth, one row per config

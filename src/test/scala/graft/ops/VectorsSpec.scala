@@ -51,8 +51,9 @@ class VectorsSpec extends SparkSpec {
 
   test("beamSearch: walks the graph to neighbors the entry set doesn't contain") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val entries = Vectors.spacedCentroidIds(emb.count())
     val out = Vectors.beamSearch(emb, queryIds = Seq(0L, 1L),
-      entryIds = (0 until 8).map(_ * 25L), k = 5, beam = 8, rounds = 3)
+      entryIds = entries, k = 5, beam = 8, rounds = 3)
       .collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
         r.getAs[Long]("rank")))
@@ -62,9 +63,9 @@ class VectorsSpec extends SparkSpec {
     byQ.values.foreach { rows =>
       assert(rows.map(_._3).sorted.toSeq === (1L to 5L))
     }
-    // the walk must reach beyond the fixed entry set (otherwise it's just
-    // a rerank of the entries): at least one result is a non-entry node
-    val entrySet = (0 until 8).map(_ * 25L).toSet
+    // the walk must reach beyond the centroid entry set (otherwise it's
+    // just a rerank of the entries): at least one result is a non-entry
+    val entrySet = entries.toSet
     assert(out.exists(r => !entrySet.contains(r._2)), out.mkString(", "))
     // never returns the query itself
     assert(out.forall(r => r._1 != r._2))
