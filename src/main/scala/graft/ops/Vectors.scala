@@ -520,14 +520,18 @@ object Vectors {
     }
     val entries = unit.filter(col("vec_id").isin(entryIds: _*))
       .select(col("vec_id").as("node"))
+    // localCheckpoint per round: round i references round i−1 TWICE
+    // (expansion join + union), so the untruncated logical plan is 2^r
+    // scans re-running every earlier round — the t42/t43 lineage lesson
     var state = scoreAndPrune(queries.select(col("query_id")).crossJoin(entries))
+      .localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val expanded = state.select(col("query_id"), col("node").as("src_id"))
         .join(graph, Seq("src_id"))
         .select(col("query_id"), col("neighbor_id").as("node"))
         .unionByName(state.select(col("query_id"), col("node")))
         .distinct()
-      state = scoreAndPrune(expanded)
+      state = scoreAndPrune(expanded).localCheckpoint(true)
     }
     val wf = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("sim").desc, col("node").asc)
