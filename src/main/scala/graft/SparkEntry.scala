@@ -1755,6 +1755,12 @@ object SparkEntry {
       // of its 10 exact nearest neighbors (votes desc, ties to smaller
       // label) — the semi-supervised label-propagation pass
       Vectors.knnClassify(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
+    "s25_knn_confusion" -> ((s, dir) =>
+      // leave-one-out eval of the embedding space itself: does geometry
+      // separate the labels? (true, predicted) cell counts over a
+      // 100-query batch — diagonal-heavy ⇒ the embedding screens
+      // (s17/s18/d28) can be trusted on this corpus
+      Vectors.knnConfusion(Tables.embeddings(s, dir), 0L until 100L, k = 10)),
     "s19_ivf_recall" -> ((s, dir) =>
       // the checked-sketch discipline applied to ANN routing: per-query
       // recall of IVF vs the exact top-10 — a deterministic fact of
@@ -3609,6 +3615,27 @@ object SparkEntry {
          |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
          |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
          |WHERE rank <= 10""".stripMargin,
+    "s25_knn_confusion" ->
+      // s17's chain over a 100-query batch, then the (true, pred) rollup
+      s"""WITH $oracleEmbCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 100),
+         |scored AS (SELECT query_id, e.vec_id AS neighbor_id, ${oracleCos("q.qv", "e.v")} AS sim
+         |           FROM q, e WHERE e.vec_id <> q.query_id),
+         |top AS (SELECT query_id, neighbor_id FROM (
+         |          SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
+         |        WHERE rank <= 10),
+         |v AS (SELECT t.query_id, emb.label, count(*) AS votes
+         |      FROM top t JOIN embeddings emb ON emb.vec_id = t.neighbor_id
+         |      GROUP BY 1, 2),
+         |pred AS (SELECT query_id, label AS pred_label FROM (
+         |           SELECT query_id, label, row_number() OVER (PARTITION BY query_id
+         |             ORDER BY votes DESC, label ASC) AS rn FROM v)
+         |         WHERE rn = 1)
+         |SELECT emb.label AS true_label, p.pred_label,
+         |       CAST(count(*) AS BIGINT) AS n_queries
+         |FROM pred p JOIN embeddings emb ON emb.vec_id = p.query_id
+         |GROUP BY 1, 2""".stripMargin,
     "s17_knn_classify" ->
       // s1's exact top-10 (bit-identical dots and ranks), then a vote
       // count and a (votes desc, label asc) argmax — all integer

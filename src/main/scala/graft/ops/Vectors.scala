@@ -1318,6 +1318,28 @@ object Vectors {
     * labeling pass a training pipeline runs to propagate scarce human
     * labels across a corpus.
     */
+  /** Leave-one-out k-NN confusion matrix — the eval twin of
+    * [[knnClassify]] (s19 checks ANN routing, s20 checks quantization;
+    * this checks whether the embedding space SEPARATES the labels at
+    * all): classify a query batch by majority vote of each query's exact
+    * neighbors (the query itself excluded — leave-one-out), join the true
+    * labels back, and emit the (true, predicted) cell counts. A diagonal-
+    * heavy matrix certifies label-consistent geometry; a specific
+    * off-diagonal cell names the confused class pair — the report that
+    * decides whether embedding-space screens (s17/s18/d28) can be
+    * trusted on this corpus. All counts integer, argmax ties to the
+    * smaller label: cross-engine exact.
+    */
+  def knnConfusion(embeddings: DataFrame, queryIds: Seq[Long],
+      k: Int): DataFrame = {
+    val preds = knnClassify(embeddings, queryIds, k)
+    val truth = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"))
+    preds.join(truth, Seq("query_id"))
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n_queries"))
+  }
+
   def knnClassify(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val topk = bruteForceTopK(embeddings, queryIds, k)
     val labels = embeddings.select(col("vec_id").as("neighbor_id"), col("label"))

@@ -71,6 +71,21 @@ class VectorsSpec extends SparkSpec {
     assert(out.forall(r => r._1 != r._2))
   }
 
+  test("knnConfusion: diagonal for clean clusters, off-diagonal names the mislabel") {
+    // two tight clusters; id 3 sits in cluster A but carries label 1 —
+    // leave-one-out must classify it 0, producing exactly one (1,0) cell
+    val emb = Seq(
+      (0L, Array(1.0f, 0.01f), 0), (1L, Array(1.0f, 0.02f), 0),
+      (2L, Array(1.0f, 0.03f), 0), (3L, Array(1.0f, 0.04f), 1),
+      (4L, Array(0.01f, 1.0f), 1), (5L, Array(0.02f, 1.0f), 1),
+      (6L, Array(0.03f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Vectors.knnConfusion(emb, 0L until 7L, k = 3).collect()
+      .map(r => (r.getAs[Int]("true_label"), r.getAs[Int]("pred_label")) ->
+        r.getAs[Long]("n_queries")).toMap
+    assert(out === Map((0, 0) -> 3L, (1, 0) -> 1L, (1, 1) -> 3L))
+  }
+
   test("alignmentReport: aligned/doc_only/vec_only partition both id sets") {
     val docs = Seq(1L, 2L, 3L).toDF("doc_id")
     val vecs = Seq(2L, 3L, 4L, 5L).toDF("vec_id")
