@@ -530,6 +530,89 @@ object EngineProperties extends Properties("graft") {
     }
   }
 
+  property("beamSearch ≡ driver-side walk for any 2-d corpus and entry set") = {
+    val genCase = for {
+      n <- Gen.chooseNum(6, 14)
+      coords <- Gen.listOfN(n, for {
+        x <- Gen.chooseNum(1, 100); y <- Gen.chooseNum(1, 100)
+      } yield (x.toFloat, y.toFloat))
+      nEntry <- Gen.chooseNum(1, 3)
+    } yield (coords, nEntry)
+    Prop.forAll(genCase) { case (coords, nEntry) =>
+      spark.sqlContext.clearCache()
+      val vecs = coords.zipWithIndex.map { case ((x, y), i) =>
+        (i.toLong, Array(x, y)) }
+      val (k, beam, rounds, graphK) = (3, 4, 2, 2)
+      val queries = Seq(0L, 1L)
+      val entries = (0 until nEntry).map(_.toLong * 2L)
+      val got = graft.ops.Vectors.beamSearch(
+        vecs.toDF("vec_id", "embedding"), queries, entries, k, beam, rounds, graphK)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // driver-side reference: identical unit vectors (widen then
+      // normalize), identical spaced-centroid bucketing, in-bucket kNN
+      // edges, then the same expand/score/prune rounds
+      val unit = vecs.map { case (id, a) =>
+        val d = a.map(_.toDouble)
+        val n2 = math.sqrt(d.map(x => x * x).sum)
+        id -> d.map(_ / n2)
+      }.toMap
+      def dot(a: Array[Double], b: Array[Double]): Double =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      val nTot = vecs.size.toLong
+      val c = math.ceil(math.sqrt(nTot.toDouble)).toLong
+      val step = math.max(1L, nTot / c)
+      val cents = (0L until c * step by step).filter(unit.contains)
+      def bucket(id: Long): Long =
+        cents.map(cid => (cid, dot(unit(id), unit(cid))))
+          .maxBy { case (cid, s) => (s, -cid) }._1
+      val bucketOf = unit.keys.map(id => id -> bucket(id)).toMap
+      val edges = unit.keys.flatMap { src =>
+        unit.keys.toSeq.filter(o => o != src && bucketOf(o) == bucketOf(src))
+          .map(o => (o, dot(unit(src), unit(o))))
+          .sortBy { case (o, s) => (-s, o) }.take(graphK)
+          .map { case (o, _) => src -> o }
+      }.toSeq.groupMap(_._1)(_._2)
+      def prune(q: Long, cand: Set[Long]): Seq[Long] =
+        cand.filter(_ != q).toSeq
+          .map(nd => (nd, dot(unit(q), unit(nd))))
+          .sortBy { case (nd, s) => (-s, nd) }.take(beam).map(_._1)
+      val expect = queries.flatMap { q =>
+        var st = prune(q, entries.filter(unit.contains).toSet)
+        for (_ <- 1 to rounds) {
+          val exp = st.flatMap(nd => edges.getOrElse(nd, Nil)).toSet ++ st
+          st = prune(q, exp)
+        }
+        st.take(k).zipWithIndex.map { case (nd, i) => (q, nd, (i + 1).toLong) }
+      }.toSet
+      got == expect
+    }
+  }
+
+  property("knnConfusion: cells partition the query batch; clean separation is diagonal") = {
+    val genCase = for {
+      nPerClass <- Gen.chooseNum(2, 6)
+      k <- Gen.chooseNum(1, 3)
+    } yield (nPerClass, k)
+    Prop.forAll(genCase) { case (nPerClass, k) =>
+      spark.sqlContext.clearCache()
+      // two well-separated clusters labeled 0/1: leave-one-out with
+      // k < cluster size must be perfectly diagonal
+      val emb = (0 until nPerClass).map(i =>
+        (i.toLong, Array(1.0f, 0.001f * i), 0)) ++
+        (0 until nPerClass).map(i =>
+          ((nPerClass + i).toLong, Array(0.001f * i, 1.0f), 1))
+      val ids = emb.map(_._1)
+      val cells = graft.ops.Vectors.knnConfusion(
+        emb.toDF("vec_id", "embedding", "label"), ids, math.min(k, nPerClass - 1))
+        .collect()
+        .map(r => (r.getAs[Int]("true_label"), r.getAs[Int]("pred_label")) ->
+          r.getAs[Long]("n_queries")).toMap
+      cells.values.sum == ids.size.toLong &&
+        cells.keys.forall { case (t, p) => t == p }
+    }
+  }
+
   property("idGapReport: bucket decomposition ≡ naive window for any ids and widths") = {
     val genCase = for {
       ids <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 400L)).map(_.distinct.take(50))
