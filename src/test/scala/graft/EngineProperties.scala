@@ -333,9 +333,12 @@ object EngineProperties extends Properties("graft") {
       Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, for {
         a <- Gen.chooseNum(0L, 15L); b <- Gen.chooseNum(0L, 15L) if a != b
       } yield (math.min(a, b), math.max(a, b)))),
-      // an adversarial chain with shuffled node names
+      // an adversarial chain with shuffled node names — SEEDED: an
+      // unseeded shuffle made any failure-side shrink irreproducible (and
+      // let one unlucky run cost unbounded wall time); the seed varies
+      // with n so the chains still differ across trials
       Gen.chooseNum(3, 10).map { n =>
-        val perm = scala.util.Random.shuffle((0L until n.toLong).toList)
+        val perm = new scala.util.Random(42L + n).shuffle((0L until n.toLong).toList)
         perm.sliding(2).map { case List(a, b) => (math.min(a, b), math.max(a, b)) }.toList
       })
     Prop.forAll(genGraph) { edges0 =>
