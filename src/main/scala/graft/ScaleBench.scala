@@ -67,6 +67,12 @@ object ScaleBench {
           Dedup.jaccardPairsFromShingles(
             Dedup.shingleIdsFromArrays(Vocab.hashTokenIdArrays(d), 5), threshold = 0.5)), true),
       ("d10_neardup_keep_first", (d: DataFrame) => Dedup.nearDupKeepFirst(d), true),
+      ("d38_similar_docs", (d: DataFrame) =>
+        // point-query retrieval through the df-capped index: query count
+        // grows 8× with the corpus, candidates stay postings-bounded
+        Dedup.similarDocsTopK(
+          Dedup.shingleIdsFromArrays(Vocab.hashTokenIdArrays(d), 5),
+          queryPred = col("doc_id") % 97 === 0, k = 3), true),
       ("d22_simhash_pairs", (d: DataFrame) =>
         Dedup.simhashPairsFromArrays(Vocab.hashTokenIdArrays(d)), true),
       ("s2_ann_ivf", (e: DataFrame) => {

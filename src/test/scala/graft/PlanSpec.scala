@@ -457,6 +457,30 @@ class PlanSpec extends SparkSpec {
       bfsPlan)
   }
 
+  test("session additions keep their scale shapes: equi-joins only, broadcast anchors") {
+    val dir = "/root/testdata/sf0.001"
+    // d38/s25: candidate/verify and vote joins are equi-joins — a
+    // cartesian or nested-loop would be the quadratic failure mode
+    for (name <- Seq("d38_similar_docs", "s25_knn_confusion")) {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name: $plan")
+    }
+    // t54: the max-day anchor joins as a BROADCAST (one metadata row), so
+    // the day-count frame never shuffles against it
+    val t54 = SparkEntry.queries("t54_decayed_trend")(spark, dir)
+    t54.collect()
+    val t54Plan = t54.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(t54Plan.contains("BroadcastNestedLoopJoin") || t54Plan.contains("BroadcastHashJoin"),
+      t54Plan)
+    assert(!t54Plan.contains("SortMergeJoin"), t54Plan)
+    // m7: the alignment join carries ONLY the two id columns into the
+    // shuffle — no text or embedding payload survives into the join
+    val m7 = SparkEntry.queries("m7_alignment_report")(spark, dir)
+    val m7Plan = m7.queryExecution.executedPlan.toString
+    assert(!m7Plan.contains("text#") && !m7Plan.contains("embedding#"), m7Plan)
+  }
+
   test("per-window top-1 uses a single shuffle pair (agg form, no window sort)") {
     val events = Seq(
       (Timestamp.valueOf("2024-01-01 00:01:00"), "g1", "1", "10", 1L)
