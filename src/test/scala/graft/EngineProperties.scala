@@ -616,6 +616,46 @@ object EngineProperties extends Properties("graft") {
     }
   }
 
+  property("similarDocsTopK ≡ driver-side capped-index retrieval for any corpus") = {
+    val genCase = for {
+      nDocs <- Gen.chooseNum(3, 10)
+      docs <- Gen.listOfN(nDocs, Gen.listOfN(6, Gen.chooseNum(1L, 9L)))
+      cap <- Gen.oneOf(2L, 3L, 20L)
+    } yield (docs, cap)
+    Prop.forAll(genCase) { case (docSets, cap) =>
+      spark.sqlContext.clearCache()
+      val k = 3
+      // (doc_id, shingle_id) rows straight from generated id sets — the
+      // operator's real input shape after the shingling front-end
+      val rows = docSets.zipWithIndex.flatMap { case (ids, i) =>
+        ids.distinct.map(s => (i.toLong, s)) }
+      val queryIds = docSets.indices.filter(_ % 2 == 0).map(_.toLong).toSet
+      val got = graft.ops.Dedup.similarDocsTopK(
+        rows.toDF("doc_id", "shingle_id"),
+        queryPred = col("doc_id") % 2 === 0, k = k, maxDf = cap)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+          ((r.getAs[Long]("neighbor_id"), r.getAs[Long]("n_common"),
+            r.getAs[Long]("sim_ppm")))).toMap
+      // driver-side reference: identical cap, exact full-set intersections,
+      // identical integer-ppm score and (sim desc, id asc) tie order
+      val sets = docSets.zipWithIndex.map { case (ids, i) => i.toLong -> ids.toSet }.toMap
+      val df = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val rare = df.collect { case (s, f) if f > 1 && f <= cap => s }.toSet
+      val expect = queryIds.flatMap { q =>
+        val qRare = sets(q).intersect(rare)
+        val cands = sets.keys.filter(c => c != q && sets(c).exists(qRare.contains))
+        cands.toSeq.map { c =>
+          val common = sets(q).intersect(sets(c)).size.toLong
+          val ppm = common * 1000000L / (sets(q).size + sets(c).size - common)
+          (c, common, ppm)
+        }.sortBy { case (c, _, ppm) => (-ppm, c) }.take(k).zipWithIndex
+          .map { case ((c, common, ppm), i) => (q, (i + 1).toLong) -> ((c, common, ppm)) }
+      }.toMap
+      got == expect
+    }
+  }
+
   property("idGapReport: bucket decomposition ≡ naive window for any ids and widths") = {
     val genCase = for {
       ids <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 400L)).map(_.distinct.take(50))
