@@ -259,26 +259,33 @@ object SparkEntry {
       s"\nSELECT query_id, neighbor_id, mmr_rank FROM selu$k"
   }
 
-  /** s24 beam-search oracle: the kNN graph (s14's CTE), then each beam
-    * round unrolled as an expand/score/prune CTE pair — kept textually
-    * parallel to [[graft.ops.Vectors.beamSearch]]'s loop.
+  /** Shared base CTEs for the beam-search family (s24/s26): normalized
+    * embeddings, spaced-centroid assignment, the kNN graph (s14's CTE),
+    * the query batch, and the centroid entry set.
     */
   // lazy: refers to oracleEmbCte/oracleSpacedAssigned, declared further down
-  private lazy val oracleBeam: String = {
-    val (k, beam, rounds, graphK) = (5, 8, 3, 3)
-    val base =
-      s"""WITH $oracleEmbCte,
-         |$oracleSpacedAssigned,
-         |g AS (SELECT src_id, neighbor_id FROM (
-         |    SELECT src_id, neighbor_id, row_number() OVER (PARTITION BY src_id
-         |      ORDER BY sim DESC, neighbor_id ASC) AS rn
-         |    FROM (SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id,
-         |                 ${oracleCos("a.v", "b.v")} AS sim
-         |          FROM av a JOIN av b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id))
-         |    WHERE rn <= $graphK),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
-         |ent AS (SELECT centroid_id AS node FROM cent),
-         |b0 AS (SELECT query_id, node, sim FROM (
+  private lazy val oracleBeamBase: String = {
+    val graphK = 3
+    s"""$oracleEmbCte,
+       |$oracleSpacedAssigned,
+       |g AS (SELECT src_id, neighbor_id FROM (
+       |    SELECT src_id, neighbor_id, row_number() OVER (PARTITION BY src_id
+       |      ORDER BY sim DESC, neighbor_id ASC) AS rn
+       |    FROM (SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id,
+       |                 ${oracleCos("a.v", "b.v")} AS sim
+       |          FROM av a JOIN av b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id))
+       |    WHERE rn <= $graphK),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+       |ent AS (SELECT centroid_id AS node FROM cent)""".stripMargin
+  }
+
+  /** The unrolled expand/score/prune rounds for one beam width, CTE names
+    * prefixed so several widths coexist in one query (s26). Kept
+    * textually parallel to [[graft.ops.Vectors.beamSearch]]'s loop.
+    */
+  private def oracleBeamRounds(p: String, beam: Int, rounds: Int): String = {
+    val init =
+      s"""${p}0 AS (SELECT query_id, node, sim FROM (
          |    SELECT x.*, row_number() OVER (PARTITION BY query_id
          |      ORDER BY sim DESC, node ASC) AS rn FROM (
          |      SELECT q.query_id, ent.node, ${oracleCos("q.qv", "e.v")} AS sim
@@ -286,25 +293,61 @@ object SparkEntry {
          |      WHERE ent.node <> q.query_id) x)
          |    WHERE rn <= $beam)""".stripMargin
     val steps = (1 to rounds).map { i =>
-      s"""c$i AS (SELECT DISTINCT query_id, node FROM (
+      s"""${p}c$i AS (SELECT DISTINCT query_id, node FROM (
          |    SELECT s.query_id, g.neighbor_id AS node
-         |    FROM b${i - 1} s JOIN g ON g.src_id = s.node
-         |    UNION ALL SELECT query_id, node FROM b${i - 1})),
-         |b$i AS (SELECT query_id, node, sim FROM (
+         |    FROM ${p}${i - 1} s JOIN g ON g.src_id = s.node
+         |    UNION ALL SELECT query_id, node FROM ${p}${i - 1})),
+         |${p}$i AS (SELECT query_id, node, sim FROM (
          |    SELECT x.*, row_number() OVER (PARTITION BY query_id
          |      ORDER BY sim DESC, node ASC) AS rn FROM (
          |      SELECT c.query_id, c.node, ${oracleCos("q.qv", "e.v")} AS sim
-         |      FROM c$i c JOIN q ON q.query_id = c.query_id
+         |      FROM ${p}c$i c JOIN q ON q.query_id = c.query_id
          |      JOIN e ON e.vec_id = c.node
          |      WHERE c.node <> c.query_id) x)
          |    WHERE rn <= $beam)""".stripMargin
     }
-    (base +: steps).mkString(",\n") +
-      s"""
-         |SELECT query_id, node AS neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
-         |  SELECT query_id, node, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY sim DESC, node ASC) AS rn FROM b$rounds)
-         |WHERE rn <= $k""".stripMargin
+    (init +: steps).mkString(",\n")
+  }
+
+  /** s24 beam-search oracle. */
+  private lazy val oracleBeam: String = {
+    val (k, beam, rounds) = (5, 8, 3)
+    s"""WITH $oracleBeamBase,
+       |${oracleBeamRounds("b", beam, rounds)}
+       |SELECT query_id, node AS neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+       |  SELECT query_id, node, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, node ASC) AS rn FROM b$rounds)
+       |WHERE rn <= $k""".stripMargin
+  }
+
+  /** s26 beam-width sweep oracle: all widths share the base CTEs (one
+    * graph), each contributes its own unrolled rounds and a hit count
+    * against the brute-force truth.
+    */
+  private lazy val oracleBeamSweep: String = {
+    val (k, rounds) = (5, 3)
+    val beams = Seq(2, 4, 8, 16)
+    val nQueries = 8
+    val truth =
+      s"""tsc AS (SELECT query_id, e.vec_id AS neighbor_id, ${oracleCos("q.qv", "e.v")} AS sim
+         |        FROM q, e WHERE e.vec_id <> q.query_id),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rn FROM tsc)
+         |    WHERE rn <= $k)""".stripMargin
+    val perBeam = beams.map(b => oracleBeamRounds(s"w${b}_", b, rounds))
+    val finals = beams.map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS beam, n_hits,
+         |       n_hits * 1000000 // ${k.toLong * nQueries} AS recall_ppm FROM (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_hits FROM (
+         |    SELECT query_id, node FROM (
+         |      SELECT query_id, node, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, node ASC) AS rn FROM w${b}_$rounds)
+         |      WHERE rn <= $k) f
+         |  JOIN truth t ON t.query_id = f.query_id AND t.neighbor_id = f.node)""".stripMargin
+    }
+    s"WITH $oracleBeamBase,\n$truth,\n" + perBeam.mkString(",\n") + "\n" +
+      finals.mkString("\nUNION ALL\n")
   }
 
   /** LSH oracle: the plane literals are generated from the same arithmetic
@@ -1785,6 +1828,17 @@ object SparkEntry {
         Vectors.beamSearch(emb, queryIds = 0L until 8L,
           entryIds = Vectors.spacedCentroidIds(emb.count()),
           k = 5, beam = 8, rounds = 3)
+      }),
+    "s26_beam_sweep" -> ((s, dir) =>
+      // the tuning-table trilogy's third panel (d36: LSH bands, s23: IVF
+      // nprobe, s26: graph beam width): recall@5 at beam 2/4/8/16 against
+      // brute truth, ONE kNN graph shared across all widths — the
+      // amortization production relies on, exercised in one query
+      {
+        val emb = Tables.embeddings(s, dir)
+        Vectors.beamSweep(emb, queryIds = 0L until 8L,
+          entryIds = Vectors.spacedCentroidIds(emb.count()),
+          k = 5, beams = Seq(2, 4, 8, 16), rounds = 3)
       }),
     "s23_probe_sweep" -> ((s, dir) =>
       // the d36 tuning-table discipline applied to IVF routing: recall@10
@@ -3758,6 +3812,7 @@ object SparkEntry {
          |       CAST((1000000 * coalesce(h.n_hits, 0)) // 10 AS BIGINT) AS recall_ppm
          |FROM qall q LEFT JOIN hits h ON h.query_id = q.query_id""".stripMargin,
     "s24_ann_beam" -> oracleBeam,
+    "s26_beam_sweep" -> oracleBeamSweep,
     "s23_probe_sweep" -> {
       // one multiprobe block per config over the SHARED centroid ranking
       // (qp); each config contributes one (nprobe, n_hits) row

@@ -504,6 +504,16 @@ object Vectors {
     val unit = withUnit(embeddings).select(col("vec_id"), col("unit")).persist()
     val graph = knnGraph(embeddings, graphK)
       .select(col("src_id"), col("neighbor_id")).persist()
+    beamSearchOver(unit, graph, queryIds, entryIds, k, beam, rounds, graphK)
+  }
+
+  /** The walk itself over a PREBUILT unit frame + edge list — the
+    * production shape (the graph is built once and serves every query;
+    * [[beamSweep]] shares one graph across all beam widths).
+    */
+  private def beamSearchOver(unit: DataFrame, graph: DataFrame,
+      queryIds: Seq[Long], entryIds: Seq[Long], k: Int, beam: Int,
+      rounds: Int, graphK: Int): DataFrame = {
     val queries = F.broadcast(unit.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("unit").as("qv")))
     def scoreAndPrune(cand: DataFrame): DataFrame = {
@@ -539,6 +549,43 @@ object Vectors {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("node").as("neighbor_id"),
         col("rank").cast("long").as("rank"))
+  }
+
+  /** Beam-width tuning table — the d36/s23 sweep discipline applied to the
+    * graph family: recall@k of [[beamSearch]] at each beam width against
+    * the exact brute-force truth, in one query. The kNN graph and unit
+    * frame are built ONCE and shared across all widths (the production
+    * amortization [[beamSearch]]'s scaladoc promises, exercised here),
+    * so the sweep costs one graph build plus |beams| frontier-sized
+    * walks. Recall is integer ppm (`hits·10⁶ div (k·|queries|)`), so the
+    * curve is cross-engine exact. Unlike s23's nprobe sweep (candidate
+    * sets nest exactly, so recall is monotone by theorem), beam pruning
+    * CAN in principle evict a narrow-beam hit from a wider walk — the
+    * frontier-superset argument only binds at round 0; the spec pins the
+    * monotone curve empirically on the fixture, where it holds. A beam
+    * covering the whole reachable region approaches the graph's recall
+    * ceiling (the in-bucket edge structure, not the walk, becomes the
+    * binding limit).
+    *
+    * Output: (beam, n_hits, recall_ppm), one row per width.
+    */
+  def beamSweep(embeddings: DataFrame, queryIds: Seq[Long],
+      entryIds: Seq[Long], k: Int = 5, beams: Seq[Int] = Seq(2, 4, 8, 16),
+      rounds: Int = 3, graphK: Int = 3): DataFrame = {
+    val unit = withUnit(embeddings).select(col("vec_id"), col("unit")).persist()
+    val graph = knnGraph(embeddings, graphK)
+      .select(col("src_id"), col("neighbor_id")).persist()
+    val truth = bruteForceTopK(embeddings, queryIds, k)
+      .select(col("query_id"), col("neighbor_id")).persist()
+    val denom = k.toLong * queryIds.size
+    beams.map { b =>
+      beamSearchOver(unit, graph, queryIds, entryIds, k, b, rounds, graphK)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(b.toLong).as("beam"), col("n_hits"),
+          expr(s"n_hits * 1000000 div $denom").as("recall_ppm"))
+    }.reduce(_ unionAll _)
   }
 
   /** Radius (threshold) search — the OTHER retrieval mode: not "the k

@@ -86,6 +86,34 @@ class VectorsSpec extends SparkSpec {
     assert(out === Map((0, 0) -> 3L, (1, 0) -> 1L, (1, 1) -> 3L))
   }
 
+  test("beamSweep: recall monotone in beam width; one row per width; ppm exact") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val entries = Vectors.spacedCentroidIds(emb.count())
+    val qs = 0L until 8L
+    val out = Vectors.beamSweep(emb, qs, entries, k = 5,
+      beams = Seq(2, 4, 8, 16), rounds = 3).collect()
+      .map(r => r.getAs[Long]("beam") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Long]("recall_ppm")))).toMap
+    assert(out.keySet === Set(2L, 4L, 8L, 16L))
+    // monotone on this fixture (not a theorem — pruning can in principle
+    // evict a narrow-beam hit; deterministic data makes this pin stable)
+    val byBeam = Seq(2L, 4L, 8L, 16L).map(out(_)._1)
+    assert(byBeam === byBeam.sorted, out.toString)
+    // ppm is exactly hits·10⁶ div (k·|queries|)
+    out.values.foreach { case (hits, ppm) =>
+      assert(ppm === hits * 1000000L / (5L * qs.size))
+    }
+    // beam 16 must match the single-width operator's hit count
+    import org.apache.spark.sql.functions.{col => c}
+    val b16 = Vectors.beamSearch(emb, qs, entries, k = 5, beam = 16, rounds = 3)
+      .select(c("query_id"), c("neighbor_id"))
+      .join(Vectors.bruteForceTopK(emb, qs, 5)
+        .select(c("query_id"), c("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .count()
+    assert(out(16L)._1 === b16)
+  }
+
   test("alignmentReport: aligned/doc_only/vec_only partition both id sets") {
     val docs = Seq(1L, 2L, 3L).toDF("doc_id")
     val vecs = Seq(2L, 3L, 4L, 5L).toDF("vec_id")
