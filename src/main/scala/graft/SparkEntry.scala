@@ -1182,6 +1182,24 @@ object SparkEntry {
         .select(col("pk").as("src"), col("pk2").as("dst"))
       graft.operators.Graph.labelPropagation(edges, rounds = 4)
     }),
+    "t55_sssp" -> ((s, dir) => {
+      // weighted blast radius (Bellman–Ford, fixed 4 rounds): hop cost =
+      // 10⁶ div shared-order-count, so strong co-purchase ties are cheap
+      // corridors — t53 counts hops, this weighs them; integer weights
+      // keep every distance cross-engine exact
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1996-01-01"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+        .groupBy(col("pk").as("src"), col("pk2").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("src"), col("dst"), expr("1000000 div cnt").as("w"))
+      val seeds = Tables.part(s, dir).filter(col("p_size") === 50)
+        .select(col("p_partkey").as("node"))
+      graft.operators.Graph.ssspDistances(edges, seeds, rounds = 4)
+    }),
     "t54_decayed_trend" -> ((s, dir) =>
       // "trending now": per-type activity with yesterday worth half of
       // today — integer 2^-age weights (a right shift, no float pow), so
@@ -2652,6 +2670,19 @@ object SparkEntry {
           |JOIN (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
           |        AND l_shipdate < DATE '1996-01-01') b
           |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""".stripMargin,
+        rounds = 4),
+    "t55_sssp" ->
+      graft.operators.Graph.ssspDistancesSql(
+        """SELECT src, dst, 1000000 // cnt AS w FROM (
+          |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+          |         CAST(count(*) AS BIGINT) AS cnt
+          |  FROM (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
+          |          AND l_shipdate < DATE '1996-01-01') a
+          |  JOIN (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
+          |          AND l_shipdate < DATE '1996-01-01') b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2)""".stripMargin,
+        "SELECT p_partkey AS node FROM part WHERE p_size = 50",
         rounds = 4),
     "t53_bfs_reach" ->
       graft.operators.Graph.bfsDistancesSql(

@@ -348,6 +348,69 @@ object Graph {
       s"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d$rounds"
   }
 
+  /** Weighted single/multi-source shortest paths with a FIXED round count
+    * (Bellman–Ford relaxation) — [[bfsDistances]] counts hops, this
+    * weighs them: after r rounds every node reachable by a path of ≤ r
+    * edges carries its exact minimum weighted distance over such paths
+    * (supply-chain cost radius, tie-strength routing). INTEGER weights by
+    * contract, so distances are cross-engine exact — the b28/t48
+    * discipline applied to graph metrics. Non-negative weights assumed
+    * (min-relaxation is monotone ⇒ extra rounds idempotent once all
+    * shortest paths fit the horizon).
+    *
+    * Scale shape per round: identical to [[bfsDistances]] — one hash join
+    * (sym ⋈ dist), one min-aggregation, reached-node-sized state,
+    * `localCheckpoint` truncating the 2^r lineage. The symmetrized edge
+    * frame keeps the MINIMUM weight per (src, dst) after merging both
+    * orientations and duplicates.
+    *
+    * `edges`: (src, dst, w). `seeds`: one column `node`. Output:
+    * (node, dist), reachable-within-horizon nodes only.
+    */
+  def ssspDistances(edges: DataFrame, seeds: DataFrame,
+      rounds: Int = 4): DataFrame = {
+    val raw = edges.select(col("src"), col("dst"), col("w"))
+      .filter(col("src") =!= col("dst"))
+    val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .persist()
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = sym
+        .join(dist, sym("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** [[ssspDistances]] as DuckDB SQL — rounds unrolled as chained
+    * MATERIALIZED CTEs (the [[bfsDistancesSql]] pattern with the weight
+    * carried through the relaxation). `edgesCte` must produce
+    * (src, dst, w); `seedsCte` must produce `node`.
+    */
+  def ssspDistancesSql(edgesCte: String, seedsCte: String,
+      rounds: Int = 4): String = {
+    val base =
+      s"""WITH e AS (SELECT src, dst, w FROM ($edgesCte) WHERE src <> dst),
+         |sym AS MATERIALIZED (SELECT src, dst, CAST(min(w) AS BIGINT) AS w FROM (
+         |    SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e)
+         |  GROUP BY src, dst),
+         |d0 AS MATERIALIZED (SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist FROM ($seedsCte))""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+         |        SELECT s.dst AS node, d.dist + s.w AS dist
+         |        FROM sym s JOIN d${i - 1} d ON d.node = s.src
+         |        UNION ALL SELECT node, dist FROM d${i - 1})
+         |      GROUP BY node)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d$rounds"
+  }
+
   /** [[labelPropagation]] as DuckDB SQL — rounds unrolled as chained CTE
     * pairs (neighbor-label counts, then the encoded argmax), textually
     * parallel so the two stay provably in lockstep.

@@ -149,6 +149,26 @@ class GraphSpec extends SparkSpec {
     assert(r === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L, 99L -> 0L))
   }
 
+  private def ssspOf(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+      rounds: Int = 4): Map[Long, Long] =
+    Graph.ssspDistances(edges.toDF("src", "dst", "w"), seeds.toDF("node"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("ssspDistances: cheap long path beats expensive direct edge; horizon bounds path length") {
+    // 1→2→3 costs 1+1=2; direct 1→3 costs 5 → dist(3)=2 needs 2 rounds
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L))
+    assert(ssspOf(edges, Seq(1L)) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // horizon 1: only single-edge paths → the expensive direct edge wins
+    assert(ssspOf(edges, Seq(1L), rounds = 1) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 5L))
+    // duplicate/reversed edges keep the MINIMUM weight
+    val dup = edges ++ Seq((3L, 1L, 2L))
+    assert(ssspOf(dup, Seq(1L), rounds = 1) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // idempotent past convergence
+    assert(ssspOf(edges, Seq(1L), rounds = 8) === ssspOf(edges, Seq(1L), rounds = 2))
+  }
+
   private def labelsOf(edges: Seq[(Long, Long)], rounds: Int = 4): Map[Long, Long] =
     Graph.labelPropagation(edges.toDF("src", "dst"), rounds)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
