@@ -572,20 +572,60 @@ object Vectors {
   def beamSweep(embeddings: DataFrame, queryIds: Seq[Long],
       entryIds: Seq[Long], k: Int = 5, beams: Seq[Int] = Seq(2, 4, 8, 16),
       rounds: Int = 3, graphK: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val unit = withUnit(embeddings).select(col("vec_id"), col("unit")).persist()
     val graph = knnGraph(embeddings, graphK)
       .select(col("src_id"), col("neighbor_id")).persist()
     val truth = bruteForceTopK(embeddings, queryIds, k)
       .select(col("query_id"), col("neighbor_id")).persist()
+    val queries = F.broadcast(unit.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("unit").as("qv")))
+    val widths = F.broadcast(beams.map(_.toLong).toDF("beam"))
+    // ALL widths advance in one walk: `beam` rides as a state column and
+    // the prune limit is the per-row `rn <= beam` — |beams| walks cost
+    // the job count of one (the sequential-walks first cut read 8.0 s;
+    // this form runs the same 1 + rounds checkpointed stages as s24)
+    def prune(cand: DataFrame): DataFrame = {
+      val scored = cand
+        .join(unit.select(col("vec_id").as("node"), col("unit").as("nv")), Seq("node"))
+        .join(queries, Seq("query_id"))
+        .filter(col("query_id") =!= col("node"))
+        .select(col("beam"), col("query_id"), col("node"),
+          dot(col("qv"), col("nv")).as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("beam"), col("query_id"))
+        .orderBy(col("sim").desc, col("node").asc)
+      scored.withColumn("rn", F.row_number().over(w))
+        .filter(col("rn") <= col("beam"))
+        .select(col("beam"), col("query_id"), col("node"), col("sim"))
+    }
+    val entries = unit.filter(col("vec_id").isin(entryIds: _*))
+      .select(col("vec_id").as("node"))
+    var state = prune(widths.crossJoin(queries.select(col("query_id")))
+      .crossJoin(entries)).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val expanded = state
+        .select(col("beam"), col("query_id"), col("node").as("src_id"))
+        .join(graph, Seq("src_id"))
+        .select(col("beam"), col("query_id"), col("neighbor_id").as("node"))
+        .unionByName(state.select(col("beam"), col("query_id"), col("node")))
+        .distinct()
+      state = prune(expanded).localCheckpoint(true)
+    }
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("beam"), col("query_id"))
+      .orderBy(col("sim").desc, col("node").asc)
+    val hits = state.withColumn("rank", F.row_number().over(wf))
+      .filter(col("rank") <= k)
+      .select(col("beam"), col("query_id"), col("node").as("neighbor_id"))
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("beam")).agg(count(lit(1)).as("n_hits"))
     val denom = k.toLong * queryIds.size
-    beams.map { b =>
-      beamSearchOver(unit, graph, queryIds, entryIds, k, b, rounds, graphK)
-        .select(col("query_id"), col("neighbor_id"))
-        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-        .select(lit(b.toLong).as("beam"), col("n_hits"),
-          expr(s"n_hits * 1000000 div $denom").as("recall_ppm"))
-    }.reduce(_ unionAll _)
+    // a width with ZERO hits still gets its row (the curve's floor is data)
+    widths.join(hits, Seq("beam"), "left")
+      .select(col("beam"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_ppm", expr(s"n_hits * 1000000 div $denom"))
   }
 
   /** Radius (threshold) search — the OTHER retrieval mode: not "the k
