@@ -1377,16 +1377,54 @@ object Vectors {
     */
   def probeSweep(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       probes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val cids = spacedCentroidIds(embeddings.count())
     val exact = bruteForceTopK(embeddings, queryIds, k)
       .select(col("query_id"), col("neighbor_id")).persist()
-    probes.map { np =>
-      val approx = ivfTopKMultiProbe(embeddings, cids, queryIds, k, np)
-        .select(col("query_id"), col("neighbor_id"))
-      exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-        .select(lit(np.toLong).as("nprobe"), col("n_hits"))
-    }.reduce(_ union _)
+    // ONE scoring pass at the widest nprobe with the probe rank riding
+    // along: a candidate from the query's r-th-nearest bucket serves every
+    // config with nprobe ≥ r, so the sweep costs max(probes) bucket-scans
+    // instead of Σ probes (the s26 fused-sweep discipline; the sequential
+    // form re-scored 1+2+4+8 = 15 bucket units where 8 suffice). Each
+    // corpus vector lives in exactly one bucket, so (query, neighbor,
+    // probe_rank) rows are already unique — no dedup stage.
+    val maxNp = probes.max
+    val assigned = ivfAssign(embeddings, cids).persist()
+    val centroids = assigned
+      .filter(col("vec_id").isin(cids: _*))
+      .select(col("vec_id").as("centroid_id"), col("unit").as("c"))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("centroid_id").asc)
+    val probed = assigned
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("unit").as("q"))
+      .join(F.broadcast(centroids))
+      .select(col("query_id"), col("q"), col("centroid_id"),
+        dot(col("q"), col("c")).as("cs"))
+      .withColumn("probe_rank", row_number().over(probeW))
+      .filter(col("probe_rank") <= maxNp)
+      .select(col("query_id"), col("centroid_id").as("bucket"),
+        col("q"), col("probe_rank"))
+    val scored = F.broadcast(probed)
+      .join(assigned.select(col("vec_id").as("neighbor_id"), col("bucket"),
+        col("unit").as("e")), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("probe_rank"),
+        dot(col("q"), col("e")).as("sim"))
+    val widths = F.broadcast(probes.map(_.toLong).toDF("nprobe"))
+    val perConfigW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val hits = widths.join(scored, col("probe_rank") <= col("nprobe"))
+      .withColumn("rn", row_number().over(perConfigW))
+      .filter(col("rn") <= k)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+    widths.join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("n_truth", lit(queryIds.size.toLong * k))
       .withColumn("recall_ppm", expr("(1000000 * n_hits) div n_truth"))
   }
