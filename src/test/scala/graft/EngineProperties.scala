@@ -656,6 +656,32 @@ object EngineProperties extends Properties("graft") {
     }
   }
 
+  property("probeSweep (fused) ≡ per-config multi-probe hit counts") = {
+    val genCase = for {
+      n <- Gen.chooseNum(8, 20)
+      coords <- Gen.listOfN(n, for {
+        x <- Gen.chooseNum(1, 50); y <- Gen.chooseNum(1, 50); z <- Gen.chooseNum(1, 50)
+      } yield (x.toFloat, y.toFloat, z.toFloat))
+    } yield coords
+    Prop.forAll(genCase) { coords =>
+      spark.sqlContext.clearCache()
+      val emb = coords.zipWithIndex.map { case ((x, y, z), i) =>
+        (i.toLong, Array(x, y, z)) }.toDF("vec_id", "embedding")
+      val (qs, k, probes) = (Seq(0L, 1L), 2, Seq(1, 2, 4))
+      val fused = graft.ops.Vectors.probeSweep(emb, qs, k, probes).collect()
+        .map(r => r.getAs[Long]("nprobe") -> r.getAs[Long]("n_hits")).toMap
+      val cids = graft.ops.Vectors.spacedCentroidIds(coords.size.toLong)
+      val truth = graft.ops.Vectors.bruteForceTopK(emb, qs, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      probes.forall { np =>
+        val perConfig = graft.ops.Vectors
+          .ivfTopKMultiProbe(emb, cids, qs, k, np)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        fused(np.toLong) == perConfig.intersect(truth).size.toLong
+      }
+    }
+  }
+
   property("idGapReport: bucket decomposition ≡ naive window for any ids and widths") = {
     val genCase = for {
       ids <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 400L)).map(_.distinct.take(50))

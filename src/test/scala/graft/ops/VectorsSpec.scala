@@ -103,15 +103,19 @@ class VectorsSpec extends SparkSpec {
     out.values.foreach { case (hits, ppm) =>
       assert(ppm === hits * 1000000L / (5L * qs.size))
     }
-    // beam 16 must match the single-width operator's hit count
+    // EVERY width must match the single-width operator's hit count — the
+    // fused walk (beam as a state column) is an optimization, not a
+    // semantics change
     import org.apache.spark.sql.functions.{col => c}
-    val b16 = Vectors.beamSearch(emb, qs, entries, k = 5, beam = 16, rounds = 3)
-      .select(c("query_id"), c("neighbor_id"))
-      .join(Vectors.bruteForceTopK(emb, qs, 5)
-        .select(c("query_id"), c("neighbor_id")),
-        Seq("query_id", "neighbor_id"), "left_semi")
-      .count()
-    assert(out(16L)._1 === b16)
+    for (b <- Seq(2, 4, 8, 16)) {
+      val single = Vectors.beamSearch(emb, qs, entries, k = 5, beam = b, rounds = 3)
+        .select(c("query_id"), c("neighbor_id"))
+        .join(Vectors.bruteForceTopK(emb, qs, 5)
+          .select(c("query_id"), c("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+      assert(out(b.toLong)._1 === single, s"beam $b")
+    }
   }
 
   test("alignmentReport: aligned/doc_only/vec_only partition both id sets") {
