@@ -682,6 +682,33 @@ object EngineProperties extends Properties("graft") {
     }
   }
 
+  property("decayedTrend ≡ driver-side shift weights for any day layout") = {
+    val genCase = Gen.nonEmptyListOf(for {
+      key <- Gen.oneOf("A", "B", "C")
+      age <- Gen.chooseNum(0L, 30L)
+    } yield (key, age)).map(_.take(40))
+    Prop.forAll(genCase) { evs =>
+      spark.sqlContext.clearCache()
+      val t0 = 1700006400000L // day-aligned epoch ms
+      val maxAge = evs.map(_._2).max
+      val rows = evs.map { case (k, age) =>
+        (new Timestamp(t0 + (maxAge - age) * 86400000L), k) }
+      val got = graft.operators.Windows.decayedTrend(
+        rows.toDF("ts", "event_type"))
+        .collect().map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("n_events"), r.getAs[Long]("trend_ppm")))).toMap
+      // the operator anchors at the OBSERVED max day: if no generated
+      // event has age 0, every age shifts down by the minimum
+      val minAge = evs.map(_._2).min
+      val expect = evs.groupBy(_._1).map { case (k, es) =>
+        k -> ((es.size.toLong,
+          es.map { case (_, age) =>
+            1000000L / (1L << math.min(age - minAge, 62L)) }.sum))
+      }
+      got == expect
+    }
+  }
+
   property("idGapReport: bucket decomposition ≡ naive window for any ids and widths") = {
     val genCase = for {
       ids <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 400L)).map(_.distinct.take(50))
