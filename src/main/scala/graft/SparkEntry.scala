@@ -354,15 +354,22 @@ object SparkEntry {
     * as [[Vectors.lshPlanes]], so both engines bucket identically.
     */
   // lazy: refers to oracleEmbCte, which is declared further down the object
+  /** Multi-probe LSH oracle (s3's shipped default): each query probes its
+    * own sign-bucket plus every Hamming-1 bucket (one plane's sign bit
+    * flipped — `xor(bucket, 1<<j)`), mirroring
+    * [[graft.ops.Vectors.lshTopKMultiProbe]] bucket-for-bucket.
+    */
   private lazy val oracleLsh: String = {
     val planes = graft.ops.Vectors.lshPlanes(8, 64)
     val planeSql = planes.map(p => "[" + p.mkString(", ") + "]")
     val bucketExpr = planeSql.zipWithIndex.map { case (p, j) =>
       s"(CASE WHEN list_dot_product(v, $p) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
+    val probeList = ("bucket" +: (0 until 8).map(j => s"xor(bucket, ${1L << j})")).mkString(", ")
     s"""WITH $oracleEmbCte,
        |b AS (SELECT vec_id, v, CAST($bucketExpr AS BIGINT) AS bucket FROM e),
-       |q AS (SELECT vec_id AS query_id, bucket, v AS qv FROM b WHERE vec_id < 8),
+       |q AS (SELECT vec_id AS query_id, unnest([$probeList]) AS bucket, v AS qv
+       |      FROM b WHERE vec_id < 8),
        |scored AS (SELECT q.query_id, b.vec_id AS neighbor_id, ${oracleCos("q.qv", "b.v")} AS sim
        |           FROM q JOIN b ON b.bucket = q.bucket AND b.vec_id <> q.query_id)
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
@@ -465,10 +472,11 @@ object SparkEntry {
        |  ON x.doc_id < y.doc_id AND ($oracleBandEq)
        |  WHERE y.doc_id = d.doc_id)""".stripMargin
 
-  /** Multi-probe IVF oracle (s4): nprobe = 4 nearest spaced centroids per
-    * query, searched over the same ⌈√N⌉-bucket assignment as d6.
+  /** Multi-probe IVF oracle (s2's shipped default at nprobe = 4, s4's
+    * recall-knob demo at nprobe = 8): the query's `nprobe` nearest spaced
+    * centroids, searched over the same ⌈√N⌉-bucket assignment as d6.
     */
-  private lazy val oracleIvfMultiProbe: String =
+  private def oracleIvfMultiProbeAt(nprobe: Int, k: Int): String =
     s"""WITH $oracleEmbCte,
        |$oracleSpacedAssigned,
        |qp AS (SELECT query_id, bucket FROM (
@@ -476,7 +484,7 @@ object SparkEntry {
        |                row_number() OVER (PARTITION BY vec_id
        |                  ORDER BY cs DESC, centroid_id ASC) AS rn
        |         FROM sc WHERE vec_id < 8)
-       |       WHERE rn <= 4),
+       |       WHERE rn <= $nprobe),
        |q AS (SELECT qp.query_id, qp.bucket, e.v AS qv
        |      FROM qp JOIN e ON e.vec_id = qp.query_id),
        |scored AS (SELECT q.query_id, av.vec_id AS neighbor_id, ${oracleCos("q.qv", "av.v")} AS sim
@@ -484,7 +492,7 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
        |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
        |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
-       |WHERE rank <= 5""".stripMargin
+       |WHERE rank <= $k""".stripMargin
 
   /** Multi-table LSH oracle (s5): candidate iff the query and vector share
     * a bucket in ANY of the 4 tables (the OR form — the Spark side uses the
@@ -536,7 +544,11 @@ object SparkEntry {
   /** Two-level IVF oracle (s6): coarse = ⌈√C⌉ spaced subset of the fine
     * seeds; fine centroids route to their nearest coarse parent; vectors
     * route coarse-first then to the nearest fine child of that parent —
-    * mirrors [[graft.ops.Vectors.ivfAssignTwoLevel]] tie-for-tie.
+    * mirrors [[graft.ops.Vectors.ivfAssignTwoLevel]] tie-for-tie. The
+    * SEARCH side is multi-probe (round-5 default): each query probes its 4
+    * nearest fine centroids scored DIRECTLY (the query side is |Q| rows —
+    * hierarchical routing there saves nothing and costs recall), mirroring
+    * [[graft.ops.Vectors.ivfTopKTwoLevelMultiProbe]].
     */
   private lazy val oracleIvfTwoLevel: String =
     s"""WITH $oracleEmbCte,
@@ -566,7 +578,14 @@ object SparkEntry {
        |                row_number() OVER (PARTITION BY vc.vec_id
        |                  ORDER BY ${oracleCos("vc.v", "fp.fv")} DESC, fp.fine_id ASC) AS rn
        |         FROM vc JOIN fp ON fp.parent = vc.parent) WHERE rn = 1),
-       |q AS (SELECT vec_id AS query_id, bucket, v AS qv FROM av WHERE vec_id < 8),
+       |qp AS (SELECT query_id, bucket FROM (
+       |         SELECT e.vec_id AS query_id, f.fine_id AS bucket,
+       |                row_number() OVER (PARTITION BY e.vec_id
+       |                  ORDER BY ${oracleCos("e.v", "f.fv")} DESC, f.fine_id ASC) AS rn
+       |         FROM e, fine f WHERE e.vec_id < 8)
+       |       WHERE rn <= 4),
+       |q AS (SELECT qp.query_id, qp.bucket, e.v AS qv
+       |      FROM qp JOIN e ON e.vec_id = qp.query_id),
        |scored AS (SELECT q.query_id, av.vec_id AS neighbor_id, ${oracleCos("q.qv", "av.v")} AS sim
        |           FROM q JOIN av ON av.bucket = q.bucket AND av.vec_id <> q.query_id)
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
@@ -610,30 +629,40 @@ object SparkEntry {
     * the exact accumulation/tie order of the codegen expressions. Yields
     * `pcent` (cidx, cv) and `pcodes` (vec_id, s, code).
     */
-  private val oraclePqCtes: String =
-    """pqp AS (SELECT GREATEST(1, count(*) // 16) AS step16 FROM e),
-      |pcent AS (SELECT CAST(vec_id // step16 AS BIGINT) AS cidx, v AS cv FROM e, pqp
-      |         WHERE vec_id % step16 = 0 AND vec_id < 16 * step16),
-      |sdist AS (SELECT e.vec_id, t.s, c.cidx,
-      |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      |              [(e.v[t.s*8+j] - c.cv[t.s*8+j]) * (e.v[t.s*8+j] - c.cv[t.s*8+j])
-      |               for j in range(1, 9)]),
-      |              (a, d) -> a + d) AS dist
-      |          FROM e, range(0, 8) t(s), pcent c),
-      |pcodes AS (SELECT vec_id, s, cidx AS code FROM (
-      |            SELECT vec_id, s, cidx,
-      |                   row_number() OVER (PARTITION BY vec_id, s
-      |                     ORDER BY dist ASC, cidx ASC) AS rn
-      |            FROM sdist) WHERE rn = 1)""".stripMargin
+  /** [[oraclePqCtes]] generalized to any (m subspaces, ks centroids) over
+    * d = 64 dims — sub-dim = 64/m; the round-5 s9/s11 defaults run at
+    * m = 16, ks = 64 (4-dim subspaces, 16 bytes/vector) while s12/s20 keep
+    * the m = 8, ks = 16 small-code point.
+    */
+  private def oraclePqCtesFor(m: Int, ks: Int): String = {
+    val sub = 64 / m
+    s"""pqp AS (SELECT GREATEST(1, count(*) // $ks) AS stepk FROM e),
+       |pcent AS (SELECT CAST(vec_id // stepk AS BIGINT) AS cidx, v AS cv FROM e, pqp
+       |         WHERE vec_id % stepk = 0 AND vec_id < $ks * stepk),
+       |sdist AS (SELECT e.vec_id, t.s, c.cidx,
+       |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |              [(e.v[t.s*$sub+j] - c.cv[t.s*$sub+j]) * (e.v[t.s*$sub+j] - c.cv[t.s*$sub+j])
+       |               for j in range(1, ${sub + 1})]),
+       |              (a, d) -> a + d) AS dist
+       |          FROM e, range(0, $m) t(s), pcent c),
+       |pcodes AS (SELECT vec_id, s, cidx AS code FROM (
+       |            SELECT vec_id, s, cidx,
+       |                   row_number() OVER (PARTITION BY vec_id, s
+       |                     ORDER BY dist ASC, cidx ASC) AS rn
+       |            FROM sdist) WHERE rn = 1)""".stripMargin
+  }
+
+  private val oraclePqCtes: String = oraclePqCtesFor(8, 16)
 
   /** ADC scoring + ranking tail shared by the PQ oracles: per-subspace dots
     * fold sequentially, the m partials add in subspace order (list ORDER BY
     * s), ranks tie to the smaller neighbor id.
     */
-  private def oraclePqScored(candidates: String): String =
+  private def oraclePqScoredFor(m: Int)(candidates: String): String = {
+    val sub = 64 / m
     s"""parts AS (SELECT q.query_id, nb.vec_id AS neighbor_id, cd.s,
        |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |              [q.qv[cd.s*8+j] * c.cv[cd.s*8+j] for j in range(1, 9)]),
+       |              [q.qv[cd.s*$sub+j] * c.cv[cd.s*$sub+j] for j in range(1, ${sub + 1})]),
        |              (a, d) -> a + d) AS part
        |          FROM $candidates
        |          JOIN pcodes cd ON cd.vec_id = nb.vec_id
@@ -642,13 +671,19 @@ object SparkEntry {
        |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(part ORDER BY s)),
        |               (a, b) -> a + b) AS sim
        |           FROM parts GROUP BY query_id, neighbor_id)""".stripMargin
+  }
 
-  private def oraclePqRank(candidates: String, k: Int): String =
-    s"""${oraclePqScored(candidates)}
+  private def oraclePqScored(candidates: String): String = oraclePqScoredFor(8)(candidates)
+
+  private def oraclePqRankFor(m: Int)(candidates: String, k: Int): String =
+    s"""${oraclePqScoredFor(m)(candidates)}
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
        |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
        |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
        |WHERE rank <= $k""".stripMargin
+
+  private def oraclePqRank(candidates: String, k: Int): String =
+    oraclePqRankFor(8)(candidates, k)
 
   /** Flagship (driver smoke-checks rows > 0 on sf0.001): all-windows top-1
     * transaction by size — the reference's headline query
@@ -1903,21 +1938,40 @@ object SparkEntry {
     }),
     "s2_ann_ivf" -> ((s, dir) => {
       // ⌈√N⌉ spaced centroids like d6/s4/s6 — bucket count grows with the
-      // corpus (a constant count would degrade to O(N²/C) pair scans)
+      // corpus (a constant count would degrade to O(N²/C) pair scans).
+      // Round 5: ships MULTI-PROBE (nprobe=4) — the round-4 verdict showed
+      // the single-probe default retrieved 2-of-5 right neighbors; probing
+      // the 4 nearest buckets is the standard recall floor (RECALL.json
+      // tracks the curve; single-probe stays a diagnostic row there)
       val emb = Tables.embeddings(s, dir)
-      Vectors.ivfTopK(emb, Vectors.spacedCentroidIds(emb.count()), 0L until 8L, k = 5)
+      Vectors.ivfTopKMultiProbe(emb, Vectors.spacedCentroidIds(emb.count()),
+        0L until 8L, k = 5, nprobe = 4)
     }),
+    "s27_ann_default" -> ((s, dir) =>
+      // THE production one-call ANN: SQ8 compressed scan (1 byte/dim, 8×
+      // below the float corpus) shortlists 4k candidates, exact re-rank
+      // orders them — recall 1.0 at sf0.1 regardless of corpus geometry
+      // (bucket-pruned recall is data-bounded; see Vectors.annTopK doc)
+      Vectors.annTopK(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
     "s9_ann_pq" -> ((s, dir) =>
-      // product quantization: 8 subspaces × 16 spaced sub-centroids →
-      // 8 BYTES per corpus vector through the scoring join (64× below
-      // float64), scored asymmetrically against the full query vector
-      Vectors.pqTopK(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
+      // product quantization at the round-5 shipped point: 16 subspaces ×
+      // 64 spaced sub-centroids (16 bytes/vector — still 32× below
+      // float64) ADC-shortlists 80 candidates, exact re-rank orders them.
+      // Recall@10 = 0.89 at sf0.1 vs 0.16 for the round-4 ADC-only
+      // m=8/ks=16 default (RECALL.json); the ADC-only small-code point
+      // remains on the record as s12's stage 1 and a diagnostics row
+      Vectors.pqRerankTopK(Tables.embeddings(s, dir), 0L until 8L, k = 10,
+        shortlist = 80, m = 16, ks = 64)),
     "s11_ann_ivfpq" -> ((s, dir) => {
-      // the production composition: IVF routing bounds WHICH vectors are
-      // scored, PQ codes bound WHAT the scan reads — a probe touches
-      // O(√N · m) bytes instead of O(N·d) doubles
+      // the production composition at the shipped operating point: IVF
+      // multi-probe routing (nprobe=4) bounds WHICH vectors are scored, PQ
+      // codes (m=16, ks=64) bound WHAT the scan reads, and the ADC
+      // shortlist re-ranks exactly — a probe touches O(4·√N·m) bytes and
+      // quantization error affects WHICH candidates surface, not their
+      // final order
       val emb = Tables.embeddings(s, dir)
-      Vectors.ivfPqTopK(emb, Vectors.spacedCentroidIds(emb.count()), 0L until 8L, k = 5)
+      Vectors.ivfPqRerankTopK(emb, Vectors.spacedCentroidIds(emb.count()), 0L until 8L,
+        k = 5, nprobe = 4, shortlist = 40, m = 16, ks = 64)
     }),
     "s12_ann_pq_rerank" -> ((s, dir) =>
       // two-stage retrieval: the PQ byte-code scan shortlists 40
@@ -1936,22 +1990,29 @@ object SparkEntry {
           max(col("vec_id")).as("max_vec_id"))
     }),
     "s3_ann_lsh" -> ((s, dir) =>
-      Vectors.lshTopK(Tables.embeddings(s, dir), 0L until 8L, k = 5)),
+      // round-5 default: multi-probe (own bucket + all Hamming-1 buckets)
+      // — the single-bucket form retrieved 1-of-20 right neighbors
+      Vectors.lshTopKMultiProbe(Tables.embeddings(s, dir), 0L until 8L, k = 5)),
     "s4_ann_ivf_multiprobe" -> ((s, dir) => {
-      // recall knob: 4 probes over the ⌈√N⌉ spaced-centroid buckets
+      // recall knob one step past s2's shipped nprobe=4 default: 8 probes
+      // over the ⌈√N⌉ spaced-centroid buckets (s23 sweeps the full curve)
       val emb = Tables.embeddings(s, dir)
       Vectors.ivfTopKMultiProbe(emb, Vectors.spacedCentroidIds(emb.count()),
-        0L until 8L, k = 5, nprobe = 4)
+        0L until 8L, k = 5, nprobe = 8)
     }),
     "s5_ann_lsh_multitable" -> ((s, dir) =>
       // recall amplifier: candidate iff colliding in ANY of 4 hash tables
       Vectors.lshTopKMultiTable(Tables.embeddings(s, dir), 0L until 8L, k = 5)),
     "s6_ann_ivf_twolevel" -> ((s, dir) => {
       // hierarchical assignment: O(N·√C·d) instead of O(N·C·d) — the
-      // routing that keeps IVF assignment affordable at 100 TB
+      // routing that keeps IVF assignment affordable at 100 TB. Round 5:
+      // the SEARCH side is multi-probe (nprobe=4 fine buckets, scored
+      // directly — the query side is |Q| rows, hierarchy saves nothing
+      // there and the single-probe form retrieved 0.16 recall@5)
       val emb = Tables.embeddings(s, dir)
       val fine = Vectors.spacedCentroidIds(emb.count())
-      Vectors.ivfTopKTwoLevel(emb, fine, Vectors.coarseSubset(fine), 0L until 8L, k = 5)
+      Vectors.ivfTopKTwoLevelMultiProbe(emb, fine, Vectors.coarseSubset(fine),
+        0L until 8L, k = 5, nprobe = 4)
     }),
 
     // ---- text analysis ----
@@ -3767,10 +3828,25 @@ object SparkEntry {
     // the m partials add in subspace order — the exact accumulation order
     // of PqEncode/PqAdcDot — so codes, sims, and ranks match bit-for-bit
     "s9_ann_pq" ->
+      // round-5 shipped point: m=16/ks=64 codes, ADC shortlist 80, exact
+      // re-rank top-10 — mirrors Vectors.pqRerankTopK(shortlist=80, m=16,
+      // ks=64) stage-for-stage
       s"""WITH $oracleEmbCte,
-         |$oraclePqCtes,
+         |${oraclePqCtesFor(16, 64)},
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
-         |${oraclePqRank("q JOIN e nb ON nb.vec_id <> q.query_id", 10)}""".stripMargin,
+         |${oraclePqScoredFor(16)("q JOIN e nb ON nb.vec_id <> q.query_id")},
+         |coarse AS (SELECT query_id, neighbor_id FROM (
+         |            SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |              ORDER BY sim DESC, neighbor_id ASC) AS rn FROM scored) WHERE rn <= 80),
+         |rr AS (SELECT c.query_id, c.neighbor_id,
+         |         list_dot_product(q.qv, nb.v) AS sim2
+         |       FROM coarse c
+         |       JOIN e nb ON nb.vec_id = c.neighbor_id
+         |       JOIN q ON q.query_id = c.query_id)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim2 DESC, neighbor_id ASC) AS rank FROM rr)
+         |WHERE rank <= 10""".stripMargin,
     "s12_ann_pq_rerank" ->
       // stage 1 = s9's ADC shortlist (top-40 by PQ sim), stage 2 re-ranks
       // only those by the exact dot over the full unit vectors
@@ -3791,29 +3867,72 @@ object SparkEntry {
          |        ORDER BY sim2 DESC, neighbor_id ASC) AS rank FROM rr)
          |WHERE rank <= 10""".stripMargin,
     "s11_ann_ivfpq" ->
-      // IVF routing bounds the candidate set (same bucket), PQ codes bound
-      // the scan — both spaced-deterministic patterns compose unchanged
+      // round-5 shipped composition: multi-probe routing (nprobe=4), PQ
+      // codes m=16/ks=64, ADC shortlist 40 across the probed buckets,
+      // exact re-rank top-5 — mirrors Vectors.ivfPqRerankTopK stage-for-
+      // stage (probes rank ties to the smaller centroid id, shortlist and
+      // final ranks tie to the smaller neighbor id)
       s"""WITH $oracleEmbCte,
          |$oracleSpacedAssigned,
-         |$oraclePqCtes,
-         |q AS (SELECT vec_id AS query_id, bucket, v AS qv FROM av WHERE vec_id < 8),
-         |${oraclePqRank("q JOIN av nb ON nb.bucket = q.bucket AND nb.vec_id <> q.query_id", 5)}""".stripMargin,
+         |${oraclePqCtesFor(16, 64)},
+         |qp AS (SELECT query_id, bucket FROM (
+         |         SELECT vec_id AS query_id, centroid_id AS bucket,
+         |                row_number() OVER (PARTITION BY vec_id
+         |                  ORDER BY cs DESC, centroid_id ASC) AS rn
+         |         FROM sc WHERE vec_id < 8)
+         |       WHERE rn <= 4),
+         |q AS (SELECT qp.query_id, qp.bucket, e.v AS qv
+         |      FROM qp JOIN e ON e.vec_id = qp.query_id),
+         |${oraclePqScoredFor(16)(
+          "q JOIN av nb ON nb.bucket = q.bucket AND nb.vec_id <> q.query_id")},
+         |coarse AS (SELECT query_id, neighbor_id FROM (
+         |            SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |              ORDER BY sim DESC, neighbor_id ASC) AS rn FROM scored) WHERE rn <= 40),
+         |rr AS (SELECT c.query_id, c.neighbor_id,
+         |         list_dot_product(q2.v, nb.v) AS sim2
+         |       FROM coarse c
+         |       JOIN e nb ON nb.vec_id = c.neighbor_id
+         |       JOIN e q2 ON q2.vec_id = c.query_id)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim2 DESC, neighbor_id ASC) AS rank FROM rr)
+         |WHERE rank <= 5""".stripMargin,
+    "s27_ann_default" ->
+      // the one-call production default: s8's SQ8 decode-corrected scan
+      // shortlists rn <= 40, exact re-rank over the normalized vectors
+      // orders the final top-10 — mirrors Vectors.annTopK stage-for-stage
+      s"""WITH $oracleEmbCte,
+         |ex AS (SELECT vec_id, unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x FROM e),
+         |stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i),
+         |codes AS (SELECT vec_id, i, mn, mx,
+         |            CASE WHEN mx > mn THEN least(floor((x - mn) * 255.0 / (mx - mn)), 255.0)
+         |                 ELSE 0.0 END AS c
+         |          FROM ex JOIN stats USING (i)),
+         |dec AS (SELECT vec_id, list(mn + c * ((mx - mn) / 255.0) ORDER BY i) AS dv
+         |        FROM codes GROUP BY vec_id),
+         |q AS (SELECT vec_id AS query_id, dv AS a FROM dec WHERE vec_id < 8),
+         |qscored AS (SELECT query_id, dec.vec_id AS neighbor_id,
+         |              list_dot_product(a, dec.dv) AS sim
+         |            FROM q, dec WHERE dec.vec_id <> q.query_id),
+         |coarse AS (SELECT query_id, neighbor_id FROM (
+         |            SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |              ORDER BY sim DESC, neighbor_id ASC) AS rn FROM qscored) WHERE rn <= 40),
+         |rr AS (SELECT c.query_id, c.neighbor_id,
+         |         list_dot_product(q2.v, nb.v) AS sim2
+         |       FROM coarse c
+         |       JOIN e nb ON nb.vec_id = c.neighbor_id
+         |       JOIN e q2 ON q2.vec_id = c.query_id)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim2 DESC, neighbor_id ASC) AS rank FROM rr)
+         |WHERE rank <= 10""".stripMargin,
     "s10_ivf_profile" ->
       s"""WITH $oracleEmbCte,
          |$oracleSpacedAssigned
          |SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
          |       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
          |FROM av GROUP BY bucket""".stripMargin,
-    "s2_ann_ivf" ->
-      s"""WITH $oracleEmbCte,
-         |$oracleSpacedAssigned,
-         |q AS (SELECT vec_id AS query_id, bucket, v AS qv FROM av WHERE vec_id < 8),
-         |scored AS (SELECT q.query_id, av.vec_id AS neighbor_id, ${oracleCos("q.qv", "av.v")} AS sim
-         |           FROM q JOIN av ON av.bucket = q.bucket AND av.vec_id <> q.query_id)
-         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
-         |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
-         |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
-         |WHERE rank <= 5""".stripMargin,
+    "s2_ann_ivf" -> oracleIvfMultiProbeAt(nprobe = 4, k = 5),
     "s19_ivf_recall" ->
       // exact top-10 ∩ IVF top-10 per query; recall is deterministic, so
       // zero-hit queries still emit a 0 row
@@ -3988,7 +4107,7 @@ object SparkEntry {
         |       CAST(max(norm_ppb) AS BIGINT) AS max_norm_ppb
         |FROM n""".stripMargin,
     "s3_ann_lsh" -> oracleLsh,
-    "s4_ann_ivf_multiprobe" -> oracleIvfMultiProbe,
+    "s4_ann_ivf_multiprobe" -> oracleIvfMultiProbeAt(nprobe = 8, k = 5),
     "s5_ann_lsh_multitable" -> oracleLshMulti,
     "s6_ann_ivf_twolevel" -> oracleIvfTwoLevel,
     "m2_frame_sample" ->

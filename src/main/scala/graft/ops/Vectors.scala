@@ -146,6 +146,79 @@ object Vectors {
     topKPerGroup(scored, "query_id", k)
   }
 
+  /** Compressed-scan + exact re-rank — the library's ONE-CALL production
+    * ANN default ([[annTopK]]): the SQ8 byte-code scan ([[quantizedTopK]])
+    * shortlists `shortlist` candidates per query reading 1 byte/dimension
+    * (8× below the float corpus), then ONLY those are re-scored exactly.
+    *
+    * Why this is the default and not IVF/LSH: spatial pruning's recall is
+    * bounded by how well buckets localize true neighbors, which is a DATA
+    * property — on an isotropic corpus (RECALL.json's `isotropy` block
+    * measures this: cross-label ≈ same-label ≈ 0 mean cosine) any
+    * bucket-pruned index caps out near its scan fraction, while the
+    * compressed full scan keeps recall ≈ 1.0 at 1/8 the scan bandwidth.
+    * On clustered corpora the tuned IVF paths ([[tunedNprobe]]) prune far
+    * more aggressively at the same recall; the report keeps both honest.
+    *
+    * At 100 TB: stage 1 is a single narrow codegen scan of byte codes
+    * (memory-bandwidth-bound, embarrassingly parallel, no shuffle); the
+    * nq·L shortlist broadcasts, so stage 2 is one more corpus-partition
+    * scan that touches only suspects' floats. Deterministic end-to-end
+    * (exact min/max stats, pinned encode/decode order) — oracle-hashable.
+    */
+  def quantizedRerankTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      shortlist: Int): DataFrame = {
+    val unit = withUnit(embeddings).select(col("vec_id"), col("unit")).persist()
+    val coarse = quantizedTopK(embeddings, queryIds, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val queries = unit
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("unit").as("q"))
+    val scored = unit.select(col("vec_id").as("neighbor_id"), col("unit").as("b"))
+      .join(F.broadcast(coarse), Seq("neighbor_id"))
+      .join(F.broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("q"), col("b")).as("sim"))
+    topKPerGroup(scored, "query_id", k)
+  }
+
+  /** The production one-call ANN entry point: [[quantizedRerankTopK]] with
+    * a 4·k shortlist. See that method for why compressed-scan + re-rank is
+    * the geometry-robust default.
+    */
+  def annTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame =
+    quantizedRerankTopK(embeddings, queryIds, k, shortlist = 4 * k)
+
+  /** Recall-targeted nprobe auto-tune — the production answer to "what
+    * nprobe do I need?": measure recall@k of [[multiProbeOver]] against the
+    * exact top-k on a SAMPLE of queries, doubling nprobe (1, 2, 4, …) until
+    * the measured recall reaches `target` (or the centroid count caps it),
+    * then return the first passing nprobe. Every per-step collect is |Q|·k
+    * id pairs — bounded metadata, never corpus-sized; the corpus-side
+    * assignment builds once and is reused across steps. Deterministic given
+    * the data (integer comparisons over deterministic searches), so the
+    * tuned value is reproducible — RECALL.json records the tuned operating
+    * points per round.
+    */
+  def tunedNprobe(embeddings: DataFrame, centroids: Seq[(Long, Array[Double])],
+      sampleQueryIds: Seq[Long], k: Int, target: Double): Int = {
+    require(target > 0.0 && target <= 1.0, "target recall must be in (0, 1]")
+    val exact = bruteForceTopK(embeddings, sampleQueryIds, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val assigned = ivfAssignWithCentroids(embeddings, centroids).persist()
+    val centFrame = centroidFrame(embeddings.sparkSession, centroids)
+    val c = centroids.size
+    var nprobe = 1
+    while (nprobe < c) {
+      val got = multiProbeOver(assigned, centFrame, sampleQueryIds, k, nprobe)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      if (got.intersect(exact).size.toDouble / exact.size >= target) return nprobe
+      nprobe *= 2
+    }
+    c
+  }
+
   /** Product-quantized ANN — the compression step BEYOND s8's scalar codes:
     * the unit vector splits into `m` contiguous subspaces and each stores
     * only the index of its nearest sub-centroid (of `ks`, squared-L2, ties
@@ -222,6 +295,79 @@ object Vectors {
     topKPerGroup(scored, "query_id", k)
   }
 
+  /** IVF-PQ at the PRODUCTION operating point — the round-4 verdict's
+    * recall fix composed end-to-end: multi-probe routing (each query
+    * searches its `nprobe` nearest centroid buckets, not one), the PQ ADC
+    * byte-code scan shortlists `shortlist` candidates across those buckets,
+    * and ONLY the shortlist is re-scored against full unit vectors. Scan
+    * cost stays O(nprobe·N/C·m) bytes per query; quantization error decides
+    * WHICH ~L candidates surface, never their final order. Deterministic
+    * end-to-end (spaced centroids + spaced codebook, ties to smaller ids),
+    * so the DuckDB oracle reproduces routing, codes, shortlist, and ranks.
+    */
+  def ivfPqRerankTopK(embeddings: DataFrame, centroidIds: Seq[Long], queryIds: Seq[Long],
+      k: Int, nprobe: Int = 4, shortlist: Int = 40, m: Int = 8, ks: Int = 16): DataFrame = {
+    val assigned = ivfAssign(embeddings, centroidIds)
+      .select(col("vec_id"), col("bucket"), col("unit")).persist()
+    val centroids = assigned
+      .filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("centroid_id"), col("unit").as("c"))
+    ivfPqRerankOver(assigned, centroids, queryIds, k, nprobe, shortlist, m,
+      spacedPqCodebook(assigned.select(col("vec_id"), col("unit")), ks))
+  }
+
+  /** [[ivfPqRerankTopK]] with TRAINED routing centroids and a TRAINED PQ
+    * codebook — the full production IVF-PQ path (k-means routing, k-means
+    * codewords, multi-probe, exact re-rank). Tracked in RECALL.json.
+    */
+  def ivfPqRerankTopKTrained(embeddings: DataFrame, centroids: Seq[(Long, Array[Double])],
+      queryIds: Seq[Long], k: Int, nprobe: Int, shortlist: Int, m: Int,
+      codebook: Seq[Double]): DataFrame = {
+    val assigned = ivfAssignWithCentroids(embeddings, centroids)
+      .select(col("vec_id"), col("bucket"), col("unit")).persist()
+    ivfPqRerankOver(assigned, centroidFrame(embeddings.sparkSession, centroids),
+      queryIds, k, nprobe, shortlist, m, codebook)
+  }
+
+  private def ivfPqRerankOver(assigned: DataFrame, centroids: DataFrame,
+      queryIds: Seq[Long], k: Int, nprobe: Int, shortlist: Int, m: Int,
+      codebook: Seq[Double]): DataFrame = {
+    val centLit = typedlit(codebook)
+    val codes = assigned.select(col("vec_id"), col("bucket"),
+      graft.functions.VectorFunctions.pqCode(col("unit"), centLit, lit(m)).as("code"))
+      .persist()
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("centroid_id").asc)
+    val probes = assigned
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("unit").as("q"))
+      .join(F.broadcast(centroids))
+      .select(col("query_id"), col("q"), col("centroid_id"),
+        dot(col("q"), col("c")).as("cs"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("centroid_id").as("bucket"), col("q"))
+    // stage 1: ADC over byte codes in the probed buckets → top-`shortlist`
+    val adc = F.broadcast(probes)
+      .join(codes.select(col("vec_id").as("neighbor_id"), col("bucket"), col("code")),
+        Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions.pqAdcDot(col("q"), col("code"), centLit).as("sim"))
+    val coarse = topKPerGroup(adc, "query_id", shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // stage 2: exact re-rank of the nq·L shortlist over full unit vectors
+    val queries = assigned
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("unit").as("q"))
+    val scored = assigned.select(col("vec_id").as("neighbor_id"), col("unit").as("b"))
+      .join(F.broadcast(coarse), Seq("neighbor_id"))
+      .join(F.broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("q"), col("b")).as("sim"))
+    topKPerGroup(scored, "query_id", k)
+  }
+
   /** PQ search against an explicit flat codebook (ks "virtual" full-dim
     * centroids, row-major — subspace s of virtual centroid c holds
     * codebook entry c of subspace s) — the seam [[trainedPqCodebooks]]
@@ -262,7 +408,17 @@ object Vectors {
   def pqRerankTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       shortlist: Int = 40, m: Int = 8, ks: Int = 16): DataFrame = {
     val unit = withUnit(embeddings).select(col("vec_id"), col("unit")).persist()
-    val coarse = pqTopKWithCodebook(unit, queryIds, shortlist, m, spacedPqCodebook(unit, ks))
+    pqRerankTopKWithCodebook(unit, queryIds, k, shortlist, m, spacedPqCodebook(unit, ks))
+  }
+
+  /** [[pqRerankTopK]] against an explicit flat codebook — the seam the
+    * TRAINED codebooks ([[trainedPqCodebooks]]) plug into; the parity query
+    * passes the spaced codebook through the same code. `unit` must be
+    * (vec_id, unit) and should arrive persisted.
+    */
+  def pqRerankTopKWithCodebook(unit: DataFrame, queryIds: Seq[Long], k: Int,
+      shortlist: Int, m: Int, centFlat: Seq[Double]): DataFrame = {
+    val coarse = pqTopKWithCodebook(unit, queryIds, shortlist, m, centFlat)
       .select(col("query_id"), col("neighbor_id"))
     val queries = unit
       .filter(col("vec_id").isin(queryIds: _*))
@@ -918,6 +1074,16 @@ object Vectors {
     val centroids = assigned
       .filter(col("vec_id").isin(centroidIds: _*))
       .select(col("vec_id").as("centroid_id"), col("unit").as("c"))
+    multiProbeOver(assigned, centroids, queryIds, k, nprobe)
+  }
+
+  /** Multi-probe search over ANY (vec_id, bucket, unit) assignment and ANY
+    * (centroid_id, c) routing table — the shared probe+score stage of the
+    * spaced-parity, trained, and two-level multi-probe variants. `assigned`
+    * should arrive persisted (it feeds both the query and candidate side).
+    */
+  private def multiProbeOver(assigned: DataFrame, centroids: DataFrame,
+      queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
     // rank every centroid per query, keep the nprobe nearest (ties to the
     // smaller centroid id) — the window is partitioned by query, so this
     // never degenerates to a single task
@@ -939,6 +1105,32 @@ object Vectors {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), dot(col("q"), col("e")).as("sim"))
     topKPerGroup(scored, "query_id", k)
+  }
+
+  /** [[ivfTopKMultiProbe]] over TRAINED centroids — the production search
+    * default: k-means routing quality plus the multi-probe recall bound.
+    * RECALL.json tracks this operating point per round.
+    */
+  def ivfTopKMultiProbeTrained(embeddings: DataFrame, centroids: Seq[(Long, Array[Double])],
+      queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
+    val assigned = ivfAssignWithCentroids(embeddings, centroids).persist()
+    multiProbeOver(assigned, centroidFrame(embeddings.sparkSession, centroids), queryIds, k, nprobe)
+  }
+
+  /** Two-level IVF with multi-probe SEARCH: the corpus routes through the
+    * O(N·√C·d) hierarchical assignment ([[ivfAssignTwoLevel]]) but each
+    * QUERY probes its `nprobe` nearest fine centroids scored directly (the
+    * query side is |Q| rows — routing it hierarchically saves nothing and
+    * costs recall). This closes the round-4 recall gap of the single-probe
+    * two-level form (0.16@5) without giving up the cheap corpus assignment.
+    */
+  def ivfTopKTwoLevelMultiProbe(embeddings: DataFrame, fineIds: Seq[Long], coarseIds: Seq[Long],
+      queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
+    val assigned = ivfAssignTwoLevel(embeddings, fineIds, coarseIds).persist()
+    val fine = withUnit(embeddings)
+      .filter(col("vec_id").isin(fineIds: _*))
+      .select(col("vec_id").as("centroid_id"), col("unit").as("c"))
+    multiProbeOver(assigned, fine, queryIds, k, nprobe)
   }
 
   /** Random-hyperplane LSH: deterministic pseudo-random planes (a fixed
@@ -977,6 +1169,35 @@ object Vectors {
     val queries = bucketed
       .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("bucket"), col("unit").as("q"))
+    val scored = F.broadcast(queries)
+      .join(bucketed.select(col("vec_id").as("neighbor_id"), col("bucket"), col("unit").as("e")),
+        Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("q"), col("e")).as("sim"))
+    topKPerGroup(scored, "query_id", k)
+  }
+
+  /** Multi-probe LSH: each query searches its own sign-bucket AND every
+    * Hamming-distance-1 bucket (one plane's sign flipped) — the classic
+    * multi-probe trick (Lv et al. 2007): a near neighbor that lands one
+    * sign-bit away is the dominant LSH failure mode, and probing the
+    * nPlanes 1-flip buckets recovers it for ~(nPlanes+1)/2^nPlanes of the
+    * corpus per query instead of a whole extra table. Probe buckets are
+    * distinct by construction (sig XOR bit ≠ sig) and corpus vectors live
+    * in exactly one bucket, so candidates need no dedup. Deterministic:
+    * same planes as [[lshTopK]], so the SQL oracle reproduces buckets and
+    * probes exactly.
+    */
+  def lshTopKMultiProbe(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val bucketed = withLshBucket(
+      withUnit(embeddings).select(col("vec_id"), col("unit")), nPlanes, dim).persist()
+    val probeBuckets = array(
+      col("bucket") +: (0 until nPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)
+    val queries = bucketed
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), explode(probeBuckets).as("bucket"),
+        col("unit").as("q"))
     val scored = F.broadcast(queries)
       .join(bucketed.select(col("vec_id").as("neighbor_id"), col("bucket"), col("unit").as("e")),
         Seq("bucket"))

@@ -631,4 +631,100 @@ class VectorsSpec extends SparkSpec {
     // nprobe = all buckets searches the whole corpus → exact recall
     assert(out(nBuckets.toLong) === 4L * 5L)
   }
+
+  test("annTopK: the SQ8-scan + re-rank production default recovers brute force on the fixture") {
+    // the round-5 flagship: a 4k compressed-scan shortlist re-ranked
+    // exactly — on the (isotropic) fixture corpus SQ8 ordering is good
+    // enough that the shortlist contains the whole true top-k
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = (0L until 8L).toSeq
+    val exact = hits(Vectors.bruteForceTopK(emb, queries, k = 10))
+    assert(hits(Vectors.annTopK(emb, queries, k = 10)) === exact)
+  }
+
+  test("trained multi-probe: probing all trained buckets recovers brute force exactly") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val trained = Vectors.trainedCentroids(emb, c = 8, sampleTarget = 512)
+    val queries = Seq(0L, 1L, 2L)
+    val exact = hits(Vectors.bruteForceTopK(emb, queries, k = 5))
+    val all = hits(Vectors.ivfTopKMultiProbeTrained(emb, trained, queries, k = 5,
+      nprobe = trained.size))
+    assert(all === exact)
+    // and the trained mp4 path is at least as good as trained single-probe
+    val mp4 = hits(Vectors.ivfTopKMultiProbeTrained(emb, trained, queries, k = 5, nprobe = 4))
+    val single = hits(Vectors.ivfTopKTrained(emb, trained, queries, k = 5))
+    assert(mp4.intersect(exact).size >= single.intersect(exact).size)
+  }
+
+  test("multi-probe LSH: recall ≥ single-bucket; dense ranks per query") {
+    val exact = hits(Vectors.bruteForceTopK(corpus, Seq(1L, 2L), k = 5))
+    val single = hits(Vectors.lshTopK(corpus, Seq(1L, 2L), k = 5, dim = 8))
+    val mp = Vectors.lshTopKMultiProbe(corpus, Seq(1L, 2L), k = 5, dim = 8)
+    val mpHits = hits(mp)
+    assert(mpHits.intersect(exact).size >= single.intersect(exact).size)
+    // ranks are dense from 1 within each query (no dup candidates from the
+    // probe fan-out: corpus vectors live in exactly one bucket)
+    mp.collect().groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to rs.length).toSeq)
+    }
+  }
+
+  test("tunedNprobe: returned config actually achieves the target (or caps at C)") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val trained = Vectors.trainedCentroids(emb, c = 8, sampleTarget = 512)
+    val queries = (0L until 8L).toSeq
+    val target = 0.6
+    val p = Vectors.tunedNprobe(emb, trained, queries, k = 5, target = target)
+    val exact = hits(Vectors.bruteForceTopK(emb, queries, k = 5))
+    val got = hits(Vectors.ivfTopKMultiProbeTrained(emb, trained, queries, k = 5, nprobe = p))
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= target || p === trained.size)
+    // and it is minimal on the doubling grid: half the probes miss the target
+    if (p > 1) {
+      val below = hits(Vectors.ivfTopKMultiProbeTrained(emb, trained, queries, k = 5,
+        nprobe = p / 2))
+      assert(below.intersect(exact).size.toDouble / exact.size < target)
+    }
+  }
+
+  test("ivfPqRerank: trained path with spaced centroids/codebook ≡ the spaced parity path") {
+    // the trained entry point is the SAME algorithm behind a different
+    // centroid source: feeding it the spaced centroid VECTORS (in spaced-id
+    // order) and the spaced codebook must reproduce the parity results
+    // (bucket ids differ — index vs vec_id — but routing partitions match)
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val spacedIds = Vectors.spacedCentroidIds(n)
+    val unit = Vectors.withUnit(emb)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("unit"))
+    val centVecs = unit
+      .filter(org.apache.spark.sql.functions.col("vec_id").isin(spacedIds: _*))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }.toSeq
+    val codebook = Vectors.spacedPqCodebook(unit, 16)
+    val queries = (0L until 4L).toSeq
+    val parity = Vectors.ivfPqRerankTopK(emb, spacedIds, queries, k = 5,
+      nprobe = 2, shortlist = 20, m = 8, ks = 16)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    val viaTrained = Vectors.ivfPqRerankTopKTrained(emb, centVecs, queries, k = 5,
+      nprobe = 2, shortlist = 20, m = 8, codebook = codebook)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    assert(viaTrained.toSeq === parity.toSeq)
+  }
+
+  test("pqRerankTopKWithCodebook: corpus-wide shortlist ≡ brute force at m=16/ks=64") {
+    // the shipped s9 geometry (16 subspaces × 64 centroids) through the
+    // codebook seam: when the shortlist covers the corpus the exact re-rank
+    // must reproduce brute force regardless of code quality
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val unit = Vectors.withUnit(emb)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("unit"))
+    val queries = Seq(0L, 1L)
+    val exact = hits(Vectors.bruteForceTopK(emb, queries, k = 5))
+    val wide = hits(Vectors.pqRerankTopKWithCodebook(unit, queries, k = 5,
+      shortlist = emb.count().toInt, m = 16, centFlat = Vectors.spacedPqCodebook(unit, 64)))
+    assert(wide === exact)
+  }
 }
