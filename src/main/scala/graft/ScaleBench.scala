@@ -212,6 +212,7 @@ object ScaleBench {
         (col("dst") + lit(k * nodeStride)).as("dst"))
     }.reduce(_ union _)
     val graphQs: Seq[(String, DataFrame => DataFrame)] = Seq(
+      ("t32_pagerank", e => graft.operators.Graph.pageRank(e)),
       ("t40_triangles", e => graft.operators.Graph.triangleCounts(e)),
       ("t42_kcore", e => graft.operators.Graph.kCore(e, k = 3, rounds = 8)),
       ("t52_label_prop", e => graft.operators.Graph.labelPropagation(e, rounds = 4)),
@@ -229,6 +230,45 @@ object ScaleBench {
     val gBase = runGraph(1)
     val gX8 = runGraph(8)
 
+    // binlog surface (round-4 verdict "next" #6): ×f the raw event table —
+    // ids remapped, USERS (= gtids) remapped per copy, timestamps kept, so
+    // each 5-min window carries 8× the rows and 8× the transactions. b2's
+    // single-exchange window agg and b14's per-gtid sessionization must
+    // both track row count; a per-window sort or per-group quadratic stage
+    // would blow past ×8.
+    val rawEvents = Tables.events(spark, sfDir).persist()
+    val evStride = rawEvents.agg(max(col("event_id"))).head.getLong(0) + 1L
+    val userStride = rawEvents.agg(max(col("user_id"))).head.getLong(0) + 1L
+    def scaledBinlog(f: Int): DataFrame = graft.binlog.BinlogEvents.shape(
+      (0 until f).map { k =>
+        rawEvents.select((col("event_id") + lit(k * evStride)).as("event_id"),
+          col("ts"), (col("user_id") + lit(k * userStride)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ union _))
+    val rangeStart = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-05T00:00:00Z"))
+    val rangeEnd = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-06T00:00:00Z"))
+    val binlogQs: Seq[(String, DataFrame => DataFrame)] = Seq(
+      ("b1_txn_stats", b => graft.binlog.TransactionStats.forRange(
+        b, rangeStart, rangeEnd, "1day")),
+      ("b2_top1_size", b => graft.binlog.TransactionStats.top1PerWindow(
+        b, "transaction_size")),
+      ("b14_txn_assembly", b => graft.streaming.TransactionAssembler.assembleBatch(
+        b.select(col("gtid"), col("execute_time"),
+          graft.binlog.BinlogEvents.pos.as("pos"),
+          graft.binlog.BinlogEvents.sizeBytes.as("size_bytes"),
+          col("single_statement_affected_rows").as("affected_rows")),
+        gapSec = 86400L)))
+    def runBinlog(f: Int): Seq[(String, Double, Long)] = {
+      val b = scaledBinlog(f)
+      binlogQs.map { case (name, fn) =>
+        val (sec, rows) = time(() => fn(b))
+        System.err.println(f"[scale x$f] $name%-24s $sec%8.2f s  $rows%10d rows")
+        (name, sec, rows)
+      }
+    }
+    val bBase = runBinlog(1)
+    val bX8 = runBinlog(8)
+
     // adversarial hot-shingle corpus: one boilerplate sentence appended to
     // EVERY doc of the 8N corpus → its shingles have df = 8N; the df-capped
     // candidate index must keep d2 at ≈ clean-corpus cost
@@ -245,10 +285,13 @@ object ScaleBench {
       f""""$n":${s / math.max(b, 1e-9)}%.2f""" }.mkString("{", ",", "}")
     val gRatios = gBase.zip(gX8).map { case ((n, b, _), (_, s, _)) =>
       f""""$n":${s / math.max(b, 1e-9)}%.2f""" }.mkString("{", ",", "}")
+    val bRatios = bBase.zip(bX8).map { case ((n, b, _), (_, s, _)) =>
+      f""""$n":${s / math.max(b, 1e-9)}%.2f""" }.mkString("{", ",", "}")
     val json =
       s"""{"sf":"$sfDir","n_docs":$nDocs,"n_vecs":$nVecs,"factor":8,""" +
         s""""base":${sect(base)},"x8":${sect(x8)},"time_ratio_x8":$ratios,""" +
         s""""graph_base":${sect(gBase)},"graph_x8":${sect(gX8)},"graph_time_ratio_x8":$gRatios,""" +
+        s""""binlog_base":${sect(bBase)},"binlog_x8":${sect(bX8)},"binlog_time_ratio_x8":$bRatios,""" +
         f""""hot_shingle":{"appended_to_all":true,"boilerplate_df":${nDocs * 8},"d2_sec":$hotSec%.3f,"d2_rows":$hotRows}}"""
     Files.writeString(Paths.get(out), json + "\n")
     println(json)

@@ -168,20 +168,15 @@ object SparkEntry {
     */
   private val oracleJaccardCtes: String = oracleJaccardCtesAt(0.5)
 
-  private def oracleJaccardCtesAt(threshold: Double): String = {
-    val p = graft.ops.Dedup.minhashPrime
+  /** The df-capped candidate/verify tail over ANY `sh(doc_id, shingle_id)`
+    * relation — the identical cap [[graft.ops.Dedup.jaccardPairsFromShingles]]
+    * applies (candidates must share a feature with 1 < df ≤ cap; scores
+    * are exact over the full sets). Shared by the token-5-gram front-end
+    * (d2/d7/d9) and the frame-fingerprint front-end (m8).
+    */
+  private def oracleJaccardTail(threshold: Double): String = {
     val cap = graft.ops.Dedup.defaultMaxDf
-    // df-capped candidate generation / exact verification — the identical
-    // cap [[Dedup.jaccardPairsFromShingles]] applies (candidates must share
-    // a shingle with 1 < df ≤ cap; scores are exact over the full sets)
-    s"""$oracleTokCtes,
-       |ids AS (SELECT doc_id, list(token_id ORDER BY pos) AS ids FROM tid GROUP BY doc_id),
-       |sh AS (SELECT DISTINCT doc_id, sid AS shingle_id FROM (
-       |  SELECT doc_id, unnest([list_reduce(list_prepend(CAST(0 AS BIGINT), ids[i:i+4]),
-       |                                     (a, t) -> (a * 37 + t + 1) % $p)
-       |                         for i in range(1, len(ids) - 3)]) AS sid
-       |  FROM ids)),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    s"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |rare AS (SELECT shingle_id FROM (SELECT shingle_id, count(*) AS c FROM sh GROUP BY 1)
        |         WHERE c > 1 AND c <= $cap),
        |idx AS (SELECT sh.* FROM sh JOIN rare USING (shingle_id)),
@@ -198,6 +193,18 @@ object SparkEntry {
        |JOIN sizes sa ON sa.doc_id = doc_a
        |JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= $threshold)""".stripMargin
+  }
+
+  private def oracleJaccardCtesAt(threshold: Double): String = {
+    val p = graft.ops.Dedup.minhashPrime
+    s"""$oracleTokCtes,
+       |ids AS (SELECT doc_id, list(token_id ORDER BY pos) AS ids FROM tid GROUP BY doc_id),
+       |sh AS (SELECT DISTINCT doc_id, sid AS shingle_id FROM (
+       |  SELECT doc_id, unnest([list_reduce(list_prepend(CAST(0 AS BIGINT), ids[i:i+4]),
+       |                                     (a, t) -> (a * 37 + t + 1) % $p)
+       |                         for i in range(1, len(ids) - 3)]) AS sid
+       |  FROM ids)),
+       |${oracleJaccardTail(threshold)}""".stripMargin
   }
 
   private val oracleJaccardPairs: String =
@@ -592,6 +599,49 @@ object SparkEntry {
        |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
        |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
        |WHERE rank <= 5""".stripMargin
+
+  /** Fused multi-probe recall-sweep CTE chain ending in
+    * `sweep(nprobe, n_hits, n_truth, recall_ppm)` — one multiprobe block
+    * per config over the SHARED centroid ranking (qp), each contributing
+    * one row. The s23 sweep table and the s28 tuning decision both read
+    * from it (mirrors [[graft.ops.Vectors.probeSweep]]).
+    */
+  private def oracleProbeSweepCtes(k: Int, qn: Int, cfg: Seq[Int]): String = {
+    val blocks = cfg.map { np =>
+      s"""iq_$np AS (SELECT qp.query_id, qp.bucket, e.v AS qv
+         |          FROM qp JOIN e ON e.vec_id = qp.query_id WHERE qp.rn <= $np),
+         |isc_$np AS (SELECT q.query_id, av.vec_id AS neighbor_id, ${oracleCos("q.qv", "av.v")} AS sim
+         |          FROM iq_$np q JOIN av ON av.bucket = q.bucket AND av.vec_id <> q.query_id),
+         |itop_$np AS (SELECT query_id, neighbor_id FROM (
+         |            SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |              ORDER BY sim DESC, neighbor_id ASC) AS rn FROM isc_$np)
+         |          WHERE rn <= $k)""".stripMargin
+    }.mkString(",\n")
+    val rows = cfg.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM btop b
+         |        JOIN itop_$np i ON i.query_id = b.query_id
+         |         AND i.neighbor_id = b.neighbor_id) AS n_hits""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $oracleEmbCte,
+       |$oracleSpacedAssigned,
+       |bq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $qn),
+       |bscored AS (SELECT query_id, e.vec_id AS neighbor_id, ${oracleCos("bq.qv", "e.v")} AS sim
+       |            FROM bq, e WHERE e.vec_id <> bq.query_id),
+       |btop AS (SELECT query_id, neighbor_id FROM (
+       |           SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY sim DESC, neighbor_id ASC) AS rn FROM bscored)
+       |         WHERE rn <= $k),
+       |qp AS (SELECT vec_id AS query_id, centroid_id AS bucket, rn FROM (
+       |         SELECT vec_id, centroid_id,
+       |                row_number() OVER (PARTITION BY vec_id
+       |                  ORDER BY cs DESC, centroid_id ASC) AS rn
+       |         FROM sc WHERE vec_id < $qn)),
+       |$blocks,
+       |sweep AS (SELECT nprobe, n_hits, CAST(${qn * k} AS BIGINT) AS n_truth,
+       |                 (1000000 * n_hits) // ${qn * k} AS recall_ppm
+       |          FROM ($rows))""".stripMargin
+  }
 
   /** Doubles-widened embedding CTE + IVF assignment (centroids = vec_id<32,
     * nearest by cosine, ties to the smaller centroid id).
@@ -1270,6 +1320,14 @@ object SparkEntry {
       // duplicate frames shared across distinct documents (digest-keyed,
       // payload never shuffled) — the multimodal twin of d8 exact dedup
       graft.ops.Multimodal.duplicateFrames(Tables.documents(s, dir), frameChars = 100)),
+    "m8_frame_jaccard" -> ((s, dir) =>
+      // video-style near-dup: exact Jaccard over per-document frame-
+      // fingerprint SETS through the shared df-capped candidate/verify
+      // machinery — m4 asks "which frames repeat", this asks "which
+      // documents overlap"; a viral intro frame is capped at the index
+      Dedup.jaccardPairsFromShingles(
+        graft.ops.Multimodal.frameSignatures(Tables.documents(s, dir), frameChars = 100),
+        threshold = 0.5)),
     "t37_approx_pct_checked" -> ((s, dir) =>
       // the b13 discipline for quantile sketches: percentile_approx runs
       // next to the exact histogram percentiles and RAISES outside the
@@ -1585,10 +1643,10 @@ object SparkEntry {
       // the governance histogram over d7's components: how many duplicate
       // clusters of each size, how many docs (and how many deletable) they
       // bind — the "how much would dedup save?" report; both aggs after
-      // the CC are cluster- then size-count-sized (metadata)
-      val ids = Vocab.hashTokenIdArrays(Tables.documents(s, dir))
-      Dedup.dedupGroupsAuto(
-        Dedup.jaccardPairsFromShingles(Dedup.shingleIdsFromArrays(ids, 5), threshold = 0.5))
+      // the CC are cluster- then size-count-sized (metadata). Reads the
+      // MATERIALIZED groups artifact (round-5): the CC chain runs once per
+      // corpus and d16/d23/d27 share it instead of re-deriving it 3×
+      Dedup.materializedGroupsFor(Tables.documents(s, dir), dir)
         .groupBy(col("group_id")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"),
@@ -1733,21 +1791,18 @@ object SparkEntry {
     "d16_dedup_keep_longest" -> ((s, dir) => {
       // the step after grouping: keep the LONGEST doc per near-dup group
       // (ties to the smaller id) + every ungrouped doc — the keep set a
-      // curation pipeline actually materializes
+      // curation pipeline actually materializes. Groups come from the
+      // shared materialized artifact (one CC run per corpus, round-5)
       val docs = Tables.documents(s, dir)
-      val ids = Vocab.hashTokenIdArrays(docs)
-      Dedup.keepBest(docs,
-        Dedup.dedupGroupsAuto(
-          Dedup.jaccardPairsFromShingles(Dedup.shingleIdsFromArrays(ids, 5), threshold = 0.5)))
+      Dedup.keepBest(docs, Dedup.materializedGroupsFor(docs, dir))
     }),
     "d27_dedup_keep_quality" -> ((s, dir) => {
       // quality-aware representative: per near-dup group keep the doc with
       // the highest stopword-naturalness ppm (ties → smaller id), not the
-      // longest — the FineWeb-style pick; same groups, different argmax
+      // longest — the FineWeb-style pick; same groups (the shared
+      // materialized artifact), different argmax
       val docs = Tables.documents(s, dir)
-      val ids = Vocab.hashTokenIdArrays(docs)
-      val groups = Dedup.dedupGroupsAuto(
-        Dedup.jaccardPairsFromShingles(Dedup.shingleIdsFromArrays(ids, 5), threshold = 0.5))
+      val groups = Dedup.materializedGroupsFor(docs, dir)
       val toks = TextOps.tokens(col("text"))
       val nTok = size(toks).cast("long")
       val nStop = size(filter(toks, t =>
@@ -1893,6 +1948,12 @@ object SparkEntry {
           entryIds = Vectors.spacedCentroidIds(emb.count()),
           k = 5, beams = Seq(2, 4, 8, 16), rounds = 3)
       }),
+    "s28_tuned_probe" -> ((s, dir) =>
+      // the tuning DECISION oracle-attested: for each recall target the
+      // smallest swept nprobe that meets it (widest as fallback) — the
+      // tunedNprobe rule over the fused s23 sweep, DuckDB-hash-checked;
+      // the trained-centroid twin runs the same rule (property-pinned)
+      Vectors.tunedOperatingPoints(Tables.embeddings(s, dir), 0L until 8L, k = 10)),
     "s23_probe_sweep" -> ((s, dir) =>
       // the d36 tuning-table discipline applied to IVF routing: recall@10
       // at nprobe 1/2/4/8 vs the exact truth, one row per config
@@ -2746,20 +2807,42 @@ object SparkEntry {
         "SELECT p_partkey AS node FROM part WHERE p_size = 50",
         rounds = 4),
     "t53_bfs_reach" ->
-      graft.operators.Graph.bfsDistancesSql(
-        """SELECT a.l_partkey AS src, b.l_partkey AS dst
-          |FROM (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
-          |        AND l_shipdate < DATE '1996-01-01') a
-          |JOIN (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
-          |        AND l_shipdate < DATE '1996-01-01') b
-          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""".stripMargin,
-        "SELECT p_partkey AS node FROM part WHERE p_size = 50",
-        rounds = 4),
+      // HAND-INDEPENDENT oracle (round-4 verdict #4): a recursive CTE
+      // authored directly here — NOT generated by Graph.scala's unrolled
+      // SQL — so the BFS result is checked against an independently
+      // expressed algorithm, not a same-module translation. The recursive
+      // member uses UNION (set) semantics, so the working set per step is
+      // the newly discovered (node, dist) pairs — each node appears at
+      // most once per level (≤ 5 rows/node total), never one row per path
+      """WITH RECURSIVE yr AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'),
+        |edges AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM yr a JOIN yr b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        |walk(node, dist) AS (
+        |  SELECT p_partkey, 0 FROM part WHERE p_size = 50
+        |  UNION
+        |  SELECT s.dst, w.dist + 1
+        |  FROM walk w JOIN sym s ON s.src = w.node
+        |  WHERE w.dist < 4)
+        |SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node""".stripMargin,
     "t43_tree_paths" ->
       graft.operators.Graph.treePathsSql(
         """SELECT p_partkey AS node,
           |       CASE WHEN p_partkey >= 10 THEN p_partkey // 10 END AS parent
           |FROM part""".stripMargin),
+    "m8_frame_jaccard" ->
+      // the frame-set front-end + the shared df-capped Jaccard tail —
+      // mirrors Multimodal.frameSignatures → Dedup.jaccardPairsFromShingles
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         md5(substring(text, CAST(i * 100 + 1 AS INT), 100)) AS shingle_id
+         |  FROM documents, UNNEST(range(0, (length(text) - 1) // 100 + 1)) AS r(i)
+         |  WHERE text IS NOT NULL AND length(text) > 0),
+         |${oracleJaccardTail(0.5)}
+         |SELECT doc_a, doc_b, n_common, jaccard FROM jpairs""".stripMargin,
     "m4_dup_frames" ->
       """WITH f AS (
         |  SELECT doc_id,
@@ -3963,46 +4046,22 @@ object SparkEntry {
          |FROM qall q LEFT JOIN hits h ON h.query_id = q.query_id""".stripMargin,
     "s24_ann_beam" -> oracleBeam,
     "s26_beam_sweep" -> oracleBeamSweep,
-    "s23_probe_sweep" -> {
-      // one multiprobe block per config over the SHARED centroid ranking
-      // (qp); each config contributes one (nprobe, n_hits) row
-      val k = 10
-      val qn = 8
-      val cfg = Seq(1, 2, 4, 8)
-      val blocks = cfg.map { np =>
-        s"""iq_$np AS (SELECT qp.query_id, qp.bucket, e.v AS qv
-           |          FROM qp JOIN e ON e.vec_id = qp.query_id WHERE qp.rn <= $np),
-           |isc_$np AS (SELECT q.query_id, av.vec_id AS neighbor_id, ${oracleCos("q.qv", "av.v")} AS sim
-           |          FROM iq_$np q JOIN av ON av.bucket = q.bucket AND av.vec_id <> q.query_id),
-           |itop_$np AS (SELECT query_id, neighbor_id FROM (
-           |            SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
-           |              ORDER BY sim DESC, neighbor_id ASC) AS rn FROM isc_$np)
-           |          WHERE rn <= $k)""".stripMargin
-      }.mkString(",\n")
-      val rows = cfg.map { np =>
-        s"""SELECT CAST($np AS BIGINT) AS nprobe,
-           |       (SELECT CAST(count(*) AS BIGINT) FROM btop b
-           |        JOIN itop_$np i ON i.query_id = b.query_id
-           |         AND i.neighbor_id = b.neighbor_id) AS n_hits""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""WITH $oracleEmbCte,
-         |$oracleSpacedAssigned,
-         |bq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $qn),
-         |bscored AS (SELECT query_id, e.vec_id AS neighbor_id, ${oracleCos("bq.qv", "e.v")} AS sim
-         |            FROM bq, e WHERE e.vec_id <> bq.query_id),
-         |btop AS (SELECT query_id, neighbor_id FROM (
-         |           SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
-         |             ORDER BY sim DESC, neighbor_id ASC) AS rn FROM bscored)
-         |         WHERE rn <= $k),
-         |qp AS (SELECT vec_id AS query_id, centroid_id AS bucket, rn FROM (
-         |         SELECT vec_id, centroid_id,
-         |                row_number() OVER (PARTITION BY vec_id
-         |                  ORDER BY cs DESC, centroid_id ASC) AS rn
-         |         FROM sc WHERE vec_id < $qn)),
-         |$blocks
-         |SELECT nprobe, n_hits, CAST(${qn * k} AS BIGINT) AS n_truth,
-         |       (1000000 * n_hits) // ${qn * k} AS recall_ppm
-         |FROM ($rows)""".stripMargin
+    "s23_probe_sweep" ->
+      s"""${oracleProbeSweepCtes(k = 10, qn = 8, cfg = Seq(1, 2, 4, 8))}
+         |SELECT nprobe, n_hits, n_truth, recall_ppm FROM sweep""".stripMargin,
+    "s28_tuned_probe" -> {
+      // the tuning DECISION over the same sweep: smallest nprobe meeting
+      // each recall target, widest config as the fallback — mirrors
+      // Vectors.tunedOperatingPoints row-for-row
+      val widest = 8
+      s"""${oracleProbeSweepCtes(k = 10, qn = 8, cfg = Seq(1, 2, 4, 8))},
+         |targets AS (SELECT unnest([250000, 400000, 990000]) AS target_ppm),
+         |sel AS (SELECT t.target_ppm, min(s.nprobe) AS np
+         |        FROM targets t LEFT JOIN sweep s ON s.recall_ppm >= t.target_ppm
+         |        GROUP BY t.target_ppm)
+         |SELECT CAST(sel.target_ppm AS BIGINT) AS target_ppm,
+         |       coalesce(sel.np, $widest) AS nprobe, s.recall_ppm
+         |FROM sel JOIN sweep s ON s.nprobe = coalesce(sel.np, $widest)""".stripMargin
     },
     "s20_pq_distortion" ->
       // exact sims of the brute top-10, PQ ADC sims for the SAME pairs via

@@ -269,7 +269,16 @@ object Graph {
       labelBound: Long = 1L << 31): DataFrame = {
     val raw = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
+    // enforce the "K exceeds every node id" contract LOUDLY (the
+    // checked-sketch discipline): an id ≥ K (or negative) would silently
+    // corrupt the cnt-major argmax encoding `max(cnt·K + (K−1−label))`
+    // and return wrong communities. assert_true rides the filter — it is
+    // NULL (row kept) in contract and throws out of it; sym carries both
+    // orientations, so checking `src` covers every endpoint.
     val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(assert_true(col("src") >= 0 && col("src") < labelBound,
+        lit(s"labelPropagation: node id outside [0, $labelBound) — " +
+          "raise labelBound above every node id")).isNull)
       .distinct().persist()
     var lab = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))

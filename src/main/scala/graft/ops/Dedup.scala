@@ -1263,6 +1263,54 @@ object Dedup {
   def dedupGroupsAuto(pairs: DataFrame, switchAfter: Int = 4): DataFrame =
     dedupGroupsCapped(pairs, switchAfter).getOrElse(dedupGroupsStar(pairs))
 
+  /** Build-once/consume-many dedup-groups artifact (round-4 verdict #2):
+    * run the shingle → capped-Jaccard-pairs → connected-components chain
+    * ONCE and persist the (doc_id, group_id) frame as a table bucketed on
+    * doc_id ([[graft.sources.BucketedLayout]]); every downstream report
+    * (keep-longest d16, cluster profile d23, keep-quality d27) consumes
+    * the artifact instead of re-deriving the groups. At 100 TB nobody
+    * recomputes CC per report — the groups frame is corpus metadata,
+    * refreshed when the corpus changes, and the doc_id bucketing makes the
+    * keep-best joins exchange-free on the artifact side (plan-pinned in
+    * BucketedLayoutSpec).
+    *
+    * Build-if-absent against the session catalog: within one driver
+    * session the first consumer pays the CC, later consumers read the
+    * table; a fresh session rebuilds (in-memory catalog — no cross-run
+    * staleness to manage, `Overwrite` clears any leftover files).
+    */
+  def materializeGroups(docs: DataFrame, table: String, buckets: Int = 8,
+      shingleK: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      // the warehouse dir outlives the per-JVM in-memory catalog: a table
+      // written by a PREVIOUS process is an orphaned location here (the
+      // catalog has no entry), and saveAsTable would fail with
+      // LOCATION_ALREADY_EXISTS — clear it and rebuild (deterministic
+      // contents, so a rebuild is always safe)
+      val wh = java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath
+      val loc = java.nio.file.Paths.get(wh, table.toLowerCase)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      val groups = dedupGroupsAuto(
+        jaccardPairsFromShingles(
+          shingleIdsFromArrays(Vocab.hashTokenIdArrays(docs), shingleK), threshold))
+      graft.sources.BucketedLayout.writeBucketed(groups, table, "doc_id", buckets)
+      spark.sqlContext.clearCache() // drop the CC chain's intermediates
+    }
+    spark.table(table)
+  }
+
+  /** The shared d16/d23/d27 artifact for a fixture directory — one table
+    * per sfDir (sanitized into the identifier), so correctness (sf0.01)
+    * and bench (sf0.1) runs key their own artifacts.
+    */
+  def materializedGroupsFor(docs: DataFrame, sfDir: String): DataFrame =
+    materializeGroups(docs, "dedup_groups_" + sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+
   /** Min-label propagation, bounded: None if `maxRounds` iterations did not
     * reach the fixpoint (caller falls back to star contraction).
     */

@@ -121,6 +121,31 @@ object Multimodal {
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= 2)
 
+  /** Distinct per-document frame-fingerprint SETS — the video-near-dup
+    * front-end: two encodes of near-identical footage share most frame
+    * fingerprints even when no whole-file digest matches, so set-overlap
+    * over frame hashes is the standard video-dedup signal (the m4
+    * duplicate-frame report asks "which frames repeat"; this asks "which
+    * DOCUMENTS overlap"). Output (doc_id, shingle_id = frame digest)
+    * feeds the SAME df-capped Jaccard candidate/verify machinery as the
+    * text near-dup surface ([[graft.ops.Dedup.jaccardPairsFromShingles]]):
+    * a viral intro frame shared by f videos is capped at the index, never
+    * Θ(f²) in the candidate join. Fingerprints here are md5 over fixed
+    * char windows of the fixture text (the binary-frame stand-in, same as
+    * m2/m4); a real pipeline swaps in a perceptual hash at the decode seam.
+    */
+  def frameSignatures(docs: DataFrame, frameChars: Int = 100): DataFrame =
+    docs
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L),
+          expr(s"(length(text) - 1) div $frameChars"))).as("frame_idx"),
+        col("text"))
+      .select(col("doc_id"),
+        md5(expr(s"substring(text, CAST(frame_idx * $frameChars + 1 AS INT), $frameChars)"))
+          .as("shingle_id"))
+      .distinct()
+
   /** Whole-stage-codegen rendering of the stub decode (pure column
     * expressions) — used by the oracle-checked query; proves the expression
     * path and the mapPartitions path agree (MultimodalSpec).

@@ -1183,23 +1183,44 @@ object TextOps {
     * instead of committing to one scalarized score (x15/x26 pick weights;
     * this shows what any weighting could ever pick).
     *
-    * Scale shape: dominance collapses to the VALUE DOMAIN of x — max(y)
-    * per distinct x, then one running strict-prior max over distinct x
-    * descending (the t19 histogram-compression discipline: the global-sort
-    * window runs over |distinct x| rows, not corpus rows), then a semi
-    * join admits exactly the undominated (x, y) combos. Ties on both
-    * coordinates are all kept (neither strictly dominates). Rows with a
-    * NULL objective can't join the frontier — excluded in both engines by
-    * join-on-null semantics.
+    * Scale shape (round-5, two-level — the b29/exclusivePrefix
+    * decomposition): dominance collapses to the VALUE DOMAIN of x — max(y)
+    * per distinct x — and the running strict-prior max over distinct x
+    * descending splits into (1) a window PARTITIONED by x-bucket
+    * (`x div bucketWidth` — parallel, never a single task even for a
+    * continuous x), and (2) a strict-prior max over the bucket maxima via
+    * a bounded self-join on the bucket-count-sized frame (the
+    * exclusivePrefix offset trick — no unpartitioned WindowExec anywhere).
+    * A row survives iff its y beats both the within-bucket prior and every
+    * strictly-higher bucket's max; a semi join then admits exactly the
+    * undominated (x, y) combos. Ties on both coordinates are all kept
+    * (neither strictly dominates). Rows with a NULL objective can't join
+    * the frontier — excluded in both engines by join-on-null semantics.
+    * `x div bucketWidth` is monotone in x, so "higher bucket" ⇒ "strictly
+    * greater x" and the decomposition is exact (x must be integral).
     */
-  def paretoFront(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+  def paretoFront(df: DataFrame, xCol: String, yCol: String,
+      bucketWidth: Long = 1024L): DataFrame = {
     val perX = df.groupBy(col(xCol)).agg(max(col(yCol)).as("_ymax"))
-    val w = org.apache.spark.sql.expressions.Window
+      .withColumn("_bkt", expr(s"`$xCol` div $bucketWidth"))
+      .persist() // feeds the within-bucket window AND the bucket maxima
+    val inBkt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_bkt"))
       .orderBy(col(xCol).desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bktMax = perX.groupBy(col("_bkt")).agg(max(col("_ymax")).as("_bmax"))
+    // strict-prior max over strictly-HIGHER buckets: a left self-join over
+    // the metadata-sized bucket frame (B² pairs of B = |x-domain|/width
+    // rows) — never a global-ORDER-BY window
+    val bktPrior = bktMax.as("a")
+      .join(bktMax.as("b"), col("b._bkt") > col("a._bkt"), "left")
+      .groupBy(col("a._bkt").as("_bkt"))
+      .agg(max(col("b._bmax")).as("_prior_hi"))
     val frontier = perX
-      .withColumn("_prior", max(col("_ymax")).over(w))
-      .filter(col("_prior").isNull || col("_ymax") > col("_prior"))
+      .withColumn("_prior_in", max(col("_ymax")).over(inBkt))
+      .join(broadcast(bktPrior), Seq("_bkt"))
+      .filter((col("_prior_in").isNull || col("_ymax") > col("_prior_in")) &&
+        (col("_prior_hi").isNull || col("_ymax") > col("_prior_hi")))
       .select(col(xCol), col("_ymax").as(yCol))
     df.join(frontier, Seq(xCol, yCol), "left_semi")
   }

@@ -1650,6 +1650,36 @@ object Vectors {
       .withColumn("recall_ppm", expr("(1000000 * n_hits) div n_truth"))
   }
 
+  /** Oracle-attestable auto-tuning (the s28 query): for each recall target,
+    * the SMALLEST swept nprobe whose measured recall meets it — the
+    * [[tunedNprobe]] decision rule expressed as one deterministic
+    * dataframe over [[probeSweep]]'s fused table, so the tuning logic
+    * itself is DuckDB-hash-checked (the trained-path [[tunedNprobe]] runs
+    * the same rule over trained centroids, property-pinned instead).
+    * Targets no config meets fall back to the widest swept config. Output:
+    * (target_ppm, nprobe, recall_ppm) — one row per target.
+    *
+    * Scale shape: rides entirely on the one fused sweep pass; target
+    * selection is a |targets|×|probes| broadcast join over the
+    * metadata-sized sweep table.
+    */
+  def tunedOperatingPoints(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      probes: Seq[Int] = Seq(1, 2, 4, 8),
+      targetsPpm: Seq[Long] = Seq(250000L, 400000L, 990000L)): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sweep = probeSweep(embeddings, queryIds, k, probes).persist()
+    val widest = probes.max.toLong
+    val targets = F.broadcast(targetsPpm.toDF("target_ppm"))
+    val chosen = targets
+      .join(sweep.select(col("nprobe"), col("recall_ppm")),
+        col("recall_ppm") >= col("target_ppm"), "left")
+      .groupBy(col("target_ppm"))
+      .agg(coalesce(min(col("nprobe")), lit(widest)).as("nprobe"))
+    chosen.join(F.broadcast(sweep.select(col("nprobe"), col("recall_ppm"))), Seq("nprobe"))
+      .select(col("target_ppm"), col("nprobe"), col("recall_ppm"))
+  }
+
   /** k-NN majority-vote classification — the retrieval surface applied to
     * labeling: predict each query vector's `label` as the mode of its k
     * exact nearest neighbors' labels (votes desc, ties to the smaller

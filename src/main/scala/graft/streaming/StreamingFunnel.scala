@@ -12,8 +12,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class FunnelReach(user_id: Long, level: Long, ts: Timestamp)
 
 /** Per-user carried state: how far this user has progressed (1-based
-  * level), the anchor time (first step's first occurrence, ms), and the
-  * previous step's reach time (ms).
+  * level), the anchor time (first step's first occurrence, µs), and the
+  * previous step's reach time (µs). Microseconds, not milliseconds: the
+  * event feed is µs-precision (TIMESTAMP_NTZ micros), and the batch
+  * [[graft.operators.Windows.funnel]] compares full-precision timestamps —
+  * a ms-truncated comparison would disagree on events in the same
+  * millisecond but different microseconds.
   */
 case class FunnelState(level: Int, t1: Long, tPrev: Long)
 
@@ -48,7 +52,15 @@ object StreamingFunnel {
     require(steps.nonEmpty)
     val spark = events.sparkSession
     import spark.implicits._
-    val windowMs = windowSec * 1000L
+    val windowMicros = windowSec * 1000000L
+    // full µs precision: Timestamp.getTime truncates to milliseconds, so
+    // two events in the same ms but different µs would compare equal and
+    // diverge from the batch funnel's full-precision `ts > t_prev` /
+    // window-bound checks (the fixture feed is µs-NTZ — sub-ms spacing is
+    // in-domain). Epoch micros = whole seconds from getTime + the
+    // sub-second nanos field.
+    def micros(ts: Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
     events
       .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
         col("event_type"), col("event_id").cast("long"))
@@ -57,23 +69,23 @@ object StreamingFunnel {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, Timestamp, String, Long)],
             state: GroupState[FunnelState]) =>
-          val sorted = rows.toArray.sortBy(r => (r._2.getTime, r._4))
+          val sorted = rows.toArray.sortBy(r => (micros(r._2), r._4))
           var st = state.getOption.orNull
           val out = Array.newBuilder[FunnelReach]
           sorted.foreach { case (_, ts, typ, _) =>
-            val ms = ts.getTime
+            val us = micros(ts)
             if (st == null) {
               // steps(level) compared directly (not an index map): a
               // funnel with a REPEATED step type (A→B→A) must match the
               // occurrence at the current level, exactly as the batch
               // form's per-stage type filter does
               if (typ == steps.head) {
-                st = FunnelState(1, ms, ms)
+                st = FunnelState(1, us, us)
                 out += FunnelReach(user, 1L, ts)
               }
             } else if (st.level < steps.length && typ == steps(st.level) &&
-                ms > st.tPrev && ms <= st.t1 + windowMs) {
-              st = FunnelState(st.level + 1, st.t1, ms)
+                us > st.tPrev && us <= st.t1 + windowMicros) {
+              st = FunnelState(st.level + 1, st.t1, us)
               out += FunnelReach(user, st.level.toLong, ts)
             }
           }

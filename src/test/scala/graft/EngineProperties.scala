@@ -729,4 +729,26 @@ object EngineProperties extends Properties("graft") {
         r.getAs[Long]("max_gap") == (if (gaps.isEmpty) 0L else gaps.max)
     }
   }
+
+  // (y) the round-5 two-level paretoFront ≡ brute-force dominance for any
+  // point set and any bucket width (cross-bucket dominance must flow
+  // through the boundary self-join exactly; ties on both coordinates kept)
+  property("paretoFront (two-level) ≡ brute-force dominance for any points and width") = {
+    val genCase = for {
+      pts <- Gen.nonEmptyListOf(
+        Gen.zip(Gen.chooseNum(0L, 300L), Gen.chooseNum(0L, 50L))).map(_.take(60))
+      width <- Gen.oneOf(1L, 4L, 37L, 1000L) // 1 = all boundary, 1000 = one bucket
+    } yield (pts, width)
+    Prop.forAll(genCase) { case (pts, width) =>
+      val df = pts.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("doc_id", "x", "y")
+      val kept = graft.ops.TextOps.paretoFront(df, "x", "y", bucketWidth = width)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      val expected = pts.zipWithIndex.collect {
+        case ((x, y), i) if !pts.exists { case (x2, y2) =>
+          x2 >= x && y2 >= y && (x2 > x || y2 > y) } => i.toLong
+      }.toSet
+      kept == expected
+    }
+  }
 }

@@ -523,17 +523,18 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!b21.contains("WindowExec"), b21)
     assert(b21.contains("partial_max"), b21)
-    // x36: the dominance window runs over the distinct-x frame, i.e.
-    // AFTER an aggregate — the one window's child must be the per-x max,
-    // so the global sort is value-domain-sized, not corpus-sized
+    // x36: round-5 two-level form — the dominance window still runs over
+    // the distinct-x frame (the per-x aggregate is the persisted input —
+    // an InMemoryRelation in the optimized plan) and is now PARTITIONED by
+    // the x-bucket, so there is no single-task window even for a
+    // continuous x; the boundary pass is a self-join, not a window
     val x36lp = SparkEntry.queries("x36_pareto_frontier")(spark, dir).queryExecution.optimizedPlan
     val x36w = x36lp.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
     assert(x36w.size === 1, s"x36 expected exactly one window, got ${x36w.size}")
-    assert(x36w.head.child.collectFirst {
-      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
-    }.nonEmpty, s"x36 window must consume the value-domain aggregate:\n${x36w.head.child}")
+    assert(x36w.head.partitionSpec.nonEmpty,
+      s"x36 window must be bucket-partitioned:\n${x36w.head}")
   }
 
   test("this round's additions keep their scale shapes: no pair joins, broadcasts, bounded windows") {

@@ -202,4 +202,28 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a === b)
   }
+
+  test("labelPropagation: out-of-contract node ids fail LOUDLY, not silently wrong") {
+    // the cnt-major argmax encoding max(cnt·K + (K−1−label)) requires
+    // 0 ≤ id < K; an id at/above K (or negative) used to corrupt labels
+    // silently — now the folded assert_true throws
+    val tooBig = Seq((1L, 1L << 31), (1L, 2L)).toDF("src", "dst")
+    val eBig = intercept[Exception] {
+      Graph.labelPropagation(tooBig, rounds = 1).collect()
+    }
+    assert(eBig.getMessage.contains("labelPropagation") ||
+      Option(eBig.getCause).exists(_.getMessage.contains("labelPropagation")),
+      eBig.toString)
+    val negative = Seq((-3L, 2L)).toDF("src", "dst")
+    val eNeg = intercept[Exception] {
+      Graph.labelPropagation(negative, rounds = 1).collect()
+    }
+    assert(eNeg.getMessage.contains("labelPropagation") ||
+      Option(eNeg.getCause).exists(_.getMessage.contains("labelPropagation")),
+      eNeg.toString)
+    // and a RAISED bound restores the big-id graph (ids now in contract)
+    val ok = Graph.labelPropagation(tooBig, rounds = 1, labelBound = 1L << 33)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok === Map(1L -> 2L, (1L << 31) -> 1L, 2L -> 1L))
+  }
 }

@@ -589,6 +589,39 @@ class TextAndMultimodalSpec extends SparkSpec {
     val kept = TextOps.paretoFront(rows, "x", "y")
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(kept === Set(1L, 3L, 4L, 6L))
+    // the two-level decomposition is exact across bucket boundaries:
+    // bucketWidth=4 splits the x domain over several buckets (cross-bucket
+    // dominance must flow through the boundary pass) — same frontier
+    val multiBucket = TextOps.paretoFront(rows, "x", "y", bucketWidth = 4L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(multiBucket === Set(1L, 3L, 4L, 6L))
+    // and bucketWidth=1 (every distinct x its own bucket: all dominance
+    // through the boundary self-join) still agrees
+    val perXBuckets = TextOps.paretoFront(rows, "x", "y", bucketWidth = 1L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(perXBuckets === Set(1L, 3L, 4L, 6L))
+  }
+
+  test("paretoFront: plans with NO unpartitioned window (round-5 two-level shape)") {
+    val rows = (0L until 400L).map(i => (i, i % 97L, (i * 31L) % 89L))
+      .toDF("doc_id", "x", "y")
+    val out = TextOps.paretoFront(rows, "x", "y", bucketWidth = 16L)
+    // every window spec in the plan must carry the _bkt partition column —
+    // an unpartitioned spec would start with the ORDER column directly
+    // (string check because AQE wraps the typed plan tree)
+    val plan = out.queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, plan) // the within-bucket pass IS a window…
+    specs.foreach(s => assert(s.contains("_bkt"), s"unpartitioned window over $s\n$plan"))
+    // and the frontier is the brute-force dominance set
+    val data = rows.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = data.filter { case (_, x, y) =>
+      !data.exists { case (_, x2, y2) =>
+        x2 >= x && y2 >= y && (x2 > x || y2 > y)
+      }
+    }.map(_._1).toSet
+    assert(out.collect().map(_.getAs[Long]("doc_id")).toSet === expected)
   }
 
   test("vocabCoverage: top-k vocab with deterministic ties, per-source OOV ppm") {
@@ -667,5 +700,29 @@ class TextAndMultimodalSpec extends SparkSpec {
     val b = TextOps.ppsSample(corpus.repartition(7), k = 20L)
       .orderBy("doc_id").collect().toSeq
     assert(a === b)
+  }
+
+  test("frameSignatures + Jaccard: overlapping frame sets pair, disjoint and sub-threshold don't") {
+    import graft.ops.{Dedup, Multimodal}
+    // frameChars = 4, so each 4-char block is one frame; frames are SETS
+    // (repeats inside a doc count once)
+    val docs = Seq(
+      (1L, "AAAABBBB"),          // {A, B}
+      (2L, "AAAABBBBCCCC"),      // {A, B, C} → J(1,2) = 2/3 ≥ 0.5
+      (3L, "AAAADDDDEEEE"),      // {A, D, E} → J(1,3) = 1/4 < 0.5
+      (4L, "FFFFGGGG"),          // disjoint
+      (5L, "AAAABBBB")           // identical to 1 → J = 1
+    ).toDF("doc_id", "text")
+    val sigs = Multimodal.frameSignatures(docs, frameChars = 4)
+    // per-doc distinct fingerprints
+    assert(sigs.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 2L, 2L -> 3L, 3L -> 3L, 4L -> 2L, 5L -> 2L))
+    val pairs = Dedup.jaccardPairsFromShingles(sigs, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(pairs.map(p => (p._1, p._2)) === Set((1L, 2L), (1L, 5L), (2L, 5L)))
+    assert(pairs.collect { case (1L, 5L, j) => j } === Set(1.0))
+    assert(math.abs(pairs.collect { case (1L, 2L, j) => j }.head - 2.0 / 3.0) < 1e-12)
   }
 }

@@ -713,6 +713,29 @@ class VectorsSpec extends SparkSpec {
     assert(viaTrained.toSeq === parity.toSeq)
   }
 
+  test("tunedOperatingPoints: smallest passing nprobe per target, widest as fallback") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = (0L until 8L).toSeq
+    val probes = Seq(1, 2, 4, 8)
+    val sweep = Vectors.probeSweep(emb, queries, k = 5, probes)
+      .collect().map(r => r.getAs[Long]("nprobe") -> r.getAs[Long]("recall_ppm")).toMap
+    val out = Vectors.tunedOperatingPoints(emb, queries, k = 5, probes,
+      targetsPpm = Seq(1L, sweep(4L), 999999L))
+      .collect().map(r => r.getAs[Long]("target_ppm") ->
+        (r.getAs[Long]("nprobe"), r.getAs[Long]("recall_ppm"))).toMap
+    // target 1 ppm: the smallest config already passes
+    assert(out(1L)._1 === probes.map(p => sweep(p.toLong)).zip(probes)
+      .collectFirst { case (r, p) if r >= 1L => p.toLong }.get)
+    // target = exactly nprobe-4's recall: the smallest config AT that recall
+    val want4 = probes.map(_.toLong).filter(p => sweep(p) >= sweep(4L)).min
+    assert(out(sweep(4L))._1 === want4)
+    assert(out(sweep(4L))._2 === sweep(want4))
+    // unreachable target: widest swept config as the fallback
+    assert(out(999999L) === (8L, sweep(8L)))
+    // and each chosen config's reported recall is the sweep's, verbatim
+    out.foreach { case (_, (np, r)) => assert(r === sweep(np)) }
+  }
+
   test("pqRerankTopKWithCodebook: corpus-wide shortlist ≡ brute force at m=16/ks=64") {
     // the shipped s9 geometry (16 subspaces × 64 centroids) through the
     // codebook seam: when the shortlist covers the corpus the exact re-rank

@@ -168,4 +168,47 @@ class BucketedLayoutSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
     assert(agg.count() === 97L)
   }
+
+  test("materialized dedup groups: built once, hash-identical to the inline CC, exchange-free reads") {
+    import graft.ops.{Dedup, Vocab}
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sfDir)
+    val table = "dedup_groups_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    reset(table)
+
+    // first consumer builds; contents are EXACTLY the inline chain's rows
+    val viaArtifact = Dedup.materializedGroupsFor(docs, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = Dedup.dedupGroupsAuto(
+      Dedup.jaccardPairsFromShingles(
+        Dedup.shingleIdsFromArrays(Vocab.hashTokenIdArrays(docs), 5), threshold = 0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaArtifact === inline)
+    spark.sqlContext.clearCache()
+
+    // second consumer REUSES the table (no rebuild): drop the backing CC
+    // inputs from reach by checking the plan is a plain table scan
+    val again = Dedup.materializedGroupsFor(docs, sfDir)
+    val scanPlan = again.queryExecution.executedPlan.toString
+    assert(scanPlan.contains(table), scanPlan)
+    assert(!scanPlan.contains("Exchange"), scanPlan)
+
+    // the keep-best join rides the doc_id bucketing: no Exchange under the
+    // artifact side of the members join (only the scored/docs side re-keys)
+    val scored = docs.select(col("doc_id"), length(col("text")).cast("long").as("score"))
+    val viaBucketed = Dedup.keepBestScored(docs, again.hint("merge"), scored)
+    val plan = viaBucketed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val nBucketed = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // unbucketed twin: same rows, strictly more exchanges
+    reset(table + "_plain")
+    spark.table(table).write.mode("overwrite").saveAsTable(table + "_plain")
+    val viaPlain = Dedup.keepBestScored(docs, spark.table(table + "_plain").hint("merge"), scored)
+    val planPlain = viaPlain.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val nPlain = planPlain.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(nBucketed < nPlain, s"bucketed=$nBucketed plain=$nPlain\n$plan")
+    assert(viaBucketed.collect().map(_.getLong(0)).toSet ===
+      viaPlain.collect().map(_.getLong(0)).toSet)
+  }
 }

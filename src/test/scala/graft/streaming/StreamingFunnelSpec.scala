@@ -67,4 +67,38 @@ class StreamingFunnelSpec extends SparkSpec {
     // step ignored, never-entered, anchor not reset by a second first-step
     assert(batch === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
+
+  test("sub-millisecond spacing: stream compares in µs, matching the batch funnel") {
+    // two events in the SAME millisecond, 500 µs apart — the fixture feed
+    // is µs-NTZ so this spacing is in-domain; a ms-truncated comparison
+    // (Timestamp.getTime) would see equal times, reject the strict
+    // `ts > t_prev` advance, and diverge from the batch funnel
+    implicit val sqlCtx = spark.sqlContext
+    def at(msOff: Long, micros: Int): Timestamp = {
+      val ts = new Timestamp(t0 + msOff)
+      // setNanos REPLACES the whole sub-second fraction — keep the ms part
+      ts.setNanos((((t0 + msOff) % 1000L).toInt * 1000 + micros) * 1000)
+      ts
+    }
+    val subMs = Seq(
+      FEv(1L, at(0L, 0), 1L, "view"),
+      FEv(2L, at(0L, 500), 1L, "click"),      // same ms, +500 µs → advances
+      FEv(3L, at(5L, 0), 1L, "purchase"),
+      FEv(4L, at(10L, 0), 2L, "view"),
+      FEv(5L, at(10L, 0), 2L, "click"))       // identical µs → strict > fails
+    val batch = Windows.funnel(subMs.toDF(), steps, windowSec).collect()
+      .map(r => r.getAs[Long]("level") -> r.getAs[Long]("n_users")).toMap
+    val ms = MemoryStream[FEv]
+    val q = StreamingFunnel.reaches(ms.toDF(), steps, windowSec)
+      .writeStream.format("memory").queryName("funnel_subms")
+      .outputMode(OutputMode.Append).start()
+    ms.addData(subMs); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("funnel_subms").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("level")))
+      .groupBy(_._1).map { case (_, rs) => rs.map(_._2).max }
+      .groupBy(identity).map { case (l, us) => l -> us.size.toLong }
+    assert(streamed === batch)
+    // u1 walks all three steps (the same-ms click counts); u2 stalls at 1
+    assert(batch === Map(3L -> 1L, 1L -> 1L))
+  }
 }

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.binlog.{DailyCounts, Ingest, TransactionStats}
+
+case class SoakRaw(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** The end-to-end streaming soak (round-4 verdict "next" #5): ONE
+  * MemoryStream session drives the reference's three chained entry points —
+  * ingest (3.1, `mon_mysql_dml.py:215-335`) → MV partials (3.3,
+  * `README.md:168-184`) → windowed stats + top-1 (3.2,
+  * `compute_transaction_info.py:153-179`) — each into an idempotent
+  * exactly-once sink, with a MID-STREAM KILL of all three queries and a
+  * restart from their checkpoints. The final parquet state must equal the
+  * batch pipeline run over the same events: the per-stage stream≡batch
+  * twins compose, and a crash between any sink write and its checkpoint
+  * commit re-lands the same `batch_id` directory instead of duplicating.
+  */
+class StreamingSoakSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+
+  private def ev(i: Int, offSec: Long, typ: String): SoakRaw =
+    SoakRaw(i.toLong, new Timestamp(base + offSec * 1000L), (i % 3 + 1).toLong,
+      typ, 10.0 + i, s"""{"k": ${i % 80}}""")
+
+  // 60 events over ~97 minutes (≈ 20 five-minute windows), 3 users/gtids,
+  // every 7th row an "error" (the F1-filtered fixture value); then two tail
+  // events two days later whose only job is advancing the watermark past
+  // every real window
+  private val types = Seq("view", "click", "purchase")
+  private val mainFeed: Seq[SoakRaw] = (0 until 60).map { i =>
+    ev(i, i * 97L, if (i % 7 == 3) "error" else types(i % 3))
+  }
+  private val tail1 = ev(1000, 2L * 86400L, "view")
+  private val tail2 = ev(1001, 2L * 86400L + 1200L, "view")
+  private val cutoff = new Timestamp(base + 86400L * 1000L) // day 2: all real windows end before
+
+  test("ingest → MV partials → windowed top-1 survive a mid-stream kill/restart ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[SoakRaw]
+    val eventsOut = tmpDir("soak_events")
+    val partialsOut = tmpDir("soak_partials")
+    val statsOut = tmpDir("soak_stats")
+    val ckIngest = tmpDir("soak_ck_ingest")
+    val ckMv = tmpDir("soak_ck_mv")
+    val ckStats = tmpDir("soak_ck_stats")
+
+    def shaped = StreamingIngest.transform(ms.toDF(), Ingest.jsonPropsDecoder, "props",
+      beginValue = "error")
+    def startIngest() = StreamingIngest.writer(shaped, eventsOut, ckIngest).start()
+    def startMv() = StreamingMVs.partialsWriter(shaped, partialsOut, ckMv).start()
+    // 3.2 live: closed 5-min windows append once; the sink lands each
+    // micro-batch in its own batch_id dir (the StreamingIngest.writer
+    // idempotence pattern — a replayed batch overwrites, never duplicates)
+    def startStats() = TransactionStats
+      .perWindow(shaped.withWatermark("execute_time", "0 seconds"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckStats)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$statsOut/batch_id=$batchId")
+      }
+      .start()
+
+    // one run per chunk: data lands BEFORE the queries start (the ingest/MV
+    // sinks run Trigger.AvailableNow, which latches the available offsets at
+    // start), all three queries consume it, then ALL are killed — so every
+    // chunk boundary is a full kill + restart-from-checkpoint of the whole
+    // pipeline, with windows open and MV state mid-flight. The two tail
+    // chunks run after the real feed so the final runs' watermark closes
+    // every real window.
+    def runChunk(chunk: Seq[SoakRaw]): Unit = {
+      ms.addData(chunk)
+      val qs = Seq(startIngest(), startMv(), startStats())
+      qs.foreach(_.processAllAvailable())
+      qs.foreach(_.stop()) // the KILL
+    }
+    Seq(mainFeed.take(20), mainFeed.slice(20, 30), mainFeed.drop(30),
+      Seq(tail1), Seq(tail2)).foreach(runChunk)
+
+    // ---- batch twin over the SAME events (incl. tails) ----
+    val fullFeed = mainFeed ++ Seq(tail1, tail2)
+    val batchShaped = StreamingIngest.transform(fullFeed.toDF(), Ingest.jsonPropsDecoder,
+      "props", beginValue = "error").persist()
+
+    // 3.1: the landed event store is exactly the batch ingest projection
+    // (ctime is now(); batch_id/day are layout columns — excluded)
+    val stable = Seq("binlog_pos", "event_type", "is_ddl", "execute_time", "gtid",
+      "single_statement_affected_rows", "single_statement_size", "k")
+    def rows(df: DataFrame): Set[Seq[Any]] =
+      df.select(stable.map(col): _*).collect().map(_.toSeq).toSet
+    val landed = spark.read.parquet(eventsOut)
+    assert(rows(landed) === rows(batchShaped))
+    assert(landed.count() === batchShaped.count()) // no duplicate landings either
+
+    // 3.3: re-summed MV partials ≡ one batch aggregation (A9 merge)
+    val mvStream = StreamingMVs.readDailyCounts(spark, partialsOut)
+      .collect().map(_.toSeq).toSet
+    val mvBatch = DailyCounts.dailyEventCounts(batchShaped)
+      .collect().map(_.toSeq).toSet
+    assert(mvStream === mvBatch)
+
+    // 3.2: every CLOSED window's stats row matches the batch windowed agg,
+    // and the top-1 ranking over them matches the batch top-1 (windows past
+    // the final watermark — the tails' own — excluded on both sides)
+    val statsStream = spark.read.parquet(statsOut)
+      .filter(col("end_time") <= lit(cutoff)).persist()
+    val statsBatch = TransactionStats.perWindow(batchShaped)
+      .filter(col("end_time") <= lit(cutoff)).persist()
+    assert(statsStream.drop("batch_id").collect().map(_.toSeq).toSet ===
+      statsBatch.collect().map(_.toSeq).toSet)
+    assert(statsStream.count() === statsBatch.count()) // exactly-once, no dup windows
+    val top1Stream = TransactionStats
+      .top1PerWindowFromStats(statsStream.drop("batch_id"), "transaction_size")
+      .collect().map(_.toSeq).toSet
+    val top1Batch = TransactionStats
+      .top1PerWindowFromStats(statsBatch, "transaction_size")
+      .collect().map(_.toSeq).toSet
+    assert(top1Stream === top1Batch)
+    assert(top1Stream.nonEmpty) // the soak actually closed real windows
+  }
+}
