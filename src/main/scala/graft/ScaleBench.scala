@@ -164,7 +164,19 @@ object ScaleBench {
         // batch size + hit rate, not corpus size
         Dedup.incrementalExactBloom(
           d.filter(col("doc_id") % 10 < 2),
-          d.filter(col("doc_id") % 10 >= 2)), true)
+          d.filter(col("doc_id") % 10 >= 2)), true),
+      ("m8_frame_jaccard", (d: DataFrame) =>
+        // frame-set Jaccard rides the same df-capped machinery as d2 —
+        // repeated frames across the ×8 copies must stay cap-bounded
+        Dedup.jaccardPairsFromShingles(
+          graft.ops.Multimodal.frameSignatures(d, frameChars = 100), threshold = 0.5), true),
+      ("s27_ann_default", (e: DataFrame) =>
+        // the compressed full scan: cost must track N (one byte-code pass
+        // per query batch), never N² — the production default's cost model
+        Vectors.annTopK(e, 0L until 8L, k = 10), false),
+      ("s30_cluster_balanced", (e: DataFrame) =>
+        // assignment + per-bucket windows over √(8N) balanced buckets
+        Vectors.clusterBalancedSample(e, quota = 5), false)
     )
 
     def time(fn: () => DataFrame): (Double, Long) = {

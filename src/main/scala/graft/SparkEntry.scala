@@ -1307,6 +1307,22 @@ object SparkEntry {
         .select(col("p_partkey").as("node"))
       graft.operators.Graph.bfsDistances(edges, seeds, rounds = 4)
     }),
+    "t56_components" -> ((s, dir) => {
+      // connected components over the same relational co-purchase graph —
+      // the dedup-group CC machinery (min-label, star fallback) applied to
+      // the graph suite, checked against an INDEPENDENTLY authored
+      // recursive-CTE transitive closure (like t53's hand oracle); group =
+      // min part key in the component
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1996-01-01"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+        .select(col("pk").as("doc_a"), col("pk2").as("doc_b"))
+      Dedup.dedupGroupsAuto(edges)
+        .select(col("doc_id").as("node"), col("group_id"))
+    }),
     "t43_tree_paths" -> ((s, dir) => {
       // hierarchy flattening by pointer doubling: every part resolves to
       // its root and depth in the synthetic decimal-digit forest
@@ -1948,6 +1964,24 @@ object SparkEntry {
           entryIds = Vectors.spacedCentroidIds(emb.count()),
           k = 5, beams = Seq(2, 4, 8, 16), rounds = 3)
       }),
+    "s30_cluster_balanced_sample" -> ((s, dir) =>
+      // topic-balanced subset: ⌈√N⌉ IVF clusters as label-free topic
+      // proxies, ≤5 members each in deterministic hash order — the
+      // DoReMi-style mixture-balance step on semantic buckets
+      Vectors.clusterBalancedSample(Tables.embeddings(s, dir), quota = 5)),
+    "s29_ann_batch_index" -> ((s, dir) => {
+      // build-once/query-many: the persisted bucket-clustered IVF index
+      // serves a query BATCH too large to broadcast (every 25th corpus
+      // vector) — the offline re-scoring job shape; with the index bucketed
+      // on `bucket` the corpus side plans exchange-free (BucketedLayoutSpec
+      // pins the plan; this query oracle-attests the math end-to-end)
+      val emb = Tables.embeddings(s, dir)
+      val index = Vectors.materializedIvfIndex(emb,
+        "ivf_index_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      val queries = index.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("bucket"), col("unit").as("q"))
+      Vectors.ivfBatchTopKFromIndex(index, queries, k = 3)
+    }),
     "s28_tuned_probe" -> ((s, dir) =>
       // the tuning DECISION oracle-attested: for each recall target the
       // smallest swept nprobe that meets it (widest as fallback) — the
@@ -4016,6 +4050,49 @@ object SparkEntry {
          |       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
          |FROM av GROUP BY bucket""".stripMargin,
     "s2_ann_ivf" -> oracleIvfMultiProbeAt(nprobe = 4, k = 5),
+    "s30_cluster_balanced_sample" ->
+      // per-bucket quota in deterministic multiplicative-hash order —
+      // exact integer arithmetic end-to-end (2654435761 mod (2³¹−1)
+      // inlined), ties to the smaller vec_id
+      s"""WITH $oracleEmbCte,
+         |$oracleSpacedAssigned,
+         |keyed AS (SELECT vec_id, bucket,
+         |            ((vec_id % 2147483647) * ${2654435761L % 2147483647L}) % 2147483647 AS skey
+         |          FROM av)
+         |SELECT vec_id, bucket, CAST(rn AS BIGINT) AS pick_rank
+         |FROM (SELECT vec_id, bucket, row_number() OVER (PARTITION BY bucket
+         |        ORDER BY skey ASC, vec_id ASC) AS rn FROM keyed)
+         |WHERE rn <= 5""".stripMargin,
+    "s29_ann_batch_index" ->
+      // the batch-probe math over the same spaced assignment: every 25th
+      // vector queries its own bucket, exact cosine, top-3 (the INDEX
+      // mechanics — bucketed table, exchange-free scan — are the Spark
+      // side's layout; the result set is layout-independent)
+      s"""WITH $oracleEmbCte,
+         |$oracleSpacedAssigned,
+         |q AS (SELECT vec_id AS query_id, bucket, v AS qv FROM av WHERE vec_id % 25 = 0),
+         |scored AS (SELECT q.query_id, av.vec_id AS neighbor_id, ${oracleCos("q.qv", "av.v")} AS sim
+         |           FROM q JOIN av ON av.bucket = q.bucket AND av.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
+         |WHERE rank <= 3""".stripMargin,
+    "t56_components" ->
+      // hand-authored transitive closure (the t53 discipline): symmetrized
+      // edges, reachability walk with UNION-set dedup, component id = min
+      // reachable node — algorithm-independent of the Spark CC iteration
+      """WITH RECURSIVE yr AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'),
+        |e0 AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM yr a JOIN yr b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT src AS a, dst AS b FROM e0
+        |          UNION ALL SELECT dst, src FROM e0),
+        |walk AS (SELECT DISTINCT a AS node, a AS reach FROM edges
+        |         UNION
+        |         SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach)
+        |SELECT node, min(reach) AS group_id FROM walk GROUP BY node""".stripMargin,
     "s19_ivf_recall" ->
       // exact top-10 ∩ IVF top-10 per query; recall is deterministic, so
       // zero-hit queries still emit a 0 row

@@ -1280,29 +1280,13 @@ object Dedup {
     * staleness to manage, `Overwrite` clears any leftover files).
     */
   def materializeGroups(docs: DataFrame, table: String, buckets: Int = 8,
-      shingleK: Int = 5, threshold: Double = 0.5): DataFrame = {
-    val spark = docs.sparkSession
-    if (!spark.catalog.tableExists(table)) {
-      // the warehouse dir outlives the per-JVM in-memory catalog: a table
-      // written by a PREVIOUS process is an orphaned location here (the
-      // catalog has no entry), and saveAsTable would fail with
-      // LOCATION_ALREADY_EXISTS — clear it and rebuild (deterministic
-      // contents, so a rebuild is always safe)
-      val wh = java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath
-      val loc = java.nio.file.Paths.get(wh, table.toLowerCase)
-      if (java.nio.file.Files.exists(loc)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      shingleK: Int = 5, threshold: Double = 0.5): DataFrame =
+    graft.sources.BucketedLayout.buildIfAbsent(docs.sparkSession, table) {
       val groups = dedupGroupsAuto(
         jaccardPairsFromShingles(
           shingleIdsFromArrays(Vocab.hashTokenIdArrays(docs), shingleK), threshold))
       graft.sources.BucketedLayout.writeBucketed(groups, table, "doc_id", buckets)
-      spark.sqlContext.clearCache() // drop the CC chain's intermediates
     }
-    spark.table(table)
-  }
 
   /** The shared d16/d23/d27 artifact for a fixture directory — one table
     * per sfDir (sanitized into the identifier), so correctness (sf0.01)
@@ -1310,6 +1294,36 @@ object Dedup {
     */
   def materializedGroupsFor(docs: DataFrame, sfDir: String): DataFrame =
     materializeGroups(docs, "dedup_groups_" + sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+
+  /** Incremental maintenance of a groups artifact: fold a new batch's
+    * near-dup pairs into an EXISTING (doc_id, group_id) frame without
+    * re-running connected components over the whole corpus's pair graph.
+    * Each existing group collapses to its star (member → representative
+    * edges — exactly the connectivity the artifact certifies), the new
+    * pairs add the only new connectivity, and CC over that union yields
+    * the full graph's components: identical to a rebuild whose pair set is
+    * (certified old pairs ∪ newPairs), with the same canonical min-id
+    * group labels (spec-pinned in BucketedLayoutSpec).
+    *
+    * `newPairs` must cover batch–batch AND batch–corpus pairs (the
+    * persisted band-key index screens produce exactly these without
+    * re-shingling the corpus). Note the df-cap caveat: candidate rules
+    * whose pair set depends on global document frequencies can RETRACT
+    * old-corpus pairs as the corpus grows; this operator preserves the
+    * certified old connectivity by design (an artifact never un-merges),
+    * which is the standard production contract for incremental dedup.
+    *
+    * At 100 TB: the star edges are artifact-sized (members of non-trivial
+    * groups), newPairs is batch-sized — the CC runs over a graph orders of
+    * magnitude smaller than the corpus pair graph it replaces.
+    */
+  def incrementalGroups(groups: DataFrame, newPairs: DataFrame): DataFrame = {
+    val starEdges = groups
+      .filter(col("doc_id") =!= col("group_id"))
+      .select(col("doc_id").as("doc_a"), col("group_id").as("doc_b"))
+    dedupGroupsAuto(
+      starEdges.unionByName(newPairs.select(col("doc_a"), col("doc_b"))))
+  }
 
   /** Min-label propagation, bounded: None if `maxRounds` iterations did not
     * reach the fixpoint (caller falls back to star contraction).

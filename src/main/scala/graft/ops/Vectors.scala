@@ -973,6 +973,20 @@ object Vectors {
       assigned.select(col("vec_id"), col("bucket"), col("unit")),
       table, "bucket", buckets, sorted = false)
 
+  /** Build-if-absent persisted IVF index (the [[writeIvfIndex]] layout
+    * behind the [[graft.ops.Dedup.materializeGroups]] lifecycle): the
+    * O(N·C·d) assignment runs once per corpus into a bucket-clustered
+    * table; every later probe reads it exchange-free on the corpus side.
+    * Orphaned warehouse locations from a previous process are cleared
+    * before rebuild (deterministic contents — a rebuild is always safe).
+    */
+  def materializedIvfIndex(embeddings: DataFrame, table: String,
+      buckets: Int = 8): DataFrame =
+    graft.sources.BucketedLayout.buildIfAbsent(embeddings.sparkSession, table) {
+      writeIvfIndex(ivfAssign(embeddings, spacedCentroidIds(embeddings.count())),
+        table, buckets)
+    }
+
   /** Batch ANN over a persisted index — for query BATCHES too large to
     * broadcast (the offline scoring job: re-embed a corpus slice, find
     * neighbors for all of it): score a (query_id, bucket, q) frame against
@@ -1678,6 +1692,32 @@ object Vectors {
       .agg(coalesce(min(col("nprobe")), lit(widest)).as("nprobe"))
     chosen.join(F.broadcast(sweep.select(col("nprobe"), col("recall_ppm"))), Seq("nprobe"))
       .select(col("target_ppm"), col("nprobe"), col("recall_ppm"))
+  }
+
+  /** Topic-balanced corpus subset — DoReMi-style domain balance WITHOUT
+    * labels: the ⌈√N⌉ IVF clusters act as topic proxies and each
+    * contributes at most `quota` members, picked in the deterministic
+    * multiplicative-hash order (the x8/x12 sampling discipline applied to
+    * semantic buckets — no RNG, identical on every engine/run, and stable
+    * under corpus growth within a bucket until the quota boundary moves).
+    * Head-heavy topics stop dominating the mixture; tail topics keep all
+    * their members. Output: (vec_id, bucket, pick_rank ≤ quota).
+    *
+    * Scale shape: one assignment pass + a per-BUCKET window (buckets are
+    * ⌈√N⌉-balanced by construction — never a single-task window); only
+    * (vec_id, bucket, key) triples shuffle.
+    */
+  def clusterBalancedSample(embeddings: DataFrame, quota: Int): DataFrame = {
+    val p = 2147483647L // 2^31 − 1, the shared deterministic-shuffle modulus
+    val assigned = ivfAssign(embeddings, spacedCentroidIds(embeddings.count()))
+      .withColumn("skey", ((col("vec_id") % p) * lit(2654435761L % p)) % p)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(col("skey").asc, col("vec_id").asc)
+    assigned
+      .withColumn("pick_rank", row_number().over(w))
+      .filter(col("pick_rank") <= quota)
+      .select(col("vec_id"), col("bucket"), col("pick_rank").cast("long").as("pick_rank"))
   }
 
   /** k-NN majority-vote classification — the retrieval surface applied to

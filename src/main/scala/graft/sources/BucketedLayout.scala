@@ -47,4 +47,29 @@ object BucketedLayout {
   def colocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Build-if-absent lifecycle for a DETERMINISTIC materialized artifact
+    * (dedup groups, IVF index, …): within one driver session the first
+    * consumer pays the build, later consumers read the table; a fresh
+    * session rebuilds (in-memory catalog — no cross-run staleness to
+    * manage). The warehouse dir outlives the per-JVM catalog, so a table
+    * written by a PREVIOUS process is an orphaned location here (no
+    * catalog entry) and saveAsTable would fail with
+    * LOCATION_ALREADY_EXISTS — it is cleared before the rebuild, which is
+    * always safe because the artifact's contents are deterministic.
+    */
+  def buildIfAbsent(spark: SparkSession, table: String)(build: => Unit): DataFrame = {
+    if (!spark.catalog.tableExists(table)) {
+      val wh = java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath
+      val loc = java.nio.file.Paths.get(wh, table.toLowerCase)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      build
+      spark.sqlContext.clearCache() // drop the build chain's intermediates
+    }
+    spark.table(table)
+  }
 }

@@ -211,4 +211,32 @@ class BucketedLayoutSpec extends SparkSpec {
     assert(viaBucketed.collect().map(_.getLong(0)).toSet ===
       viaPlain.collect().map(_.getLong(0)).toSet)
   }
+
+  test("incrementalGroups: batch fold-in ≡ full CC rebuild (canonical min-id labels)") {
+    import graft.ops.{Dedup, Vocab}
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val cut = 400L // corpus = ids < cut, batch = ids ≥ cut
+    def pairsOf(d: org.apache.spark.sql.DataFrame) =
+      Dedup.jaccardPairsFromShingles(
+        Dedup.shingleIdsFromArrays(Vocab.hashTokenIdArrays(d), 5), threshold = 0.5)
+    val corpusGroups = Dedup.dedupGroupsAuto(pairsOf(docs.filter(col("doc_id") < cut)))
+      .persist()
+    // the batch's new connectivity: every full-corpus pair touching a
+    // batch doc (batch–batch + batch–corpus)
+    val fullPairs = pairsOf(docs).persist()
+    val newPairs = fullPairs.filter(col("doc_a") >= cut || col("doc_b") >= cut)
+    val incremental = Dedup.incrementalGroups(corpusGroups, newPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuilt = Dedup.dedupGroupsAuto(fullPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical membership AND identical canonical labels — the star
+    // edges preserve old connectivity exactly, the new pairs add the rest
+    assert(incremental === rebuilt)
+    assert(incremental.nonEmpty)
+    // sanity: the fixture split actually exercises a cross-boundary merge
+    // (some group spans corpus and batch ids)
+    val groupsWithBoth = rebuilt.groupBy(_._2).values
+      .count(g => g.exists(_._1 < cut) && g.exists(_._1 >= cut))
+    assert(groupsWithBoth > 0, "fixture split produced no cross-boundary group")
+  }
 }
