@@ -1964,6 +1964,36 @@ object SparkEntry {
           entryIds = Vectors.spacedCentroidIds(emb.count()),
           k = 5, beams = Seq(2, 4, 8, 16), rounds = 3)
       }),
+    "x50_mixture_shift" -> ((s, dir) => {
+      // what cluster balancing DOES to the source mixture: per-source
+      // corpus share vs sampled share (ppm, integer div) — the report a
+      // pipeline reads before committing mixture weights; vec_id ≡ doc_id
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").as("vec_id"), col("source"))
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.select(col("vec_id")).join(docs, Seq("vec_id"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_corpus"))
+      val sampled = Vectors.clusterBalancedSample(emb, quota = 5)
+        .select(col("vec_id")).join(docs, Seq("vec_id"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+      val joined = corpus.join(sampled, Seq("source"), "left")
+        .na.fill(0L, Seq("n_sampled"))
+      val totals = joined.agg(sum(col("n_corpus")).as("tot_c"),
+        sum(col("n_sampled")).as("tot_s"))
+      joined.crossJoin(broadcast(totals))
+        .select(col("source"), col("n_corpus"), col("n_sampled"),
+          expr("(1000000 * n_corpus) div tot_c").as("share_before_ppm"),
+          expr("(1000000 * n_sampled) div tot_s").as("share_after_ppm"))
+    }),
+    "s31_margin_mining" -> ((s, dir) => {
+      // aligned-pair mining with the margin criterion: forward-top-1
+      // cross-corpus matches whose cosine stands out vs BOTH sides'
+      // neighborhoods — the hub-resistant bitext/parallel-data step
+      val emb = Tables.embeddings(s, dir)
+      Vectors.marginPairs(
+        emb.filter(col("vec_id") % 10 < 2),
+        emb.filter(col("vec_id") % 10 >= 2))
+    }),
     "s30_cluster_balanced_sample" -> ((s, dir) =>
       // topic-balanced subset: ⌈√N⌉ IVF clusters as label-free topic
       // proxies, ≤5 members each in deterministic hash order — the
@@ -4050,6 +4080,55 @@ object SparkEntry {
          |       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
          |FROM av GROUP BY bucket""".stripMargin,
     "s2_ann_ivf" -> oracleIvfMultiProbeAt(nprobe = 4, k = 5),
+    "x50_mixture_shift" ->
+      // s30's sampler as a CTE + the documents source dimension; shares in
+      // exact integer ppm (div, not float division)
+      s"""WITH $oracleEmbCte,
+         |$oracleSpacedAssigned,
+         |keyed AS (SELECT vec_id, bucket,
+         |            ((vec_id % 2147483647) * ${2654435761L % 2147483647L}) % 2147483647 AS skey
+         |          FROM av),
+         |picks AS (SELECT vec_id FROM (
+         |            SELECT vec_id, row_number() OVER (PARTITION BY bucket
+         |              ORDER BY skey ASC, vec_id ASC) AS rn FROM keyed)
+         |          WHERE rn <= 5),
+         |docs AS (SELECT doc_id AS vec_id, source FROM documents),
+         |corpus AS (SELECT source, CAST(count(*) AS BIGINT) AS n_corpus
+         |           FROM e JOIN docs USING (vec_id) GROUP BY source),
+         |sampled AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sampled
+         |            FROM picks JOIN docs USING (vec_id) GROUP BY source),
+         |joined AS (SELECT c.source, c.n_corpus, coalesce(s.n_sampled, 0) AS n_sampled
+         |           FROM corpus c LEFT JOIN sampled s ON s.source = c.source),
+         |totals AS (SELECT sum(n_corpus) AS tot_c, sum(n_sampled) AS tot_s FROM joined)
+         |SELECT source, n_corpus, n_sampled,
+         |       CAST((1000000 * n_corpus) // tot_c AS BIGINT) AS share_before_ppm,
+         |       CAST((1000000 * n_sampled) // tot_s AS BIGINT) AS share_after_ppm
+         |FROM joined, totals""".stripMargin,
+    "s31_margin_mining" ->
+      // per-side top-4 sims fold in RANK order (list ORDER BY rn +
+      // list_reduce — the pinned-fold discipline), margin rounds to ppm
+      // BEFORE the threshold so the cut is boundary-stable
+      s"""WITH $oracleEmbCte,
+         |t AS (SELECT vec_id AS test_id, v AS tv FROM e WHERE vec_id % 10 < 2),
+         |r AS (SELECT vec_id AS train_id, v AS rv FROM e WHERE vec_id % 10 >= 2),
+         |sc AS (SELECT test_id, train_id, ${oracleCos("tv", "rv")} AS sim FROM t, r),
+         |fr AS (SELECT test_id, train_id, sim, row_number() OVER (PARTITION BY test_id
+         |         ORDER BY sim DESC, train_id ASC) AS rn FROM sc),
+         |br AS (SELECT test_id, train_id, sim, row_number() OVER (PARTITION BY train_id
+         |         ORDER BY sim DESC, test_id ASC) AS rn FROM sc),
+         |fa AS (SELECT test_id,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(sim ORDER BY rn)),
+         |           (a, b) -> a + b) / count(*) AS f_avg
+         |       FROM fr WHERE rn <= 4 GROUP BY test_id),
+         |ba AS (SELECT train_id,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(sim ORDER BY rn)),
+         |           (a, b) -> a + b) / count(*) AS b_avg
+         |       FROM br WHERE rn <= 4 GROUP BY train_id),
+         |top1 AS (SELECT test_id, train_id, sim FROM fr WHERE rn = 1)
+         |SELECT test_id, train_id,
+         |       CAST(round(2000000 * sim / (f_avg + b_avg)) AS BIGINT) AS margin_ppm
+         |FROM top1 JOIN fa USING (test_id) JOIN ba USING (train_id)
+         |WHERE CAST(round(2000000 * sim / (f_avg + b_avg)) AS BIGINT) >= 1200000""".stripMargin,
     "s30_cluster_balanced_sample" ->
       // per-bucket quota in deterministic multiplicative-hash order —
       // exact integer arithmetic end-to-end (2654435761 mod (2³¹−1)

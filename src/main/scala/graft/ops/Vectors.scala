@@ -1694,6 +1694,95 @@ object Vectors {
       .select(col("target_ppm"), col("nprobe"), col("recall_ppm"))
   }
 
+  /** Margin-based aligned-pair mining (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix criterion): a (test, train) pair is aligned when its
+    * cosine stands out RELATIVE to each side's neighborhood — margin =
+    * 2·sim(x,y) / (avg_k(x) + avg_k(y)), with avg_k the mean of the
+    * side's k nearest cross-corpus sims. Raw-threshold mining drowns in
+    * hubs (vectors near everything); the margin normalizes them away —
+    * the standard bitext/parallel-data mining step.
+    *
+    * Determinism: per-side top-k sims fold in RANK order (sort_array +
+    * sequential `aggregate` on the Spark side, `list(sim ORDER BY rn)` +
+    * `list_reduce` in the oracle — the x31/PQ pinned-fold discipline), so
+    * avgs, margins, and the ppm rounding are bit-reproducible; the
+    * threshold applies to the ROUNDED ppm so the cut is boundary-stable.
+    *
+    * Scale shape: one cross-scoring pass (here exact — the |Q|≪N
+    * broadcast baseline; the bucketed s22 index composes in front for
+    * corpus-×-corpus runs), two per-side window ranks over the scored
+    * frame, metadata-sized avg frames broadcast back. Output:
+    * (test_id, train_id, margin_ppm) for forward-top-1 pairs above the
+    * threshold.
+    */
+  def marginPairs(test: DataFrame, train: DataFrame, k: Int = 4,
+      marginPpmThreshold: Long = 1200000L): DataFrame = {
+    val tU = withUnit(test).select(col("vec_id").as("test_id"), col("unit").as("tu"))
+    val rU = withUnit(train).select(col("vec_id").as("train_id"), col("unit").as("ru"))
+    val scored = F.broadcast(tU).join(rU)
+      .select(col("test_id"), col("train_id"), dot(col("tu"), col("ru")).as("sim"))
+      .persist()
+    marginFromScored(scored, k, marginPpmThreshold)
+  }
+
+  /** [[marginPairs]] at corpus-×-corpus scale: candidates come from the
+    * multi-table sign-hash buckets (the s18/s22 index) instead of the
+    * all-pairs cross join — only bucket-colliding pairs are scored, so the
+    * pair stage grows with bucket occupancy, never |test|·|train|. The
+    * margin normalization then runs over each side's CANDIDATE
+    * neighborhood (the standard index-backed approximation: a true
+    * neighbor missed by every table is absent from both the top-1 and the
+    * avgs — RECALL.json-style quality, exact-per-candidate math).
+    */
+  def marginPairsBucketed(test: DataFrame, train: DataFrame, k: Int = 4,
+      marginPpmThreshold: Long = 1200000L, nTables: Int = 4,
+      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    def keys(df: DataFrame, idCol: String): DataFrame =
+      withUnit(df).select(col("vec_id").as(idCol),
+        posexplode(tableBucketsExpr(nTables, nPlanes, dim)).as(Seq("t", "bucket")))
+    val pairs = keys(test, "test_id")
+      .join(keys(train, "train_id"), Seq("t", "bucket"))
+      .select(col("test_id"), col("train_id"))
+      .distinct()
+    val tU = withUnit(test).select(col("vec_id").as("test_id"), col("unit").as("tu"))
+    val rU = withUnit(train).select(col("vec_id").as("train_id"), col("unit").as("ru"))
+    val scored = pairs
+      .join(F.broadcast(tU), Seq("test_id"))
+      .join(rU, Seq("train_id"))
+      .select(col("test_id"), col("train_id"), dot(col("tu"), col("ru")).as("sim"))
+      .persist()
+    marginFromScored(scored, k, marginPpmThreshold)
+  }
+
+  /** Shared margin tail over ANY (test_id, train_id, sim) candidate frame:
+    * per-side top-k avgs with rank-ordered folds, forward-top-1 selection,
+    * ppm rounding BEFORE the threshold. `scored` should arrive persisted.
+    */
+  private def marginFromScored(scored: DataFrame, k: Int,
+      marginPpmThreshold: Long): DataFrame = {
+    val wF = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("test_id")).orderBy(col("sim").desc, col("train_id").asc)
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("train_id")).orderBy(col("sim").desc, col("test_id").asc)
+    val fRank = scored.withColumn("rn", row_number().over(wF)).persist()
+    def sideAvg(ranked: DataFrame, keyCol: String, avgCol: String): DataFrame =
+      ranked.filter(col("rn") <= k)
+        .groupBy(col(keyCol))
+        .agg(sort_array(collect_list(struct(col("rn"), col("sim")))).as("arr"))
+        .select(col(keyCol),
+          (expr("aggregate(arr, 0.0D, (a, x) -> a + x.sim)") / size(col("arr")))
+            .as(avgCol))
+    val fAvg = sideAvg(fRank, "test_id", "f_avg")
+    val bAvg = sideAvg(scored.withColumn("rn", row_number().over(wB)), "train_id", "b_avg")
+    fRank.filter(col("rn") === 1)
+      .join(F.broadcast(fAvg), Seq("test_id"))
+      .join(F.broadcast(bAvg), Seq("train_id"))
+      .select(col("test_id"), col("train_id"),
+        round(lit(2e6) * col("sim") / (col("f_avg") + col("b_avg")))
+          .cast("long").as("margin_ppm"))
+      .filter(col("margin_ppm") >= marginPpmThreshold)
+  }
+
   /** Topic-balanced corpus subset — DoReMi-style domain balance WITHOUT
     * labels: the ⌈√N⌉ IVF clusters act as topic proxies and each
     * contributes at most `quota` members, picked in the deterministic

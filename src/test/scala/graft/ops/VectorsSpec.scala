@@ -736,6 +736,91 @@ class VectorsSpec extends SparkSpec {
     out.foreach { case (_, (np, r)) => assert(r === sweep(np)) }
   }
 
+  test("marginPairs: reciprocal pairs outrank hub matches; ≡ driver-side margins") {
+    // x0 has an exact partner y10; x1/x2/x3 all match only the hub y11 —
+    // raw-threshold mining would keep every hub pair, the margin
+    // normalizes the hub's crowded neighborhood down
+    val test = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 0.8f, 0.2f, 0.0f)),
+      (3L, Array(0.0f, 0.7f, 0.3f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val train = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // x0's exact partner
+      (11L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // the hub: near x1/x2/x3
+      (12L, Array(0.0f, 0.0f, 0.0f, 1.0f))    // far from everything
+    ).toDF("vec_id", "embedding")
+    val out = Vectors.marginPairs(test, train, k = 2, marginPpmThreshold = 0L)
+      .collect()
+      .map(r => (r.getAs[Long]("test_id"), r.getAs[Long]("train_id"),
+        r.getAs[Long]("margin_ppm")))
+    val byTest = out.map(p => p._1 -> (p._2, p._3)).toMap
+    assert(byTest(0L)._1 === 10L) // forward top-1s
+    assert(Seq(1L, 2L, 3L).forall(t => byTest(t)._1 === 11L))
+    // the reciprocal pair's margin beats every hub pair's
+    assert(Seq(1L, 2L, 3L).forall(t => byTest(0L)._2 > byTest(t)._2))
+
+    // and the ppm values match an independent driver-side computation
+    def unit(v: Array[Float]): Array[Double] = {
+      val d = v.map(_.toDouble)
+      val n = math.sqrt(d.foldLeft(0.0)((a, x) => a + x * x))
+      d.map(_ / n)
+    }
+    val tv = Map(0L -> Array(1.0f, 0f, 0f, 0f), 1L -> Array(0f, 0.9f, 0.1f, 0f),
+      2L -> Array(0f, 0.8f, 0.2f, 0f), 3L -> Array(0f, 0.7f, 0.3f, 0f))
+      .map { case (i, v) => i -> unit(v) }
+    val rv = Map(10L -> Array(1.0f, 0f, 0f, 0f), 11L -> Array(0f, 1.0f, 0f, 0f),
+      12L -> Array(0f, 0f, 0f, 1.0f)).map { case (i, v) => i -> unit(v) }
+    def sim(a: Array[Double], b: Array[Double]) =
+      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+    def topAvg(sims: Seq[(Long, Double)], k: Int): Double = {
+      val top = sims.sortBy { case (id, s) => (-s, id) }.take(k).map(_._2)
+      top.foldLeft(0.0)(_ + _) / top.size
+    }
+    val expected = tv.map { case (t, x) =>
+      val fw = rv.toSeq.map { case (r, y) => r -> sim(x, y) }
+      val (bestId, bestSim) = fw.sortBy { case (id, s) => (-s, id) }.head
+      val fAvg = topAvg(fw, 2)
+      val bAvg = topAvg(tv.toSeq.map { case (t2, x2) => t2 -> sim(x2, rv(bestId)) }, 2)
+      (t, bestId, math.round(2e6 * bestSim / (fAvg + bAvg)))
+    }.toSet
+    assert(out.toSet === expected)
+  }
+
+  test("marginPairsBucketed: candidates honor the bucket contract; deterministic; identical dirs surface") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val test = emb.filter(col("vec_id") % 10 < 2)
+    val train = emb.filter(col("vec_id") % 10 >= 2)
+    val out = Vectors.marginPairsBucketed(test, train, marginPpmThreshold = 0L)
+      .collect().map(r => (r.getAs[Long]("test_id"), r.getAs[Long]("train_id"),
+        r.getAs[Long]("margin_ppm")))
+    assert(out.nonEmpty)
+    assert(out.map(_._1).distinct.length === out.length) // forward top-1: one row per test
+    // every emitted pair COLLIDES in at least one sign-hash table — the
+    // candidate-generation contract, recomputed driver-side from the same
+    // deterministic planes
+    val units = Vectors.withUnit(emb)
+      .select(col("vec_id"), col("unit")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def sig(v: Array[Double], t: Int): Long =
+      Vectors.lshPlanes(8, 64, start = t * 8).zipWithIndex.map { case (p, j) =>
+        val d = p.zip(v).foldLeft(0.0)((a, x) => a + x._1 * x._2)
+        if (d >= 0) 1L << j else 0L
+      }.sum
+    out.foreach { case (t, r, _) =>
+      assert((0 until 4).exists(tb => sig(units(t), tb) === sig(units(r), tb)),
+        s"pair ($t, $r) collides in no table")
+    }
+    // deterministic under repartitioning
+    val again = Vectors.marginPairsBucketed(test.repartition(7), train.repartition(5),
+      marginPpmThreshold = 0L)
+      .collect().map(r => (r.getAs[Long]("test_id"), r.getAs[Long]("train_id"),
+        r.getAs[Long]("margin_ppm")))
+    assert(out.toSet === again.toSet)
+  }
+
   test("pqRerankTopKWithCodebook: corpus-wide shortlist ≡ brute force at m=16/ks=64") {
     // the shipped s9 geometry (16 subspaces × 64 centroids) through the
     // codebook seam: when the shortlist covers the corpus the exact re-rank

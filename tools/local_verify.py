@@ -28,57 +28,57 @@ def close(a, b):
         return True
     return str(a) == str(b)
 
+def check_one(sf_dir, out_dir, name, sql):
+    """Returns (ok, message). Fresh, CLOSED connection per query: a
+    long-lived connection (or a leaked one) accumulates buffer-manager
+    state across ~200 heavy queries (recursive CTEs, wide unions) and
+    starts throwing Out of Memory on later queries even with free RAM —
+    observed at sf0.1 on the graph oracles."""
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        try:
+            mine = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+        except Exception as e:
+            return False, f"spark output unreadable: {e}"
+        try:
+            oref = con.execute(sql).fetchdf()
+        except Exception as e:
+            return False, f"oracle sql error: {e}"
+    finally:
+        con.close()
+    mcols, ocols = sorted(mine.columns), sorted(oref.columns)
+    if mcols != ocols:
+        return False, f"column mismatch spark={mcols} oracle={ocols}"
+    m = mine[mcols].sort_values(mcols).reset_index(drop=True)
+    o = oref[ocols].sort_values(ocols).reset_index(drop=True)
+    if len(m) != len(o):
+        return False, f"row count spark={len(m)} oracle={len(o)}"
+    for i in range(len(m)):
+        for c in mcols:
+            if not close(m.at[i, c], o.at[i, c]):
+                return False, (f"row {i} col {c}: spark={m.at[i, c]!r} "
+                               f"oracle={o.at[i, c]!r}")
+    return True, f"({len(m)} rows)"
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
-        try:
-            mine = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
-        except Exception as e:
-            print(f"FAIL {name}: spark output unreadable: {e}")
-            n_fail += 1
-            continue
-        try:
-            oref = con.execute(sql).fetchdf()
-        except Exception as e:
-            print(f"FAIL {name}: oracle sql error: {e}")
-            n_fail += 1
-            continue
-        mcols, ocols = sorted(mine.columns), sorted(oref.columns)
-        if mcols != ocols:
-            print(f"FAIL {name}: column mismatch spark={mcols} oracle={ocols}")
-            n_fail += 1
-            continue
-        m = mine[mcols].sort_values(mcols).reset_index(drop=True)
-        o = oref[ocols].sort_values(ocols).reset_index(drop=True)
-        if len(m) != len(o):
-            print(f"FAIL {name}: row count spark={len(m)} oracle={len(o)}")
-            n_fail += 1
-            continue
-        bad = None
-        for i in range(len(m)):
-            for c in mcols:
-                if not close(m.at[i, c], o.at[i, c]):
-                    bad = (i, c, m.at[i, c], o.at[i, c])
-                    break
-            if bad:
-                break
-        if bad:
-            i, c, a, b = bad
-            print(f"FAIL {name}: row {i} col {c}: spark={a!r} oracle={b!r}")
-            n_fail += 1
-        else:
-            print(f"PASS {name} ({len(m)} rows)")
+        ok, msg = check_one(sf_dir, out_dir, name, sql)
+        if ok:
+            print(f"PASS {name} {msg}")
             n_pass += 1
+        else:
+            print(f"FAIL {name}: {msg}")
+            n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
