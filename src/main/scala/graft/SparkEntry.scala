@@ -2283,6 +2283,14 @@ object SparkEntry {
       // deterministic 90/5/5 split: pure doc_id-hash projection — stable
       // under corpus growth, so held-out data never bleeds into training
       TextOps.assignSplits(Tables.documents(s, dir))),
+    "x52_nested_subsets" -> ((s, dir) =>
+      // scaling-law ⊂-chain: 1/8 ⊂ 1/4 ⊂ 1/2 ⊂ all by construction (one
+      // hash comparison per tier) — curves differ only by quantity
+      TextOps.nestedSubsets(Tables.documents(s, dir))),
+    "x53_min_token_sweep" -> ((s, dir) =>
+      // the quality gate's main knob swept: docs/tokens surviving each
+      // cutoff, retained shares in exact integer ppm
+      TextOps.minTokenSweep(Tables.documents(s, dir))),
     "x21_corpus_top_terms" -> ((s, dir) =>
       // exact corpus-wide heavy hitters: vocabulary-sized partial-agg
       // frame, TakeOrdered top-k — never a global sort
@@ -4654,6 +4662,33 @@ object SparkEntry {
          |               * (2654435761 % ${TextOps.fingerprintMod}))
          |               % ${TextOps.fingerprintMod}) % 100 AS h
          |      FROM documents)""".stripMargin,
+    "x52_nested_subsets" ->
+      // tier thresholds are the same floor-divided literals both engines
+      // compare against the shared multiplicative-hash key
+      s"""SELECT doc_id,
+         |       CAST(h < ${TextOps.fingerprintMod / 8} AS INT) AS in_eighth,
+         |       CAST(h < ${TextOps.fingerprintMod / 4} AS INT) AS in_quarter,
+         |       CAST(h < ${TextOps.fingerprintMod / 2} AS INT) AS in_half
+         |FROM (SELECT doc_id,
+         |             ((doc_id % ${TextOps.fingerprintMod})
+         |               * (2654435761 % ${TextOps.fingerprintMod}))
+         |               % ${TextOps.fingerprintMod} AS h
+         |      FROM documents)""".stripMargin,
+    "x53_min_token_sweep" ->
+      """WITH perdoc AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |               FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS tot_docs,
+        |               CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM perdoc),
+        |cuts AS (SELECT unnest([16, 32, 64, 128]) AS min_tokens),
+        |per AS (SELECT c.min_tokens,
+        |               CAST(count(p.n_tokens) AS BIGINT) AS n_docs,
+        |               CAST(coalesce(sum(p.n_tokens), 0) AS BIGINT) AS kept_tokens
+        |        FROM cuts c LEFT JOIN perdoc p ON p.n_tokens >= c.min_tokens
+        |        GROUP BY c.min_tokens)
+        |SELECT CAST(min_tokens AS BIGINT) AS min_tokens, n_docs, kept_tokens,
+        |       CAST((1000000 * n_docs) // tot_docs AS BIGINT) AS docs_retained_ppm,
+        |       CAST((1000000 * kept_tokens) // tot_tokens AS BIGINT) AS tokens_retained_ppm
+        |FROM per, tot""".stripMargin,
     "x21_corpus_top_terms" ->
       """SELECT term, CAST(count(*) AS BIGINT) AS n_occurrences,
         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs

@@ -821,6 +821,52 @@ object TextOps {
     * tomorrow's training set. Splits partition the corpus exactly (every
     * doc gets exactly one tag).
     */
+  /** Nested scaling-law subsets — the ⊂-chain a data-scaling study needs
+    * (train on 1/8, 1/4, 1/2, all of the corpus with each subset CONTAINED
+    * in the next, so curves differ only by data quantity, never by
+    * composition luck): membership is one deterministic hash comparison
+    * per tier (`h < p/2^k` over the shared multiplicative-hash key), so
+    * nesting holds by construction, assignments are stable under corpus
+    * growth, and the projection is codegen'd — no sampling pass, no RNG.
+    * Output: (doc_id, in_eighth, in_quarter, in_half) 0/1 flags (the full
+    * corpus is tier 4).
+    */
+  def nestedSubsets(docs: DataFrame): DataFrame = {
+    val p = fingerprintMod
+    val h = ((col("doc_id") % p) * lit(2654435761L % p)) % p
+    docs.select(col("doc_id"),
+      (h < p / 8).cast("int").as("in_eighth"),
+      (h < p / 4).cast("int").as("in_quarter"),
+      (h < p / 2).cast("int").as("in_half"))
+  }
+
+  /** Gate-threshold cost sweep — "what does tightening the length gate
+    * cost?": for each candidate min-token cutoff, the documents and tokens
+    * surviving plus retained shares in exact integer ppm — the d24/x39
+    * sweep discipline applied to the quality gate's main knob. One
+    * token-count projection feeds every config (the sweep-as-column form:
+    * |cutoffs|·N comparison rows of two longs each, never a re-tokenize
+    * per config).
+    */
+  def minTokenSweep(docs: DataFrame,
+      cutoffs: Seq[Long] = Seq(16L, 32L, 64L, 128L)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val perDoc = docs.select(size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .persist()
+    val totals = perDoc.agg(count(lit(1)).as("tot_docs"),
+      sum(col("n_tokens")).as("tot_tokens"))
+    broadcast(cutoffs.toDF("min_tokens"))
+      .join(perDoc, col("n_tokens") >= col("min_tokens"), "left")
+      .groupBy(col("min_tokens"))
+      .agg(count(col("n_tokens")).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("kept_tokens"))
+      .crossJoin(broadcast(totals))
+      .select(col("min_tokens"), col("n_docs"), col("kept_tokens"),
+        expr("(1000000 * n_docs) div tot_docs").as("docs_retained_ppm"),
+        expr("(1000000 * kept_tokens) div tot_tokens").as("tokens_retained_ppm"))
+  }
+
   def assignSplits(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
       "split percentages must leave room for a test slice")
