@@ -140,6 +140,23 @@ object RecallReport {
       s"beam_$b" -> (() => Vectors.beamSearch(emb, queries, entryIds = spacedIds,
         k = k, beam = b, rounds = 3))))
 
+    // mining-quality row: how much of the EXACT margin-mined pair set the
+    // bucketed (index-backed) s31 scale path recovers — the same honesty
+    // metric as the ANN rows, applied to pair mining (threshold 0 ⇒ all
+    // forward-top-1 pairs compared)
+    val miningOverlap = {
+      val test = emb.filter(col("vec_id") % 10 < 2)
+      val train = emb.filter(col("vec_id") % 10 >= 2)
+      def pairsOf(df: DataFrame): Set[(Long, Long)] =
+        df.collect().map(r => (r.getAs[Long]("test_id"), r.getAs[Long]("train_id"))).toSet
+      val exactP = pairsOf(Vectors.marginPairs(test, train, marginPpmThreshold = 0L))
+      val bucketedP = pairsOf(Vectors.marginPairsBucketed(test, train, marginPpmThreshold = 0L))
+      spark.sqlContext.clearCache(); emb.persist(); unit.persist()
+      val r = bucketedP.intersect(exactP).size.toDouble / exactP.size
+      System.err.println(f"[recall] margin_bucketed_overlap    = $r%.4f")
+      r
+    }
+
     def obj(rows: Seq[(String, Double)]): String =
       rows.map { case (name, r) => f""""$name":$r%.6f""" }.mkString("{", ",", "}")
 
@@ -150,6 +167,7 @@ object RecallReport {
         f""""same_label_mean_cos":${simStats.getDouble(1)}%.6f,""" +
         f""""cross_label_mean_cos":${simStats.getDouble(2)}%.6f,""" +
         f""""top${k}_same_label_frac":$sameLabelFrac%.6f},""" +
+        f""""margin_bucketed_overlap":$miningOverlap%.6f,""" +
         s""""defaults":${obj(defaults)},""" +
         s""""parity":${obj(parity)},""" +
         s""""diagnostics":${obj(diagnostics)},""" +

@@ -1740,7 +1740,17 @@ object Vectors {
     def keys(df: DataFrame, idCol: String): DataFrame =
       withUnit(df).select(col("vec_id").as(idCol),
         posexplode(tableBucketsExpr(nTables, nPlanes, dim)).as(Seq("t", "bucket")))
-    val pairs = keys(test, "test_id")
+    // the TEST side probes its own bucket plus every Hamming-1 bucket per
+    // table (the lshTopKMultiProbe trick): candidate recall rises
+    // ~(nPlanes+1)× per table at the cost of (nPlanes+1)× more (tiny)
+    // probe keys — the train side stays one bucket per table, so candidate
+    // volume remains bucket-occupancy-bounded
+    val probed = keys(test, "test_id")
+      .select(col("test_id"), col("t"),
+        explode(array(col("bucket") +:
+          (0 until nPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*))
+          .as("bucket"))
+    val pairs = probed
       .join(keys(train, "train_id"), Seq("t", "bucket"))
       .select(col("test_id"), col("train_id"))
       .distinct()
