@@ -2283,6 +2283,11 @@ object SparkEntry {
       // deterministic 90/5/5 split: pure doc_id-hash projection — stable
       // under corpus growth, so held-out data never bleeds into training
       TextOps.assignSplits(Tables.documents(s, dir))),
+    "x54_training_manifest" -> ((s, dir) =>
+      // the dataloader's pre-run validation artifact: per-shard volumes,
+      // position span, and an order-pinned content checksum — a partially
+      // landed shard fails the md5 instead of silently skewing training
+      TextOps.trainingManifest(Tables.documents(s, dir))),
     "x52_nested_subsets" -> ((s, dir) =>
       // scaling-law ⊂-chain: 1/8 ⊂ 1/4 ⊂ 1/2 ⊂ all by construction (one
       // hash comparison per tier) — curves differ only by quantity
@@ -4662,6 +4667,27 @@ object SparkEntry {
          |               * (2654435761 % ${TextOps.fingerprintMod}))
          |               % ${TextOps.fingerprintMod}) % 100 AS h
          |      FROM documents)""".stripMargin,
+    "x54_training_manifest" ->
+      // x20's layout as a CTE, then per-shard aggregates with the checksum
+      // over the ORDER BY pos_in_shard doc_id sequence — both engines join
+      // the same comma string before hashing
+      s"""WITH k AS (SELECT doc_id,
+         |       ((doc_id % ${TextOps.fingerprintMod}) * (2654435761 % ${TextOps.fingerprintMod}))
+         |         % ${TextOps.fingerprintMod} AS shuffle_key
+         |     FROM documents),
+         |pos AS (SELECT doc_id, row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS p FROM k),
+         |laid AS (SELECT doc_id, CAST(p // 100 AS BIGINT) AS shard,
+         |                CAST(p % 100 AS BIGINT) AS pos_in_shard
+         |         FROM pos),
+         |toks AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |         FROM documents)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |       min(pos_in_shard) AS first_pos, max(pos_in_shard) AS last_pos,
+         |       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos_in_shard))
+         |         AS content_md5
+         |FROM laid JOIN toks USING (doc_id)
+         |GROUP BY shard""".stripMargin,
     "x52_nested_subsets" ->
       // tier thresholds are the same floor-divided literals both engines
       // compare against the shared multiplicative-hash key

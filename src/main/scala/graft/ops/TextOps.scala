@@ -604,6 +604,35 @@ object TextOps {
       expr(s"shuffle_pos div $shardSize").as("shard"),
       (col("shuffle_pos") % shardSize).as("pos_in_shard"))
 
+  /** Training-shard MANIFEST — the artifact a dataloader validates before
+    * a run: per shard, the document/token volume, the position span, and a
+    * CONTENT CHECKSUM (md5 over the comma-joined doc_id sequence in shard
+    * order) — a mis-written or partially-landed shard fails the checksum
+    * instead of silently skewing training. Everything derives from the
+    * deterministic [[shardLayout]] positions, so the manifest is
+    * reproducible from the corpus alone — an independent rebuild
+    * cross-checks the landed one.
+    *
+    * Scale shape: rides the bounded prefix-scan shuffle order; the
+    * manifest aggregation is one shard-keyed combine where the sorted
+    * collect is shard-sized (`shardSize` rows) by construction — never a
+    * corpus-wide sort.
+    */
+  def trainingManifest(docs: DataFrame, shardSize: Long = 100L): DataFrame = {
+    val laid = shardLayout(docs, shardSize)
+      .join(docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens")),
+        Seq("doc_id"))
+    laid.groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("pos_in_shard")).as("first_pos"),
+        max(col("pos_in_shard")).as("last_pos"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(struct(col("pos_in_shard"), col("doc_id")))),
+            x => x.getField("doc_id").cast("string")))).as("content_md5"))
+  }
+
   /** Intra-document repetition — the Gopher-style quality signal: the
     * fraction of a document's word k-grams that are repeats of an earlier
     * k-gram in the same document. High ratios flag boilerplate loops,
