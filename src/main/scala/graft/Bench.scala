@@ -35,7 +35,29 @@ object Bench {
     val failPenaltySec = 3600.0
     val spark = Tables.session("graft-bench", s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Explicit artifact-build rows (round-5 verdict "next" #3): d16/d23/d27
+    // and s29 read build-once artifacts, so their medians are pure reads —
+    // the COLD build cost must appear somewhere in the reported total. Each
+    // timed run drops the table first, so all `runs` measurements are cold
+    // builds; the rows sort before the consuming queries (artifact:* < b*),
+    // so the consumers keep their read-only medians, now visibly accounted.
+    val artifactEntries: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)] = Seq(
+      "artifact:dedup_groups" -> ((s, dir) => {
+        s.sql("DROP TABLE IF EXISTS dedup_groups_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        graft.ops.Dedup.materializedGroupsFor(Tables.documents(s, dir), dir)
+      }),
+      "artifact:ivf_index" -> ((s, dir) => {
+        val t = "ivf_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        graft.ops.Vectors.materializedIvfIndex(Tables.embeddings(s, dir), t)
+      }),
+      "artifact:nav_graph" -> ((s, dir) => {
+        val t = "nav_graph_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        graft.ops.Vectors.materializedNavGraph(Tables.embeddings(s, dir), t)
+      }))
+    val ordered = (artifactEntries ++ SparkEntry.queries.toSeq).sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.exists(name.startsWith) }
     ordered.foreach { case (name, fn) =>
       try { fn(spark, warmDir).count(); () } catch {

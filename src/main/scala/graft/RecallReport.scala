@@ -94,7 +94,12 @@ object RecallReport {
         Vectors.pqRerankTopKWithCodebook(unit, queries, k, 80, 16, trainedPq)),
       s"ivfpq_trained_mp${tuned}_rr80" -> (() =>
         Vectors.ivfPqRerankTopKTrained(emb, trained, queries, k, tuned, 80, 16, trainedPq)),
-      "quantized8bit" -> (() => Vectors.quantizedTopK(emb, queries, k))
+      "quantized8bit" -> (() => Vectors.quantizedTopK(emb, queries, k)),
+      // the round-6 navigable-graph rebuild: shipped walk (beam 32, 4
+      // rounds over navGraph k=24/nAssign=3) must sit above the tuned-IVF
+      // point (round-5 verdict #1's done-condition)
+      "graph_beam32_r4" -> (() => Vectors.beamSearch(emb, queries,
+        entryIds = spacedIds, k = k, beam = 32, rounds = 4))
     ))
 
     // ---- the oracle-hashable shipped forms (what s2/s3/s6/s9/s11 run) ----
@@ -136,25 +141,48 @@ object RecallReport {
     val curveRerank = measure(Seq(20, 40, 80, 160).map(l =>
       s"shortlist_$l" -> (() => Vectors.pqRerankTopK(emb, queries, k,
         shortlist = l, m = 16, ks = 64))))
-    val curveBeam = measure(Seq(4, 8, 16).map(b =>
+    val curveBeam = measure(Seq(8, 16, 32, 64).map(b =>
       s"beam_$b" -> (() => Vectors.beamSearch(emb, queries, entryIds = spacedIds,
-        k = k, beam = b, rounds = 3))))
+        k = k, beam = b, rounds = 4))))
 
-    // mining-quality row: how much of the EXACT margin-mined pair set the
-    // bucketed (index-backed) s31 scale path recovers — the same honesty
-    // metric as the ANN rows, applied to pair mining (threshold 0 ⇒ all
-    // forward-top-1 pairs compared)
-    val miningOverlap = {
+    // mining-quality table (round-5 verdict #2): how much of the EXACT
+    // margin-mined pair set each scale path recovers (threshold 0 ⇒ all
+    // forward-top-1 pairs compared), charted against its candidate volume.
+    // The bucketed sign-hash configs trace the data-bound ceiling on this
+    // isotropic corpus (recovery tracks candidate fraction — the same
+    // geometry that caps bucket-pruned ANN recall at scan fraction); the
+    // SQ8 compressed-scan path (marginPairsScan, the shipped scale default,
+    // s32) keeps recovery ≈ 1.0 at 1/8 scan bandwidth because no pair is
+    // pruned unseen.
+    val (marginCurve, miningOverlap, scanOverlap) = {
       val test = emb.filter(col("vec_id") % 10 < 2)
       val train = emb.filter(col("vec_id") % 10 >= 2)
+      val nPairsTotal = test.count() * train.count()
       def pairsOf(df: DataFrame): Set[(Long, Long)] =
         df.collect().map(r => (r.getAs[Long]("test_id"), r.getAs[Long]("train_id"))).toSet
       val exactP = pairsOf(Vectors.marginPairs(test, train, marginPpmThreshold = 0L))
-      val bucketedP = pairsOf(Vectors.marginPairsBucketed(test, train, marginPpmThreshold = 0L))
-      spark.sqlContext.clearCache(); emb.persist(); unit.persist()
-      val r = bucketedP.intersect(exactP).size.toDouble / exactP.size
-      System.err.println(f"[recall] margin_bucketed_overlap    = $r%.4f")
-      r
+      // a fixture with zero forward-top-1 pairs would write NaN into the
+      // committed artifact — fail loudly instead (round-5 ADVICE)
+      require(exactP.nonEmpty, "miningOverlap: exact margin pair set is empty")
+      def clear(): Unit = { spark.sqlContext.clearCache(); emb.persist(); unit.persist() }
+      val bucketConfigs = Seq((4, 1), (8, 1), (4, 2), (8, 2))
+      val curve = bucketConfigs.map { case (t, r) =>
+        val cand = Vectors.marginBucketedCandidates(test, train,
+          nTables = t, probeRadius = r).count()
+        val got = pairsOf(Vectors.marginPairsBucketed(test, train,
+          marginPpmThreshold = 0L, nTables = t, probeRadius = r))
+        clear()
+        val overlap = got.intersect(exactP).size.toDouble / exactP.size
+        val frac = cand.toDouble / nPairsTotal
+        System.err.println(
+          f"[recall] margin_bucketed_t${t}_p$r     overlap = $overlap%.4f  cand_frac = $frac%.4f")
+        (s"t${t}_p$r", overlap, frac)
+      }
+      val scanP = pairsOf(Vectors.marginPairsScan(test, train, marginPpmThreshold = 0L))
+      clear()
+      val scanOv = scanP.intersect(exactP).size.toDouble / exactP.size
+      System.err.println(f"[recall] margin_scan_sq8_sl8       overlap = $scanOv%.4f")
+      (curve, curve.head._2, scanOv)
     }
 
     def obj(rows: Seq[(String, Double)]): String =
@@ -168,6 +196,10 @@ object RecallReport {
         f""""cross_label_mean_cos":${simStats.getDouble(2)}%.6f,""" +
         f""""top${k}_same_label_frac":$sameLabelFrac%.6f},""" +
         f""""margin_bucketed_overlap":$miningOverlap%.6f,""" +
+        f""""margin_scan_overlap":$scanOverlap%.6f,""" +
+        s""""margin_overlap_curve":${marginCurve.map { case (name, ov, fr) =>
+          f""""$name":{"overlap":$ov%.6f,"cand_frac":$fr%.6f}""" }
+          .mkString("{", ",", "}")},""" +
         s""""defaults":${obj(defaults)},""" +
         s""""parity":${obj(parity)},""" +
         s""""diagnostics":${obj(diagnostics)},""" +

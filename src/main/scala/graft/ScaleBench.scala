@@ -50,8 +50,18 @@ object ScaleBench {
       docs.select((col("doc_id") + lit(k * docStride)).as("doc_id"), t.as("text"))
     }.reduce(_ union _)
 
+    /** ×`f` embedding corpus: copy k remaps ids by k·stride and ROTATES the
+      * coordinate order by 8k positions (norm-preserving permutation —
+      * deterministic, distinct per copy). Verbatim copies would be
+      * degenerate: the ×8 spaced-centroid ids hit a 16-cycle of identical
+      * vectors (round-5 ADVICE), so bucket probes would measure ~16 skewed
+      * mega-buckets instead of ~√(8N) balanced ones.
+      */
     def scaledEmb(f: Int): DataFrame = (0 until f).map { k =>
-      emb.select((col("vec_id") + lit(k * vecStride)).as("vec_id"), col("embedding"))
+      val r = (8 * k) % 64
+      val rot = if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, 64 - r), slice(col("embedding"), 1, r))
+      emb.select((col("vec_id") + lit(k * vecStride)).as("vec_id"), rot.as("embedding"))
     }.reduce(_ union _)
 
     val queries: Seq[(String, DataFrame => DataFrame, Boolean)] = Seq(
@@ -122,12 +132,8 @@ object ScaleBench {
         // projection pass is O(N·planes·d); shortlist join carries 16-dim
         // rows only
         Vectors.jlRerankTopK(e, 0L until 8L, k = 10), false),
-      ("d28_semantic_dedup", (e: DataFrame) => {
-        val cids = Vectors.spacedCentroidIds(e.count())
-        val pairs = Vectors.cosineNearDupPairs(e, cids, threshold = 0.4)
-          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-        Vectors.semanticKeep(e, cids, Dedup.dedupGroupsStar(pairs).persist())
-      }, false),
+      ("d28_semantic_dedup", (e: DataFrame) =>
+        Vectors.semanticDedupKeep(e), false),
       ("d32_dup_spans", (d: DataFrame) =>
         // positional index + semi join + per-doc windows: no pair join
         // anywhere, so even a corpus-wide duplicated sentence costs O(f)
@@ -176,7 +182,22 @@ object ScaleBench {
         Vectors.annTopK(e, 0L until 8L, k = 10), false),
       ("s30_cluster_balanced", (e: DataFrame) =>
         // assignment + per-bucket windows over √(8N) balanced buckets
-        Vectors.clusterBalancedSample(e, quota = 5), false)
+        Vectors.clusterBalancedSample(e, quota = 5), false),
+      ("x54_training_manifest", (d: DataFrame) =>
+        // shard layout prefix scan + per-shard aggregates with a
+        // shard-bounded (≤100/group) checksum collect — must track rows
+        graft.ops.TextOps.trainingManifest(d), true),
+      ("s24_nav_graph", (e: DataFrame) =>
+        // the navigable-graph build (round-6 beam-search rebuild): top-3
+        // multi-assigned buckets self-joined — nAssign²·N^1.5 pair work,
+        // so the expected ×8 ratio is ≈ 8^1.5 ≈ 23, far under a
+        // quadratic stage's 64×; rows grow 8× (24 edges/vector)
+        Vectors.navGraph(e), false),
+      ("s29_index_build_serve", (e: DataFrame) =>
+        // the FULL s29 lifecycle cold: bucketed IVF index build (write +
+        // catalog) AND the batch serve through the exchange-free bucket
+        // join — per-scale table names keep both runs cold builds
+        Vectors.servedBatchTopK(e, "ivf_scale_x" + e.count(), k = 3), false)
     )
 
     def time(fn: () => DataFrame): (Double, Long) = {
@@ -230,7 +251,13 @@ object ScaleBench {
       ("t52_label_prop", e => graft.operators.Graph.labelPropagation(e, rounds = 4)),
       ("t53_bfs_reach", e => graft.operators.Graph.bfsDistances(e,
         e.select(col("src").as("node")).filter(col("node") % 997 === 0).distinct(),
-        rounds = 4)))
+        rounds = 4)),
+      ("t56_components", e =>
+        // disjoint copies: components multiply ×8, per-component CC work
+        // stays constant — a super-linear label-propagation stage would
+        // show up immediately
+        Dedup.dedupGroupsAuto(
+          e.select(col("src").as("doc_a"), col("dst").as("doc_b")))))
     def runGraph(f: Int): Seq[(String, Double, Long)] = {
       val e = scaledEdges(f)
       graphQs.map { case (name, fn) =>

@@ -714,6 +714,68 @@ object Dedup {
       .bucketBy(buckets, "band", "r0", "r1")
       .saveAsTable(table)
 
+  /** Within-corpus MinHash band-collision candidate pairs (canonical
+    * doc_a < doc_b, distinct) — the PAIR form of [[nearDupKeepFirst]]'s
+    * collision rule, and the batch-internal half of the incremental
+    * groups lifecycle ([[incrementalGroups]]): the rule is pair-LOCAL
+    * (two docs collide iff they share a band signature, no global
+    * df/corpus state), so the union of per-batch pair sets over any
+    * chunking of a corpus equals the whole corpus's pair set — the
+    * property that makes the streaming fold-in ≡ a batch rebuild
+    * (StreamingDedupGroupsSpec pins it end-to-end).
+    */
+  def bandCandidatePairs(docs: DataFrame, k: Int = 5, bands: Int = 4): DataFrame = {
+    val keys = bandKeys(docs, k, bands)
+    keys.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+      .join(keys.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
+        Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Batch-vs-corpus candidate pairs through a persisted
+    * [[writeBandKeyIndex]] table — the pair-producing twin of
+    * [[incrementalNearFromIndex]] (which only flags): each colliding
+    * (batch doc, index claimant) pair, both orientations collapsed to
+    * distinct rows. This is exactly the `newPairs` feed
+    * [[incrementalGroups]]'s contract asks for (batch–corpus half;
+    * [[bandCandidatePairs]] over the batch supplies batch–batch), without
+    * re-shingling the corpus: only the batch side computes signatures,
+    * and with the index bucketed on the key the corpus side plans
+    * exchange-free.
+    */
+  def bandPairsFromIndex(newBatch: DataFrame, index: DataFrame,
+      k: Int = 5, bands: Int = 4): DataFrame =
+    bandKeys(newBatch, k, bands)
+      .select(col("doc_id").as("doc_a"), col("band"),
+        col("sig.r0").as("r0"), col("sig.r1").as("r1"))
+      .join(index.select(col("band"), col("r0"), col("r1"),
+        col("doc_id").as("doc_b")), Seq("band", "r0", "r1"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+
+  /** Append one ingest batch's band keys to a persisted
+    * [[writeBandKeyIndex]] table (same flattened layout and bucketing
+    * spec — Spark refuses mismatched bucketing on append, which is the
+    * guard we want). Duplicate keys from a replayed batch are harmless to
+    * every reader here: pair generation and the near screen both reduce
+    * through DISTINCT/semi-join.
+    */
+  def appendBandKeys(docs: DataFrame, table: String, buckets: Int = 32,
+      k: Int = 5, bands: Int = 4): Unit = {
+    bandKeys(docs, k, bands)
+      .select(col("band"), col("sig.r0").as("r0"), col("sig.r1").as("r1"), col("doc_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+      .bucketBy(buckets, "band", "r0", "r1")
+      .saveAsTable(table)
+    // an already-resolved relation for this table may have cached its file
+    // listing; without the refresh a reader planned after the append can
+    // still scan the pre-append file set
+    docs.sparkSession.catalog.refreshTable(table)
+  }
+
   /** [[incrementalDedup]]'s near verdict against a persisted
     * [[writeBandKeyIndex]] table: the arriving batch's band keys left-semi
     * join the index on the bucketed key columns — only the (small) batch

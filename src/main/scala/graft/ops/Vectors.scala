@@ -205,18 +205,25 @@ object Vectors {
     val exact = bruteForceTopK(embeddings, sampleQueryIds, k)
       .select(col("query_id"), col("neighbor_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // an empty sample would make every recall comparison NaN-false and the
+    // sweep would silently run to C — fail loudly instead (round-5 ADVICE)
+    require(exact.nonEmpty,
+      s"tunedNprobe: empty exact sample (|Q|=${sampleQueryIds.size}) — " +
+        "sample query ids must exist in the corpus")
     val assigned = ivfAssignWithCentroids(embeddings, centroids).persist()
-    val centFrame = centroidFrame(embeddings.sparkSession, centroids)
-    val c = centroids.size
-    var nprobe = 1
-    while (nprobe < c) {
-      val got = multiProbeOver(assigned, centFrame, sampleQueryIds, k, nprobe)
-        .select(col("query_id"), col("neighbor_id"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      if (got.intersect(exact).size.toDouble / exact.size >= target) return nprobe
-      nprobe *= 2
-    }
-    c
+    try {
+      val centFrame = centroidFrame(embeddings.sparkSession, centroids)
+      val c = centroids.size
+      var nprobe = 1
+      while (nprobe < c) {
+        val got = multiProbeOver(assigned, centFrame, sampleQueryIds, k, nprobe)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        if (got.intersect(exact).size.toDouble / exact.size >= target) return nprobe
+        nprobe *= 2
+      }
+      c
+    } finally assigned.unpersist()
   }
 
   /** Product-quantized ANN — the compression step BEYOND s8's scalar codes:
@@ -634,7 +641,58 @@ object Vectors {
     topKPerGroup(scored, "src_id", k)
   }
 
-  /** Graph-based ANN: beam search over the [[knnGraph]] edge structure —
+  /** Navigable neighbor graph — the index the beam search ([[beamSearch]])
+    * actually needs, where [[knnGraph]] is the per-bucket NEIGHBOR LIST
+    * product (near-dup clustering, diagnostics). The round-5 verdict
+    * measured why the distinction matters: a k=3 graph whose edges are
+    * in-bucket by construction is a disjoint union of per-bucket islands —
+    * the walk can never leave the buckets its entry beam seeded, and beam
+    * recall@10 read 0.03–0.11 while every other family sat at 0.87–1.0.
+    *
+    * Two structural fixes, both relational:
+    *   - '''multi-assignment''': every vector joins its top-`nAssign` IVF
+    *     buckets (not just the argmax), so candidate edges cross bucket
+    *     boundaries wherever two vectors share ANY of their top buckets —
+    *     the overlap stitches adjacent Voronoi cells into one navigable
+    *     fabric (the NSW/HNSW requirement).
+    *   - '''density''': `k` ≥ 8 out-edges per node (HNSW's M, not the
+    *     3 a neighbor-list product wants), so each hop multiplies the
+    *     explored frontier instead of stalling on it.
+    *
+    * Scale shape: the bucket self-join does Σ m² pair work with
+    * m ≈ nAssign·N/√N per bucket — nAssign²·N^1.5, the s14 asymptotic with
+    * a constant factor, and the same df-cap discipline applies if a
+    * trained centroid set skews. Pairs colliding in several shared buckets
+    * dedupe BEFORE ranking (DISTINCT on the deterministic scored pair).
+    * Output: (src_id, neighbor_id, rank ≤ k) — build once, serve every
+    * query; deterministic, so the DuckDB oracle reproduces the graph
+    * edge-for-edge.
+    */
+  def navGraph(embeddings: DataFrame, k: Int = 24, nAssign: Int = 3): DataFrame = {
+    val unit = withUnit(embeddings).select(col("vec_id"), col("unit"))
+    val centroids = unit
+      .filter(col("vec_id").isin(spacedCentroidIds(embeddings.count()): _*))
+      .select(col("vec_id").as("centroid_id"), col("unit").as("c"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("centroid_id").asc)
+    val assigned = unit.join(F.broadcast(centroids))
+      .select(col("vec_id"), col("unit"), col("centroid_id"),
+        dot(col("unit"), col("c")).as("csim"))
+      .withColumn("rn", F.row_number().over(wA))
+      .filter(col("rn") <= nAssign)
+      .select(col("vec_id"), col("centroid_id").as("bucket"), col("unit"))
+      .persist() // both sides of the bucket self-join
+    val scored = assigned.select(col("vec_id").as("src_id"),
+        col("bucket"), col("unit").as("a"))
+      .join(assigned.select(col("vec_id").as("neighbor_id"),
+        col("bucket"), col("unit").as("b")), Seq("bucket"))
+      .filter(col("src_id") =!= col("neighbor_id"))
+      .select(col("src_id"), col("neighbor_id"), dot(col("a"), col("b")).as("sim"))
+      .distinct() // a pair sharing j ≤ nAssign² buckets collides j times
+    topKPerGroup(scored, "src_id", k)
+  }
+
+  /** Graph-based ANN: beam search over the [[navGraph]] edge structure —
     * the fourth index family next to hashing (LSH), routing (IVF), and
     * quantization (PQ/SQ): HNSW-style engines answer queries by WALKING a
     * neighbor graph, and this is that walk as a relational fixpoint. From
@@ -644,6 +702,11 @@ object Vectors {
     * of the final beam is the answer. Fixed rounds + deterministic
     * pruning make the walk oracle-attestable (the s24 oracle unrolls the
     * identical rounds; the t32/t42 discipline applied to ANN).
+    *
+    * Shipped operating point (tuned on the fixture, curve in RECALL.json):
+    * graphK = 24, nAssign = 3, beam = 32, rounds = 4 → recall@10 = 0.956,
+    * above tuned IVF's 0.925 — the round-6 answer to the round-5 verdict,
+    * where a k = 3 in-bucket graph capped the walk at 0.11.
     *
     * Scale shape per round: the frontier is (queries × beam)-sized
     * metadata; expansion is one hash join against the persisted edge
@@ -655,12 +718,44 @@ object Vectors {
     * independent of N once the graph exists.
     */
   def beamSearch(embeddings: DataFrame, queryIds: Seq[Long],
-      entryIds: Seq[Long], k: Int = 5, beam: Int = 8, rounds: Int = 3,
-      graphK: Int = 3): DataFrame = {
+      entryIds: Seq[Long], k: Int = 5, beam: Int = 32, rounds: Int = 4,
+      graphK: Int = 24, nAssign: Int = 3): DataFrame = {
     val unit = withUnit(embeddings).select(col("vec_id"), col("unit")).persist()
-    val graph = knnGraph(embeddings, graphK)
+    val graph = navGraph(embeddings, graphK, nAssign)
       .select(col("src_id"), col("neighbor_id")).persist()
-    beamSearchOver(unit, graph, queryIds, entryIds, k, beam, rounds, graphK)
+    beamSearchOver(unit, graph, queryIds, entryIds, k, beam, rounds)
+  }
+
+  /** Persisted navigable-graph artifact — the [[materializedIvfIndex]] /
+    * dedup-groups lifecycle applied to the graph family: [[navGraph]]
+    * builds once per corpus into a src_id-bucketed table
+    * ([[graft.sources.BucketedLayout.buildIfAbsent]]), and every
+    * subsequent beam search reads edges from the table — the "query cost
+    * independent of N once the graph exists" promise with the build
+    * actually amortized (and its cold cost a first-class bench row:
+    * `artifact:nav_graph`).
+    */
+  def materializedNavGraph(embeddings: DataFrame, table: String,
+      k: Int = 24, nAssign: Int = 3, buckets: Int = 8): DataFrame =
+    graft.sources.BucketedLayout.buildIfAbsent(embeddings.sparkSession, table) {
+      graft.sources.BucketedLayout.writeBucketed(
+        navGraph(embeddings, k, nAssign).select(col("src_id"), col("neighbor_id")),
+        table, "src_id", buckets)
+    }
+
+  /** [[beamSearch]] served from a PREBUILT edge list (the s33 query — the
+    * production serve path over [[materializedNavGraph]]): identical walk,
+    * zero graph-build work per query batch. The result is
+    * layout-independent (the graph is deterministic), so s33 hash-matches
+    * the s24 oracle while exercising the artifact read path.
+    */
+  def beamSearchServed(embeddings: DataFrame, graph: DataFrame,
+      queryIds: Seq[Long], entryIds: Seq[Long], k: Int = 5, beam: Int = 32,
+      rounds: Int = 4): DataFrame = {
+    val unit = withUnit(embeddings).select(col("vec_id"), col("unit")).persist()
+    beamSearchOver(unit,
+      graph.select(col("src_id"), col("neighbor_id")).persist(),
+      queryIds, entryIds, k, beam, rounds)
   }
 
   /** The walk itself over a PREBUILT unit frame + edge list — the
@@ -669,7 +764,7 @@ object Vectors {
     */
   private def beamSearchOver(unit: DataFrame, graph: DataFrame,
       queryIds: Seq[Long], entryIds: Seq[Long], k: Int, beam: Int,
-      rounds: Int, graphK: Int): DataFrame = {
+      rounds: Int): DataFrame = {
     val queries = F.broadcast(unit.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("unit").as("qv")))
     def scoreAndPrune(cand: DataFrame): DataFrame = {
@@ -726,12 +821,12 @@ object Vectors {
     * Output: (beam, n_hits, recall_ppm), one row per width.
     */
   def beamSweep(embeddings: DataFrame, queryIds: Seq[Long],
-      entryIds: Seq[Long], k: Int = 5, beams: Seq[Int] = Seq(2, 4, 8, 16),
-      rounds: Int = 3, graphK: Int = 3): DataFrame = {
+      entryIds: Seq[Long], k: Int = 5, beams: Seq[Int] = Seq(4, 8, 16, 32),
+      rounds: Int = 4, graphK: Int = 24, nAssign: Int = 3): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val unit = withUnit(embeddings).select(col("vec_id"), col("unit")).persist()
-    val graph = knnGraph(embeddings, graphK)
+    val graph = navGraph(embeddings, graphK, nAssign)
       .select(col("src_id"), col("neighbor_id")).persist()
     val truth = bruteForceTopK(embeddings, queryIds, k)
       .select(col("query_id"), col("neighbor_id")).persist()
@@ -1736,27 +1831,105 @@ object Vectors {
     */
   def marginPairsBucketed(test: DataFrame, train: DataFrame, k: Int = 4,
       marginPpmThreshold: Long = 1200000L, nTables: Int = 4,
-      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    def keys(df: DataFrame, idCol: String): DataFrame =
-      withUnit(df).select(col("vec_id").as(idCol),
-        posexplode(tableBucketsExpr(nTables, nPlanes, dim)).as(Seq("t", "bucket")))
-    // the TEST side probes its own bucket plus every Hamming-1 bucket per
-    // table (the lshTopKMultiProbe trick): candidate recall rises
-    // ~(nPlanes+1)× per table at the cost of (nPlanes+1)× more (tiny)
-    // probe keys — the train side stays one bucket per table, so candidate
-    // volume remains bucket-occupancy-bounded
-    val probed = keys(test, "test_id")
-      .select(col("test_id"), col("t"),
-        explode(array(col("bucket") +:
-          (0 until nPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*))
-          .as("bucket"))
-    val pairs = probed
-      .join(keys(train, "train_id"), Seq("t", "bucket"))
-      .select(col("test_id"), col("train_id"))
-      .distinct()
+      nPlanes: Int = 8, dim: Int = 64, probeRadius: Int = 1): DataFrame = {
+    val pairs = marginBucketedCandidates(test, train, nTables, nPlanes, dim, probeRadius)
     val tU = withUnit(test).select(col("vec_id").as("test_id"), col("unit").as("tu"))
     val rU = withUnit(train).select(col("vec_id").as("train_id"), col("unit").as("ru"))
     val scored = pairs
+      .join(F.broadcast(tU), Seq("test_id"))
+      .join(rU, Seq("train_id"))
+      .select(col("test_id"), col("train_id"), dot(col("tu"), col("ru")).as("sim"))
+      .persist()
+    marginFromScored(scored, k, marginPpmThreshold)
+  }
+
+  /** The candidate stage of [[marginPairsBucketed]], exposed so the overlap
+    * report ([[graft.RecallReport]]) can chart candidate volume against
+    * pair recovery per (tables × probe-radius) config. The TEST side probes
+    * its own bucket plus every bucket within Hamming distance
+    * `probeRadius` per table (the lshTopKMultiProbe trick): candidate
+    * recall rises with the probe count at the cost of more (tiny) probe
+    * keys — the train side stays one bucket per table, so candidate volume
+    * remains bucket-occupancy-bounded. Output: distinct (test_id,
+    * train_id).
+    */
+  def marginBucketedCandidates(test: DataFrame, train: DataFrame,
+      nTables: Int = 4, nPlanes: Int = 8, dim: Int = 64,
+      probeRadius: Int = 1): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 2, s"probeRadius 0–2, got $probeRadius")
+    def keys(df: DataFrame, idCol: String): DataFrame =
+      withUnit(df).select(col("vec_id").as(idCol),
+        posexplode(tableBucketsExpr(nTables, nPlanes, dim)).as(Seq("t", "bucket")))
+    val flips: Seq[Long] = Seq(0L) ++
+      (if (probeRadius >= 1) (0 until nPlanes).map(j => 1L << j) else Nil) ++
+      (if (probeRadius >= 2)
+        for { i <- 0 until nPlanes; j <- i + 1 until nPlanes }
+          yield (1L << i) | (1L << j)
+      else Nil)
+    val probed = keys(test, "test_id")
+      .select(col("test_id"), col("t"),
+        explode(array(flips.map(f => col("bucket").bitwiseXOR(lit(f))): _*)).as("bucket"))
+    probed
+      .join(keys(train, "train_id"), Seq("t", "bucket"))
+      .select(col("test_id"), col("train_id"))
+      .distinct()
+  }
+
+  /** [[marginPairs]]' geometry-robust scale path — the [[annTopK]] design
+    * applied to pair mining: ONE compressed scoring pass over the
+    * (test × train) grid through SQ8 byte codes (1 byte/dimension — 8×
+    * below the float corpus), per-side shortlists from the compressed
+    * scores (top-`shortlist` per test AND per train — both margin
+    * neighborhoods), then exact re-scoring of only the shortlisted pairs
+    * and the standard margin tail over them. Where the sign-hash bucket
+    * path's recovery is bounded by bucket locality (a DATA property — on
+    * an isotropic corpus it caps near the candidate fraction; RECALL.json
+    * charts this), the compressed scan keeps pair recovery ≈ 1.0 at 1/8
+    * the scan bandwidth, because no pair is ever pruned unseen — only
+    * scored cheaply.
+    *
+    * At 100 TB: the compressed pass is byte-bandwidth-bound and
+    * embarrassingly parallel over the pair grid; the shortlist windows
+    * partition per side; only |test|·shortlist + |train|·shortlist pairs
+    * reach the float re-rank. Deterministic end-to-end (exact min/max
+    * stats, pinned encode/decode and fold order — the s8 discipline), so
+    * the DuckDB oracle reproduces every margin bit-for-bit (s32).
+    */
+  def marginPairsScan(test: DataFrame, train: DataFrame, k: Int = 4,
+      marginPpmThreshold: Long = 1200000L, shortlist: Int = 8): DataFrame = {
+    val tU = withUnit(test).select(col("vec_id").as("test_id"), col("unit").as("tu"))
+      .persist()
+    val rU = withUnit(train).select(col("vec_id").as("train_id"), col("unit").as("ru"))
+      .persist()
+    // one quantization grid over BOTH sides (d rows of exact min/max —
+    // metadata, not a corpus read)
+    val stats = tU.select(col("tu").as("u")).unionByName(rU.select(col("ru").as("u")))
+      .select(posexplode(col("u")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => (r.getAs[Int]("i"), r.getAs[Double]("mn"), r.getAs[Double]("mx")))
+      .sortBy(_._1)
+    val mnLit = typedlit(stats.map(_._2).toSeq)
+    val mxLit = typedlit(stats.map(_._3).toSeq)
+    val tC = tU.select(col("test_id"),
+      graft.functions.VectorFunctions.quantizeCode(col("tu"), mnLit, mxLit).as("tc"))
+    val rC = rU.select(col("train_id"),
+      graft.functions.VectorFunctions.quantizeCode(col("ru"), mnLit, mxLit).as("rc"))
+    val qScored = F.broadcast(tC).join(rC)
+      .select(col("test_id"), col("train_id"),
+        graft.functions.VectorFunctions.dequantizeDot(
+          col("tc"), col("rc"), mnLit, mxLit).as("qsim"))
+      .persist() // both shortlist windows read it
+    val wF = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("test_id")).orderBy(col("qsim").desc, col("train_id").asc)
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("train_id")).orderBy(col("qsim").desc, col("test_id").asc)
+    val cand = qScored.withColumn("rn", row_number().over(wF))
+      .filter(col("rn") <= shortlist).select(col("test_id"), col("train_id"))
+      .unionByName(qScored.withColumn("rn", row_number().over(wB))
+        .filter(col("rn") <= shortlist).select(col("test_id"), col("train_id")))
+      .distinct()
+    val scored = cand
       .join(F.broadcast(tU), Seq("test_id"))
       .join(rU, Seq("train_id"))
       .select(col("test_id"), col("train_id"), dot(col("tu"), col("ru")).as("sim"))
@@ -1791,6 +1964,58 @@ object Vectors {
         round(lit(2e6) * col("sim") / (col("f_avg") + col("b_avg")))
           .cast("long").as("margin_ppm"))
       .filter(col("margin_ppm") >= marginPpmThreshold)
+  }
+
+  /** The d28 SemDeDup pipeline as ONE call (round-5 verdict #7 registry
+    * hygiene): d6's bucketed cosine pairs → star-contraction CC groups →
+    * keep per group the member LEAST similar to its IVF centroid (the
+    * paper's most-informative-exemplar rule); output is the float-free
+    * kept-id set. Star contraction directly (not the d7 auto form):
+    * embedding similarity chains (A~B~C without A~C), so min-label pays
+    * O(diameter) rounds where star stays O(log² n). Groups persist because
+    * the keep stage consumes them twice (argmin members + ungrouped
+    * anti-join).
+    */
+  def semanticDedupKeep(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val cids = spacedCentroidIds(embeddings.count())
+    val pairs = cosineNearDupPairs(embeddings, cids, threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    semanticKeep(embeddings, cids, graft.ops.Dedup.dedupGroupsStar(pairs).persist())
+  }
+
+  /** The x50 report as ONE call: what [[clusterBalancedSample]] DOES to the
+    * source mixture — per-source corpus share vs sampled share (ppm,
+    * integer div), the report a pipeline reads before committing mixture
+    * weights. `sources` must be (vec_id, source).
+    */
+  def mixtureShiftReport(embeddings: DataFrame, sources: DataFrame,
+      quota: Int = 5): DataFrame = {
+    val corpus = embeddings.select(col("vec_id")).join(sources, Seq("vec_id"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_corpus"))
+    val sampled = clusterBalancedSample(embeddings, quota)
+      .select(col("vec_id")).join(sources, Seq("vec_id"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+    val joined = corpus.join(sampled, Seq("source"), "left")
+      .na.fill(0L, Seq("n_sampled"))
+    val totals = joined.agg(sum(col("n_corpus")).as("tot_c"),
+      sum(col("n_sampled")).as("tot_s"))
+    joined.crossJoin(F.broadcast(totals))
+      .select(col("source"), col("n_corpus"), col("n_sampled"),
+        expr("(1000000 * n_corpus) div tot_c").as("share_before_ppm"),
+        expr("(1000000 * n_sampled) div tot_s").as("share_after_ppm"))
+  }
+
+  /** The s29 lifecycle as ONE call: build-if-absent persisted bucketed IVF
+    * index, then serve a query batch too large to broadcast (every
+    * `queryStride`-th corpus vector) through the exchange-free bucket
+    * equi-join ([[ivfBatchTopKFromIndex]]).
+    */
+  def servedBatchTopK(embeddings: DataFrame, table: String, k: Int = 3,
+      queryStride: Long = 25L): DataFrame = {
+    val index = materializedIvfIndex(embeddings, table)
+    val queries = index.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("query_id"), col("bucket"), col("unit").as("q"))
+    ivfBatchTopKFromIndex(index, queries, k)
   }
 
   /** Topic-balanced corpus subset — DoReMi-style domain balance WITHOUT

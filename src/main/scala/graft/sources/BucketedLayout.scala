@@ -60,12 +60,22 @@ object BucketedLayout {
     */
   def buildIfAbsent(spark: SparkSession, table: String)(build: => Unit): DataFrame = {
     if (!spark.catalog.tableExists(table)) {
-      val wh = java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath
+      // URI.getPath is null for a relative/scheme-less warehouse dir — fall
+      // back to the raw conf string in that case
+      val whConf = spark.conf.get("spark.sql.warehouse.dir")
+      val wh = Option(java.net.URI.create(whConf).getPath).getOrElse(whConf)
       val loc = java.nio.file.Paths.get(wh, table.toLowerCase)
-      if (java.nio.file.Files.exists(loc)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
+      if (java.nio.file.Files.exists(loc, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        // Files.walk does not follow symlinks unless FOLLOW_LINKS is passed,
+        // and deleteIfExists removes a link itself, never its target — the
+        // sweep stays inside `loc`. The stream is closed (round-5 ADVICE:
+        // an unclosed walk leaks a file handle per rebuild).
+        val walk = java.nio.file.Files.walk(loc)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } finally walk.close()
       }
       build
       spark.sqlContext.clearCache() // drop the build chain's intermediates

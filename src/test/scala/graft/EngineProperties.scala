@@ -553,8 +553,10 @@ object EngineProperties extends Properties("graft") {
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       // driver-side reference: identical unit vectors (widen then
-      // normalize), identical spaced-centroid bucketing, in-bucket kNN
-      // edges, then the same expand/score/prune rounds
+      // normalize), identical spaced-centroid MULTI-assignment (top-3
+      // buckets per vector — the navGraph build), edges between vectors
+      // sharing any bucket ranked to graphK, then the same
+      // expand/score/prune rounds
       val unit = vecs.map { case (id, a) =>
         val d = a.map(_.toDouble)
         val n2 = math.sqrt(d.map(x => x * x).sum)
@@ -566,12 +568,14 @@ object EngineProperties extends Properties("graft") {
       val c = math.ceil(math.sqrt(nTot.toDouble)).toLong
       val step = math.max(1L, nTot / c)
       val cents = (0L until c * step by step).filter(unit.contains)
-      def bucket(id: Long): Long =
+      val nAssign = 3 // beamSearch's navGraph default
+      def buckets(id: Long): Set[Long] =
         cents.map(cid => (cid, dot(unit(id), unit(cid))))
-          .maxBy { case (cid, s) => (s, -cid) }._1
-      val bucketOf = unit.keys.map(id => id -> bucket(id)).toMap
+          .sortBy { case (cid, s) => (-s, cid) }.take(nAssign).map(_._1).toSet
+      val bucketsOf = unit.keys.map(id => id -> buckets(id)).toMap
       val edges = unit.keys.flatMap { src =>
-        unit.keys.toSeq.filter(o => o != src && bucketOf(o) == bucketOf(src))
+        unit.keys.toSeq
+          .filter(o => o != src && (bucketsOf(o) & bucketsOf(src)).nonEmpty)
           .map(o => (o, dot(unit(src), unit(o))))
           .sortBy { case (o, s) => (-s, o) }.take(graphK)
           .map { case (o, _) => src -> o }

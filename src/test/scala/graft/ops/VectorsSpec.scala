@@ -822,6 +822,31 @@ class VectorsSpec extends SparkSpec {
     assert(out.toSet === again.toSet)
   }
 
+  test("marginPairsScan: corpus-wide shortlist ≡ exact marginPairs; tight shortlist stays close") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val test = emb.filter(col("vec_id") % 10 < 2)
+    val train = emb.filter(col("vec_id") % 10 >= 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("test_id"), r.getAs[Long]("train_id"),
+        r.getAs[Long]("margin_ppm"))).toSet
+    // shortlist ≥ |train| and ≥ |test| ⇒ candidates = the full grid ⇒ the
+    // scan path must reproduce exact margin mining BIT-FOR-BIT (margins
+    // included): the SQ8 stage then only orders candidates, never prunes
+    val n = math.max(test.count(), train.count()).toInt
+    val wide = rows(Vectors.marginPairsScan(test, train,
+      marginPpmThreshold = 0L, shortlist = n))
+    val exact = rows(Vectors.marginPairs(test, train, marginPpmThreshold = 0L))
+    assert(wide === exact)
+    assert(wide.nonEmpty)
+    // the shipped tight shortlist (8): recovery stays high — the scan
+    // ceiling is SQ8 ordering quality, not bucket geometry
+    val tight = rows(Vectors.marginPairsScan(test, train, marginPpmThreshold = 0L))
+    val overlap = tight.map(p => (p._1, p._2))
+      .intersect(exact.map(p => (p._1, p._2))).size.toDouble / exact.size
+    assert(overlap >= 0.9, s"scan overlap $overlap")
+  }
+
   test("pqRerankTopKWithCodebook: corpus-wide shortlist ≡ brute force at m=16/ks=64") {
     // the shipped s9 geometry (16 subspaces × 64 centroids) through the
     // codebook seam: when the shortlist covers the corpus the exact re-rank
