@@ -1396,6 +1396,16 @@ object SparkEntry {
       TextOps.bm25Search(Tables.documents(s, dir), Seq(
         (0L, "hash join batch"), (1L, "vector scan filter"),
         (2L, "window agg order")), k = 10)),
+    "x55_hybrid_rrf" -> ((s, dir) => {
+      // hybrid search: the x33 BM25 list and the exact-cosine list for the
+      // same three queries (doc_id ≡ vec_id — the x50 alignment), fused by
+      // reciprocal-rank fusion with integer ⌊10⁹/(60+rank)⌋ points — the
+      // calibration-free baseline every lexical+vector stack ships
+      val queries = Seq((0L, "hash join batch"), (1L, "vector scan filter"),
+        (2L, "window agg order"))
+      TextOps.hybridRrf(Tables.documents(s, dir), queries,
+        Vectors.bruteForceTopK(Tables.embeddings(s, dir), queries.map(_._1), 10))
+    }),
     "x32_heavy_hitters_checked" -> ((s, dir) =>
       // freqItems sketch next to exact counts: raises if the sketch drops
       // a true heavy hitter (its no-false-negative guarantee); emits the
@@ -3020,6 +3030,54 @@ object SparkEntry {
         |      JOIN l ON l.doc_id = p.doc_id CROSS JOIN st
         |    GROUP BY 1, 2))
         |WHERE rank <= 10""".stripMargin,
+    "x55_hybrid_rrf" ->
+      // x33's BM25 CTEs verbatim for the lexical list, the s1-style
+      // normalized-cosine window for the vector list, then ALL-INTEGER
+      // fusion: ⌊10⁹/(60+rank)⌋ points per list, summed, ties to the
+      // smaller doc_id — no float enters the fusion on either engine
+      s"""WITH q(query_id, term) AS (VALUES
+         |  (0, 'hash'), (0, 'join'), (0, 'batch'),
+         |  (1, 'vector'), (1, 'scan'), (1, 'filter'),
+         |  (2, 'window'), (2, 'agg'), (2, 'order')),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+         |l AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM p GROUP BY 1),
+         |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(len) AS avglen FROM l),
+         |lex AS (SELECT query_id, doc_id, rank FROM (
+         |  SELECT query_id, doc_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY score_ppm DESC, doc_id ASC) AS rank
+         |  FROM (
+         |    SELECT CAST(q.query_id AS BIGINT) AS query_id, p.doc_id,
+         |           CAST(round(1e6 * sum(ln((st.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+         |             (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * l.len / st.avglen))))
+         |             AS BIGINT) AS score_ppm
+         |    FROM p JOIN q ON p.term = q.term JOIN d ON d.term = p.term
+         |      JOIN l ON l.doc_id = p.doc_id CROSS JOIN st
+         |    GROUP BY 1, 2))
+         |  WHERE rank <= 10),
+         |$oracleEmbCte,
+         |qv AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 3),
+         |vec AS (SELECT query_id, doc_id, rank FROM (
+         |  SELECT query_id, doc_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY sim DESC, doc_id ASC) AS rank
+         |  FROM (SELECT qv.query_id, e.vec_id AS doc_id,
+         |               ${oracleCos("qv.qvec", "e.v")} AS sim
+         |        FROM qv, e WHERE e.vec_id <> qv.query_id))
+         |  WHERE rank <= 10),
+         |u AS (SELECT query_id, doc_id, 1000000000 // (60 + rank) AS pts FROM lex
+         |      UNION ALL
+         |      SELECT query_id, doc_id, 1000000000 // (60 + rank) FROM vec),
+         |f AS (SELECT query_id, doc_id, CAST(sum(pts) AS BIGINT) AS rrf_score
+         |      FROM u WHERE doc_id <> query_id GROUP BY 1, 2)
+         |SELECT query_id, doc_id, rrf_score, CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT query_id, doc_id, rrf_score,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY rrf_score DESC, doc_id ASC) AS rank
+         |  FROM f)
+         |WHERE rank <= 5""".stripMargin,
     "x32_heavy_hitters_checked" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
         |c AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),

@@ -1074,6 +1074,49 @@ object TextOps {
       .filter(col("rank") <= k)
   }
 
+  /** Hybrid lexical+vector retrieval fused by Reciprocal Rank Fusion
+    * (Cormack/Clarke/Buettcher 2009 — the baseline every hybrid search
+    * stack ships): each result list contributes `⌊10⁹ / (c + rank)⌋`
+    * points per document and the fused ranking orders by the summed
+    * points. RRF needs no score calibration between BM25's ppm relevance
+    * and cosine similarity — only ranks — which is exactly why it is the
+    * robust default when fusing heterogeneous retrievers.
+    *
+    * `vectorList` is any (query_id, neighbor_id, rank) frame — the exact
+    * [[graft.ops.Vectors.bruteForceTopK]] here (oracle-expressible); swap
+    * in [[graft.ops.Vectors.annTopK]] or the served index at 100 TB, the
+    * fusion is list-agnostic. Determinism: integer floor-division points,
+    * integer sums, ties to the smaller doc_id — no float ever enters the
+    * fusion, so the oracle matches bit-for-bit. The query's own document
+    * is excluded from the fused output (both lists rank OTHER documents;
+    * the vector list already excludes self).
+    *
+    * Scale shape: rides entirely on its two inputs (posting-bounded BM25,
+    * scan/index-bounded ANN); the fusion itself is a union of two
+    * |Q|·perList metadata frames, one |Q|-keyed aggregation, one per-query
+    * window.
+    */
+  def hybridRrf(docs: DataFrame, queries: Seq[(Long, String)],
+      vectorList: DataFrame, k: Int = 5, perList: Int = 10,
+      c: Int = 60): DataFrame = {
+    val lex = bm25Search(docs, queries, perList)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val vec = vectorList
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    val fused = lex.unionByName(vec)
+      .select(col("query_id"), col("doc_id"),
+        expr(s"1000000000 div ($c + rank)").as("pts"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("pts")).as("rrf_score"))
+      .filter(col("doc_id") =!= col("query_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    fused
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Self-checked frequent-items sketch (the b13 discipline for heavy-hitter
     * sketches): `df.stat.freqItems` (Karp–Shenker–Papadimitriou one-pass
     * counting — what a 100 TB scan affords when the exact vocabulary agg

@@ -1068,6 +1068,39 @@ object Vectors {
       assigned.select(col("vec_id"), col("bucket"), col("unit")),
       table, "bucket", buckets, sorted = false)
 
+  /** Fold a batch of NEW vectors into a persisted IVF index — the CDC half
+    * of the [[materializedIvfIndex]] lifecycle (the
+    * [[graft.ops.Dedup.appendBandKeys]] pattern for the vector surface):
+    * the batch assigns against the index's PINNED centroid set (recovered
+    * from the index itself — centroid ids ARE the distinct bucket ids, and
+    * centroids are corpus members, so their unit vectors are index rows;
+    * collecting the id set is C longs, metadata) and appends with the same
+    * bucket spec. Centroid drift under corpus growth is a REBUILD
+    * decision, deliberately not taken here: an index's routing must stay
+    * frozen between rebuilds or every previously-assigned vector would
+    * need re-routing — the standard production contract
+    * (StreamingVectorIndexSpec pins append-across-restarts ≡ one batch
+    * assignment against the pinned centroids).
+    */
+  def appendToIvfIndex(newVecs: DataFrame, table: String,
+      buckets: Int = 8): Unit = {
+    val spark = newVecs.sparkSession
+    val index = spark.table(table)
+    val centIds = index.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cents = index.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id").as("centroid_id"), col("unit").as("c"))
+    val assigned = assignToCentroids(
+      withUnit(newVecs).select(col("vec_id"), col("unit")), cents)
+    assigned.select(col("vec_id"), col("bucket"), col("unit"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+      .bucketBy(buckets, "bucket")
+      .saveAsTable(table)
+    // appends from this (possibly cloned) session must be visible to its
+    // own later reads; cross-session readers refresh on their side
+    spark.catalog.refreshTable(table)
+  }
+
   /** Build-if-absent persisted IVF index (the [[writeIvfIndex]] layout
     * behind the [[graft.ops.Dedup.materializeGroups]] lifecycle): the
     * O(N·C·d) assignment runs once per corpus into a bucket-clustered
