@@ -2969,10 +2969,20 @@ object SparkEntry {
         |  WHERE w.dist < 4)
         |SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node""".stripMargin,
     "t43_tree_paths" ->
-      graft.operators.Graph.treePathsSql(
-        """SELECT p_partkey AS node,
-          |       CASE WHEN p_partkey >= 10 THEN p_partkey // 10 END AS parent
-          |FROM part""".stripMargin),
+      // HAND-INDEPENDENT oracle (the t53/t55/t42 discipline, taken
+      // further): for THIS forest (parent = key div 10) root and depth
+      // have a CLOSED FORM — root is the leading decimal digit, depth is
+      // digits−1 — so the pointer-doubling walk is checked against pure
+      // digit algebra, sharing no algorithmic structure at all with
+      // either the Spark side or Graph.treePathsSql's recursive chase
+      // `//` against a DOUBLE divisor is plain double division in DuckDB —
+      // the power must become a BIGINT before the floor-div or 150//100.0
+      // reads 1.5 and the cast rounds it to 2
+      """SELECT p_partkey AS node,
+        |       p_partkey // CAST(power(10, length(CAST(p_partkey AS VARCHAR)) - 1)
+        |         AS BIGINT) AS root_key,
+        |       CAST(length(CAST(p_partkey AS VARCHAR)) - 1 AS BIGINT) AS depth
+        |FROM part""".stripMargin,
     "m8_frame_jaccard" ->
       // the frame-set front-end + the shared df-capped Jaccard tail —
       // mirrors Multimodal.frameSignatures → Dedup.jaccardPairsFromShingles

@@ -212,6 +212,26 @@ class BucketedLayoutSpec extends SparkSpec {
       viaPlain.collect().map(_.getLong(0)).toSet)
   }
 
+  test("materializedNavGraph: contents ≡ inline build; later consumers plan a plain artifact scan") {
+    import graft.ops.Vectors
+    reset("nav_test_artifact")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val built = Vectors.materializedNavGraph(emb, "nav_test_artifact")
+    val inline = Vectors.navGraph(emb).select(col("src_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(built.select(col("src_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === inline)
+    assert(inline.nonEmpty)
+    spark.sqlContext.clearCache()
+    // reuse: a plain bucketed scan — none of the build's machinery (the
+    // top-k Window, the self-join's Exchange) appears in the plan
+    val again = Vectors.materializedNavGraph(emb, "nav_test_artifact")
+    val plan = again.queryExecution.executedPlan.toString
+    assert(plan.contains("nav_test_artifact"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("incrementalGroups: batch fold-in ≡ full CC rebuild (canonical min-id labels)") {
     import graft.ops.{Dedup, Vocab}
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
