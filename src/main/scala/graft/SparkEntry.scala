@@ -266,6 +266,32 @@ object SparkEntry {
       s"\nSELECT query_id, neighbor_id, mmr_rank FROM selu$k"
   }
 
+  /** Hand-authored label propagation for the t52 oracle (the t42/t55
+    * discipline): synchronous rounds, but the per-node argmax is expressed
+    * as TWO plain aggregations — max neighbor-label count, then min label
+    * among the tied — instead of the single encoded
+    * `max(cnt·K + (K−1−label)) % K` the Spark side and
+    * [[graft.operators.Graph.labelPropagationSql]] share. An encoding
+    * mistake (overflow, wrong tie direction) in the shared formulation
+    * cannot pass this oracle. `edgesCte` must produce (src, dst).
+    */
+  private def oracleLpaRounds(edgesCte: String, rounds: Int): String = {
+    val base =
+      s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($edgesCte) WHERE src <> dst),
+         |sym AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM sym)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT s.dst AS node, l.label, CAST(count(*) AS BIGINT) AS cnt
+         |        FROM sym s JOIN l${i - 1} l ON l.node = s.src GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT node, max(cnt) AS mc FROM c$i GROUP BY node),
+         |l$i AS MATERIALIZED (SELECT c.node, min(c.label) AS label
+         |        FROM c$i c JOIN m$i m ON m.node = c.node AND c.cnt = m.mc
+         |        GROUP BY c.node)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"\nSELECT node, CAST(label AS BIGINT) AS label FROM l$rounds"
+  }
+
   /** Hand-authored k-core peel for the t42 oracle (round-5 verdict #4) —
     * independently expressed, structurally unlike
     * [[graft.operators.Graph.kCoreSql]]: the edge list stays UNDIRECTED
@@ -2914,7 +2940,10 @@ object SparkEntry {
           |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""".stripMargin,
         k = 3, rounds = 8),
     "t52_label_prop" ->
-      graft.operators.Graph.labelPropagationSql(
+      // HAND-INDEPENDENT oracle (see oracleLpaRounds): two-step
+      // max-count / min-label argmax instead of the shared integer
+      // encoding
+      oracleLpaRounds(
         """SELECT a.l_partkey AS src, b.l_partkey AS dst
           |FROM (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
           |        AND l_shipdate < DATE '1996-01-01') a
