@@ -185,6 +185,86 @@ object RecallReport {
       (curve, curve.head._2, scanOv)
     }
 
+    // ---- clustered-geometry twin (round 6): the isotropy block explains
+    // why bucket-pruned recall caps at scan fraction HERE; this section
+    // MEASURES the converse claim — on a corpus whose geometry has real
+    // cluster structure, routing prunes aggressively at high recall. The
+    // corpus is deterministic (16 one-hot-anchored clusters, integer-hash
+    // noise — no RNG): same code, same artifact, every run.
+    val clusteredSection = {
+      import spark.implicits._
+      val nC = 2000L
+      val rows = (0L until nC).map { i =>
+        val label = (i % 16L).toInt
+        val v = new Array[Float](64)
+        v(4 * label) = 1.0f
+        var j = 0
+        while (j < 64) {
+          val h = java.lang.Long.rotateLeft(
+            (i * 64 + j) * 0x9E3779B97F4A7C15L, 31) * 0xBF58476D1CE4E5B9L
+          v(j) += (((h >>> 11).toDouble / (1L << 53).toDouble - 0.5) * 0.3).toFloat
+          j += 1
+        }
+        (i, v, label)
+      }
+      val cl = rows.toDF("vec_id", "embedding", "label").persist()
+      val cQueries = 0L until 16L
+      val cExact = hits(Vectors.bruteForceTopK(cl, cQueries, k))
+      def rec(df: DataFrame): Double =
+        hits(df).intersect(cExact).size.toDouble / cExact.size
+      val cSpaced = Vectors.spacedCentroidIds(nC)
+      // maxmin init: spaced init resonates with the id-correlated label
+      // cycle here (seeds in 4 of 16 clusters, Lloyd only partially
+      // recovers) — farthest-point covers every region by construction,
+      // the robust trainer choice when the id layout is unknown
+      val cTrained = Vectors.trainedCentroids(cl, c = cSpaced.size, init = "maxmin")
+      val cTuned = Vectors.tunedNprobe(cl, cTrained, cQueries, k, target = 0.9)
+      val entries = Seq(
+        s"ivf_trained_tuned_mp$cTuned" ->
+          rec(Vectors.ivfTopKMultiProbeTrained(cl, cTrained, cQueries, k, cTuned)),
+        "ivf_spaced_mp4" -> rec(Vectors.ivfTopKMultiProbe(cl, cSpaced, cQueries, k, 4)),
+        "lsh_multiprobe" -> rec(Vectors.lshTopKMultiProbe(cl, cQueries, k)),
+        // spaced seeds resonate with the id-correlated label cycle here
+        // (stride 44 hits only labels ≡ 0 mod 4): the honest failure row —
+        // and the trained-centroid seam (the IVF discipline applied to the
+        // graph build) next to it
+        "graph_beam32_r4" -> rec(Vectors.beamSearch(cl, cQueries, cSpaced,
+          k = k, beam = 32, rounds = 4)),
+        "graph_trained_beam32_r4" -> rec(Vectors.beamSearchServed(cl,
+          Vectors.navGraphTrained(cl, cTrained), cQueries, cSpaced,
+          k = k, beam = 32, rounds = 4)),
+        // …and the repair: same trained graph, but a COVERAGE-guaranteed
+        // entry set (one representative per assignment bucket) — the
+        // binding failure was never the graph, it was entries missing
+        // 12 of the 16 islands
+        "graph_trained_cover_beam32_r4" -> rec(Vectors.beamSearchServed(cl,
+          Vectors.navGraphTrained(cl, cTrained), cQueries,
+          Vectors.navEntryIds(cl, cTrained), k = k, beam = 32, rounds = 4)),
+        "ann_default_sq8_rr40" -> rec(Vectors.annTopK(cl, cQueries, k)))
+      entries.foreach { case (n, r) =>
+        System.err.println(f"[recall] clustered/$n%-24s recall@$k = $r%.4f")
+      }
+      val labeledC = Vectors.withUnit(cl).select(col("vec_id"), col("label"), col("unit"))
+        .filter(col("vec_id") < 200).persist()
+      val cStats = labeledC.select(col("vec_id").as("ida"), col("label").as("la"),
+          col("unit").as("ua"))
+        .join(labeledC.select(col("vec_id").as("idb"), col("label").as("lb"),
+          col("unit").as("ub")), col("ida") < col("idb"))
+        .select(Vectors.dot(col("ua"), col("ub")).as("s"), (col("la") === col("lb")).as("same"))
+        .agg(avg(when(col("same"), col("s"))).as("same_label_mean_cos"),
+          avg(when(!col("same"), col("s"))).as("cross_label_mean_cos"))
+        .head()
+      System.err.println(f"[recall] clustered tuned_nprobe_t90 = $cTuned " +
+        f"(scan fraction ${cTuned.toDouble / cSpaced.size}%.3f of ${cSpaced.size} buckets)")
+      val body = entries.map { case (n, r) => f""""$n":$r%.6f""" }.mkString(",")
+      spark.sqlContext.clearCache(); emb.persist(); unit.persist()
+      f""""clustered":{"n_vectors":$nC,"n_clusters":16,""" +
+        f""""same_label_mean_cos":${cStats.getDouble(0)}%.6f,""" +
+        f""""cross_label_mean_cos":${cStats.getDouble(1)}%.6f,""" +
+        f""""tuned_nprobe_t90":$cTuned,"n_centroids":${cSpaced.size},""" +
+        f""""tuned_scan_frac":${cTuned.toDouble / cSpaced.size}%.6f,$body}"""
+    }
+
     def obj(rows: Seq[(String, Double)]): String =
       rows.map { case (name, r) => f""""$name":$r%.6f""" }.mkString("{", ",", "}")
 
@@ -206,7 +286,8 @@ object RecallReport {
         s""""curves":{"ivf_nprobe":${obj(curveIvf)},""" +
         s""""ivf_trained_nprobe":${obj(curveIvfTrained)},""" +
         s""""pq_rerank_shortlist":${obj(curveRerank)},""" +
-        s""""beam_width":${obj(curveBeam)}}}"""
+        s""""beam_width":${obj(curveBeam)}},""" +
+        s"""$clusteredSection}"""
     Files.writeString(Paths.get(out), json + "\n")
     println(json)
     spark.stop()

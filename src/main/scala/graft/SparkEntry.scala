@@ -293,8 +293,8 @@ object SparkEntry {
   }
 
   /** Hand-authored k-core peel for the t42 oracle (round-5 verdict #4) —
-    * independently expressed, structurally unlike
-    * [[graft.operators.Graph.kCoreSql]]: the edge list stays UNDIRECTED
+    * independently expressed, structurally unlike the symmetrized
+    * self-join formulation the Spark side iterates: the edge list stays UNDIRECTED
     * (`src < dst`, never duplicated into both directions) and each round's
     * surviving-node set counts a node's degree as its appearances across
     * BOTH endpoint columns via UNION ALL; edges survive when both
@@ -871,6 +871,20 @@ object SparkEntry {
           pmod(col("user_id"), lit(4)).as("bucket"))
         .agg(count(lit(1)).as("event_count"))
       DailyCounts.resum(partials, Seq("day", "event_type"))
+    }),
+    "b30_histogram_mv" -> ((s, dir) => {
+      // mergeable-QUANTILE MV (b8's re-sum discipline applied to
+      // percentiles): the MV holds daily value-histograms — the one
+      // quantile "sketch" that merges EXACTLY (counts add) — and the read
+      // side re-sums them across days into exact p50/p95 per type
+      // (Percentiles.discreteFromHistogram); result ≡ the direct
+      // percentile over raw rows, which is what the oracle computes
+      val partials = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"),
+          round(col("value") * 100).cast("long").as("v_c"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Percentiles.discreteFromHistogram(
+        partials, "event_type", "v_c", "cnt", Seq(0.5, 0.95), "pct_cents")
     }),
 
     // ---- generic relational surface (TPC-H-ish) ----
@@ -2547,6 +2561,22 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS day, event_type,
         |       CAST(count(*) AS BIGINT) AS event_count
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "b30_histogram_mv" ->
+      // the DIRECT percentile over raw rows — the MV's daily partials must
+      // re-sum to exactly this (mergeable-histogram claim); t19's oracle
+      // idiom at p50/p95
+      """WITH v AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |h AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+        |cum AS (SELECT event_type, v,
+        |               CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |        FROM h)
+        |SELECT cum.event_type, p, min(v) AS pct_cents, CAST(min(n) AS BIGINT) AS n_rows
+        |FROM cum
+        |JOIN t ON t.event_type = cum.event_type
+        |JOIN (VALUES (0.5), (0.95)) ps(p) ON cum >= ceil(p * n)
+        |GROUP BY 1, 2""".stripMargin,
     "t1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,

@@ -173,27 +173,6 @@ object Graph {
       .select(col("src").as("node"), col("degree"))
   }
 
-  /** [[kCore]] as DuckDB SQL — rounds unrolled as chained CTEs, textually
-    * parallel so the two stay provably in lockstep. Every round CTE is
-    * MATERIALIZED: DuckDB inlines plain CTEs, and with each round
-    * referencing its predecessor three times the inlined plan is 3^r base
-    * scans — the oracle-side image of the lineage blowup `localCheckpoint`
-    * truncates on the Spark side.
-    */
-  def kCoreSql(edgesCte: String, k: Int = 3, rounds: Int = 8): String = {
-    val base =
-      s"""WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($edgesCte) WHERE src <> dst),
-         |s0 AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e)""".stripMargin
-    val peels = (1 to rounds).map { i =>
-      s"""a$i AS MATERIALIZED (SELECT src FROM (SELECT src, count(*) AS deg FROM s${i - 1} GROUP BY src)
-         |        WHERE deg >= $k),
-         |s$i AS MATERIALIZED (SELECT t.src, t.dst FROM s${i - 1} t
-         |        JOIN a$i x ON t.src = x.src JOIN a$i y ON t.dst = y.src)""".stripMargin
-    }
-    (base +: peels).mkString(",\n") +
-      s"\nSELECT src AS node, CAST(count(*) AS BIGINT) AS degree FROM s$rounds GROUP BY src"
-  }
-
   /** Root-and-depth resolution over a FOREST given as `(node, parent)`
     * rows (parent NULL for roots) — the hierarchy-flattening primitive
     * (category trees, reply chains, BOM roll-ups) the relational surface
@@ -227,23 +206,6 @@ object Graph {
     }
     st.select(col("node"), col("ptr").as("root_key"), col("depth"))
   }
-
-  /** [[treePaths]] as DuckDB SQL: `parentCte` must produce columns
-    * `(node, parent)` with NULL parent for roots. The oracle chases one
-    * level per recursion (recursive CTEs can't express doubling); the two
-    * agree wherever the forest's depth ≤ 2^rounds — the precondition
-    * [[treePaths]] documents.
-    */
-  def treePathsSql(parentCte: String): String =
-    s"""WITH RECURSIVE pf AS ($parentCte),
-       |anc AS (SELECT node, node AS cur, CAST(0 AS BIGINT) AS depth FROM pf
-       |        UNION ALL
-       |        SELECT a.node, p.parent, a.depth + 1
-       |        FROM anc a JOIN pf p ON p.node = a.cur
-       |        WHERE p.parent IS NOT NULL)
-       |SELECT a.node, a.cur AS root_key, a.depth
-       |FROM anc a JOIN pf r ON r.node = a.cur
-       |WHERE r.parent IS NULL""".stripMargin
 
   /** Synchronous label propagation (Raghavan et al. 2007) with a FIXED
     * round count — community detection on the same edge frames: CC answers
@@ -335,28 +297,6 @@ object Graph {
     dist
   }
 
-  /** [[bfsDistances]] as DuckDB SQL — rounds unrolled as chained
-    * MATERIALIZED CTEs (round i references round i−1 twice; inlining would
-    * re-expand 2^r base scans — the oracle-side image of the
-    * `localCheckpoint` truncation). `seedsCte` must produce column `node`.
-    */
-  def bfsDistancesSql(edgesCte: String, seedsCte: String,
-      rounds: Int = 4): String = {
-    val base =
-      s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesCte) WHERE src <> dst),
-         |sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-         |d0 AS MATERIALIZED (SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist FROM ($seedsCte))""".stripMargin
-    val steps = (1 to rounds).map { i =>
-      s"""d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
-         |        SELECT s.dst AS node, d.dist + 1 AS dist
-         |        FROM sym s JOIN d${i - 1} d ON d.node = s.src
-         |        UNION ALL SELECT node, dist FROM d${i - 1})
-         |      GROUP BY node)""".stripMargin
-    }
-    (base +: steps).mkString(",\n") +
-      s"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d$rounds"
-  }
-
   /** Weighted single/multi-source shortest paths with a FIXED round count
     * (Bellman–Ford relaxation) — [[bfsDistances]] counts hops, this
     * weighs them: after r rounds every node reachable by a path of ≤ r
@@ -394,52 +334,6 @@ object Graph {
         .localCheckpoint(true)
     }
     dist
-  }
-
-  /** [[ssspDistances]] as DuckDB SQL — rounds unrolled as chained
-    * MATERIALIZED CTEs (the [[bfsDistancesSql]] pattern with the weight
-    * carried through the relaxation). `edgesCte` must produce
-    * (src, dst, w); `seedsCte` must produce `node`.
-    */
-  def ssspDistancesSql(edgesCte: String, seedsCte: String,
-      rounds: Int = 4): String = {
-    val base =
-      s"""WITH e AS (SELECT src, dst, w FROM ($edgesCte) WHERE src <> dst),
-         |sym AS MATERIALIZED (SELECT src, dst, CAST(min(w) AS BIGINT) AS w FROM (
-         |    SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e)
-         |  GROUP BY src, dst),
-         |d0 AS MATERIALIZED (SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist FROM ($seedsCte))""".stripMargin
-    val steps = (1 to rounds).map { i =>
-      s"""d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
-         |        SELECT s.dst AS node, d.dist + s.w AS dist
-         |        FROM sym s JOIN d${i - 1} d ON d.node = s.src
-         |        UNION ALL SELECT node, dist FROM d${i - 1})
-         |      GROUP BY node)""".stripMargin
-    }
-    (base +: steps).mkString(",\n") +
-      s"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d$rounds"
-  }
-
-  /** [[labelPropagation]] as DuckDB SQL — rounds unrolled as chained CTE
-    * pairs (neighbor-label counts, then the encoded argmax), textually
-    * parallel so the two stay provably in lockstep.
-    */
-  def labelPropagationSql(edgesCte: String, rounds: Int = 4,
-      labelBound: Long = 1L << 31): String = {
-    val k = labelBound
-    val base =
-      s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesCte) WHERE src <> dst),
-         |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)""".stripMargin
-    val steps = (1 to rounds).map { i =>
-      s"""c$i AS (SELECT s.dst, l.label, CAST(count(*) AS BIGINT) AS cnt
-         |        FROM sym s JOIN l${i - 1} l ON l.node = s.src GROUP BY 1, 2),
-         |l$i AS (SELECT dst AS node,
-         |               CAST(${k - 1} AS BIGINT) - max(cnt * $k + (${k - 1} - label)) % $k AS label
-         |        FROM c$i GROUP BY dst)""".stripMargin
-    }
-    (base +: steps).mkString(",\n") +
-      s"\nSELECT node, CAST(label AS BIGINT) AS label FROM l$rounds"
   }
 
   /** The identical computation as DuckDB SQL: `edgesCte` must produce

@@ -15,13 +15,28 @@ import org.apache.spark.sql.functions._
   */
 object Percentiles {
   def discrete(df: DataFrame, groupCol: String, value: Column, ps: Seq[Double],
+      pctCol: String): DataFrame =
+    discreteFromHistogram(
+      df.select(col(groupCol), value.as("v"), lit(1L).as("c")),
+      groupCol, "v", "c", ps, pctCol)
+
+  /** The same exact percentiles over a PRE-BUILT (group, value, count)
+    * histogram — the read side of a mergeable-quantile MV (b30): value
+    * histograms are the one quantile "sketch" that merges EXACTLY (counts
+    * add), so partials held per day/shard re-sum to the same percentile
+    * the raw rows would give, at value-domain-bounded state per group —
+    * the A9/b8 re-aggregation discipline applied to quantiles. Duplicate
+    * (group, value) rows (one per partial) are merged here.
+    */
+  def discreteFromHistogram(hist: DataFrame, groupCol: String,
+      valueCol: String, cntCol: String, ps: Seq[Double],
       pctCol: String): DataFrame = {
-    val spark = df.sparkSession
+    val spark = hist.sparkSession
     import spark.implicits._
     // persist: the histogram feeds both the totals and the cumulative
     // window — without it each branch re-scans and re-aggregates the input
-    val h = df.groupBy(col(groupCol), value.as("v"))
-      .agg(count(lit(1)).as("c"))
+    val h = hist.groupBy(col(groupCol), col(valueCol).as("v"))
+      .agg(sum(col(cntCol)).as("c"))
       .persist()
     val totals = h.groupBy(col(groupCol)).agg(sum(col("c")).as("n"))
     // nulls LAST to match DuckDB's default (Spark defaults nulls first —

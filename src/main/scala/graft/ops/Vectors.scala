@@ -673,6 +673,50 @@ object Vectors {
     val centroids = unit
       .filter(col("vec_id").isin(spacedCentroidIds(embeddings.count()): _*))
       .select(col("vec_id").as("centroid_id"), col("unit").as("c"))
+    navGraphOver(unit, centroids, k, nAssign)
+  }
+
+  /** [[navGraph]] against TRAINED centroids — the same quality seam
+    * [[trainedCentroids]] gives IVF, and for the same reason: spaced
+    * corpus-member seeds are only as good as the id order is
+    * structure-free. RECALL.json's `clustered` section measures the
+    * failure mode — on a corpus whose labels correlate with vec_id, the
+    * stride resonates with the label cycle, seeds under-cover the label
+    * space, buckets mix clusters, and the spaced-seed graph walk drops to
+    * 0.25 recall while this trained build holds — so the production
+    * recipe at 100 TB is trained centroids for BOTH the IVF index and the
+    * graph build.
+    */
+  def navGraphTrained(embeddings: DataFrame,
+      centroids: Seq[(Long, Array[Double])], k: Int = 24,
+      nAssign: Int = 3): DataFrame = {
+    val unit = withUnit(embeddings).select(col("vec_id"), col("unit"))
+    navGraphOver(unit,
+      centroidFrame(embeddings.sparkSession, centroids)
+        .select(col("centroid_id"), col("c")), k, nAssign)
+  }
+
+  /** Coverage-guaranteed entry set for the graph walk: one representative
+    * (the min vec_id) per assignment bucket. The walk can only ever reach
+    * nodes connected to its entry beam, and on a CLUSTERED corpus the
+    * graph's edges are within-cluster by construction — so an entry set
+    * that misses a cluster makes that cluster unreachable no matter how
+    * good the graph is. RECALL.json's `clustered` section measures the
+    * failure: spaced corpus-member entries resonate with the id-correlated
+    * label cycle, cover 4 of 16 clusters, and cap BOTH the spaced and the
+    * trained graph walk at exactly 4/16 = 0.25 recall; this per-bucket
+    * entry set restores the walk. Collecting it is C longs — metadata.
+    */
+  def navEntryIds(embeddings: DataFrame,
+      centroids: Seq[(Long, Array[Double])]): Seq[Long] = {
+    val unit = withUnit(embeddings).select(col("vec_id"), col("unit"))
+    assignToCentroids(unit, centroidFrame(embeddings.sparkSession, centroids))
+      .groupBy(col("bucket")).agg(min(col("vec_id")).as("rep"))
+      .collect().map(_.getAs[Long]("rep")).toSeq.distinct.sorted
+  }
+
+  private def navGraphOver(unit: DataFrame, centroids: DataFrame, k: Int,
+      nAssign: Int): DataFrame = {
     val wA = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("centroid_id").asc)
     val assigned = unit.join(F.broadcast(centroids))
@@ -980,7 +1024,9 @@ object Vectors {
     * each round (spherical k-means — cosine geometry).
     */
   def trainedCentroids(embeddings: DataFrame, c: Int, sampleTarget: Int = 4096,
-      iters: Int = 5, seed: Long = 42L): Seq[(Long, Array[Double])] = {
+      iters: Int = 5, seed: Long = 42L,
+      init: String = "spaced"): Seq[(Long, Array[Double])] = {
+    require(init == "spaced" || init == "maxmin", s"unknown init '$init'")
     require(c > 0 && sampleTarget >= c, "need at least one sample vector per centroid")
     val unit = withUnit(embeddings).select(col("vec_id"), col("unit"))
     val n = embeddings.count()
@@ -994,13 +1040,50 @@ object Vectors {
       .map(r => r.getSeq[Double](1).toArray)
     require(sample.length >= c, s"sample ${sample.length} smaller than C=$c")
     val dim = sample.head.length
-    // init: spaced over the sample (same spacing rule as the parity path)
-    val step = math.max(1, sample.length / c)
-    var cents = Array.tabulate(c)(i => sample(i * step).clone())
     def dotp(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }
       s
+    }
+    // Two deterministic inits, chosen by the caller:
+    //   - "spaced" (default): seeds at sample-index stride — the parity
+    //     path's rule; right when the id order is structure-free, and the
+    //     behavior every attested default was measured at.
+    //   - "maxmin": farthest-point (Gonzalez) — start at sample 0, then
+    //     repeatedly the point with the SMALLEST max-cosine to the chosen
+    //     set (ties to the smaller index). Spaced init inherits whatever
+    //     structure the id order carries (RECALL.json's `clustered`
+    //     section measures it: on an id-correlated 16-cluster corpus,
+    //     spaced seeds land in 4 of 16 clusters and five Lloyd iterations
+    //     only partially recover, while maxmin covers every region by
+    //     construction) — the robust choice when the id layout is unknown,
+    //     at the cost of outlier-biased seeds on structureless corpora.
+    //     O(c·|sample|·d) driver work on the metadata-sized sample.
+    var cents: Array[Array[Double]] = if (init == "spaced") {
+      val step = math.max(1, sample.length / c)
+      Array.tabulate(c)(i => sample(i * step).clone())
+    } else {
+      val chosen = new Array[Int](c)
+      chosen(0) = 0
+      val maxSim = sample.map(v => dotp(v, sample(0)))
+      var j = 1
+      while (j < c) {
+        var best = 0; var bestVal = Double.PositiveInfinity
+        var i = 0
+        while (i < sample.length) {
+          if (maxSim(i) < bestVal) { bestVal = maxSim(i); best = i }
+          i += 1
+        }
+        chosen(j) = best
+        var i2 = 0
+        while (i2 < sample.length) {
+          val s = dotp(sample(i2), sample(best))
+          if (s > maxSim(i2)) maxSim(i2) = s
+          i2 += 1
+        }
+        j += 1
+      }
+      chosen.map(i => sample(i).clone())
     }
     for (_ <- 0 until iters) {
       val sums = Array.fill(c)(new Array[Double](dim))

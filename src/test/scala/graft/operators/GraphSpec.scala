@@ -82,12 +82,6 @@ class GraphSpec extends SparkSpec {
     assert(coreOf(tri, k = 3) === Map.empty)
   }
 
-  test("kCore SQL twin unrolls one peel per round") {
-    val sql = Graph.kCoreSql("SELECT a AS src, b AS dst FROM t", k = 3, rounds = 4)
-    assert(sql.contains("s4 AS") && !sql.contains("s5 AS"))
-    assert(sql.endsWith("FROM s4 GROUP BY src"))
-  }
-
   test("unrolled SQL text contains one CTE per round and the final select") {
     val sql = Graph.pageRankSql("SELECT a AS src, b AS dst FROM t", 3)
     assert(sql.contains("pr3 AS"))
@@ -114,16 +108,13 @@ class GraphSpec extends SparkSpec {
     assert(r(101L) === ((100L, 1L)) && r(100L) === ((100L, 0L)) && r(5L) === ((1L, 4L)))
   }
 
-  test("treePaths result is invariant to input partitioning; SQL twin chases one level per recursion") {
+  test("treePaths result is invariant to input partitioning") {
     val nodes = (1L to 300L).map(i => (i, if (i < 10) None else Some(i / 10)))
     val a = treeOf(nodes)
     val b = Graph.treePaths(nodes.toDF("node", "parent").repartition(13), 4)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(a === b)
     assert(a(299L) === ((2L, 2L))) // 299 → 29 → 2
-    val sql = Graph.treePathsSql("SELECT n AS node, p AS parent FROM t")
-    assert(sql.contains("WITH RECURSIVE") && sql.contains("p.node = a.cur"))
-    assert(sql.contains("WHERE r.parent IS NULL"))
   }
 
   private def distsOf(edges: Seq[(Long, Long)], seeds: Seq[Long],
