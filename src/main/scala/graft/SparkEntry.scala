@@ -2048,11 +2048,16 @@ object SparkEntry {
     "s26_beam_sweep" -> ((s, dir) =>
       // the tuning-table trilogy's third panel (d36: LSH bands, s23: IVF
       // nprobe, s26: graph beam width): recall@5 at beam 4/8/16/32 against
-      // brute truth, ONE navigable graph shared across all widths — the
-      // amortization production relies on, exercised in one query
+      // brute truth, served from the SAME persisted graph artifact s33
+      // reads (one build per session feeds search, serve, and tuning —
+      // the d16/d23/d27 cost-sharing discipline; the graph is
+      // deterministic, so the result is build-vs-serve-independent)
       {
         val emb = Tables.embeddings(s, dir)
-        Vectors.beamSweep(emb, queryIds = 0L until 8L,
+        Vectors.beamSweepServed(emb,
+          Vectors.materializedNavGraph(emb,
+            "nav_graph_" + dir.replaceAll("[^A-Za-z0-9]", "_")),
+          queryIds = 0L until 8L,
           entryIds = Vectors.spacedCentroidIds(emb.count()),
           k = 5, beams = Seq(4, 8, 16, 32), rounds = 4)
       }),

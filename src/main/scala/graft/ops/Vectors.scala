@@ -866,11 +866,23 @@ object Vectors {
     */
   def beamSweep(embeddings: DataFrame, queryIds: Seq[Long],
       entryIds: Seq[Long], k: Int = 5, beams: Seq[Int] = Seq(4, 8, 16, 32),
-      rounds: Int = 4, graphK: Int = 24, nAssign: Int = 3): DataFrame = {
+      rounds: Int = 4, graphK: Int = 24, nAssign: Int = 3): DataFrame =
+    beamSweepServed(embeddings,
+      navGraph(embeddings, graphK, nAssign), queryIds, entryIds, k, beams, rounds)
+
+  /** [[beamSweep]] over a PREBUILT edge list — the s26 query serves the
+    * sweep from the SAME persisted graph artifact the s33 search reads
+    * ([[materializedNavGraph]]): one graph build per session feeds the
+    * search, the served search, and the tuning table (the d16/d23/d27
+    * cost-sharing discipline applied to the graph family).
+    */
+  def beamSweepServed(embeddings: DataFrame, graphIn: DataFrame,
+      queryIds: Seq[Long], entryIds: Seq[Long], k: Int = 5,
+      beams: Seq[Int] = Seq(4, 8, 16, 32), rounds: Int = 4): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val unit = withUnit(embeddings).select(col("vec_id"), col("unit")).persist()
-    val graph = navGraph(embeddings, graphK, nAssign)
+    val graph = graphIn
       .select(col("src_id"), col("neighbor_id")).persist()
     val truth = bruteForceTopK(embeddings, queryIds, k)
       .select(col("query_id"), col("neighbor_id")).persist()
