@@ -197,7 +197,16 @@ object ScaleBench {
         // the FULL s29 lifecycle cold: bucketed IVF index build (write +
         // catalog) AND the batch serve through the exchange-free bucket
         // join — per-scale table names keep both runs cold builds
-        Vectors.servedBatchTopK(e, "ivf_scale_x" + e.count(), k = 3), false)
+        Vectors.servedBatchTopK(e, "ivf_scale_x" + e.count(), k = 3), false),
+      ("x33_bm25_search", (d: DataFrame) =>
+        // postings/lengths/dfs are map-side-combined aggregations; the
+        // fixed query-term table broadcasts, so scoring touches only its
+        // postings — cost must track corpus size, never corpus×queries
+        // (x55's fusion tail is |Q|·perList metadata riding this stage +
+        // the already-probed ANN scan — not separately probed)
+        graft.ops.TextOps.bm25Search(d, Seq(
+          (0L, "hash join batch"), (1L, "vector scan filter"),
+          (2L, "window agg order")), k = 10), true)
     )
 
     def time(fn: () => DataFrame): (Double, Long) = {
@@ -257,7 +266,15 @@ object ScaleBench {
         // stays constant — a super-linear label-propagation stage would
         // show up immediately
         Dedup.dedupGroupsAuto(
-          e.select(col("src").as("doc_a"), col("dst").as("doc_b")))))
+          e.select(col("src").as("doc_a"), col("dst").as("doc_b")))),
+      ("t55_sssp", e =>
+        // weighted Bellman–Ford over the ×f graph: per-round join +
+        // min-agg must track edge count (w = 1 suffices for the cost
+        // shape; seeds scale with the node space)
+        graft.operators.Graph.ssspDistances(
+          e.withColumn("w", lit(1000L)),
+          e.select(col("src").as("node")).filter(col("node") % 997 === 0).distinct(),
+          rounds = 4)))
     def runGraph(f: Int): Seq[(String, Double, Long)] = {
       val e = scaledEdges(f)
       graphQs.map { case (name, fn) =>
