@@ -2950,14 +2950,30 @@ object SparkEntry {
          |${graft.operators.Graph.pageRankSql(
              "SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem",
              iterations = 5)})""".stripMargin,
+    // HAND-INDEPENDENT oracle, algorithm-independent of
+    // Graph.triangleCounts: the Spark side orients edges by (degree, id)
+    // and closes wedges from the low-degree endpoint; this SQL never
+    // computes a degree — it enumerates each triangle exactly once as
+    // x < y < z via the naive ordered 3-way self-join over the distinct
+    // undirected edge set (e1=(x,y), e2=(y,z), e3=(x,z)). An orientation
+    // bug on the Spark side (wrong tie-break, wedge double-count) cannot
+    // reproduce here.
     "t40_triangles" ->
-      graft.operators.Graph.triangleCountsSql(
-        """SELECT a.l_partkey AS src, b.l_partkey AS dst
-          |FROM (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
-          |        AND l_shipdate < DATE '1996-01-01') a
-          |JOIN (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
-          |        AND l_shipdate < DATE '1996-01-01') b
-          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""".stripMargin),
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |            WHERE l_shipdate >= DATE '1995-01-01'
+        |              AND l_shipdate < DATE '1996-01-01'),
+        |e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |      FROM li a JOIN li b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1
+        |        JOIN e e2 ON e2.a = e1.b
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (SELECT x AS node FROM tri
+        |            UNION ALL SELECT y FROM tri
+        |            UNION ALL SELECT z FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS triangles
+        |FROM corners GROUP BY node""".stripMargin,
     "t42_kcore" ->
       // HAND-INDEPENDENT oracle (round-5 verdict #4, the t53/t56
       // discipline): peeling authored directly here, NOT Graph.kCoreSql's

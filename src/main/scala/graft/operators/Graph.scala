@@ -109,33 +109,6 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
   }
 
-  /** [[triangleCounts]] as DuckDB SQL over the same `(src, dst)` edge CTE,
-    * kept textually parallel so the two stay provably in lockstep.
-    */
-  def triangleCountsSql(edgesCte: String): String =
-    s"""WITH e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-       |            FROM ($edgesCte) WHERE src <> dst),
-       |deg AS (SELECT node, count(*) AS deg FROM (
-       |          SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
-       |        GROUP BY node),
-       |o AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b)
-       |                  THEN e0.a ELSE e0.b END AS u,
-       |             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b)
-       |                  THEN e0.b ELSE e0.a END AS v,
-       |             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b)
-       |                  THEN db.deg ELSE da.deg END AS dv
-       |      FROM e0 JOIN deg da ON da.node = e0.a JOIN deg db ON db.node = e0.b),
-       |tri AS (SELECT o1.u, o1.v AS x, o2.v AS y
-       |        FROM o o1 JOIN o o2
-       |          ON o1.u = o2.u
-       |         AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))
-       |        JOIN o oc ON oc.u = o1.v AND oc.v = o2.v),
-       |corners AS (SELECT u AS node FROM tri
-       |            UNION ALL SELECT x FROM tri
-       |            UNION ALL SELECT y FROM tri)
-       |SELECT node, CAST(count(*) AS BIGINT) AS triangles
-       |FROM corners GROUP BY node""".stripMargin
-
   /** k-core peeling with a FIXED round count — the degeneracy lens on the
     * same edge frames ([[pageRank]] scores centrality, CC answers
     * membership, [[triangleCounts]] measures closure; the k-core is where
