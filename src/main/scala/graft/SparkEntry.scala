@@ -1446,6 +1446,17 @@ object SparkEntry {
       TextOps.hybridRrf(Tables.documents(s, dir), queries,
         Vectors.bruteForceTopK(Tables.embeddings(s, dir), queries.map(_._1), 10))
     }),
+    "x56_dsir_weights" -> ((s, dir) =>
+      // DSIR importance weights against the English subset as the target
+      // domain: positive micro-bits = looks like the target; the
+      // deterministic top-k selection a quality-targeted sample keeps
+      TextOps.dsirWeights(Tables.documents(s, dir),
+        org.apache.spark.sql.functions.col("lang") === "en")),
+    "x57_ppl_buckets" -> ((s, dir) =>
+      // CCNet head/middle/tail split per language on the x31 char-LM
+      // score — exact-integer tertiles over the (score, doc_id) total
+      // order, ranks decomposed into bounded score-band windows
+      TextOps.pplBuckets(Tables.documents(s, dir))),
     "x32_heavy_hitters_checked" -> ((s, dir) =>
       // freqItems sketch next to exact counts: raises if the sketch drops
       // a true heavy hitter (its no-false-negative guarantee); emits the
@@ -3168,6 +3179,56 @@ object SparkEntry {
          |           ORDER BY rrf_score DESC, doc_id ASC) AS rank
          |  FROM f)
          |WHERE rank <= 5""".stripMargin,
+    "x56_dsir_weights" ->
+      // the feature key is the null-free (in_v, token-or-'') pair; the
+      // per-token weight is ONE log2 of a ratio of exact-integer products
+      // (< 2^53 — exact in double on both engines), micro-bit rounded
+      """WITH tok AS (SELECT d.doc_id,
+        |                    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS is_t,
+        |                    unnest(string_split(d.text, ' ')) AS token
+        |             FROM documents d),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+        |v AS (SELECT token FROM c ORDER BY c DESC, token ASC LIMIT 1000),
+        |m AS (SELECT tok.doc_id, tok.is_t,
+        |             CASE WHEN v.token IS NULL THEN 0 ELSE 1 END AS in_v,
+        |             CASE WHEN v.token IS NULL THEN '' ELSE tok.token END AS ftok
+        |      FROM tok LEFT JOIN v ON v.token = tok.token),
+        |model AS (SELECT in_v, ftok, CAST(sum(is_t) AS BIGINT) AS ct,
+        |                 CAST(count(*) AS BIGINT) AS cr
+        |          FROM m GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+        |               CAST(sum(cr) AS BIGINT) AS tr FROM model)
+        |SELECT m.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(round(1e6 * sum(log2(((model.ct + 1) * (tot.tr + 1001)) /
+        |              CAST((model.cr + 1) * (tot.tt + 1001) AS DOUBLE))) / count(*))
+        |            AS BIGINT) AS dsir_ubits
+        |FROM m JOIN model USING (in_v, ftok) CROSS JOIN tot
+        |GROUP BY m.doc_id""".stripMargin,
+    "x57_ppl_buckets" ->
+      // the NAIVE per-lang row_number form — the Spark side's two-level
+      // band decomposition must reproduce these ranks exactly (the b29
+      // discipline: the naive form IS the oracle)
+      """WITH cs AS (SELECT doc_id, string_split(text, '') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS c1, unnest(t[2:len(t)]) AS c2
+        |       FROM cs WHERE len(t) >= 2),
+        |bgf AS (SELECT * FROM bg WHERE c1 <> '' AND c2 <> ''),
+        |pair AS (SELECT c1, c2, CAST(count(*) AS BIGINT) AS c12 FROM bgf GROUP BY 1, 2),
+        |uni AS (SELECT c1, CAST(sum(c12) AS BIGINT) AS c1n FROM pair GROUP BY 1),
+        |scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |                  CAST(round(1e6 * sum(-log2(c12 / c1n)) / count(*)) AS BIGINT) AS xent_ubits
+        |           FROM bgf JOIN pair USING (c1, c2) JOIN uni USING (c1)
+        |           GROUP BY doc_id),
+        |r AS (SELECT d.lang, s.n_bigrams, s.xent_ubits,
+        |             row_number() OVER (PARTITION BY d.lang
+        |               ORDER BY s.xent_ubits, s.doc_id) AS rn,
+        |             count(*) OVER (PARTITION BY d.lang) AS n
+        |      FROM scored s JOIN documents d USING (doc_id))
+        |SELECT lang, CAST((3 * (rn - 1)) // n AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+        |       CAST(min(xent_ubits) AS BIGINT) AS lo_ubits,
+        |       CAST(max(xent_ubits) AS BIGINT) AS hi_ubits
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "x32_heavy_hitters_checked" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
         |c AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),

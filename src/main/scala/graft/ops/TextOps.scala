@@ -1201,6 +1201,120 @@ object TextOps {
           .as("xent_ubits"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score every document by how much
+    * more likely its tokens are under a TARGET bag-of-features unigram
+    * model than under the RAW-corpus model —
+    * `w(doc) = mean over tokens of log2(p_target(feat) / p_raw(feat))` with
+    * add-one smoothing. Positive means "looks like the target domain";
+    * importance resampling (or its deterministic top-k variant) then keeps
+    * the high-weight tail. DSIR hashes n-grams to bound the feature space;
+    * here the bound is the deterministic top-`vocabSize` vocabulary
+    * (count desc, token asc — the x40 discipline) with one out-of-vocab
+    * bucket, which keeps every feature a string both engines tokenize
+    * identically — no hash function to re-implement in SQL. The feature
+    * key is the pair (in_vocab, token-or-"") — null-free plain-equality
+    * join keys, and an empty-string TOKEN in vocab cannot collide with
+    * the OOV bucket because the flag differs.
+    *
+    * Determinism: per-token weight is ONE log2 of a ratio of exact-integer
+    * products (counts ≤ ~1e6 each, products < 2^53 — exact in double), so
+    * engines differ only by ~1 ulp per term; summed noise is 8+ orders
+    * below the micro-bit rounding quantum (the x30/x31 discipline).
+    *
+    * Scale shape: one persisted token explode feeds the vocabulary top-k
+    * (map-side combined, TakeOrdered), the model (ONE pass — target counts
+    * are a conditional sum riding the raw count aggregation,
+    * vocabulary-sized output), and the scoring join, where the model
+    * broadcasts (≤ vocabSize+1 rows) so the corpus never shuffles wider
+    * than (doc_id, feat_id). The smoothing totals ride the same broadcast
+    * as literal-free one-row frames.
+    *
+    * Output: (doc_id, n_tokens, dsir_ubits) — weight in micro-bits per
+    * token; docs with no tokens are absent (no model evidence either way).
+    *
+    * @param isTarget boolean predicate over the input columns selecting
+    *                 the target-domain subset (e.g. `col("lang") === "en"`)
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+      vocabSize: Int = 1000): DataFrame = {
+    val k = vocabSize + 1 // smoothing categories: vocab + the OOV bucket
+    val tok = docs
+      .select(col("doc_id"), isTarget.cast("long").as("is_t"),
+        explode(tokens(col("text"))).as("token"))
+      .persist()
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token").asc)
+      .limit(vocabSize)
+      .select(col("token"), lit(1L).as("in_v"))
+    val mapped = tok.join(broadcast(vocab), Seq("token"), "left")
+      .select(col("doc_id"), col("is_t"),
+        coalesce(col("in_v"), lit(0L)).as("in_v"),
+        when(col("in_v").isNotNull, col("token")).otherwise(lit(""))
+          .as("ftok"))
+    val model = mapped.groupBy(col("in_v"), col("ftok"))
+      .agg(sum(col("is_t")).as("ct"), count(lit(1)).as("cr"))
+    val tot = model.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val res = mapped
+      .join(broadcast(model), Seq("in_v", "ftok"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(log2(((col("ct") + lit(1)) * (col("tr") + lit(k))) /
+          ((col("cr") + lit(1)) * (col("tt") + lit(k))))).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(1e6) * col("s") / col("n_tokens")).cast("long")
+          .as("dsir_ubits"))
+    tok.unpersist()
+    res
+  }
+
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020): per language,
+    * rank documents by the corpus-trained char-LM cross-entropy
+    * ([[charLmScore]]) and split into head / middle / tail thirds — the
+    * split CCNet publishes per language shard and pipelines sample from
+    * (head ≈ fluent text, tail ≈ noise; the middle is where filtering
+    * decisions actually bite). Bucket of rank r among n is the exact
+    * integer `(3·(r−1)) div n` ∈ {0, 1, 2}, so sizes differ by at most one
+    * and the assignment is total-order deterministic ((score, doc_id)
+    * breaks ties).
+    *
+    * Scale shape — the b29 two-level discipline, because a naive
+    * `row_number() OVER (PARTITION BY lang ...)` is one task per language
+    * at 100 TB: ranks decompose into within-(lang, score-band) windows
+    * (band = ubits div 10⁵ — value-domain bounded, ~100 bands/lang) plus a
+    * per-lang running band-offset over the metadata-sized (lang, band)
+    * count frame; the naive form IS the DuckDB oracle, so the
+    * decomposition is attested rank-exact, not just shape-tested.
+    *
+    * Output: one row per (lang, bucket 0|1|2): n_docs, n_bigrams total,
+    * and the bucket's [lo, hi] ubits boundaries.
+    */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val scored = charLmScore(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("band", expr("xent_ubits div 100000"))
+    val inBand = W.partitionBy(col("lang"), col("band"))
+      .orderBy(col("xent_ubits"), col("doc_id"))
+    val bandCounts = scored.groupBy(col("lang"), col("band"))
+      .agg(count(lit(1)).as("bn"))
+    val overBands = W.partitionBy(col("lang")).orderBy(col("band"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offsets = bandCounts
+      .withColumn("boff", coalesce(sum(col("bn")).over(overBands), lit(0L)))
+      .withColumn("n", sum(col("bn")).over(W.partitionBy(col("lang"))))
+    scored
+      .withColumn("rn", row_number().over(inBand).cast("long"))
+      .join(broadcast(offsets), Seq("lang", "band"))
+      .withColumn("bucket", expr("(3 * (boff + rn - 1)) div n"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        min(col("xent_ubits")).as("lo_ubits"),
+        max(col("xent_ubits")).as("hi_ubits"))
+  }
+
   /** Collocation mining: the corpus's most-associated adjacent token pairs,
     * ranked by lift = N·c(ab) / (c(a·)·c(·b)) over the bigram contingency
     * table. Lift is a strictly monotone transform of PMI (PMI = log lift),

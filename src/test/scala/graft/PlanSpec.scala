@@ -602,4 +602,24 @@ class PlanSpec extends SparkSpec {
       s"d37 must not pair-join: $d37")
     assert(d37.contains("collect_set"), s"d37 pairs must come from the source-set agg: $d37")
   }
+
+  test("x56 model broadcasts to the scoring join; x57 windows all carry partition specs") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val dir = "/root/testdata/sf0.001"
+    // x56: the corpus-sized scoring pass joins the vocabulary-sized model
+    // by broadcast — the corpus never sort-shuffles against it
+    val x56 = SparkEntry.queries("x56_dsir_weights")(spark, dir)
+    x56.collect()
+    val p56 = x56.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p56.contains("BroadcastHashJoin"), s"x56: $p56")
+    assert(!p56.contains("SortMergeJoin"), s"x56: $p56")
+    // x57: the rank decomposition means every window is (lang, band)- or
+    // lang-partitioned — a partition-less window would be the naive
+    // global-rank shape this op exists to avoid
+    val x57lp = SparkEntry.queries("x57_ppl_buckets")(spark, dir)
+      .queryExecution.optimizedPlan
+    assert(x57lp.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }.isEmpty, "x57 has a partition-less window")
+  }
 }

@@ -725,4 +725,78 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(pairs.collect { case (1L, 5L, j) => j } === Set(1.0))
     assert(math.abs(pairs.collect { case (1L, 2L, j) => j }.head - 2.0 / 3.0) < 1e-12)
   }
+
+  test("dsirWeights: target-domain tokens score positive, off-domain negative, mixed between") {
+    import org.apache.spark.sql.functions.col
+    // target docs (lang en) speak {aa bb}, off-domain docs speak {cc dd};
+    // "ee" appears once on each side (neutral-ish)
+    val corpus = Seq(
+      (0L, "aa bb aa bb ee", "en"), (1L, "bb aa bb aa", "en"),
+      (2L, "cc dd cc dd ee", "xx"), (3L, "dd cc dd cc", "xx"),
+      (4L, "aa bb cc dd", "xx") // mixed content, off-domain label
+    ).toDF("doc_id", "text", "lang")
+    // vocabSize 10 keeps the add-one smoothing constant (vocab+1
+    // categories) on the scale of this 22-token corpus — the production
+    // default of 1000 would flatten every ratio toward 1 here
+    val w = TextOps.dsirWeights(corpus, col("lang") === "en", vocabSize = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("dsir_ubits"))).toMap
+    assert(w(0L)._1 === 5L)
+    assert(w(0L)._2 > 0L && w(1L)._2 > 0L) // looks like the target
+    assert(w(2L)._2 < 0L && w(3L)._2 < 0L) // off-domain
+    assert(w(4L)._2 > w(2L)._2 && w(4L)._2 < w(1L)._2) // half-and-half
+    // weights depend on CONTENT, not the doc's own label: doc 4's tokens
+    // are half target-vocabulary, so it outscores pure off-domain text
+    // even though it is not in the target subset itself
+  }
+
+  test("dsirWeights: below-vocab tokens lump into one OOV bucket") {
+    import org.apache.spark.sql.functions.col
+    // vocabSize 2 keeps {aa, bb} (count desc, token asc); every rare token
+    // shares the OOV bucket, so docs 2 and 3 — disjoint RARE tokens —
+    // get identical weights, while the vocab token keeps its own stats
+    val corpus = Seq(
+      (0L, "aa aa bb", "en"), (1L, "aa bb bb", "en"),
+      (2L, "pp qq", "xx"), (3L, "rr ss", "xx")
+    ).toDF("doc_id", "text", "lang")
+    val w = TextOps.dsirWeights(corpus, col("lang") === "en", vocabSize = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("dsir_ubits")).toMap
+    assert(w(2L) === w(3L))
+    assert(w(0L) > w(2L))
+  }
+
+  test("pplBuckets: exact tertiles per lang, bucket boundaries ordered, naive-rank equivalent") {
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    // 7 en docs + 4 zh docs of varying character regularity
+    val corpus = (0L until 7L).map(i =>
+      (i, ("ab" * (i.toInt + 2)) + "qzkx".take(i.toInt % 4), "en")) ++
+      Seq((10L, "mm nn mm nn", "zh"), (11L, "zz yy xx ww vv", "zh"),
+        (12L, "mm mm mm mm", "zh"), (13L, "qp wo ei ru ty", "zh"))
+    val df = corpus.toDF("doc_id", "text", "lang")
+    val b = TextOps.pplBuckets(df).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("bucket")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("lo_ubits"), r.getAs[Long]("hi_ubits")))
+      .toMap
+    // exact integer tertiles: 7 → 3/2/2, 4 → 2/1/1
+    assert(b(("en", 0L))._1 === 3L && b(("en", 1L))._1 === 2L && b(("en", 2L))._1 === 2L)
+    assert(b(("zh", 0L))._1 === 2L && b(("zh", 1L))._1 === 1L && b(("zh", 2L))._1 === 1L)
+    // buckets tile the score axis in order: head hi ≤ middle lo, etc.
+    for (l <- Seq("en", "zh"); k <- Seq(0L, 1L))
+      assert(b((l, k))._3 <= b((l, k + 1L))._2)
+    // the two-level band decomposition reproduces the NAIVE per-lang rank:
+    // recompute buckets with one row_number window and compare counts
+    val naive = TextOps.charLmScore(df)
+      .join(df.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("xent_ubits"), col("doc_id"))))
+      .withColumn("n", org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).over(Window.partitionBy(col("lang"))))
+      .selectExpr("lang", "(3 * (rn - 1)) div n AS bucket")
+      .groupBy("lang", "bucket").count()
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("count")).toMap
+    assert(naive === b.map { case (k, v) => k -> v._1 })
+  }
 }
