@@ -755,4 +755,56 @@ object EngineProperties extends Properties("graft") {
       kept == expected
     }
   }
+
+  // (z) x56: the DSIR weight is a function of CONTENT alone — two docs
+  // with identical text score identically even when their own domain
+  // labels differ (the doc's label shapes the MODEL, never its own
+  // score), and the result is partitioning-invariant
+  property("dsirWeights: equal text ⇒ equal weight regardless of label; partition-invariant") = {
+    val tokens = Seq("aa", "bb", "cc", "dd", "ee")
+    val genDocs = Gen.chooseNum(4, 16).flatMap { n =>
+      Gen.listOfN(n, for {
+        toks <- Gen.nonEmptyListOf(Gen.oneOf(tokens)).map(_.take(6))
+        lang <- Gen.oneOf("t", "r")
+      } yield (toks.mkString(" "), lang))
+    }
+    Prop.forAll(genDocs) { docs =>
+      val df = docs.zipWithIndex.map { case ((text, lang), i) =>
+        (i.toLong, text, lang) }.toDF("doc_id", "text", "lang")
+      val w = graft.ops.TextOps.dsirWeights(df, col("lang") === "t", vocabSize = 3)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dsir_ubits")).toMap
+      val byText = docs.zipWithIndex.groupBy(_._1._1)
+      val contentOnly = byText.values.forall(g => g.map(d => w(d._2.toLong)).distinct.size == 1)
+      val w2 = graft.ops.TextOps.dsirWeights(df.repartition(7), col("lang") === "t",
+        vocabSize = 3)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dsir_ubits")).toMap
+      contentOnly && w == w2
+    }
+  }
+
+  // (z2) x57: per-lang bucket sizes are the EXACT tertile partition of
+  // that language's scored-doc count — ⌊3(r−1)/n⌋ over r = 1…n — for any
+  // corpus and language layout
+  property("pplBuckets: bucket sizes are the exact tertile partition per lang") = {
+    val genDocs = Gen.chooseNum(3, 20).flatMap { n =>
+      Gen.listOfN(n, for {
+        reps <- Gen.chooseNum(2, 8)
+        base <- Gen.oneOf("ab", "xy", "mnp", "qq")
+        lang <- Gen.oneOf("l1", "l2")
+      } yield (base * reps, lang))
+    }
+    Prop.forAll(genDocs) { docs =>
+      val df = docs.zipWithIndex.map { case ((text, lang), i) =>
+        (i.toLong, text, lang) }.toDF("doc_id", "text", "lang")
+      val sizes = graft.ops.TextOps.pplBuckets(df).collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[Long]("bucket")) ->
+          r.getAs[Long]("n_docs")).toMap
+      val perLang = docs.groupBy(_._2).view.mapValues(_.size).toMap
+      perLang.forall { case (lang, n) =>
+        val expected = (1 to n).groupBy(r => (3L * (r - 1)) / n)
+          .view.mapValues(_.size.toLong).toMap
+        expected.forall { case (b, cnt) => sizes.getOrElse((lang, b), 0L) == cnt }
+      }
+    }
+  }
 }
