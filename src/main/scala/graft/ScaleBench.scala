@@ -206,7 +206,20 @@ object ScaleBench {
         // the already-probed ANN scan — not separately probed)
         graft.ops.TextOps.bm25Search(d, Seq(
           (0L, "hash join batch"), (1L, "vector scan filter"),
-          (2L, "window agg order")), k = 10), true)
+          (2L, "window agg order")), k = 10), true),
+      ("x56_dsir_weights", (d: DataFrame) =>
+        // one persisted explode + broadcast vocab/model: cost must track
+        // corpus size; the model stays vocab+1-sized at any scale
+        graft.ops.TextOps.dsirWeights(
+          d.withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5)))),
+          col("lang") === "l0"), true),
+      ("x57_ppl_buckets", (d: DataFrame) =>
+        // x31's LM pass + the two-level rank decomposition: per-(lang,
+        // band) windows must stay bounded as docs multiply — the naive
+        // per-lang global window this op avoids would serialize on the
+        // largest language
+        graft.ops.TextOps.pplBuckets(
+          d.withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5))))), true)
     )
 
     def time(fn: () => DataFrame): (Double, Long) = {
