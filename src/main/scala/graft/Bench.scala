@@ -56,6 +56,12 @@ object Bench {
         val t = "nav_graph_" + dir.replaceAll("[^A-Za-z0-9]", "_")
         s.sql(s"DROP TABLE IF EXISTS $t")
         graft.ops.Vectors.materializedNavGraph(Tables.embeddings(s, dir), t)
+      }),
+      "artifact:postings" -> ((s, dir) => {
+        val t = "postings_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        s.sql(s"DROP TABLE IF EXISTS ${t}_len")
+        graft.ops.TextOps.materializedPostings(Tables.documents(s, dir), t)
       }))
     val ordered = (artifactEntries ++ SparkEntry.queries.toSeq).sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.exists(name.startsWith) }

@@ -323,6 +323,34 @@ object SparkEntry {
     * the query batch, and the centroid entry set.
     */
   // lazy: refers to oracleEmbCte/oracleSpacedAssigned, declared further down
+  /** Shared by x33 (recompute form) and x58 (served from the persisted
+    * postings index): the served path is layout-independent, so ONE SQL
+    * attests both — the same contract as s24/s33's `oracleBeam`.
+    */
+  private val oracleBm25: String =
+    """WITH q(query_id, term) AS (VALUES
+      |  (0, 'hash'), (0, 'join'), (0, 'batch'),
+      |  (1, 'vector'), (1, 'scan'), (1, 'filter'),
+      |  (2, 'window'), (2, 'agg'), (2, 'order')),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+      |l AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM p GROUP BY 1),
+      |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(len) AS avglen FROM l)
+      |SELECT query_id, doc_id, score_ppm, CAST(rank AS BIGINT) AS rank FROM (
+      |  SELECT query_id, doc_id, score_ppm,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY score_ppm DESC, doc_id ASC) AS rank
+      |  FROM (
+      |    SELECT CAST(q.query_id AS BIGINT) AS query_id, p.doc_id,
+      |           CAST(round(1e6 * sum(ln((st.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+      |             (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * l.len / st.avglen))))
+      |             AS BIGINT) AS score_ppm
+      |    FROM p JOIN q ON p.term = q.term JOIN d ON d.term = p.term
+      |      JOIN l ON l.doc_id = p.doc_id CROSS JOIN st
+      |    GROUP BY 1, 2))
+      |WHERE rank <= 10""".stripMargin
+
   private lazy val oracleBeamBase: String = {
     // the navGraph operating point (round-6 rebuild): every vector joins
     // its top-3 IVF buckets (multi-assignment stitches adjacent cells into
@@ -1436,6 +1464,18 @@ object SparkEntry {
       TextOps.bm25Search(Tables.documents(s, dir), Seq(
         (0L, "hash join batch"), (1L, "vector scan filter"),
         (2L, "window agg order")), k = 10)),
+    "x58_bm25_served" -> ((s, dir) => {
+      // the lexical index's build-once/serve-many path (the s29/s33
+      // artifact lifecycle brought to BM25): the postings persist
+      // term-bucketed with lengths denormalized on, the serve filters by
+      // a literal term IN-list (parquet row-group skip), and the result
+      // is layout-independent — the hash must equal x33's
+      val t = "postings_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      TextOps.materializedPostings(Tables.documents(s, dir), t)
+      TextOps.bm25SearchFromIndex(s, t, Seq(
+        (0L, "hash join batch"), (1L, "vector scan filter"),
+        (2L, "window agg order")), k = 10)
+    }),
     "x55_hybrid_rrf" -> ((s, dir) => {
       // hybrid search: the x33 BM25 list and the exact-cosine list for the
       // same three queries (doc_id ≡ vec_id — the x50 alignment), fused by
@@ -3108,29 +3148,8 @@ object SparkEntry {
         |JOIN t ON t.event_type = cum.event_type
         |JOIN (VALUES (0.5), (0.95)) ps(p) ON cum >= ceil(p * n)
         |GROUP BY 1, 2""".stripMargin,
-    "x33_bm25_search" ->
-      """WITH q(query_id, term) AS (VALUES
-        |  (0, 'hash'), (0, 'join'), (0, 'batch'),
-        |  (1, 'vector'), (1, 'scan'), (1, 'filter'),
-        |  (2, 'window'), (2, 'agg'), (2, 'order')),
-        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-        |p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
-        |l AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM p GROUP BY 1),
-        |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(len) AS avglen FROM l)
-        |SELECT query_id, doc_id, score_ppm, CAST(rank AS BIGINT) AS rank FROM (
-        |  SELECT query_id, doc_id, score_ppm,
-        |         row_number() OVER (PARTITION BY query_id
-        |           ORDER BY score_ppm DESC, doc_id ASC) AS rank
-        |  FROM (
-        |    SELECT CAST(q.query_id AS BIGINT) AS query_id, p.doc_id,
-        |           CAST(round(1e6 * sum(ln((st.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) *
-        |             (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * l.len / st.avglen))))
-        |             AS BIGINT) AS score_ppm
-        |    FROM p JOIN q ON p.term = q.term JOIN d ON d.term = p.term
-        |      JOIN l ON l.doc_id = p.doc_id CROSS JOIN st
-        |    GROUP BY 1, 2))
-        |WHERE rank <= 10""".stripMargin,
+    "x33_bm25_search" -> oracleBm25,
+    "x58_bm25_served" -> oracleBm25,
     "x55_hybrid_rrf" ->
       // x33's BM25 CTEs verbatim for the lexical list, the s1-style
       // normalized-cosine window for the vector list, then ALL-INTEGER

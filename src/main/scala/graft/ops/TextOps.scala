@@ -1074,6 +1074,148 @@ object TextOps {
       .filter(col("rank") <= k)
   }
 
+  /** Build-once/serve-many lifecycle for the BM25 surface — the lexical
+    * twin of [[graft.ops.Vectors.materializedIvfIndex]]. [[bm25Search]]
+    * re-derives postings, lengths, and document frequencies from the
+    * corpus on every call — right for one ad-hoc query, wrong for a
+    * serving path at 100 TB. This persists the index once per corpus as
+    * TWO tables:
+    *
+    *   - `table`: the inverted index — (term, doc_id, tf, len) rows,
+    *     term-bucketed and term-sorted, with the document length
+    *     DENORMALIZED onto every posting so serving never aggregates the
+    *     corpus per query batch;
+    *   - `table_len`: the (doc_id, len) ledger — |docs|-sized,
+    *     doc_id-bucketed; it feeds the two corpus constants (n_docs,
+    *     avglen) with one small scan and is the append path's
+    *     already-indexed ledger.
+    *
+    * [[bm25SearchFromIndex]] reads both; [[appendToPostings]] is the CDC
+    * half. Serving is layout-independent, so the served query hash-equals
+    * the [[bm25Search]] recompute form (x58 ≡ x33, oracle-attested).
+    */
+  def materializedPostings(docs: DataFrame, table: String,
+      buckets: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    graft.sources.BucketedLayout.buildIfAbsent(spark, table) {
+      val postings = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .persist() // feeds the ledger and the denormalized index rows
+      val lens = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+      graft.sources.BucketedLayout.buildIfAbsent(spark, table + "_len") {
+        graft.sources.BucketedLayout.writeBucketed(lens, table + "_len",
+          "doc_id", 8)
+      }
+      graft.sources.BucketedLayout.writeBucketed(
+        postings.join(lens, Seq("doc_id"))
+          .select(col("term"), col("doc_id"), col("tf"), col("len")),
+        table, "term", buckets)
+      postings.unpersist()
+    }
+  }
+
+  /** BM25 over a persisted [[materializedPostings]] index — zero build
+    * work per query batch. The index scan carries a LITERAL term IN-list,
+    * so the predicate pushes into the parquet reader and — with
+    * term-sorted buckets — row groups holding no query term skip on
+    * min/max stats: scoring touches only the query terms' postings, the
+    * inverted-index access pattern materialized into the storage layout.
+    * Document frequencies come from the matched postings alone (each
+    * (term, doc_id) appears once per indexed doc, so `df` = row count),
+    * and the corpus constants come from the |docs|-sized ledger — the
+    * corpus-sized posting table is never aggregated.
+    *
+    * Replay tolerance: a crash between the postings append and its ledger
+    * commit ([[appendToPostings]]'s torn window) can leave byte-identical
+    * duplicate posting rows; the per-(term, doc_id) dedup on the matched
+    * frame (bounded by the query terms' postings) makes them invisible
+    * here, which is what makes the append path's replay safe.
+    *
+    * Scoring is the exact [[bm25Search]] expression — same operand order,
+    * same ppm rounding — so results hash-equal the recompute form.
+    */
+  def bm25SearchFromIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: Seq[(Long, String)], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val terms = queries.flatMap(_._2.split(" ")).distinct
+    val qterms = queries
+      .flatMap { case (qid, text) => text.split(" ").distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val hits = spark.table(table)
+      .filter(col("term").isInCollection(terms))
+      .dropDuplicates("term", "doc_id")
+      .persist() // feeds df and the scoring join
+    val dfs = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = spark.table(table + "_len")
+      .agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avglen"))
+    val scored = hits
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        (log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avglen"))))
+          .as("s"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(lit(1e6) * sum(col("s"))).cast("long").as("score_ppm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("doc_id").asc)
+    // (hits stays persisted — the returned frame is lazy and both the df
+    // aggregate and the scoring join read it; per-query harness cache
+    // clears release it, the charLmScore/bm25Search convention)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Append one ingest batch's documents to a persisted
+    * [[materializedPostings]] index — the CDC half (the
+    * [[graft.ops.Vectors.appendToIvfIndex]] /
+    * [[graft.ops.Dedup.appendBandKeys]] discipline for the lexical
+    * surface). Already-indexed documents (per the ledger) are skipped, so
+    * a REPLAYED batch whose previous run completed is a no-op.
+    *
+    * Commit order is postings first, ledger LAST: the ledger row is the
+    * batch's commit marker. A crash inside the torn window (postings
+    * written, ledger not) makes the replay re-append byte-identical
+    * posting rows — harmless, because every reader dedups matched
+    * postings on (term, doc_id) ([[bm25SearchFromIndex]]) — and then
+    * write the ledger once. The opposite order would be worse than
+    * duplicates: a ledger row without postings would silently drop the
+    * batch's terms from every future search.
+    *
+    * Mismatched bucket/sort specs on append are refused by Spark — the
+    * same layout guard [[graft.ops.Dedup.appendBandKeys]] relies on.
+    */
+  def appendToPostings(newDocs: DataFrame, table: String,
+      buckets: Int = 32): Unit = {
+    val spark = newDocs.sparkSession
+    val fresh = newDocs.join(
+      spark.table(table + "_len").select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val postings = fresh
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val lens = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+    postings.join(lens, Seq("doc_id"))
+      .select(col("term"), col("doc_id"), col("tf"), col("len"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+      .bucketBy(buckets, "term").sortBy("term").saveAsTable(table)
+    lens.write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+      .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(table + "_len")
+    postings.unpersist()
+    // appends from this (possibly cloned foreachBatch) session must be
+    // visible to its own later reads; cross-session readers refresh theirs
+    spark.catalog.refreshTable(table)
+    spark.catalog.refreshTable(table + "_len")
+  }
+
   /** Hybrid lexical+vector retrieval fused by Reciprocal Rank Fusion
     * (Cormack/Clarke/Buettcher 2009 — the baseline every hybrid search
     * stack ships): each result list contributes `⌊10⁹ / (c + rank)⌋`
@@ -1265,7 +1407,8 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"),
         round(lit(1e6) * col("s") / col("n_tokens")).cast("long")
           .as("dsir_ubits"))
-    tok.unpersist()
+    // (tok stays persisted — the returned frame is lazy and vocab, model,
+    // and scoring all read it; harness cache clears release it)
     res
   }
 

@@ -622,4 +622,14 @@ class PlanSpec extends SparkSpec {
       case w: LWindow if w.partitionSpec.isEmpty => w
     }.isEmpty, "x57 has a partition-less window")
   }
+
+  test("x58 postings serve pushes the literal term IN-list into the index scan") {
+    val q = SparkEntry.queries("x58_bm25_served")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // the serve touches only the query terms' postings: the IN predicate
+    // must reach the parquet reader (with term-sorted buckets, row groups
+    // holding no query term skip on min/max stats)
+    assert(plan.contains("In(term"), s"x58 must push the term IN-list:\n$plan")
+  }
 }
