@@ -145,6 +145,32 @@ object RecallReport {
       s"beam_$b" -> (() => Vectors.beamSearch(emb, queries, entryIds = spacedIds,
         k = k, beam = b, rounds = 4))))
 
+    // ---- CDC quality (round 6): the navigable graph's append path is
+    // HNSW insert-by-search — a DIFFERENT approximation than the bucket
+    // rebuild (appendToNavGraph's scaladoc states why hash-equality is
+    // the wrong contract) — so its serve quality is MEASURED instead:
+    // build on the first 3/4 of the corpus, append the rest in two
+    // batches, and read recall@k from the appended graph next to the
+    // full-rebuild point (defaults.graph_beam32_r4). Queries are the
+    // shared 0..15 (all in the initial portion).
+    val navAppendRecall = {
+      val table = "recall_nav_append"
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val cutId = n * 3 / 4
+      Vectors.materializedNavGraph(emb.filter(col("vec_id") < cutId), table)
+      val entries = Vectors.spacedCentroidIds(cutId)
+      Vectors.appendToNavGraph(emb.filter(col("vec_id") >= cutId &&
+        col("vec_id") % 2 === 0), emb, table, entries)
+      Vectors.appendToNavGraph(emb.filter(col("vec_id") >= cutId &&
+        col("vec_id") % 2 === 1), emb, table, entries)
+      val r = hits(Vectors.beamSearchServed(emb, spark.table(table), queries,
+        entries, k = k, beam = 32, rounds = 4)).intersect(exact).size.toDouble /
+        exact.size
+      spark.sqlContext.clearCache(); emb.persist(); unit.persist()
+      System.err.println(f"[recall] nav_append_beam32_r4      recall@$k = $r%.4f")
+      r
+    }
+
     // mining-quality table (round-5 verdict #2): how much of the EXACT
     // margin-mined pair set each scale path recovers (threshold 0 ⇒ all
     // forward-top-1 pairs compared), charted against its candidate volume.
@@ -287,6 +313,10 @@ object RecallReport {
         s""""ivf_trained_nprobe":${obj(curveIvfTrained)},""" +
         s""""pq_rerank_shortlist":${obj(curveRerank)},""" +
         s""""beam_width":${obj(curveBeam)}},""" +
+        f""""nav_append":{"appended_frac":0.25,""" +
+        f""""recall_appended":$navAppendRecall%.6f,""" +
+        s""""recall_rebuilt":${defaults.find(_._1 == "graph_beam32_r4")
+          .map(d => f"${d._2}%.6f").getOrElse("null")}},""" +
         s"""$clusteredSection}"""
     Files.writeString(Paths.get(out), json + "\n")
     println(json)

@@ -787,6 +787,60 @@ object Vectors {
         table, "src_id", buckets)
     }
 
+  /** CDC half of the persisted navigable graph — HNSW's insert-by-search
+    * as a relational batch op (Malkov & Yashunin 2018: a new element's
+    * neighbors ARE a search for it): each arriving vector beam-walks the
+    * EXISTING graph to its `graphK` nearest reachable nodes, those become
+    * its out-edges, and the reverse edges (neighbor → new) keep the new
+    * node reachable for later walks — both directions land in ONE atomic
+    * append, so there is no torn half-insert to reason about. Per-batch
+    * cost is O(|batch|·rounds·beam·graphK·d), independent of corpus size —
+    * the same property that makes the serve path attractive is what makes
+    * the maintenance path cheap.
+    *
+    * Replay guard: a new node appears as `src_id` exactly once (its
+    * forward edges), so the batch anti-joins the graph's src set and a
+    * REPLAYED batch is a no-op.
+    *
+    * Contract honesty: unlike [[appendToIvfIndex]] (pinned centroids make
+    * append ≡ batch assignment, hash-exact), an inserted node's edges come
+    * from a walk of the graph AS IT WAS — not the bucket build's pair
+    * enumeration — so the appended graph is a DIFFERENT (HNSW-standard)
+    * approximation than a rebuild. The spec pins what matters operationally
+    * (appended nodes are reachable, found by later searches, degree-
+    * bounded, replay-safe) and RECALL.json's `nav_append` row measures
+    * serve recall from the appended graph next to the rebuilt one; old
+    * nodes accumulate reverse edges past `graphK`, which HELPS recall and
+    * costs walk bandwidth — the periodic-rebuild compaction contract every
+    * HNSW deployment ships.
+    */
+  def appendToNavGraph(newVecs: DataFrame, corpus: DataFrame, table: String,
+      entryIds: Seq[Long], graphK: Int = 24, beam: Int = 32,
+      rounds: Int = 4, buckets: Int = 8): Unit = {
+    val spark = newVecs.sparkSession
+    val fresh = newVecs.join(
+      spark.table(table).select(col("src_id").as("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
+    val newIds = fresh.select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    if (newIds.nonEmpty) {
+      val unit = withUnit(corpus.select(col("vec_id"), col("embedding"))
+          .unionByName(fresh.select(col("vec_id"), col("embedding"))))
+        .select(col("vec_id"), col("unit")).persist()
+      val found = beamSearchOver(unit, spark.table(table)
+          .select(col("src_id"), col("neighbor_id")),
+          newIds, entryIds, graphK, beam, rounds)
+        .select(col("query_id").as("src_id"), col("neighbor_id"))
+      found.unionByName(found.select(col("neighbor_id").as("src_id"),
+          col("src_id").as("neighbor_id")))
+        .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+        .bucketBy(buckets, "src_id").sortBy("src_id").saveAsTable(table)
+      unit.unpersist()
+      // appends from this (possibly cloned foreachBatch) session must be
+      // visible to its own later reads; cross-session readers refresh theirs
+      spark.catalog.refreshTable(table)
+    }
+  }
+
   /** [[beamSearch]] served from a PREBUILT edge list (the s33 query — the
     * production serve path over [[materializedNavGraph]]): identical walk,
     * zero graph-build work per query batch. The result is
