@@ -756,10 +756,16 @@ object Vectors {
     * metadata; expansion is one hash join against the persisted edge
     * list, scoring one hash join against the unit-vector frame with the
     * query side broadcast, and the prune window partitions per query
-    * over ≤ beam·(graphK+1) candidates — no stage ever touches more
-    * than the frontier's neighborhood, which is what makes graph-ANN
-    * attractive at 100 TB: query cost is O(rounds·beam·graphK·d),
-    * independent of N once the graph exists.
+    * over ≤ beam·(graphK+1) candidates. Cost model, stated honestly:
+    * everything that SHUFFLES is frontier-sized — O(rounds·beam·graphK)
+    * rows — but the scoring join is a broadcast-probe pass over the unit
+    * frame, so per-round I/O is N-linear (shuffle-free, embarrassingly
+    * parallel, cache-resident once persisted), not the O(1) point lookups
+    * a memory-resident HNSW does. That pass is the deployment seam at
+    * 100 TB: a vec_id-sorted units artifact with the frontier's ids
+    * pushed down as a literal IN (the x58 postings discipline), or an
+    * external KV lookup, turns it into pruned point reads — the walk's
+    * relational semantics (and its oracle) don't change.
     */
   def beamSearch(embeddings: DataFrame, queryIds: Seq[Long],
       entryIds: Seq[Long], k: Int = 5, beam: Int = 32, rounds: Int = 4,
@@ -794,9 +800,9 @@ object Vectors {
     * its out-edges, and the reverse edges (neighbor → new) keep the new
     * node reachable for later walks — both directions land in ONE atomic
     * append, so there is no torn half-insert to reason about. Per-batch
-    * cost is O(|batch|·rounds·beam·graphK·d), independent of corpus size —
-    * the same property that makes the serve path attractive is what makes
-    * the maintenance path cheap.
+    * SHUFFLE cost is O(|batch|·rounds·beam·graphK) — the walk's cost
+    * model (including its N-linear shuffle-free scoring pass and the
+    * point-lookup deployment seam) is [[beamSearch]]'s, stated there.
     *
     * Replay guard: a new node appears as `src_id` exactly once (its
     * forward edges), so the batch anti-joins the graph's src set and a
