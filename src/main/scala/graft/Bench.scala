@@ -57,6 +57,11 @@ object Bench {
         s.sql(s"DROP TABLE IF EXISTS $t")
         graft.ops.Vectors.materializedNavGraph(Tables.embeddings(s, dir), t)
       }),
+      "artifact:nav_units" -> ((s, dir) => {
+        val t = "nav_units_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        graft.ops.Vectors.materializedNavUnits(Tables.embeddings(s, dir), t)
+      }),
       "artifact:postings" -> ((s, dir) => {
         val t = "postings_" + dir.replaceAll("[^A-Za-z0-9]", "_")
         s.sql(s"DROP TABLE IF EXISTS $t")

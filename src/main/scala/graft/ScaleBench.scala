@@ -219,7 +219,18 @@ object ScaleBench {
         // per-lang global window this op avoids would serialize on the
         // largest language
         graft.ops.TextOps.pplBuckets(
-          d.withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5))))), true)
+          d.withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5))))), true),
+      ("x58_postings_build_serve", (d: DataFrame) => {
+        // the FULL lexical lifecycle cold (the s29 pattern): postings +
+        // ledger build (explode + map-side-combined aggs — linear) AND
+        // the served query through the pushed term IN-list; per-scale
+        // table names keep every run a cold build
+        val t = "postings_scale_x" + d.count()
+        graft.ops.TextOps.materializedPostings(d, t)
+        graft.ops.TextOps.bm25SearchFromIndex(d.sparkSession, t, Seq(
+          (0L, "hash join batch"), (1L, "vector scan filter"),
+          (2L, "window agg order")), k = 10)
+      }, true)
     )
 
     def time(fn: () => DataFrame): (Double, Long) = {

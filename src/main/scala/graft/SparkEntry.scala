@@ -2096,6 +2096,21 @@ object SparkEntry {
         entryIds = Vectors.spacedCentroidIds(emb.count()),
         k = 5, beam = 32, rounds = 4)
     }),
+    "s34_ann_beam_pruned" -> ((s, dir) => {
+      // the point-lookup seam implemented (beamSearch's cost-model note):
+      // per-round frontier ids — bounded metadata — push as a literal IN
+      // into the vec_id-sorted units store, so vector reads track the
+      // frontier, not the corpus; identical walk semantics, so the hash
+      // must equal s24/s33's
+      val emb = Tables.embeddings(s, dir)
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val g = Vectors.materializedNavGraph(emb, "nav_graph_" + sfx)
+      Vectors.materializedNavUnits(emb, "nav_units_" + sfx)
+      Vectors.beamSearchServedPruned(s, "nav_units_" + sfx, g,
+        queryIds = 0L until 8L,
+        entryIds = Vectors.spacedCentroidIds(emb.count()),
+        k = 5, beam = 32, rounds = 4)
+    }),
     "s26_beam_sweep" -> ((s, dir) =>
       // the tuning-table trilogy's third panel (d36: LSH bands, s23: IVF
       // nprobe, s26: graph beam width): recall@5 at beam 4/8/16/32 against
@@ -4544,6 +4559,7 @@ object SparkEntry {
     // s33 serves the SAME deterministic graph from a bucketed artifact —
     // result is layout-independent, so the oracle is s24's walk verbatim
     "s33_ann_beam_served" -> oracleBeam,
+    "s34_ann_beam_pruned" -> oracleBeam,
     "s26_beam_sweep" -> oracleBeamSweep,
     "s23_probe_sweep" ->
       s"""${oracleProbeSweepCtes(k = 10, qn = 8, cfg = Seq(1, 2, 4, 8))}

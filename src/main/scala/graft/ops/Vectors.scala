@@ -862,6 +862,79 @@ object Vectors {
       queryIds, entryIds, k, beam, rounds)
   }
 
+  /** Persisted unit-vector store for the graph serve path — the
+    * point-lookup seam [[beamSearch]]'s cost model names, implemented:
+    * vec_id-bucketed AND vec_id-sorted, so a literal id IN-list pushes
+    * into the parquet reader and row groups holding none of the requested
+    * ids skip on min/max stats (the x58 postings discipline applied to
+    * vector reads).
+    */
+  def materializedNavUnits(embeddings: DataFrame, table: String,
+      buckets: Int = 8): DataFrame =
+    graft.sources.BucketedLayout.buildIfAbsent(embeddings.sparkSession, table) {
+      graft.sources.BucketedLayout.writeBucketed(
+        withUnit(embeddings).select(col("vec_id"), col("unit")),
+        table, "vec_id", buckets)
+    }
+
+  /** [[beamSearchServed]] with the N-linear scoring pass replaced by
+    * frontier-pruned reads of a [[materializedNavUnits]] store (the s34
+    * query): each round collects the frontier's candidate ids — bounded
+    * metadata, ≤ |Q|·beam·(graphK+1) longs — and reads ONLY those unit
+    * vectors through a literal IN pushed into the sorted-bucket scan. The
+    * walk's semantics are identical (same candidates, same scores, same
+    * pruning), so the result hash-equals [[beamSearchServed]] and the s24
+    * oracle; what changes is the I/O shape — per-round vector reads track
+    * the frontier, not the corpus, which is the serve cost model a 100 TB
+    * deployment needs. The driver pays one bounded collect per round (the
+    * tunedNprobe/navEntryIds discipline: metadata, never data).
+    */
+  def beamSearchServedPruned(spark: org.apache.spark.sql.SparkSession,
+      unitsTable: String, graph: DataFrame, queryIds: Seq[Long],
+      entryIds: Seq[Long], k: Int = 5, beam: Int = 32,
+      rounds: Int = 4): DataFrame = {
+    def unitsFor(ids: Seq[Long]): DataFrame =
+      spark.table(unitsTable).filter(col("vec_id").isInCollection(ids))
+    val g = graph.select(col("src_id"), col("neighbor_id")).persist()
+    val queries = F.broadcast(unitsFor(queryIds)
+      .select(col("vec_id").as("query_id"), col("unit").as("qv")))
+    def scoreAndPrune(cand: DataFrame, candIds: Seq[Long]): DataFrame = {
+      val scored = cand
+        .join(unitsFor(candIds)
+          .select(col("vec_id").as("node"), col("unit").as("nv")), Seq("node"))
+        .join(queries, Seq("query_id"))
+        .filter(col("query_id") =!= col("node"))
+        .select(col("query_id"), col("node"), dot(col("qv"), col("nv")).as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("sim").desc, col("node").asc)
+      scored.withColumn("rn", F.row_number().over(w))
+        .filter(col("rn") <= beam)
+        .select(col("query_id"), col("node"), col("sim"))
+    }
+    var state = scoreAndPrune(
+      queries.select(col("query_id")).crossJoin(
+        F.broadcast(unitsFor(entryIds).select(col("vec_id").as("node")))),
+      entryIds).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val expanded = state.select(col("query_id"), col("node").as("src_id"))
+        .join(g, Seq("src_id"))
+        .select(col("query_id"), col("neighbor_id").as("node"))
+        .unionByName(state.select(col("query_id"), col("node")))
+        .distinct()
+        .localCheckpoint(true)
+      // the bounded per-round collect: candidate ids only, never vectors
+      val candIds = expanded.select(col("node")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      state = scoreAndPrune(expanded, candIds).localCheckpoint(true)
+    }
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("node").asc)
+    state.withColumn("rank", F.row_number().over(wf))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("node").as("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** The walk itself over a PREBUILT unit frame + edge list — the
     * production shape (the graph is built once and serves every query;
     * [[beamSweep]] shares one graph across all beam widths).

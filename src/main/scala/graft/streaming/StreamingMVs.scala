@@ -73,4 +73,44 @@ object StreamingMVs {
       else raw
     DailyCounts.resum(deduped, Seq("day", "event_type"))
   }
+
+  /** b30's mergeable-QUANTILE MV maintained by the stream — the
+    * [[partialsWriter]] discipline applied to percentiles: each
+    * micro-batch appends its (day, event_type, value-cent) histogram
+    * partials — counts are the one quantile "sketch" that merges EXACTLY —
+    * and [[readPercentiles]] re-sums them across batches and days into
+    * exact p50/p95 per type. State per group is value-domain-bounded (the
+    * t19/b30 histogram discipline), never row-count-bounded; `batch_id`
+    * rides along so a replayed at-least-once micro-batch collapses in the
+    * read-side dedup exactly as in the counts MV.
+    */
+  def histogramPartialsWriter(stream: DataFrame, targetPath: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"),
+            round(col("value") * 100).cast("long").as("v_c"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").partitionBy("day").parquet(targetPath)
+      }
+
+  /** Exact percentiles from the streamed histogram partials (b30's read
+    * side over the streaming MV): replay-dedup, then one re-sum into
+    * [[graft.operators.Percentiles.discreteFromHistogram]].
+    */
+  def readPercentiles(spark: org.apache.spark.sql.SparkSession,
+      targetPath: String, ps: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+    val raw = spark.read.parquet(targetPath)
+    val deduped =
+      if (raw.columns.contains("batch_id"))
+        raw.dropDuplicates("batch_id", "day", "event_type", "v_c").drop("batch_id")
+      else raw
+    graft.operators.Percentiles.discreteFromHistogram(
+      deduped, "event_type", "v_c", "cnt", ps, "pct_cents")
+  }
 }

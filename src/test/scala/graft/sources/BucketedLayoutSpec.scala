@@ -232,6 +232,31 @@ class BucketedLayoutSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("beamSearchServedPruned ≡ beamSearchServed; the units scan pushes the frontier IN-list") {
+    import graft.ops.Vectors
+    reset("nav_pr_graph", "nav_pr_units")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val g = Vectors.materializedNavGraph(emb, "nav_pr_graph")
+    Vectors.materializedNavUnits(emb, "nav_pr_units")
+    val entries = Vectors.spacedCentroidIds(emb.count())
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank"))).toSet
+    // identical walk semantics ⇒ identical rows, ranks included
+    val served = rows(Vectors.beamSearchServed(emb, g,
+      queryIds = 0L until 8L, entryIds = entries, k = 5))
+    val pruned = rows(Vectors.beamSearchServedPruned(spark, "nav_pr_units", g,
+      queryIds = 0L until 8L, entryIds = entries, k = 5))
+    assert(pruned === served)
+    assert(pruned.nonEmpty)
+    // the seam itself: a literal id IN-list against the units store
+    // reaches the parquet reader as a pushed filter
+    val scan = spark.table("nav_pr_units")
+      .filter(col("vec_id").isInCollection(0L until 8L))
+    assert(scan.queryExecution.executedPlan.toString.contains("In(vec_id"),
+      scan.queryExecution.executedPlan.toString)
+  }
+
   test("incrementalGroups: batch fold-in ≡ full CC rebuild (canonical min-id labels)") {
     import graft.ops.{Dedup, Vocab}
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")

@@ -13,6 +13,7 @@ import graft.binlog.DailyCounts
   * (SURVEY.md §5 property b).
   */
 case class Ev(execute_time: Timestamp, event_type: String)
+case class EvV(ts: Timestamp, event_type: String, value: Double)
 
 class MVEquivalenceSpec extends SparkSpec {
   import spark.implicits._
@@ -68,5 +69,44 @@ class MVEquivalenceSpec extends SparkSpec {
     val batch = DailyCounts.dailyEventCounts(events.toDF())
       .orderBy("day", "event_type").collect()
     assert(streaming.toSeq === batch.toSeq)
+  }
+
+  test("streamed histogram partials re-sum to exact percentiles ≡ batch; replayed batch collapses") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd2 = new scala.util.Random(13)
+    val evs = (1 to 400).map { _ =>
+      EvV(new Timestamp(1700000000000L + rnd2.nextInt(3) * 86400000L),
+        Seq("view", "click")(rnd2.nextInt(2)), rnd2.nextInt(500) / 7.0)
+    }
+    val ms = MemoryStream[EvV]
+    val target = tmpDir("hmv_target")
+    val ck = tmpDir("hmv_ckpt")
+    def runChunk(chunk: Seq[EvV]): Unit = {
+      ms.addData(chunk) // BEFORE start: AvailableNow latches offsets at start
+      val q = StreamingMVs.histogramPartialsWriter(ms.toDF(), target, ck).start()
+      q.processAllAvailable()
+      q.stop() // the KILL: next chunk restarts from the checkpoint
+    }
+    evs.grouped(150).foreach(runChunk)
+    // at-least-once redelivery: batch 0's partial rows land a SECOND time
+    // with the same batch_id — the read-side dedup must collapse them
+    val replay = spark.read.parquet(target)
+      .filter(col("batch_id") === 0).persist()
+    assert(replay.count() > 0)
+    replay.write.mode("append").partitionBy("day").parquet(target)
+    val streamed = StreamingMVs.readPercentiles(spark, target)
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Double]("p"),
+        r.getAs[Long]("pct_cents"), r.getAs[Long]("n_rows"))).toSet
+    val raw = evs.toDF()
+    val partials = raw.groupBy(to_date(col("ts")).as("day"), col("event_type"),
+        round(col("value") * 100).cast("long").as("v_c"))
+      .agg(count(lit(1)).as("cnt"))
+    val batch = graft.operators.Percentiles.discreteFromHistogram(
+        partials, "event_type", "v_c", "cnt", Seq(0.5, 0.95), "pct_cents")
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Double]("p"),
+        r.getAs[Long]("pct_cents"), r.getAs[Long]("n_rows"))).toSet
+    assert(streamed === batch)
+    assert(streamed.size === 4) // 2 types × 2 percentiles
   }
 }
