@@ -1497,6 +1497,11 @@ object SparkEntry {
       // score — exact-integer tertiles over the (score, doc_id) total
       // order, ranks decomposed into bounded score-band windows
       TextOps.pplBuckets(Tables.documents(s, dir))),
+    "x59_quality_length_corr" -> ((s, dir) =>
+      // is the quality signal just length in a costume? Per-source
+      // Spearman between the stopword-ppm proxy and n_chars, both ranks
+      // via the banded two-level decomposition, ρ in ppm
+      TextOps.qualityLengthCorr(Tables.documents(s, dir))),
     "x32_heavy_hitters_checked" -> ((s, dir) =>
       // freqItems sketch next to exact counts: raises if the sketch drops
       // a true heavy hitter (its no-false-negative guarantee); emits the
@@ -1720,6 +1725,12 @@ object SparkEntry {
       graft.operators.Windows.approxDailyDistinctChecked(Tables.events(s, dir))
         .select(col("day"), col("event_type"), col("exact_users"),
           col("n_events"), col("sketch_ok"))),
+    "b31_countmin_checked" -> ((s, dir) =>
+      // the 4th checked sketch (HLL=b13, percentiles=t37, freqItems=x32):
+      // count-min per-user frequency estimates next to exact counts — the
+      // no-undercount guarantee asserted per key; fixed literal hash
+      // constants make the whole sketch integer-exact on both engines
+      graft.operators.Sketches.countMinChecked(Tables.events(s, dir))),
     "b14_txn_assembly" -> ((s, dir) => {
       // batch twin of the flatMapGroupsWithState assembler (gap = 1 day on
       // the fixture's user-level gtids); one exchange for window + agg.
@@ -3263,6 +3274,25 @@ object SparkEntry {
         |       CAST(min(xent_ubits) AS BIGINT) AS lo_ubits,
         |       CAST(max(xent_ubits) AS BIGINT) AS hi_ubits
         |FROM r GROUP BY 1, 2""".stripMargin,
+    "x59_quality_length_corr" ->
+      // the NAIVE per-source window form (the b29/x57 discipline: the
+      // naive form IS the oracle, so the banded decomposition is attested
+      // rank-exact); ρ is one float expression over exact integer ranks
+      """WITH t AS (SELECT doc_id, source, n_chars,
+        |                  (1000000 * CAST(len(list_filter(string_split(text, ' '),
+        |                     s -> list_contains(['the','a','of','and','to','in'], s))) AS BIGINT))
+        |                    // len(string_split(text, ' ')) AS q_ppm
+        |           FROM documents),
+        |r AS (SELECT source,
+        |             row_number() OVER (PARTITION BY source ORDER BY q_ppm, doc_id) AS rq,
+        |             row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rl,
+        |             count(*) OVER (PARTITION BY source) AS n
+        |      FROM t)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        |       CAST(sum((rq - rl) * (rq - rl)) AS BIGINT) AS sum_d2,
+        |       CAST(round(1e6 * (1 - 6.0 * sum((rq - rl) * (rq - rl)) /
+        |            (CAST(n AS DOUBLE) * (n * n - 1)))) AS BIGINT) AS spearman_ppm
+        |FROM r WHERE n >= 2 GROUP BY source, n""".stripMargin,
     "x32_heavy_hitters_checked" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
         |c AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
@@ -3644,6 +3674,27 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       true AS sketch_ok
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "b31_countmin_checked" ->
+      // the count-min sketch is pure integer arithmetic over literal hash
+      // constants, so — unlike b13's HLL — the ESTIMATE itself is
+      // oracle-hashable: both engines build the identical 4×256 sketch
+      """WITH h(r, a, b) AS (VALUES
+        |  (0, 1299709, 104729), (1, 15485863, 32452843),
+        |  (2, 982451653, 715225739), (3, 179424673, 373587883)),
+        |cells AS (SELECT h.r, ((e.user_id * h.a + h.b) % 2147483647) % 256 AS bucket
+        |          FROM events e CROSS JOIN h),
+        |s AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
+        |      FROM cells GROUP BY 1, 2),
+        |k AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_events
+        |      FROM events GROUP BY 1),
+        |est AS (SELECT k.key, k.n_events, CAST(min(s.c) AS BIGINT) AS cm_est
+        |        FROM k CROSS JOIN h
+        |        JOIN s ON s.r = h.r
+        |         AND s.bucket = ((k.key * h.a + h.b) % 2147483647) % 256
+        |        GROUP BY 1, 2)
+        |SELECT key AS user_id, n_events, cm_est,
+        |       cm_est - n_events AS overcount, TRUE AS sketch_ok
+        |FROM est ORDER BY n_events DESC, user_id ASC LIMIT 20""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_doc_id,
         |       CAST(count(*) AS BIGINT) AS n_copies,

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count–min sketch (Cormode & Muthukrishnan 2005) under the b13/t37/x32
+  * checked-sketch discipline — the fourth sketch family next to HLL
+  * distinct counts, approximate percentiles, and freqItems heavy hitters:
+  * per-key FREQUENCY estimation in sub-linear state.
+  *
+  * d = 4 hash rows × `w` additive counters; a key's estimate is the MIN
+  * over its d buckets. The sketch can only ever OVERcount (each bucket
+  * holds the key's true count plus its colliders' — nothing ever
+  * subtracts), and that no-undercount guarantee is the checkable
+  * invariant: `assert_true(cm_est ≥ n_events)` folds into the plan per
+  * key, so a broken sketch raises instead of shipping wrong estimates.
+  *
+  * Unlike the HLL/percentile checks — where the estimate itself is
+  * engine-specific and only deterministic columns return — the count-min
+  * sketch is PURE integer arithmetic over fixed literal hash constants
+  * ((a·key + b) mod (2³¹−1) mod w), so both engines build the identical
+  * sketch and every output column (estimate and overcount included) is
+  * oracle-hashable. The check still earns its keep: it pins the
+  * guarantee, not the arithmetic.
+  *
+  * Scale shape: the sketch is one map-side-combined aggregation into
+  * d·w counters (1 024 rows at the default — broadcastable at ANY corpus
+  * size, the d35 fixed-bitmap discipline applied to frequencies);
+  * estimation joins the per-key exact counts to the broadcast sketch and
+  * the top-k emit is a TakeOrdered, never a global sort. The exact
+  * counts ride along because the CHECK needs them — a production
+  * pipeline that trusts the sketch drops that side and keeps d·w state
+  * total, which is the point of the structure.
+  */
+object Sketches {
+  private val P = 2147483647L // 2³¹ − 1, Mersenne prime
+  /** Fixed (a, b) per hash row — primes, literal on both engines. */
+  private[graft] val hashRows: Seq[(Long, Long)] = Seq(
+    (1299709L, 104729L), (15485863L, 32452843L),
+    (982451653L, 715225739L), (179424673L, 373587883L))
+
+  /** Per-key counts with checked count-min estimates: the top-`k` keys by
+    * exact count (ties to the smaller key), each with its sketch estimate
+    * and integer overcount. Raises if any estimate undercounts.
+    */
+  def countMinChecked(events: DataFrame, keyCol: String = "user_id",
+      w: Int = 256, k: Int = 20): DataFrame = {
+    val keyed = events.select(col(keyCol).cast("long").as("key"))
+    def bucket(a: Long, b: Long) =
+      (col("key") * lit(a) + lit(b)) % lit(P) % lit(w.toLong)
+    val cells = keyed.select(explode(array(hashRows.zipWithIndex.map {
+      case ((a, b), i) => struct(lit(i).as("r"), bucket(a, b).as("bucket"))
+    }: _*)).as("rb")).select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    val sketch = cells.groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val exact = keyed.groupBy(col("key")).agg(count(lit(1)).as("n_events"))
+    val est = exact
+      .select(col("key"), col("n_events"), explode(array(hashRows.zipWithIndex.map {
+        case ((a, b), i) => struct(lit(i).as("r"), bucket(a, b).as("bucket"))
+      }: _*)).as("rb"))
+      .select(col("key"), col("n_events"), col("rb.r").as("r"),
+        col("rb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy(col("key"), col("n_events"))
+      .agg(min(col("c")).as("cm_est"))
+    est
+      .select(col("key").as("user_id"), col("n_events"), col("cm_est"),
+        (col("cm_est") - col("n_events")).as("overcount"),
+        when(assert_true(col("cm_est") >= col("n_events"),
+          concat(lit("count-min undercounted key "), col("key"))).isNull,
+          lit(true)).as("sketch_ok"))
+      .orderBy(col("n_events").desc, col("user_id").asc)
+      .limit(k)
+  }
+}

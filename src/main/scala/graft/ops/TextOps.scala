@@ -1458,6 +1458,74 @@ object TextOps {
         max(col("xent_ubits")).as("hi_ubits"))
   }
 
+  /** Banded per-group rank — the x57/b29 two-level decomposition as a
+    * reusable primitive: total-order rank of each row within its group
+    * over (`metricCol`, doc_id), computed as within-(group, value-band)
+    * windows plus a per-group running band-offset over the metadata-sized
+    * band-count frame — never a one-task-per-group global window.
+    * `metricCol` must be a non-negative integral column.
+    */
+  private def bandedRankPerGroup(df: DataFrame, groupCol: String,
+      metricCol: String, bandWidth: Long, rankCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val b = df.withColumn("_band", expr(s"$metricCol div $bandWidth"))
+    val inBand = W.partitionBy(col(groupCol), col("_band"))
+      .orderBy(col(metricCol), col("doc_id"))
+    val counts = b.groupBy(col(groupCol), col("_band"))
+      .agg(count(lit(1)).as("_bn"))
+    val over = W.partitionBy(col(groupCol)).orderBy(col("_band"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("_boff", coalesce(sum(col("_bn")).over(over), lit(0L)))
+      .select(col(groupCol), col("_band"), col("_boff"))
+    b.withColumn("_rn", row_number().over(inBand).cast("long"))
+      .join(broadcast(offs), Seq(groupCol, "_band"))
+      .withColumn(rankCol, col("_boff") + col("_rn"))
+      .drop("_band", "_rn", "_boff")
+  }
+
+  /** Does the quality gate just measure length? Spearman rank correlation,
+    * per source, between the stopword-ppm quality proxy and document
+    * length — the diagnostic read before trusting a cheap quality signal:
+    * |ρ| ≈ 1 means the "quality" ranking is the length ranking wearing a
+    * costume, and a length cutoff would do the same job for free.
+    *
+    * Exactness contract: both rankings are TOTAL orders ((metric, doc_id)
+    * — doc_id breaks ties, so this is Spearman under a deterministic
+    * tie-break, not the tie-corrected coefficient; heavy-tie data reads
+    * slightly toward 0), d² sums are exact longs (safe to ~2M docs/source
+    * — past that the sum needs a wider type, noted here), and ρ is ONE
+    * float expression over exact integers, identical on both engines,
+    * emitted in ppm.
+    *
+    * Scale shape: ranks come from [[bandedRankPerGroup]] (two-level, no
+    * per-source global window); everything after is one aggregation.
+    * Sources with fewer than 2 docs are omitted (ρ undefined).
+    */
+  def qualityLengthCorr(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => array_contains(typedlit(stopwords), t)))
+      .cast("long")
+    val withQ = docs
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (lit(1000000L) * nStop).as("_num"), nTok.as("_nt"))
+      .withColumn("q_ppm", expr("_num div _nt"))
+      .drop("_num", "_nt")
+    val ranked = bandedRankPerGroup(
+      bandedRankPerGroup(withQ, "source", "q_ppm", 100000L, "rq"),
+      "source", "n_chars", 64L, "rl")
+    val d = col("rq") - col("rl")
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(d * d).as("sum_d2"))
+      .filter(col("n_docs") >= 2)
+      .select(col("source"), col("n_docs"), col("sum_d2"),
+        round(lit(1e6) * (lit(1.0) - lit(6.0) * col("sum_d2") /
+          (col("n_docs").cast("double") *
+            (col("n_docs") * col("n_docs") - lit(1)))))
+          .cast("long").as("spearman_ppm"))
+  }
+
   /** Collocation mining: the corpus's most-associated adjacent token pairs,
     * ranked by lift = N·c(ab) / (c(a·)·c(·b)) over the bigram contingency
     * table. Lift is a strictly monotone transform of PMI (PMI = log lift),

@@ -613,14 +613,15 @@ class PlanSpec extends SparkSpec {
     val p56 = x56.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     assert(p56.contains("BroadcastHashJoin"), s"x56: $p56")
     assert(!p56.contains("SortMergeJoin"), s"x56: $p56")
-    // x57: the rank decomposition means every window is (lang, band)- or
-    // lang-partitioned — a partition-less window would be the naive
-    // global-rank shape this op exists to avoid
-    val x57lp = SparkEntry.queries("x57_ppl_buckets")(spark, dir)
-      .queryExecution.optimizedPlan
-    assert(x57lp.collect {
-      case w: LWindow if w.partitionSpec.isEmpty => w
-    }.isEmpty, "x57 has a partition-less window")
+    // x57/x59: the rank decompositions mean every window is band- or
+    // group-partitioned — a partition-less window would be the naive
+    // global-rank shape these ops exist to avoid
+    for (q <- Seq("x57_ppl_buckets", "x59_quality_length_corr")) {
+      val lp = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
+      assert(lp.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }.isEmpty, s"$q has a partition-less window")
+    }
   }
 
   test("x58 postings serve pushes the literal term IN-list into the index scan") {

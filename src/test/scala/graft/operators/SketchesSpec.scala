@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // driver-side twin of the sketch arithmetic — same literal constants
+  private def driverCountMin(keys: Seq[Long], w: Long): Map[Long, Long] = {
+    val p = 2147483647L
+    val counts = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val buckets = Sketches.hashRows.zipWithIndex.map { case ((a, b), r) =>
+      keys.groupBy(key => (key * a + b) % p % w).view.mapValues(_.size.toLong).toMap
+    }
+    counts.keys.map { key =>
+      key -> Sketches.hashRows.zipWithIndex.map { case ((a, b), r) =>
+        buckets(r)((key * a + b) % p % w)
+      }.min
+    }.toMap
+  }
+
+  test("countMinChecked: estimate ≡ driver-side sketch, never undercounts, collisions overcount") {
+    // w = 4 forces collisions; keys with very different frequencies
+    val keys: Seq[Long] = Seq.fill(40)(7L) ++ Seq.fill(25)(13L) ++
+      Seq.fill(9)(101L) ++ (200L until 230L) // 30 singletons
+    val df = keys.toDF("user_id")
+    val r = Sketches.countMinChecked(df, w = 4, k = 50).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        (x.getAs[Long]("n_events"), x.getAs[Long]("cm_est"),
+          x.getAs[Long]("overcount"), x.getAs[Boolean]("sketch_ok")))
+      .toMap
+    val twin = driverCountMin(keys, 4L)
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    r.foreach { case (key, (n, est, over, ok)) =>
+      assert(n === exact(key))
+      assert(est === twin(key), s"key $key")
+      assert(est >= n && over === est - n && ok)
+    }
+    // the fixture genuinely collides at w = 4: someone overcounts
+    assert(r.values.exists(_._3 > 0L))
+    // top-k ordering: counts descending, ties broken by smaller key
+    val order = Sketches.countMinChecked(df, w = 4, k = 5).collect()
+      .map(x => (x.getAs[Long]("n_events"), x.getAs[Long]("user_id")))
+    assert(order.head === ((40L, 7L)))
+    assert(order.sliding(2).forall { case Array((n1, k1), (n2, k2)) =>
+      n1 > n2 || (n1 == n2 && k1 < k2) })
+  }
+
+  test("countMinChecked: wide sketch on spread keys is exact (no colliders in some row)") {
+    // 256 buckets, 10 distinct keys — collisions in ALL FOUR rows at once
+    // are overwhelmingly unlikely for these fixed constants; pin that the
+    // min over rows recovers every exact count
+    val keys: Seq[Long] = (0L until 10L).flatMap(k => Seq.fill((k + 1).toInt)(k * 997L))
+    val r = Sketches.countMinChecked(keys.toDF("user_id"), w = 256, k = 10)
+      .collect().map(x => x.getAs[Long]("user_id") ->
+        (x.getAs[Long]("n_events"), x.getAs[Long]("overcount"))).toMap
+    val twin = driverCountMin(keys, 256L)
+    r.foreach { case (key, (n, over)) =>
+      assert(twin(key) === n + over)
+      assert(over === 0L, s"key $key overcounted in a 256-wide sketch")
+    }
+  }
+}
