@@ -39,6 +39,32 @@ object Sketches {
     (1299709L, 104729L), (15485863L, 32452843L),
     (982451653L, 715225739L), (179424673L, 373587883L))
 
+  private def bucketExpr(a: Long, b: Long, w: Int) =
+    (col("key") * lit(a) + lit(b)) % lit(P) % lit(w.toLong)
+
+  private def withCells(keyed: DataFrame, w: Int): DataFrame =
+    keyed.select(col("key"), explode(array(hashRows.zipWithIndex.map {
+      case ((a, b), i) => struct(lit(i).as("r"), bucketExpr(a, b, w).as("bucket"))
+    }: _*)).as("rb"))
+      .select(col("key"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+
+  /** One input slice's sketch counters — (r, bucket, c). Count-min STATES
+    * merge by pure addition (each counter is a sum), so a sketch over any
+    * union of slices is [[mergeSketch]] of their partials: the
+    * AggregatingMergeTree-style MV contract, and what the streaming twin
+    * ([[graft.streaming.StreamingMVs.countMinPartialsWriter]]) appends
+    * per micro-batch.
+    */
+  def sketchPartials(events: DataFrame, keyCol: String = "user_id",
+      w: Int = 256): DataFrame =
+    withCells(events.select(col(keyCol).cast("long").as("key")), w)
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Merge sketch partials by addition — exact, order-free. */
+  def mergeSketch(partials: DataFrame): DataFrame =
+    partials.groupBy(col("r"), col("bucket")).agg(sum(col("c")).as("c"))
+
   /** Per-key counts with checked count-min estimates: the top-`k` keys by
     * exact count (ties to the smaller key), each with its sketch estimate
     * and integer overcount. Raises if any estimate undercounts.
@@ -46,24 +72,9 @@ object Sketches {
   def countMinChecked(events: DataFrame, keyCol: String = "user_id",
       w: Int = 256, k: Int = 20): DataFrame = {
     val keyed = events.select(col(keyCol).cast("long").as("key"))
-    def bucket(a: Long, b: Long) =
-      (col("key") * lit(a) + lit(b)) % lit(P) % lit(w.toLong)
-    val cells = keyed.select(explode(array(hashRows.zipWithIndex.map {
-      case ((a, b), i) => struct(lit(i).as("r"), bucket(a, b).as("bucket"))
-    }: _*)).as("rb")).select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
-    val sketch = cells.groupBy(col("r"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
+    val sketch = sketchPartials(events, keyCol, w)
     val exact = keyed.groupBy(col("key")).agg(count(lit(1)).as("n_events"))
-    val est = exact
-      .select(col("key"), col("n_events"), explode(array(hashRows.zipWithIndex.map {
-        case ((a, b), i) => struct(lit(i).as("r"), bucket(a, b).as("bucket"))
-      }: _*)).as("rb"))
-      .select(col("key"), col("n_events"), col("rb.r").as("r"),
-        col("rb.bucket").as("bucket"))
-      .join(broadcast(sketch), Seq("r", "bucket"))
-      .groupBy(col("key"), col("n_events"))
-      .agg(min(col("c")).as("cm_est"))
-    est
+    estimates(exact, sketch, w)
       .select(col("key").as("user_id"), col("n_events"), col("cm_est"),
         (col("cm_est") - col("n_events")).as("overcount"),
         when(assert_true(col("cm_est") >= col("n_events"),
@@ -71,5 +82,17 @@ object Sketches {
           lit(true)).as("sketch_ok"))
       .orderBy(col("n_events").desc, col("user_id").asc)
       .limit(k)
+  }
+
+  /** Per-key estimates from a (merged) sketch: input must carry a `key`
+    * column; every input column rides along, plus `cm_est`.
+    */
+  def estimates(keys: DataFrame, sketch: DataFrame, w: Int = 256): DataFrame = {
+    val others = keys.columns.filterNot(_ == "key").map(col)
+    withCells(keys, w)
+      .join(keys, Seq("key"))
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy((col("key") +: others): _*)
+      .agg(min(col("c")).as("cm_est"))
   }
 }

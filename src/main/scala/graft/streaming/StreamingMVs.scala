@@ -113,4 +113,39 @@ object StreamingMVs {
     graft.operators.Percentiles.discreteFromHistogram(
       deduped, "event_type", "v_c", "cnt", ps, "pct_cents")
   }
+
+  /** Count-min sketch maintained by the stream — the AggregatingMergeTree
+    * half of the MV story: where b5/b30 stream SUM and HISTOGRAM partials,
+    * this streams SKETCH STATES. Count-min counters merge by pure
+    * addition ([[graft.operators.Sketches.mergeSketch]]), so each
+    * micro-batch appends its d×w partial counters — a FIXED-size partial
+    * regardless of batch or corpus size — and the read side re-sums into
+    * the exact sketch one batch pass would have built (integer equality,
+    * not approximation: the spec pins streamed ≡ batch sketch
+    * cell-for-cell). Same `batch_id` replay-dedup contract as
+    * [[partialsWriter]].
+    */
+  def countMinPartialsWriter(stream: DataFrame, targetPath: String,
+      checkpoint: String, keyCol: String = "user_id",
+      w: Int = 256): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketches.sketchPartials(batch, keyCol, w)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(targetPath)
+      }
+
+  /** The merged sketch from streamed partials (replay-dedup first). */
+  def readCountMinSketch(spark: org.apache.spark.sql.SparkSession,
+      targetPath: String): DataFrame = {
+    val raw = spark.read.parquet(targetPath)
+    val deduped =
+      if (raw.columns.contains("batch_id"))
+        raw.dropDuplicates("batch_id", "r", "bucket").drop("batch_id")
+      else raw
+    graft.operators.Sketches.mergeSketch(deduped)
+  }
 }

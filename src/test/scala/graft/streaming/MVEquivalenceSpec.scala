@@ -109,4 +109,37 @@ class MVEquivalenceSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.size === 4) // 2 types × 2 percentiles
   }
+
+  test("streamed count-min partials merge to the EXACT batch sketch; replayed batch collapses") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd3 = new scala.util.Random(17)
+    // skewed keys so the sketch has real mass concentrations
+    val keys = (1 to 500).map(_ => (rnd3.nextInt(40) * rnd3.nextInt(40)).toLong)
+    val ms = MemoryStream[Long]
+    val target = tmpDir("cm_target")
+    val ck = tmpDir("cm_ckpt")
+    def runChunk(chunk: Seq[Long]): Unit = {
+      ms.addData(chunk) // BEFORE start: AvailableNow latches offsets at start
+      val q = StreamingMVs.countMinPartialsWriter(
+        ms.toDF().withColumnRenamed("value", "user_id"), target, ck).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    keys.grouped(180).foreach(runChunk)
+    // at-least-once redelivery of batch 0's partial counters
+    val replay = spark.read.parquet(target).filter(col("batch_id") === 0).persist()
+    assert(replay.count() > 0)
+    replay.write.mode("append").parquet(target)
+    val streamed = StreamingMVs.readCountMinSketch(spark, target)
+      .collect().map(r => (r.getAs[Int]("r"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("c")).toMap
+    val batchSketch = graft.operators.Sketches
+      .sketchPartials(keys.toDF("user_id"))
+      .collect().map(r => (r.getAs[Int]("r"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("c")).toMap
+    // sketch STATES merge exactly: cell-for-cell integer equality
+    assert(streamed === batchSketch)
+    assert(streamed.values.sum === 4L * keys.size) // d rows × every event
+  }
 }
