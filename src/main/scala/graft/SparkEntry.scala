@@ -1502,6 +1502,12 @@ object SparkEntry {
       // Spearman between the stopword-ppm proxy and n_chars, both ranks
       // via the banded two-level decomposition, ρ in ppm
       TextOps.qualityLengthCorr(Tables.documents(s, dir))),
+    "x60_retrieval_eval" -> ((s, dir) =>
+      // known-item QA: at which BM25 rank does each query doc's
+      // most-Jaccard-similar neighbor (d38 truth) come back? rank 0 =
+      // missed the top-10 — every miss is a row, not a silent drop
+      TextOps.retrievalAgreement(Tables.documents(s, dir),
+        queryPred = col("doc_id") % 7 === 0)),
     "x32_heavy_hitters_checked" -> ((s, dir) =>
       // freqItems sketch next to exact counts: raises if the sketch drops
       // a true heavy hitter (its no-false-negative guarantee); emits the
@@ -3293,6 +3299,55 @@ object SparkEntry {
         |       CAST(round(1e6 * (1 - 6.0 * sum((rq - rl) * (rq - rl)) /
         |            (CAST(n AS DOUBLE) * (n * n - 1)))) AS BIGINT) AS spearman_ppm
         |FROM r WHERE n >= 2 GROUP BY source, n""".stripMargin,
+    "x60_retrieval_eval" ->
+      // d38's truth chain (top-1 by the shared integer-ppm Jaccard) LEFT
+      // JOINed to the x33 BM25 ranking with the query doc's own distinct
+      // tokens as the query and self excluded; BM25 CTEs renamed (btok/bp/
+      // bl/bd/bst) to dodge the jaccard chain's names
+      s"""WITH $oracleJaccardCtes,
+         |qi AS (SELECT doc_id AS query_id, shingle_id FROM idx WHERE doc_id % 7 = 0),
+         |dcand AS (SELECT DISTINCT qi.query_id, idx.doc_id AS neighbor_id
+         |          FROM qi JOIN idx ON idx.shingle_id = qi.shingle_id
+         |           AND idx.doc_id <> qi.query_id),
+         |dint AS (SELECT query_id, neighbor_id, CAST(count(*) AS BIGINT) AS n_common
+         |         FROM dcand
+         |         JOIN sh a ON a.doc_id = query_id
+         |         JOIN sh b ON b.doc_id = neighbor_id AND b.shingle_id = a.shingle_id
+         |         GROUP BY 1, 2),
+         |dsc AS (SELECT query_id, neighbor_id, n_common,
+         |               CAST((n_common * 1000000) // (sa.n + sb.n - n_common) AS BIGINT) AS sim_ppm
+         |        FROM dint JOIN sizes sa ON sa.doc_id = query_id
+         |                  JOIN sizes sb ON sb.doc_id = neighbor_id),
+         |truth AS (SELECT query_id, neighbor_id AS truth_id, sim_ppm AS truth_sim_ppm
+         |          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY sim_ppm DESC, neighbor_id ASC) AS rn FROM dsc)
+         |          WHERE rn = 1),
+         |btok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |bp AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM btok GROUP BY 1, 2),
+         |bl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM bp GROUP BY 1),
+         |bd AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM bp GROUP BY 1),
+         |bst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(len) AS avglen FROM bl),
+         |q AS (SELECT DISTINCT query_id, term FROM (
+         |        SELECT doc_id AS query_id, unnest(string_split(text, ' ')) AS term
+         |        FROM documents WHERE doc_id % 7 = 0)),
+         |sc AS (SELECT q.query_id, bp.doc_id,
+         |              CAST(round(1e6 * sum(ln((bst.n_docs - bd.df + 0.5) / (bd.df + 0.5) + 1.0) *
+         |                (bp.tf * 2.2) / (bp.tf + 1.2 * (0.25 + 0.75 * bl.len / bst.avglen))))
+         |                AS BIGINT) AS score_ppm
+         |       FROM bp JOIN q ON bp.term = q.term JOIN bd ON bd.term = bp.term
+         |         JOIN bl ON bl.doc_id = bp.doc_id CROSS JOIN bst
+         |       WHERE bp.doc_id <> q.query_id
+         |       GROUP BY 1, 2),
+         |rk AS (SELECT query_id, doc_id, rn FROM (
+         |         SELECT query_id, doc_id,
+         |                row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY score_ppm DESC, doc_id ASC) AS rn
+         |         FROM sc)
+         |       WHERE rn <= 10)
+         |SELECT t.query_id, t.truth_id, t.truth_sim_ppm,
+         |       CAST(coalesce(rk.rn, 0) AS BIGINT) AS bm25_rank
+         |FROM truth t LEFT JOIN rk
+         |  ON rk.query_id = t.query_id AND rk.doc_id = t.truth_id""".stripMargin,
     "x32_heavy_hitters_checked" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
         |c AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),

@@ -1074,6 +1074,68 @@ object TextOps {
       .filter(col("rank") <= k)
   }
 
+  /** Retrieval-agreement eval — the known-item QA a retrieval stack runs
+    * before trusting its ranker: TRUTH is each query document's
+    * most-Jaccard-similar neighbor (d38's top-1 through the df-capped
+    * shingle index), the QUESTION is at which rank full-document BM25 —
+    * the x33 scorer with the query doc's own distinct tokens as the
+    * query, SELF excluded — retrieves that neighbor. Output per query
+    * doc that has a ≥-threshold neighbor: (query_id, truth_id,
+    * truth_sim_ppm, bm25_rank), rank 0 = truth missed the top-k (every
+    * miss is a row to read, not a silent drop). Both ingredients are
+    * independently oracle-attested (d38, x33); the composition stays
+    * integer-exact end to end.
+    *
+    * Scale note: the query-term frame broadcasts, so the predicate must
+    * select a bounded query set (here a deterministic 1-in-7 sample —
+    * d38's). A corpus-scale eval serves the same question through the
+    * persisted postings index (x58) in query batches.
+    */
+  def retrievalAgreement(docs: DataFrame, queryPred: Column,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val truth = graft.ops.Dedup.similarDocsTopK(
+        graft.ops.Dedup.shingleIdsFromArrays(
+          graft.ops.Vocab.hashTokenIdArrays(docs), 5), queryPred, k = 1)
+      .select(col("query_id"), col("neighbor_id").as("truth_id"),
+        col("sim_ppm").as("truth_sim_ppm"))
+    val postings = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist() // feeds lengths, df, and the scoring join
+    val lens = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+    val dfs = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avglen"))
+    val qterms = docs.filter(queryPred)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+    val scored = postings
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfs.join(
+        broadcast(qterms.select(col("term")).distinct()), Seq("term"))), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .filter(col("doc_id") =!= col("query_id")) // the query doc IS a corpus doc
+      .select(col("query_id"), col("doc_id"),
+        (log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avglen"))))
+          .as("s"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(lit(1e6) * sum(col("s"))).cast("long").as("score_ppm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("doc_id").asc)
+    val ranked = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id").as("truth_id"),
+        col("rank").as("bm25_rank"))
+    truth.join(ranked, Seq("query_id", "truth_id"), "left")
+      .select(col("query_id"), col("truth_id"), col("truth_sim_ppm"),
+        coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"))
+  }
+
   /** Build-once/serve-many lifecycle for the BM25 surface — the lexical
     * twin of [[graft.ops.Vectors.materializedIvfIndex]]. [[bm25Search]]
     * re-derives postings, lengths, and document frequencies from the
