@@ -1527,7 +1527,7 @@ object TextOps {
     * band-count frame — never a one-task-per-group global window.
     * `metricCol` must be a non-negative integral column.
     */
-  private def bandedRankPerGroup(df: DataFrame, groupCol: String,
+  private[graft] def bandedRankPerGroup(df: DataFrame, groupCol: String,
       metricCol: String, bandWidth: Long, rankCol: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val b = df.withColumn("_band", expr(s"$metricCol div $bandWidth"))

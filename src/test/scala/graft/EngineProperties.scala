@@ -807,4 +807,43 @@ object EngineProperties extends Properties("graft") {
       }
     }
   }
+
+  // (z3) the x57/x59 rank primitive: the banded two-level decomposition
+  // equals the naive per-group (metric, doc_id) rank for ANY data and ANY
+  // band width — width 1 makes every row its own band (all offsets), a
+  // huge width collapses to one band (all within-window)
+  property("bandedRankPerGroup ≡ naive per-group rank for any data and width") = {
+    val genCase = for {
+      rows <- Gen.nonEmptyListOf(Gen.zip(
+        Gen.oneOf("g1", "g2", "g3"), Gen.chooseNum(0L, 500L))).map(_.take(60))
+      width <- Gen.oneOf(1L, 7L, 100L, 100000L)
+    } yield (rows, width)
+    Prop.forAll(genCase) { case (rows, width) =>
+      val df = rows.zipWithIndex.map { case ((g, m), i) =>
+        (i.toLong, g, m) }.toDF("doc_id", "grp", "metric")
+      val banded = graft.ops.TextOps
+        .bandedRankPerGroup(df, "grp", "metric", width, "rk")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rk")).toMap
+      val naive = rows.zipWithIndex.groupBy(_._1._1).values.flatMap { g =>
+        g.sortBy { case ((_, m), i) => (m, i.toLong) }.zipWithIndex
+          .map { case ((_, i), r) => i.toLong -> (r + 1).toLong }
+      }.toMap
+      banded == naive
+    }
+  }
+
+  // (z4) count-min's one-sided error for ANY key multiset: estimate ≥
+  // exact count, every key present, exact side exact
+  property("countMinChecked never undercounts for any keys") = {
+    val genKeys = Gen.nonEmptyListOf(Gen.chooseNum(0L, 30L)).map(_.take(80))
+    Prop.forAll(genKeys) { keys =>
+      val r = graft.operators.Sketches
+        .countMinChecked(keys.toDF("user_id"), w = 8, k = 100)
+        .collect().map(x => x.getAs[Long]("user_id") ->
+          (x.getAs[Long]("n_events"), x.getAs[Long]("cm_est"))).toMap
+      val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      r.keySet == exact.keySet &&
+        r.forall { case (key, (n, est)) => n == exact(key) && est >= n }
+    }
+  }
 }
