@@ -1508,6 +1508,11 @@ object SparkEntry {
       // missed the top-10 — every miss is a row, not a silent drop
       TextOps.retrievalAgreement(Tables.documents(s, dir),
         queryPred = col("doc_id") % 7 === 0)),
+    "x61_budget_waterfill" -> ((s, dir) =>
+      // max–min fair token allocation across sources under a 20k budget:
+      // the waterfilling level caps big sources at a common level, small
+      // sources keep everything — the mixture plan x15/x26 then execute
+      TextOps.budgetWaterfill(Tables.documents(s, dir), budget = 20000L)),
     "x32_heavy_hitters_checked" -> ((s, dir) =>
       // freqItems sketch next to exact counts: raises if the sketch drops
       // a true heavy hitter (its no-false-negative guarantee); emits the
@@ -3348,6 +3353,36 @@ object SparkEntry {
          |       CAST(coalesce(rk.rn, 0) AS BIGINT) AS bm25_rank
          |FROM truth t LEFT JOIN rk
          |  ON rk.query_id = t.query_id AND rk.doc_id = t.truth_id""".stripMargin,
+    "x61_budget_waterfill" ->
+      // the same piecewise-linear solve: max over valid segment
+      // candidates = the waterfilling level (rows past the crossing
+      // always produce smaller candidates — see the op's scaladoc proof
+      // sketch); spill goes to the r largest capped sources
+      """WITH ps AS (SELECT source,
+        |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |            FROM documents GROUP BY 1),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ps),
+        |seg AS (SELECT source, n_tokens,
+        |               CAST(coalesce(sum(n_tokens) OVER w, 0) AS BIGINT) AS prefix_below,
+        |               CAST(count(*) OVER w AS BIGINT) AS k
+        |        FROM ps WINDOW w AS (ORDER BY n_tokens ASC, source ASC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |lv AS (SELECT max((20000 - prefix_below) // (mm.m - k)) AS level
+        |       FROM seg CROSS JOIN mm
+        |       WHERE (20000 - prefix_below) // (mm.m - k) < n_tokens),
+        |al AS (SELECT ps.source, ps.n_tokens, lv.level AS lvl,
+        |              least(ps.n_tokens,
+        |                coalesce(lv.level, 9223372036854775807)) AS base
+        |       FROM ps CROSS JOIN lv),
+        |sp AS (SELECT 20000 - sum(base) AS r FROM al),
+        |rk AS (SELECT al.*, row_number() OVER (ORDER BY n_tokens DESC, source ASC) AS rk
+        |       FROM al)
+        |SELECT rk.source, rk.n_tokens, CAST(rk.lvl AS BIGINT) AS level,
+        |       CAST(rk.base + CASE WHEN rk.n_tokens >
+        |              coalesce(rk.lvl, 9223372036854775807)
+        |             AND rk.rk <= greatest(least(sp.r, mm.m), 0)
+        |            THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+        |FROM rk CROSS JOIN sp CROSS JOIN mm""".stripMargin,
     "x32_heavy_hitters_checked" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
         |c AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),

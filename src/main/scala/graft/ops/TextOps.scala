@@ -1074,6 +1074,83 @@ object TextOps {
       .filter(col("rank") <= k)
   }
 
+  /** Max–min fair token-budget allocation across sources (waterfilling —
+    * the classic progressive-filling solution): given per-source token
+    * counts and a total budget B, find the water level L such that every
+    * source contributes min(n_i, L) tokens and the budget is met; small
+    * sources keep everything, large sources are capped at a COMMON level
+    * — the mixture-planning answer to "how much of each source fits the
+    * budget without letting the biggest source crowd out the rest" (the
+    * allocation x15's temperature rebalancing and x26's budget sampling
+    * then EXECUTE).
+    *
+    * Exact-integer end to end: L is the integer solution of the
+    * piecewise-linear fill equation — on the source list sorted by size,
+    * between boundaries, Σ min(n_i, L) = prefix_below + remaining·L, so
+    * L = (B − prefix_below) div remaining at the crossing segment — and
+    * the leftover r = B − Σ min(n_i, L) tokens (r < remaining) go one
+    * each to the r LARGEST capped sources (ties to the source name —
+    * deterministic). Allocations sum to exactly min(B, Σ n_i).
+    *
+    * Scale shape: one map-side-combined count per source, then
+    * everything runs on the |sources|-sized metadata frame (windows over
+    * it are metadata work; the corpus is touched once).
+    */
+  def budgetWaterfill(docs: DataFrame, budget: Long): DataFrame = {
+    val perSource = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      .persist() // metadata-sized; feeds the solve and the emit
+    // prefixes and ranks over the |sources|-sized metadata frame come
+    // from TRIANGULAR SELF-JOINS (the exclusivePrefix supOffsets idiom),
+    // not a global-ORDER-BY window — |sources|² pairs is metadata work
+    // (this op's scale ceiling is |sources|, never corpus size), and the
+    // plan stays free of partition-less windows (a constant partition key
+    // doesn't survive Catalyst's foldable-expression cleanup)
+    val m = perSource.count()
+    val a = perSource.select(col("source").as("s_a"), col("n_tokens").as("n_a"))
+    val b = perSource.select(col("source").as("s_b"), col("n_tokens").as("n_b"))
+    val before = col("n_b") < col("n_a") ||
+      (col("n_b") === col("n_a") && col("s_b") < col("s_a"))
+    // ascending by size: in the segment before the j-th source, the fill
+    // equation is prefix_below + remaining·L. The TRUE crossing segment's
+    // candidate is the unique valid one ≥ every other valid candidate:
+    // rows before it produce cand ≥ their own size (filtered), rows after
+    // it produce cand < the true level (their prefix counts capped
+    // sources at full size) — so max over {cand | cand < n_tokens} = L
+    val seg = a.join(b, before, "left")
+      .groupBy(col("s_a"), col("n_a"))
+      .agg(coalesce(sum(col("n_b")), lit(0L)).as("prefix_below"),
+        count(col("s_b")).as("k"))
+      .withColumn("remaining", lit(m) - col("k"))
+      .withColumn("cand_l",
+        expr(s"(${budget}L - prefix_below) div remaining"))
+      .filter(col("cand_l") < col("n_a"))
+      .agg(max(col("cand_l")).as("level"))
+      .select(coalesce(col("level"), lit(Long.MaxValue)).as("level"))
+    val alloc = perSource.crossJoin(broadcast(seg))
+      .withColumn("base", least(col("n_tokens"), col("level")))
+    // r < #capped by construction (Fill(L) ≤ B < Fill(L+1)); the spill
+    // goes one token each to the r largest capped sources, ties to the
+    // source name
+    val spill = alloc.agg((lit(budget) - sum(col("base"))).as("r")).select(
+      greatest(least(col("r"), lit(m)), lit(0L)).as("r"))
+    val after = col("n_b") > col("n_a") ||
+      (col("n_b") === col("n_a") && col("s_b") < col("s_a"))
+    val ranks = a.join(b, after, "left")
+      .groupBy(col("s_a"))
+      .agg((count(col("s_b")) + lit(1L)).as("rk"))
+    alloc.join(broadcast(ranks), col("source") === col("s_a"))
+      .crossJoin(broadcast(spill))
+      .withColumn("alloc_tokens",
+        col("base") + when(col("n_tokens") > col("level") &&
+          col("rk") <= col("r"), lit(1L)).otherwise(lit(0L)))
+      .select(col("source"), col("n_tokens"),
+        when(col("level") === Long.MaxValue, lit(null).cast("long"))
+          .otherwise(col("level")).as("level"),
+        col("alloc_tokens"))
+  }
+
   /** Retrieval-agreement eval — the known-item QA a retrieval stack runs
     * before trusting its ranker: TRUTH is each query document's
     * most-Jaccard-similar neighbor (d38's top-1 through the df-capped

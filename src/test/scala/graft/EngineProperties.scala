@@ -832,6 +832,40 @@ object EngineProperties extends Properties("graft") {
     }
   }
 
+  // (z5) waterfilling invariants for ANY source sizes and budget:
+  // allocations sum to exactly min(B, Σn), never exceed the source,
+  // uncapped sources keep everything, and max–min fairness holds — no
+  // source could gain except by taking from an equal-or-smaller one
+  // (all capped allocations within 1 of each other)
+  property("budgetWaterfill: exact budget, per-source caps, max–min fairness") = {
+    val genCase = for {
+      sizes <- Gen.nonEmptyListOf(Gen.chooseNum(0, 60)).map(_.take(8))
+      budget <- Gen.chooseNum(0L, 400L)
+    } yield (sizes, budget)
+    Prop.forAll(genCase) { case (sizes, budget) =>
+      // source i contributes `sizes(i)` single-token docs
+      val docs = sizes.zipWithIndex.flatMap { case (n, i) =>
+        (0 until n).map(j => ((i * 1000 + j).toLong, "w", s"s$i"))
+      }
+      if (docs.isEmpty) true // degenerate: nothing to allocate
+      else {
+        val df = docs.toDF("doc_id", "text", "source")
+        val r = graft.ops.TextOps.budgetWaterfill(df, budget)
+          .collect().map(x => x.getAs[String]("source") ->
+            (x.getAs[Long]("n_tokens"), x.getAs[Long]("alloc_tokens"))).toMap
+        val total = sizes.filter(_ > 0).map(_.toLong).sum
+        val sumOk = r.values.map(_._2).sum == math.min(budget, total)
+        val capOk = r.values.forall { case (n, al) => al >= 0 && al <= n }
+        val partial = r.values.filter { case (n, al) => al < n }.map(_._2)
+        val fairOk = partial.isEmpty || (partial.max - partial.min <= 1)
+        // uncapped sources sit at or below every partial allocation + 1
+        val fullMaxBelow = partial.isEmpty ||
+          r.values.forall { case (n, al) => al < n || al <= partial.max }
+        sumOk && capOk && fairOk && fullMaxBelow
+      }
+    }
+  }
+
   // (z4) count-min's one-sided error for ANY key multiset: estimate ≥
   // exact count, every key present, exact side exact
   property("countMinChecked never undercounts for any keys") = {
