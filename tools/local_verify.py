@@ -36,6 +36,10 @@ def check_one(sf_dir, out_dir, name, sql):
     observed at sf0.1 on the graph oracles."""
     con = duckdb.connect()
     try:
+        # at 32 threads DuckDB's per-thread reservations on the heaviest
+        # oracles (list-comprehension shingle chains, d36) abort with
+        # bad_alloc at sf0.1 despite free RAM; 8 threads is reliable
+        con.execute("SET threads=8")
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
