@@ -86,13 +86,23 @@ object Sketches {
 
   /** Per-key estimates from a (merged) sketch: input must carry a `key`
     * column; every input column rides along, plus `cm_est`.
+    *
+    * The sketch join is a LEFT join with absent cells coalesced to 0:
+    * a (r, bucket) cell no event ever hashed into is simply a zero
+    * counter, and count-min's estimate is the min over ALL d rows — an
+    * inner join would silently take the min over fewer rows for any key
+    * not present at sketch-build time (overstating it, or dropping the
+    * key entirely when no cell matches), which breaks the advertised
+    * arbitrary-key read side of a merged streamed sketch. For such a key
+    * some cell is untouched with probability ≥ 1−(load)ᵈ, so the correct
+    * answer — estimate 0 — falls out of the coalesce.
     */
   def estimates(keys: DataFrame, sketch: DataFrame, w: Int = 256): DataFrame = {
     val others = keys.columns.filterNot(_ == "key").map(col)
     withCells(keys, w)
       .join(keys, Seq("key"))
-      .join(broadcast(sketch), Seq("r", "bucket"))
+      .join(broadcast(sketch), Seq("r", "bucket"), "left")
       .groupBy((col("key") +: others): _*)
-      .agg(min(col("c")).as("cm_est"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cm_est"))
   }
 }

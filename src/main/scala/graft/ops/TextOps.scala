@@ -1690,41 +1690,36 @@ object TextOps {
     *
     * Same fold, same modulus as [[graft.ops.Dedup.charIds]]+ShingleHash
     * ((a·37 + c + 1) mod P, chars as code points), so the hash is the one
-    * the near-dup surface already attests. Per-char work is a window
-    * `lead` chain inside one per-doc sort — no self-join, no shuffle
-    * after the doc partition; chunk spans aggregate to |chunks| rows
-    * (corpus/divisor — metadata), and chunk text is read once per chunk
-    * via substring for the digest.
+    * the near-dup surface already attests. Per-char work runs inside ONE
+    * codegen'd expression where the document lives
+    * ([[org.apache.spark.sql.graft.CdcChunkSpans]]): the whole chain
+    * `split → token_hash_array → cdc_chunk_spans → posexplode → md5` is
+    * scan → project → generate — zero Exchange, zero WindowExec, zero
+    * join (plan-pinned in CdcChunkSpec). The round-6 form exploded one
+    * row per CHARACTER through a shuffled per-doc sort window — linear
+    * but ~20× row-overhead amplification of the corpus through the
+    * shuffle at 100 TB; same fold, same boundary semantics, bit-identical
+    * output (the oracle keeps the window form, attesting the equivalence
+    * cross-engine).
     *
     * Output: (doc_id, chunk_idx, start_pos [1-based], chunk_len,
-    * chunk_md5). Null/empty docs yield no chunks.
+    * chunk_md5), plus any `carry` columns copied through from the doc row
+    * (so consumers like [[cdcDedupReport]] never join chunk rows back to
+    * the corpus just to recover a label). Null/empty docs yield no chunks.
     */
-  def cdcChunks(docs: DataFrame, k: Int = 3, divisor: Long = 64L): DataFrame = {
-    val p = graft.ops.Dedup.minhashPrime
-    val d = docs.filter(col("text").isNotNull && length(col("text")) > 0)
-    val chars = graft.ops.Dedup.charIds(d)
-      .select(col("doc_id"), posexplode(col("ids")).as(Seq("pos0", "cid")))
-      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("cid"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    var acc: Column = lit(0L)
-    for (i <- 0 until k)
-      acc = (acc * 37 + lead(col("cid"), i).over(w) + 1) % p
-    // a null lead near the doc tail poisons acc → no boundary there: the
-    // final chunk runs to the end (k-gram must be complete to cut)
-    val bnd = when(acc.isNotNull && acc % divisor === 0, 1L).otherwise(0L)
-    val idx = chars
-      .withColumn("bnd", bnd)
-      .withColumn("chunk_idx",
-        coalesce(sum(col("bnd"))
-          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
-          lit(0L)))
-    idx.groupBy(col("doc_id"), col("chunk_idx"))
-      .agg(min(col("pos")).as("start_pos"), count(lit(1)).as("chunk_len"))
-      .join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
-      .select(col("doc_id"), col("chunk_idx"), col("start_pos"), col("chunk_len"),
-        md5(expr("substring(text, CAST(start_pos AS INT), CAST(chunk_len AS INT))"))
-          .as("chunk_md5"))
+  def cdcChunks(docs: DataFrame, k: Int = 3, divisor: Long = 64L,
+      carry: Seq[String] = Nil): DataFrame = {
+    val carried = carry.map(col)
+    docs.filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id") +: col("text") +:
+        org.apache.spark.sql.graft.CdcChunkSpansText.column(col("text"), k, divisor)
+          .as("spans") +: carried: _*)
+      .select(col("doc_id") +: col("text") +:
+        posexplode(col("spans")).as(Seq("chunk_idx", "sp")) +: carried: _*)
+      .select(col("doc_id") +: col("chunk_idx").cast("long").as("chunk_idx") +:
+        col("sp.start_pos").as("start_pos") +: col("sp.chunk_len").as("chunk_len") +:
+        md5(expr("substring(text, CAST(sp.start_pos AS INT), CAST(sp.chunk_len AS INT))"))
+          .as("chunk_md5") +: carried: _*)
   }
 
   /** Corpus storage-dedup report over [[cdcChunks]] — per source: chunk
@@ -1737,14 +1732,15 @@ object TextOps {
     * Scale shape: two partial-first hash aggregations — (source, digest)
     * then source — each collapsing toward metadata (|distinct digests|,
     * then |sources| rows). Chunk text never moves: digests are computed
-    * where the document lives (inside [[cdcChunks]]'s per-doc pass), and
-    * only (digest, length) pairs shuffle. Same-digest chunks have equal
-    * length by construction (the digest is over the chunk text), so
-    * max(len) per digest is exact, not a heuristic.
+    * where the document lives (inside [[cdcChunks]]'s per-doc pass), the
+    * source label rides the chunk row out of that same pass (`carry` —
+    * no join back to the corpus), and only (digest, length) pairs
+    * shuffle. Same-digest chunks have equal length by construction (the
+    * digest is over the chunk text), so max(len) per digest is exact,
+    * not a heuristic.
     */
   def cdcDedupReport(docs: DataFrame): DataFrame = {
-    val ch = cdcChunks(docs)
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val ch = cdcChunks(docs, carry = Seq("source"))
     val perDigest = ch.groupBy(col("source"), col("chunk_md5"))
       .agg(count(lit(1)).as("n_copies"), max(col("chunk_len")).as("chunk_len"))
     perDigest.groupBy(col("source"))

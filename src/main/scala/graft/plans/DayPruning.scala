@@ -140,5 +140,7 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(org.apache.spark.sql.graft.PqEncode.registration)
     ext.injectFunction(org.apache.spark.sql.graft.PqAdcDot.registration)
     ext.injectFunction(org.apache.spark.sql.graft.SimHashBits.registration)
+    ext.injectFunction(org.apache.spark.sql.graft.CdcChunkSpans.registration)
+    ext.injectFunction(org.apache.spark.sql.graft.CdcChunkSpansText.registration)
   }
 }

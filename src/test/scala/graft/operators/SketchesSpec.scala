@@ -46,6 +46,27 @@ class SketchesSpec extends SparkSpec {
       n1 > n2 || (n1 == n2 && k1 < k2) })
   }
 
+  test("estimates: a key the sketch never saw reads 0 when a cell is empty, and never vanishes (ADVICE r6)") {
+    import org.apache.spark.sql.functions.col
+    // sketch built over keys 1..5 only; probe with an arbitrary-key read
+    // side including keys absent at build time — the merged-streamed-sketch
+    // contract. Inner-join semantics dropped such keys (no matching cell)
+    // or overstated them (min over < d rows); left+coalesce reads the
+    // true empty-cell 0.
+    val sketch = Sketches.sketchPartials((1L to 5L).flatMap(k => Seq.fill(3)(k))
+      .toDF("user_id"), w = 256)
+    val probe = Seq(3L, 999983L, 424242L).toDF("key")
+    val est = Sketches.estimates(probe, sketch, w = 256).collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[Long]("cm_est")).toMap
+    assert(est.keySet === Set(3L, 999983L, 424242L), "absent keys must not vanish")
+    assert(est(3L) >= 3L) // present key: at least its true count
+    // absent keys: in a 256-wide sketch holding 15 events, at least one of
+    // the 4 cells is empty with near-certainty for these fixed constants —
+    // count-min's answer is 0, not an overstated partial min
+    assert(est(999983L) === 0L && est(424242L) === 0L)
+    // and the estimate can never undercount: 0 ≤ true count (= 0) holds
+  }
+
   test("countMinChecked: wide sketch on spread keys is exact (no colliders in some row)") {
     // 256 buckets, 10 distinct keys — collisions in ALL FOUR rows at once
     // are overwhelmingly unlikely for these fixed constants; pin that the
