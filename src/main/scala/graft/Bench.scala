@@ -47,15 +47,38 @@ object Bench {
         s.sql("DROP TABLE IF EXISTS dedup_groups_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
         graft.ops.Dedup.materializedGroupsFor(Tables.documents(s, dir), dir)
       }),
+      // trained-default artifacts (consumed by s36/s37): the timed build
+      // includes centroid TRAINING (sample + maxmin + Lloyd) — the honest
+      // cold cost of the production recipe
       "artifact:ivf_index" -> ((s, dir) => {
         val t = "ivf_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
         s.sql(s"DROP TABLE IF EXISTS $t")
+        s.sql(s"DROP TABLE IF EXISTS ${t}_centroids")
         graft.ops.Vectors.materializedIvfIndex(Tables.embeddings(s, dir), t)
       }),
       "artifact:nav_graph" -> ((s, dir) => {
         val t = "nav_graph_" + dir.replaceAll("[^A-Za-z0-9]", "_")
         s.sql(s"DROP TABLE IF EXISTS $t")
+        s.sql(s"DROP TABLE IF EXISTS ${t}_centroids")
         graft.ops.Vectors.materializedNavGraph(Tables.embeddings(s, dir), t)
+      }),
+      // spaced parity artifacts (consumed by the oracle-attested
+      // s29/s33/s34/s26 reads)
+      "artifact:ivf_index_spaced" -> ((s, dir) => {
+        val t = "ivf_index_spaced_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        s.sql(s"DROP TABLE IF EXISTS ${t}_centroids")
+        val emb = Tables.embeddings(s, dir)
+        graft.ops.Vectors.materializedIvfIndex(emb, t,
+          centroidIds = Some(graft.ops.Vectors.spacedCentroidIds(emb.count())))
+      }),
+      "artifact:nav_graph_spaced" -> ((s, dir) => {
+        val t = "nav_graph_spaced_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        s.sql(s"DROP TABLE IF EXISTS ${t}_centroids")
+        val emb = Tables.embeddings(s, dir)
+        graft.ops.Vectors.materializedNavGraph(emb, t,
+          centroidIds = Some(graft.ops.Vectors.spacedCentroidIds(emb.count())))
       }),
       "artifact:nav_units" -> ((s, dir) => {
         val t = "nav_units_" + dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -110,6 +133,21 @@ object Bench {
     // a short final line so head-truncation of the long per-query line can
     // never eat the gate number (VERDICT r3 "what's wrong" #3)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedNames,"sf":"$sfDir"}""")
+    // ... and the BREAKDOWN as compact final lines (VERDICT r6 #3: the
+    // driver's tail truncation ate most of the per-query map, hiding the
+    // artifact rows and every non-x prefix): each artifact row's median
+    // individually, then one subtotal per query-name prefix
+    results.filter(_._1.startsWith("artifact:")).foreach { case (name, v, _, _) =>
+      println(s"""{"metric":"artifact","name":"$name","median_sec":$v}""")
+    }
+    results.filterNot(_._1.startsWith("artifact:"))
+      .groupBy { case (name, _, _, _) => name.takeWhile(_.isLetter) }
+      .toSeq.sortBy(_._1)
+      .foreach { case (prefix, rs) =>
+        val sub = rs.map(_._2).sum
+        println(s"""{"metric":"subtotal","prefix":"$prefix","n":${rs.size},"sec":$sub}""")
+      }
+    println(s"""{"metric":"artifact_subtotal","n":${results.count(_._1.startsWith("artifact:"))},"sec":${results.filter(_._1.startsWith("artifact:")).map(_._2).sum}}""")
     spark.stop()
   }
 }

@@ -156,9 +156,16 @@ object RecallReport {
     val navAppendRecall = {
       val table = "recall_nav_append"
       spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
       val cutId = n * 3 / 4
-      Vectors.materializedNavGraph(emb.filter(col("vec_id") < cutId), table)
       val entries = Vectors.spacedCentroidIds(cutId)
+      // spaced PARITY build, pinned explicitly (round 7 flipped the
+      // artifact default to trained): the comparator row
+      // defaults.graph_beam32_r4 is the spaced inline walk, so the
+      // append-vs-rebuild delta must isolate the APPEND approximation,
+      // not a centroid-recipe change
+      Vectors.materializedNavGraph(emb.filter(col("vec_id") < cutId), table,
+        centroidIds = Some(entries))
       Vectors.appendToNavGraph(emb.filter(col("vec_id") >= cutId &&
         col("vec_id") % 2 === 0), emb, table, entries)
       Vectors.appendToNavGraph(emb.filter(col("vec_id") >= cutId &&
@@ -262,10 +269,19 @@ object RecallReport {
         // …and the repair: same trained graph, but a COVERAGE-guaranteed
         // entry set (one representative per assignment bucket) — the
         // binding failure was never the graph, it was entries missing
-        // 12 of the 16 islands
-        "graph_trained_cover_beam32_r4" -> rec(Vectors.beamSearchServed(cl,
-          Vectors.navGraphTrained(cl, cTrained), cQueries,
-          Vectors.navEntryIds(cl, cTrained), k = k, beam = 32, rounds = 4)),
+        // 12 of the 16 islands. Round 7: this row now reads through the
+        // PERSISTED artifact path — materializedNavGraph's trained
+        // default + the centroid ledger's recorded entry reps — so the
+        // number attests the production lifecycle end-to-end, not an
+        // inline twin of it
+        "graph_trained_cover_beam32_r4" -> {
+          spark.sql("DROP TABLE IF EXISTS recall_nav_clustered")
+          spark.sql("DROP TABLE IF EXISTS recall_nav_clustered_centroids")
+          rec(Vectors.beamSearchServed(cl,
+            Vectors.materializedNavGraph(cl, "recall_nav_clustered"), cQueries,
+            Vectors.ledgerEntryIds(spark, "recall_nav_clustered"),
+            k = k, beam = 32, rounds = 4))
+        },
         "ann_default_sq8_rr40" -> rec(Vectors.annTopK(cl, cQueries, k)))
       entries.foreach { case (n, r) =>
         System.err.println(f"[recall] clustered/$n%-24s recall@$k = $r%.4f")

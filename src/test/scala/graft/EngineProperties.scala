@@ -460,6 +460,54 @@ object EngineProperties extends Properties("graft") {
     }
   }
 
+  // round-7 verdict #6: pageRankSql is the one generated oracle left in the
+  // graph suite (no practical second algorithm in SQL), so the SPEC side
+  // carries the independence: a driver-side power iteration written from
+  // the definition — symmetrize, dedup, rank' = (1−d)/n + d·Σ_in rank/deg —
+  // must reproduce the distributed plan's values at every iteration depth.
+  // An algorithmic misunderstanding shared by operator and oracle (wrong
+  // normalization, missing deg division, drift in the teleport term) cannot
+  // also hold here unless it is the definition itself.
+  property("pageRank ≡ driver-side power iteration at every depth; k-regular ⇒ uniform") = {
+    val genEdges = Gen.chooseNum(2, 18).flatMap(n => Gen.listOfN(n, for {
+      a <- Gen.chooseNum(0L, 9L); b <- Gen.chooseNum(0L, 9L)
+    } yield (a, b)))
+    val d = 0.85
+    Prop.forAll(genEdges, Gen.chooseNum(1, 4)) { (edges0, iters) =>
+      spark.sqlContext.clearCache()
+      val edges = edges0.filter { case (a, b) => a != b }
+      edges.isEmpty || {
+        val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+        val nodes = sym.map(_._1).toList.sorted
+        val n = nodes.size
+        val deg = sym.groupBy(_._1).map { case (k, es) => k -> es.size }
+        var rank = nodes.map(_ -> 1.0 / n).toMap
+        for (_ <- 1 to iters) {
+          val in = sym.toSeq.groupBy(_._2)
+          rank = nodes.map { v =>
+            v -> ((1.0 - d) / n + d * in.getOrElse(v, Seq.empty)
+              .map { case (u, _) => rank(u) / deg(u) }.sum)
+          }.toMap
+        }
+        val got = graft.operators.Graph.pageRank(
+          edges.toDF("src", "dst"), iterations = iters).collect()
+          .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+        got.keySet == rank.keySet &&
+          nodes.forall(v => math.abs(got(v) - rank(v)) < 1e-9)
+      }
+    } && {
+      // closed form: on a k-regular graph (a cycle) the uniform vector is
+      // the exact fixpoint — every iteration must return exactly 1/n
+      spark.sqlContext.clearCache()
+      val n = 8
+      val cyc = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong)).toDF("src", "dst")
+      val r = graft.operators.Graph.pageRank(cyc, iterations = 3).collect()
+        .map(_.getDouble(1))
+      Prop(r.length == n && r.forall(v => math.abs(v - 1.0 / n) < 1e-12)) :|
+        s"cycle ranks: ${r.toSeq}"
+    }
+  }
+
   property("ppsSample: exactly k hits for any weights and k; heavy docs always selected") = {
     val genCase = for {
       ws <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 1000L)).map(_.take(60))

@@ -212,20 +212,35 @@ class BucketedLayoutSpec extends SparkSpec {
       viaPlain.collect().map(_.getLong(0)).toSet)
   }
 
-  test("materializedNavGraph: contents ≡ inline build; later consumers plan a plain artifact scan") {
+  test("materializedNavGraph: spaced parity build ≡ inline navGraph; trained default writes " +
+      "a complete ledger; later consumers plan a plain artifact scan") {
     import graft.ops.Vectors
-    reset("nav_test_artifact")
+    reset("nav_test_artifact", "nav_test_artifact_centroids",
+      "nav_test_trained", "nav_test_trained_centroids")
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val built = Vectors.materializedNavGraph(emb, "nav_test_artifact")
+    val spaced = Vectors.spacedCentroidIds(emb.count())
+    // spaced PARITY form: bit-identical to the inline build (what the
+    // s24/s33/s34 oracle walks reproduce)
+    val built = Vectors.materializedNavGraph(emb, "nav_test_artifact",
+      centroidIds = Some(spaced))
     val inline = Vectors.navGraph(emb).select(col("src_id"), col("neighbor_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(built.select(col("src_id"), col("neighbor_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === inline)
     assert(inline.nonEmpty)
+    // TRAINED default (round 7): ledger holds C = ⌈√N⌉ centroids with
+    // per-bucket entry reps; every graph node is a corpus member
+    val trained = Vectors.materializedNavGraph(emb, "nav_test_trained")
+    assert(trained.select(col("src_id")).collect().map(_.getLong(0)).toSet
+      .subsetOf(emb.select(col("vec_id")).collect().map(_.getLong(0)).toSet))
+    val ledger = Vectors.readCentroidLedger(spark, "nav_test_trained")
+    assert(ledger.size === spaced.size)
+    assert(Vectors.ledgerEntryIds(spark, "nav_test_trained").nonEmpty)
     spark.sqlContext.clearCache()
     // reuse: a plain bucketed scan — none of the build's machinery (the
     // top-k Window, the self-join's Exchange) appears in the plan
-    val again = Vectors.materializedNavGraph(emb, "nav_test_artifact")
+    val again = Vectors.materializedNavGraph(emb, "nav_test_artifact",
+      centroidIds = Some(spaced))
     val plan = again.queryExecution.executedPlan.toString
     assert(plan.contains("nav_test_artifact"), plan)
     assert(!plan.contains("Window"), plan)

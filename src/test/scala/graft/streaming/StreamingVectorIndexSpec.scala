@@ -37,11 +37,11 @@ class StreamingVectorIndexSpec extends SparkSpec {
     }
   }
 
-  test("per-batch appends against pinned centroids across kill/restart ≡ " +
-      "one batch assignment of the whole corpus") {
+  test("per-batch appends against pinned ledger centroids across kill/restart ≡ " +
+      "one batch assignment of the whole corpus; replayed batch is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     val table = "svi_ivf_index"
-    reset(table)
+    reset(table, table + "_centroids")
 
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), col("embedding"))
@@ -52,10 +52,13 @@ class StreamingVectorIndexSpec extends SparkSpec {
     val initial = rows.take(cut)
     val arriving = rows.drop(cut)
 
-    // the index is born from the initial corpus: spaced centroids over ITS
-    // size — the centroid set every later append must keep routing against
+    // the index is born from the initial corpus — TRAINED centroids (the
+    // round-7 artifact default), persisted in the ledger; every later
+    // append must keep routing against exactly that set
     Vectors.materializedIvfIndex(initial.toDF("vec_id", "embedding"), table)
-    val pinnedCentroidIds = Vectors.spacedCentroidIds(initial.size.toLong)
+    val pinned = Vectors.readCentroidLedger(spark, table)
+    // the ledger holds the full trained set, C = ⌈√|initial|⌉
+    assert(pinned.size === Vectors.spacedCentroidIds(initial.size.toLong).size)
 
     val ms = MemoryStream[VecChunk]
     val ck = tmpDir("svi_ck")
@@ -80,16 +83,26 @@ class StreamingVectorIndexSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val streamed = assignments(spark.table(table))
 
-    // batch twin: the WHOLE corpus assigned against the PINNED centroids
-    // (ivfAssign resolves centroid vectors by id from its input frame —
-    // same ids, same vectors)
+    // batch twin: the WHOLE corpus assigned against the PINNED ledger
+    // centroids — routing must be independent of arrival time
     val batch = assignments(
-      Vectors.ivfAssign(emb, pinnedCentroidIds).select(col("vec_id"), col("bucket")))
+      Vectors.ivfAssignWithCentroids(emb, pinned).select(col("vec_id"), col("bucket")))
     assert(streamed === batch)
     assert(streamed.size === rows.size) // every vector indexed exactly once
     // the arriving half actually spread over several buckets (the append
     // path exercised real routing, not one degenerate bucket)
     val arrivingBuckets = streamed.filter(_._1 >= cut).map(_._2)
     assert(arrivingBuckets.size > 3, s"arriving buckets: $arrivingBuckets")
+
+    // REPLAY (ADVICE r6, the medium finding): redeliver an already-applied
+    // batch — the crash-between-append-and-checkpoint path of an
+    // at-least-once sink. The anti-join guard must make it a no-op: same
+    // row count, same assignments, no duplicate (vec_id, bucket) rows
+    // occupying extra top-k slots in the serve path.
+    val countBefore = spark.table(table).count()
+    Vectors.appendToIvfIndex(arriving.take(mid).toDF(), table)
+    spark.catalog.refreshTable(table)
+    assert(spark.table(table).count() === countBefore, "replayed batch re-appended rows")
+    assert(assignments(spark.table(table)) === batch)
   }
 }
