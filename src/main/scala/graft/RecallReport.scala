@@ -298,11 +298,35 @@ object RecallReport {
         .head()
       System.err.println(f"[recall] clustered tuned_nprobe_t90 = $cTuned " +
         f"(scan fraction ${cTuned.toDouble / cSpaced.size}%.3f of ${cSpaced.size} buckets)")
+      // geometry-gated margin mining (round-7 verdict #5): on THIS
+      // clustered geometry the IVF-routed candidate generator must recover
+      // ≥ 0.9 of the exact forward-top-1 pair set at a SUB-linear candidate
+      // fraction (the gate's whole value proposition — the isotropic
+      // corpus's margin_overlap_curve shows why routing is not default)
+      val (routedOverlap, routedFrac, cGateP99) = {
+        val cTest = cl.filter(col("vec_id") % 10 < 2)
+        val cTrain = cl.filter(col("vec_id") % 10 >= 2)
+        def pairsOf(df: DataFrame): Set[(Long, Long)] = df.collect()
+          .map(r => (r.getAs[Long]("test_id"), r.getAs[Long]("train_id"))).toSet
+        val exactP = pairsOf(Vectors.marginPairs(cTest, cTrain, marginPpmThreshold = 0L))
+        require(exactP.nonEmpty, "clustered margin: exact pair set is empty")
+        val got = pairsOf(Vectors.marginPairsRouted(cTest, cTrain, marginPpmThreshold = 0L))
+        val cand = Vectors.marginRoutedCandidates(cTest, cTrain).count()
+        val frac = cand.toDouble / (cTest.count() * cTrain.count())
+        val p99 = Vectors.pairConcentrationP99(cl)
+        spark.sqlContext.clearCache(); emb.persist(); unit.persist(); cl.persist()
+        val ov = got.intersect(exactP).size.toDouble / exactP.size
+        System.err.println(f"[recall] clustered margin_routed    overlap = $ov%.4f  " +
+          f"cand_frac = $frac%.4f  gate_p99 = $p99%.4f (gate ${Vectors.concentrationGate(cl)}%.4f)")
+        (ov, frac, p99)
+      }
       val body = entries.map { case (n, r) => f""""$n":$r%.6f""" }.mkString(",")
       spark.sqlContext.clearCache(); emb.persist(); unit.persist()
       f""""clustered":{"n_vectors":$nC,"n_clusters":16,""" +
         f""""same_label_mean_cos":${cStats.getDouble(0)}%.6f,""" +
         f""""cross_label_mean_cos":${cStats.getDouble(1)}%.6f,""" +
+        f""""pair_p99":$cGateP99%.6f,""" +
+        f""""margin_routed":{"overlap":$routedOverlap%.6f,"cand_frac":$routedFrac%.6f},""" +
         f""""tuned_nprobe_t90":$cTuned,"n_centroids":${cSpaced.size},""" +
         f""""tuned_scan_frac":${cTuned.toDouble / cSpaced.size}%.6f,$body}"""
     }
@@ -316,6 +340,8 @@ object RecallReport {
         f""""isotropy":{"mean_abs_cos":${simStats.getDouble(0)}%.6f,""" +
         f""""same_label_mean_cos":${simStats.getDouble(1)}%.6f,""" +
         f""""cross_label_mean_cos":${simStats.getDouble(2)}%.6f,""" +
+        f""""pair_p99":${Vectors.pairConcentrationP99(emb)}%.6f,""" +
+        f""""gate":${Vectors.concentrationGate(emb)}%.6f,""" +
         f""""top${k}_same_label_frac":$sameLabelFrac%.6f},""" +
         f""""margin_bucketed_overlap":$miningOverlap%.6f,""" +
         f""""margin_scan_overlap":$scanOverlap%.6f,""" +

@@ -734,6 +734,56 @@ object SparkEntry {
        |          FROM ($rows))""".stripMargin
   }
 
+  /** The s32 SQ8 compressed-grid margin-mining oracle — shared verbatim
+    * by s38_margin_gated, whose gate resolves to the scan branch on the
+    * measured-isotropic fixture: s8's stats/codes/dec CTEs (quantization
+    * grid spans test ∪ train = e), per-side top-8 shortlists ranked on
+    * the COMPRESSED scores, exact re-rank of the shortlisted pairs only,
+    * then s31's margin tail (rank-ordered folds, ppm rounding before the
+    * threshold) over those candidates.
+    */
+  private lazy val oracleMarginScan: String =
+    s"""WITH $oracleEmbCte,
+         |ex AS (SELECT vec_id, unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x FROM e),
+         |stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i),
+         |codes AS (SELECT vec_id, i, mn, mx,
+         |            CASE WHEN mx > mn THEN least(floor((x - mn) * 255.0 / (mx - mn)), 255.0)
+         |                 ELSE 0.0 END AS c
+         |          FROM ex JOIN stats USING (i)),
+         |dec AS (SELECT vec_id, list(mn + c * ((mx - mn) / 255.0) ORDER BY i) AS dv
+         |        FROM codes GROUP BY vec_id),
+         |t AS (SELECT vec_id AS test_id, dv AS tq FROM dec WHERE vec_id % 10 < 2),
+         |r AS (SELECT vec_id AS train_id, dv AS rq FROM dec WHERE vec_id % 10 >= 2),
+         |qs AS (SELECT test_id, train_id, list_dot_product(tq, rq) AS qsim FROM t, r),
+         |fsl AS (SELECT test_id, train_id FROM (
+         |    SELECT test_id, train_id, row_number() OVER (PARTITION BY test_id
+         |      ORDER BY qsim DESC, train_id ASC) AS rn FROM qs) WHERE rn <= 8),
+         |bsl AS (SELECT test_id, train_id FROM (
+         |    SELECT test_id, train_id, row_number() OVER (PARTITION BY train_id
+         |      ORDER BY qsim DESC, test_id ASC) AS rn FROM qs) WHERE rn <= 8),
+         |cand AS (SELECT DISTINCT test_id, train_id FROM (
+         |    SELECT * FROM fsl UNION ALL SELECT * FROM bsl)),
+         |sc AS (SELECT c.test_id, c.train_id, ${oracleCos("te.v", "tr.v")} AS sim
+         |       FROM cand c JOIN e te ON te.vec_id = c.test_id
+         |       JOIN e tr ON tr.vec_id = c.train_id),
+         |fr AS (SELECT test_id, train_id, sim, row_number() OVER (PARTITION BY test_id
+         |         ORDER BY sim DESC, train_id ASC) AS rn FROM sc),
+         |br AS (SELECT test_id, train_id, sim, row_number() OVER (PARTITION BY train_id
+         |         ORDER BY sim DESC, test_id ASC) AS rn FROM sc),
+         |fa AS (SELECT test_id,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(sim ORDER BY rn)),
+         |           (a, b) -> a + b) / count(*) AS f_avg
+         |       FROM fr WHERE rn <= 4 GROUP BY test_id),
+         |ba AS (SELECT train_id,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(sim ORDER BY rn)),
+         |           (a, b) -> a + b) / count(*) AS b_avg
+         |       FROM br WHERE rn <= 4 GROUP BY train_id),
+         |top1 AS (SELECT test_id, train_id, sim FROM fr WHERE rn = 1)
+         |SELECT test_id, train_id,
+         |       CAST(round(2000000 * sim / (f_avg + b_avg)) AS BIGINT) AS margin_ppm
+         |FROM top1 JOIN fa USING (test_id) JOIN ba USING (train_id)
+         |WHERE CAST(round(2000000 * sim / (f_avg + b_avg)) AS BIGINT) >= 1200000""".stripMargin
+
   /** Brute-force exact top-k for queries 0..qn−1 with the constant
     * `serve_ok` column — the oracle side of the s36/s37 trained-artifact
     * checked queries (the Spark side folds the recall-floor assert; the
@@ -2220,6 +2270,20 @@ object SparkEntry {
       // isotropic corpus (RECALL.json margin_overlap_curve)
       val emb = Tables.embeddings(s, dir)
       Vectors.marginPairsScan(
+        emb.filter(col("vec_id") % 10 < 2),
+        emb.filter(col("vec_id") % 10 >= 2))
+    }),
+    "s38_margin_gated" -> ((s, dir) => {
+      // the geometry-GATED dispatch (round-7 verdict #5): measure the
+      // pair-cosine tail of the combined corpus, route candidates through
+      // trained IVF buckets when it shows cluster structure (sub-linear
+      // candidates at overlap ≥ 0.9 — RECALL.json margin_routed on the
+      // clustered twin), fall back to the s32 compressed scan when
+      // isotropic (routing would prune true neighbors at candidate-
+      // fraction rates). This fixture measures isotropic, so the gate
+      // deterministically picks scan and the oracle is s32's verbatim
+      val emb = Tables.embeddings(s, dir)
+      Vectors.marginPairsGated(
         emb.filter(col("vec_id") % 10 < 2),
         emb.filter(col("vec_id") % 10 >= 2))
     }),
@@ -4631,52 +4695,13 @@ object SparkEntry {
          |       CAST(round(2000000 * sim / (f_avg + b_avg)) AS BIGINT) AS margin_ppm
          |FROM top1 JOIN fa USING (test_id) JOIN ba USING (train_id)
          |WHERE CAST(round(2000000 * sim / (f_avg + b_avg)) AS BIGINT) >= 1200000""".stripMargin,
-    "s32_margin_scan" ->
-      // the SQ8 decode-corrected grid (s8's stats/codes/dec CTEs — the
-      // quantization grid spans test ∪ train = e), per-side top-8
-      // shortlists ranked on the COMPRESSED scores, exact re-rank of the
-      // shortlisted pairs only, then s31's margin tail (rank-ordered
-      // folds, ppm rounding before the threshold) over those candidates
-      s"""WITH $oracleEmbCte,
-         |ex AS (SELECT vec_id, unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x FROM e),
-         |stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i),
-         |codes AS (SELECT vec_id, i, mn, mx,
-         |            CASE WHEN mx > mn THEN least(floor((x - mn) * 255.0 / (mx - mn)), 255.0)
-         |                 ELSE 0.0 END AS c
-         |          FROM ex JOIN stats USING (i)),
-         |dec AS (SELECT vec_id, list(mn + c * ((mx - mn) / 255.0) ORDER BY i) AS dv
-         |        FROM codes GROUP BY vec_id),
-         |t AS (SELECT vec_id AS test_id, dv AS tq FROM dec WHERE vec_id % 10 < 2),
-         |r AS (SELECT vec_id AS train_id, dv AS rq FROM dec WHERE vec_id % 10 >= 2),
-         |qs AS (SELECT test_id, train_id, list_dot_product(tq, rq) AS qsim FROM t, r),
-         |fsl AS (SELECT test_id, train_id FROM (
-         |    SELECT test_id, train_id, row_number() OVER (PARTITION BY test_id
-         |      ORDER BY qsim DESC, train_id ASC) AS rn FROM qs) WHERE rn <= 8),
-         |bsl AS (SELECT test_id, train_id FROM (
-         |    SELECT test_id, train_id, row_number() OVER (PARTITION BY train_id
-         |      ORDER BY qsim DESC, test_id ASC) AS rn FROM qs) WHERE rn <= 8),
-         |cand AS (SELECT DISTINCT test_id, train_id FROM (
-         |    SELECT * FROM fsl UNION ALL SELECT * FROM bsl)),
-         |sc AS (SELECT c.test_id, c.train_id, ${oracleCos("te.v", "tr.v")} AS sim
-         |       FROM cand c JOIN e te ON te.vec_id = c.test_id
-         |       JOIN e tr ON tr.vec_id = c.train_id),
-         |fr AS (SELECT test_id, train_id, sim, row_number() OVER (PARTITION BY test_id
-         |         ORDER BY sim DESC, train_id ASC) AS rn FROM sc),
-         |br AS (SELECT test_id, train_id, sim, row_number() OVER (PARTITION BY train_id
-         |         ORDER BY sim DESC, test_id ASC) AS rn FROM sc),
-         |fa AS (SELECT test_id,
-         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(sim ORDER BY rn)),
-         |           (a, b) -> a + b) / count(*) AS f_avg
-         |       FROM fr WHERE rn <= 4 GROUP BY test_id),
-         |ba AS (SELECT train_id,
-         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(sim ORDER BY rn)),
-         |           (a, b) -> a + b) / count(*) AS b_avg
-         |       FROM br WHERE rn <= 4 GROUP BY train_id),
-         |top1 AS (SELECT test_id, train_id, sim FROM fr WHERE rn = 1)
-         |SELECT test_id, train_id,
-         |       CAST(round(2000000 * sim / (f_avg + b_avg)) AS BIGINT) AS margin_ppm
-         |FROM top1 JOIN fa USING (test_id) JOIN ba USING (train_id)
-         |WHERE CAST(round(2000000 * sim / (f_avg + b_avg)) AS BIGINT) >= 1200000""".stripMargin,
+    "s32_margin_scan" -> oracleMarginScan,
+    // the GATED dispatch resolves to the scan branch on this
+    // measured-isotropic fixture (gate p99 ≈ 2.33/√d < 3.5/√d), so the
+    // result — and the oracle — is s32's verbatim; the routed branch is
+    // attested on the clustered twin (RECALL.json margin_routed +
+    // VectorsSpec)
+    "s38_margin_gated" -> oracleMarginScan,
     "s30_cluster_balanced_sample" ->
       // per-bucket quota in deterministic multiplicative-hash order —
       // exact integer arithmetic end-to-end (2654435761 mod (2³¹−1)

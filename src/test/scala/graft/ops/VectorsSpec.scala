@@ -847,6 +847,52 @@ class VectorsSpec extends SparkSpec {
     assert(overlap >= 0.9, s"scan overlap $overlap")
   }
 
+  test("marginPairsGated: gate separates geometries an order of magnitude apart; " +
+      "routed branch recovers the exact pairs sub-linearly on clustered data") {
+    import org.apache.spark.sql.functions.col
+    // isotropic fixture: p99 of sampled |pair cos| sits near 2.33/√d,
+    // under the 3.5/√d gate ⇒ the dispatch picks the compressed scan —
+    // which is what the s38 oracle (s32's SQL verbatim) pins end-to-end
+    val iso = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val gate = Vectors.concentrationGate(iso)
+    val isoP99 = Vectors.pairConcentrationP99(iso)
+    assert(isoP99 < gate, s"isotropic p99 $isoP99 vs gate $gate")
+    // clustered twin (the RecallReport corpus shape, smaller): 8 one-hot-
+    // anchored clusters + integer-hash noise — deterministic, no RNG
+    val rows = (0L until 400L).map { i =>
+      val label = (i % 8L).toInt
+      val v = new Array[Float](64)
+      v(8 * label) = 1.0f
+      var j = 0
+      while (j < 64) {
+        val h = java.lang.Long.rotateLeft(
+          (i * 64 + j) * 0x9E3779B97F4A7C15L, 31) * 0xBF58476D1CE4E5B9L
+        v(j) += (((h >>> 11).toDouble / (1L << 53).toDouble - 0.5) * 0.3).toFloat
+        j += 1
+      }
+      (i, v)
+    }
+    val cl = rows.toDF("vec_id", "embedding")
+    val clP99 = Vectors.pairConcentrationP99(cl)
+    assert(clP99 > gate, s"clustered p99 $clP99 vs gate $gate")
+    val test = cl.filter(col("vec_id") % 10 < 2)
+    val train = cl.filter(col("vec_id") % 10 >= 2)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("test_id"), r.getAs[Long]("train_id"))).toSet
+    val exact = pairs(Vectors.marginPairs(test, train, marginPpmThreshold = 0L))
+    assert(exact.nonEmpty)
+    // the gated dispatch on clustered data IS the routed miner …
+    val gated = pairs(Vectors.marginPairsGated(test, train, marginPpmThreshold = 0L))
+    assert(gated === pairs(Vectors.marginPairsRouted(test, train, marginPpmThreshold = 0L)))
+    // … and it recovers ≥ 0.9 of the exact forward-top-1 pair set from a
+    // SUB-linear candidate fraction (probed buckets over trained routing)
+    val overlap = gated.intersect(exact).size.toDouble / exact.size
+    assert(overlap >= 0.9, s"routed overlap $overlap")
+    val frac = Vectors.marginRoutedCandidates(test, train).count().toDouble /
+      (test.count() * train.count())
+    assert(frac < 0.5, s"candidate fraction $frac not sub-linear")
+  }
+
   test("pqRerankTopKWithCodebook: corpus-wide shortlist ≡ brute force at m=16/ks=64") {
     // the shipped s9 geometry (16 subspaces × 64 centroids) through the
     // codebook seam: when the shortlist covers the corpus the exact re-rank
