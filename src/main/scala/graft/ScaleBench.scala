@@ -304,9 +304,11 @@ object ScaleBench {
         rounds = 4)),
       ("t56_components", e =>
         // disjoint copies: components multiply ×8, per-component CC work
-        // stays constant — a super-linear label-propagation stage would
-        // show up immediately
-        Dedup.dedupGroupsAuto(
+        // stays constant — a super-linear contraction stage would show up
+        // immediately. Star directly, matching the round-7 t56 query: the
+        // co-purchase graph's giant component defeats the 4-round
+        // propagation cap, so auto always paid 4 wasted rounds first
+        Dedup.dedupGroupsStar(
           e.select(col("src").as("doc_a"), col("dst").as("doc_b")))),
       ("t55_sssp", e =>
         // weighted Bellman–Ford over the ×f graph: per-round join +
