@@ -891,6 +891,16 @@ class VectorsSpec extends SparkSpec {
     val frac = Vectors.marginRoutedCandidates(test, train).count().toDouble /
       (test.count() * train.count())
     assert(frac < 0.5, s"candidate fraction $frac not sub-linear")
+    // exactness limit: probing EVERY bucket makes the candidate set the
+    // full grid, so routed must reproduce exact margin mining BIT-FOR-BIT
+    // (margins included) — routing only prunes, never rescores
+    def withMargins(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("test_id"), r.getAs[Long]("train_id"),
+        r.getAs[Long]("margin_ppm"))).toSet
+    val c = Vectors.spacedCentroidIds(train.count()).size
+    assert(withMargins(Vectors.marginPairsRouted(test, train,
+        marginPpmThreshold = 0L, nprobe = c)) ===
+      withMargins(Vectors.marginPairs(test, train, marginPpmThreshold = 0L)))
   }
 
   test("pqRerankTopKWithCodebook: corpus-wide shortlist ≡ brute force at m=16/ks=64") {
