@@ -880,4 +880,59 @@ private[graft] object RegistryLib {
 
   def oraclePqRank(candidates: String, k: Int): String =
     oraclePqRankFor(8)(candidates, k)
+
+  /** One unrolled BPE merge round for the x62 oracle — an INDEPENDENT
+    * formulation of greedy left-to-right pair merging from the Spark
+    * side's anchored-regex pass: adjacent pairs from the round's token
+    * lists, argmax with the (count desc, l, r) tie-break, then greedy
+    * occurrence selection as MATCH-RUN PARITY (gaps-and-islands row
+    * numbers: within each maximal run of consecutive matching positions,
+    * keep the 1st, 3rd, … — each merge consumes its right token, exactly
+    * the regex engine's non-overlapping left-to-right behavior), and the
+    * rebuild drops each selected position's right neighbor.
+    */
+  private def oracleBpeRound(r: Int): String = {
+    val prev = s"d${r - 1}"
+    s"""p$r AS (SELECT doc_id, unnest(range(1, len(toks))) AS i, toks AS tk FROM $prev),
+       |q$r AS (SELECT doc_id, i, tk[i] AS lt, tk[i+1] AS rt FROM p$r),
+       |c$r AS (SELECT lt, rt, count(*) AS c FROM q$r GROUP BY 1, 2),
+       |b$r AS (SELECT lt, rt, c FROM c$r ORDER BY c DESC, lt ASC, rt ASC LIMIT 1),
+       |s$r AS (SELECT doc_id, i,
+       |               i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |        FROM q$r JOIN b$r USING (lt, rt)),
+       |sel$r AS (SELECT doc_id, i FROM (
+       |          SELECT doc_id, i, ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY i) AS k
+       |          FROM s$r) WHERE k % 2 = 1),
+       |e$r AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS i, toks AS tk FROM $prev),
+       |d$r AS (SELECT e.doc_id,
+       |               list(CASE WHEN s.i IS NOT NULL THEN e.tk[e.i] || e.tk[e.i+1]
+       |                         ELSE e.tk[e.i] END ORDER BY e.i) AS toks
+       |        FROM e$r e
+       |        LEFT JOIN sel$r s  ON s.doc_id = e.doc_id AND s.i = e.i
+       |        LEFT JOIN sel$r sk ON sk.doc_id = e.doc_id AND sk.i = e.i - 1
+       |        WHERE sk.i IS NULL
+       |        GROUP BY e.doc_id)""".stripMargin
+  }
+
+  /** The full x62 oracle: char tokens over the normalized sampled slice,
+    * `rounds` unrolled merge rounds, the learned merge table out.
+    */
+  def oracleBpeMerges(rounds: Int): String = {
+    val body = (1 to rounds).map(oracleBpeRound).mkString(",\n")
+    val union = (1 to rounds).map { r =>
+      if (r == 1)
+        s"  SELECT CAST(1 AS BIGINT) AS merge_rank, lt AS l, rt AS r, CAST(c AS BIGINT) AS pair_count FROM b1"
+      else s"  UNION ALL SELECT $r, lt, rt, c FROM b$r"
+    }.mkString("\n")
+    s"""WITH d0 AS (
+       |  SELECT doc_id, [t[i:i] FOR i IN range(1, len(t)+1)] AS toks
+       |  FROM (SELECT doc_id,
+       |               substring(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 400) AS t
+       |        FROM documents WHERE doc_id % 20 = 0)
+       |  WHERE len(t) > 0),
+       |$body
+       |SELECT merge_rank, l, r, pair_count FROM (
+       |$union)
+       |ORDER BY merge_rank""".stripMargin
+  }
 }

@@ -79,6 +79,12 @@ private[graft] object RegistryX {
       // the waterfilling level caps big sources at a common level, small
       // sources keep everything — the mixture plan x15/x26 then execute
       TextOps.budgetWaterfill(Tables.documents(s, dir), budget = 20000L)),
+    "x62_bpe_merges" -> ((s, dir) =>
+      // BPE merge TRAINING (Sennrich 2016) — the tokenizer-training step:
+      // 4 rounds of corpus-wide pair counting + greedy left-to-right merge
+      // (one anchored-regex pass per round); the oracle reproduces greedy
+      // merging by an INDEPENDENT match-run-parity window formulation
+      TextOps.bpeMerges(Tables.documents(s, dir), rounds = 4)),
     "x32_heavy_hitters_checked" -> ((s, dir) =>
       // freqItems sketch next to exact counts: raises if the sketch drops
       // a true heavy hitter (its no-false-negative guarantee); emits the
@@ -538,6 +544,7 @@ private[graft] object RegistryX {
          |       CAST(coalesce(rk.rn, 0) AS BIGINT) AS bm25_rank
          |FROM truth t LEFT JOIN rk
          |  ON rk.query_id = t.query_id AND rk.doc_id = t.truth_id""".stripMargin,
+    "x62_bpe_merges" -> oracleBpeMerges(rounds = 4),
     "x61_budget_waterfill" ->
       // the same piecewise-linear solve: max over valid segment
       // candidates = the waterfilling level (rows past the crossing

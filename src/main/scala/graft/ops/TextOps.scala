@@ -1826,4 +1826,86 @@ object TextOps {
       .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** BPE merge TRAINING (Sennrich, Haddow & Birch 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units" — the tokenizer-training
+    * step every LLM data pipeline runs): starting from single characters,
+    * repeatedly count every adjacent token pair across the corpus, pick the
+    * most frequent (ties to the lexicographically smaller pair), and merge
+    * its occurrences greedily left-to-right in every document. Output: one
+    * row per learned merge — (merge_rank, l, r, pair_count) — the merge
+    * table a BPE tokenizer ships.
+    *
+    * Representation: each document's tokenization is ONE string with a
+    * `\u0001` separator between tokens (the alphabet is normalized to
+    * `[a-z ]` first, so the separator can never occur in a token). A merge
+    * round is then a single codegen'd `regexp_replace` pass with the pair
+    * anchored to full-token boundaries by lookarounds —
+    * `(?<=^|SEP)l SEP r(?=SEP|$)` — which replaces non-overlapping
+    * occurrences left-to-right, exactly BPE's greedy application (a run of
+    * k overlapping occurrences merges ⌈k/2⌉ at alternating positions,
+    * because each match consumes its tokens). No per-document array fold,
+    * no O(len²) interpreted HOF: per round the corpus takes one narrow
+    * regex pass plus one map-side-combined pair-count aggregation.
+    *
+    * Driver state is the merge table itself (`rounds` rows — metadata):
+    * each round collects ONE (l, r, count) row because the next round's
+    * plan depends on it, the [[graft.ops.Dedup.dedupGroups]] scalar-sync
+    * discipline. At 100 TB this is the standard BPE scaling shape:
+    * count-reduce, broadcast the decision, one rewrite pass.
+    *
+    * Deterministic end-to-end (integer counts, binary string order on the
+    * normalized alphabet), so the DuckDB oracle — an INDEPENDENT
+    * formulation of greedy merging via match-run parity over window
+    * functions, not regex — reproduces the merge table exactly (x62).
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int = 4, docMod: Long = 20L,
+      maxChars: Int = 400): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val SEP = "\u0001"
+    val normed = substring(
+      regexp_replace(lower(col("text")), "[^a-z ]", ""), 1, maxChars)
+    var state = docs
+      .filter(col("doc_id") % docMod === 0)
+      .select(col("doc_id"),
+        rtrim(regexp_replace(normed, "(.)", "$1" + SEP), SEP).as("s"))
+      .filter(length(col("s")) > 0)
+      .persist()
+    state.count()
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      r += 1
+      val toks = split(col("s"), SEP)
+      val top = state
+        .select(toks.as("t"))
+        .select(explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("lt"), b.as("rt")))).as("p"))
+        .groupBy(col("p.lt").as("lt"), col("p.rt").as("rt"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("lt").asc, col("rt").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rr, c) =
+          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((r.toLong, l, rr, c))
+        // tokens are [a-z ]+ only, so the pair needs no regex escaping and
+        // the replacement has no $-group hazards
+        val pat = s"(?<=^|$SEP)$l$SEP$rr(?=$SEP|$$)"
+        val next = state
+          .select(col("doc_id"), regexp_replace(col("s"), pat, l + rr).as("s"))
+          .persist()
+        next.count()
+        state.unpersist()
+        state = next
+      }
+    }
+    state.unpersist()
+    merges.toSeq.toDF("merge_rank", "l", "r", "pair_count")
+  }
 }

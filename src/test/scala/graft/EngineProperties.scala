@@ -914,6 +914,56 @@ object EngineProperties extends Properties("graft") {
     }
   }
 
+  // bpeMerges ≡ a driver-side reference BPE written from the definition
+  // (count adjacent pairs including overlapping runs, argmax with the
+  // (count desc, l, r) tie-break, greedy left-to-right merge per doc) —
+  // the alphabet is tiny so runs like "aaaa" stress the regex engine's
+  // non-overlapping semantics against the reference's explicit scan
+  property("bpeMerges ≡ driver-side reference BPE for any corpus") = {
+    val genDoc = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'a', ' ', 'c')).map(_.mkString)
+    val genCorpus = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, genDoc))
+    Prop.forAll(genCorpus, Gen.chooseNum(1, 4)) { (texts, rounds) =>
+      def reference(docs0: Seq[String], r: Int): Seq[(Long, String, String, Long)] = {
+        var docs = docs0.map(_.map(_.toString).toVector).filter(_.nonEmpty)
+        val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+        var k = 0
+        var done = false
+        while (k < r && !done) {
+          k += 1
+          val counts = scala.collection.mutable.Map[(String, String), Long]()
+          docs.foreach(t => t.indices.dropRight(1).foreach { i =>
+            counts((t(i), t(i + 1))) = counts.getOrElse((t(i), t(i + 1)), 0L) + 1
+          })
+          if (counts.isEmpty) done = true
+          else {
+            val ((l, rr), c) = counts.toSeq
+              .sortBy { case ((a, b), n) => (-n, a, b) }.head
+            out += ((k.toLong, l, rr, c))
+            docs = docs.map { t =>
+              val nb = Vector.newBuilder[String]
+              var i = 0
+              while (i < t.length) {
+                if (i + 1 < t.length && t(i) == l && t(i + 1) == rr) {
+                  nb += (l + rr); i += 2
+                } else { nb += t(i); i += 1 }
+              }
+              nb.result()
+            }
+          }
+        }
+        out.toSeq
+      }
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong * 20L, t) } // every doc passes doc_id % 20 = 0
+        .toDF("doc_id", "text")
+      val got = graft.ops.TextOps.bpeMerges(df, rounds, docMod = 20L)
+        .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getLong(3)))
+        .sortBy(_._1).toSeq
+      val want = reference(texts, rounds)
+      Prop(got == want) :| s"got $got want $want texts $texts"
+    }
+  }
+
   // (z4) count-min's one-sided error for ANY key multiset: estimate ≥
   // exact count, every key present, exact side exact
   property("countMinChecked never undercounts for any keys") = {
