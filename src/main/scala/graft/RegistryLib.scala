@@ -914,25 +914,51 @@ private[graft] object RegistryLib {
        |        GROUP BY e.doc_id)""".stripMargin
   }
 
-  /** The full x62 oracle: char tokens over the normalized sampled slice,
-    * `rounds` unrolled merge rounds, the learned merge table out.
+  /** Shared x62/x63 CTE chain: char tokens over the normalized sampled
+    * slice, then `rounds` unrolled merge rounds (d0 → d`rounds`).
     */
-  def oracleBpeMerges(rounds: Int): String = {
+  private def oracleBpeCtes(rounds: Int, docMod: Long): String = {
     val body = (1 to rounds).map(oracleBpeRound).mkString(",\n")
+    // multiplicative-hash sample, the s30 idiom — doc_id % mod would
+    // collapse onto one source (source = doc_id % 20 in the fixture)
+    s"""WITH d0 AS (
+       |  SELECT doc_id, [t[i:i] FOR i IN range(1, len(t)+1)] AS toks
+       |  FROM (SELECT doc_id,
+       |               substring(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 400) AS t
+       |        FROM documents
+       |        WHERE ((doc_id % 2147483647) * ${2654435761L % 2147483647L})
+       |                % 2147483647 % $docMod = 0)
+       |  WHERE len(t) > 0),
+       |$body""".stripMargin
+  }
+
+  /** The full x62 oracle: the learned merge table out of the CTE chain. */
+  def oracleBpeMerges(rounds: Int, docMod: Long = 20L): String = {
     val union = (1 to rounds).map { r =>
       if (r == 1)
         s"  SELECT CAST(1 AS BIGINT) AS merge_rank, lt AS l, rt AS r, CAST(c AS BIGINT) AS pair_count FROM b1"
       else s"  UNION ALL SELECT $r, lt, rt, c FROM b$r"
     }.mkString("\n")
-    s"""WITH d0 AS (
-       |  SELECT doc_id, [t[i:i] FOR i IN range(1, len(t)+1)] AS toks
-       |  FROM (SELECT doc_id,
-       |               substring(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 400) AS t
-       |        FROM documents WHERE doc_id % 20 = 0)
-       |  WHERE len(t) > 0),
-       |$body
+    s"""${oracleBpeCtes(rounds, docMod)}
        |SELECT merge_rank, l, r, pair_count FROM (
        |$union)
        |ORDER BY merge_rank""".stripMargin
   }
+
+  /** The x63 oracle: per-source fertility of the final tokenization —
+    * merges preserve characters, so chars come straight off the final
+    * token lists (concatenated length) and tokens off their lengths.
+    */
+  def oracleBpeFertility(rounds: Int, docMod: Long = 20L): String =
+    s"""${oracleBpeCtes(rounds, docMod)},
+       |f AS (SELECT doc_id, len(toks) AS n_tokens,
+       |             len(list_aggregate(toks, 'string_agg', '')) AS n_chars
+       |      FROM d$rounds)
+       |SELECT doc.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(f.n_chars) AS BIGINT) AS n_chars,
+       |       CAST(sum(f.n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST((1000000 * sum(f.n_chars)) // sum(f.n_tokens) AS BIGINT)
+       |         AS chars_per_token_ppm
+       |FROM f JOIN documents doc USING (doc_id)
+       |GROUP BY 1""".stripMargin
 }

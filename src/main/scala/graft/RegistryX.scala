@@ -85,6 +85,11 @@ private[graft] object RegistryX {
       // (one anchored-regex pass per round); the oracle reproduces greedy
       // merging by an INDEPENDENT match-run-parity window formulation
       TextOps.bpeMerges(Tables.documents(s, dir), rounds = 4)),
+    "x63_bpe_fertility" -> ((s, dir) =>
+      // …and the tokenizer-evaluation step: apply the learned merges and
+      // read per-source compression (chars per token ×1e6) — the metric a
+      // pipeline checks before committing to a tokenizer
+      TextOps.bpeFertility(Tables.documents(s, dir), rounds = 4)),
     "x32_heavy_hitters_checked" -> ((s, dir) =>
       // freqItems sketch next to exact counts: raises if the sketch drops
       // a true heavy hitter (its no-false-negative guarantee); emits the
@@ -545,6 +550,7 @@ private[graft] object RegistryX {
          |FROM truth t LEFT JOIN rk
          |  ON rk.query_id = t.query_id AND rk.doc_id = t.truth_id""".stripMargin,
     "x62_bpe_merges" -> oracleBpeMerges(rounds = 4),
+    "x63_bpe_fertility" -> oracleBpeFertility(rounds = 4),
     "x61_budget_waterfill" ->
       // the same piecewise-linear solve: max over valid segment
       // candidates = the waterfilling level (rows past the crossing

@@ -246,7 +246,13 @@ object ScaleBench {
         graft.ops.TextOps.bm25SearchFromIndex(d.sparkSession, t, Seq(
           (0L, "hash join batch"), (1L, "vector scan filter"),
           (2L, "window agg order")), k = 10)
-      }, true)
+      }, true),
+      ("x62_bpe_merges", (d: DataFrame) =>
+        // tokenizer training end-to-end: per round one map-side-combined
+        // pair-count agg + one regex rewrite pass — linear in sampled
+        // chars, so ×8 must track ≈×8 (the timed region includes the
+        // eager per-round driver syncs, which are metadata rows)
+        graft.ops.TextOps.bpeMerges(d, rounds = 4), true)
     )
 
     def time(fn: () => DataFrame): (Double, Long) = {

@@ -1863,11 +1863,60 @@ object TextOps {
       maxChars: Int = 400): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val (merges, state) = bpeLoop(docs, rounds, docMod, maxChars)
+    state.unpersist()
+    merges.toDF("merge_rank", "l", "r", "pair_count")
+  }
+
+  /** Tokenizer FERTILITY of the learned BPE vocabulary (x63) — apply the
+    * [[bpeMerges]] merge table to the sampled corpus and report, per
+    * source, how well it compresses: documents, characters, tokens after
+    * `rounds` merges, and chars-per-token ×1e6 (integer-exact ratio). The
+    * standard tokenizer-evaluation metric: a vocabulary trained on one
+    * mixture reads HIGHER chars-per-token on sources it fits and degrades
+    * toward 1.0 (one char per token) on out-of-domain text — the
+    * measurement a pipeline runs before committing to a tokenizer.
+    */
+  def bpeFertility(docs: DataFrame, rounds: Int = 4, docMod: Long = 20L,
+      maxChars: Int = 400): DataFrame = {
+    val SEP = "\u0001"
+    val (_, state) = bpeLoop(docs, rounds, docMod, maxChars)
+    val out = state
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"),
+        // merges preserve characters: chars = len(s) − (#tokens − 1) seps
+        (length(col("s")) - (size(split(col("s"), SEP)) - 1)).cast("long").as("n_chars"),
+        size(split(col("s"), SEP)).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_chars"), col("n_tokens"),
+        expr("(1000000 * n_chars) div n_tokens").as("chars_per_token_ppm"))
+    // the fertility aggregate must materialize before the state cache
+    // drops, and it is metadata-sized (one row per source)
+    val rows = out.collect().toSeq
+    state.unpersist()
+    val spark2 = docs.sparkSession
+    spark2.createDataFrame(
+      spark2.sparkContext.parallelize(rows, 1), out.schema)
+  }
+
+  /** Shared BPE training loop: the merge table plus the FINAL persisted
+    * tokenization state (separator-encoded; caller unpersists).
+    */
+  private def bpeLoop(docs: DataFrame, rounds: Int, docMod: Long,
+      maxChars: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
     val SEP = "\u0001"
     val normed = substring(
       regexp_replace(lower(col("text")), "[^a-z ]", ""), 1, maxChars)
+    // multiplicative-hash sample (the s30/x8 idiom — integer-exact in
+    // both engines), NOT doc_id % docMod: the fixture assigns source as
+    // doc_id % 20, so a residue-class sample would collapse onto one
+    // source and starve the per-source fertility read (x63)
     var state = docs
-      .filter(col("doc_id") % docMod === 0)
+      .filter(pmod((col("doc_id") % 2147483647L) * lit(2654435761L % 2147483647L),
+        lit(2147483647L)) % docMod === 0)
       .select(col("doc_id"),
         rtrim(regexp_replace(normed, "(.)", "$1" + SEP), SEP).as("s"))
       .filter(length(col("s")) > 0)
@@ -1905,7 +1954,6 @@ object TextOps {
         state = next
       }
     }
-    state.unpersist()
-    merges.toSeq.toDF("merge_rank", "l", "r", "pair_count")
+    (merges.toSeq, state)
   }
 }

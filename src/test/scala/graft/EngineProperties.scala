@@ -954,9 +954,11 @@ object EngineProperties extends Properties("graft") {
         out.toSeq
       }
       val df = texts.zipWithIndex
-        .map { case (t, i) => (i.toLong * 20L, t) } // every doc passes doc_id % 20 = 0
+        .map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text")
-      val got = graft.ops.TextOps.bpeMerges(df, rounds, docMod = 20L)
+      // docMod = 1: the hash sample admits every doc, so the reference
+      // sees the identical corpus
+      val got = graft.ops.TextOps.bpeMerges(df, rounds, docMod = 1L)
         .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getLong(3)))
         .sortBy(_._1).toSeq
       val want = reference(texts, rounds)
