@@ -76,12 +76,46 @@ object CdcChunkSpans {
     * before this position"). A cut at `p = n` adds no empty trailing chunk.
     * Null id slots (never produced by the split front-end) poison every
     * window containing them — no cut there, matching the lead-chain's
-    * null-propagation.
+    * null-propagation (here: a null's window-offset value is the sentinel
+    * 0 so the rolling update stays consistent, and `lastNull` suppresses
+    * the cut while the null is inside the window).
     */
   def compute(ids: ArrayData, k: Int, divisor: Long): ArrayData = {
     val n = ids.numElements()
+    // one pass to the shared core's (id + 1) offset form; null → sentinel
+    // 0 with its index recorded (valid offsets are ≥ 1, so 0 is free)
+    val v = new Array[Long](n)
+    var hasNull = false
+    var i = 0
+    while (i < n) {
+      if (ids.isNullAt(i)) { v(i) = 0L; hasNull = true }
+      else {
+        // reduce mod P up front: congruent to the old (acc·37 + id + 1)
+        // fold for any id, and keeps v·37^(k−1) inside a signed long even
+        // for out-of-contract SQL inputs (token ids are < P already)
+        v(i) = (((ids.getLong(i) + 1L) % prime) + prime) % prime
+      }
+      i += 1
+    }
+    spansOf(v, if (hasNull) ids else null, k, divisor)
+  }
+
+  /** The shared span scan over window-offset values `v(i) = id(i) + 1`
+    * (0 = null sentinel): ONE rolling Rabin–Karp pass — slide out
+    * `v(p−1)·37^(k−1)`, slide in `v(p+k−1)`, all mod 2³¹−1 — instead of
+    * recomputing each k-gram from scratch (O(n) vs O(n·k); the SQL
+    * functions accept arbitrary k, and rsync-sized windows are k = 32–64).
+    * The rolling value always equals the fold over the CURRENT window's
+    * offsets (the sentinel keeps the arithmetic consistent through nulls),
+    * and a window is eligible to cut only when no null sits inside it.
+    * Bit-equality with the recompute form (and the round-6 window plan) is
+    * property-pinned in CdcChunkSpec.
+    */
+  private def spansOf(v: Array[Long], nullSrc: ArrayData, k: Int,
+      divisor: Long): ArrayData = {
+    val n = v.length
     if (n == 0) return new GenericArrayData(Array.empty[Any])
-    if (k <= 0 || divisor <= 0) {
+    if (k <= 0 || divisor <= 0 || k > n) {
       return new GenericArrayData(Array[Any](InternalRow(1L, n.toLong)))
     }
     // worst case every eligible position cuts: ≤ n spans
@@ -90,21 +124,34 @@ object CdcChunkSpans {
     var m = 0
     var chunkStart = 1L
     val lastFull = n - k + 1 // last position with a complete k-gram
+    // 37^(k−1) mod P for the slide-out term
+    var pow = 1L
+    var e = 1
+    while (e < k) { pow = (pow * 37L) % prime; e += 1 }
+    // initial window [0, k−1]; track the most recent null index seen
+    var acc = 0L
+    var lastNull = -1
+    var j = 0
+    while (j < k) {
+      if (nullSrc != null && nullSrc.isNullAt(j)) lastNull = j
+      acc = (acc * 37L + v(j)) % prime
+      j += 1
+    }
     var p = 1
     while (p <= lastFull) {
-      var acc = 0L
-      var nullSeen = false
-      var j = 0
-      while (j < k) {
-        if (ids.isNullAt(p - 1 + j)) nullSeen = true
-        else acc = (acc * 37L + ids.getLong(p - 1 + j) + 1L) % prime
-        j += 1
-      }
-      if (!nullSeen && acc % divisor == 0L && p < n) {
+      // window is [p−1, p+k−2], 0-based
+      if (lastNull < p - 1 && acc % divisor == 0L && p < n) {
         starts(m) = chunkStart
         ends(m) = p.toLong
         m += 1
         chunkStart = p + 1L
+      }
+      if (p <= lastFull - 1) {
+        // slide: out v(p−1), in v(p+k−1); keep the residue non-negative
+        val in = p + k - 1
+        if (nullSrc != null && nullSrc.isNullAt(in)) lastNull = in
+        acc = ((acc - (v(p - 1) * pow) % prime) % prime + prime) % prime
+        acc = (acc * 37L + v(in)) % prime
       }
       p += 1
     }
@@ -135,51 +182,19 @@ object CdcChunkSpans {
       divisor: Long): ArrayData = {
     val s = text.toString
     val nChars = s.length
-    // code points, one scan; surrogate pairs collapse to one id
-    val cps = new Array[Long](nChars)
+    // code points in (id + 1) offset form, one scan; surrogate pairs
+    // collapse to one id — then the same shared rolling span scan as the
+    // array form (no second copy of the boundary algorithm to keep in sync)
+    val v = new Array[Long](nChars)
     var n = 0
     var ci = 0
     while (ci < nChars) {
       val cp = s.codePointAt(ci)
-      cps(n) = cp.toLong
+      v(n) = cp.toLong + 1L
       n += 1
       ci += Character.charCount(cp)
     }
-    if (n == 0) return new GenericArrayData(Array.empty[Any])
-    if (k <= 0 || divisor <= 0) {
-      return new GenericArrayData(Array[Any](InternalRow(1L, n.toLong)))
-    }
-    val starts = new Array[Long](n)
-    val ends = new Array[Long](n)
-    var m = 0
-    var chunkStart = 1L
-    val lastFull = n - k + 1
-    var p = 1
-    while (p <= lastFull) {
-      var acc = 0L
-      var j = 0
-      while (j < k) {
-        acc = (acc * 37L + cps(p - 1 + j) + 1L) % prime
-        j += 1
-      }
-      if (acc % divisor == 0L && p < n) {
-        starts(m) = chunkStart
-        ends(m) = p.toLong
-        m += 1
-        chunkStart = p + 1L
-      }
-      p += 1
-    }
-    starts(m) = chunkStart
-    ends(m) = n.toLong
-    m += 1
-    val out = new Array[Any](m)
-    var i = 0
-    while (i < m) {
-      out(i) = InternalRow(starts(i), ends(i) - starts(i) + 1L)
-      i += 1
-    }
-    new GenericArrayData(out)
+    spansOf(if (n == nChars) v else java.util.Arrays.copyOf(v, n), null, k, divisor)
   }
 
   def column(ids: Column, k: Int, divisor: Long): Column =

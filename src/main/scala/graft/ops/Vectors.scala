@@ -1188,12 +1188,17 @@ object Vectors {
       iters: Int = 5, seed: Long = 42L,
       init: String = "spaced"): Seq[(Long, Array[Double])] = {
     require(init == "spaced" || init == "maxmin", s"unknown init '$init'")
-    require(c > 0 && sampleTarget >= c, "need at least one sample vector per centroid")
+    require(c > 0, "need at least one centroid")
+    // the sample must carry at least one vector per centroid, so the
+    // effective target rises with c instead of crashing past c = 4096
+    // (round-7 review: the trained-default artifact path asks for
+    // c = ⌈√N⌉, which exceeds the old fixed floor once N > 16.8M)
+    val target = math.max(sampleTarget, c)
     val unit = withUnit(embeddings).select(col("vec_id"), col("unit"))
     val n = embeddings.count()
     // ceil, not floor: floor(n/target) would admit up to ~2× the target in
     // expectation (and the ENTIRE corpus for n < 2·target)
-    val m = math.max(1L, (n + sampleTarget - 1L) / sampleTarget.toLong)
+    val m = math.max(1L, (n + target - 1L) / target.toLong)
     val sample = unit
       .filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(m)) === 0)
       .orderBy(col("vec_id")) // driver-side order must not depend on partitioning
@@ -1404,18 +1409,23 @@ object Vectors {
     val fresh = newVecs.join(
       spark.table(table).select(col("vec_id")).distinct(),
       Seq("vec_id"), "left_anti")
+    // persisted: the emptiness probe and the write must not each pay the
+    // anti-join + assignment (round-7 review — this is the foreachBatch
+    // hot path, and the anti-join side scans the whole index)
     val assigned = assignToCentroids(
       withUnit(fresh).select(col("vec_id"), col("unit")),
-      centroidFrame(spark, cents))
-    if (!assigned.isEmpty) {
-      assigned.select(col("vec_id"), col("bucket"), col("unit"))
-        .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
-        .bucketBy(buckets, "bucket")
-        .saveAsTable(table)
-      // appends from this (possibly cloned) session must be visible to its
-      // own later reads; cross-session readers refresh on their side
-      spark.catalog.refreshTable(table)
-    }
+      centroidFrame(spark, cents)).persist()
+    try {
+      if (!assigned.isEmpty) {
+        assigned.select(col("vec_id"), col("bucket"), col("unit"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+          .bucketBy(buckets, "bucket")
+          .saveAsTable(table)
+        // appends from this (possibly cloned) session must be visible to its
+        // own later reads; cross-session readers refresh on their side
+        spark.catalog.refreshTable(table)
+      }
+    } finally { assigned.unpersist(); () }
   }
 
   /** Build-if-absent persisted IVF index (the [[writeIvfIndex]] layout
@@ -1466,8 +1476,13 @@ object Vectors {
           .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
           .sortBy(_._1).toSeq
       case None =>
-        trainedCentroids(embeddings,
-          spacedCentroidIds(embeddings.count()).size, init = "maxmin")
+        // C = min(⌈√N⌉, 65 536): uncapped, ⌈√N⌉ would exceed the trainer's
+        // sample (crashing the build past N ≈ 16.8M) and blow the driver's
+        // O(C·|sample|·d) Lloyd budget; at the cap, buckets still hold
+        // ≥ √N members and the C·(d+2)-value ledger stays broadcast-sized.
+        // trainedCentroids itself raises its sample to ≥ c (scaladoc).
+        val c = math.min(spacedCentroidIds(embeddings.count()).size, 65536)
+        trainedCentroids(embeddings, c, init = "maxmin")
     }
 
   /** Batch ANN over a persisted index — for query BATCHES too large to
@@ -2344,22 +2359,29 @@ object Vectors {
       .select(col("vec_id"), col("unit"))
       .orderBy(xxhash64(col("vec_id"), lit(7L)), col("vec_id"))
       .limit(sampleN).persist()
-    val r = samp.select(col("vec_id").as("ida"), col("unit").as("ua"))
+    val row = samp.select(col("vec_id").as("ida"), col("unit").as("ua"))
       .join(samp.select(col("vec_id").as("idb"), col("unit").as("ub")),
         col("ida") < col("idb"))
       .select(abs(dot(col("ua"), col("ub"))).as("s"))
       .agg(expr("percentile(s, 0.99D)").as("p99"))
-      .head().getDouble(0)
+      .head()
     samp.unpersist()
-    r
+    // a sample with < 2 vectors has no pairs and percentile returns null:
+    // report 0 (no concentration evidence → the gate reads isotropic and
+    // the scan branch handles the degenerate corpus gracefully)
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
   }
 
   /** The gate threshold for a given dimension: 3.5/√d — well above the
     * isotropic p99 ≈ 2.33/√d, far below any O(1) within-cluster cosine.
+    * An EMPTY frame has no dimension: the gate reads +∞, so the dispatch
+    * falls to the scan branch (which returns empty gracefully).
     */
   def concentrationGate(vectors: DataFrame): Double =
-    3.5 / math.sqrt(withUnit(vectors).select(size(col("unit")))
-      .head().getInt(0).toDouble)
+    withUnit(vectors).select(size(col("unit"))).head(1) match {
+      case Array(r) => 3.5 / math.sqrt(r.getInt(0).toDouble)
+      case _        => Double.MaxValue
+    }
 
   /** [[marginPairs]] with IVF ROUTING in front — the candidate generator
     * for corpora whose geometry has real cluster structure: trained
@@ -2396,24 +2418,38 @@ object Vectors {
     val spark = train.sparkSession
     val tU = withUnit(test).select(col("vec_id").as("test_id"), col("unit").as("tu"))
     val rU = withUnit(train).select(col("vec_id"), col("unit"))
+    // same C = min(⌈√N⌉, 65 536) rule as the artifact builders
     val cents = trainedCentroids(train,
-      spacedCentroidIds(train.count()).size, init = "maxmin")
+      math.min(spacedCentroidIds(train.count()).size, 65536), init = "maxmin")
     val cf = centroidFrame(spark, cents)
-    val probes = if (nprobe > 0) nprobe else math.max(1, (cents.size + 7) / 8)
     val trainBuckets = assignToCentroids(rU, cf)
       .select(col("vec_id").as("train_id"), col("bucket"), col("unit").as("ru"))
-    val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("test_id")).orderBy(col("csim").desc, col("centroid_id").asc)
-    val testProbes = tU.join(F.broadcast(cf))
-      .select(col("test_id"), col("tu"), col("centroid_id"),
-        dot(col("tu"), col("c")).as("csim"))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= probes)
-      .select(col("test_id"), col("centroid_id").as("bucket"), col("tu"))
+    val testProbes = topProbeBuckets(tU, "test_id", "tu", cf, nprobe, cents.size)
     // each train vector lives in exactly ONE bucket, so the probe join
     // cannot duplicate a (test, train) pair — no distinct needed
     F.broadcast(testProbes).join(trainBuckets, Seq("bucket"))
       .select(col("test_id"), col("train_id"), dot(col("tu"), col("ru")).as("sim"))
+  }
+
+  /** Per-query top-`nprobe` probe buckets from one broadcast pass over a
+    * centroid frame — the multi-probe routing step shared by the gated
+    * margin miner ([[routedScored]]) and the trained-artifact serve
+    * ([[servedTrainedChecked]]). `nprobe` ≤ 0 selects the scale-stable
+    * default: ⌈C/8⌉ buckets, a constant ⅛ routing fraction (a FIXED
+    * nprobe over C = ⌈√N⌉ is a shrinking scan fraction as the corpus
+    * grows). Output: (idCol, bucket, vecCol) — one row per probe.
+    */
+  private def topProbeBuckets(queries: DataFrame, idCol: String, vecCol: String,
+      cf: DataFrame, nprobe: Int, nCentroids: Int): DataFrame = {
+    val probes = if (nprobe > 0) nprobe else math.max(1, (nCentroids + 7) / 8)
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("csim").desc, col("centroid_id").asc)
+    queries.join(F.broadcast(cf))
+      .select(col(idCol), col(vecCol), col("centroid_id"),
+        dot(col(vecCol), col("c")).as("csim"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= probes)
+      .select(col(idCol), col("centroid_id").as("bucket"), col(vecCol))
   }
 
   /** Geometry-GATED margin mining (round-7 verdict #5) — the production
@@ -2563,20 +2599,10 @@ object Vectors {
     val spark = embeddings.sparkSession
     val index = materializedIvfIndex(embeddings, table)
     val ledger = readCentroidLedger(spark, table)
-    val probes =
-      if (nprobe > 0) nprobe
-      else math.max(1, (ledger.size + 7) / 8) // ⌈C/8⌉: scale-stable fraction
-    val cents = centroidFrame(spark, ledger)
     val qUnit = index.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("unit").as("q"))
-    val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("csim").desc, col("centroid_id").asc)
-    val queries = qUnit.join(F.broadcast(cents))
-      .select(col("query_id"), col("q"), col("centroid_id"),
-        dot(col("q"), col("c")).as("csim"))
-      .withColumn("rn", F.row_number().over(wq))
-      .filter(col("rn") <= probes)
-      .select(col("query_id"), col("centroid_id").as("bucket"), col("q"))
+    val queries = topProbeBuckets(qUnit, "query_id", "q",
+      centroidFrame(spark, ledger), nprobe, ledger.size)
     checkedAgainstBrute(embeddings,
       ivfBatchTopKFromIndex(index, F.broadcast(queries), k),
       queryIds, k, minRecallPpm, "trained IVF artifact serve")
