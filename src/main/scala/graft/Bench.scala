@@ -93,8 +93,17 @@ object Bench {
       }))
     val ordered = (artifactEntries ++ SparkEntry.queries.toSeq).sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.exists(name.startsWith) }
+    // FULL materialization, not DataFrame.count(): count() lets Catalyst
+    // prune the projection above the last exchange, so a pure-projection
+    // query collapsed to a parquet metadata count (x9 measured 0.10 s for
+    // 1.41 s of real work) and checked queries' in-plan assert_true
+    // columns were silently skipped (round-7 fix — totals rise honestly
+    // for projection-only queries). toRdd.count() executes the query's own
+    // optimized plan and touches every output row without collecting it.
+    def materialize(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
     ordered.foreach { case (name, fn) =>
-      try { fn(spark, warmDir).count(); () } catch {
+      try { materialize(fn(spark, warmDir)); () } catch {
         case e: Throwable =>
           System.err.println(s"[bench] warmup $name FAILED ($warmDir): ${e.getMessage}")
       }
@@ -104,7 +113,7 @@ object Bench {
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true } catch {
+          try { materialize(fn(spark, sfDir)); true } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               false

@@ -73,7 +73,7 @@ private[graft] object RegistryX {
       // most-Jaccard-similar neighbor (d38 truth) come back? rank 0 =
       // missed the top-10 — every miss is a row, not a silent drop
       TextOps.retrievalAgreement(Tables.documents(s, dir),
-        queryPred = col("doc_id") % 7 === 0)),
+        queryPred = col("doc_id") % 31 === 0)),
     "x61_budget_waterfill" -> ((s, dir) =>
       // max–min fair token allocation across sources under a 20k budget:
       // the waterfilling level caps big sources at a common level, small
@@ -506,7 +506,7 @@ private[graft] object RegistryX {
       // tokens as the query and self excluded; BM25 CTEs renamed (btok/bp/
       // bl/bd/bst) to dodge the jaccard chain's names
       s"""WITH $oracleJaccardCtes,
-         |qi AS (SELECT doc_id AS query_id, shingle_id FROM idx WHERE doc_id % 7 = 0),
+         |qi AS (SELECT doc_id AS query_id, shingle_id FROM idx WHERE doc_id % 31 = 0),
          |dcand AS (SELECT DISTINCT qi.query_id, idx.doc_id AS neighbor_id
          |          FROM qi JOIN idx ON idx.shingle_id = qi.shingle_id
          |           AND idx.doc_id <> qi.query_id),
@@ -530,7 +530,7 @@ private[graft] object RegistryX {
          |bst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(len) AS avglen FROM bl),
          |q AS (SELECT DISTINCT query_id, term FROM (
          |        SELECT doc_id AS query_id, unnest(string_split(text, ' ')) AS term
-         |        FROM documents WHERE doc_id % 7 = 0)),
+         |        FROM documents WHERE doc_id % 31 = 0)),
          |sc AS (SELECT q.query_id, bp.doc_id,
          |              CAST(round(1e6 * sum(ln((bst.n_docs - bd.df + 0.5) / (bd.df + 0.5) + 1.0) *
          |                (bp.tf * 2.2) / (bp.tf + 1.2 * (0.25 + 0.75 * bl.len / bst.avglen))))

@@ -258,7 +258,11 @@ object ScaleBench {
     def time(fn: () => DataFrame): (Double, Long) = {
       spark.sqlContext.clearCache()
       val t0 = System.nanoTime()
-      val rows = fn().count()
+      // toRdd.count(), not DataFrame.count(): count() prunes projections
+      // above the last exchange, so projection-heavy probes (d33 excised
+      // docs, x9-class rewrites) would measure a metadata count instead of
+      // the work (the round-7 Bench fix, applied to the ratio probes too)
+      val rows = fn().queryExecution.toRdd.count()
       ((System.nanoTime() - t0) / 1e9, rows)
     }
 

@@ -1186,18 +1186,39 @@ object TextOps {
     val qterms = docs.filter(queryPred)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(tokens(col("text")))).as("term"))
-    val scored = postings
-      .join(broadcast(qterms), Seq("term"))
-      .join(broadcast(dfs.join(
-        broadcast(qterms.select(col("term")).distinct()), Seq("term"))), Seq("term"))
-      .join(lens, Seq("doc_id"))
+    // the scored join's row count is Σ_term qf(term)·df(term) — a stopword
+    // shared by every query and every doc contributes |Q|·|D| rows, so the
+    // per-row work must be ONE multiply-add: idf folds once per TERM and
+    // the length normalizer once per DOC before the join (bit-identical
+    // doubles — same sub-expressions over the same inputs, and the per-row
+    // tree (idf·(tf·(k1+1)))/(tf+denom) keeps the oracle's operation order)
+    val idfs = dfs
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
       .crossJoin(broadcast(stats))
+      .select(col("term"),
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+          .as("idf"))
+    val norms = lens.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avglen"))).as("denom"))
+    // norms attaches to the 1M-row postings BEFORE the query-term blowup
+    // (joining it after would move 64M rows through a doc_id exchange),
+    // and both per-term frames broadcast: the whole 64M-row stage is one
+    // codegen span ending in the partial aggregate. The EXPLICIT
+    // repartition is load-bearing: the postings exchange is only ~20 MB,
+    // so AQE coalesces it to one partition and the 64× join blowup would
+    // run on ONE task (measured 12 s single-threaded vs ~1 s spread) —
+    // a fixed-count repartition is exempt from AQE coalescing and sizes
+    // the stage for its OUTPUT, not its input
+    val nPart = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val scored = postings
+      .join(broadcast(norms), Seq("doc_id"))
+      .repartition(nPart, col("doc_id"))
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(idfs), Seq("term"))
       .filter(col("doc_id") =!= col("query_id")) // the query doc IS a corpus doc
       .select(col("query_id"), col("doc_id"),
-        (log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
-          (col("tf") * lit(k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avglen"))))
-          .as("s"))
+        (col("idf") * (col("tf") * lit(k1 + 1.0)) / (col("tf") + col("denom"))).as("s"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(lit(1e6) * sum(col("s"))).cast("long").as("score_ppm"))
     val w = org.apache.spark.sql.expressions.Window

@@ -633,4 +633,44 @@ class PlanSpec extends SparkSpec {
     // holding no query term skip on min/max stats)
     assert(plan.contains("In(term"), s"x58 must push the term IN-list:\n$plan")
   }
+
+  test("round-7 additions keep their scale shapes: trained serve exchange-free, " +
+      "routed margin broadcasts, gated scan inherits s32's shape") {
+    val dir = "/root/testdata/sf0.001"
+    // s36: the trained-artifact serve reads the bucket-clustered index with
+    // NO exchange on the corpus side — probes and truth are broadcast-sized
+    val s36 = SparkEntry.queries("s36_ann_trained_ivf_checked")(spark, dir)
+    s36.collect()
+    val p36 = s36.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p36.contains("BroadcastHashJoin"), s"s36: $p36")
+    assert(!p36.contains("SortMergeJoin"), s"s36: $p36")
+    spark.sqlContext.clearCache()
+    // s38 resolves to the scan branch here (isotropic fixture): the pair
+    // grid is a broadcast nested loop over SQ8 codes — the corpus side
+    // must never sort-shuffle
+    val s38 = SparkEntry.queries("s38_margin_gated")(spark, dir)
+    s38.collect()
+    val p38 = s38.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p38.contains("SortMergeJoin"), s"s38: $p38")
+    spark.sqlContext.clearCache()
+    // x62: each BPE round's pair count is a map-side-combined hash
+    // aggregate (partial_count before the exchange), and the returned
+    // merge table is literal metadata — the plan check runs on the
+    // counting stage the loop executes
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, dir)
+    val toks = split(
+      rtrim(regexp_replace(
+        substring(regexp_replace(lower(col("text")), "[^a-z ]", ""), 1, 400),
+        "(.)", "$1\u0001"), "\u0001"), "\u0001")
+    val pairCount = docs.select(toks.as("t"))
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("lt"), b.as("rt")))).as("p"))
+      .groupBy(col("p.lt"), col("p.rt")).agg(count(lit(1)))
+    val p62 = pairCount.queryExecution.executedPlan.toString
+    assert(p62.contains("partial_count") || p62.contains("partial count"),
+      s"x62 pair count must combine map-side:\n$p62")
+  }
 }
