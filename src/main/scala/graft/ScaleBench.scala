@@ -281,7 +281,10 @@ object ScaleBench {
     val warmD = Tables.documents(spark, "/root/testdata/sf0.001").select(col("doc_id"), col("text"))
     val warmE = Tables.embeddings(spark, "/root/testdata/sf0.001")
     queries.foreach { case (_, fn, isDoc) =>
-      try { fn(if (isDoc) warmD else warmE).count(); () }
+      // same full-materialization meter as the timed runs: a pruned
+      // count() here would leave the final projection's codegen compiling
+      // inside the timed x1 run, inflating x1 and deflating the ratio
+      try { fn(if (isDoc) warmD else warmE).queryExecution.toRdd.count(); () }
       catch { case e: Throwable => System.err.println(s"[scale] warmup failed: ${e.getMessage}") }
       spark.sqlContext.clearCache()
     }

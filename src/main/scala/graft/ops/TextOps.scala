@@ -1163,10 +1163,14 @@ object TextOps {
     * independently oracle-attested (d38, x33); the composition stays
     * integer-exact end to end.
     *
-    * Scale note: the query-term frame broadcasts, so the predicate must
-    * select a bounded query set (here a deterministic 1-in-7 sample —
-    * d38's). A corpus-scale eval serves the same question through the
-    * persisted postings index (x58) in query batches.
+    * Scale note: only the QUERY-derived frames broadcast (query terms and
+    * their idfs), so the predicate must select a bounded query set — x60
+    * samples 1-in-31; an eval wants a sample, not a census, because
+    * exhaustive batch BM25 scores Σ_term qf·df pairs (64M at the old
+    * 1-in-7 set on the sf0.1 fixture). The corpus-sized frames (postings,
+    * per-doc norms) stay on shuffle joins. A corpus-scale eval serves the
+    * same question through the persisted postings index (x58) in query
+    * batches.
     */
   def retrievalAgreement(docs: DataFrame, queryPred: Column,
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -1201,18 +1205,19 @@ object TextOps {
     val norms = lens.crossJoin(broadcast(stats))
       .select(col("doc_id"),
         (lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avglen"))).as("denom"))
-    // norms attaches to the 1M-row postings BEFORE the query-term blowup
-    // (joining it after would move 64M rows through a doc_id exchange),
-    // and both per-term frames broadcast: the whole 64M-row stage is one
-    // codegen span ending in the partial aggregate. The EXPLICIT
-    // repartition is load-bearing: the postings exchange is only ~20 MB,
-    // so AQE coalesces it to one partition and the 64× join blowup would
-    // run on ONE task (measured 12 s single-threaded vs ~1 s spread) —
-    // a fixed-count repartition is exempt from AQE coalescing and sizes
-    // the stage for its OUTPUT, not its input
+    // norms attaches to the postings BEFORE the query-term blowup
+    // (joining it after would move the blown-up rows through a doc_id
+    // exchange) on a SHUFFLE join — norms is corpus-sized (one row per
+    // doc), so broadcasting it would hit the 8 GB broadcast ceiling long
+    // before the corpus does (AQE still broadcasts it at fixture scale).
+    // Only the query-derived frames broadcast unconditionally. The
+    // EXPLICIT repartition is load-bearing: the joined postings exchange
+    // is only ~20 MB, so AQE would coalesce it to one partition and the
+    // 64× join blowup would run on ONE task — a fixed-count repartition
+    // is exempt from coalescing and sizes the stage for its OUTPUT
     val nPart = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val scored = postings
-      .join(broadcast(norms), Seq("doc_id"))
+      .join(norms, Seq("doc_id"))
       .repartition(nPart, col("doc_id"))
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(idfs), Seq("term"))
@@ -1926,37 +1931,55 @@ object TextOps {
   /** Shared BPE training loop: the merge table plus the FINAL persisted
     * tokenization state (separator-encoded; caller unpersists).
     */
-  private def bpeLoop(docs: DataFrame, rounds: Int, docMod: Long,
-      maxChars: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+  /** The initial BPE state — the sampled, normalized corpus as
+    * separator-encoded single-char tokenizations (doc_id, s). The sample
+    * is the multiplicative-hash idiom (s30/x8 — integer-exact in both
+    * engines), NOT `doc_id % docMod`: the fixture assigns source as
+    * doc_id % 20, so a residue-class sample would collapse onto one
+    * source and starve the per-source fertility read (x63).
+    * `private[graft]` so PlanSpec pins the real stage, not a copy.
+    */
+  private[graft] def bpeInitialState(docs: DataFrame, docMod: Long,
+      maxChars: Int): DataFrame = {
     val SEP = "\u0001"
     val normed = substring(
       regexp_replace(lower(col("text")), "[^a-z ]", ""), 1, maxChars)
-    // multiplicative-hash sample (the s30/x8 idiom — integer-exact in
-    // both engines), NOT doc_id % docMod: the fixture assigns source as
-    // doc_id % 20, so a residue-class sample would collapse onto one
-    // source and starve the per-source fertility read (x63)
-    var state = docs
+    docs
       .filter(pmod((col("doc_id") % 2147483647L) * lit(2654435761L % 2147483647L),
         lit(2147483647L)) % docMod === 0)
       .select(col("doc_id"),
         rtrim(regexp_replace(normed, "(.)", "$1" + SEP), SEP).as("s"))
       .filter(length(col("s")) > 0)
-      .persist()
+  }
+
+  /** One BPE round's COUNTING stage over the state: adjacent-pair
+    * frequencies (overlapping runs counted — Sennrich semantics), a
+    * map-side-combined hash aggregate. Shared with PlanSpec so the
+    * combine pin checks the stage the loop actually executes.
+    */
+  private[graft] def bpePairCounts(state: DataFrame): DataFrame = {
+    val toks = split(col("s"), "\u0001")
+    state
+      .select(toks.as("t"))
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("lt"), b.as("rt")))).as("p"))
+      .groupBy(col("p.lt").as("lt"), col("p.rt").as("rt"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  private def bpeLoop(docs: DataFrame, rounds: Int, docMod: Long,
+      maxChars: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+    val SEP = "\u0001"
+    var state = bpeInitialState(docs, docMod, maxChars).persist()
     state.count()
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var r = 0
     var exhausted = false
     while (r < rounds && !exhausted) {
       r += 1
-      val toks = split(col("s"), SEP)
-      val top = state
-        .select(toks.as("t"))
-        .select(explode(zip_with(
-          slice(col("t"), lit(1), size(col("t")) - 1),
-          slice(col("t"), lit(2), size(col("t")) - 1),
-          (a, b) => struct(a.as("lt"), b.as("rt")))).as("p"))
-        .groupBy(col("p.lt").as("lt"), col("p.rt").as("rt"))
-        .agg(count(lit(1)).as("c"))
+      val top = bpePairCounts(state)
         .orderBy(col("c").desc, col("lt").asc, col("rt").asc)
         .limit(1).collect()
       if (top.isEmpty) exhausted = true

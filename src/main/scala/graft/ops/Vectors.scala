@@ -2584,32 +2584,39 @@ object Vectors {
     * point at any scale — the annTopK/marginPairsScan bandwidth
     * discipline applied to routing.
     *
-    * Floor: the ⅛ fraction measures recall 0.49 (sf0.01) / 0.46 (sf0.1)
-    * / 0.34 (the 600-vector sf0.001 fixture, where the recall quantum is
-    * 1/80 and C is only 25) on the isotropic corpora — recall tracking
-    * scan fraction is the documented isotropy ceiling (RECALL.json
-    * `curves.ivf_trained_nprobe`), not an artifact defect. The default
-    * floor 0.25 sits ≥ 7 granularity bands under the weakest healthy
-    * measurement at EVERY fixture scale (the bench warmup drives this
-    * query at sf0.001 with full materialization) while still tripping on
-    * the real failure modes, all of which measure far lower: degenerate
-    * training / single-probe-equivalent routing reads 0.14–0.17
-    * (RECALL.json diagnostics), dropped ledger centroids misroute every
-    * append, and a torn append loses its vectors outright.
+    * Floor (`minRecallPpm` ≤ 0 selects the scale-aware default): the ⅛
+    * fraction measures recall 0.49 (sf0.01) / 0.46 (sf0.1) / 0.34 (the
+    * 600-vector sf0.001 fixture, where C is only 25 and the recall
+    * quantum is 1/80) on the isotropic corpora — recall tracking scan
+    * fraction is the documented isotropy ceiling (RECALL.json
+    * `curves.ivf_trained_nprobe`), not an artifact defect. A single
+    * fixed floor must either fail the statistics-starved tiny fixture or
+    * weaken the production guard, so the default is derived from the
+    * ledger: **0.40 at C ≥ 32** (≥ 5 bands under the weakest at-scale
+    * measurement; a partially degraded artifact landing in 0.25–0.40
+    * raises), **0.25 below** (coarse-C fixtures — still ≥ 7 bands above
+    * every catastrophic mode on record: degenerate training /
+    * single-probe-equivalent routing reads 0.14–0.17, dropped ledger
+    * centroids misroute every append, a torn append loses its vectors
+    * outright).
     */
   def servedTrainedChecked(embeddings: DataFrame, table: String,
       queryIds: Seq[Long], k: Int = 10, nprobe: Int = 0,
-      minRecallPpm: Long = 250000L): DataFrame = {
+      minRecallPpm: Long = -1L): DataFrame = {
     val spark = embeddings.sparkSession
     val index = materializedIvfIndex(embeddings, table)
     val ledger = readCentroidLedger(spark, table)
+    val floor =
+      if (minRecallPpm > 0) minRecallPpm
+      else if (ledger.size >= 32) 400000L
+      else 250000L
     val qUnit = index.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("unit").as("q"))
     val queries = topProbeBuckets(qUnit, "query_id", "q",
       centroidFrame(spark, ledger), nprobe, ledger.size)
     checkedAgainstBrute(embeddings,
       ivfBatchTopKFromIndex(index, F.broadcast(queries), k),
-      queryIds, k, minRecallPpm, "trained IVF artifact serve")
+      queryIds, k, floor, "trained IVF artifact serve")
   }
 
   /** [[servedTrainedChecked]] for the graph family (the s37 query): beam

@@ -654,21 +654,13 @@ class PlanSpec extends SparkSpec {
     assert(!p38.contains("SortMergeJoin"), s"s38: $p38")
     spark.sqlContext.clearCache()
     // x62: each BPE round's pair count is a map-side-combined hash
-    // aggregate (partial_count before the exchange), and the returned
-    // merge table is literal metadata — the plan check runs on the
-    // counting stage the loop executes
-    import org.apache.spark.sql.functions._
-    val docs = graft.Tables.documents(spark, dir)
-    val toks = split(
-      rtrim(regexp_replace(
-        substring(regexp_replace(lower(col("text")), "[^a-z ]", ""), 1, 400),
-        "(.)", "$1\u0001"), "\u0001"), "\u0001")
-    val pairCount = docs.select(toks.as("t"))
-      .select(explode(zip_with(
-        slice(col("t"), lit(1), size(col("t")) - 1),
-        slice(col("t"), lit(2), size(col("t")) - 1),
-        (a, b) => struct(a.as("lt"), b.as("rt")))).as("p"))
-      .groupBy(col("p.lt"), col("p.rt")).agg(count(lit(1)))
+    // aggregate (partial_count before the exchange); the pin runs on the
+    // SAME stage builders the loop executes (bpeInitialState +
+    // bpePairCounts — shared private[graft] helpers, not a copy that
+    // could drift)
+    val pairCount = graft.ops.TextOps.bpePairCounts(
+      graft.ops.TextOps.bpeInitialState(
+        graft.Tables.documents(spark, dir), docMod = 1L, maxChars = 400))
     val p62 = pairCount.queryExecution.executedPlan.toString
     assert(p62.contains("partial_count") || p62.contains("partial count"),
       s"x62 pair count must combine map-side:\n$p62")
