@@ -247,6 +247,16 @@ object ScaleBench {
           (0L, "hash join batch"), (1L, "vector scan filter"),
           (2L, "window agg order")), k = 10)
       }, true),
+      ("s36_trainer_distributed", (e: DataFrame) =>
+        // the round-8 distributed trainer forced on (the branch the auto
+        // dispatch takes past C = 2 048): flops are O(|sample|·C·d) with
+        // |sample| = 4C and C = ⌈√N⌉ — ≈ 16·N·d total, ALL in Spark jobs
+        // (constant job count: initRounds + iters); build time must track
+        // N across ×8, with zero O(C·|sample|·d) driver loops (the
+        // round-7 verdict-#1 bottleneck this trainer replaces)
+        Vectors.centroidFrame(e.sparkSession,
+          Vectors.trainedCentroidsDistributed(e,
+            c = math.min(Vectors.spacedCentroidIds(e.count()).size, 65536))), false),
       ("x62_bpe_merges", (d: DataFrame) =>
         // tokenizer training end-to-end: per round one map-side-combined
         // pair-count agg + one regex rewrite pass — linear in sampled

@@ -1183,17 +1183,27 @@ object Vectors {
     * [[ivfAssignWithCentroids]] broadcast join as every other variant.
     * Empty clusters keep their previous centroid; means are re-normalized
     * each round (spherical k-means — cosine geometry).
+    *
+    * This DRIVER form is the right trainer only while C is small (its
+    * maxmin + Lloyd loops are O(C·|sample|·d) single-threaded flops);
+    * artifact builders go through [[trainedCentroidsAuto]], which switches
+    * to the Spark-job twin [[trainedCentroidsDistributed]] past
+    * C = [[driverTrainerMaxC]].
     */
   def trainedCentroids(embeddings: DataFrame, c: Int, sampleTarget: Int = 4096,
       iters: Int = 5, seed: Long = 42L,
       init: String = "spaced"): Seq[(Long, Array[Double])] = {
     require(init == "spaced" || init == "maxmin", s"unknown init '$init'")
     require(c > 0, "need at least one centroid")
-    // the sample must carry at least one vector per centroid, so the
-    // effective target rises with c instead of crashing past c = 4096
-    // (round-7 review: the trained-default artifact path asks for
-    // c = ⌈√N⌉, which exceeds the old fixed floor once N > 16.8M)
-    val target = math.max(sampleTarget, c)
+    // the sample must carry COMFORTABLY more than one vector per centroid:
+    // `max(sampleTarget, c)` (round 7) made the EXPECTED sample size
+    // n/⌈n/target⌉ ≤ c, so the `require` below failed from ordinary hash
+    // fluctuation exactly in the c > 4096 regime it existed to fix, and
+    // even a passing run degenerated maxmin+Lloyd to ~one sample per
+    // centroid (round-7 ADVICE). 4× oversampling puts the expectation
+    // well above c (the require stays as the backstop) and keeps ≥ ~4
+    // sample members per centroid through Lloyd.
+    val target = math.max(sampleTarget, 4 * c)
     val unit = withUnit(embeddings).select(col("vec_id"), col("unit"))
     val n = embeddings.count()
     // ceil, not floor: floor(n/target) would admit up to ~2× the target in
@@ -1276,6 +1286,165 @@ object Vectors {
       }
     }
     cents.toIndexedSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+  }
+
+  /** Past this C the driver trainer's single-threaded O(C·|sample|·d)
+    * maxmin + Lloyd loops dominate the artifact build (round-7 verdict #1:
+    * at C = 10⁴ the driver burns ~10¹³ flops on one core for a build whose
+    * distributed half takes seconds per node; at the 65 536 cap it is
+    * hours), so [[trainedCentroidsAuto]] switches to
+    * [[trainedCentroidsDistributed]]. At the threshold the driver loop is
+    * ~2048 · 8192 · 64 ≈ 10⁹ flops — about a second, cheaper than the
+    * distributed form's job-scheduling overhead would be.
+    */
+  private[graft] val driverTrainerMaxC = 2048
+
+  /** The artifact builders' trainer dispatch: the driver trainer
+    * ([[trainedCentroids]], `maxmin` init — exact farthest-point, bit-
+    * reproducible) up to C = [[driverTrainerMaxC]]; past it, every
+    * fixture-scale corpus is far behind and the O(C·|sample|·d) work moves
+    * into Spark jobs ([[trainedCentroidsDistributed]]). Fixture-scale
+    * corpora (C ≤ ~250 at sf0.1) always take the driver branch, so the
+    * attested s36/s37 floors and the RECALL.json operating points are
+    * measurements of the branch those corpora actually run.
+    */
+  def trainedCentroidsAuto(embeddings: DataFrame, c: Int,
+      sampleTarget: Int = 4096, iters: Int = 5,
+      seed: Long = 42L): Seq[(Long, Array[Double])] =
+    if (c <= driverTrainerMaxC)
+      trainedCentroids(embeddings, c, sampleTarget, iters, seed, init = "maxmin")
+    else trainedCentroidsDistributed(embeddings, c, sampleTarget, iters, seed)
+
+  /** [[trainedCentroids]] with both heavy loops run as SPARK JOBS — the
+    * trainer for C past [[driverTrainerMaxC]] (round-7 verdict #1: the
+    * driver trainer's maxmin init and Lloyd assignment are each
+    * O(C·|sample|·d) single-threaded flops, the one serial piece of the
+    * trained-artifact story; with |sample| = 4C and C = ⌈√N⌉ that is
+    * ~16·N·d driver flops — tens of minutes at N = 10⁸, hours at the cap).
+    * Here the SAME deterministic hash sample stays an executor-side frame;
+    * the driver holds only the C·d centroid matrix:
+    *
+    *   - '''init''' — batched farthest-point (the k-means‖ idea under this
+    *     repo's no-RNG discipline): instead of one exact-maxmin point per
+    *     round, each round takes the `⌈(C−1)/initRounds⌉` sample points
+    *     with the smallest max-cosine to the chosen set (a distributed
+    *     TakeOrdered, ties to the smaller vec_id), then folds them into
+    *     the running max-sim frame with one broadcast join. Batch-mates
+    *     don't see each other within a round (they can land near one
+    *     another where exact maxmin would not) — the standard
+    *     oversampling trade k-means‖ makes, and the subsequent Lloyd
+    *     rounds re-spread them; with `initRounds` rounds the init does
+    *     the same total flops as exact maxmin but spread over the
+    *     cluster in O(initRounds) jobs instead of C driver scans.
+    *   - '''Lloyd''' — assignment is the engine's own
+    *     [[ivfAssignWithCentroids]] broadcast join; per-bucket mean sums
+    *     are one posexplode + map-side-combined aggregation; only the
+    *     C·(d+1) (bucket, sums, count) rows reach the driver each
+    *     iteration. Empty buckets keep their previous centroid; means
+    *     re-normalize on the driver (spherical k-means), exactly the
+    *     driver trainer's rules.
+    *
+    * Determinism: the sample, every selection order, and every dot product
+    * are deterministic; distributed float SUMS, however, accumulate in
+    * shuffle-merge order, so production-mode centroids are deterministic
+    * only up to float-summation order (the scaladoc caveat
+    * [[trainedCentroids]] already carries cross-engine now applies
+    * cross-run). `exactOrder = true` (spec mode, fixture-sized C) forces
+    * the sample and each assignment onto one vec_id-sorted partition and
+    * batch size 1, making every float fold bit-identical to the driver
+    * trainer — VectorsSpec pins `exactOrder` ≡ [[trainedCentroids]]
+    * (`maxmin`) bit-for-bit, so the two trainers cannot drift
+    * semantically.
+    */
+  def trainedCentroidsDistributed(embeddings: DataFrame, c: Int,
+      sampleTarget: Int = 4096, iters: Int = 5, seed: Long = 42L,
+      initRounds: Int = 16, exactOrder: Boolean = false): Seq[(Long, Array[Double])] = {
+    require(c > 0, "need at least one centroid")
+    val spark = embeddings.sparkSession
+    // same 4× oversampled deterministic hash sample as the driver trainer
+    val target = math.max(sampleTarget, 4 * c)
+    val n = embeddings.count()
+    val m = math.max(1L, (n + target - 1L) / target.toLong)
+    val sampled = withUnit(embeddings).select(col("vec_id"), col("unit"))
+      .filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(m)) === 0)
+    val samp = (if (exactOrder) sampled.repartition(1).sortWithinPartitions(col("vec_id"))
+      else sampled).persist()
+    var cur: DataFrame = null
+    try {
+      val sn = samp.count()
+      require(sn >= c, s"sample $sn smaller than C=$c")
+      // ---- init: batched farthest-point over the sample frame ----
+      // first centroid = the smallest-vec_id sample row (the driver
+      // trainer's sample(0) under its vec_id-sorted collect)
+      val firstVec = samp.orderBy(col("vec_id")).limit(1)
+        .select(col("unit")).head().getSeq[Double](0).toArray
+      val dim = firstVec.length
+      val chosen = scala.collection.mutable.ArrayBuffer[Array[Double]](firstVec)
+      val batchSize = if (exactOrder) 1 else math.max(1, (c - 1 + initRounds - 1) / initRounds)
+      cur = samp.select(col("vec_id"), col("unit"),
+        dot(col("unit"), typedlit(firstVec.toSeq)).as("maxsim")).persist()
+      cur.count()
+      while (chosen.size < c) {
+        val take = math.min(batchSize, c - chosen.size)
+        // the `take` farthest points from the chosen set — smallest
+        // max-cosine, ties to the smaller vec_id (TakeOrdered: no global
+        // sort materializes)
+        val batch = cur.orderBy(col("maxsim").asc, col("vec_id").asc).limit(take)
+          .select(col("unit")).collect().map(_.getSeq[Double](0).toArray)
+        val bf = centroidFrame(spark,
+          batch.toIndexedSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+        val next = cur.join(F.broadcast(bf))
+          .select(col("vec_id"), col("unit"), col("maxsim"),
+            dot(col("unit"), col("c")).as("bs"))
+          .groupBy(col("vec_id"))
+          .agg(first(col("unit")).as("unit"),
+            greatest(first(col("maxsim")), max(col("bs"))).as("maxsim"))
+          .persist()
+        next.count()
+        cur.unpersist()
+        cur = next
+        chosen ++= batch
+      }
+      // ---- Lloyd: distributed assignment + per-bucket mean sums ----
+      var cents: Array[Array[Double]] = chosen.toArray
+      for (_ <- 0 until iters) {
+        val cf = centroidFrame(spark,
+          cents.toIndexedSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+        val assigned0 = assignToCentroids(samp, cf)
+        // exact-order mode: sums must accumulate in vec_id order on one
+        // partition to bit-match the driver loop's per-cluster fold
+        val assigned = if (exactOrder)
+          assigned0.repartition(1).sortWithinPartitions(col("vec_id"))
+        else assigned0
+        val sums = assigned
+          .select(col("bucket"), posexplode(col("unit")).as(Seq("i", "x")))
+          .groupBy(col("bucket"), col("i"))
+          .agg(sum(col("x")).as("sx"))
+          .groupBy(col("bucket"))
+          .agg(sort_array(collect_list(struct(col("i"), col("sx")))).as("arr"))
+          .collect()
+          .map { r =>
+            val arr = r.getSeq[org.apache.spark.sql.Row](1)
+            (r.getLong(0), arr.map(_.getDouble(1)).toArray)
+          }.toMap
+        cents = Array.tabulate(c) { j =>
+          sums.get(j.toLong) match {
+            case None => cents(j) // empty cluster: keep the old centroid
+            case Some(mean) =>
+              var s = 0.0
+              var i = 0
+              while (i < dim) { s += mean(i) * mean(i); i += 1 }
+              val nrm = math.sqrt(s)
+              if (nrm == 0.0) cents(j) else mean.map(_ / nrm)
+          }
+        }
+      }
+      cents.toIndexedSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    } finally {
+      if (cur != null) cur.unpersist()
+      samp.unpersist()
+      ()
+    }
   }
 
   /** [[ivfTopK]] over trained centroids — the production search path. */
@@ -1476,13 +1645,15 @@ object Vectors {
           .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
           .sortBy(_._1).toSeq
       case None =>
-        // C = min(⌈√N⌉, 65 536): uncapped, ⌈√N⌉ would exceed the trainer's
-        // sample (crashing the build past N ≈ 16.8M) and blow the driver's
-        // O(C·|sample|·d) Lloyd budget; at the cap, buckets still hold
-        // ≥ √N members and the C·(d+2)-value ledger stays broadcast-sized.
-        // trainedCentroids itself raises its sample to ≥ c (scaladoc).
+        // C = min(⌈√N⌉, 65 536): at the cap, buckets still hold ≥ √N
+        // members and the C·(d+2)-value ledger stays broadcast-sized —
+        // the ledger (and the serve path's broadcast of it) is now the
+        // binding constraint, not the trainer: past C = 2 048 the
+        // dispatch moves both trainer loops into Spark jobs
+        // (trainedCentroidsDistributed), so no O(C·|sample|·d) work ever
+        // runs single-threaded on the driver (round-7 verdict #1).
         val c = math.min(spacedCentroidIds(embeddings.count()).size, 65536)
-        trainedCentroids(embeddings, c, init = "maxmin")
+        trainedCentroidsAuto(embeddings, c)
     }
 
   /** Batch ANN over a persisted index — for query BATCHES too large to
@@ -2219,7 +2390,6 @@ object Vectors {
     val rU = withUnit(train).select(col("vec_id").as("train_id"), col("unit").as("ru"))
     val scored = F.broadcast(tU).join(rU)
       .select(col("test_id"), col("train_id"), dot(col("tu"), col("ru")).as("sim"))
-      .persist()
     marginFromScored(scored, k, marginPpmThreshold)
   }
 
@@ -2242,7 +2412,6 @@ object Vectors {
       .join(F.broadcast(tU), Seq("test_id"))
       .join(rU, Seq("train_id"))
       .select(col("test_id"), col("train_id"), dot(col("tu"), col("ru")).as("sim"))
-      .persist()
     marginFromScored(scored, k, marginPpmThreshold)
   }
 
@@ -2336,8 +2505,14 @@ object Vectors {
       .join(F.broadcast(tU), Seq("test_id"))
       .join(rU, Seq("train_id"))
       .select(col("test_id"), col("train_id"), dot(col("tu"), col("ru")).as("sim"))
-      .persist()
-    marginFromScored(scored, k, marginPpmThreshold)
+    // marginFromScored materializes eagerly, so the scan's own caches can
+    // release here instead of pinning the compressed pair grid until a
+    // blanket clearCache (the marginFromScored cache discipline)
+    val out = marginFromScored(scored, k, marginPpmThreshold)
+    qScored.unpersist()
+    tU.unpersist()
+    rU.unpersist()
+    out
   }
 
   /** Pair-cosine concentration — the geometry GATE for
@@ -2353,15 +2528,29 @@ object Vectors {
     * Cost: a deterministic hash-ordered sample of ≤ `sampleN` vectors
     * (metadata), one sample² dot pass, one exact percentile — O(sampleN²·d)
     * regardless of corpus size.
+    *
+    * Multi-frame corpora: when the input unions frames whose vec_id spaces
+    * may overlap (the [[marginPairsGated]] test/train union), it carries an
+    * integer `side` TAG column and the sample keys on (vec_id, side) —
+    * round-7 ADVICE: the previous `vec_id + 2⁴⁰` offset fold silently
+    * collided for ids ≥ 2⁴⁰ (plausible for hash- or snowflake-derived
+    * ids), corrupting the very sample that decides the routed-vs-scan
+    * dispatch. Single-frame callers (no `side` column) hash and order
+    * exactly as before.
     */
   def pairConcentrationP99(vectors: DataFrame, sampleN: Int = 192): Double = {
-    val samp = withUnit(vectors)
-      .select(col("vec_id"), col("unit"))
-      .orderBy(xxhash64(col("vec_id"), lit(7L)), col("vec_id"))
-      .limit(sampleN).persist()
-    val row = samp.select(col("vec_id").as("ida"), col("unit").as("ua"))
-      .join(samp.select(col("vec_id").as("idb"), col("unit").as("ub")),
-        col("ida") < col("idb"))
+    val hasSide = vectors.columns.contains("side")
+    val base = withUnit(vectors)
+    val keyed =
+      if (hasSide) base.select(struct(col("vec_id"), col("side")).as("pk"), col("unit"))
+      else base.select(struct(col("vec_id")).as("pk"), col("unit"))
+    val ord =
+      if (hasSide) xxhash64(col("pk.vec_id"), col("pk.side"), lit(7L))
+      else xxhash64(col("pk.vec_id"), lit(7L))
+    val samp = keyed.orderBy(ord, col("pk")).limit(sampleN).persist()
+    val row = samp.select(col("pk").as("pka"), col("unit").as("ua"))
+      .join(samp.select(col("pk").as("pkb"), col("unit").as("ub")),
+        col("pka") < col("pkb"))
       .select(abs(dot(col("ua"), col("ub"))).as("s"))
       .agg(expr("percentile(s, 0.99D)").as("p99"))
       .head()
@@ -2391,18 +2580,23 @@ object Vectors {
     * pairs. The margin tail then runs over each side's CANDIDATE
     * neighborhood (the [[marginPairsBucketed]] approximation contract).
     *
-    * Candidate volume ≈ (nprobe/C)·|test|·|train| on balanced buckets —
-    * SUB-linear in the pair grid, vs [[marginPairsScan]]'s full (1/8
-    * bandwidth) sweep. On clustered geometry the true top-1 train
+    * Candidate volume ≈ (nprobe/C)·|test|·|train| on balanced buckets.
+    * The DEFAULT is a small FIXED nprobe (2): over C = ⌈√N⌉ buckets that
+    * is ~2·|test|·|train|/√N candidates — genuinely SUB-quadratic in the
+    * pair grid (N^1.5), and the measured operating point
+    * (RECALL.json `clustered.margin_routed_np2`: overlap 0.9975 at
+    * candidate fraction 0.052). A ⌈C/8⌉ nprobe (pass `nprobe = 0` for the
+    * serve path's rule) is only a CONSTANT-factor (1/8) cut of the grid —
+    * scale-stable recall for serving, the wrong default for mining
+    * (round-7 ADVICE). On clustered geometry the true top-1 train
     * neighbor shares the test vector's cluster, so routing keeps it with
-    * high probability (RECALL.json `clustered.margin_routed`: overlap ≥
-    * 0.9 at candidate fraction ≈ nprobe/C); on ISOTROPIC geometry bucket
-    * membership carries no similarity signal and overlap caps near the
-    * candidate fraction — which is why routing is gated, not default.
+    * high probability; on ISOTROPIC geometry bucket membership carries no
+    * similarity signal and overlap caps near the candidate fraction —
+    * which is why routing is gated, not default.
     */
   def marginPairsRouted(test: DataFrame, train: DataFrame, k: Int = 4,
-      marginPpmThreshold: Long = 1200000L, nprobe: Int = 0): DataFrame =
-    marginFromScored(routedScored(test, train, nprobe).persist(),
+      marginPpmThreshold: Long = 1200000L, nprobe: Int = 2): DataFrame =
+    marginFromScored(routedScored(test, train, nprobe),
       k, marginPpmThreshold)
 
   /** The candidate stage of [[marginPairsRouted]] with its exact scores —
@@ -2410,7 +2604,7 @@ object Vectors {
     * chart candidate volume against pair recovery on the clustered twin.
     */
   def marginRoutedCandidates(test: DataFrame, train: DataFrame,
-      nprobe: Int = 0): DataFrame =
+      nprobe: Int = 2): DataFrame =
     routedScored(test, train, nprobe).select(col("test_id"), col("train_id"))
 
   private def routedScored(test: DataFrame, train: DataFrame,
@@ -2418,16 +2612,26 @@ object Vectors {
     val spark = train.sparkSession
     val tU = withUnit(test).select(col("vec_id").as("test_id"), col("unit").as("tu"))
     val rU = withUnit(train).select(col("vec_id"), col("unit"))
-    // same C = min(⌈√N⌉, 65 536) rule as the artifact builders
-    val cents = trainedCentroids(train,
-      math.min(spacedCentroidIds(train.count()).size, 65536), init = "maxmin")
+    // same C = min(⌈√N⌉, 65 536) rule — and the same trainer dispatch —
+    // as the artifact builders
+    val cents = trainedCentroidsAuto(train,
+      math.min(spacedCentroidIds(train.count()).size, 65536))
     val cf = centroidFrame(spark, cents)
     val trainBuckets = assignToCentroids(rU, cf)
       .select(col("vec_id").as("train_id"), col("bucket"), col("unit").as("ru"))
+    // probe KEYS broadcast without the test vectors (round-7 ADVICE: the
+    // old broadcast replicated every full double test vector nprobe times
+    // — O(|test|·nprobe·d) bytes, over the ceiling at modest |test|); the
+    // vectors rejoin from their own |test|·d broadcast, so the candidate
+    // frame itself never shuffles. Both broadcasts are |test|-bounded — a
+    // test side too large to broadcast at all belongs on the served index
+    // path (ivfBatchTopKFromIndex), not this miner.
     val testProbes = topProbeBuckets(tU, "test_id", "tu", cf, nprobe, cents.size)
+      .select(col("test_id"), col("bucket"))
     // each train vector lives in exactly ONE bucket, so the probe join
     // cannot duplicate a (test, train) pair — no distinct needed
     F.broadcast(testProbes).join(trainBuckets, Seq("bucket"))
+      .join(F.broadcast(tU), Seq("test_id"))
       .select(col("test_id"), col("train_id"), dot(col("tu"), col("ru")).as("sim"))
   }
 
@@ -2468,10 +2672,11 @@ object Vectors {
     */
   def marginPairsGated(test: DataFrame, train: DataFrame, k: Int = 4,
       marginPpmThreshold: Long = 1200000L): DataFrame = {
-    // id offset keeps the two sides' ids distinct in the gate sample
-    val union = test.select(col("vec_id"), col("embedding"))
-      .unionByName(train.select((col("vec_id") + lit(1L << 40)).as("vec_id"),
-        col("embedding")))
+    // an explicit side TAG keeps the two frames' rows distinct in the gate
+    // sample for ANY id domain (round-7 ADVICE: the old `vec_id + 2⁴⁰`
+    // offset collided train ids ≥ 2⁴⁰ with test ids)
+    val union = test.select(col("vec_id"), col("embedding"), lit(0).as("side"))
+      .unionByName(train.select(col("vec_id"), col("embedding"), lit(1).as("side")))
     val p99 = pairConcentrationP99(union)
     val gate = concentrationGate(test)
     if (p99 > gate) marginPairsRouted(test, train, k, marginPpmThreshold)
@@ -2480,31 +2685,47 @@ object Vectors {
 
   /** Shared margin tail over ANY (test_id, train_id, sim) candidate frame:
     * per-side top-k avgs with rank-ordered folds, forward-top-1 selection,
-    * ppm rounding BEFORE the threshold. `scored` should arrive persisted.
+    * ppm rounding BEFORE the threshold.
+    *
+    * Caching is INTERNAL and eagerly released (round-7 ADVICE: the old
+    * contract left the candidate-grid-sized `scored`/`fRank` caches pinned
+    * for the returned plan's lifetime, leaking one corpus-sized cache
+    * entry per gated-margin call): the candidate frame and its forward
+    * ranking persist only while the margin tail MATERIALIZES — an eager
+    * local checkpoint of the result, which is ≤ |test| rows of three
+    * integers — and unpersist before returning.
     */
-  private def marginFromScored(scored: DataFrame, k: Int,
+  private def marginFromScored(scoredIn: DataFrame, k: Int,
       marginPpmThreshold: Long): DataFrame = {
+    val scored = scoredIn.persist()
     val wF = org.apache.spark.sql.expressions.Window
       .partitionBy(col("test_id")).orderBy(col("sim").desc, col("train_id").asc)
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy(col("train_id")).orderBy(col("sim").desc, col("test_id").asc)
     val fRank = scored.withColumn("rn", row_number().over(wF)).persist()
-    def sideAvg(ranked: DataFrame, keyCol: String, avgCol: String): DataFrame =
-      ranked.filter(col("rn") <= k)
-        .groupBy(col(keyCol))
-        .agg(sort_array(collect_list(struct(col("rn"), col("sim")))).as("arr"))
-        .select(col(keyCol),
-          (expr("aggregate(arr, 0.0D, (a, x) -> a + x.sim)") / size(col("arr")))
-            .as(avgCol))
-    val fAvg = sideAvg(fRank, "test_id", "f_avg")
-    val bAvg = sideAvg(scored.withColumn("rn", row_number().over(wB)), "train_id", "b_avg")
-    fRank.filter(col("rn") === 1)
-      .join(F.broadcast(fAvg), Seq("test_id"))
-      .join(F.broadcast(bAvg), Seq("train_id"))
-      .select(col("test_id"), col("train_id"),
-        round(lit(2e6) * col("sim") / (col("f_avg") + col("b_avg")))
-          .cast("long").as("margin_ppm"))
-      .filter(col("margin_ppm") >= marginPpmThreshold)
+    try {
+      def sideAvg(ranked: DataFrame, keyCol: String, avgCol: String): DataFrame =
+        ranked.filter(col("rn") <= k)
+          .groupBy(col(keyCol))
+          .agg(sort_array(collect_list(struct(col("rn"), col("sim")))).as("arr"))
+          .select(col(keyCol),
+            (expr("aggregate(arr, 0.0D, (a, x) -> a + x.sim)") / size(col("arr")))
+              .as(avgCol))
+      val fAvg = sideAvg(fRank, "test_id", "f_avg")
+      val bAvg = sideAvg(scored.withColumn("rn", row_number().over(wB)), "train_id", "b_avg")
+      fRank.filter(col("rn") === 1)
+        .join(F.broadcast(fAvg), Seq("test_id"))
+        .join(F.broadcast(bAvg), Seq("train_id"))
+        .select(col("test_id"), col("train_id"),
+          round(lit(2e6) * col("sim") / (col("f_avg") + col("b_avg")))
+            .cast("long").as("margin_ppm"))
+        .filter(col("margin_ppm") >= marginPpmThreshold)
+        .localCheckpoint(true)
+    } finally {
+      fRank.unpersist()
+      scored.unpersist()
+      ()
+    }
   }
 
   /** The d28 SemDeDup pipeline as ONE call (round-5 verdict #7 registry

@@ -313,6 +313,48 @@ class VectorsSpec extends SparkSpec {
     assert(again.map(_._2.toSeq) === trained.map(_._2.toSeq))
   }
 
+  test("distributed trainer (exact-order mode) ≡ driver maxmin trainer bit-for-bit") {
+    // the round-8 trainer dispatch: past C = driverTrainerMaxC the
+    // artifact builders train via Spark jobs instead of the driver loops.
+    // exactOrder forces the distributed form onto one vec_id-sorted
+    // partition with batch-1 init, where every float fold runs in the
+    // driver trainer's exact order — so the two trainers must agree
+    // BIT-FOR-BIT, pinning that the distributed algebra (sample, farthest-
+    // point selection, assignment ties, mean/normalize/empty-bucket rules)
+    // is the same algorithm, not a lookalike.
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val driver = Vectors.trainedCentroids(emb, c = 8, sampleTarget = 512, init = "maxmin")
+    val dist = Vectors.trainedCentroidsDistributed(emb, c = 8, sampleTarget = 512,
+      exactOrder = true)
+    assert(dist.map(_._1) === driver.map(_._1))
+    assert(dist.map(_._2.toSeq) === driver.map(_._2.toSeq))
+  }
+
+  test("distributed trainer (production batched mode): structural invariants and " +
+      "recall parity with the driver trainer on the fixture") {
+    // production mode (batched farthest-point init, multi-partition sums)
+    // is not bit-reproducible by design — pin what must hold at any C:
+    // exactly c unit-norm centroids, and routing quality on par with the
+    // driver trainer (same sample, same Lloyd semantics)
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = (0L until 8L).toSeq
+    val exact = hits(Vectors.bruteForceTopK(emb, queries, k = 5))
+    val dist = Vectors.trainedCentroidsDistributed(emb, c = 8, sampleTarget = 512)
+    assert(dist.size === 8)
+    dist.foreach { case (_, v) =>
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-9)
+    }
+    val driver = Vectors.trainedCentroids(emb, c = 8, sampleTarget = 512, init = "maxmin")
+    val rDist = hits(Vectors.ivfTopKTrained(emb, dist, queries, k = 5))
+      .intersect(exact).size
+    val rDriver = hits(Vectors.ivfTopKTrained(emb, driver, queries, k = 5))
+      .intersect(exact).size
+    // same-bucket recall is the operating quantity; allow small drift from
+    // the batched init (8 queries × 5 = 40 truth slots)
+    assert(rDist >= rDriver - 4, s"distributed-trainer recall $rDist vs driver $rDriver")
+  }
+
   test("incremental vector dedup flags bucket-colliding new vectors only") {
     // corpus = vectors 0..9 of the fixture frame; new batch = an exact copy
     // of vector 3 (collides in every table) and a distinct vector (100)
