@@ -182,6 +182,13 @@ private[graft] object RegistryB {
       // no-undercount guarantee asserted per key; fixed literal hash
       // constants make the whole sketch integer-exact on both engines
       graft.operators.Sketches.countMinChecked(Tables.events(s, dir))),
+    "b32_countmin_merged_probe" -> ((s, dir) =>
+      // the MERGED-sketch read side at arbitrary keys (round-7 verdict
+      // "next" #5): per-event_type partials folded by addition, probed
+      // with a 1-in-97 key sample PLUS keys the build never saw
+      // (max+1…max+5, exact count 0) — pins the LEFT-join/coalesce-0
+      // estimate contract that makes absent keys read their true minimum
+      graft.operators.Sketches.countMinMergedProbe(Tables.events(s, dir))),
     "b14_txn_assembly" -> ((s, dir) => {
       // batch twin of the flatMapGroupsWithState assembler (gap = 1 day on
       // the fixture's user-level gtids); one exchange for window + agg.
@@ -548,6 +555,34 @@ private[graft] object RegistryB {
         |SELECT key AS user_id, n_events, cm_est,
         |       cm_est - n_events AS overcount, TRUE AS sketch_ok
         |FROM est ORDER BY n_events DESC, user_id ASC LIMIT 20""".stripMargin,
+    "b32_countmin_merged_probe" ->
+      // two-level build (per-event_type partials, then the additive
+      // merge) and a LEFT join with absent cells coalesced to 0 — the
+      // absent probe keys (max+1…max+5) must read their true minimum
+      """WITH h(r, a, b) AS (VALUES
+        |  (0, 1299709, 104729), (1, 15485863, 32452843),
+        |  (2, 982451653, 715225739), (3, 179424673, 373587883)),
+        |par AS (SELECT e.event_type AS slice, h.r,
+        |               ((e.user_id * h.a + h.b) % 2147483647) % 256 AS bucket,
+        |               CAST(count(*) AS BIGINT) AS c
+        |        FROM events e CROSS JOIN h GROUP BY 1, 2, 3),
+        |s AS (SELECT r, bucket, CAST(sum(c) AS BIGINT) AS c
+        |      FROM par GROUP BY 1, 2),
+        |present AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_events
+        |            FROM events WHERE user_id % 97 = 0 GROUP BY 1),
+        |ab AS (SELECT (SELECT max(user_id) FROM events) + i AS key,
+        |              CAST(0 AS BIGINT) AS n_events
+        |       FROM range(1, 6) t(i)),
+        |probe AS (SELECT * FROM present UNION ALL SELECT * FROM ab),
+        |est AS (SELECT p.key, p.n_events,
+        |               CAST(min(coalesce(s.c, 0)) AS BIGINT) AS cm_est
+        |        FROM probe p CROSS JOIN h
+        |        LEFT JOIN s ON s.r = h.r
+        |         AND s.bucket = ((p.key * h.a + h.b) % 2147483647) % 256
+        |        GROUP BY 1, 2)
+        |SELECT CAST(key AS BIGINT) AS user_id, n_events, cm_est,
+        |       cm_est - n_events AS overcount, TRUE AS sketch_ok
+        |FROM est ORDER BY user_id""".stripMargin,
     "b29_id_gaps" ->
       // the naive single-window form IS the oracle; the engine's bucket
       // decomposition must reproduce it exactly

@@ -890,6 +890,12 @@ private[graft] object RegistryLib {
     * keep the 1st, 3rd, … — each merge consumes its right token, exactly
     * the regex engine's non-overlapping left-to-right behavior), and the
     * rebuild drops each selected position's right neighbor.
+    *
+    * Each round's token state is MATERIALIZED (the graph-oracle idiom):
+    * DuckDB inlines plain CTEs, and a round references its predecessor
+    * twice (pair stream + rebuild stream) — at the x65 depth (32 rounds)
+    * inlining is 2³² re-reads of the corpus ("too many open files"
+    * before any memory pressure).
     */
   private def oracleBpeRound(r: Int): String = {
     val prev = s"d${r - 1}"
@@ -904,7 +910,7 @@ private[graft] object RegistryLib {
        |          SELECT doc_id, i, ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY i) AS k
        |          FROM s$r) WHERE k % 2 = 1),
        |e$r AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS i, toks AS tk FROM $prev),
-       |d$r AS (SELECT e.doc_id,
+       |d$r AS MATERIALIZED (SELECT e.doc_id,
        |               list(CASE WHEN s.i IS NOT NULL THEN e.tk[e.i] || e.tk[e.i+1]
        |                         ELSE e.tk[e.i] END ORDER BY e.i) AS toks
        |        FROM e$r e
@@ -921,7 +927,7 @@ private[graft] object RegistryLib {
     val body = (1 to rounds).map(oracleBpeRound).mkString(",\n")
     // multiplicative-hash sample, the s30 idiom — doc_id % mod would
     // collapse onto one source (source = doc_id % 20 in the fixture)
-    s"""WITH d0 AS (
+    s"""WITH d0 AS MATERIALIZED (
        |  SELECT doc_id, [t[i:i] FOR i IN range(1, len(t)+1)] AS toks
        |  FROM (SELECT doc_id,
        |               substring(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 400) AS t

@@ -74,6 +74,15 @@ private[graft] object RegistryX {
       // missed the top-10 — every miss is a row, not a silent drop
       TextOps.retrievalAgreement(Tables.documents(s, dir),
         queryPred = col("doc_id") % 31 === 0)),
+    "x64_retrieval_eval_served" -> ((s, dir) => {
+      // the corpus-scale form of x60: the SAME known-item agreement
+      // (d38 Jaccard top-1 truth vs BM25 rank, self excluded) but the
+      // ranking side reads the persisted postings artifact in query
+      // batches — nothing rebuilds per eval; hash must equal x60's
+      val t = "postings_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      TextOps.retrievalAgreementServed(Tables.documents(s, dir), t,
+        queryPred = col("doc_id") % 31 === 0)
+    }),
     "x61_budget_waterfill" -> ((s, dir) =>
       // max–min fair token allocation across sources under a 20k budget:
       // the waterfilling level caps big sources at a common level, small
@@ -86,10 +95,19 @@ private[graft] object RegistryX {
       // merging by an INDEPENDENT match-run-parity window formulation
       TextOps.bpeMerges(Tables.documents(s, dir), rounds = 4)),
     "x63_bpe_fertility" -> ((s, dir) =>
-      // …and the tokenizer-evaluation step: apply the learned merges and
-      // read per-source compression (chars per token ×1e6) — the metric a
-      // pipeline checks before committing to a tokenizer
+      // …and the tokenizer-evaluation step: apply the learned merges
+      // (one bpe_apply pass — the merge table broadcasts as literals, the
+      // read side never re-runs the training loop) and read per-source
+      // compression (chars per token ×1e6) — the metric a pipeline checks
+      // before committing to a tokenizer
       TextOps.bpeFertility(Tables.documents(s, dir), rounds = 4)),
+    "x65_bpe_fertility_deep" -> ((s, dir) =>
+      // the same read at a DEEP merge table (32 rounds): training still
+      // loops (each argmax depends on the previous merge), but the
+      // tokenization stays ONE bpe_apply pass per document — the shape
+      // that makes a production 10^4-merge vocabulary readable (the old
+      // loop read side would have run 32 persisted corpus passes here)
+      TextOps.bpeFertility(Tables.documents(s, dir), rounds = 32)),
     "x32_heavy_hitters_checked" -> ((s, dir) =>
       // freqItems sketch next to exact counts: raises if the sketch drops
       // a true heavy hitter (its no-false-negative guarantee); emits the
@@ -343,6 +361,60 @@ private[graft] object RegistryX {
           countDistinct(col("source")).as("n_sources")))
   )
 
+
+  /** x60's oracle SQL — d38's truth chain (top-1 by the shared
+    * integer-ppm Jaccard) LEFT JOINed to the x33 BM25 ranking with the
+    * query doc's own distinct tokens as the query and self excluded; BM25
+    * CTEs renamed (btok/bp/bl/bd/bst) to dodge the jaccard chain's names.
+    * Shared VERBATIM by the served form (x64): same truth, same
+    * arithmetic, layout-independent serve.
+    */
+  private lazy val oracleRetrievalEval: String =
+      s"""WITH $oracleJaccardCtes,
+         |qi AS (SELECT doc_id AS query_id, shingle_id FROM idx WHERE doc_id % 31 = 0),
+         |dcand AS (SELECT DISTINCT qi.query_id, idx.doc_id AS neighbor_id
+         |          FROM qi JOIN idx ON idx.shingle_id = qi.shingle_id
+         |           AND idx.doc_id <> qi.query_id),
+         |dint AS (SELECT query_id, neighbor_id, CAST(count(*) AS BIGINT) AS n_common
+         |         FROM dcand
+         |         JOIN sh a ON a.doc_id = query_id
+         |         JOIN sh b ON b.doc_id = neighbor_id AND b.shingle_id = a.shingle_id
+         |         GROUP BY 1, 2),
+         |dsc AS (SELECT query_id, neighbor_id, n_common,
+         |               CAST((n_common * 1000000) // (sa.n + sb.n - n_common) AS BIGINT) AS sim_ppm
+         |        FROM dint JOIN sizes sa ON sa.doc_id = query_id
+         |                  JOIN sizes sb ON sb.doc_id = neighbor_id),
+         |truth AS (SELECT query_id, neighbor_id AS truth_id, sim_ppm AS truth_sim_ppm
+         |          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY sim_ppm DESC, neighbor_id ASC) AS rn FROM dsc)
+         |          WHERE rn = 1),
+         |btok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |bp AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM btok GROUP BY 1, 2),
+         |bl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM bp GROUP BY 1),
+         |bd AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM bp GROUP BY 1),
+         |bst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(len) AS avglen FROM bl),
+         |q AS (SELECT DISTINCT query_id, term FROM (
+         |        SELECT doc_id AS query_id, unnest(string_split(text, ' ')) AS term
+         |        FROM documents WHERE doc_id % 31 = 0)),
+         |sc AS (SELECT q.query_id, bp.doc_id,
+         |              CAST(round(1e6 * sum(ln((bst.n_docs - bd.df + 0.5) / (bd.df + 0.5) + 1.0) *
+         |                (bp.tf * 2.2) / (bp.tf + 1.2 * (0.25 + 0.75 * bl.len / bst.avglen))))
+         |                AS BIGINT) AS score_ppm
+         |       FROM bp JOIN q ON bp.term = q.term JOIN bd ON bd.term = bp.term
+         |         JOIN bl ON bl.doc_id = bp.doc_id CROSS JOIN bst
+         |       WHERE bp.doc_id <> q.query_id
+         |       GROUP BY 1, 2),
+         |rk AS (SELECT query_id, doc_id, rn FROM (
+         |         SELECT query_id, doc_id,
+         |                row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY score_ppm DESC, doc_id ASC) AS rn
+         |         FROM sc)
+         |       WHERE rn <= 10)
+         |SELECT t.query_id, t.truth_id, t.truth_sim_ppm,
+         |       CAST(coalesce(rk.rn, 0) AS BIGINT) AS bm25_rank
+         |FROM truth t LEFT JOIN rk
+         |  ON rk.query_id = t.query_id AND rk.doc_id = t.truth_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "x45_curriculum" ->
       // same decile thresholds over token counts, same multiplicative
@@ -500,57 +572,15 @@ private[graft] object RegistryX {
         |       CAST(round(1e6 * (1 - 6.0 * sum((rq - rl) * (rq - rl)) /
         |            (CAST(n AS DOUBLE) * (n * n - 1)))) AS BIGINT) AS spearman_ppm
         |FROM r WHERE n >= 2 GROUP BY source, n""".stripMargin,
-    "x60_retrieval_eval" ->
-      // d38's truth chain (top-1 by the shared integer-ppm Jaccard) LEFT
-      // JOINed to the x33 BM25 ranking with the query doc's own distinct
-      // tokens as the query and self excluded; BM25 CTEs renamed (btok/bp/
-      // bl/bd/bst) to dodge the jaccard chain's names
-      s"""WITH $oracleJaccardCtes,
-         |qi AS (SELECT doc_id AS query_id, shingle_id FROM idx WHERE doc_id % 31 = 0),
-         |dcand AS (SELECT DISTINCT qi.query_id, idx.doc_id AS neighbor_id
-         |          FROM qi JOIN idx ON idx.shingle_id = qi.shingle_id
-         |           AND idx.doc_id <> qi.query_id),
-         |dint AS (SELECT query_id, neighbor_id, CAST(count(*) AS BIGINT) AS n_common
-         |         FROM dcand
-         |         JOIN sh a ON a.doc_id = query_id
-         |         JOIN sh b ON b.doc_id = neighbor_id AND b.shingle_id = a.shingle_id
-         |         GROUP BY 1, 2),
-         |dsc AS (SELECT query_id, neighbor_id, n_common,
-         |               CAST((n_common * 1000000) // (sa.n + sb.n - n_common) AS BIGINT) AS sim_ppm
-         |        FROM dint JOIN sizes sa ON sa.doc_id = query_id
-         |                  JOIN sizes sb ON sb.doc_id = neighbor_id),
-         |truth AS (SELECT query_id, neighbor_id AS truth_id, sim_ppm AS truth_sim_ppm
-         |          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-         |                  ORDER BY sim_ppm DESC, neighbor_id ASC) AS rn FROM dsc)
-         |          WHERE rn = 1),
-         |btok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-         |bp AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM btok GROUP BY 1, 2),
-         |bl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM bp GROUP BY 1),
-         |bd AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM bp GROUP BY 1),
-         |bst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(len) AS avglen FROM bl),
-         |q AS (SELECT DISTINCT query_id, term FROM (
-         |        SELECT doc_id AS query_id, unnest(string_split(text, ' ')) AS term
-         |        FROM documents WHERE doc_id % 31 = 0)),
-         |sc AS (SELECT q.query_id, bp.doc_id,
-         |              CAST(round(1e6 * sum(ln((bst.n_docs - bd.df + 0.5) / (bd.df + 0.5) + 1.0) *
-         |                (bp.tf * 2.2) / (bp.tf + 1.2 * (0.25 + 0.75 * bl.len / bst.avglen))))
-         |                AS BIGINT) AS score_ppm
-         |       FROM bp JOIN q ON bp.term = q.term JOIN bd ON bd.term = bp.term
-         |         JOIN bl ON bl.doc_id = bp.doc_id CROSS JOIN bst
-         |       WHERE bp.doc_id <> q.query_id
-         |       GROUP BY 1, 2),
-         |rk AS (SELECT query_id, doc_id, rn FROM (
-         |         SELECT query_id, doc_id,
-         |                row_number() OVER (PARTITION BY query_id
-         |                  ORDER BY score_ppm DESC, doc_id ASC) AS rn
-         |         FROM sc)
-         |       WHERE rn <= 10)
-         |SELECT t.query_id, t.truth_id, t.truth_sim_ppm,
-         |       CAST(coalesce(rk.rn, 0) AS BIGINT) AS bm25_rank
-         |FROM truth t LEFT JOIN rk
-         |  ON rk.query_id = t.query_id AND rk.doc_id = t.truth_id""".stripMargin,
+    "x60_retrieval_eval" -> oracleRetrievalEval,
+    // the SERVED eval reads the persisted postings artifact through the
+    // pushed term IN-list in query batches; serving is layout-independent,
+    // so the oracle is x60's SQL VERBATIM — the x58 ≡ x33 discipline one
+    // level up
+    "x64_retrieval_eval_served" -> oracleRetrievalEval,
     "x62_bpe_merges" -> oracleBpeMerges(rounds = 4),
     "x63_bpe_fertility" -> oracleBpeFertility(rounds = 4),
+    "x65_bpe_fertility_deep" -> oracleBpeFertility(rounds = 32),
     "x61_budget_waterfill" ->
       // the same piecewise-linear solve: max over valid segment
       // candidates = the waterfilling level (rows past the crossing

@@ -84,6 +84,60 @@ object Sketches {
       .limit(k)
   }
 
+  /** Per-slice sketch partials — (slice, r, bucket, c): the shape a
+    * streamed MV appends per micro-batch keyed by what produced it;
+    * [[mergeSketch]] folds ANY union of slices into one sketch (counters
+    * are sums — addition is exact and order-free).
+    */
+  def sketchPartialsBySlice(events: DataFrame, keyCol: String = "user_id",
+      sliceCol: String = "event_type", w: Int = 256): DataFrame =
+    events
+      .select(col(sliceCol).as("slice"), col(keyCol).cast("long").as("key"))
+      .select(col("slice"), explode(array(hashRows.zipWithIndex.map {
+        case ((a, b), i) => struct(lit(i).as("r"), bucketExpr(a, b, w).as("bucket"))
+      }: _*)).as("rb"))
+      .select(col("slice"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .groupBy(col("slice"), col("r"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Arbitrary-key reads against a MERGED sketch (b32) — the advertised
+    * read side of a streamed count-min MV, oracle-attested end to end:
+    * partials build per SLICE (`sliceCol` — the micro-batch shape the
+    * streaming twin appends), merge by addition, and the probe set mixes
+    * keys the build SAW (a deterministic 1-in-`mod` sample of the key
+    * domain, exact counts riding along for the check) with keys the build
+    * could NOT have seen (max(key) + 1 … + `absent`, exact count 0). The
+    * [[estimates]] LEFT-join + coalesce-to-0 contract is what this query
+    * pins: an absent key leaves some of its d cells untouched with
+    * probability ≥ 1 − loadᵈ, the untouched cell reads 0, and the min
+    * returns the true count — where the pre-fix inner join either dropped
+    * the key or took the min over fewer cells. The one-sided guarantee
+    * (`cm_est ≥ n_events`, here with n_events = 0 included) stays
+    * assert_true'd in-plan.
+    *
+    * Scale shape: the merged sketch is d·w counters (broadcast at any
+    * corpus size); the present-key sample is 1/`mod` of the key domain
+    * with one map-side-combined count; the probe join is |probe|·d rows.
+    */
+  def countMinMergedProbe(events: DataFrame, keyCol: String = "user_id",
+      sliceCol: String = "event_type", w: Int = 256, mod: Long = 97L,
+      absent: Int = 5): DataFrame = {
+    val keyed = events.select(col(keyCol).cast("long").as("key"))
+    val merged = mergeSketch(sketchPartialsBySlice(events, keyCol, sliceCol, w))
+    val present = keyed.filter(pmod(col("key"), lit(mod)) === 0)
+      .groupBy(col("key")).agg(count(lit(1)).as("n_events"))
+    val absentKeys = keyed.agg(max(col("key")).as("mx"))
+      .select(explode(sequence(lit(1), lit(absent))).as("i"), col("mx"))
+      .select((col("mx") + col("i")).as("key"), lit(0L).as("n_events"))
+    estimates(present.unionByName(absentKeys), merged, w)
+      .select(col("key").as("user_id"), col("n_events"), col("cm_est"),
+        (col("cm_est") - col("n_events")).as("overcount"),
+        when(assert_true(col("cm_est") >= col("n_events"),
+          concat(lit("merged count-min undercounted key "), col("key"))).isNull,
+          lit(true)).as("sketch_ok"))
+      .orderBy(col("user_id"))
+  }
+
   /** Per-key estimates from a (merged) sketch: input must carry a `key`
     * column; every input column rides along, plus `cm_est`.
     *

@@ -1174,11 +1174,7 @@ object TextOps {
     */
   def retrievalAgreement(docs: DataFrame, queryPred: Column,
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val truth = graft.ops.Dedup.similarDocsTopK(
-        graft.ops.Dedup.shingleIdsFromArrays(
-          graft.ops.Vocab.hashTokenIdArrays(docs), 5), queryPred, k = 1)
-      .select(col("query_id"), col("neighbor_id").as("truth_id"),
-        col("sim_ppm").as("truth_sim_ppm"))
+    val truth = retrievalTruth(docs, queryPred)
     val postings = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
@@ -1232,6 +1228,53 @@ object TextOps {
     val ranked = scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id").as("truth_id"),
+        col("rank").as("bm25_rank"))
+    truth.join(ranked, Seq("query_id", "truth_id"), "left")
+      .select(col("query_id"), col("truth_id"), col("truth_sim_ppm"),
+        coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"))
+  }
+
+  /** The eval's TRUTH side, shared by the recompute (x60) and served (x64)
+    * forms: each query document's most-Jaccard-similar neighbor through
+    * the d38 df-capped shingle index.
+    */
+  private def retrievalTruth(docs: DataFrame, queryPred: Column): DataFrame =
+    graft.ops.Dedup.similarDocsTopK(
+        graft.ops.Dedup.shingleIdsFromArrays(
+          graft.ops.Vocab.hashTokenIdArrays(docs), 5), queryPred, k = 1)
+      .select(col("query_id"), col("neighbor_id").as("truth_id"),
+        col("sim_ppm").as("truth_sim_ppm"))
+
+  /** [[retrievalAgreement]] SERVED through the persisted postings artifact
+    * (x64 — the corpus-scale eval shape [[retrievalAgreement]]'s scaladoc
+    * names): the SAME truth (d38 Jaccard top-1) and the SAME BM25
+    * arithmetic, but the ranking side reads [[materializedPostings]]
+    * through [[bm25SearchFromIndexTerms]]'s pushed term-IN-list in query
+    * BATCHES of `batchSize` — nothing rebuilds per eval, each batch's
+    * terms prune to their postings (row-group skip on the term-sorted
+    * buckets), and the batch size bounds every broadcast no matter how
+    * many queries the eval asks about. The query documents' own distinct
+    * tokens are extracted Spark-side (identical `split` semantics to the
+    * recompute form) and collected — |Q|-bounded by the same argument as
+    * the predicate contract. Serving is layout-independent, so the frame
+    * hash-equals the recompute eval (x64 ≡ x60 — the x58 ≡ x33 discipline
+    * one level up; oracle-attested with x60's SQL verbatim).
+    */
+  def retrievalAgreementServed(docs: DataFrame, table: String,
+      queryPred: Column, k: Int = 10, batchSize: Int = 64,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    materializedPostings(docs, table)
+    val truth = retrievalTruth(docs, queryPred)
+    val queryTerms = docs.filter(queryPred)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("terms"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+      .sortBy(_._1).toSeq
+    val ranked = queryTerms.grouped(batchSize).map { batch =>
+      bm25SearchFromIndexTerms(spark, table, batch, k, k1, b,
+        excludeQueryDoc = true)
+    }.reduce(_ unionByName _)
       .select(col("query_id"), col("doc_id").as("truth_id"),
         col("rank").as("bm25_rank"))
     truth.join(ranked, Seq("query_id", "truth_id"), "left")
@@ -1303,11 +1346,27 @@ object TextOps {
     */
   def bm25SearchFromIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, queries: Seq[(Long, String)], k: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25SearchFromIndexTerms(spark, table,
+      queries.map { case (qid, text) => (qid, text.split(" ").distinct.toSeq) },
+      k, k1, b)
+
+  /** [[bm25SearchFromIndex]] with the query TERM LISTS given directly —
+    * the form [[retrievalAgreementServed]] batches through (its queries
+    * are corpus documents whose tokens are extracted Spark-side, so a
+    * driver-side string re-split must not get a vote on tokenization).
+    * `excludeQueryDoc` drops the query's own document BEFORE ranking (the
+    * recompute eval's self-exclusion — a query that is itself a corpus
+    * member would otherwise occupy a top-k slot in every result).
+    */
+  def bm25SearchFromIndexTerms(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: Seq[(Long, Seq[String])], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75,
+      excludeQueryDoc: Boolean = false): DataFrame = {
     import spark.implicits._
-    val terms = queries.flatMap(_._2.split(" ")).distinct
+    val terms = queries.flatMap(_._2).distinct
     val qterms = queries
-      .flatMap { case (qid, text) => text.split(" ").distinct.map(t => (qid, t)) }
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
       .toDF("query_id", "term")
     val hits = spark.table(table)
       .filter(col("term").isInCollection(terms))
@@ -1316,7 +1375,7 @@ object TextOps {
     val dfs = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = spark.table(table + "_len")
       .agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avglen"))
-    val scored = hits
+    val perTerm = hits
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfs), Seq("term"))
       .crossJoin(broadcast(stats))
@@ -1325,6 +1384,8 @@ object TextOps {
           (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avglen"))))
           .as("s"))
+    val scored = (if (excludeQueryDoc) perTerm.filter(col("doc_id") =!= col("query_id"))
+      else perTerm)
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(lit(1e6) * sum(col("s"))).cast("long").as("score_ppm"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1889,9 +1950,22 @@ object TextOps {
       maxChars: Int = 400): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeMergeTable(docs, rounds, docMod, maxChars)
+      .toDF("merge_rank", "l", "r", "pair_count")
+  }
+
+  /** The learned merge table as DRIVER state — `rounds` (or fewer, if the
+    * corpus exhausts) rows of (rank, l, r, count): what [[bpeMerges]]
+    * frames, and the artifact the READ side ([[bpeFertility]]) broadcasts
+    * into `bpe_apply`. Training necessarily loops (each round's argmax
+    * depends on the counts after the previous merge); the table itself is
+    * metadata at any corpus size.
+    */
+  private[graft] def bpeMergeTable(docs: DataFrame, rounds: Int,
+      docMod: Long, maxChars: Int): Seq[(Long, String, String, Long)] = {
     val (merges, state) = bpeLoop(docs, rounds, docMod, maxChars)
     state.unpersist()
-    merges.toDF("merge_rank", "l", "r", "pair_count")
+    merges
   }
 
   /** Tokenizer FERTILITY of the learned BPE vocabulary (x63) — apply the
@@ -1906,7 +1980,19 @@ object TextOps {
   def bpeFertility(docs: DataFrame, rounds: Int = 4, docMod: Long = 20L,
       maxChars: Int = 400): DataFrame = {
     val SEP = "\u0001"
-    val (_, state) = bpeLoop(docs, rounds, docMod, maxChars)
+    // train once (the unavoidable looped half — `rounds` metadata-row
+    // decisions), then TOKENIZE in one pass: the whole merge table rides
+    // into each task as two literal arrays and `bpe_apply` replays it per
+    // document (round-7 verdict #3 — the old read side re-ran the training
+    // loop, i.e. `rounds` persisted full-corpus regex passes, 10^4 of them
+    // for a production merge table). Nothing persists, so the aggregate
+    // returns as a PLAN — the round-7 collect()+parallelize tail (verdict
+    // "what's wrong" #4) is gone with the cache it existed to outlive.
+    val merges = bpeMergeTable(docs, rounds, docMod, maxChars)
+    val state = bpeInitialState(docs, docMod, maxChars)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.BpeApply.column(col("s"),
+          typedlit(merges.map(_._2)), typedlit(merges.map(_._3))).as("s"))
     val out = state
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("source"),
@@ -1919,13 +2005,7 @@ object TextOps {
         sum(col("n_tokens")).as("n_tokens"))
       .select(col("source"), col("n_docs"), col("n_chars"), col("n_tokens"),
         expr("(1000000 * n_chars) div n_tokens").as("chars_per_token_ppm"))
-    // the fertility aggregate must materialize before the state cache
-    // drops, and it is metadata-sized (one row per source)
-    val rows = out.collect().toSeq
-    state.unpersist()
-    val spark2 = docs.sparkSession
-    spark2.createDataFrame(
-      spark2.sparkContext.parallelize(rows, 1), out.schema)
+    out
   }
 
   /** Shared BPE training loop: the merge table plus the FINAL persisted
@@ -1969,7 +2049,7 @@ object TextOps {
       .agg(count(lit(1)).as("c"))
   }
 
-  private def bpeLoop(docs: DataFrame, rounds: Int, docMod: Long,
+  private[graft] def bpeLoop(docs: DataFrame, rounds: Int, docMod: Long,
       maxChars: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
     val SEP = "\u0001"
     var state = bpeInitialState(docs, docMod, maxChars).persist()

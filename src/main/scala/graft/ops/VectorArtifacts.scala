@@ -1,0 +1,500 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED vector artifacts and their lifecycle (split from
+  * `Vectors.scala`; round-8): build-if-absent bucketed IVF index and
+  * navigable graph, the centroid LEDGER that pins each artifact's routing
+  * set, replay-guarded CDC appends, the exchange-free serve paths over
+  * those layouts, and the brute-checked trained-default serves (s36/s37).
+  * Mixed into [[Vectors]]; every call site stays `Vectors.materialized*`.
+  */
+private[ops] trait VectorArtifacts { self: VectorCore with VectorTraining =>
+
+  /** Persisted navigable-graph artifact — the [[materializedIvfIndex]] /
+    * dedup-groups lifecycle applied to the graph family: the graph builds
+    * once per corpus into a src_id-bucketed table
+    * ([[graft.sources.BucketedLayout.buildIfAbsent]]) plus a
+    * [[writeCentroidLedger]] ledger (assignment centroids + per-bucket
+    * walk entry representatives), and every subsequent beam search reads
+    * edges from the table — the "query cost independent of N once the
+    * graph exists" promise with the build actually amortized (and its
+    * cold cost a first-class bench row: `artifact:nav_graph`).
+    *
+    * Centroid default: `maxmin`-trained (verdict r6 #4 — the
+    * [[materializedIvfIndex]] scaladoc has the full oracle-attestation
+    * rationale); pass `centroidIds` for the spaced corpus-member parity
+    * build, which is bit-identical to [[navGraph]] and what the
+    * s24/s33/s34 oracle walks reproduce.
+    */
+  def materializedNavGraph(embeddings: DataFrame, table: String,
+      k: Int = 24, nAssign: Int = 3, buckets: Int = 8,
+      centroidIds: Option[Seq[Long]] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.sources.BucketedLayout.buildIfAbsent(spark, table) {
+      val unit = withUnit(embeddings).select(col("vec_id"), col("unit"))
+      val cents = centroidsFor(embeddings, centroidIds)
+      val cf = centroidFrame(spark, cents)
+      graft.sources.BucketedLayout.writeBucketed(
+        navGraphOver(unit, cf.select(col("centroid_id"), col("c")), k, nAssign)
+          .select(col("src_id"), col("neighbor_id")),
+        table, "src_id", buckets)
+      // walk entries come from the TOP-1 assignment (the navEntryIds rule)
+      writeCentroidLedger(spark, table, cents, assignToCentroids(unit, cf))
+    }
+  }
+
+  /** CDC half of the persisted navigable graph — HNSW's insert-by-search
+    * as a relational batch op (Malkov & Yashunin 2018: a new element's
+    * neighbors ARE a search for it): each arriving vector beam-walks the
+    * EXISTING graph to its `graphK` nearest reachable nodes, those become
+    * its out-edges, and the reverse edges (neighbor → new) keep the new
+    * node reachable for later walks — both directions land in ONE atomic
+    * append, so there is no torn half-insert to reason about. Per-batch
+    * SHUFFLE cost is O(|batch|·rounds·beam·graphK) — the walk's cost
+    * model (including its N-linear shuffle-free scoring pass and the
+    * point-lookup deployment seam) is [[beamSearch]]'s, stated there.
+    *
+    * Replay guard: a new node appears as `src_id` exactly once (its
+    * forward edges), so the batch anti-joins the graph's src set and a
+    * REPLAYED batch is a no-op.
+    *
+    * Contract honesty: unlike [[appendToIvfIndex]] (pinned centroids make
+    * append ≡ batch assignment, hash-exact), an inserted node's edges come
+    * from a walk of the graph AS IT WAS — not the bucket build's pair
+    * enumeration — so the appended graph is a DIFFERENT (HNSW-standard)
+    * approximation than a rebuild. The spec pins what matters operationally
+    * (appended nodes are reachable, found by later searches, degree-
+    * bounded, replay-safe) and RECALL.json's `nav_append` row measures
+    * serve recall from the appended graph next to the rebuilt one; old
+    * nodes accumulate reverse edges past `graphK`, which HELPS recall and
+    * costs walk bandwidth — the periodic-rebuild compaction contract every
+    * HNSW deployment ships.
+    */
+  def appendToNavGraph(newVecs: DataFrame, corpus: DataFrame, table: String,
+      entryIds: Seq[Long], graphK: Int = 24, beam: Int = 32,
+      rounds: Int = 4, buckets: Int = 8): Unit = {
+    val spark = newVecs.sparkSession
+    val fresh = newVecs.join(
+      spark.table(table).select(col("src_id").as("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
+    val newIds = fresh.select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    if (newIds.nonEmpty) {
+      val unit = withUnit(corpus.select(col("vec_id"), col("embedding"))
+          .unionByName(fresh.select(col("vec_id"), col("embedding"))))
+        .select(col("vec_id"), col("unit")).persist()
+      val found = beamSearchOver(unit, spark.table(table)
+          .select(col("src_id"), col("neighbor_id")),
+          newIds, entryIds, graphK, beam, rounds)
+        .select(col("query_id").as("src_id"), col("neighbor_id"))
+      found.unionByName(found.select(col("neighbor_id").as("src_id"),
+          col("src_id").as("neighbor_id")))
+        .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+        .bucketBy(buckets, "src_id").sortBy("src_id").saveAsTable(table)
+      unit.unpersist()
+      // appends from this (possibly cloned foreachBatch) session must be
+      // visible to its own later reads; cross-session readers refresh theirs
+      spark.catalog.refreshTable(table)
+    }
+  }
+
+  /** [[beamSearch]] served from a PREBUILT edge list (the s33 query — the
+    * production serve path over [[materializedNavGraph]]): identical walk,
+    * zero graph-build work per query batch. The result is
+    * layout-independent (the graph is deterministic), so s33 hash-matches
+    * the s24 oracle while exercising the artifact read path.
+    */
+  def beamSearchServed(embeddings: DataFrame, graph: DataFrame,
+      queryIds: Seq[Long], entryIds: Seq[Long], k: Int = 5, beam: Int = 32,
+      rounds: Int = 4): DataFrame = {
+    val unit = withUnit(embeddings).select(col("vec_id"), col("unit")).persist()
+    beamSearchOver(unit,
+      graph.select(col("src_id"), col("neighbor_id")).persist(),
+      queryIds, entryIds, k, beam, rounds)
+  }
+
+  /** Persisted unit-vector store for the graph serve path — the
+    * point-lookup seam [[beamSearch]]'s cost model names, implemented:
+    * vec_id-bucketed AND vec_id-sorted, so a literal id IN-list pushes
+    * into the parquet reader and row groups holding none of the requested
+    * ids skip on min/max stats (the x58 postings discipline applied to
+    * vector reads).
+    */
+  def materializedNavUnits(embeddings: DataFrame, table: String,
+      buckets: Int = 8): DataFrame =
+    graft.sources.BucketedLayout.buildIfAbsent(embeddings.sparkSession, table) {
+      graft.sources.BucketedLayout.writeBucketed(
+        withUnit(embeddings).select(col("vec_id"), col("unit")),
+        table, "vec_id", buckets)
+    }
+
+  /** [[beamSearchServed]] with the N-linear scoring pass replaced by
+    * frontier-pruned reads of a [[materializedNavUnits]] store (the s34
+    * query): each round collects the frontier's candidate ids — bounded
+    * metadata, ≤ |Q|·beam·(graphK+1) longs — and reads ONLY those unit
+    * vectors through a literal IN pushed into the sorted-bucket scan. The
+    * walk's semantics are identical (same candidates, same scores, same
+    * pruning), so the result hash-equals [[beamSearchServed]] and the s24
+    * oracle; what changes is the I/O shape — per-round vector reads track
+    * the frontier, not the corpus, which is the serve cost model a 100 TB
+    * deployment needs. The driver pays one bounded collect per round (the
+    * tunedNprobe/navEntryIds discipline: metadata, never data).
+    */
+  def beamSearchServedPruned(spark: org.apache.spark.sql.SparkSession,
+      unitsTable: String, graph: DataFrame, queryIds: Seq[Long],
+      entryIds: Seq[Long], k: Int = 5, beam: Int = 32,
+      rounds: Int = 4): DataFrame = {
+    def unitsFor(ids: Seq[Long]): DataFrame =
+      spark.table(unitsTable).filter(col("vec_id").isInCollection(ids))
+    val g = graph.select(col("src_id"), col("neighbor_id")).persist()
+    val queries = F.broadcast(unitsFor(queryIds)
+      .select(col("vec_id").as("query_id"), col("unit").as("qv")))
+    def scoreAndPrune(cand: DataFrame, candIds: Seq[Long]): DataFrame = {
+      val scored = cand
+        .join(unitsFor(candIds)
+          .select(col("vec_id").as("node"), col("unit").as("nv")), Seq("node"))
+        .join(queries, Seq("query_id"))
+        .filter(col("query_id") =!= col("node"))
+        .select(col("query_id"), col("node"), dot(col("qv"), col("nv")).as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("sim").desc, col("node").asc)
+      scored.withColumn("rn", F.row_number().over(w))
+        .filter(col("rn") <= beam)
+        .select(col("query_id"), col("node"), col("sim"))
+    }
+    var state = scoreAndPrune(
+      queries.select(col("query_id")).crossJoin(
+        F.broadcast(unitsFor(entryIds).select(col("vec_id").as("node")))),
+      entryIds).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val expanded = state.select(col("query_id"), col("node").as("src_id"))
+        .join(g, Seq("src_id"))
+        .select(col("query_id"), col("neighbor_id").as("node"))
+        .unionByName(state.select(col("query_id"), col("node")))
+        .distinct()
+        .localCheckpoint(true)
+      // the bounded per-round collect: candidate ids only, never vectors
+      val candIds = expanded.select(col("node")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      state = scoreAndPrune(expanded, candIds).localCheckpoint(true)
+    }
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("node").asc)
+    state.withColumn("rank", F.row_number().over(wf))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("node").as("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+  }
+
+
+  /** Persist an IVF assignment as a BUCKETED index table — the
+    * build-once/query-many production layout: at 100 TB the assignment
+    * pass (O(N·C·d)) is the expensive stage, so it runs once and lands
+    * hash-clustered on `bucket`; every later probe reads the index
+    * exchange-free on the corpus side (plan-pinned in BucketedLayoutSpec).
+    */
+  def writeIvfIndex(assigned: DataFrame, table: String, buckets: Int = 32): Unit =
+    graft.sources.BucketedLayout.writeBucketed(
+      assigned.select(col("vec_id"), col("bucket"), col("unit")),
+      table, "bucket", buckets, sorted = false)
+
+  /** Centroid LEDGER for a persisted vector artifact — `${table}_centroids`
+    * holds (centroid_id, c, entry_id): the COMPLETE pinned centroid set
+    * with each centroid's unit vector and the min corpus vec_id its bucket
+    * holds (null for an empty bucket). Two round-6 findings motivate the
+    * explicit ledger over recovering centroids from the index:
+    *
+    *   - ADVICE r6: "distinct bucket ids" recovery DROPS any centroid
+    *     whose bucket is empty (two identical corpus vectors tie-breaking
+    *     into one bucket at build time), so later appends would route
+    *     against a smaller centroid set than the build used — silent
+    *     routing drift. The ledger persists every centroid, occupied or
+    *     not (the postings `_len` pattern).
+    *   - Trained centroids (round-7 artifact default, verdict #4) are NOT
+    *     corpus members — there is no index row to recover their vectors
+    *     from. The ledger is the only place they live.
+    *
+    * C·(d+2) values — metadata at any corpus scale.
+    */
+  def writeCentroidLedger(spark: org.apache.spark.sql.SparkSession,
+      table: String, centroids: Seq[(Long, Array[Double])],
+      assigned: DataFrame): Unit = {
+    val reps = assigned.groupBy(col("bucket"))
+      .agg(min(col("vec_id")).as("entry_id"))
+      .select(col("bucket").as("centroid_id"), col("entry_id"))
+    // called only from inside the MAIN table's cold-build block, so the
+    // ledger is dropped and rewritten unconditionally: a build-if-absent
+    // here would let a stale ledger (torn rebuild that dropped the index
+    // but not `_centroids`) pair with a freshly-trained graph — exactly
+    // the silent routing drift the ledger exists to prevent
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
+    graft.sources.BucketedLayout.buildIfAbsent(spark, table + "_centroids") {
+      graft.sources.BucketedLayout.writeBucketed(
+        centroidFrame(spark, centroids).join(reps, Seq("centroid_id"), "left"),
+        table + "_centroids", "centroid_id", 1)
+    }
+    ()
+  }
+
+  /** The pinned centroid set of a persisted artifact, read back from its
+    * [[writeCentroidLedger]] ledger — centroid_id order, every centroid
+    * present (empty buckets included).
+    */
+  def readCentroidLedger(spark: org.apache.spark.sql.SparkSession,
+      table: String): Seq[(Long, Array[Double])] = {
+    require(spark.catalog.tableExists(table + "_centroids"),
+      s"no centroid ledger ${table}_centroids — rebuild the artifact via " +
+        "materializedIvfIndex/materializedNavGraph (pre-round-7 indexes " +
+        "inferred centroids from occupied buckets, which drops empties)")
+    spark.table(table + "_centroids")
+      .select(col("centroid_id"), col("c")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+  }
+
+  /** Coverage-guaranteed walk entry ids from a persisted artifact's ledger
+    * — the [[navEntryIds]] per-bucket representatives without the extra
+    * assignment pass (they were recorded at build time). Empty buckets
+    * contribute nothing (null entry_id).
+    */
+  def ledgerEntryIds(spark: org.apache.spark.sql.SparkSession,
+      table: String): Seq[Long] =
+    spark.table(table + "_centroids")
+      .filter(col("entry_id").isNotNull).select(col("entry_id"))
+      .collect().map(_.getLong(0)).toSeq.distinct.sorted
+
+  /** Fold a batch of NEW vectors into a persisted IVF index — the CDC half
+    * of the [[materializedIvfIndex]] lifecycle (the
+    * [[graft.ops.Dedup.appendBandKeys]] pattern for the vector surface):
+    * the batch assigns against the index's PINNED centroid set (read from
+    * the [[writeCentroidLedger]] ledger — complete even for empty buckets,
+    * and valid for trained non-corpus-member centroids) and appends with
+    * the same bucket spec. Centroid drift under corpus growth is a REBUILD
+    * decision, deliberately not taken here: an index's routing must stay
+    * frozen between rebuilds or every previously-assigned vector would
+    * need re-routing — the standard production contract
+    * (StreamingVectorIndexSpec pins append-across-restarts ≡ one batch
+    * assignment against the pinned centroids).
+    *
+    * Replay guard (ADVICE r6): the batch anti-joins the index's existing
+    * vec_id set first — a redelivered at-least-once micro-batch (crash
+    * between append and checkpoint commit) is a no-op instead of
+    * appending duplicate rows that would occupy multiple top-k slots in
+    * the serve path (the [[appendToNavGraph]] src-set pattern;
+    * replayed-batch no-op pinned in StreamingVectorIndexSpec).
+    */
+  def appendToIvfIndex(newVecs: DataFrame, table: String,
+      buckets: Int = 8): Unit = {
+    val spark = newVecs.sparkSession
+    val cents = readCentroidLedger(spark, table)
+    val fresh = newVecs.join(
+      spark.table(table).select(col("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
+    // persisted: the emptiness probe and the write must not each pay the
+    // anti-join + assignment (round-7 review — this is the foreachBatch
+    // hot path, and the anti-join side scans the whole index)
+    val assigned = assignToCentroids(
+      withUnit(fresh).select(col("vec_id"), col("unit")),
+      centroidFrame(spark, cents)).persist()
+    try {
+      if (!assigned.isEmpty) {
+        assigned.select(col("vec_id"), col("bucket"), col("unit"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+          .bucketBy(buckets, "bucket")
+          .saveAsTable(table)
+        // appends from this (possibly cloned) session must be visible to its
+        // own later reads; cross-session readers refresh on their side
+        spark.catalog.refreshTable(table)
+      }
+    } finally { assigned.unpersist(); () }
+  }
+
+  /** Build-if-absent persisted IVF index (the [[writeIvfIndex]] layout
+    * behind the [[graft.ops.Dedup.materializeGroups]] lifecycle): the
+    * O(N·C·d) assignment runs once per corpus into a bucket-clustered
+    * table plus its [[writeCentroidLedger]] centroid ledger; every later
+    * probe reads it exchange-free on the corpus side. Orphaned warehouse
+    * locations from a previous process are cleared before rebuild
+    * (deterministic contents — a rebuild is always safe).
+    *
+    * Centroid default (round-7, verdict #4): `maxmin`-trained spherical
+    * k-means ([[trainedCentroids]]) — ENGINE.md's own conclusion is that
+    * the production recipe at 100 TB is trained centroids for both the
+    * IVF index and the graph build (spaced corpus-member seeds inherit
+    * whatever structure the id order carries; RECALL.json's `clustered`
+    * section measures the failure). Pass `centroidIds` for the
+    * spaced-seed parity form — trained centroids are deterministic within
+    * the engine but involve float means summed in engine order, so they
+    * are not bit-reproducible in the DuckDB oracle; the oracle-attested
+    * queries (s29/s33/s34/s26) pin the spaced parity path, and the
+    * trained default is attested by the b13-style checked queries
+    * (s36/s37) plus specs/RECALL.json.
+    */
+  def materializedIvfIndex(embeddings: DataFrame, table: String,
+      buckets: Int = 8, centroidIds: Option[Seq[Long]] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.sources.BucketedLayout.buildIfAbsent(spark, table) {
+      val cents = centroidsFor(embeddings, centroidIds)
+      val assigned = ivfAssignWithCentroids(embeddings, cents).persist()
+      writeIvfIndex(assigned, table, buckets)
+      writeCentroidLedger(spark, table, cents, assigned)
+      assigned.unpersist()
+      ()
+    }
+  }
+
+  /** The artifact builders' centroid rule: explicit corpus-member ids when
+    * given (spaced parity — vectors collected once, C·d doubles), else
+    * `maxmin`-trained spherical k-means at the same C = ⌈√N⌉.
+    */
+  private def centroidsFor(embeddings: DataFrame,
+      centroidIds: Option[Seq[Long]]): Seq[(Long, Array[Double])] =
+    centroidIds match {
+      case Some(ids) =>
+        withUnit(embeddings).select(col("vec_id"), col("unit"))
+          .filter(col("vec_id").isInCollection(ids))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1).toSeq
+      case None =>
+        // C = min(⌈√N⌉, 65 536): at the cap, buckets still hold ≥ √N
+        // members and the C·(d+2)-value ledger stays broadcast-sized —
+        // the ledger (and the serve path's broadcast of it) is now the
+        // binding constraint, not the trainer: past C = 2 048 the
+        // dispatch moves both trainer loops into Spark jobs
+        // (trainedCentroidsDistributed), so no O(C·|sample|·d) work ever
+        // runs single-threaded on the driver (round-7 verdict #1).
+        val c = math.min(spacedCentroidIds(embeddings.count()).size, 65536)
+        trainedCentroidsAuto(embeddings, c)
+    }
+
+  /** Batch ANN over a persisted index — for query BATCHES too large to
+    * broadcast (the offline scoring job: re-embed a corpus slice, find
+    * neighbors for all of it): score a (query_id, bucket, q) frame against
+    * the index by bucket equi-join. With the index bucketed on `bucket`
+    * the corpus side plans with zero exchanges; only the query batch and
+    * the final per-query ranking shuffle. Output: (query_id, neighbor_id,
+    * rank).
+    */
+  def ivfBatchTopKFromIndex(index: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = index
+      .select(col("vec_id").as("neighbor_id"), col("bucket"), col("unit").as("e"))
+      .join(queries.select(col("query_id"), col("bucket"), col("q")), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("q"), col("e")).as("sim"))
+    topKPerGroup(scored, "query_id", k)
+  }
+
+  /** The s29 lifecycle as ONE call: build-if-absent persisted bucketed IVF
+    * index, then serve a query batch too large to broadcast (every
+    * `queryStride`-th corpus vector) through the exchange-free bucket
+    * equi-join ([[ivfBatchTopKFromIndex]]).
+    */
+  def servedBatchTopK(embeddings: DataFrame, table: String, k: Int = 3,
+      queryStride: Long = 25L, centroidIds: Option[Seq[Long]] = None): DataFrame = {
+    val index = materializedIvfIndex(embeddings, table, centroidIds = centroidIds)
+    val queries = index.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("query_id"), col("bucket"), col("unit").as("q"))
+    ivfBatchTopKFromIndex(index, queries, k)
+  }
+
+  /** The trained-default artifact serve, attested the b13/t37/x32
+    * checked-sketch way (the s36 query): the trained centroids are a
+    * deterministic function of the CORPUS (hash sample + maxmin + Lloyd),
+    * so no static oracle SQL can reproduce the routing — instead the query
+    * RETURNS the brute-force truth (oracle-expressible exactly) and folds
+    * an `assert_true` into the plan that the serve from the trained
+    * [[materializedIvfIndex]] artifact recalls at least `minRecallPpm` of
+    * it: a degraded artifact (bad training, dropped ledger centroids, a
+    * torn append) RAISES instead of silently shipping, while every
+    * returned column stays cross-engine deterministic.
+    *
+    * Serve is MULTI-probe (the s23/s28-tuned production recipe): each
+    * query's top-`nprobe` buckets come from one broadcast pass over the
+    * ledger centroids, and the index join stays exchange-free on the
+    * corpus side (each corpus vector lives in exactly one bucket, so
+    * probed buckets never produce duplicate candidate pairs). Single-probe
+    * reads ≈ its scan fraction on an isotropic corpus — the recall the
+    * sweep tables document — which is why the serve path probes wide, and
+    * why the DEFAULT (`nprobe` ≤ 0) probes ⌈C/8⌉ buckets: a FIXED nprobe
+    * over the C = ⌈√N⌉ centroid count is a shrinking scan fraction as the
+    * corpus grows (measured: 0.76 recall at sf0.01 → 0.51 at sf0.1 for
+    * nprobe = 8), while a constant ⅛ routing fraction holds its operating
+    * point at any scale — the annTopK/marginPairsScan bandwidth
+    * discipline applied to routing.
+    *
+    * Floor (`minRecallPpm` ≤ 0 selects the scale-aware default): the ⅛
+    * fraction measures recall 0.49 (sf0.01) / 0.46 (sf0.1) / 0.34 (the
+    * 600-vector sf0.001 fixture, where C is only 25 and the recall
+    * quantum is 1/80) on the isotropic corpora — recall tracking scan
+    * fraction is the documented isotropy ceiling (RECALL.json
+    * `curves.ivf_trained_nprobe`), not an artifact defect. A single
+    * fixed floor must either fail the statistics-starved tiny fixture or
+    * weaken the production guard, so the default is derived from the
+    * ledger: **0.40 at C ≥ 32** (≥ 5 bands under the weakest at-scale
+    * measurement; a partially degraded artifact landing in 0.25–0.40
+    * raises), **0.25 below** (coarse-C fixtures — still ≥ 7 bands above
+    * every catastrophic mode on record: degenerate training /
+    * single-probe-equivalent routing reads 0.14–0.17, dropped ledger
+    * centroids misroute every append, a torn append loses its vectors
+    * outright).
+    */
+  def servedTrainedChecked(embeddings: DataFrame, table: String,
+      queryIds: Seq[Long], k: Int = 10, nprobe: Int = 0,
+      minRecallPpm: Long = -1L): DataFrame = {
+    val spark = embeddings.sparkSession
+    val index = materializedIvfIndex(embeddings, table)
+    val ledger = readCentroidLedger(spark, table)
+    val floor =
+      if (minRecallPpm > 0) minRecallPpm
+      else if (ledger.size >= 32) 400000L
+      else 250000L
+    val qUnit = index.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("unit").as("q"))
+    val queries = topProbeBuckets(qUnit, "query_id", "q",
+      centroidFrame(spark, ledger), nprobe, ledger.size)
+    checkedAgainstBrute(embeddings,
+      ivfBatchTopKFromIndex(index, F.broadcast(queries), k),
+      queryIds, k, floor, "trained IVF artifact serve")
+  }
+
+  /** [[servedTrainedChecked]] for the graph family (the s37 query): beam
+    * walk over the trained-default [[materializedNavGraph]] artifact,
+    * entered at the ledger's per-bucket representatives
+    * ([[ledgerEntryIds]] — the coverage-guaranteed entry set recorded at
+    * build time), checked against brute truth in-plan.
+    */
+  def beamTrainedChecked(embeddings: DataFrame, table: String,
+      queryIds: Seq[Long], k: Int = 5, beam: Int = 32, rounds: Int = 4,
+      minRecallPpm: Long = 750000L): DataFrame = {
+    val spark = embeddings.sparkSession
+    val g = materializedNavGraph(embeddings, table)
+    val served = beamSearchServed(embeddings, g, queryIds,
+      ledgerEntryIds(spark, table), k, beam, rounds)
+    checkedAgainstBrute(embeddings, served, queryIds, k, minRecallPpm,
+      "trained nav-graph artifact serve")
+  }
+
+  /** Shared checked tail: brute truth rows + one broadcast recall scalar
+    * with the floor assertion folded in (`serve_ok` is the countMinChecked
+    * `sketch_ok` pattern — constant TRUE when the assert passes, so the
+    * column is oracle-expressible).
+    */
+  private def checkedAgainstBrute(embeddings: DataFrame, served: DataFrame,
+      queryIds: Seq[Long], k: Int, minRecallPpm: Long, what: String): DataFrame = {
+    val truth = bruteForceTopK(embeddings, queryIds, k)
+    val rec = truth
+      .join(served.select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+        count(lit(1)).as("n_truth"))
+      .select(expr("(1000000 * n_hits) div n_truth").as("recall_ppm"))
+    truth.crossJoin(F.broadcast(rec))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        when(assert_true(col("recall_ppm") >= minRecallPpm,
+          concat(lit(s"$what recall_ppm "), col("recall_ppm"),
+            lit(s" below floor $minRecallPpm"))).isNull, lit(true))
+          .as("serve_ok"))
+  }
+}

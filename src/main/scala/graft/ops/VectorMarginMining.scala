@@ -1,0 +1,357 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** Margin (hard-pair) MINING over test × train vector corpora (split from
+  * `Vectors.scala`; round-8): the exact pair miner, its bucketed and
+  * SQ8-compressed-scan scale paths, trained-IVF routed candidates, and the
+  * pair-concentration geometry gate that dispatches between them. Mixed
+  * into [[Vectors]]; every call site stays `Vectors.marginPairs*`.
+  */
+private[ops] trait VectorMarginMining { self: VectorCore with VectorTraining =>
+
+  /** Margin-based aligned-pair mining (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix criterion): a (test, train) pair is aligned when its
+    * cosine stands out RELATIVE to each side's neighborhood — margin =
+    * 2·sim(x,y) / (avg_k(x) + avg_k(y)), with avg_k the mean of the
+    * side's k nearest cross-corpus sims. Raw-threshold mining drowns in
+    * hubs (vectors near everything); the margin normalizes them away —
+    * the standard bitext/parallel-data mining step.
+    *
+    * Determinism: per-side top-k sims fold in RANK order (sort_array +
+    * sequential `aggregate` on the Spark side, `list(sim ORDER BY rn)` +
+    * `list_reduce` in the oracle — the x31/PQ pinned-fold discipline), so
+    * avgs, margins, and the ppm rounding are bit-reproducible; the
+    * threshold applies to the ROUNDED ppm so the cut is boundary-stable.
+    *
+    * Scale shape: one cross-scoring pass (here exact — the |Q|≪N
+    * broadcast baseline; the bucketed s22 index composes in front for
+    * corpus-×-corpus runs), two per-side window ranks over the scored
+    * frame, metadata-sized avg frames broadcast back. Output:
+    * (test_id, train_id, margin_ppm) for forward-top-1 pairs above the
+    * threshold.
+    */
+  def marginPairs(test: DataFrame, train: DataFrame, k: Int = 4,
+      marginPpmThreshold: Long = 1200000L): DataFrame = {
+    val tU = withUnit(test).select(col("vec_id").as("test_id"), col("unit").as("tu"))
+    val rU = withUnit(train).select(col("vec_id").as("train_id"), col("unit").as("ru"))
+    val scored = F.broadcast(tU).join(rU)
+      .select(col("test_id"), col("train_id"), dot(col("tu"), col("ru")).as("sim"))
+    marginFromScored(scored, k, marginPpmThreshold)
+  }
+
+  /** [[marginPairs]] at corpus-×-corpus scale: candidates come from the
+    * multi-table sign-hash buckets (the s18/s22 index) instead of the
+    * all-pairs cross join — only bucket-colliding pairs are scored, so the
+    * pair stage grows with bucket occupancy, never |test|·|train|. The
+    * margin normalization then runs over each side's CANDIDATE
+    * neighborhood (the standard index-backed approximation: a true
+    * neighbor missed by every table is absent from both the top-1 and the
+    * avgs — RECALL.json-style quality, exact-per-candidate math).
+    */
+  def marginPairsBucketed(test: DataFrame, train: DataFrame, k: Int = 4,
+      marginPpmThreshold: Long = 1200000L, nTables: Int = 4,
+      nPlanes: Int = 8, dim: Int = 64, probeRadius: Int = 1): DataFrame = {
+    val pairs = marginBucketedCandidates(test, train, nTables, nPlanes, dim, probeRadius)
+    val tU = withUnit(test).select(col("vec_id").as("test_id"), col("unit").as("tu"))
+    val rU = withUnit(train).select(col("vec_id").as("train_id"), col("unit").as("ru"))
+    val scored = pairs
+      .join(F.broadcast(tU), Seq("test_id"))
+      .join(rU, Seq("train_id"))
+      .select(col("test_id"), col("train_id"), dot(col("tu"), col("ru")).as("sim"))
+    marginFromScored(scored, k, marginPpmThreshold)
+  }
+
+  /** The candidate stage of [[marginPairsBucketed]], exposed so the overlap
+    * report ([[graft.RecallReport]]) can chart candidate volume against
+    * pair recovery per (tables × probe-radius) config. The TEST side probes
+    * its own bucket plus every bucket within Hamming distance
+    * `probeRadius` per table (the lshTopKMultiProbe trick): candidate
+    * recall rises with the probe count at the cost of more (tiny) probe
+    * keys — the train side stays one bucket per table, so candidate volume
+    * remains bucket-occupancy-bounded. Output: distinct (test_id,
+    * train_id).
+    */
+  def marginBucketedCandidates(test: DataFrame, train: DataFrame,
+      nTables: Int = 4, nPlanes: Int = 8, dim: Int = 64,
+      probeRadius: Int = 1): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 2, s"probeRadius 0–2, got $probeRadius")
+    def keys(df: DataFrame, idCol: String): DataFrame =
+      withUnit(df).select(col("vec_id").as(idCol),
+        posexplode(tableBucketsExpr(nTables, nPlanes, dim)).as(Seq("t", "bucket")))
+    val flips: Seq[Long] = Seq(0L) ++
+      (if (probeRadius >= 1) (0 until nPlanes).map(j => 1L << j) else Nil) ++
+      (if (probeRadius >= 2)
+        for { i <- 0 until nPlanes; j <- i + 1 until nPlanes }
+          yield (1L << i) | (1L << j)
+      else Nil)
+    val probed = keys(test, "test_id")
+      .select(col("test_id"), col("t"),
+        explode(array(flips.map(f => col("bucket").bitwiseXOR(lit(f))): _*)).as("bucket"))
+    probed
+      .join(keys(train, "train_id"), Seq("t", "bucket"))
+      .select(col("test_id"), col("train_id"))
+      .distinct()
+  }
+
+  /** [[marginPairs]]' geometry-robust scale path — the [[annTopK]] design
+    * applied to pair mining: ONE compressed scoring pass over the
+    * (test × train) grid through SQ8 byte codes (1 byte/dimension — 8×
+    * below the float corpus), per-side shortlists from the compressed
+    * scores (top-`shortlist` per test AND per train — both margin
+    * neighborhoods), then exact re-scoring of only the shortlisted pairs
+    * and the standard margin tail over them. Where the sign-hash bucket
+    * path's recovery is bounded by bucket locality (a DATA property — on
+    * an isotropic corpus it caps near the candidate fraction; RECALL.json
+    * charts this), the compressed scan keeps pair recovery ≈ 1.0 at 1/8
+    * the scan bandwidth, because no pair is ever pruned unseen — only
+    * scored cheaply.
+    *
+    * At 100 TB: the compressed pass is byte-bandwidth-bound and
+    * embarrassingly parallel over the pair grid; the shortlist windows
+    * partition per side; only |test|·shortlist + |train|·shortlist pairs
+    * reach the float re-rank. Deterministic end-to-end (exact min/max
+    * stats, pinned encode/decode and fold order — the s8 discipline), so
+    * the DuckDB oracle reproduces every margin bit-for-bit (s32).
+    */
+  def marginPairsScan(test: DataFrame, train: DataFrame, k: Int = 4,
+      marginPpmThreshold: Long = 1200000L, shortlist: Int = 8): DataFrame = {
+    val tU = withUnit(test).select(col("vec_id").as("test_id"), col("unit").as("tu"))
+      .persist()
+    val rU = withUnit(train).select(col("vec_id").as("train_id"), col("unit").as("ru"))
+      .persist()
+    // one quantization grid over BOTH sides (d rows of exact min/max —
+    // metadata, not a corpus read)
+    val stats = tU.select(col("tu").as("u")).unionByName(rU.select(col("ru").as("u")))
+      .select(posexplode(col("u")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => (r.getAs[Int]("i"), r.getAs[Double]("mn"), r.getAs[Double]("mx")))
+      .sortBy(_._1)
+    val mnLit = typedlit(stats.map(_._2).toSeq)
+    val mxLit = typedlit(stats.map(_._3).toSeq)
+    val tC = tU.select(col("test_id"),
+      graft.functions.VectorFunctions.quantizeCode(col("tu"), mnLit, mxLit).as("tc"))
+    val rC = rU.select(col("train_id"),
+      graft.functions.VectorFunctions.quantizeCode(col("ru"), mnLit, mxLit).as("rc"))
+    val qScored = F.broadcast(tC).join(rC)
+      .select(col("test_id"), col("train_id"),
+        graft.functions.VectorFunctions.dequantizeDot(
+          col("tc"), col("rc"), mnLit, mxLit).as("qsim"))
+      .persist() // both shortlist windows read it
+    val wF = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("test_id")).orderBy(col("qsim").desc, col("train_id").asc)
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("train_id")).orderBy(col("qsim").desc, col("test_id").asc)
+    val cand = qScored.withColumn("rn", row_number().over(wF))
+      .filter(col("rn") <= shortlist).select(col("test_id"), col("train_id"))
+      .unionByName(qScored.withColumn("rn", row_number().over(wB))
+        .filter(col("rn") <= shortlist).select(col("test_id"), col("train_id")))
+      .distinct()
+    val scored = cand
+      .join(F.broadcast(tU), Seq("test_id"))
+      .join(rU, Seq("train_id"))
+      .select(col("test_id"), col("train_id"), dot(col("tu"), col("ru")).as("sim"))
+    // marginFromScored materializes eagerly, so the scan's own caches can
+    // release here instead of pinning the compressed pair grid until a
+    // blanket clearCache (the marginFromScored cache discipline)
+    val out = marginFromScored(scored, k, marginPpmThreshold)
+    qScored.unpersist()
+    tU.unpersist()
+    rU.unpersist()
+    out
+  }
+
+  /** Pair-cosine concentration — the geometry GATE for
+    * [[marginPairsGated]] (round-7 verdict #5). On an isotropic corpus
+    * pair cosines are ≈ N(0, 1/d), so the 99th percentile of |cos| sits
+    * near 2.33/√d; real cluster structure puts O(1) within-cluster
+    * cosines in the upper tail and the percentile jumps an order of
+    * magnitude. A TAIL quantile, not the mean: mean |cos| barely moves
+    * when only 1/16 of pairs are same-cluster (measured on the clustered
+    * twin), while p99 separates cleanly — 0.29 isotropic vs ≥ 0.68
+    * clustered at d = 64 against the 3.5/√d = 0.44 gate.
+    *
+    * Cost: a deterministic hash-ordered sample of ≤ `sampleN` vectors
+    * (metadata), one sample² dot pass, one exact percentile — O(sampleN²·d)
+    * regardless of corpus size.
+    *
+    * Multi-frame corpora: when the input unions frames whose vec_id spaces
+    * may overlap (the [[marginPairsGated]] test/train union), it carries an
+    * integer `side` TAG column and the sample keys on (vec_id, side) —
+    * round-7 ADVICE: the previous `vec_id + 2⁴⁰` offset fold silently
+    * collided for ids ≥ 2⁴⁰ (plausible for hash- or snowflake-derived
+    * ids), corrupting the very sample that decides the routed-vs-scan
+    * dispatch. Single-frame callers (no `side` column) hash and order
+    * exactly as before.
+    */
+  def pairConcentrationP99(vectors: DataFrame, sampleN: Int = 192): Double = {
+    val hasSide = vectors.columns.contains("side")
+    val base = withUnit(vectors)
+    val keyed =
+      if (hasSide) base.select(struct(col("vec_id"), col("side")).as("pk"), col("unit"))
+      else base.select(struct(col("vec_id")).as("pk"), col("unit"))
+    val ord =
+      if (hasSide) xxhash64(col("pk.vec_id"), col("pk.side"), lit(7L))
+      else xxhash64(col("pk.vec_id"), lit(7L))
+    val samp = keyed.orderBy(ord, col("pk")).limit(sampleN).persist()
+    val row = samp.select(col("pk").as("pka"), col("unit").as("ua"))
+      .join(samp.select(col("pk").as("pkb"), col("unit").as("ub")),
+        col("pka") < col("pkb"))
+      .select(abs(dot(col("ua"), col("ub"))).as("s"))
+      .agg(expr("percentile(s, 0.99D)").as("p99"))
+      .head()
+    samp.unpersist()
+    // a sample with < 2 vectors has no pairs and percentile returns null:
+    // report 0 (no concentration evidence → the gate reads isotropic and
+    // the scan branch handles the degenerate corpus gracefully)
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
+  /** The gate threshold for a given dimension: 3.5/√d — well above the
+    * isotropic p99 ≈ 2.33/√d, far below any O(1) within-cluster cosine.
+    * An EMPTY frame has no dimension: the gate reads +∞, so the dispatch
+    * falls to the scan branch (which returns empty gracefully).
+    */
+  def concentrationGate(vectors: DataFrame): Double =
+    withUnit(vectors).select(size(col("unit"))).head(1) match {
+      case Array(r) => 3.5 / math.sqrt(r.getInt(0).toDouble)
+      case _        => Double.MaxValue
+    }
+
+  /** [[marginPairs]] with IVF ROUTING in front — the candidate generator
+    * for corpora whose geometry has real cluster structure: trained
+    * centroids over the TRAIN side (C = ⌈√N⌉, maxmin — the artifact
+    * default's recipe), train assigned to its top bucket, each test
+    * vector probing its top-`nprobe` buckets, candidates = bucket-join
+    * pairs. The margin tail then runs over each side's CANDIDATE
+    * neighborhood (the [[marginPairsBucketed]] approximation contract).
+    *
+    * Candidate volume ≈ (nprobe/C)·|test|·|train| on balanced buckets.
+    * The DEFAULT is a small FIXED nprobe (2): over C = ⌈√N⌉ buckets that
+    * is ~2·|test|·|train|/√N candidates — genuinely SUB-quadratic in the
+    * pair grid (N^1.5), and the measured operating point
+    * (RECALL.json `clustered.margin_routed_np2`: overlap 0.9975 at
+    * candidate fraction 0.052). A ⌈C/8⌉ nprobe (pass `nprobe = 0` for the
+    * serve path's rule) is only a CONSTANT-factor (1/8) cut of the grid —
+    * scale-stable recall for serving, the wrong default for mining
+    * (round-7 ADVICE). On clustered geometry the true top-1 train
+    * neighbor shares the test vector's cluster, so routing keeps it with
+    * high probability; on ISOTROPIC geometry bucket membership carries no
+    * similarity signal and overlap caps near the candidate fraction —
+    * which is why routing is gated, not default.
+    */
+  def marginPairsRouted(test: DataFrame, train: DataFrame, k: Int = 4,
+      marginPpmThreshold: Long = 1200000L, nprobe: Int = 2): DataFrame =
+    marginFromScored(routedScored(test, train, nprobe),
+      k, marginPpmThreshold)
+
+  /** The candidate stage of [[marginPairsRouted]] with its exact scores —
+    * exposed (like [[marginBucketedCandidates]]) so the overlap report can
+    * chart candidate volume against pair recovery on the clustered twin.
+    */
+  def marginRoutedCandidates(test: DataFrame, train: DataFrame,
+      nprobe: Int = 2): DataFrame =
+    routedScored(test, train, nprobe).select(col("test_id"), col("train_id"))
+
+  private def routedScored(test: DataFrame, train: DataFrame,
+      nprobe: Int): DataFrame = {
+    val spark = train.sparkSession
+    val tU = withUnit(test).select(col("vec_id").as("test_id"), col("unit").as("tu"))
+    val rU = withUnit(train).select(col("vec_id"), col("unit"))
+    // same C = min(⌈√N⌉, 65 536) rule — and the same trainer dispatch —
+    // as the artifact builders
+    val cents = trainedCentroidsAuto(train,
+      math.min(spacedCentroidIds(train.count()).size, 65536))
+    val cf = centroidFrame(spark, cents)
+    val trainBuckets = assignToCentroids(rU, cf)
+      .select(col("vec_id").as("train_id"), col("bucket"), col("unit").as("ru"))
+    // probe KEYS broadcast without the test vectors (round-7 ADVICE: the
+    // old broadcast replicated every full double test vector nprobe times
+    // — O(|test|·nprobe·d) bytes, over the ceiling at modest |test|); the
+    // vectors rejoin from their own |test|·d broadcast, so the candidate
+    // frame itself never shuffles. Both broadcasts are |test|-bounded — a
+    // test side too large to broadcast at all belongs on the served index
+    // path (ivfBatchTopKFromIndex), not this miner.
+    val testProbes = topProbeBuckets(tU, "test_id", "tu", cf, nprobe, cents.size)
+      .select(col("test_id"), col("bucket"))
+    // each train vector lives in exactly ONE bucket, so the probe join
+    // cannot duplicate a (test, train) pair — no distinct needed
+    F.broadcast(testProbes).join(trainBuckets, Seq("bucket"))
+      .join(F.broadcast(tU), Seq("test_id"))
+      .select(col("test_id"), col("train_id"), dot(col("tu"), col("ru")).as("sim"))
+  }
+
+  /** Geometry-GATED margin mining (round-7 verdict #5) — the production
+    * dispatch: measure the pair-cosine concentration of the combined
+    * corpus ([[pairConcentrationP99]]); when the tail shows real cluster
+    * structure, route candidates through trained IVF buckets
+    * ([[marginPairsRouted]] — sub-linear candidates at overlap ≥ 0.9 on
+    * such geometry); when it is isotropic, routing would prune true
+    * neighbors at candidate-fraction rates, so fall back to the
+    * compressed full scan ([[marginPairsScan]] — overlap ≈ 1.0 at 1/8
+    * bandwidth, quadratic by design). Both the gate sample and both
+    * branches are deterministic, so on a given corpus the dispatch — and
+    * therefore the result — is reproducible (the s38 oracle pins the
+    * scan branch on the measured-isotropic fixture; the routed branch is
+    * attested on the clustered twin in RECALL.json + VectorsSpec).
+    */
+  def marginPairsGated(test: DataFrame, train: DataFrame, k: Int = 4,
+      marginPpmThreshold: Long = 1200000L): DataFrame = {
+    // an explicit side TAG keeps the two frames' rows distinct in the gate
+    // sample for ANY id domain (round-7 ADVICE: the old `vec_id + 2⁴⁰`
+    // offset collided train ids ≥ 2⁴⁰ with test ids)
+    val union = test.select(col("vec_id"), col("embedding"), lit(0).as("side"))
+      .unionByName(train.select(col("vec_id"), col("embedding"), lit(1).as("side")))
+    val p99 = pairConcentrationP99(union)
+    val gate = concentrationGate(test)
+    if (p99 > gate) marginPairsRouted(test, train, k, marginPpmThreshold)
+    else marginPairsScan(test, train, k, marginPpmThreshold)
+  }
+
+  /** Shared margin tail over ANY (test_id, train_id, sim) candidate frame:
+    * per-side top-k avgs with rank-ordered folds, forward-top-1 selection,
+    * ppm rounding BEFORE the threshold.
+    *
+    * Caching is INTERNAL and eagerly released (round-7 ADVICE: the old
+    * contract left the candidate-grid-sized `scored`/`fRank` caches pinned
+    * for the returned plan's lifetime, leaking one corpus-sized cache
+    * entry per gated-margin call): the candidate frame and its forward
+    * ranking persist only while the margin tail MATERIALIZES — an eager
+    * local checkpoint of the result, which is ≤ |test| rows of three
+    * integers — and unpersist before returning.
+    */
+  private def marginFromScored(scoredIn: DataFrame, k: Int,
+      marginPpmThreshold: Long): DataFrame = {
+    val scored = scoredIn.persist()
+    val wF = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("test_id")).orderBy(col("sim").desc, col("train_id").asc)
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("train_id")).orderBy(col("sim").desc, col("test_id").asc)
+    val fRank = scored.withColumn("rn", row_number().over(wF)).persist()
+    try {
+      def sideAvg(ranked: DataFrame, keyCol: String, avgCol: String): DataFrame =
+        ranked.filter(col("rn") <= k)
+          .groupBy(col(keyCol))
+          .agg(sort_array(collect_list(struct(col("rn"), col("sim")))).as("arr"))
+          .select(col(keyCol),
+            (expr("aggregate(arr, 0.0D, (a, x) -> a + x.sim)") / size(col("arr")))
+              .as(avgCol))
+      val fAvg = sideAvg(fRank, "test_id", "f_avg")
+      val bAvg = sideAvg(scored.withColumn("rn", row_number().over(wB)), "train_id", "b_avg")
+      fRank.filter(col("rn") === 1)
+        .join(F.broadcast(fAvg), Seq("test_id"))
+        .join(F.broadcast(bAvg), Seq("train_id"))
+        .select(col("test_id"), col("train_id"),
+          round(lit(2e6) * col("sim") / (col("f_avg") + col("b_avg")))
+            .cast("long").as("margin_ppm"))
+        .filter(col("margin_ppm") >= marginPpmThreshold)
+        .localCheckpoint(true)
+    } finally {
+      fRank.unpersist()
+      scored.unpersist()
+      ()
+    }
+  }
+}

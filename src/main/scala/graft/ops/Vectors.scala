@@ -26,7 +26,18 @@ import org.apache.spark.sql.functions._
   *     recall/cost trade; the bucket column doubles as the blocking key for
   *     near-dup pair generation (O(Σ bucket²) ≪ O(N²)).
   */
-object Vectors {
+object Vectors extends VectorCore with VectorTraining with VectorArtifacts
+  with VectorMarginMining
+
+/** The shared CORE of the vector surface: similarity primitives, the ANN
+  * search families (brute/quantized/PQ/IVF/two-level/multi-probe/LSH/graph
+  * walks), assignment/centroid plumbing, and the report/eval queries.
+  * Training, persisted artifacts, and margin mining live in the sibling
+  * traits ([[VectorTraining]], [[VectorArtifacts]], [[VectorMarginMining]])
+  * — one file per seam under the repo's 2 500-line bound — all mixed into
+  * [[Vectors]], which remains the single public entry point.
+  */
+private[ops] trait VectorCore {
 
   /** Sequential dot product over double arrays — a custom codegen'd Catalyst
     * expression ([[graft.functions.DotProduct]]): the HOF formulation
@@ -561,63 +572,6 @@ object Vectors {
     selected
   }
 
-  /** Per-subspace k-means codebooks for PQ — the production-quality path
-    * (the [[trainedCentroids]] analog for s9): squared-L2 Lloyd over each
-    * subspace's sample sub-vectors, driver-side on the same deterministic
-    * hash sample (≤ `sampleTarget`·d doubles — metadata at any corpus
-    * size), init spaced over the sample. Not oracle-attested (float means
-    * sum in engine-dependent order) but seed-deterministic within the
-    * engine; VectorsSpec pins recall ≥ the spaced codebook. Returns the
-    * flat layout [[pqTopKWithCodebook]] consumes.
-    */
-  def trainedPqCodebooks(embeddings: DataFrame, m: Int = 8, ks: Int = 16,
-      sampleTarget: Int = 4096, iters: Int = 10, seed: Long = 42L): Seq[Double] = {
-    val unit = withUnit(embeddings).select(col("vec_id"), col("unit"))
-    val n = embeddings.count()
-    val mm = math.max(1L, (n + sampleTarget - 1L) / sampleTarget.toLong)
-    val sample = unit
-      .filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(mm)) === 0)
-      .orderBy(col("vec_id"))
-      .collect()
-      .map(r => r.getSeq[Double](1).toArray)
-    require(sample.length >= ks, s"sample ${sample.length} smaller than ks=$ks")
-    val dim = sample.head.length
-    val subDim = dim / m
-    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
-      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
-      val step = math.max(1, subs.length / ks)
-      var cents = Array.tabulate(ks)(i => subs(i * step).clone())
-      def d2(a: Array[Double], b: Array[Double]): Double = {
-        var acc = 0.0; var i = 0
-        while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
-        acc
-      }
-      for (_ <- 0 until iters) {
-        val sums = Array.fill(ks)(new Array[Double](subDim))
-        val counts = new Array[Long](ks)
-        subs.foreach { v =>
-          var best = 0; var bestDist = Double.MaxValue
-          var c = 0
-          while (c < ks) {
-            val dd = d2(v, cents(c))
-            if (dd < bestDist) { bestDist = dd; best = c } // ties: smaller c
-            c += 1
-          }
-          var i = 0
-          while (i < subDim) { sums(best)(i) += v(i); i += 1 }
-          counts(best) += 1
-        }
-        cents = Array.tabulate(ks) { c =>
-          if (counts(c) == 0L) cents(c) // empty cluster keeps its codeword
-          else sums(c).map(_ / counts(c)) // plain L2 mean — no renormalize
-        }
-      }
-      cents
-    }
-    // assemble ks virtual full-dim centroids: slice s of virtual c = books(s)(c)
-    (0 until ks).flatMap(c => (0 until m).flatMap(s => books(s)(c).toSeq))
-  }
-
   /** k-NN graph construction — every vector's top-k neighbors, not a query
     * batch's: the structure near-dup clustering (feed the edges to
     * [[graft.ops.Dedup.dedupGroups]]), graph-based ANN indexes, and
@@ -715,7 +669,7 @@ object Vectors {
       .collect().map(_.getAs[Long]("rep")).toSeq.distinct.sorted
   }
 
-  private def navGraphOver(unit: DataFrame, centroids: DataFrame, k: Int,
+  private[ops] def navGraphOver(unit: DataFrame, centroids: DataFrame, k: Int,
       nAssign: Int): DataFrame = {
     val wA = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("centroid_id").asc)
@@ -776,186 +730,11 @@ object Vectors {
     beamSearchOver(unit, graph, queryIds, entryIds, k, beam, rounds)
   }
 
-  /** Persisted navigable-graph artifact — the [[materializedIvfIndex]] /
-    * dedup-groups lifecycle applied to the graph family: the graph builds
-    * once per corpus into a src_id-bucketed table
-    * ([[graft.sources.BucketedLayout.buildIfAbsent]]) plus a
-    * [[writeCentroidLedger]] ledger (assignment centroids + per-bucket
-    * walk entry representatives), and every subsequent beam search reads
-    * edges from the table — the "query cost independent of N once the
-    * graph exists" promise with the build actually amortized (and its
-    * cold cost a first-class bench row: `artifact:nav_graph`).
-    *
-    * Centroid default: `maxmin`-trained (verdict r6 #4 — the
-    * [[materializedIvfIndex]] scaladoc has the full oracle-attestation
-    * rationale); pass `centroidIds` for the spaced corpus-member parity
-    * build, which is bit-identical to [[navGraph]] and what the
-    * s24/s33/s34 oracle walks reproduce.
-    */
-  def materializedNavGraph(embeddings: DataFrame, table: String,
-      k: Int = 24, nAssign: Int = 3, buckets: Int = 8,
-      centroidIds: Option[Seq[Long]] = None): DataFrame = {
-    val spark = embeddings.sparkSession
-    graft.sources.BucketedLayout.buildIfAbsent(spark, table) {
-      val unit = withUnit(embeddings).select(col("vec_id"), col("unit"))
-      val cents = centroidsFor(embeddings, centroidIds)
-      val cf = centroidFrame(spark, cents)
-      graft.sources.BucketedLayout.writeBucketed(
-        navGraphOver(unit, cf.select(col("centroid_id"), col("c")), k, nAssign)
-          .select(col("src_id"), col("neighbor_id")),
-        table, "src_id", buckets)
-      // walk entries come from the TOP-1 assignment (the navEntryIds rule)
-      writeCentroidLedger(spark, table, cents, assignToCentroids(unit, cf))
-    }
-  }
-
-  /** CDC half of the persisted navigable graph — HNSW's insert-by-search
-    * as a relational batch op (Malkov & Yashunin 2018: a new element's
-    * neighbors ARE a search for it): each arriving vector beam-walks the
-    * EXISTING graph to its `graphK` nearest reachable nodes, those become
-    * its out-edges, and the reverse edges (neighbor → new) keep the new
-    * node reachable for later walks — both directions land in ONE atomic
-    * append, so there is no torn half-insert to reason about. Per-batch
-    * SHUFFLE cost is O(|batch|·rounds·beam·graphK) — the walk's cost
-    * model (including its N-linear shuffle-free scoring pass and the
-    * point-lookup deployment seam) is [[beamSearch]]'s, stated there.
-    *
-    * Replay guard: a new node appears as `src_id` exactly once (its
-    * forward edges), so the batch anti-joins the graph's src set and a
-    * REPLAYED batch is a no-op.
-    *
-    * Contract honesty: unlike [[appendToIvfIndex]] (pinned centroids make
-    * append ≡ batch assignment, hash-exact), an inserted node's edges come
-    * from a walk of the graph AS IT WAS — not the bucket build's pair
-    * enumeration — so the appended graph is a DIFFERENT (HNSW-standard)
-    * approximation than a rebuild. The spec pins what matters operationally
-    * (appended nodes are reachable, found by later searches, degree-
-    * bounded, replay-safe) and RECALL.json's `nav_append` row measures
-    * serve recall from the appended graph next to the rebuilt one; old
-    * nodes accumulate reverse edges past `graphK`, which HELPS recall and
-    * costs walk bandwidth — the periodic-rebuild compaction contract every
-    * HNSW deployment ships.
-    */
-  def appendToNavGraph(newVecs: DataFrame, corpus: DataFrame, table: String,
-      entryIds: Seq[Long], graphK: Int = 24, beam: Int = 32,
-      rounds: Int = 4, buckets: Int = 8): Unit = {
-    val spark = newVecs.sparkSession
-    val fresh = newVecs.join(
-      spark.table(table).select(col("src_id").as("vec_id")).distinct(),
-      Seq("vec_id"), "left_anti")
-    val newIds = fresh.select(col("vec_id")).collect().map(_.getLong(0)).toSeq
-    if (newIds.nonEmpty) {
-      val unit = withUnit(corpus.select(col("vec_id"), col("embedding"))
-          .unionByName(fresh.select(col("vec_id"), col("embedding"))))
-        .select(col("vec_id"), col("unit")).persist()
-      val found = beamSearchOver(unit, spark.table(table)
-          .select(col("src_id"), col("neighbor_id")),
-          newIds, entryIds, graphK, beam, rounds)
-        .select(col("query_id").as("src_id"), col("neighbor_id"))
-      found.unionByName(found.select(col("neighbor_id").as("src_id"),
-          col("src_id").as("neighbor_id")))
-        .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
-        .bucketBy(buckets, "src_id").sortBy("src_id").saveAsTable(table)
-      unit.unpersist()
-      // appends from this (possibly cloned foreachBatch) session must be
-      // visible to its own later reads; cross-session readers refresh theirs
-      spark.catalog.refreshTable(table)
-    }
-  }
-
-  /** [[beamSearch]] served from a PREBUILT edge list (the s33 query — the
-    * production serve path over [[materializedNavGraph]]): identical walk,
-    * zero graph-build work per query batch. The result is
-    * layout-independent (the graph is deterministic), so s33 hash-matches
-    * the s24 oracle while exercising the artifact read path.
-    */
-  def beamSearchServed(embeddings: DataFrame, graph: DataFrame,
-      queryIds: Seq[Long], entryIds: Seq[Long], k: Int = 5, beam: Int = 32,
-      rounds: Int = 4): DataFrame = {
-    val unit = withUnit(embeddings).select(col("vec_id"), col("unit")).persist()
-    beamSearchOver(unit,
-      graph.select(col("src_id"), col("neighbor_id")).persist(),
-      queryIds, entryIds, k, beam, rounds)
-  }
-
-  /** Persisted unit-vector store for the graph serve path — the
-    * point-lookup seam [[beamSearch]]'s cost model names, implemented:
-    * vec_id-bucketed AND vec_id-sorted, so a literal id IN-list pushes
-    * into the parquet reader and row groups holding none of the requested
-    * ids skip on min/max stats (the x58 postings discipline applied to
-    * vector reads).
-    */
-  def materializedNavUnits(embeddings: DataFrame, table: String,
-      buckets: Int = 8): DataFrame =
-    graft.sources.BucketedLayout.buildIfAbsent(embeddings.sparkSession, table) {
-      graft.sources.BucketedLayout.writeBucketed(
-        withUnit(embeddings).select(col("vec_id"), col("unit")),
-        table, "vec_id", buckets)
-    }
-
-  /** [[beamSearchServed]] with the N-linear scoring pass replaced by
-    * frontier-pruned reads of a [[materializedNavUnits]] store (the s34
-    * query): each round collects the frontier's candidate ids — bounded
-    * metadata, ≤ |Q|·beam·(graphK+1) longs — and reads ONLY those unit
-    * vectors through a literal IN pushed into the sorted-bucket scan. The
-    * walk's semantics are identical (same candidates, same scores, same
-    * pruning), so the result hash-equals [[beamSearchServed]] and the s24
-    * oracle; what changes is the I/O shape — per-round vector reads track
-    * the frontier, not the corpus, which is the serve cost model a 100 TB
-    * deployment needs. The driver pays one bounded collect per round (the
-    * tunedNprobe/navEntryIds discipline: metadata, never data).
-    */
-  def beamSearchServedPruned(spark: org.apache.spark.sql.SparkSession,
-      unitsTable: String, graph: DataFrame, queryIds: Seq[Long],
-      entryIds: Seq[Long], k: Int = 5, beam: Int = 32,
-      rounds: Int = 4): DataFrame = {
-    def unitsFor(ids: Seq[Long]): DataFrame =
-      spark.table(unitsTable).filter(col("vec_id").isInCollection(ids))
-    val g = graph.select(col("src_id"), col("neighbor_id")).persist()
-    val queries = F.broadcast(unitsFor(queryIds)
-      .select(col("vec_id").as("query_id"), col("unit").as("qv")))
-    def scoreAndPrune(cand: DataFrame, candIds: Seq[Long]): DataFrame = {
-      val scored = cand
-        .join(unitsFor(candIds)
-          .select(col("vec_id").as("node"), col("unit").as("nv")), Seq("node"))
-        .join(queries, Seq("query_id"))
-        .filter(col("query_id") =!= col("node"))
-        .select(col("query_id"), col("node"), dot(col("qv"), col("nv")).as("sim"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id")).orderBy(col("sim").desc, col("node").asc)
-      scored.withColumn("rn", F.row_number().over(w))
-        .filter(col("rn") <= beam)
-        .select(col("query_id"), col("node"), col("sim"))
-    }
-    var state = scoreAndPrune(
-      queries.select(col("query_id")).crossJoin(
-        F.broadcast(unitsFor(entryIds).select(col("vec_id").as("node")))),
-      entryIds).localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val expanded = state.select(col("query_id"), col("node").as("src_id"))
-        .join(g, Seq("src_id"))
-        .select(col("query_id"), col("neighbor_id").as("node"))
-        .unionByName(state.select(col("query_id"), col("node")))
-        .distinct()
-        .localCheckpoint(true)
-      // the bounded per-round collect: candidate ids only, never vectors
-      val candIds = expanded.select(col("node")).distinct()
-        .collect().map(_.getLong(0)).toSeq
-      state = scoreAndPrune(expanded, candIds).localCheckpoint(true)
-    }
-    val wf = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("node").asc)
-    state.withColumn("rank", F.row_number().over(wf))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("node").as("neighbor_id"),
-        col("rank").cast("long").as("rank"))
-  }
-
   /** The walk itself over a PREBUILT unit frame + edge list — the
     * production shape (the graph is built once and serves every query;
     * [[beamSweep]] shares one graph across all beam widths).
     */
-  private def beamSearchOver(unit: DataFrame, graph: DataFrame,
+  private[ops] def beamSearchOver(unit: DataFrame, graph: DataFrame,
       queryIds: Seq[Long], entryIds: Seq[Long], k: Int, beam: Int,
       rounds: Int): DataFrame = {
     val queries = F.broadcast(unit.filter(col("vec_id").isin(queryIds: _*))
@@ -1109,7 +888,7 @@ object Vectors {
   }
 
   /** Rank candidates per group by (sim desc, neighbor asc) and keep top-k. */
-  private def topKPerGroup(scored: DataFrame, groupCol: String, k: Int): DataFrame = {
+  private[ops] def topKPerGroup(scored: DataFrame, groupCol: String, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
@@ -1154,7 +933,7 @@ object Vectors {
         StructField("c", ArrayType(DoubleType, containsNull = false), nullable = false))))
   }
 
-  private def assignToCentroids(unit: DataFrame, centroids: DataFrame): DataFrame =
+  private[ops] def assignToCentroids(unit: DataFrame, centroids: DataFrame): DataFrame =
     unit
       .join(F.broadcast(centroids))
       .select(col("vec_id"), col("unit"), col("centroid_id"),
@@ -1165,287 +944,6 @@ object Vectors {
           struct(col("csim"), -col("centroid_id"))).as("best")
       )
       .select(col("vec_id"), col("best.centroid_id").as("bucket"), col("best.unit").as("unit"))
-
-  /** Spherical k-means centroids trained on a deterministic hash sample —
-    * the PRODUCTION centroid path the [[spacedCentroidIds]] scaladoc
-    * reserves (`weak` item 7, round-2 verdict). Not used by the oracle
-    * parity queries: per-cluster float means sum in engine-dependent order,
-    * so trained centroids are not bit-reproducible cross-engine; they are
-    * deterministic *within* the engine (fixed seed, driver-side Lloyd with
-    * fixed iteration order), which is what the recall property test pins.
-    *
-    * Scale shape: the sample is selected by a narrow hash filter
-    * (`xxhash64(vec_id, seed) mod ⌈N/sampleTarget⌉ = 0` — no sort, no
-    * shuffle), and only the ≤ `sampleTarget` sampled unit vectors reach the
-    * driver (C·d and S·d doubles — megabytes at any corpus size). Lloyd
-    * runs locally over the sample: assignment of the FULL corpus to the
-    * trained centroids stays distributed through the same
-    * [[ivfAssignWithCentroids]] broadcast join as every other variant.
-    * Empty clusters keep their previous centroid; means are re-normalized
-    * each round (spherical k-means — cosine geometry).
-    *
-    * This DRIVER form is the right trainer only while C is small (its
-    * maxmin + Lloyd loops are O(C·|sample|·d) single-threaded flops);
-    * artifact builders go through [[trainedCentroidsAuto]], which switches
-    * to the Spark-job twin [[trainedCentroidsDistributed]] past
-    * C = [[driverTrainerMaxC]].
-    */
-  def trainedCentroids(embeddings: DataFrame, c: Int, sampleTarget: Int = 4096,
-      iters: Int = 5, seed: Long = 42L,
-      init: String = "spaced"): Seq[(Long, Array[Double])] = {
-    require(init == "spaced" || init == "maxmin", s"unknown init '$init'")
-    require(c > 0, "need at least one centroid")
-    // the sample must carry COMFORTABLY more than one vector per centroid:
-    // `max(sampleTarget, c)` (round 7) made the EXPECTED sample size
-    // n/⌈n/target⌉ ≤ c, so the `require` below failed from ordinary hash
-    // fluctuation exactly in the c > 4096 regime it existed to fix, and
-    // even a passing run degenerated maxmin+Lloyd to ~one sample per
-    // centroid (round-7 ADVICE). 4× oversampling puts the expectation
-    // well above c (the require stays as the backstop) and keeps ≥ ~4
-    // sample members per centroid through Lloyd.
-    val target = math.max(sampleTarget, 4 * c)
-    val unit = withUnit(embeddings).select(col("vec_id"), col("unit"))
-    val n = embeddings.count()
-    // ceil, not floor: floor(n/target) would admit up to ~2× the target in
-    // expectation (and the ENTIRE corpus for n < 2·target)
-    val m = math.max(1L, (n + target - 1L) / target.toLong)
-    val sample = unit
-      .filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(m)) === 0)
-      .orderBy(col("vec_id")) // driver-side order must not depend on partitioning
-      .collect()
-      .map(r => r.getSeq[Double](1).toArray)
-    require(sample.length >= c, s"sample ${sample.length} smaller than C=$c")
-    val dim = sample.head.length
-    def dotp(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }
-      s
-    }
-    // Two deterministic inits, chosen by the caller:
-    //   - "spaced" (default): seeds at sample-index stride — the parity
-    //     path's rule; right when the id order is structure-free, and the
-    //     behavior every attested default was measured at.
-    //   - "maxmin": farthest-point (Gonzalez) — start at sample 0, then
-    //     repeatedly the point with the SMALLEST max-cosine to the chosen
-    //     set (ties to the smaller index). Spaced init inherits whatever
-    //     structure the id order carries (RECALL.json's `clustered`
-    //     section measures it: on an id-correlated 16-cluster corpus,
-    //     spaced seeds land in 4 of 16 clusters and five Lloyd iterations
-    //     only partially recover, while maxmin covers every region by
-    //     construction) — the robust choice when the id layout is unknown,
-    //     at the cost of outlier-biased seeds on structureless corpora.
-    //     O(c·|sample|·d) driver work on the metadata-sized sample.
-    var cents: Array[Array[Double]] = if (init == "spaced") {
-      val step = math.max(1, sample.length / c)
-      Array.tabulate(c)(i => sample(i * step).clone())
-    } else {
-      val chosen = new Array[Int](c)
-      chosen(0) = 0
-      val maxSim = sample.map(v => dotp(v, sample(0)))
-      var j = 1
-      while (j < c) {
-        var best = 0; var bestVal = Double.PositiveInfinity
-        var i = 0
-        while (i < sample.length) {
-          if (maxSim(i) < bestVal) { bestVal = maxSim(i); best = i }
-          i += 1
-        }
-        chosen(j) = best
-        var i2 = 0
-        while (i2 < sample.length) {
-          val s = dotp(sample(i2), sample(best))
-          if (s > maxSim(i2)) maxSim(i2) = s
-          i2 += 1
-        }
-        j += 1
-      }
-      chosen.map(i => sample(i).clone())
-    }
-    for (_ <- 0 until iters) {
-      val sums = Array.fill(c)(new Array[Double](dim))
-      val counts = new Array[Long](c)
-      sample.foreach { v =>
-        var best = 0; var bestSim = Double.NegativeInfinity
-        var j = 0
-        while (j < c) {
-          val s = dotp(v, cents(j))
-          if (s > bestSim) { bestSim = s; best = j } // ties: smaller id wins
-          j += 1
-        }
-        var i = 0
-        while (i < dim) { sums(best)(i) += v(i); i += 1 }
-        counts(best) += 1
-      }
-      cents = Array.tabulate(c) { j =>
-        if (counts(j) == 0L) cents(j) // empty cluster: keep the old centroid
-        else {
-          val mean = sums(j)
-          val nrm = math.sqrt(dotp(mean, mean))
-          if (nrm == 0.0) cents(j) else mean.map(_ / nrm)
-        }
-      }
-    }
-    cents.toIndexedSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
-  }
-
-  /** Past this C the driver trainer's single-threaded O(C·|sample|·d)
-    * maxmin + Lloyd loops dominate the artifact build (round-7 verdict #1:
-    * at C = 10⁴ the driver burns ~10¹³ flops on one core for a build whose
-    * distributed half takes seconds per node; at the 65 536 cap it is
-    * hours), so [[trainedCentroidsAuto]] switches to
-    * [[trainedCentroidsDistributed]]. At the threshold the driver loop is
-    * ~2048 · 8192 · 64 ≈ 10⁹ flops — about a second, cheaper than the
-    * distributed form's job-scheduling overhead would be.
-    */
-  private[graft] val driverTrainerMaxC = 2048
-
-  /** The artifact builders' trainer dispatch: the driver trainer
-    * ([[trainedCentroids]], `maxmin` init — exact farthest-point, bit-
-    * reproducible) up to C = [[driverTrainerMaxC]]; past it, every
-    * fixture-scale corpus is far behind and the O(C·|sample|·d) work moves
-    * into Spark jobs ([[trainedCentroidsDistributed]]). Fixture-scale
-    * corpora (C ≤ ~250 at sf0.1) always take the driver branch, so the
-    * attested s36/s37 floors and the RECALL.json operating points are
-    * measurements of the branch those corpora actually run.
-    */
-  def trainedCentroidsAuto(embeddings: DataFrame, c: Int,
-      sampleTarget: Int = 4096, iters: Int = 5,
-      seed: Long = 42L): Seq[(Long, Array[Double])] =
-    if (c <= driverTrainerMaxC)
-      trainedCentroids(embeddings, c, sampleTarget, iters, seed, init = "maxmin")
-    else trainedCentroidsDistributed(embeddings, c, sampleTarget, iters, seed)
-
-  /** [[trainedCentroids]] with both heavy loops run as SPARK JOBS — the
-    * trainer for C past [[driverTrainerMaxC]] (round-7 verdict #1: the
-    * driver trainer's maxmin init and Lloyd assignment are each
-    * O(C·|sample|·d) single-threaded flops, the one serial piece of the
-    * trained-artifact story; with |sample| = 4C and C = ⌈√N⌉ that is
-    * ~16·N·d driver flops — tens of minutes at N = 10⁸, hours at the cap).
-    * Here the SAME deterministic hash sample stays an executor-side frame;
-    * the driver holds only the C·d centroid matrix:
-    *
-    *   - '''init''' — batched farthest-point (the k-means‖ idea under this
-    *     repo's no-RNG discipline): instead of one exact-maxmin point per
-    *     round, each round takes the `⌈(C−1)/initRounds⌉` sample points
-    *     with the smallest max-cosine to the chosen set (a distributed
-    *     TakeOrdered, ties to the smaller vec_id), then folds them into
-    *     the running max-sim frame with one broadcast join. Batch-mates
-    *     don't see each other within a round (they can land near one
-    *     another where exact maxmin would not) — the standard
-    *     oversampling trade k-means‖ makes, and the subsequent Lloyd
-    *     rounds re-spread them; with `initRounds` rounds the init does
-    *     the same total flops as exact maxmin but spread over the
-    *     cluster in O(initRounds) jobs instead of C driver scans.
-    *   - '''Lloyd''' — assignment is the engine's own
-    *     [[ivfAssignWithCentroids]] broadcast join; per-bucket mean sums
-    *     are one posexplode + map-side-combined aggregation; only the
-    *     C·(d+1) (bucket, sums, count) rows reach the driver each
-    *     iteration. Empty buckets keep their previous centroid; means
-    *     re-normalize on the driver (spherical k-means), exactly the
-    *     driver trainer's rules.
-    *
-    * Determinism: the sample, every selection order, and every dot product
-    * are deterministic; distributed float SUMS, however, accumulate in
-    * shuffle-merge order, so production-mode centroids are deterministic
-    * only up to float-summation order (the scaladoc caveat
-    * [[trainedCentroids]] already carries cross-engine now applies
-    * cross-run). `exactOrder = true` (spec mode, fixture-sized C) forces
-    * the sample and each assignment onto one vec_id-sorted partition and
-    * batch size 1, making every float fold bit-identical to the driver
-    * trainer — VectorsSpec pins `exactOrder` ≡ [[trainedCentroids]]
-    * (`maxmin`) bit-for-bit, so the two trainers cannot drift
-    * semantically.
-    */
-  def trainedCentroidsDistributed(embeddings: DataFrame, c: Int,
-      sampleTarget: Int = 4096, iters: Int = 5, seed: Long = 42L,
-      initRounds: Int = 16, exactOrder: Boolean = false): Seq[(Long, Array[Double])] = {
-    require(c > 0, "need at least one centroid")
-    val spark = embeddings.sparkSession
-    // same 4× oversampled deterministic hash sample as the driver trainer
-    val target = math.max(sampleTarget, 4 * c)
-    val n = embeddings.count()
-    val m = math.max(1L, (n + target - 1L) / target.toLong)
-    val sampled = withUnit(embeddings).select(col("vec_id"), col("unit"))
-      .filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(m)) === 0)
-    val samp = (if (exactOrder) sampled.repartition(1).sortWithinPartitions(col("vec_id"))
-      else sampled).persist()
-    var cur: DataFrame = null
-    try {
-      val sn = samp.count()
-      require(sn >= c, s"sample $sn smaller than C=$c")
-      // ---- init: batched farthest-point over the sample frame ----
-      // first centroid = the smallest-vec_id sample row (the driver
-      // trainer's sample(0) under its vec_id-sorted collect)
-      val firstVec = samp.orderBy(col("vec_id")).limit(1)
-        .select(col("unit")).head().getSeq[Double](0).toArray
-      val dim = firstVec.length
-      val chosen = scala.collection.mutable.ArrayBuffer[Array[Double]](firstVec)
-      val batchSize = if (exactOrder) 1 else math.max(1, (c - 1 + initRounds - 1) / initRounds)
-      cur = samp.select(col("vec_id"), col("unit"),
-        dot(col("unit"), typedlit(firstVec.toSeq)).as("maxsim")).persist()
-      cur.count()
-      while (chosen.size < c) {
-        val take = math.min(batchSize, c - chosen.size)
-        // the `take` farthest points from the chosen set — smallest
-        // max-cosine, ties to the smaller vec_id (TakeOrdered: no global
-        // sort materializes)
-        val batch = cur.orderBy(col("maxsim").asc, col("vec_id").asc).limit(take)
-          .select(col("unit")).collect().map(_.getSeq[Double](0).toArray)
-        val bf = centroidFrame(spark,
-          batch.toIndexedSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) })
-        val next = cur.join(F.broadcast(bf))
-          .select(col("vec_id"), col("unit"), col("maxsim"),
-            dot(col("unit"), col("c")).as("bs"))
-          .groupBy(col("vec_id"))
-          .agg(first(col("unit")).as("unit"),
-            greatest(first(col("maxsim")), max(col("bs"))).as("maxsim"))
-          .persist()
-        next.count()
-        cur.unpersist()
-        cur = next
-        chosen ++= batch
-      }
-      // ---- Lloyd: distributed assignment + per-bucket mean sums ----
-      var cents: Array[Array[Double]] = chosen.toArray
-      for (_ <- 0 until iters) {
-        val cf = centroidFrame(spark,
-          cents.toIndexedSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) })
-        val assigned0 = assignToCentroids(samp, cf)
-        // exact-order mode: sums must accumulate in vec_id order on one
-        // partition to bit-match the driver loop's per-cluster fold
-        val assigned = if (exactOrder)
-          assigned0.repartition(1).sortWithinPartitions(col("vec_id"))
-        else assigned0
-        val sums = assigned
-          .select(col("bucket"), posexplode(col("unit")).as(Seq("i", "x")))
-          .groupBy(col("bucket"), col("i"))
-          .agg(sum(col("x")).as("sx"))
-          .groupBy(col("bucket"))
-          .agg(sort_array(collect_list(struct(col("i"), col("sx")))).as("arr"))
-          .collect()
-          .map { r =>
-            val arr = r.getSeq[org.apache.spark.sql.Row](1)
-            (r.getLong(0), arr.map(_.getDouble(1)).toArray)
-          }.toMap
-        cents = Array.tabulate(c) { j =>
-          sums.get(j.toLong) match {
-            case None => cents(j) // empty cluster: keep the old centroid
-            case Some(mean) =>
-              var s = 0.0
-              var i = 0
-              while (i < dim) { s += mean(i) * mean(i); i += 1 }
-              val nrm = math.sqrt(s)
-              if (nrm == 0.0) cents(j) else mean.map(_ / nrm)
-          }
-        }
-      }
-      cents.toIndexedSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
-    } finally {
-      if (cur != null) cur.unpersist()
-      samp.unpersist()
-      ()
-    }
-  }
 
   /** [[ivfTopK]] over trained centroids — the production search path. */
   def ivfTopKTrained(embeddings: DataFrame, centroids: Seq[(Long, Array[Double])],
@@ -1474,204 +972,6 @@ object Vectors {
     */
   def ivfTopK(embeddings: DataFrame, centroidIds: Seq[Long], queryIds: Seq[Long], k: Int): DataFrame =
     topKWithinBuckets(ivfAssign(embeddings, centroidIds), queryIds, k)
-
-  /** Persist an IVF assignment as a BUCKETED index table — the
-    * build-once/query-many production layout: at 100 TB the assignment
-    * pass (O(N·C·d)) is the expensive stage, so it runs once and lands
-    * hash-clustered on `bucket`; every later probe reads the index
-    * exchange-free on the corpus side (plan-pinned in BucketedLayoutSpec).
-    */
-  def writeIvfIndex(assigned: DataFrame, table: String, buckets: Int = 32): Unit =
-    graft.sources.BucketedLayout.writeBucketed(
-      assigned.select(col("vec_id"), col("bucket"), col("unit")),
-      table, "bucket", buckets, sorted = false)
-
-  /** Centroid LEDGER for a persisted vector artifact — `${table}_centroids`
-    * holds (centroid_id, c, entry_id): the COMPLETE pinned centroid set
-    * with each centroid's unit vector and the min corpus vec_id its bucket
-    * holds (null for an empty bucket). Two round-6 findings motivate the
-    * explicit ledger over recovering centroids from the index:
-    *
-    *   - ADVICE r6: "distinct bucket ids" recovery DROPS any centroid
-    *     whose bucket is empty (two identical corpus vectors tie-breaking
-    *     into one bucket at build time), so later appends would route
-    *     against a smaller centroid set than the build used — silent
-    *     routing drift. The ledger persists every centroid, occupied or
-    *     not (the postings `_len` pattern).
-    *   - Trained centroids (round-7 artifact default, verdict #4) are NOT
-    *     corpus members — there is no index row to recover their vectors
-    *     from. The ledger is the only place they live.
-    *
-    * C·(d+2) values — metadata at any corpus scale.
-    */
-  def writeCentroidLedger(spark: org.apache.spark.sql.SparkSession,
-      table: String, centroids: Seq[(Long, Array[Double])],
-      assigned: DataFrame): Unit = {
-    val reps = assigned.groupBy(col("bucket"))
-      .agg(min(col("vec_id")).as("entry_id"))
-      .select(col("bucket").as("centroid_id"), col("entry_id"))
-    // called only from inside the MAIN table's cold-build block, so the
-    // ledger is dropped and rewritten unconditionally: a build-if-absent
-    // here would let a stale ledger (torn rebuild that dropped the index
-    // but not `_centroids`) pair with a freshly-trained graph — exactly
-    // the silent routing drift the ledger exists to prevent
-    spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
-    graft.sources.BucketedLayout.buildIfAbsent(spark, table + "_centroids") {
-      graft.sources.BucketedLayout.writeBucketed(
-        centroidFrame(spark, centroids).join(reps, Seq("centroid_id"), "left"),
-        table + "_centroids", "centroid_id", 1)
-    }
-    ()
-  }
-
-  /** The pinned centroid set of a persisted artifact, read back from its
-    * [[writeCentroidLedger]] ledger — centroid_id order, every centroid
-    * present (empty buckets included).
-    */
-  def readCentroidLedger(spark: org.apache.spark.sql.SparkSession,
-      table: String): Seq[(Long, Array[Double])] = {
-    require(spark.catalog.tableExists(table + "_centroids"),
-      s"no centroid ledger ${table}_centroids — rebuild the artifact via " +
-        "materializedIvfIndex/materializedNavGraph (pre-round-7 indexes " +
-        "inferred centroids from occupied buckets, which drops empties)")
-    spark.table(table + "_centroids")
-      .select(col("centroid_id"), col("c")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1).toSeq
-  }
-
-  /** Coverage-guaranteed walk entry ids from a persisted artifact's ledger
-    * — the [[navEntryIds]] per-bucket representatives without the extra
-    * assignment pass (they were recorded at build time). Empty buckets
-    * contribute nothing (null entry_id).
-    */
-  def ledgerEntryIds(spark: org.apache.spark.sql.SparkSession,
-      table: String): Seq[Long] =
-    spark.table(table + "_centroids")
-      .filter(col("entry_id").isNotNull).select(col("entry_id"))
-      .collect().map(_.getLong(0)).toSeq.distinct.sorted
-
-  /** Fold a batch of NEW vectors into a persisted IVF index — the CDC half
-    * of the [[materializedIvfIndex]] lifecycle (the
-    * [[graft.ops.Dedup.appendBandKeys]] pattern for the vector surface):
-    * the batch assigns against the index's PINNED centroid set (read from
-    * the [[writeCentroidLedger]] ledger — complete even for empty buckets,
-    * and valid for trained non-corpus-member centroids) and appends with
-    * the same bucket spec. Centroid drift under corpus growth is a REBUILD
-    * decision, deliberately not taken here: an index's routing must stay
-    * frozen between rebuilds or every previously-assigned vector would
-    * need re-routing — the standard production contract
-    * (StreamingVectorIndexSpec pins append-across-restarts ≡ one batch
-    * assignment against the pinned centroids).
-    *
-    * Replay guard (ADVICE r6): the batch anti-joins the index's existing
-    * vec_id set first — a redelivered at-least-once micro-batch (crash
-    * between append and checkpoint commit) is a no-op instead of
-    * appending duplicate rows that would occupy multiple top-k slots in
-    * the serve path (the [[appendToNavGraph]] src-set pattern;
-    * replayed-batch no-op pinned in StreamingVectorIndexSpec).
-    */
-  def appendToIvfIndex(newVecs: DataFrame, table: String,
-      buckets: Int = 8): Unit = {
-    val spark = newVecs.sparkSession
-    val cents = readCentroidLedger(spark, table)
-    val fresh = newVecs.join(
-      spark.table(table).select(col("vec_id")).distinct(),
-      Seq("vec_id"), "left_anti")
-    // persisted: the emptiness probe and the write must not each pay the
-    // anti-join + assignment (round-7 review — this is the foreachBatch
-    // hot path, and the anti-join side scans the whole index)
-    val assigned = assignToCentroids(
-      withUnit(fresh).select(col("vec_id"), col("unit")),
-      centroidFrame(spark, cents)).persist()
-    try {
-      if (!assigned.isEmpty) {
-        assigned.select(col("vec_id"), col("bucket"), col("unit"))
-          .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
-          .bucketBy(buckets, "bucket")
-          .saveAsTable(table)
-        // appends from this (possibly cloned) session must be visible to its
-        // own later reads; cross-session readers refresh on their side
-        spark.catalog.refreshTable(table)
-      }
-    } finally { assigned.unpersist(); () }
-  }
-
-  /** Build-if-absent persisted IVF index (the [[writeIvfIndex]] layout
-    * behind the [[graft.ops.Dedup.materializeGroups]] lifecycle): the
-    * O(N·C·d) assignment runs once per corpus into a bucket-clustered
-    * table plus its [[writeCentroidLedger]] centroid ledger; every later
-    * probe reads it exchange-free on the corpus side. Orphaned warehouse
-    * locations from a previous process are cleared before rebuild
-    * (deterministic contents — a rebuild is always safe).
-    *
-    * Centroid default (round-7, verdict #4): `maxmin`-trained spherical
-    * k-means ([[trainedCentroids]]) — ENGINE.md's own conclusion is that
-    * the production recipe at 100 TB is trained centroids for both the
-    * IVF index and the graph build (spaced corpus-member seeds inherit
-    * whatever structure the id order carries; RECALL.json's `clustered`
-    * section measures the failure). Pass `centroidIds` for the
-    * spaced-seed parity form — trained centroids are deterministic within
-    * the engine but involve float means summed in engine order, so they
-    * are not bit-reproducible in the DuckDB oracle; the oracle-attested
-    * queries (s29/s33/s34/s26) pin the spaced parity path, and the
-    * trained default is attested by the b13-style checked queries
-    * (s36/s37) plus specs/RECALL.json.
-    */
-  def materializedIvfIndex(embeddings: DataFrame, table: String,
-      buckets: Int = 8, centroidIds: Option[Seq[Long]] = None): DataFrame = {
-    val spark = embeddings.sparkSession
-    graft.sources.BucketedLayout.buildIfAbsent(spark, table) {
-      val cents = centroidsFor(embeddings, centroidIds)
-      val assigned = ivfAssignWithCentroids(embeddings, cents).persist()
-      writeIvfIndex(assigned, table, buckets)
-      writeCentroidLedger(spark, table, cents, assigned)
-      assigned.unpersist()
-      ()
-    }
-  }
-
-  /** The artifact builders' centroid rule: explicit corpus-member ids when
-    * given (spaced parity — vectors collected once, C·d doubles), else
-    * `maxmin`-trained spherical k-means at the same C = ⌈√N⌉.
-    */
-  private def centroidsFor(embeddings: DataFrame,
-      centroidIds: Option[Seq[Long]]): Seq[(Long, Array[Double])] =
-    centroidIds match {
-      case Some(ids) =>
-        withUnit(embeddings).select(col("vec_id"), col("unit"))
-          .filter(col("vec_id").isInCollection(ids))
-          .collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-          .sortBy(_._1).toSeq
-      case None =>
-        // C = min(⌈√N⌉, 65 536): at the cap, buckets still hold ≥ √N
-        // members and the C·(d+2)-value ledger stays broadcast-sized —
-        // the ledger (and the serve path's broadcast of it) is now the
-        // binding constraint, not the trainer: past C = 2 048 the
-        // dispatch moves both trainer loops into Spark jobs
-        // (trainedCentroidsDistributed), so no O(C·|sample|·d) work ever
-        // runs single-threaded on the driver (round-7 verdict #1).
-        val c = math.min(spacedCentroidIds(embeddings.count()).size, 65536)
-        trainedCentroidsAuto(embeddings, c)
-    }
-
-  /** Batch ANN over a persisted index — for query BATCHES too large to
-    * broadcast (the offline scoring job: re-embed a corpus slice, find
-    * neighbors for all of it): score a (query_id, bucket, q) frame against
-    * the index by bucket equi-join. With the index bucketed on `bucket`
-    * the corpus side plans with zero exchanges; only the query batch and
-    * the final per-query ranking shuffle. Output: (query_id, neighbor_id,
-    * rank).
-    */
-  def ivfBatchTopKFromIndex(index: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = index
-      .select(col("vec_id").as("neighbor_id"), col("bucket"), col("unit").as("e"))
-      .join(queries.select(col("query_id"), col("bucket"), col("q")), Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), dot(col("q"), col("e")).as("sim"))
-    topKPerGroup(scored, "query_id", k)
-  }
 
   /** ⌈√C⌉ coarse parents spaced over an (ascending) fine-centroid id list —
     * [[spacedCentroidIds]] applied one level up; coarse ⊂ fine by
@@ -1974,7 +1274,7 @@ object Vectors {
     * [[lshKeepFirst]], and the streaming dedup — one definition of the
     * bucketing so batch and streaming collide identically.
     */
-  private def tableBucketsExpr(nTables: Int, nPlanes: Int, dim: Int): Column =
+  private[ops] def tableBucketsExpr(nTables: Int, nPlanes: Int, dim: Int): Column =
     array((0 until nTables).map { t =>
       lshPlanes(nPlanes, dim, start = t * nPlanes).zipWithIndex.map { case (p, j) =>
         when(dot(col("unit"), typedlit(p.toSeq)) >= 0, lit(1L << j)).otherwise(lit(0L))
@@ -2363,278 +1663,6 @@ object Vectors {
       .select(col("target_ppm"), col("nprobe"), col("recall_ppm"))
   }
 
-  /** Margin-based aligned-pair mining (Artetxe & Schwenk 2019 — the
-    * LASER/CCMatrix criterion): a (test, train) pair is aligned when its
-    * cosine stands out RELATIVE to each side's neighborhood — margin =
-    * 2·sim(x,y) / (avg_k(x) + avg_k(y)), with avg_k the mean of the
-    * side's k nearest cross-corpus sims. Raw-threshold mining drowns in
-    * hubs (vectors near everything); the margin normalizes them away —
-    * the standard bitext/parallel-data mining step.
-    *
-    * Determinism: per-side top-k sims fold in RANK order (sort_array +
-    * sequential `aggregate` on the Spark side, `list(sim ORDER BY rn)` +
-    * `list_reduce` in the oracle — the x31/PQ pinned-fold discipline), so
-    * avgs, margins, and the ppm rounding are bit-reproducible; the
-    * threshold applies to the ROUNDED ppm so the cut is boundary-stable.
-    *
-    * Scale shape: one cross-scoring pass (here exact — the |Q|≪N
-    * broadcast baseline; the bucketed s22 index composes in front for
-    * corpus-×-corpus runs), two per-side window ranks over the scored
-    * frame, metadata-sized avg frames broadcast back. Output:
-    * (test_id, train_id, margin_ppm) for forward-top-1 pairs above the
-    * threshold.
-    */
-  def marginPairs(test: DataFrame, train: DataFrame, k: Int = 4,
-      marginPpmThreshold: Long = 1200000L): DataFrame = {
-    val tU = withUnit(test).select(col("vec_id").as("test_id"), col("unit").as("tu"))
-    val rU = withUnit(train).select(col("vec_id").as("train_id"), col("unit").as("ru"))
-    val scored = F.broadcast(tU).join(rU)
-      .select(col("test_id"), col("train_id"), dot(col("tu"), col("ru")).as("sim"))
-    marginFromScored(scored, k, marginPpmThreshold)
-  }
-
-  /** [[marginPairs]] at corpus-×-corpus scale: candidates come from the
-    * multi-table sign-hash buckets (the s18/s22 index) instead of the
-    * all-pairs cross join — only bucket-colliding pairs are scored, so the
-    * pair stage grows with bucket occupancy, never |test|·|train|. The
-    * margin normalization then runs over each side's CANDIDATE
-    * neighborhood (the standard index-backed approximation: a true
-    * neighbor missed by every table is absent from both the top-1 and the
-    * avgs — RECALL.json-style quality, exact-per-candidate math).
-    */
-  def marginPairsBucketed(test: DataFrame, train: DataFrame, k: Int = 4,
-      marginPpmThreshold: Long = 1200000L, nTables: Int = 4,
-      nPlanes: Int = 8, dim: Int = 64, probeRadius: Int = 1): DataFrame = {
-    val pairs = marginBucketedCandidates(test, train, nTables, nPlanes, dim, probeRadius)
-    val tU = withUnit(test).select(col("vec_id").as("test_id"), col("unit").as("tu"))
-    val rU = withUnit(train).select(col("vec_id").as("train_id"), col("unit").as("ru"))
-    val scored = pairs
-      .join(F.broadcast(tU), Seq("test_id"))
-      .join(rU, Seq("train_id"))
-      .select(col("test_id"), col("train_id"), dot(col("tu"), col("ru")).as("sim"))
-    marginFromScored(scored, k, marginPpmThreshold)
-  }
-
-  /** The candidate stage of [[marginPairsBucketed]], exposed so the overlap
-    * report ([[graft.RecallReport]]) can chart candidate volume against
-    * pair recovery per (tables × probe-radius) config. The TEST side probes
-    * its own bucket plus every bucket within Hamming distance
-    * `probeRadius` per table (the lshTopKMultiProbe trick): candidate
-    * recall rises with the probe count at the cost of more (tiny) probe
-    * keys — the train side stays one bucket per table, so candidate volume
-    * remains bucket-occupancy-bounded. Output: distinct (test_id,
-    * train_id).
-    */
-  def marginBucketedCandidates(test: DataFrame, train: DataFrame,
-      nTables: Int = 4, nPlanes: Int = 8, dim: Int = 64,
-      probeRadius: Int = 1): DataFrame = {
-    require(probeRadius >= 0 && probeRadius <= 2, s"probeRadius 0–2, got $probeRadius")
-    def keys(df: DataFrame, idCol: String): DataFrame =
-      withUnit(df).select(col("vec_id").as(idCol),
-        posexplode(tableBucketsExpr(nTables, nPlanes, dim)).as(Seq("t", "bucket")))
-    val flips: Seq[Long] = Seq(0L) ++
-      (if (probeRadius >= 1) (0 until nPlanes).map(j => 1L << j) else Nil) ++
-      (if (probeRadius >= 2)
-        for { i <- 0 until nPlanes; j <- i + 1 until nPlanes }
-          yield (1L << i) | (1L << j)
-      else Nil)
-    val probed = keys(test, "test_id")
-      .select(col("test_id"), col("t"),
-        explode(array(flips.map(f => col("bucket").bitwiseXOR(lit(f))): _*)).as("bucket"))
-    probed
-      .join(keys(train, "train_id"), Seq("t", "bucket"))
-      .select(col("test_id"), col("train_id"))
-      .distinct()
-  }
-
-  /** [[marginPairs]]' geometry-robust scale path — the [[annTopK]] design
-    * applied to pair mining: ONE compressed scoring pass over the
-    * (test × train) grid through SQ8 byte codes (1 byte/dimension — 8×
-    * below the float corpus), per-side shortlists from the compressed
-    * scores (top-`shortlist` per test AND per train — both margin
-    * neighborhoods), then exact re-scoring of only the shortlisted pairs
-    * and the standard margin tail over them. Where the sign-hash bucket
-    * path's recovery is bounded by bucket locality (a DATA property — on
-    * an isotropic corpus it caps near the candidate fraction; RECALL.json
-    * charts this), the compressed scan keeps pair recovery ≈ 1.0 at 1/8
-    * the scan bandwidth, because no pair is ever pruned unseen — only
-    * scored cheaply.
-    *
-    * At 100 TB: the compressed pass is byte-bandwidth-bound and
-    * embarrassingly parallel over the pair grid; the shortlist windows
-    * partition per side; only |test|·shortlist + |train|·shortlist pairs
-    * reach the float re-rank. Deterministic end-to-end (exact min/max
-    * stats, pinned encode/decode and fold order — the s8 discipline), so
-    * the DuckDB oracle reproduces every margin bit-for-bit (s32).
-    */
-  def marginPairsScan(test: DataFrame, train: DataFrame, k: Int = 4,
-      marginPpmThreshold: Long = 1200000L, shortlist: Int = 8): DataFrame = {
-    val tU = withUnit(test).select(col("vec_id").as("test_id"), col("unit").as("tu"))
-      .persist()
-    val rU = withUnit(train).select(col("vec_id").as("train_id"), col("unit").as("ru"))
-      .persist()
-    // one quantization grid over BOTH sides (d rows of exact min/max —
-    // metadata, not a corpus read)
-    val stats = tU.select(col("tu").as("u")).unionByName(rU.select(col("ru").as("u")))
-      .select(posexplode(col("u")).as(Seq("i", "x")))
-      .groupBy(col("i"))
-      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      .collect().map(r => (r.getAs[Int]("i"), r.getAs[Double]("mn"), r.getAs[Double]("mx")))
-      .sortBy(_._1)
-    val mnLit = typedlit(stats.map(_._2).toSeq)
-    val mxLit = typedlit(stats.map(_._3).toSeq)
-    val tC = tU.select(col("test_id"),
-      graft.functions.VectorFunctions.quantizeCode(col("tu"), mnLit, mxLit).as("tc"))
-    val rC = rU.select(col("train_id"),
-      graft.functions.VectorFunctions.quantizeCode(col("ru"), mnLit, mxLit).as("rc"))
-    val qScored = F.broadcast(tC).join(rC)
-      .select(col("test_id"), col("train_id"),
-        graft.functions.VectorFunctions.dequantizeDot(
-          col("tc"), col("rc"), mnLit, mxLit).as("qsim"))
-      .persist() // both shortlist windows read it
-    val wF = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("test_id")).orderBy(col("qsim").desc, col("train_id").asc)
-    val wB = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("train_id")).orderBy(col("qsim").desc, col("test_id").asc)
-    val cand = qScored.withColumn("rn", row_number().over(wF))
-      .filter(col("rn") <= shortlist).select(col("test_id"), col("train_id"))
-      .unionByName(qScored.withColumn("rn", row_number().over(wB))
-        .filter(col("rn") <= shortlist).select(col("test_id"), col("train_id")))
-      .distinct()
-    val scored = cand
-      .join(F.broadcast(tU), Seq("test_id"))
-      .join(rU, Seq("train_id"))
-      .select(col("test_id"), col("train_id"), dot(col("tu"), col("ru")).as("sim"))
-    // marginFromScored materializes eagerly, so the scan's own caches can
-    // release here instead of pinning the compressed pair grid until a
-    // blanket clearCache (the marginFromScored cache discipline)
-    val out = marginFromScored(scored, k, marginPpmThreshold)
-    qScored.unpersist()
-    tU.unpersist()
-    rU.unpersist()
-    out
-  }
-
-  /** Pair-cosine concentration — the geometry GATE for
-    * [[marginPairsGated]] (round-7 verdict #5). On an isotropic corpus
-    * pair cosines are ≈ N(0, 1/d), so the 99th percentile of |cos| sits
-    * near 2.33/√d; real cluster structure puts O(1) within-cluster
-    * cosines in the upper tail and the percentile jumps an order of
-    * magnitude. A TAIL quantile, not the mean: mean |cos| barely moves
-    * when only 1/16 of pairs are same-cluster (measured on the clustered
-    * twin), while p99 separates cleanly — 0.29 isotropic vs ≥ 0.68
-    * clustered at d = 64 against the 3.5/√d = 0.44 gate.
-    *
-    * Cost: a deterministic hash-ordered sample of ≤ `sampleN` vectors
-    * (metadata), one sample² dot pass, one exact percentile — O(sampleN²·d)
-    * regardless of corpus size.
-    *
-    * Multi-frame corpora: when the input unions frames whose vec_id spaces
-    * may overlap (the [[marginPairsGated]] test/train union), it carries an
-    * integer `side` TAG column and the sample keys on (vec_id, side) —
-    * round-7 ADVICE: the previous `vec_id + 2⁴⁰` offset fold silently
-    * collided for ids ≥ 2⁴⁰ (plausible for hash- or snowflake-derived
-    * ids), corrupting the very sample that decides the routed-vs-scan
-    * dispatch. Single-frame callers (no `side` column) hash and order
-    * exactly as before.
-    */
-  def pairConcentrationP99(vectors: DataFrame, sampleN: Int = 192): Double = {
-    val hasSide = vectors.columns.contains("side")
-    val base = withUnit(vectors)
-    val keyed =
-      if (hasSide) base.select(struct(col("vec_id"), col("side")).as("pk"), col("unit"))
-      else base.select(struct(col("vec_id")).as("pk"), col("unit"))
-    val ord =
-      if (hasSide) xxhash64(col("pk.vec_id"), col("pk.side"), lit(7L))
-      else xxhash64(col("pk.vec_id"), lit(7L))
-    val samp = keyed.orderBy(ord, col("pk")).limit(sampleN).persist()
-    val row = samp.select(col("pk").as("pka"), col("unit").as("ua"))
-      .join(samp.select(col("pk").as("pkb"), col("unit").as("ub")),
-        col("pka") < col("pkb"))
-      .select(abs(dot(col("ua"), col("ub"))).as("s"))
-      .agg(expr("percentile(s, 0.99D)").as("p99"))
-      .head()
-    samp.unpersist()
-    // a sample with < 2 vectors has no pairs and percentile returns null:
-    // report 0 (no concentration evidence → the gate reads isotropic and
-    // the scan branch handles the degenerate corpus gracefully)
-    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
-  }
-
-  /** The gate threshold for a given dimension: 3.5/√d — well above the
-    * isotropic p99 ≈ 2.33/√d, far below any O(1) within-cluster cosine.
-    * An EMPTY frame has no dimension: the gate reads +∞, so the dispatch
-    * falls to the scan branch (which returns empty gracefully).
-    */
-  def concentrationGate(vectors: DataFrame): Double =
-    withUnit(vectors).select(size(col("unit"))).head(1) match {
-      case Array(r) => 3.5 / math.sqrt(r.getInt(0).toDouble)
-      case _        => Double.MaxValue
-    }
-
-  /** [[marginPairs]] with IVF ROUTING in front — the candidate generator
-    * for corpora whose geometry has real cluster structure: trained
-    * centroids over the TRAIN side (C = ⌈√N⌉, maxmin — the artifact
-    * default's recipe), train assigned to its top bucket, each test
-    * vector probing its top-`nprobe` buckets, candidates = bucket-join
-    * pairs. The margin tail then runs over each side's CANDIDATE
-    * neighborhood (the [[marginPairsBucketed]] approximation contract).
-    *
-    * Candidate volume ≈ (nprobe/C)·|test|·|train| on balanced buckets.
-    * The DEFAULT is a small FIXED nprobe (2): over C = ⌈√N⌉ buckets that
-    * is ~2·|test|·|train|/√N candidates — genuinely SUB-quadratic in the
-    * pair grid (N^1.5), and the measured operating point
-    * (RECALL.json `clustered.margin_routed_np2`: overlap 0.9975 at
-    * candidate fraction 0.052). A ⌈C/8⌉ nprobe (pass `nprobe = 0` for the
-    * serve path's rule) is only a CONSTANT-factor (1/8) cut of the grid —
-    * scale-stable recall for serving, the wrong default for mining
-    * (round-7 ADVICE). On clustered geometry the true top-1 train
-    * neighbor shares the test vector's cluster, so routing keeps it with
-    * high probability; on ISOTROPIC geometry bucket membership carries no
-    * similarity signal and overlap caps near the candidate fraction —
-    * which is why routing is gated, not default.
-    */
-  def marginPairsRouted(test: DataFrame, train: DataFrame, k: Int = 4,
-      marginPpmThreshold: Long = 1200000L, nprobe: Int = 2): DataFrame =
-    marginFromScored(routedScored(test, train, nprobe),
-      k, marginPpmThreshold)
-
-  /** The candidate stage of [[marginPairsRouted]] with its exact scores —
-    * exposed (like [[marginBucketedCandidates]]) so the overlap report can
-    * chart candidate volume against pair recovery on the clustered twin.
-    */
-  def marginRoutedCandidates(test: DataFrame, train: DataFrame,
-      nprobe: Int = 2): DataFrame =
-    routedScored(test, train, nprobe).select(col("test_id"), col("train_id"))
-
-  private def routedScored(test: DataFrame, train: DataFrame,
-      nprobe: Int): DataFrame = {
-    val spark = train.sparkSession
-    val tU = withUnit(test).select(col("vec_id").as("test_id"), col("unit").as("tu"))
-    val rU = withUnit(train).select(col("vec_id"), col("unit"))
-    // same C = min(⌈√N⌉, 65 536) rule — and the same trainer dispatch —
-    // as the artifact builders
-    val cents = trainedCentroidsAuto(train,
-      math.min(spacedCentroidIds(train.count()).size, 65536))
-    val cf = centroidFrame(spark, cents)
-    val trainBuckets = assignToCentroids(rU, cf)
-      .select(col("vec_id").as("train_id"), col("bucket"), col("unit").as("ru"))
-    // probe KEYS broadcast without the test vectors (round-7 ADVICE: the
-    // old broadcast replicated every full double test vector nprobe times
-    // — O(|test|·nprobe·d) bytes, over the ceiling at modest |test|); the
-    // vectors rejoin from their own |test|·d broadcast, so the candidate
-    // frame itself never shuffles. Both broadcasts are |test|-bounded — a
-    // test side too large to broadcast at all belongs on the served index
-    // path (ivfBatchTopKFromIndex), not this miner.
-    val testProbes = topProbeBuckets(tU, "test_id", "tu", cf, nprobe, cents.size)
-      .select(col("test_id"), col("bucket"))
-    // each train vector lives in exactly ONE bucket, so the probe join
-    // cannot duplicate a (test, train) pair — no distinct needed
-    F.broadcast(testProbes).join(trainBuckets, Seq("bucket"))
-      .join(F.broadcast(tU), Seq("test_id"))
-      .select(col("test_id"), col("train_id"), dot(col("tu"), col("ru")).as("sim"))
-  }
-
   /** Per-query top-`nprobe` probe buckets from one broadcast pass over a
     * centroid frame — the multi-probe routing step shared by the gated
     * margin miner ([[routedScored]]) and the trained-artifact serve
@@ -2643,7 +1671,7 @@ object Vectors {
     * nprobe over C = ⌈√N⌉ is a shrinking scan fraction as the corpus
     * grows). Output: (idCol, bucket, vecCol) — one row per probe.
     */
-  private def topProbeBuckets(queries: DataFrame, idCol: String, vecCol: String,
+  private[ops] def topProbeBuckets(queries: DataFrame, idCol: String, vecCol: String,
       cf: DataFrame, nprobe: Int, nCentroids: Int): DataFrame = {
     val probes = if (nprobe > 0) nprobe else math.max(1, (nCentroids + 7) / 8)
     val wq = org.apache.spark.sql.expressions.Window
@@ -2654,78 +1682,6 @@ object Vectors {
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= probes)
       .select(col(idCol), col("centroid_id").as("bucket"), col(vecCol))
-  }
-
-  /** Geometry-GATED margin mining (round-7 verdict #5) — the production
-    * dispatch: measure the pair-cosine concentration of the combined
-    * corpus ([[pairConcentrationP99]]); when the tail shows real cluster
-    * structure, route candidates through trained IVF buckets
-    * ([[marginPairsRouted]] — sub-linear candidates at overlap ≥ 0.9 on
-    * such geometry); when it is isotropic, routing would prune true
-    * neighbors at candidate-fraction rates, so fall back to the
-    * compressed full scan ([[marginPairsScan]] — overlap ≈ 1.0 at 1/8
-    * bandwidth, quadratic by design). Both the gate sample and both
-    * branches are deterministic, so on a given corpus the dispatch — and
-    * therefore the result — is reproducible (the s38 oracle pins the
-    * scan branch on the measured-isotropic fixture; the routed branch is
-    * attested on the clustered twin in RECALL.json + VectorsSpec).
-    */
-  def marginPairsGated(test: DataFrame, train: DataFrame, k: Int = 4,
-      marginPpmThreshold: Long = 1200000L): DataFrame = {
-    // an explicit side TAG keeps the two frames' rows distinct in the gate
-    // sample for ANY id domain (round-7 ADVICE: the old `vec_id + 2⁴⁰`
-    // offset collided train ids ≥ 2⁴⁰ with test ids)
-    val union = test.select(col("vec_id"), col("embedding"), lit(0).as("side"))
-      .unionByName(train.select(col("vec_id"), col("embedding"), lit(1).as("side")))
-    val p99 = pairConcentrationP99(union)
-    val gate = concentrationGate(test)
-    if (p99 > gate) marginPairsRouted(test, train, k, marginPpmThreshold)
-    else marginPairsScan(test, train, k, marginPpmThreshold)
-  }
-
-  /** Shared margin tail over ANY (test_id, train_id, sim) candidate frame:
-    * per-side top-k avgs with rank-ordered folds, forward-top-1 selection,
-    * ppm rounding BEFORE the threshold.
-    *
-    * Caching is INTERNAL and eagerly released (round-7 ADVICE: the old
-    * contract left the candidate-grid-sized `scored`/`fRank` caches pinned
-    * for the returned plan's lifetime, leaking one corpus-sized cache
-    * entry per gated-margin call): the candidate frame and its forward
-    * ranking persist only while the margin tail MATERIALIZES — an eager
-    * local checkpoint of the result, which is ≤ |test| rows of three
-    * integers — and unpersist before returning.
-    */
-  private def marginFromScored(scoredIn: DataFrame, k: Int,
-      marginPpmThreshold: Long): DataFrame = {
-    val scored = scoredIn.persist()
-    val wF = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("test_id")).orderBy(col("sim").desc, col("train_id").asc)
-    val wB = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("train_id")).orderBy(col("sim").desc, col("test_id").asc)
-    val fRank = scored.withColumn("rn", row_number().over(wF)).persist()
-    try {
-      def sideAvg(ranked: DataFrame, keyCol: String, avgCol: String): DataFrame =
-        ranked.filter(col("rn") <= k)
-          .groupBy(col(keyCol))
-          .agg(sort_array(collect_list(struct(col("rn"), col("sim")))).as("arr"))
-          .select(col(keyCol),
-            (expr("aggregate(arr, 0.0D, (a, x) -> a + x.sim)") / size(col("arr")))
-              .as(avgCol))
-      val fAvg = sideAvg(fRank, "test_id", "f_avg")
-      val bAvg = sideAvg(scored.withColumn("rn", row_number().over(wB)), "train_id", "b_avg")
-      fRank.filter(col("rn") === 1)
-        .join(F.broadcast(fAvg), Seq("test_id"))
-        .join(F.broadcast(bAvg), Seq("train_id"))
-        .select(col("test_id"), col("train_id"),
-          round(lit(2e6) * col("sim") / (col("f_avg") + col("b_avg")))
-            .cast("long").as("margin_ppm"))
-        .filter(col("margin_ppm") >= marginPpmThreshold)
-        .localCheckpoint(true)
-    } finally {
-      fRank.unpersist()
-      scored.unpersist()
-      ()
-    }
   }
 
   /** The d28 SemDeDup pipeline as ONE call (round-5 verdict #7 registry
@@ -2765,118 +1721,6 @@ object Vectors {
       .select(col("source"), col("n_corpus"), col("n_sampled"),
         expr("(1000000 * n_corpus) div tot_c").as("share_before_ppm"),
         expr("(1000000 * n_sampled) div tot_s").as("share_after_ppm"))
-  }
-
-  /** The s29 lifecycle as ONE call: build-if-absent persisted bucketed IVF
-    * index, then serve a query batch too large to broadcast (every
-    * `queryStride`-th corpus vector) through the exchange-free bucket
-    * equi-join ([[ivfBatchTopKFromIndex]]).
-    */
-  def servedBatchTopK(embeddings: DataFrame, table: String, k: Int = 3,
-      queryStride: Long = 25L, centroidIds: Option[Seq[Long]] = None): DataFrame = {
-    val index = materializedIvfIndex(embeddings, table, centroidIds = centroidIds)
-    val queries = index.filter(col("vec_id") % queryStride === 0)
-      .select(col("vec_id").as("query_id"), col("bucket"), col("unit").as("q"))
-    ivfBatchTopKFromIndex(index, queries, k)
-  }
-
-  /** The trained-default artifact serve, attested the b13/t37/x32
-    * checked-sketch way (the s36 query): the trained centroids are a
-    * deterministic function of the CORPUS (hash sample + maxmin + Lloyd),
-    * so no static oracle SQL can reproduce the routing — instead the query
-    * RETURNS the brute-force truth (oracle-expressible exactly) and folds
-    * an `assert_true` into the plan that the serve from the trained
-    * [[materializedIvfIndex]] artifact recalls at least `minRecallPpm` of
-    * it: a degraded artifact (bad training, dropped ledger centroids, a
-    * torn append) RAISES instead of silently shipping, while every
-    * returned column stays cross-engine deterministic.
-    *
-    * Serve is MULTI-probe (the s23/s28-tuned production recipe): each
-    * query's top-`nprobe` buckets come from one broadcast pass over the
-    * ledger centroids, and the index join stays exchange-free on the
-    * corpus side (each corpus vector lives in exactly one bucket, so
-    * probed buckets never produce duplicate candidate pairs). Single-probe
-    * reads ≈ its scan fraction on an isotropic corpus — the recall the
-    * sweep tables document — which is why the serve path probes wide, and
-    * why the DEFAULT (`nprobe` ≤ 0) probes ⌈C/8⌉ buckets: a FIXED nprobe
-    * over the C = ⌈√N⌉ centroid count is a shrinking scan fraction as the
-    * corpus grows (measured: 0.76 recall at sf0.01 → 0.51 at sf0.1 for
-    * nprobe = 8), while a constant ⅛ routing fraction holds its operating
-    * point at any scale — the annTopK/marginPairsScan bandwidth
-    * discipline applied to routing.
-    *
-    * Floor (`minRecallPpm` ≤ 0 selects the scale-aware default): the ⅛
-    * fraction measures recall 0.49 (sf0.01) / 0.46 (sf0.1) / 0.34 (the
-    * 600-vector sf0.001 fixture, where C is only 25 and the recall
-    * quantum is 1/80) on the isotropic corpora — recall tracking scan
-    * fraction is the documented isotropy ceiling (RECALL.json
-    * `curves.ivf_trained_nprobe`), not an artifact defect. A single
-    * fixed floor must either fail the statistics-starved tiny fixture or
-    * weaken the production guard, so the default is derived from the
-    * ledger: **0.40 at C ≥ 32** (≥ 5 bands under the weakest at-scale
-    * measurement; a partially degraded artifact landing in 0.25–0.40
-    * raises), **0.25 below** (coarse-C fixtures — still ≥ 7 bands above
-    * every catastrophic mode on record: degenerate training /
-    * single-probe-equivalent routing reads 0.14–0.17, dropped ledger
-    * centroids misroute every append, a torn append loses its vectors
-    * outright).
-    */
-  def servedTrainedChecked(embeddings: DataFrame, table: String,
-      queryIds: Seq[Long], k: Int = 10, nprobe: Int = 0,
-      minRecallPpm: Long = -1L): DataFrame = {
-    val spark = embeddings.sparkSession
-    val index = materializedIvfIndex(embeddings, table)
-    val ledger = readCentroidLedger(spark, table)
-    val floor =
-      if (minRecallPpm > 0) minRecallPpm
-      else if (ledger.size >= 32) 400000L
-      else 250000L
-    val qUnit = index.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("query_id"), col("unit").as("q"))
-    val queries = topProbeBuckets(qUnit, "query_id", "q",
-      centroidFrame(spark, ledger), nprobe, ledger.size)
-    checkedAgainstBrute(embeddings,
-      ivfBatchTopKFromIndex(index, F.broadcast(queries), k),
-      queryIds, k, floor, "trained IVF artifact serve")
-  }
-
-  /** [[servedTrainedChecked]] for the graph family (the s37 query): beam
-    * walk over the trained-default [[materializedNavGraph]] artifact,
-    * entered at the ledger's per-bucket representatives
-    * ([[ledgerEntryIds]] — the coverage-guaranteed entry set recorded at
-    * build time), checked against brute truth in-plan.
-    */
-  def beamTrainedChecked(embeddings: DataFrame, table: String,
-      queryIds: Seq[Long], k: Int = 5, beam: Int = 32, rounds: Int = 4,
-      minRecallPpm: Long = 750000L): DataFrame = {
-    val spark = embeddings.sparkSession
-    val g = materializedNavGraph(embeddings, table)
-    val served = beamSearchServed(embeddings, g, queryIds,
-      ledgerEntryIds(spark, table), k, beam, rounds)
-    checkedAgainstBrute(embeddings, served, queryIds, k, minRecallPpm,
-      "trained nav-graph artifact serve")
-  }
-
-  /** Shared checked tail: brute truth rows + one broadcast recall scalar
-    * with the floor assertion folded in (`serve_ok` is the countMinChecked
-    * `sketch_ok` pattern — constant TRUE when the assert passes, so the
-    * column is oracle-expressible).
-    */
-  private def checkedAgainstBrute(embeddings: DataFrame, served: DataFrame,
-      queryIds: Seq[Long], k: Int, minRecallPpm: Long, what: String): DataFrame = {
-    val truth = bruteForceTopK(embeddings, queryIds, k)
-    val rec = truth
-      .join(served.select(col("query_id"), col("neighbor_id"))
-        .withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
-        count(lit(1)).as("n_truth"))
-      .select(expr("(1000000 * n_hits) div n_truth").as("recall_ppm"))
-    truth.crossJoin(F.broadcast(rec))
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        when(assert_true(col("recall_ppm") >= minRecallPpm,
-          concat(lit(s"$what recall_ppm "), col("recall_ppm"),
-            lit(s" below floor $minRecallPpm"))).isNull, lit(true))
-          .as("serve_ok"))
   }
 
   /** Topic-balanced corpus subset — DoReMi-style domain balance WITHOUT

@@ -142,5 +142,6 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(org.apache.spark.sql.graft.SimHashBits.registration)
     ext.injectFunction(org.apache.spark.sql.graft.CdcChunkSpans.registration)
     ext.injectFunction(org.apache.spark.sql.graft.CdcChunkSpansText.registration)
+    ext.injectFunction(org.apache.spark.sql.graft.BpeApply.registration)
   }
 }

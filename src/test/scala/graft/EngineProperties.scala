@@ -966,6 +966,27 @@ object EngineProperties extends Properties("graft") {
     }
   }
 
+  // bpe_apply (the one-pass read side, round-8) ≡ the training loop's
+  // sequential per-round regex application — the same overlapping-run
+  // stress corpora: tiny alphabet, runs like "aaaa" where greedy
+  // left-to-right non-overlapping semantics bite
+  property("bpe_apply ≡ sequential bpeLoop application for any corpus") = {
+    val genDoc = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'a', ' ', 'c')).map(_.mkString)
+    val genCorpus = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, genDoc))
+    Prop.forAll(genCorpus, Gen.chooseNum(1, 6)) { (texts, rounds) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val (merges, state) = graft.ops.TextOps.bpeLoop(df, rounds, 1L, 400)
+      val want = state.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      state.unpersist()
+      val got = graft.ops.TextOps.bpeInitialState(df, 1L, 400)
+        .select(col("doc_id"), org.apache.spark.sql.graft.BpeApply.column(
+          col("s"), typedlit(merges.map(_._2)), typedlit(merges.map(_._3))).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      Prop(got == want) :| s"got $got want $want merges $merges"
+    }
+  }
+
   // (z4) count-min's one-sided error for ANY key multiset: estimate ≥
   // exact count, every key present, exact side exact
   property("countMinChecked never undercounts for any keys") = {

@@ -67,6 +67,28 @@ class SketchesSpec extends SparkSpec {
     // and the estimate can never undercount: 0 ≤ true count (= 0) holds
   }
 
+  test("countMinMergedProbe: slice-merged sketch ≡ single-pass sketch; absent keys read 0") {
+    // two slices whose union is keys 1..6 ×3 — merging the per-slice
+    // partials must reproduce the single-pass counters exactly (addition
+    // is exact and order-free), and the probe's absent tail (max+1…max+5)
+    // must come back as real rows with n_events = 0
+    val events = (1L to 6L).flatMap(k => Seq.fill(3)((k, if (k <= 3) "a" else "b")))
+      .toDF("user_id", "event_type")
+    val merged = Sketches.mergeSketch(
+      Sketches.sketchPartialsBySlice(events, "user_id", "event_type", w = 256))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getAs[Long]("c")).toMap
+    val single = Sketches.sketchPartials(events, "user_id", w = 256)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getAs[Long]("c")).toMap
+    assert(merged === single)
+    val probe = Sketches.countMinMergedProbe(events, mod = 2L).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("cm_est"))).toMap
+    // present sample: even keys; absent tail: 7..11 with exact count 0
+    assert(probe.keySet === Set(2L, 4L, 6L, 7L, 8L, 9L, 10L, 11L))
+    Seq(2L, 4L, 6L).foreach { k => assert(probe(k)._1 === 3L && probe(k)._2 >= 3L) }
+    (7L to 11L).foreach { k => assert(probe(k)._1 === 0L && probe(k)._2 >= 0L) }
+  }
+
   test("countMinChecked: wide sketch on spread keys is exact (no colliders in some row)") {
     // 256 buckets, 10 distinct keys — collisions in ALL FOUR rows at once
     // are overwhelmingly unlikely for these fixed constants; pin that the
