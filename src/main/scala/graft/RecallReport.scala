@@ -255,6 +255,13 @@ object RecallReport {
       val entries = Seq(
         s"ivf_trained_tuned_mp$cTuned" ->
           rec(Vectors.ivfTopKMultiProbeTrained(cl, cTrained, cQueries, k, cTuned)),
+        // round-8: the DISTRIBUTED trainer (the auto-dispatch branch past
+        // C = 2 048, forced on here) at the same probe count — its batched
+        // farthest-point init + Spark-job Lloyd must hold the driver
+        // trainer's routing quality on the geometry where training matters
+        s"ivf_dist_trained_mp$cTuned" -> rec(Vectors.ivfTopKMultiProbeTrained(cl,
+          Vectors.trainedCentroidsDistributed(cl, c = cSpaced.size),
+          cQueries, k, cTuned)),
         "ivf_spaced_mp4" -> rec(Vectors.ivfTopKMultiProbe(cl, cSpaced, cQueries, k, 4)),
         "lsh_multiprobe" -> rec(Vectors.lshTopKMultiProbe(cl, cQueries, k)),
         // spaced seeds resonate with the id-correlated label cycle here

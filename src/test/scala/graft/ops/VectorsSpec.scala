@@ -313,6 +313,31 @@ class VectorsSpec extends SparkSpec {
     assert(again.map(_._2.toSeq) === trained.map(_._2.toSeq))
   }
 
+  test("s36 floor headroom: measured fixture serve recall clears the shipped floor " +
+      "by ≥ 0.05 (re-derive on failure — round-7 verdict #8)") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val t = "ivf_floor_headroom_check"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_centroids")
+    val index = Vectors.materializedIvfIndex(emb, t)
+    val ledger = Vectors.readCentroidLedger(spark, t)
+    val queries = (0L until 8L).toSeq
+    val qUnit = index.filter(col("vec_id").isInCollection(queries))
+      .select(col("vec_id").as("query_id"), col("unit").as("q"))
+    val probes = Vectors.topProbeBuckets(qUnit, "query_id", "q",
+      Vectors.centroidFrame(spark, ledger), 0, ledger.size)
+    val served = hits(Vectors.ivfBatchTopKFromIndex(index, broadcast(probes), 10))
+    val truth = hits(Vectors.bruteForceTopK(emb, queries, 10))
+    val recallPpm = 1000000L * served.intersect(truth).size / truth.size
+    val floor = if (ledger.size >= 32) Vectors.trainedIvfFloorLargeC
+      else Vectors.trainedIvfFloorSmallC
+    assert(recallPpm >= floor + 50000L,
+      s"fixture serve recall ${recallPpm} ppm is within 0.05 of the shipped floor " +
+        s"$floor — the fixture or query set drifted; re-derive the floor " +
+        "(VectorArtifacts.trainedIvfFloor* scaladoc has the recorded measurements)")
+  }
+
   test("distributed trainer (exact-order mode) ≡ driver maxmin trainer bit-for-bit") {
     // the round-8 trainer dispatch: past C = driverTrainerMaxC the
     // artifact builders train via Spark jobs instead of the driver loops.
@@ -353,6 +378,38 @@ class VectorsSpec extends SparkSpec {
     // same-bucket recall is the operating quantity; allow small drift from
     // the batched init (8 queries × 5 = 40 truth slots)
     assert(rDist >= rDriver - 4, s"distributed-trainer recall $rDist vs driver $rDriver")
+  }
+
+  test("distributed-trained centroids drive the full artifact lifecycle: " +
+      "index + ledger round-trip + served recall") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val t = "ivf_dist_trained_check"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_centroids")
+    // the production shape past C = driverTrainerMaxC, exercised end to
+    // end at fixture C: train distributed → assign → bucketed index +
+    // ledger → serve from the persisted layout
+    val cents = Vectors.trainedCentroidsDistributed(emb, c = 8, sampleTarget = 512)
+    val assigned = Vectors.ivfAssignWithCentroids(emb, cents)
+    Vectors.writeIvfIndex(assigned, t, buckets = 8)
+    Vectors.writeCentroidLedger(spark, t, cents, assigned)
+    // the ledger is the only home of trained non-corpus-member centroids:
+    // it must round-trip them bit-exactly (parquet doubles are lossless)
+    val back = Vectors.readCentroidLedger(spark, t)
+    assert(back.map(_._1) === cents.map(_._1))
+    assert(back.map(_._2.toSeq) === cents.map(_._2.toSeq))
+    val index = spark.table(t)
+    val queries = (0L until 8L).toSeq
+    val qUnit = index.filter(col("vec_id").isInCollection(queries))
+      .select(col("vec_id").as("query_id"), col("unit").as("q"))
+    val probes = Vectors.topProbeBuckets(qUnit, "query_id", "q",
+      Vectors.centroidFrame(spark, back), 0, back.size)
+    val served = hits(Vectors.ivfBatchTopKFromIndex(index, broadcast(probes), 10))
+    val truth = hits(Vectors.bruteForceTopK(emb, queries, 10))
+    val recallPpm = 1000000L * served.intersect(truth).size / truth.size
+    assert(recallPpm >= Vectors.trainedIvfFloorSmallC,
+      s"distributed-trained artifact serve recall $recallPpm ppm under the floor")
   }
 
   test("incremental vector dedup flags bucket-colliding new vectors only") {
