@@ -90,6 +90,15 @@ object Bench {
         s.sql(s"DROP TABLE IF EXISTS $t")
         s.sql(s"DROP TABLE IF EXISTS ${t}_len")
         graft.ops.TextOps.materializedPostings(Tables.documents(s, dir), t)
+      }),
+      // the tokenizer artifact (consumed by x66): the timed build is the
+      // full 32-round training loop — the honest cold cost the served
+      // fertility read then never pays again
+      "artifact:bpe_merges" -> ((s, dir) => {
+        val t = "bpe_merges32_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        graft.ops.TextOps.materializedBpeMerges(Tables.documents(s, dir), t,
+          rounds = 32)
       }))
     val ordered = (artifactEntries ++ SparkEntry.queries.toSeq).sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.exists(name.startsWith) }

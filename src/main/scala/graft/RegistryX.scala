@@ -108,6 +108,17 @@ private[graft] object RegistryX {
       // that makes a production 10^4-merge vocabulary readable (the old
       // loop read side would have run 32 persisted corpus passes here)
       TextOps.bpeFertility(Tables.documents(s, dir), rounds = 32)),
+    "x66_bpe_fertility_served" -> ((s, dir) => {
+      // …and the artifact lifecycle for the tokenizer: the 32-round merge
+      // table persists once (build-if-absent — metadata-sized) and the
+      // eval SERVES from it with zero training in the read path; hash
+      // must equal x65's. No append path by design: merges are global
+      // argmax decisions conditioned on every earlier merge — corpus
+      // growth is a REBUILD decision (the centroid-drift contract)
+      val t = "bpe_merges32_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      TextOps.materializedBpeMerges(Tables.documents(s, dir), t, rounds = 32)
+      TextOps.bpeFertilityFromMerges(Tables.documents(s, dir), t)
+    }),
     "x32_heavy_hitters_checked" -> ((s, dir) =>
       // freqItems sketch next to exact counts: raises if the sketch drops
       // a true heavy hitter (its no-false-negative guarantee); emits the
@@ -581,6 +592,7 @@ private[graft] object RegistryX {
     "x62_bpe_merges" -> oracleBpeMerges(rounds = 4),
     "x63_bpe_fertility" -> oracleBpeFertility(rounds = 4),
     "x65_bpe_fertility_deep" -> oracleBpeFertility(rounds = 32),
+    "x66_bpe_fertility_served" -> oracleBpeFertility(rounds = 32),
     "x61_budget_waterfill" ->
       // the same piecewise-linear solve: max over valid segment
       // candidates = the waterfilling level (rows past the crossing

@@ -1989,11 +1989,22 @@ object TextOps {
     // returns as a PLAN — the round-7 collect()+parallelize tail (verdict
     // "what's wrong" #4) is gone with the cache it existed to outlive.
     val merges = bpeMergeTable(docs, rounds, docMod, maxChars)
+    fertilityOver(docs, merges.map(m => (m._2, m._3)), docMod, maxChars)
+  }
+
+  /** The fertility read shared by the train-and-read ([[bpeFertility]])
+    * and served-from-artifact ([[bpeFertilityFromMerges]]) forms: one
+    * `bpe_apply` tokenization pass under the given merge pairs, then the
+    * per-source compression aggregate. Fully lazy — nothing persists.
+    */
+  private def fertilityOver(docs: DataFrame, merges: Seq[(String, String)],
+      docMod: Long, maxChars: Int): DataFrame = {
+    val SEP = "\u0001"
     val state = bpeInitialState(docs, docMod, maxChars)
       .select(col("doc_id"),
         org.apache.spark.sql.graft.BpeApply.column(col("s"),
-          typedlit(merges.map(_._2)), typedlit(merges.map(_._3))).as("s"))
-    val out = state
+          typedlit(merges.map(_._1)), typedlit(merges.map(_._2))).as("s"))
+    state
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("source"),
         // merges preserve characters: chars = len(s) − (#tokens − 1) seps
@@ -2005,7 +2016,46 @@ object TextOps {
         sum(col("n_tokens")).as("n_tokens"))
       .select(col("source"), col("n_docs"), col("n_chars"), col("n_tokens"),
         expr("(1000000 * n_chars) div n_tokens").as("chars_per_token_ppm"))
-    out
+  }
+
+  /** Build-if-absent persisted BPE merge-table artifact — the
+    * postings/IVF build-once discipline applied to tokenizer training:
+    * the loop runs ONCE per corpus and the merge table lands as `table`
+    * ((merge_rank, l, r, pair_count) — `rounds` rows, metadata at any
+    * corpus size); every read serves from the table instead of
+    * re-training. Unlike the postings/IVF artifacts there is
+    * deliberately NO append path: a merge table is a sequence of global
+    * argmax decisions, each conditioned on every earlier merge over the
+    * WHOLE corpus — no sound incremental fold-in exists, so corpus
+    * growth is a REBUILD decision (the centroid-drift contract, stated
+    * rather than faked).
+    */
+  def materializedBpeMerges(docs: DataFrame, table: String, rounds: Int = 4,
+      docMod: Long = 20L, maxChars: Int = 400): DataFrame = {
+    val spark = docs.sparkSession
+    graft.sources.BucketedLayout.buildIfAbsent(spark, table) {
+      import spark.implicits._
+      graft.sources.BucketedLayout.writeBucketed(
+        bpeMergeTable(docs, rounds, docMod, maxChars)
+          .toDF("merge_rank", "l", "r", "pair_count"),
+        table, "merge_rank", 1)
+    }
+  }
+
+  /** [[bpeFertility]] SERVED from a persisted [[materializedBpeMerges]]
+    * table (x66): load the `rounds`-row merge table (metadata), tokenize
+    * in one `bpe_apply` pass, aggregate — no training loop anywhere in
+    * the read path, so the eval costs one corpus pass no matter how deep
+    * the vocabulary is. Hash-equals the train-and-read form at the same
+    * rounds (spec-pinned; x66's oracle is x65's SQL).
+    */
+  def bpeFertilityFromMerges(docs: DataFrame, table: String,
+      docMod: Long = 20L, maxChars: Int = 400): DataFrame = {
+    val merges = docs.sparkSession.table(table)
+      .select(col("merge_rank"), col("l"), col("r"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    fertilityOver(docs, merges, docMod, maxChars)
   }
 
   /** Shared BPE training loop: the merge table plus the FINAL persisted
@@ -2070,10 +2120,17 @@ object TextOps {
         // tokens are [a-z ]+ only, so the pair needs no regex escaping and
         // the replacement has no $-group hazards
         val pat = s"(?<=^|$SEP)$l$SEP$rr(?=$SEP|$$)"
+        // eager LOCAL CHECKPOINT, not persist+count (the distributed
+        // trainer's round-8 lesson): the state rebuilds on itself each
+        // round, and unbroken lineage grows the plan by one
+        // regexp_replace per round — O(rounds²) driver analysis that
+        // dominates deep training (x65's 32 rounds measured ~25% faster
+        // checkpointed). The checkpoint truncates the plan to a
+        // constant-size leaf and materializes in the same job the old
+        // count() paid anyway.
         val next = state
           .select(col("doc_id"), regexp_replace(col("s"), pat, l + rr).as("s"))
-          .persist()
-        next.count()
+          .localCheckpoint(true)
         state.unpersist()
         state = next
       }

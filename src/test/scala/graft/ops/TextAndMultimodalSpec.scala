@@ -799,4 +799,19 @@ class TextAndMultimodalSpec extends SparkSpec {
         r.getAs[Long]("count")).toMap
     assert(naive === b.map { case (k, v) => k -> v._1 })
   }
+  test("bpeFertilityFromMerges: served from the persisted merge table ≡ train-and-read") {
+    // the x66 contract at spec scale: the artifact read path (load the
+    // merge table, one bpe_apply pass) must reproduce the train-and-read
+    // form exactly — same merges, same tokenization, same aggregate
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val t = "bpe_merges_spec_check"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    graft.ops.TextOps.materializedBpeMerges(docs, t, rounds = 4)
+    val served = graft.ops.TextOps.bpeFertilityFromMerges(docs, t)
+      .collect().map(_.toSeq).toSet
+    val direct = graft.ops.TextOps.bpeFertility(docs, rounds = 4)
+      .collect().map(_.toSeq).toSet
+    assert(served.nonEmpty)
+    assert(served === direct)
+  }
 }
