@@ -258,7 +258,12 @@ object RecallReport {
         // round-8: the DISTRIBUTED trainer (the auto-dispatch branch past
         // C = 2 048, forced on here) at the same probe count — its batched
         // farthest-point init + Spark-job Lloyd must hold the driver
-        // trainer's routing quality on the geometry where training matters
+        // trainer's routing quality on the geometry where training matters.
+        // Deliberately the PRODUCTION mode, not exactOrder (which is
+        // bit-equal to the driver row and would measure nothing new), so
+        // this row is deterministic only up to float-summation order:
+        // stable on the same harness, may shift in the last recall quantum
+        // (1/160) if shuffle-merge order changes across environments
         s"ivf_dist_trained_mp$cTuned" -> rec(Vectors.ivfTopKMultiProbeTrained(cl,
           Vectors.trainedCentroidsDistributed(cl, c = cSpaced.size),
           cQueries, k, cTuned)),

@@ -1271,9 +1271,19 @@ object TextOps {
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("terms"))
       .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
       .sortBy(_._1).toSeq
+    // an empty query set has an empty truth side too — short-circuit to
+    // the (empty) x60-shaped frame instead of reducing over zero batches
+    // (round-8 review: `Iterator.empty.reduce` throws)
+    if (queryTerms.isEmpty)
+      return truth.select(col("query_id"), col("truth_id"),
+        col("truth_sim_ppm"), lit(0L).as("bm25_rank"))
+    // eagerRelease: each batch's ranked list materializes (|batch|·k rows)
+    // and its postings cache releases before the next batch — without it,
+    // ⌈Q/batchSize⌉ persisted postings subsets would pin until a blanket
+    // clearCache (the marginFromScored cache discipline)
     val ranked = queryTerms.grouped(batchSize).map { batch =>
       bm25SearchFromIndexTerms(spark, table, batch, k, k1, b,
-        excludeQueryDoc = true)
+        excludeQueryDoc = true, eagerRelease = true)
     }.reduce(_ unionByName _)
       .select(col("query_id"), col("doc_id").as("truth_id"),
         col("rank").as("bm25_rank"))
@@ -1358,11 +1368,17 @@ object TextOps {
     * `excludeQueryDoc` drops the query's own document BEFORE ranking (the
     * recompute eval's self-exclusion — a query that is itself a corpus
     * member would otherwise occupy a top-k slot in every result).
+    * `eagerRelease` materializes the (|queries|·k-row) result via an eager
+    * local checkpoint and unpersists the matched-postings cache before
+    * returning — the mode batched callers need, where the default lazy
+    * contract (cache pinned until the harness's per-query clearCache)
+    * would accumulate one postings subset per batch.
     */
   def bm25SearchFromIndexTerms(spark: org.apache.spark.sql.SparkSession,
       table: String, queries: Seq[(Long, Seq[String])], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75,
-      excludeQueryDoc: Boolean = false): DataFrame = {
+      excludeQueryDoc: Boolean = false,
+      eagerRelease: Boolean = false): DataFrame = {
     import spark.implicits._
     val terms = queries.flatMap(_._2).distinct
     val qterms = queries
@@ -1391,12 +1407,18 @@ object TextOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score_ppm").desc, col("doc_id").asc)
-    // (hits stays persisted — the returned frame is lazy and both the df
-    // aggregate and the scoring join read it; per-query harness cache
-    // clears release it, the charLmScore/bm25Search convention)
-    scored
+    // default: hits stays persisted — the returned frame is lazy and both
+    // the df aggregate and the scoring join read it; per-query harness
+    // cache clears release it (the charLmScore/bm25Search convention).
+    // eagerRelease: materialize now, release the postings cache here.
+    val out = scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+    if (eagerRelease) {
+      val materialized = out.localCheckpoint(true)
+      hits.unpersist()
+      materialized
+    } else out
   }
 
   /** Append one ingest batch's documents to a persisted
@@ -1979,7 +2001,6 @@ object TextOps {
     */
   def bpeFertility(docs: DataFrame, rounds: Int = 4, docMod: Long = 20L,
       maxChars: Int = 400): DataFrame = {
-    val SEP = "\u0001"
     // train once (the unavoidable looped half — `rounds` metadata-row
     // decisions), then TOKENIZE in one pass: the whole merge table rides
     // into each task as two literal arrays and `bpe_apply` replays it per
@@ -2131,7 +2152,11 @@ object TextOps {
         val next = state
           .select(col("doc_id"), regexp_replace(col("s"), pat, l + rr).as("s"))
           .localCheckpoint(true)
+        // Dataset.unpersist is a no-op on a checkpoint leaf — release the
+        // superseded round's corpus-sized blocks deterministically
+        // (round-0's persisted state still goes through unpersist)
         state.unpersist()
+        org.apache.spark.sql.graft.CheckpointRelease.release(state)
         state = next
       }
     }

@@ -399,6 +399,20 @@ private[ops] trait VectorArtifacts { self: VectorCore with VectorTraining =>
     ivfBatchTopKFromIndex(index, queries, k)
   }
 
+  /** s36's scale-aware default recall floors, NAMED so the recorded
+    * derivation lives next to the numbers the plan asserts (round-7
+    * verdict #8 — the guard must track the fixture): the measurements
+    * behind them are the round-7 floor-of-scales (ENGINE.md round-7/8
+    * headers — serve recall 0.49/0.46/0.34 at sf0.01/sf0.1/sf0.001 under
+    * the ⌈C/8⌉ probe fraction, catastrophic modes all ≤ 0.17).
+    * VectorsSpec RE-MEASURES the fixture's serve recall each run and
+    * asserts ≥ 0.05 headroom over these constants, so a drifting fixture
+    * or query set fails a spec with a re-derive instruction instead of
+    * letting the in-plan assert start flapping.
+    */
+  val trainedIvfFloorLargeC: Long = 400000L
+  val trainedIvfFloorSmallC: Long = 250000L
+
   /** The trained-default artifact serve, attested the b13/t37/x32
     * checked-sketch way (the s36 query): the trained centroids are a
     * deterministic function of the CORPUS (hash sample + maxmin + Lloyd),
@@ -440,20 +454,6 @@ private[ops] trait VectorArtifacts { self: VectorCore with VectorTraining =>
     * centroids misroute every append, a torn append loses its vectors
     * outright).
     */
-  /** s36's scale-aware default recall floors, NAMED so the recorded
-    * derivation lives next to the numbers the plan asserts (round-7
-    * verdict #8 — the guard must track the fixture): the measurements
-    * behind them are the round-7 floor-of-scales (ENGINE.md round-7/8
-    * headers — serve recall 0.49/0.46/0.34 at sf0.01/sf0.1/sf0.001 under
-    * the ⌈C/8⌉ probe fraction, catastrophic modes all ≤ 0.17).
-    * VectorsSpec RE-MEASURES the fixture's serve recall each run and
-    * asserts ≥ 0.05 headroom over these constants, so a drifting fixture
-    * or query set fails a spec with a re-derive instruction instead of
-    * letting the in-plan assert start flapping.
-    */
-  val trainedIvfFloorLargeC: Long = 400000L
-  val trainedIvfFloorSmallC: Long = 250000L
-
   def servedTrainedChecked(embeddings: DataFrame, table: String,
       queryIds: Seq[Long], k: Int = 10, nprobe: Int = 0,
       minRecallPpm: Long = -1L): DataFrame = {

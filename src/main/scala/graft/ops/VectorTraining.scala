@@ -310,7 +310,11 @@ private[ops] trait VectorTraining { self: VectorCore =>
           .agg(first(col("unit")).as("unit"),
             greatest(first(col("maxsim")), max(col("bs"))).as("maxsim"))
           .localCheckpoint(true)
+        // release the superseded round's blocks deterministically — see
+        // CheckpointRelease (unpersist alone is a no-op on checkpoint
+        // leaves; round 0's persisted frame still goes through it)
         cur.unpersist()
+        org.apache.spark.sql.graft.CheckpointRelease.release(cur)
         cur = next
         chosen ++= batch
       }

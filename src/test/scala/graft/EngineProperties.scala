@@ -987,6 +987,22 @@ object EngineProperties extends Properties("graft") {
     }
   }
 
+  // count-min partials are sums, so ANY slicing of the event stream must
+  // merge to the identical sketch — the MV/streaming contract b32 serves
+  property("count-min partials merge to the same sketch under any slicing") = {
+    val genEvents = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(0L, 30L), Gen.chooseNum(0, 3))).map(_.take(60))
+    Prop.forAll(genEvents) { evs =>
+      val df = evs.map { case (k, s) => (k, s"s$s") }.toDF("user_id", "event_type")
+      def cells(d: DataFrame) = d.collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getAs[Long]("c")).toMap
+      val merged = cells(graft.operators.Sketches.mergeSketch(
+        graft.operators.Sketches.sketchPartialsBySlice(df, "user_id", "event_type", w = 16)))
+      val single = cells(graft.operators.Sketches.sketchPartials(df, "user_id", w = 16))
+      Prop(merged == single) :| s"merged $merged single $single"
+    }
+  }
+
   // (z4) count-min's one-sided error for ANY key multiset: estimate ≥
   // exact count, every key present, exact side exact
   property("countMinChecked never undercounts for any keys") = {
