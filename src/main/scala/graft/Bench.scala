@@ -91,6 +91,16 @@ object Bench {
         s.sql(s"DROP TABLE IF EXISTS ${t}_len")
         graft.ops.TextOps.materializedPostings(Tables.documents(s, dir), t)
       }),
+      // the shingle-index artifact (x67's truth side): one shingle pass
+      // lands the df-capped candidate index + full sets + sizes ledger
+      "artifact:shingle_index" -> ((s, dir) => {
+        val t = "shingles_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        s.sql(s"DROP TABLE IF EXISTS ${t}_sh")
+        s.sql(s"DROP TABLE IF EXISTS ${t}_sizes")
+        graft.ops.Dedup.materializedShingleIndex(Tables.documents(s, dir), t)
+        s.table(t)
+      }),
       // the tokenizer artifact (consumed by x66): the timed build is the
       // full 32-round training loop — the honest cold cost the served
       // fertility read then never pays again

@@ -83,6 +83,16 @@ private[graft] object RegistryX {
       TextOps.retrievalAgreementServed(Tables.documents(s, dir), t,
         queryPred = col("doc_id") % 31 === 0)
     }),
+    "x67_retrieval_eval_indexed" -> ((s, dir) => {
+      // the FULLY-indexed eval: truth from the persisted shingle index
+      // (d38's more-like-this, served build-once) AND ranking from the
+      // persisted postings — zero per-eval derivation on either side;
+      // hash must equal x60/x64 (oracle shared verbatim)
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      TextOps.retrievalAgreementIndexed(Tables.documents(s, dir),
+        "shingles_" + sfx, "postings_" + sfx,
+        queryPred = col("doc_id") % 31 === 0)
+    }),
     "x61_budget_waterfill" -> ((s, dir) =>
       // max–min fair token allocation across sources under a 20k budget:
       // the waterfilling level caps big sources at a common level, small
@@ -589,6 +599,7 @@ private[graft] object RegistryX {
     // so the oracle is x60's SQL VERBATIM — the x58 ≡ x33 discipline one
     // level up
     "x64_retrieval_eval_served" -> oracleRetrievalEval,
+    "x67_retrieval_eval_indexed" -> oracleRetrievalEval,
     "x62_bpe_merges" -> oracleBpeMerges(rounds = 4),
     "x63_bpe_fertility" -> oracleBpeFertility(rounds = 4),
     "x65_bpe_fertility_deep" -> oracleBpeFertility(rounds = 32),

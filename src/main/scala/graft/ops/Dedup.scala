@@ -290,6 +290,91 @@ object Dedup {
         col("sim_ppm"), col("rank").cast("long").as("rank"))
   }
 
+  /** Build-if-absent persisted SHINGLE index — the postings/IVF build-once
+    * discipline applied to the lexical more-like-this surface
+    * ([[similarDocsTopK]], the x60/x64 eval's TRUTH side): three tables,
+    * built from one shingle pass —
+    *
+    *   - `table`: the df-capped candidate index (shingle_id, doc_id),
+    *     shingle-bucketed — the side every query's candidate join probes;
+    *   - `${table}_sh`: the FULL per-doc shingle sets (doc_id,
+    *     shingle_id), doc-bucketed — exact scoring reads these (the df cap
+    *     bounds candidates, never scores);
+    *   - `${table}_sizes`: the (doc_id, n_shingles) ledger (the postings
+    *     `_len` pattern) — set sizes without re-aggregating the corpus.
+    *
+    * No append path BY DESIGN: the df cap is a GLOBAL property — a new
+    * batch can push a shingle past the cap, which would require deleting
+    * previously-indexed rows of that shingle — so corpus growth is a
+    * REBUILD decision (the merge-table/centroid-drift contract, stated
+    * rather than faked; the band-keys artifact [[appendBandKeys]] is the
+    * appendable lexical index, because band keys carry no global cap).
+    */
+  def materializedShingleIndex(docs: DataFrame, table: String, k: Int = 5,
+      maxDf: Long = defaultMaxDf, buckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    graft.sources.BucketedLayout.buildIfAbsent(spark, table) {
+      val sh = shingleIdsFromArrays(graft.ops.Vocab.hashTokenIdArrays(docs), k)
+        .persist()
+      graft.sources.BucketedLayout.buildIfAbsent(spark, table + "_sh") {
+        graft.sources.BucketedLayout.writeBucketed(
+          sh.select(col("doc_id"), col("shingle_id")), table + "_sh",
+          "doc_id", buckets)
+      }
+      graft.sources.BucketedLayout.buildIfAbsent(spark, table + "_sizes") {
+        graft.sources.BucketedLayout.writeBucketed(
+          sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles")),
+          table + "_sizes", "doc_id", 8)
+      }
+      graft.sources.BucketedLayout.writeBucketed(
+        dfCappedIndex(sh, maxDf).select(col("shingle_id"), col("doc_id")),
+        table, "shingle_id", buckets)
+      sh.unpersist()
+      ()
+    }
+    ()
+  }
+
+  /** [[similarDocsTopK]] SERVED from a persisted
+    * [[materializedShingleIndex]] — identical candidate generation
+    * (df-capped index), identical exact scoring (full sets + the sizes
+    * ledger), identical integer-ppm ranking, zero shingle derivation per
+    * query: results hash-equal the recompute form (spec-pinned), which is
+    * what lets the x67 eval run its truth side build-once.
+    */
+  def similarDocsTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, queryPred: Column, k: Int = 3): DataFrame = {
+    val idx = spark.table(table)
+    val sh = spark.table(table + "_sh")
+    val sizes = spark.table(table + "_sizes")
+    val qidx = idx.filter(queryPred)
+      .select(col("doc_id").as("query_id"), col("shingle_id"))
+    val cand = qidx.join(idx, Seq("shingle_id"))
+      .filter(col("query_id") =!= col("doc_id"))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("query_id"), col("shingle_id")), Seq("query_id"))
+      .join(sh.select(col("doc_id").as("neighbor_id"), col("shingle_id")),
+        Seq("neighbor_id", "shingle_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(count(lit(1)).as("n_common"))
+    val scored = inter
+      .join(sizes.withColumnRenamed("doc_id", "query_id")
+        .withColumnRenamed("n_shingles", "na"), "query_id")
+      .join(sizes.withColumnRenamed("doc_id", "neighbor_id")
+        .withColumnRenamed("n_shingles", "nb"), "neighbor_id")
+      .withColumn("sim_ppm", expr("n_common * 1000000 div (na + nb - n_common)"))
+    val perQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim_ppm").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(perQuery))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("n_common"),
+        col("sim_ppm"), col("rank").cast("long").as("rank"))
+  }
+
   /** Winnowing overlap pairs — what winnowing fingerprints exist FOR
     * (plagiarism / near-copy detection, Schleimer et al. SIGMOD 2003):
     * document pairs sharing at least `minShared` SELECTED fingerprints

@@ -1264,9 +1264,40 @@ object TextOps {
   def retrievalAgreementServed(docs: DataFrame, table: String,
       queryPred: Column, k: Int = 10, batchSize: Int = 64,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val spark = docs.sparkSession
     materializedPostings(docs, table)
-    val truth = retrievalTruth(docs, queryPred)
+    servedAgreementTail(docs, table, retrievalTruth(docs, queryPred),
+      queryPred, k, batchSize, k1, b)
+  }
+
+  /** The FULLY-indexed eval (x67): truth from the persisted shingle index
+    * ([[graft.ops.Dedup.materializedShingleIndex]] — d38's more-like-this
+    * served build-once) AND ranking from the persisted postings — zero
+    * per-eval derivation on EITHER side, the shape a recurring production
+    * eval actually runs. Both serves are layout-independent, so the frame
+    * hash-equals the recompute eval (x67 ≡ x64 ≡ x60; oracle shared
+    * verbatim).
+    */
+  def retrievalAgreementIndexed(docs: DataFrame, shingleTable: String,
+      postingsTable: String, queryPred: Column, k: Int = 10,
+      batchSize: Int = 64, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    graft.ops.Dedup.materializedShingleIndex(docs, shingleTable)
+    materializedPostings(docs, postingsTable)
+    val truth = graft.ops.Dedup.similarDocsTopKFromIndex(
+        docs.sparkSession, shingleTable, queryPred, k = 1)
+      .select(col("query_id"), col("neighbor_id").as("truth_id"),
+        col("sim_ppm").as("truth_sim_ppm"))
+    servedAgreementTail(docs, postingsTable, truth, queryPred, k,
+      batchSize, k1, b)
+  }
+
+  /** The served eval's shared ranking tail: batch the query documents'
+    * Spark-extracted term lists through the postings serve (self excluded,
+    * per-batch caches released) and left-join the given truth.
+    */
+  private def servedAgreementTail(docs: DataFrame, table: String,
+      truth: DataFrame, queryPred: Column, k: Int, batchSize: Int,
+      k1: Double, b: Double): DataFrame = {
+    val spark = docs.sparkSession
     val queryTerms = docs.filter(queryPred)
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("terms"))
       .collect().map(r => (r.getLong(0), r.getSeq[String](1)))

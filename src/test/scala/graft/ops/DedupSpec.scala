@@ -811,4 +811,23 @@ class DedupSpec extends SparkSpec {
       .select("query_id").distinct().collect().map(_.getLong(0)).toSet
     assert(all === Set(10L))
   }
+  test("similarDocsTopKFromIndex: served from the persisted shingle index ≡ recompute") {
+    import org.apache.spark.sql.functions.col
+    // the x67 truth-side contract: identical df-capped candidates, exact
+    // scoring from the persisted full sets + sizes ledger, identical
+    // integer ranking — every column must match the recompute form
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val t = "shingle_index_spec_check"
+    Seq(t, t + "_sh", t + "_sizes").foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    Dedup.materializedShingleIndex(docs, t)
+    val pred = col("doc_id") % 31 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("n_common"), r.getAs[Long]("sim_ppm"), r.getAs[Long]("rank"))).toSet
+    val served = rows(Dedup.similarDocsTopKFromIndex(spark, t, pred, k = 3))
+    val direct = rows(Dedup.similarDocsTopK(
+      Dedup.shingleIdsFromArrays(graft.ops.Vocab.hashTokenIdArrays(docs), 5), pred, k = 3))
+    assert(served.nonEmpty)
+    assert(served === direct)
+  }
 }
