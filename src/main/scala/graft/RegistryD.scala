@@ -281,6 +281,25 @@ private[graft] object RegistryD {
       Dedup.similarDocsTopK(Dedup.shingleIdsFromArrays(ids, 5),
         queryPred = col("doc_id") % 7 === 0, k = 3)
     }),
+    "d39_index_staleness" -> ((s, dir) => {
+      // the shingle index's maintenance path is a REBUILD DECISION, not
+      // an append (the df cap is global) — d39 is the report that
+      // decision reads: build the index on the corpus, present a drifted
+      // corpus (every doc_id % 7 = 0 doc re-ingested under a new id — a
+      // deterministic synthetic delta the oracle reproduces from
+      // `documents` alone), and report per-source index coverage plus the
+      // count of shingles whose capped-index membership would FLIP on
+      // rebuild — the drift signal that an append, had one existed, would
+      // have silently gotten wrong
+      val base = Tables.documents(s, dir)
+      val t = "shingles_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      Dedup.materializedShingleIndex(base, t)
+      val cur = base.select(col("doc_id"), col("text"), col("source"))
+        .unionByName(base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + org.apache.spark.sql.functions.lit(10000000L))
+            .as("doc_id"), col("text"), col("source")))
+      Dedup.shingleIndexStaleness(cur, t)
+    }),
     "d18_containment_pairs" -> ((s, dir) => {
       // asymmetric near-dup: excerpt/quote detection — containment
       // |∩|/min(|A|,|B|) catches a short doc embedded in a long one where
@@ -609,6 +628,36 @@ private[graft] object RegistryD {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY sim_ppm DESC, neighbor_id ASC) AS rn FROM dsc)
          |WHERE rn <= 3""".stripMargin,
+    "d39_index_staleness" ->
+      // the delta docs carry the SAME text as their %7 originals, so
+      // their shingle sets equal the originals' — the oracle reads the
+      // missing docs' shingle dfs straight off the base sh chain
+      s"""WITH $oracleJaccardCtes,
+         |indexed AS (SELECT DISTINCT doc_id FROM sh),
+         |delta AS (SELECT doc_id + 10000000 AS doc_id, source
+         |          FROM documents WHERE doc_id % 7 = 0),
+         |cur AS (SELECT doc_id, source FROM documents
+         |        UNION ALL SELECT doc_id, source FROM delta),
+         |miss AS (SELECT c.doc_id FROM cur c
+         |         LEFT JOIN indexed i ON i.doc_id = c.doc_id
+         |         WHERE i.doc_id IS NULL),
+         |mdf AS (SELECT shingle_id, CAST(count(*) AS BIGINT) AS cm
+         |        FROM sh WHERE doc_id % 7 = 0 GROUP BY 1),
+         |idf AS (SELECT shingle_id, CAST(count(*) AS BIGINT) AS ci
+         |        FROM sh GROUP BY 1),
+         |flips AS (SELECT CAST(count(*) AS BIGINT) AS n_flip_shingles
+         |          FROM mdf m LEFT JOIN idf i USING (shingle_id)
+         |          WHERE ((coalesce(i.ci, 0) > 1 AND coalesce(i.ci, 0) <= ${Dedup.defaultMaxDf})
+         |                 <> (coalesce(i.ci, 0) + m.cm > 1
+         |                     AND coalesce(i.ci, 0) + m.cm <= ${Dedup.defaultMaxDf})))
+         |SELECT c.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(*) - count(m.doc_id) AS BIGINT) AS n_indexed,
+         |       CAST(count(m.doc_id) AS BIGINT) AS n_missing,
+         |       f.n_flip_shingles
+         |FROM cur c
+         |LEFT JOIN miss m ON m.doc_id = c.doc_id
+         |CROSS JOIN flips f
+         |GROUP BY c.source, f.n_flip_shingles""".stripMargin,
     "d37_source_overlap" ->
       s"""WITH $oracleJaccardCtes,
          |ss AS (SELECT DISTINCT d.source, s.shingle_id

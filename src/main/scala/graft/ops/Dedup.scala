@@ -375,6 +375,50 @@ object Dedup {
         col("sim_ppm"), col("rank").cast("long").as("rank"))
   }
 
+  /** Staleness / REBUILD-decision report for a persisted
+    * [[materializedShingleIndex]] (d39) — the maintenance path of an
+    * artifact that deliberately has NO append (the df cap is a global
+    * property): given the CURRENT corpus (`current` — (doc_id, text,
+    * source)), report per source how far the index has drifted, plus the
+    * one global number that decides a rebuild:
+    *
+    *   - `n_docs` / `n_indexed` / `n_missing`: current corpus size vs
+    *     docs the index holds shingles for (documents too short to
+    *     shingle count as missing on both sides — they ARE unindexed);
+    *   - `n_flip_shingles` (global, repeated per row — the b13-style
+    *     broadcast total): shingles whose CAPPED-index membership
+    *     (`1 < df ≤ cap`) would FLIP if the missing documents were folded
+    *     in. Membership only moves for shingles the missing docs carry,
+    *     so the flip scan is missing-shingle-bounded, never corpus².
+    *
+    * A pipeline reads this before deciding rebuild-vs-wait; all integers,
+    * oracle-attested (d39) with a deterministic synthetic delta.
+    */
+  def shingleIndexStaleness(current: DataFrame, table: String, k: Int = 5,
+      maxDf: Long = defaultMaxDf): DataFrame = {
+    val spark = current.sparkSession
+    val indexedIds = spark.table(table + "_sh").select(col("doc_id")).distinct()
+    val missing = current.join(indexedIds, Seq("doc_id"), "left_anti").persist()
+    val dfIdx = spark.table(table + "_sh")
+      .groupBy(col("shingle_id")).agg(count(lit(1)).as("c_idx"))
+    val dfMiss = shingleIdsFromArrays(
+        graft.ops.Vocab.hashTokenIdArrays(missing), k)
+      .groupBy(col("shingle_id")).agg(count(lit(1)).as("c_miss"))
+    val flips = dfMiss.join(dfIdx, Seq("shingle_id"), "left")
+      .select(coalesce(col("c_idx"), lit(0L)).as("ci"), col("c_miss").as("cm"))
+      .filter((col("ci") > 1 && col("ci") <= maxDf) =!=
+        (col("ci") + col("cm") > 1 && col("ci") + col("cm") <= maxDf))
+      .agg(count(lit(1)).as("n_flip_shingles"))
+    current.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(missing.groupBy(col("source")).agg(count(lit(1)).as("n_missing")),
+        Seq("source"), "left")
+      .na.fill(0L, Seq("n_missing"))
+      .crossJoin(F.broadcast(flips))
+      .select(col("source"), col("n_docs"),
+        (col("n_docs") - col("n_missing")).as("n_indexed"),
+        col("n_missing"), col("n_flip_shingles"))
+  }
+
   /** Winnowing overlap pairs — what winnowing fingerprints exist FOR
     * (plagiarism / near-copy detection, Schleimer et al. SIGMOD 2003):
     * document pairs sharing at least `minShared` SELECTED fingerprints
