@@ -247,6 +247,24 @@ object ScaleBench {
           (0L, "hash join batch"), (1L, "vector scan filter"),
           (2L, "window agg order")), k = 10)
       }, true),
+      ("d39_shingle_lifecycle", (d: DataFrame) => {
+        // the FULL shingle-artifact lifecycle cold (x67's truth side):
+        // one shingle pass → capped index + full sets + sizes ledger,
+        // then the staleness read against a drifted corpus — build and
+        // report are both shingle-row-linear; explicit DROP + scale-tag
+        // keeps every run a cold build
+        val t = "shingles_scale_" + scaleTag
+        Seq(t, t + "_sh", t + "_sizes")
+          .foreach(n => d.sparkSession.sql(s"DROP TABLE IF EXISTS $n"))
+        val base = d.withColumn("source",
+          concat(lit("s"), pmod(col("doc_id"), lit(20))))
+        Dedup.materializedShingleIndex(base, t)
+        Dedup.shingleIndexStaleness(
+          base.select(col("doc_id"), col("text"), col("source"))
+            .unionByName(base.filter(col("doc_id") % 7 === 0)
+              .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+                col("text"), col("source"))), t)
+      }, true),
       ("s36_trainer_distributed", (e: DataFrame) =>
         // the round-8 distributed trainer forced on (the branch the auto
         // dispatch takes past C = 2 048): flops are O(|sample|·C·d) with

@@ -2176,7 +2176,7 @@ object TextOps {
         // trainer's round-8 lesson): the state rebuilds on itself each
         // round, and unbroken lineage grows the plan by one
         // regexp_replace per round — O(rounds²) driver analysis that
-        // dominates deep training (x65's 32 rounds measured ~25% faster
+        // dominates deep training (x65's 32 rounds measured ~16% faster
         // checkpointed). The checkpoint truncates the plan to a
         // constant-size leaf and materializes in the same job the old
         // count() paid anyway.
