@@ -174,6 +174,26 @@ private[graft] object RegistryS {
       // proxies, ≤5 members each in deterministic hash order — the
       // DoReMi-style mixture-balance step on semantic buckets
       Vectors.clusterBalancedSample(Tables.embeddings(s, dir), quota = 5)),
+    "s39_index_staleness" -> ((s, dir) => {
+      // the d39 rebuild-decision report for the VECTOR surface, on the
+      // spaced PARITY artifact (trained routing isn't static-SQL-
+      // expressible; the drift math is identical on both recipes):
+      // vectors the index doesn't hold assign against the PINNED ledger
+      // and the report reads per-bucket occupancy shift — the
+      // retrain-vs-append signal. Delta = every 5th vector re-ingested
+      // rotated 8 coordinates under a new id (norm-preserving and
+      // oracle-reproducible from the embeddings table alone)
+      val emb = Tables.embeddings(s, dir)
+      val t = "ivf_index_spaced_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      Vectors.materializedIvfIndex(emb, t,
+        centroidIds = Some(Vectors.spacedCentroidIds(emb.count())))
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+          concat(slice(col("embedding"), 9, 56),
+            slice(col("embedding"), 1, 8)).as("embedding"))
+      Vectors.ivfIndexStaleness(
+        emb.select(col("vec_id"), col("embedding")).unionByName(delta), t)
+    }),
     "s29_ann_batch_index" -> ((s, dir) =>
       // build-once/query-many: the persisted bucket-clustered IVF index
       // serves a query BATCH too large to broadcast (every 25th corpus
@@ -621,6 +641,36 @@ private[graft] object RegistryS {
          |FROM (SELECT vec_id, bucket, row_number() OVER (PARTITION BY bucket
          |        ORDER BY skey ASC, vec_id ASC) AS rn FROM keyed)
          |WHERE rn <= 5""".stripMargin,
+    "s39_index_staleness" ->
+      // same spaced assignment chain as s29's index contents; the delta's
+      // rotated vectors normalize and score in the ROTATED element order
+      // on both engines (same fold order ⇒ bit-identical dots)
+      s"""WITH $oracleEmbCte,
+         |$oracleSpacedAssigned,
+         |d0 AS (SELECT vec_id + 10000000 AS vec_id,
+         |              v0[9:64] || v0[1:8] AS v0
+         |       FROM e0 WHERE vec_id % 5 = 0),
+         |dn AS (SELECT vec_id, [x / sqrt(list_dot_product(v0, v0)) for x in v0] AS v FROM d0),
+         |dsc AS (SELECT dn.vec_id, cent.centroid_id, ${oracleCos("dn.v", "cent.cv")} AS cs
+         |        FROM dn, cent),
+         |dassigned AS (SELECT vec_id, centroid_id AS bucket
+         |              FROM (SELECT vec_id, centroid_id,
+         |                      row_number() OVER (PARTITION BY vec_id
+         |                        ORDER BY cs DESC, centroid_id ASC) AS rn FROM dsc)
+         |              WHERE rn = 1),
+         |nb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_indexed FROM assigned GROUP BY 1),
+         |nn AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new FROM dassigned GROUP BY 1),
+         |j AS (SELECT c.centroid_id AS bucket,
+         |             coalesce(nb.n_indexed, 0) AS n_indexed,
+         |             coalesce(nn.n_new, 0) AS n_new
+         |      FROM cent c LEFT JOIN nb ON nb.bucket = c.centroid_id
+         |                  LEFT JOIN nn ON nn.bucket = c.centroid_id),
+         |tot AS (SELECT sum(n_indexed) AS tb, sum(n_indexed) + sum(n_new) AS ta FROM j)
+         |SELECT bucket, CAST(n_indexed AS BIGINT) AS n_indexed,
+         |       CAST(n_new AS BIGINT) AS n_new,
+         |       CAST((1000000 * n_indexed) // tb AS BIGINT) AS share_before_ppm,
+         |       CAST((1000000 * (n_indexed + n_new)) // ta AS BIGINT) AS share_after_ppm
+         |FROM j CROSS JOIN tot""".stripMargin,
     "s29_ann_batch_index" ->
       // the batch-probe math over the same spaced assignment: every 25th
       // vector queries its own bucket, exact cosine, top-3 (the INDEX

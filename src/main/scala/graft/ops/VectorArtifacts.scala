@@ -399,6 +399,46 @@ private[ops] trait VectorArtifacts { self: VectorCore with VectorTraining =>
     ivfBatchTopKFromIndex(index, queries, k)
   }
 
+  /** Staleness / REBUILD-decision report for a persisted IVF index (s39 —
+    * [[graft.ops.Dedup.shingleIndexStaleness]]'s vector twin): assign
+    * every CURRENT-corpus vector the index does not hold against the
+    * PINNED ledger centroids (exactly the routing [[appendToIvfIndex]]
+    * would give them) and report, per ledger centroid — empty buckets
+    * included, which is what the ledger exists for — how occupancy would
+    * SHIFT: (bucket, n_indexed, n_new, share_before_ppm,
+    * share_after_ppm). A bucket whose share balloons under appends says
+    * the frozen routing no longer fits the corpus — the retrain-vs-append
+    * decision this report feeds (centroid drift is a REBUILD decision by
+    * the [[appendToIvfIndex]] contract; this is the read that takes it).
+    *
+    * Scale shape: one anti-join against the index's id projection, one
+    * broadcast assignment of only the NEW vectors, two bucket-keyed
+    * metadata aggregations, one broadcast totals row.
+    */
+  def ivfIndexStaleness(current: DataFrame, table: String): DataFrame = {
+    val spark = current.sparkSession
+    val ledger = readCentroidLedger(spark, table)
+    val fresh = current.join(
+      spark.table(table).select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+    val newAssigned = assignToCentroids(
+      withUnit(fresh).select(col("vec_id"), col("unit")),
+      centroidFrame(spark, ledger))
+    val before = spark.table(table).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_indexed"))
+    val added = newAssigned.groupBy(col("bucket")).agg(count(lit(1)).as("n_new"))
+    val joined = centroidFrame(spark, ledger)
+      .select(col("centroid_id").as("bucket"))
+      .join(before, Seq("bucket"), "left")
+      .join(added, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_indexed", "n_new"))
+    val totals = joined.agg(sum(col("n_indexed")).as("tb"),
+      (sum(col("n_indexed")) + sum(col("n_new"))).as("ta"))
+    joined.crossJoin(F.broadcast(totals))
+      .select(col("bucket"), col("n_indexed"), col("n_new"),
+        expr("(1000000 * n_indexed) div tb").as("share_before_ppm"),
+        expr("(1000000 * (n_indexed + n_new)) div ta").as("share_after_ppm"))
+  }
+
   /** s36's scale-aware default recall floors, NAMED so the recorded
     * derivation lives next to the numbers the plan asserts (round-7
     * verdict #8 — the guard must track the fixture): the measurements
