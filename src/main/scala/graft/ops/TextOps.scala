@@ -2017,7 +2017,11 @@ object TextOps {
   private[graft] def bpeMergeTable(docs: DataFrame, rounds: Int,
       docMod: Long, maxChars: Int): Seq[(Long, String, String, Long)] = {
     val (merges, state) = bpeLoop(docs, rounds, docMod, maxChars)
+    // after round 1 the final state is a localCheckpoint leaf where
+    // Dataset.unpersist is a no-op (round-8 ADVICE) — release its
+    // corpus-sample-sized blocks deterministically; safe, never read again
     state.unpersist()
+    org.apache.spark.sql.graft.CheckpointRelease.release(state)
     merges
   }
 

@@ -354,7 +354,12 @@ private[ops] trait VectorTraining { self: VectorCore =>
       }
       cents.toIndexedSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
     } finally {
-      if (cur != null) cur.unpersist()
+      if (cur != null) {
+        // cur is a checkpoint leaf after init round 1, where unpersist is
+        // a no-op (round-8 ADVICE) — release its sample-sized blocks too
+        cur.unpersist()
+        org.apache.spark.sql.graft.CheckpointRelease.release(cur)
+      }
       samp.unpersist()
       ()
     }

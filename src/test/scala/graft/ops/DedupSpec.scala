@@ -830,4 +830,36 @@ class DedupSpec extends SparkSpec {
     assert(served.nonEmpty)
     assert(served === direct)
   }
+  test("shingleIndexStaleness: totals partition, flip count global, internal cache released") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val t = "shingle_staleness_spec"
+    Seq(t, t + "_sh", t + "_sizes").foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    Dedup.materializedShingleIndex(docs, t)
+    val cur = docs.select(col("doc_id"), col("text"), col("source"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          col("text"), col("source")))
+    spark.sqlContext.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val rep = Dedup.shingleIndexStaleness(cur, t)
+    val rows = rep.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_indexed") + r.getAs[Long]("n_missing")
+        === r.getAs[Long]("n_docs"))
+    }
+    // the delta docs (and only index-absent docs) are missing somewhere
+    assert(rows.map(_.getAs[Long]("n_missing")).sum > 0L)
+    // n_flip_shingles is the one global number, repeated per row
+    assert(rows.map(_.getAs[Long]("n_flip_shingles")).toSet.size === 1)
+    // the round-8 leak: `missing` stayed persisted after the report — now
+    // the report materializes eagerly and the only persistent blocks left
+    // are the returned checkpoint's own (released below, restoring the
+    // pre-call set exactly)
+    org.apache.spark.sql.graft.CheckpointRelease.release(rep)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"shingleIndexStaleness left persistent RDDs ${after -- before}")
+  }
 }

@@ -417,6 +417,30 @@ class VectorsSpec extends SparkSpec {
       s"distributed-trained artifact serve recall $recallPpm ppm under the floor")
   }
 
+  test("ivfIndexStaleness: an EMPTY index table yields defined zero shares, not nulls") {
+    // round-8 verdict nit: tb = 0 (every build-time bucket lost, e.g. a
+    // torn rebuild that kept only the ledger) divided to null shares —
+    // the report must stay DEFINED so the rebuild decision can read it
+    val t = "ivf_stale_empty_spec"
+    Seq(t, t + "_centroids").foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    val emptyAssigned =
+      Seq.empty[(Long, Long, Array[Double])].toDF("vec_id", "bucket", "unit")
+    Vectors.writeIvfIndex(emptyAssigned, t)
+    Vectors.writeCentroidLedger(spark, t,
+      Seq((0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.0, 1.0, 0.0))), emptyAssigned)
+    val out = Vectors.ivfIndexStaleness(emb, t).collect()
+    assert(out.length === 2) // every ledger centroid reports, empty or not
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_indexed") === 0L)
+      assert(!r.isNullAt(r.fieldIndex("share_before_ppm")), "null share on tb = 0")
+      assert(r.getAs[Long]("share_before_ppm") === 0L)
+      assert(!r.isNullAt(r.fieldIndex("share_after_ppm")))
+    }
+    // the current corpus still assigns: occupancy-after accounts for all 5
+    assert(out.map(_.getAs[Long]("n_new")).sum === 5L)
+    assert(out.map(_.getAs[Long]("share_after_ppm")).sum >= 999998L)
+  }
+
   test("incremental vector dedup flags bucket-colliding new vectors only") {
     // corpus = vectors 0..9 of the fixture frame; new batch = an exact copy
     // of vector 3 (collides in every table) and a distinct vector (100)
