@@ -275,6 +275,27 @@ object ScaleBench {
         Vectors.centroidFrame(e.sparkSession,
           Vectors.trainedCentroidsDistributed(e,
             c = math.min(Vectors.spacedCentroidIds(e.count()).size, 65536))), false),
+      ("x64_served_join", (d: DataFrame) => {
+        // the served eval's distributed ranking side cold (round-9: the
+        // semi-join dispatch past the query threshold): postings build +
+        // ONE distributed plan serving a fixed 1-in-31 sample of the BASE
+        // slice. Query count is pinned across scales so the ratio
+        // isolates corpus reads — growing queries 8× too would put the
+        // inherent Q×postings product term (present on EVERY path,
+        // including the recompute eval) into the ratio. Driver state is
+        // O(1): no term-list collect, no per-batch round trips — cost
+        // must track the postings build + the fixed queries' postings.
+        val t = "postings_served_scale_" + scaleTag
+        d.sparkSession.sql(s"DROP TABLE IF EXISTS $t")
+        d.sparkSession.sql(s"DROP TABLE IF EXISTS ${t}_len")
+        graft.ops.TextOps.materializedPostings(d, t)
+        val qterms = d
+          .filter(col("doc_id") < lit(docStride) && col("doc_id") % 31 === 0)
+          .select(col("doc_id").as("query_id"),
+            explode(array_distinct(split(col("text"), " "))).as("term"))
+        graft.ops.TextOps.bm25SearchFromIndexJoin(d.sparkSession, t, qterms,
+          k = 10, excludeQueryDoc = true)
+      }, true),
       ("x62_bpe_merges", (d: DataFrame) =>
         // tokenizer training end-to-end: per round one map-side-combined
         // pair-count agg + one regex rewrite pass — linear in sampled

@@ -1251,22 +1251,25 @@ object TextOps {
     * names): the SAME truth (d38 Jaccard top-1) and the SAME BM25
     * arithmetic, but the ranking side reads [[materializedPostings]]
     * through [[bm25SearchFromIndexTerms]]'s pushed term-IN-list in query
-    * BATCHES of `batchSize` — nothing rebuilds per eval, each batch's
-    * terms prune to their postings (row-group skip on the term-sorted
-    * buckets), and the batch size bounds every broadcast no matter how
-    * many queries the eval asks about. The query documents' own distinct
-    * tokens are extracted Spark-side (identical `split` semantics to the
-    * recompute form) and collected — |Q|-bounded by the same argument as
-    * the predicate contract. Serving is layout-independent, so the frame
-    * hash-equals the recompute eval (x64 ≡ x60 — the x58 ≡ x33 discipline
-    * one level up; oracle-attested with x60's SQL verbatim).
+    * BATCHES of `batchSize` when the query set is small, or — past
+    * [[servedEvalJoinThreshold]] queries — through the fully-distributed
+    * broadcast-semi-join plan ([[bm25SearchFromIndexJoin]]), where the
+    * query documents' distinct tokens are extracted Spark-side (identical
+    * `split` semantics to the recompute form) and NEVER collected: the
+    * eval's driver state stays flat no matter how many queries the
+    * predicate selects (round-8 verdict #1). Nothing rebuilds per eval
+    * on either path, and both compute identical frames, so the result is
+    * layout- AND path-independent: it hash-equals the recompute eval
+    * (x64 ≡ x60 — the x58 ≡ x33 discipline one level up; oracle-attested
+    * with x60's SQL verbatim).
     */
   def retrievalAgreementServed(docs: DataFrame, table: String,
       queryPred: Column, k: Int = 10, batchSize: Int = 64,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      joinThreshold: Long = servedEvalJoinThreshold): DataFrame = {
     materializedPostings(docs, table)
     servedAgreementTail(docs, table, retrievalTruth(docs, queryPred),
-      queryPred, k, batchSize, k1, b)
+      queryPred, k, batchSize, k1, b, joinThreshold)
   }
 
   /** The FULLY-indexed eval (x67): truth from the persisted shingle index
@@ -1279,7 +1282,8 @@ object TextOps {
     */
   def retrievalAgreementIndexed(docs: DataFrame, shingleTable: String,
       postingsTable: String, queryPred: Column, k: Int = 10,
-      batchSize: Int = 64, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      batchSize: Int = 64, k1: Double = 1.2, b: Double = 0.75,
+      joinThreshold: Long = servedEvalJoinThreshold): DataFrame = {
     graft.ops.Dedup.materializedShingleIndex(docs, shingleTable)
     materializedPostings(docs, postingsTable)
     val truth = graft.ops.Dedup.similarDocsTopKFromIndex(
@@ -1287,35 +1291,71 @@ object TextOps {
       .select(col("query_id"), col("neighbor_id").as("truth_id"),
         col("sim_ppm").as("truth_sim_ppm"))
     servedAgreementTail(docs, postingsTable, truth, queryPred, k,
-      batchSize, k1, b)
+      batchSize, k1, b, joinThreshold)
   }
 
-  /** The served eval's shared ranking tail: batch the query documents'
-    * Spark-extracted term lists through the postings serve (self excluded,
-    * per-batch caches released) and left-join the given truth.
+  /** Query-count threshold where the served evals switch from driver-side
+    * literal IN-list batches to the fully-distributed semi-join plan
+    * ([[bm25SearchFromIndexJoin]]). Below it, a handful of queries wins by
+    * pushing a literal term IN-list into the term-sorted postings scan
+    * (row-group skipping); above it, the collect itself is the scale
+    * hazard — at the default 1-in-31 query sample the term lists are
+    * corpus-proportional driver state (round-8 verdict #1).
+    */
+  private[graft] val servedEvalJoinThreshold: Long = 128L
+
+  /** The served eval's shared ranking tail. Two plans, one contract:
+    *
+    *   - `|Q| ≤ joinThreshold`: the query documents' Spark-extracted term
+    *     lists collect (|Q|-bounded by the threshold) and batch through
+    *     the postings serve's literal term IN-list (self excluded,
+    *     per-batch caches released) — partition pruning wins for point
+    *     lookups;
+    *   - `|Q| > joinThreshold`: the query terms STAY a DataFrame and the
+    *     postings prune via a broadcast SEMI-join on `term`
+    *     ([[bm25SearchFromIndexJoin]]) — the same candidate restriction
+    *     with no driver literals and no O(Q) driver state, so the eval's
+    *     driver footprint is flat no matter how many queries the
+    *     predicate selects (round-8 verdict #1: the old unconditional
+    *     collect was corpus-proportional at the default 1-in-31 sample).
+    *
+    * Both plans compute identical frames (same per-term df, same scoring
+    * expression, same per-query ranking — spec-pinned), so the eval's
+    * hash is path-independent.
     */
   private def servedAgreementTail(docs: DataFrame, table: String,
       truth: DataFrame, queryPred: Column, k: Int, batchSize: Int,
-      k1: Double, b: Double): DataFrame = {
+      k1: Double, b: Double,
+      joinThreshold: Long = servedEvalJoinThreshold): DataFrame = {
     val spark = docs.sparkSession
-    val queryTerms = docs.filter(queryPred)
+    val qdocs = docs.filter(queryPred)
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("terms"))
-      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
-      .sortBy(_._1).toSeq
+    val nQueries = qdocs.count()
     // an empty query set has an empty truth side too — short-circuit to
     // the (empty) x60-shaped frame instead of reducing over zero batches
     // (round-8 review: `Iterator.empty.reduce` throws)
-    if (queryTerms.isEmpty)
+    if (nQueries == 0)
       return truth.select(col("query_id"), col("truth_id"),
         col("truth_sim_ppm"), lit(0L).as("bm25_rank"))
-    // eagerRelease: each batch's ranked list materializes (|batch|·k rows)
-    // and its postings cache releases before the next batch — without it,
-    // ⌈Q/batchSize⌉ persisted postings subsets would pin until a blanket
-    // clearCache (the marginFromScored cache discipline)
-    val ranked = queryTerms.grouped(batchSize).map { batch =>
-      bm25SearchFromIndexTerms(spark, table, batch, k, k1, b,
-        excludeQueryDoc = true, eagerRelease = true)
-    }.reduce(_ unionByName _)
+    val rankedAll = if (nQueries > joinThreshold) {
+      bm25SearchFromIndexJoin(spark, table,
+        qdocs.select(col("doc_id").as("query_id"),
+          explode(col("terms")).as("term")),
+        k, k1, b, excludeQueryDoc = true)
+    } else {
+      val queryTerms = qdocs
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+        .sortBy(_._1).toSeq
+      // eagerRelease: each batch's ranked list materializes (|batch|·k
+      // rows) and its postings cache releases before the next batch —
+      // without it, ⌈Q/batchSize⌉ persisted postings subsets would pin
+      // until a blanket clearCache (the marginFromScored cache discipline)
+      queryTerms.grouped(batchSize).map { batch =>
+        bm25SearchFromIndexTerms(spark, table, batch, k, k1, b,
+          excludeQueryDoc = true, eagerRelease = true)
+      }.reduce(_ unionByName _)
+    }
+    val ranked = rankedAll
       .select(col("query_id"), col("doc_id").as("truth_id"),
         col("rank").as("bm25_rank"))
     truth.join(ranked, Seq("query_id", "truth_id"), "left")
@@ -1419,11 +1459,69 @@ object TextOps {
       .filter(col("term").isInCollection(terms))
       .dropDuplicates("term", "doc_id")
       .persist() // feeds df and the scoring join
+    // default: hits stays persisted — the returned frame is lazy and both
+    // the df aggregate and the scoring join read it; per-query harness
+    // cache clears release it (the charLmScore/bm25Search convention).
+    // eagerRelease: materialize now, release the postings cache here.
+    val out = bm25RankMatchedHits(spark, table, hits, broadcast(qterms),
+      k, k1, b, excludeQueryDoc)
+    if (eagerRelease) {
+      val materialized = out.localCheckpoint(true)
+      hits.unpersist()
+      materialized
+    } else out
+  }
+
+  /** [[bm25SearchFromIndexTerms]] with the query terms kept as a
+    * DATAFRAME — the corpus-scale form the served evals dispatch to past
+    * [[servedEvalJoinThreshold]] queries (round-8 verdict #1): the
+    * postings prune via a broadcast SEMI-join on the distinct query
+    * `term` set (vocabulary-bounded — the same candidate restriction the
+    * literal IN-list applies, without O(Q) driver literals), per-term
+    * document frequencies come from the matched postings exactly as in
+    * the batched form (df is a per-term quantity, so batching never
+    * changed it), and the per-query scoring join runs DISTRIBUTED — the
+    * (query_id, term) frame never visits the driver. Identical scoring
+    * expression, grouping, and ranking ⇒ identical rows to the IN-list
+    * path (spec-pinned), which is what keeps x64/x67 path-independent.
+    *
+    * Always materializes eagerly and releases its postings cache before
+    * returning (the batched path's `eagerRelease` contract — one call
+    * serves the whole query set here).
+    */
+  def bm25SearchFromIndexJoin(spark: org.apache.spark.sql.SparkSession,
+      table: String, qterms: DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75,
+      excludeQueryDoc: Boolean = false): DataFrame = {
+    val hits = spark.table(table)
+      .join(broadcast(qterms.select(col("term")).distinct()),
+        Seq("term"), "left_semi")
+      .dropDuplicates("term", "doc_id")
+      .persist() // feeds df and the scoring join
+    val out = bm25RankMatchedHits(spark, table, hits, qterms,
+      k, k1, b, excludeQueryDoc)
+    val materialized = out.localCheckpoint(true)
+    hits.unpersist()
+    materialized
+  }
+
+  /** The scoring tail both postings serves share — ONE definition so the
+    * IN-list and semi-join paths cannot drift: per-term df from the
+    * matched (deduped) postings, corpus constants from the `_len` ledger,
+    * the exact [[bm25Search]] scoring expression (same operand order,
+    * same ppm rounding), per-query dense ranking. `qterms` arrives
+    * broadcast-wrapped from the batched path (driver-built, |batch|-
+    * bounded) and bare from the join path (corpus-scale — Spark plans the
+    * shuffle).
+    */
+  private def bm25RankMatchedHits(spark: org.apache.spark.sql.SparkSession,
+      table: String, hits: DataFrame, qterms: DataFrame, k: Int,
+      k1: Double, b: Double, excludeQueryDoc: Boolean): DataFrame = {
     val dfs = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = spark.table(table + "_len")
       .agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avglen"))
     val perTerm = hits
-      .join(broadcast(qterms), Seq("term"))
+      .join(qterms, Seq("term"))
       .join(broadcast(dfs), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),
@@ -1438,18 +1536,9 @@ object TextOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score_ppm").desc, col("doc_id").asc)
-    // default: hits stays persisted — the returned frame is lazy and both
-    // the df aggregate and the scoring join read it; per-query harness
-    // cache clears release it (the charLmScore/bm25Search convention).
-    // eagerRelease: materialize now, release the postings cache here.
-    val out = scored
+    scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-    if (eagerRelease) {
-      val materialized = out.localCheckpoint(true)
-      hits.unpersist()
-      materialized
-    } else out
   }
 
   /** Append one ingest batch's documents to a persisted

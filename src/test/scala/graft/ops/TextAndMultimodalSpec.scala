@@ -508,6 +508,55 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(!rankOf.contains(5L)) // no matching term → not retrieved
   }
 
+  test("bm25SearchFromIndexJoin ≡ literal IN-list batches; no pinned cache; " +
+      "served eval path-independent") {
+    import org.apache.spark.sql.functions.{array_distinct, col, explode, split}
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val t = "postings_join_spec"
+    Seq(t, t + "_len").foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    TextOps.materializedPostings(docs, t)
+    val pred = col("doc_id") % 7 === 0
+    val qdocs = docs.filter(pred)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("terms"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("score_ppm"), r.getAs[Long]("rank"))).toSet
+    // the driver-batched IN-list path (small-query-set branch)
+    val batches = qdocs.collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+      .sortBy(_._1).toSeq
+    val inList = batches.grouped(16).map { b =>
+      TextOps.bm25SearchFromIndexTerms(spark, t, b, k = 10,
+        excludeQueryDoc = true, eagerRelease = true)
+    }.reduce(_ unionByName _)
+    // the distributed semi-join path (the >threshold branch): query terms
+    // never visit the driver
+    spark.sqlContext.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val joined = TextOps.bm25SearchFromIndexJoin(spark, t,
+      qdocs.select(col("doc_id").as("query_id"), explode(col("terms")).as("term")),
+      k = 10, excludeQueryDoc = true)
+    val joinRows = rows(joined)
+    assert(joinRows.nonEmpty)
+    assert(joinRows === rows(inList), "semi-join path drifted from the IN-list path")
+    // the join path materializes eagerly and releases its postings cache:
+    // releasing its own checkpoint restores the pre-call persistent set
+    org.apache.spark.sql.graft.CheckpointRelease.release(joined)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+    // and the full served eval is PATH-independent (x64's hash contract):
+    // forcing each branch of the dispatch yields identical frames
+    val t2 = "postings_join_spec_eval"
+    Seq(t2, t2 + "_len").foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    def evalRows(joinThreshold: Long) = TextOps.retrievalAgreementServed(
+        docs, t2, pred, joinThreshold = joinThreshold)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("truth_id"),
+        r.getAs[Long]("truth_sim_ppm"), r.getAs[Long]("bm25_rank"))).toSet
+    val viaJoin = evalRows(0L)
+    val viaInList = evalRows(Long.MaxValue)
+    assert(viaJoin.nonEmpty)
+    assert(viaJoin === viaInList, "served eval depends on the dispatch path")
+  }
+
   test("heavy hitters checked: exact items above support, sketch attested") {
     // 100 docs: "common" in all (freq 100/400), "half" in 50, rest unique
     val docs = (1L to 100L)
