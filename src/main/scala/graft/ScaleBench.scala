@@ -297,11 +297,28 @@ object ScaleBench {
           k = 10, excludeQueryDoc = true)
       }, true),
       ("x62_bpe_merges", (d: DataFrame) =>
-        // tokenizer training end-to-end: per round one map-side-combined
-        // pair-count agg + one regex rewrite pass — linear in sampled
-        // chars, so ×8 must track ≈×8 (the timed region includes the
-        // eager per-round driver syncs, which are metadata rows)
-        graft.ops.TextOps.bpeMerges(d, rounds = 4), true)
+        // tokenizer training end-to-end on the TRANSLATED (no-collapse)
+        // corpus — the worst case for the round-9 histogram: every copy
+        // is a distinct string, so state stays corpus-sized and per-round
+        // cost is one contains scan + the touched slice's rewrite/count;
+        // ×8 must track ≈×8 (the timed region includes the eager
+        // per-round driver syncs, which are metadata rows)
+        graft.ops.TextOps.bpeMerges(d, rounds = 4), true),
+      ("x62_bpe_hist_dups", (_: DataFrame) => {
+        // the histogram's OWN case (round-9 verdict #2): ×f VERBATIM
+        // copies under remapped ids — the duplicate structure real
+        // corpora carry. bpeInitialHistogram collapses the sample to the
+        // base corpus's distinct strings with multiplicity ×f, so
+        // training cost must stay ≈FLAT across ×8 while the expanded
+        // corpus grows 8× — the measurable form of "per-round cost is
+        // corpus-independent after pass 1" for this formulation
+        val f = scaleTag.drop(1).toIntOption.getOrElse(1)
+        val dd = (0 until f).map { k =>
+          docs.select((col("doc_id") + lit(k * docStride)).as("doc_id"),
+            col("text"))
+        }.reduce(_ union _)
+        graft.ops.TextOps.bpeMerges(dd, rounds = 4)
+      }, true)
     )
 
     def time(fn: () => DataFrame): (Double, Long) = {

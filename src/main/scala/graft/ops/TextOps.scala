@@ -2227,34 +2227,88 @@ object TextOps {
       .filter(length(col("s")) > 0)
   }
 
-  /** One BPE round's COUNTING stage over the state: adjacent-pair
-    * frequencies (overlapping runs counted — Sennrich semantics), a
-    * map-side-combined hash aggregate. Shared with PlanSpec so the
-    * combine pin checks the stage the loop actually executes.
+  /** The sampled corpus COLLAPSED to its tokenization histogram —
+    * (s, c): distinct separator-encoded state strings with multiplicity.
+    * This is Sennrich's frequency-table insight made EXACT for this
+    * formulation: the reference trick collapses to (word, count) and
+    * trains every round over the vocabulary, which is only sound when
+    * merges cannot cross word boundaries — here spaces are ordinary
+    * tokens (byte-level-BPE-style; the fixture's very FIRST learned merge
+    * is (' ', 's')), so the only merge-closed unit is the whole
+    * normalized document string and the histogram key is `s` itself.
+    * Pair counting and rewriting are per-string and counts are linear in
+    * multiplicity, so training over the histogram is identical BY
+    * CONSTRUCTION to training over the expanded corpus (property-pinned
+    * against the driver-side reference BPE) — duplicate-heavy corpora
+    * (what a dedup pipeline trains on) collapse before any per-round
+    * work.
     */
-  private[graft] def bpePairCounts(state: DataFrame): DataFrame = {
+  private[graft] def bpeInitialHistogram(docs: DataFrame, docMod: Long,
+      maxChars: Int): DataFrame =
+    bpeInitialState(docs, docMod, maxChars)
+      .groupBy(col("s")).agg(count(lit(1)).as("c"))
+
+  /** One BPE round's COUNTING stage over a (s, c) histogram: adjacent-pair
+    * frequencies (overlapping runs counted — Sennrich semantics) weighted
+    * by string multiplicity, a map-side-combined hash aggregate. Shared
+    * with PlanSpec so the combine pin checks the stage the loop actually
+    * executes.
+    */
+  private[graft] def bpePairCountsWeighted(state: DataFrame): DataFrame = {
     val toks = split(col("s"), "\u0001")
     state
-      .select(toks.as("t"))
+      .select(toks.as("t"), col("c"))
       .select(explode(zip_with(
         slice(col("t"), lit(1), size(col("t")) - 1),
         slice(col("t"), lit(2), size(col("t")) - 1),
-        (a, b) => struct(a.as("lt"), b.as("rt")))).as("p"))
+        (a, b) => struct(a.as("lt"), b.as("rt")))).as("p"), col("c"))
       .groupBy(col("p.lt").as("lt"), col("p.rt").as("rt"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("c"))
   }
 
+  /** The training loop (round-9 rewrite — round-8 verdict #5): state is
+    * the [[bpeInitialHistogram]] (s, c) frame and the per-round pair
+    * counts are maintained INCREMENTALLY instead of recounted:
+    *
+    *   - the argmax reads a persisted pairs-vocabulary-sized counts
+    *     frame (one driver-side limit(1) — metadata);
+    *   - only strings CONTAINING the merged pair rewrite (`contains` is
+    *     a cheap superset pre-filter of the boundary-anchored regex — a
+    *     false positive rewrites to itself and contributes a zero
+    *     delta);
+    *   - the counts update is counts(rewritten) − counts(touched), both
+    *     touched-sized, folded into the running frame by one small
+    *     aggregate — exact because untouched strings' pairs are
+    *     unchanged and counts are sums.
+    *
+    * Per-round distributed work drops from a full-corpus regex pass + a
+    * full-corpus pair-count SHUFFLE to one cheap contains scan + a
+    * touched-proportional rewrite/count — the per-round shape a
+    * 10⁴-merge production vocabulary needs (ScaleBench probes the
+    * deep-rounds ratio). The merge table is identical to the recount
+    * formulation by construction: same integer counts, same
+    * (c desc, l, r) tie-break (property-pinned against the driver-side
+    * reference BPE; x62/x65/x66 hashes unchanged).
+    *
+    * Returns the merge table plus the FINAL state histogram (caller
+    * unpersists + releases).
+    */
   private[graft] def bpeLoop(docs: DataFrame, rounds: Int, docMod: Long,
       maxChars: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
     val SEP = "\u0001"
-    var state = bpeInitialState(docs, docMod, maxChars).persist()
-    state.count()
+    var state = bpeInitialHistogram(docs, docMod, maxChars).persist()
+    // the histogram arrives with one shuffle's worth of partitions; every
+    // round's state keeps exactly this count (see the coalesce below)
+    val stateParts = math.max(1,
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    var counts = bpePairCountsWeighted(state).persist()
+    counts.count()
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var r = 0
     var exhausted = false
     while (r < rounds && !exhausted) {
       r += 1
-      val top = bpePairCounts(state)
+      val top = counts
         .orderBy(col("c").desc, col("lt").asc, col("rt").asc)
         .limit(1).collect()
       if (top.isEmpty) exhausted = true
@@ -2265,25 +2319,51 @@ object TextOps {
         // tokens are [a-z ]+ only, so the pair needs no regex escaping and
         // the replacement has no $-group hazards
         val pat = s"(?<=^|$SEP)$l$SEP$rr(?=$SEP|$$)"
+        val touchPred = col("s").contains(l + SEP + rr)
+        val touched = state.filter(touchPred).select(col("s"), col("c"))
+        val rewritten = touched
+          .select(regexp_replace(col("s"), pat, l + rr).as("s"), col("c"))
         // eager LOCAL CHECKPOINT, not persist+count (the distributed
         // trainer's round-8 lesson): the state rebuilds on itself each
-        // round, and unbroken lineage grows the plan by one
-        // regexp_replace per round — O(rounds²) driver analysis that
-        // dominates deep training (x65's 32 rounds measured ~16% faster
-        // checkpointed). The checkpoint truncates the plan to a
-        // constant-size leaf and materializes in the same job the old
-        // count() paid anyway.
-        val next = state
-          .select(col("doc_id"), regexp_replace(col("s"), pat, l + rr).as("s"))
+        // round, and unbroken lineage would grow the plan per round —
+        // O(rounds²) driver analysis that dominates deep training. The
+        // checkpoint truncates the plan to a constant-size leaf; only
+        // the touched slice pays the regex, the untouched majority is
+        // copied through unchanged. (No re-collapse: two state rows may
+        // carry the same `s` after a merge — counts are weighted, so a
+        // split histogram row is still exact.)
+        // COALESCE before the checkpoint: the union would otherwise sum
+        // its branches' partition counts — 2× per round, i.e. 2^rounds
+        // partitions by round r (at x65's 32 rounds the UnionRDD dep
+        // graph serialized into every task binary froze the fixture run
+        // — caught in round-9 development). Narrow, no shuffle.
+        val nextState = state.filter(!touchPred)
+          .select(col("s"), col("c"))
+          .unionByName(rewritten)
+          .coalesce(stateParts)
+          .localCheckpoint(true)
+        // incremental counts: fold the touched slice's before/after
+        // delta into the running frame — eager, pairs-vocabulary-sized
+        val nextCounts = counts
+          .unionByName(bpePairCountsWeighted(rewritten))
+          .unionByName(bpePairCountsWeighted(touched)
+            .select(col("lt"), col("rt"), (-col("c")).as("c")))
+          .groupBy(col("lt"), col("rt")).agg(sum(col("c")).as("c"))
+          .filter(col("c") > 0)
           .localCheckpoint(true)
         // Dataset.unpersist is a no-op on a checkpoint leaf — release the
-        // superseded round's corpus-sized blocks deterministically
-        // (round-0's persisted state still goes through unpersist)
+        // superseded round's blocks deterministically (round-0's
+        // persisted frames still go through unpersist)
         state.unpersist()
         org.apache.spark.sql.graft.CheckpointRelease.release(state)
-        state = next
+        counts.unpersist()
+        org.apache.spark.sql.graft.CheckpointRelease.release(counts)
+        state = nextState
+        counts = nextCounts
       }
     }
+    counts.unpersist()
+    org.apache.spark.sql.graft.CheckpointRelease.release(counts)
     (merges.toSeq, state)
   }
 }

@@ -977,12 +977,18 @@ object EngineProperties extends Properties("graft") {
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text")
       val (merges, state) = graft.ops.TextOps.bpeLoop(df, rounds, 1L, 400)
-      val want = state.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // the loop's state is the (s, c) HISTOGRAM (round-9) — compare as a
+      // weighted multiset of final strings (rows may split the same `s`)
+      val want = state.collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
       state.unpersist()
+      org.apache.spark.sql.graft.CheckpointRelease.release(state)
       val got = graft.ops.TextOps.bpeInitialState(df, 1L, 400)
-        .select(col("doc_id"), org.apache.spark.sql.graft.BpeApply.column(
+        .select(org.apache.spark.sql.graft.BpeApply.column(
           col("s"), typedlit(merges.map(_._2)), typedlit(merges.map(_._3))).as("s"))
-        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        .collect().map(_.getString(0))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
       Prop(got == want) :| s"got $got want $want merges $merges"
     }
   }

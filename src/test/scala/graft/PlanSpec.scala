@@ -654,15 +654,16 @@ class PlanSpec extends SparkSpec {
     assert(!p38.contains("SortMergeJoin"), s"s38: $p38")
     spark.sqlContext.clearCache()
     // x62: each BPE round's pair count is a map-side-combined hash
-    // aggregate (partial_count before the exchange); the pin runs on the
-    // SAME stage builders the loop executes (bpeInitialState +
-    // bpePairCounts — shared private[graft] helpers, not a copy that
-    // could drift)
-    val pairCount = graft.ops.TextOps.bpePairCounts(
-      graft.ops.TextOps.bpeInitialState(
+    // aggregate (partial_sum before the exchange — weighted by histogram
+    // multiplicity since round 9); the pin runs on the SAME stage
+    // builders the loop executes (bpeInitialHistogram +
+    // bpePairCountsWeighted — shared private[graft] helpers, not a copy
+    // that could drift)
+    val pairCount = graft.ops.TextOps.bpePairCountsWeighted(
+      graft.ops.TextOps.bpeInitialHistogram(
         graft.Tables.documents(spark, dir), docMod = 1L, maxChars = 400))
     val p62 = pairCount.queryExecution.executedPlan.toString
-    assert(p62.contains("partial_count") || p62.contains("partial count"),
+    assert(p62.contains("partial_sum") || p62.contains("partial sum"),
       s"x62 pair count must combine map-side:\n$p62")
   }
 }
