@@ -370,32 +370,40 @@ private[graft] object RegistryLib {
   /** The unrolled expand/score/prune rounds for one beam width, CTE names
     * prefixed so several widths coexist in one query (s26). Kept
     * textually parallel to [[graft.ops.Vectors.beamSearch]]'s loop.
+    * The graph/query/entry CTE names are parameters so one query can walk
+    * SEVERAL graphs (s40 walks the old graph for the append batch, the
+    * appended graph and the rebuilt graph for the serves); candidate
+    * vectors always resolve from the full `e`.
     */
-  def oracleBeamRounds(p: String, beam: Int, rounds: Int): String = {
+  def oracleBeamRoundsOver(p: String, beam: Int, rounds: Int,
+      g: String, q: String, ent: String): String = {
     val init =
       s"""${p}0 AS (SELECT query_id, node, sim FROM (
          |    SELECT x.*, row_number() OVER (PARTITION BY query_id
          |      ORDER BY sim DESC, node ASC) AS rn FROM (
-         |      SELECT q.query_id, ent.node, ${oracleCos("q.qv", "e.v")} AS sim
-         |      FROM q CROSS JOIN ent JOIN e ON e.vec_id = ent.node
-         |      WHERE ent.node <> q.query_id) x)
+         |      SELECT qq.query_id, en.node, ${oracleCos("qq.qv", "e.v")} AS sim
+         |      FROM $q qq CROSS JOIN $ent en JOIN e ON e.vec_id = en.node
+         |      WHERE en.node <> qq.query_id) x)
          |    WHERE rn <= $beam)""".stripMargin
     val steps = (1 to rounds).map { i =>
       s"""${p}c$i AS (SELECT DISTINCT query_id, node FROM (
-         |    SELECT s.query_id, g.neighbor_id AS node
-         |    FROM ${p}${i - 1} s JOIN g ON g.src_id = s.node
+         |    SELECT s.query_id, gg.neighbor_id AS node
+         |    FROM ${p}${i - 1} s JOIN $g gg ON gg.src_id = s.node
          |    UNION ALL SELECT query_id, node FROM ${p}${i - 1})),
          |${p}$i AS (SELECT query_id, node, sim FROM (
          |    SELECT x.*, row_number() OVER (PARTITION BY query_id
          |      ORDER BY sim DESC, node ASC) AS rn FROM (
-         |      SELECT c.query_id, c.node, ${oracleCos("q.qv", "e.v")} AS sim
-         |      FROM ${p}c$i c JOIN q ON q.query_id = c.query_id
+         |      SELECT c.query_id, c.node, ${oracleCos("qq.qv", "e.v")} AS sim
+         |      FROM ${p}c$i c JOIN $q qq ON qq.query_id = c.query_id
          |      JOIN e ON e.vec_id = c.node
          |      WHERE c.node <> c.query_id) x)
          |    WHERE rn <= $beam)""".stripMargin
     }
     (init +: steps).mkString(",\n")
   }
+
+  def oracleBeamRounds(p: String, beam: Int, rounds: Int): String =
+    oracleBeamRoundsOver(p, beam, rounds, "g", "q", "ent")
 
   /** s24 beam-search oracle. */
   lazy val oracleBeam: String = {
@@ -406,6 +414,80 @@ private[graft] object RegistryLib {
        |  SELECT query_id, node, row_number() OVER (PARTITION BY query_id
        |    ORDER BY sim DESC, node ASC) AS rn FROM b$rounds)
        |WHERE rn <= $k""".stripMargin
+  }
+
+  /** s40 append-vs-rebuild decision oracle: the OLD graph builds over the
+    * corpus below the cut (its own spaced ⌈√cut⌉ centroids), the arrived
+    * tail beam-walks it for insert-by-search edges (forward top-24 +
+    * reverse — [[graft.ops.Vectors.appendToNavGraph]]'s batch semantics:
+    * every new vector walks the graph AS IT WAS), and the report reads
+    * per-query brute-truth hits of the appended-graph serve next to the
+    * rebuilt-graph serve (the rebuilt graph and its walk are s24's
+    * verbatim). Three walks, one query — all through
+    * [[oracleBeamRoundsOver]] so the round structure cannot drift from
+    * the attested s24 form.
+    */
+  lazy val oracleNavAppendDecision: String = {
+    val (k, graphK, nAssign, beam, rounds) = (5, 24, 3, 32, 4)
+    s"""WITH $oracleBeamBase,
+       |nparams AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |                   CAST(count(*) - count(*) // 25 AS BIGINT) AS cut FROM e),
+       |eo AS (SELECT e.vec_id, e.v FROM e, nparams WHERE e.vec_id < cut),
+       |oparams AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS n_cent,
+       |                   GREATEST(1, count(*) // CAST(ceil(sqrt(count(*))) AS BIGINT)) AS step
+       |            FROM eo),
+       |ocent AS (SELECT vec_id AS centroid_id, v AS cv FROM eo, oparams
+       |          WHERE vec_id % step = 0 AND vec_id < n_cent * step),
+       |osc AS (SELECT eo.vec_id, ocent.centroid_id, ${oracleCos("eo.v", "ocent.cv")} AS cs
+       |        FROM eo, ocent),
+       |omasg AS (SELECT vec_id, centroid_id AS bucket FROM (
+       |    SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cs DESC, centroid_id ASC) AS rn FROM osc)
+       |    WHERE rn <= $nAssign),
+       |omav AS (SELECT m.vec_id, m.bucket, eo.v FROM omasg m JOIN eo ON eo.vec_id = m.vec_id),
+       |og AS (SELECT src_id, neighbor_id FROM (
+       |    SELECT src_id, neighbor_id, row_number() OVER (PARTITION BY src_id
+       |      ORDER BY sim DESC, neighbor_id ASC) AS rn
+       |    FROM (SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS neighbor_id,
+       |                 ${oracleCos("a.v", "b.v")} AS sim
+       |          FROM omav a JOIN omav b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id))
+       |    WHERE rn <= $graphK),
+       |oent AS (SELECT centroid_id AS node FROM ocent),
+       |nq AS (SELECT e.vec_id AS query_id, e.v AS qv FROM e, nparams WHERE e.vec_id >= cut),
+       |${oracleBeamRoundsOver("ap", beam, rounds, "og", "nq", "oent")},
+       |fwd AS (SELECT query_id AS src_id, node AS neighbor_id FROM (
+       |    SELECT query_id, node, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, node ASC) AS rn FROM ap$rounds)
+       |    WHERE rn <= $graphK),
+       |gapp AS (SELECT src_id, neighbor_id FROM og
+       |         UNION ALL SELECT src_id, neighbor_id FROM fwd
+       |         UNION ALL SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM fwd),
+       |${oracleBeamRoundsOver("sa", beam, rounds, "gapp", "q", "oent")},
+       |${oracleBeamRoundsOver("sr", beam, rounds, "g", "q", "ent")},
+       |satop AS (SELECT query_id, node FROM (
+       |    SELECT query_id, node, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, node ASC) AS rn FROM sa$rounds) WHERE rn <= $k),
+       |srtop AS (SELECT query_id, node FROM (
+       |    SELECT query_id, node, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, node ASC) AS rn FROM sr$rounds) WHERE rn <= $k),
+       |tsc AS (SELECT query_id, e.vec_id AS neighbor_id, ${oracleCos("q.qv", "e.v")} AS sim
+       |        FROM q, e WHERE e.vec_id <> q.query_id),
+       |truth AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, neighbor_id ASC) AS rn FROM tsc)
+       |    WHERE rn <= $k),
+       |happ AS (SELECT t.query_id, CAST(count(sa.node) AS BIGINT) AS n_hits_appended
+       |         FROM truth t LEFT JOIN satop sa
+       |           ON sa.query_id = t.query_id AND sa.node = t.neighbor_id
+       |         GROUP BY 1),
+       |hreb AS (SELECT t.query_id, CAST(count(sr.node) AS BIGINT) AS n_hits_rebuilt
+       |         FROM truth t LEFT JOIN srtop sr
+       |           ON sr.query_id = t.query_id AND sr.node = t.neighbor_id
+       |         GROUP BY 1)
+       |SELECT happ.query_id, n_hits_appended, n_hits_rebuilt,
+       |       CAST(n - cut AS BIGINT) AS n_appended,
+       |       CAST((1000000 * (n - cut)) // n AS BIGINT) AS appended_frac_ppm
+       |FROM happ JOIN hreb ON hreb.query_id = happ.query_id CROSS JOIN nparams""".stripMargin
   }
 
   /** s26 beam-width sweep oracle: all widths share the base CTEs (one

@@ -194,6 +194,21 @@ private[graft] object RegistryS {
       Vectors.ivfIndexStaleness(
         emb.select(col("vec_id"), col("embedding")).unionByName(delta), t)
     }),
+    "s40_nav_append_decision" -> ((s, dir) => {
+      // the staleness family's third member — the ONE artifact whose
+      // maintenance decision is append-vs-rebuild rather than
+      // rebuild-vs-wait (the nav graph's append is a DIFFERENT
+      // approximation by contract): build on the corpus as of the cut
+      // (last 4% of the id space plays the arrived batch), fold the
+      // batch in via insert-by-search, rebuild a twin from scratch, and
+      // report per query the brute-truth hits of both serves plus the
+      // global appended fraction — the compaction decision's inputs,
+      // oracle-attested end to end (three beam walks, spaced parity)
+      val emb = Tables.embeddings(s, dir)
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      Vectors.navAppendDecision(emb, "nav_stale_" + sfx,
+        "nav_graph_spaced_" + sfx)
+    }),
     "s29_ann_batch_index" -> ((s, dir) =>
       // build-once/query-many: the persisted bucket-clustered IVF index
       // serves a query BATCH too large to broadcast (every 25th corpus
@@ -714,6 +729,7 @@ private[graft] object RegistryS {
          |       CAST((1000000 * coalesce(h.n_hits, 0)) // 10 AS BIGINT) AS recall_ppm
          |FROM qall q LEFT JOIN hits h ON h.query_id = q.query_id""".stripMargin,
     "s24_ann_beam" -> oracleBeam,
+    "s40_nav_append_decision" -> oracleNavAppendDecision,
     // s33 serves the SAME deterministic graph from a bucketed artifact —
     // result is layout-independent, so the oracle is s24's walk verbatim
     "s33_ann_beam_served" -> oracleBeam,

@@ -446,6 +446,68 @@ private[ops] trait VectorArtifacts { self: VectorCore with VectorTraining =>
           .as("share_after_ppm"))
   }
 
+  /** APPEND-vs-REBUILD decision read for the persisted navigable graph
+    * (s40 — the staleness-report family's third member, round-8 verdict
+    * #6): unlike the IVF index (append ≡ batch assignment, hash-exact)
+    * and the shingle index (no sound append at all), the nav graph HAS
+    * an append path whose serve quality differs from a rebuild by
+    * construction ([[appendToNavGraph]]'s contract honesty note) — so
+    * its maintenance read MEASURES the choice instead of reporting
+    * drift: build the artifact on the corpus as of the cut, fold the
+    * arrived batch in through the HNSW insert-by-search append, rebuild
+    * a second artifact from scratch, and report per query the brute-
+    * truth hits of BOTH serves plus the global appended fraction — the
+    * numbers the periodic-rebuild compaction decision actually weighs
+    * (RECALL.json's `nav_append` row is this measurement at 25 %
+    * appended; the report makes it a first-class oracle-attested read).
+    *
+    * Spaced PARITY centroids on both builds (the s24/s33 oracle recipe)
+    * keep every edge, walk, and hit cross-engine deterministic. The
+    * arrived batch is the id tail (`vec_id ≥ n − n/newFracInv` — ids
+    * arrive in order, the RecallReport cut), so the report is
+    * reproducible from the embeddings table alone. All serves enter at
+    * the OLD build's entry set — appends must not silently re-seed the
+    * walk — while the rebuilt twin enters at its own.
+    *
+    * Scale shape: one graph build per artifact (amortized build-if-
+    * absent), the append batch's walk is O(|batch|·rounds·beam·graphK),
+    * serves are |Q|-bounded, and the report is |Q| rows of integers.
+    * Replay-safe: a re-run's append anti-joins to a no-op.
+    */
+  def navAppendDecision(embeddings: DataFrame, oldTable: String,
+      rebuiltTable: String, newFracInv: Long = 25L,
+      queryIds: Seq[Long] = 0L until 8L, k: Int = 5, graphK: Int = 24,
+      beam: Int = 32, rounds: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    val n = embeddings.count()
+    val cut = n - n / newFracInv
+    val old = embeddings.filter(col("vec_id") < cut)
+    val fresh = embeddings.filter(col("vec_id") >= cut)
+    val oldEntries = spacedCentroidIds(cut)
+    materializedNavGraph(old, oldTable, k = graphK,
+      centroidIds = Some(oldEntries))
+    appendToNavGraph(fresh.select(col("vec_id"), col("embedding")), old,
+      oldTable, oldEntries, graphK, beam, rounds)
+    val rebuiltEntries = spacedCentroidIds(n)
+    val rebuilt = materializedNavGraph(embeddings, rebuiltTable, k = graphK,
+      centroidIds = Some(rebuiltEntries))
+    val servedApp = beamSearchServed(embeddings, spark.table(oldTable),
+      queryIds, oldEntries, k, beam, rounds)
+    val servedReb = beamSearchServed(embeddings, rebuilt,
+      queryIds, rebuiltEntries, k, beam, rounds)
+    val truth = bruteForceTopK(embeddings, queryIds, k)
+    def hitsOf(served: DataFrame, name: String): DataFrame = truth
+      .join(served.select(col("query_id"), col("neighbor_id"))
+        .withColumn("h", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("h"), lit(0L))).as(name))
+    hitsOf(servedApp, "n_hits_appended")
+      .join(hitsOf(servedReb, "n_hits_rebuilt"), Seq("query_id"))
+      .select(col("query_id"), col("n_hits_appended"), col("n_hits_rebuilt"),
+        lit(n - cut).as("n_appended"),
+        lit(1000000L * (n - cut) / n).as("appended_frac_ppm"))
+  }
+
   /** s36's scale-aware default recall floors, NAMED so the recorded
     * derivation lives next to the numbers the plan asserts (round-7
     * verdict #8 — the guard must track the fixture): the measurements

@@ -417,6 +417,36 @@ class VectorsSpec extends SparkSpec {
       s"distributed-trained artifact serve recall $recallPpm ppm under the floor")
   }
 
+  test("navAppendDecision: bounded hits, exact globals, appended nodes land, replay no-op") {
+    import org.apache.spark.sql.functions.col
+    val embF = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (tOld, tReb) = ("nav_stale_spec", "nav_rebuilt_spec")
+    Seq(tOld, tOld + "_centroids", tReb, tReb + "_centroids")
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    def run() = Vectors.navAppendDecision(embF, tOld, tReb)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("n_hits_appended"), r.getAs[Long]("n_hits_rebuilt"),
+        r.getAs[Long]("n_appended"), r.getAs[Long]("appended_frac_ppm"))).toSet
+    val first = run()
+    val n = embF.count()
+    val expAppended = n - (n - n / 25L)
+    assert(first.size === 8)
+    first.foreach { case (_, ha, hr, na, frac) =>
+      assert(ha >= 0L && ha <= 5L && hr >= 0L && hr <= 5L)
+      assert(na === expAppended)
+      assert(frac === 1000000L * expAppended / n)
+    }
+    // the appended batch really landed: every new id has forward edges
+    val cut = n - n / 25L
+    val srcs = spark.table(tOld).select(col("src_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    ((cut until n)).foreach(id => assert(srcs.contains(id), s"new $id unreachable"))
+    // a re-run replays the append (anti-join no-op) and reproduces the
+    // report exactly — the idempotence contract every staleness read has
+    spark.sqlContext.clearCache()
+    assert(run() === first)
+  }
+
   test("ivfIndexStaleness: an EMPTY index table yields defined zero shares, not nulls") {
     // round-8 verdict nit: tb = 0 (every build-time bucket lost, e.g. a
     // torn rebuild that kept only the ledger) divided to null shares —
