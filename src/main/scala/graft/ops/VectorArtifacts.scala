@@ -81,8 +81,16 @@ private[ops] trait VectorArtifacts { self: VectorCore with VectorTraining =>
       Seq("vec_id"), "left_anti")
     val newIds = fresh.select(col("vec_id")).collect().map(_.getLong(0)).toSeq
     if (newIds.nonEmpty) {
+      // dedup by id BEFORE the walk: callers legitimately pass the full
+      // current corpus as `corpus` (RecallReport does), which already
+      // contains the batch — without the dedup each duplicated vector
+      // joins the walk's scoring twice, identical rows consume TWO beam
+      // slots (row_number ranks them 1 and 2), and the found edge set can
+      // even list a neighbor twice. Duplicate rows are value-identical,
+      // so keeping either is deterministic. (Round-9 review finding.)
       val unit = withUnit(corpus.select(col("vec_id"), col("embedding"))
-          .unionByName(fresh.select(col("vec_id"), col("embedding"))))
+          .unionByName(fresh.select(col("vec_id"), col("embedding")))
+          .dropDuplicates("vec_id"))
         .select(col("vec_id"), col("unit")).persist()
       val found = beamSearchOver(unit, spark.table(table)
           .select(col("src_id"), col("neighbor_id")),

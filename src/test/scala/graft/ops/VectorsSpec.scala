@@ -417,6 +417,31 @@ class VectorsSpec extends SparkSpec {
       s"distributed-trained artifact serve recall $recallPpm ppm under the floor")
   }
 
+  test("appendToNavGraph: corpus already containing the batch ≡ disjoint corpus") {
+    import org.apache.spark.sql.functions.col
+    // the RecallReport call shape passes the FULL current corpus; without
+    // the id-dedup the duplicated batch vectors consumed two beam slots
+    // each (round-9 review) — pin that both call shapes append the exact
+    // same edge set
+    val embF = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = embF.count()
+    val cut = n * 3 / 4
+    val entries = Vectors.spacedCentroidIds(cut)
+    val old = embF.filter(col("vec_id") < cut)
+    val fresh = embF.filter(col("vec_id") >= cut)
+    def edges(t: String, corpus: org.apache.spark.sql.DataFrame) = {
+      Seq(t, t + "_centroids").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+      Vectors.materializedNavGraph(old, t, centroidIds = Some(entries))
+      Vectors.appendToNavGraph(fresh, corpus, t, entries)
+      spark.table(t).collect()
+        .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("neighbor_id"))).toSet
+    }
+    val disjoint = edges("nav_append_disjoint_spec", old)
+    val overlapping = edges("nav_append_overlap_spec", embF)
+    assert(disjoint.nonEmpty)
+    assert(overlapping === disjoint)
+  }
+
   test("navAppendDecision: bounded hits, exact globals, appended nodes land, replay no-op") {
     import org.apache.spark.sql.functions.col
     val embF = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
@@ -452,7 +477,22 @@ class VectorsSpec extends SparkSpec {
     // torn rebuild that kept only the ledger) divided to null shares —
     // the report must stay DEFINED so the rebuild decision can read it
     val t = "ivf_stale_empty_spec"
-    Seq(t, t + "_centroids").foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    Seq(t, t + "_centroids").foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+      // writeIvfIndex writes directly (no buildIfAbsent orphan sweep), so
+      // a location left by a PREVIOUS JVM must be cleared here too
+      val whConf = spark.conf.get("spark.sql.warehouse.dir")
+      val wh = Option(java.net.URI.create(whConf).getPath).getOrElse(whConf)
+      val dir = java.nio.file.Paths.get(wh, n)
+      if (java.nio.file.Files.exists(dir)) {
+        val walk = java.nio.file.Files.walk(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } finally walk.close()
+      }
+    }
     val emptyAssigned =
       Seq.empty[(Long, Long, Array[Double])].toDF("vec_id", "bucket", "unit")
     Vectors.writeIvfIndex(emptyAssigned, t)
