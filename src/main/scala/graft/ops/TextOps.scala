@@ -2321,8 +2321,15 @@ object TextOps {
         val pat = s"(?<=^|$SEP)$l$SEP$rr(?=$SEP|$$)"
         val touchPred = col("s").contains(l + SEP + rr)
         val touched = state.filter(touchPred).select(col("s"), col("c"))
+        // PERSIST the rewritten slice: it feeds BOTH the next state and
+        // the count delta, and early merges touch nearly every string —
+        // without the cache the regex pass (the round's expensive stage)
+        // ran twice per round (measured 12.6 s for x65's 32 rounds at
+        // sf0.1, vs ~5 s with one pass). Released after the delta
+        // materializes, before the superseded leaves are dropped.
         val rewritten = touched
           .select(regexp_replace(col("s"), pat, l + rr).as("s"), col("c"))
+          .persist()
         // eager LOCAL CHECKPOINT, not persist+count (the distributed
         // trainer's round-8 lesson): the state rebuilds on itself each
         // round, and unbroken lineage would grow the plan per round —
@@ -2351,6 +2358,7 @@ object TextOps {
           .groupBy(col("lt"), col("rt")).agg(sum(col("c")).as("c"))
           .filter(col("c") > 0)
           .localCheckpoint(true)
+        rewritten.unpersist()
         // Dataset.unpersist is a no-op on a checkpoint leaf — release the
         // superseded round's blocks deterministically (round-0's
         // persisted frames still go through unpersist)
