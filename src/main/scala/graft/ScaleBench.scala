@@ -302,8 +302,10 @@ object ScaleBench {
         // is a distinct string, so state stays corpus-sized and per-round
         // cost is one contains scan + the touched slice's rewrite/count;
         // ×8 must track ≈×8 (the timed region includes the eager
-        // per-round driver syncs, which are metadata rows)
-        graft.ops.TextOps.bpeMerges(d, rounds = 4), true),
+        // per-round driver syncs, which are metadata rows). Distributed
+        // branch FORCED — the fixture histogram is below the driver
+        // dispatch, and this probe exists to attest the at-scale loop
+        graft.ops.TextOps.bpeMerges(d, rounds = 4, driverMaxHist = 0L), true),
       ("x62_bpe_hist_dups", (_: DataFrame) => {
         // the histogram's OWN case (round-9 verdict #2): ×f VERBATIM
         // copies under remapped ids — the duplicate structure real
@@ -317,7 +319,7 @@ object ScaleBench {
           docs.select((col("doc_id") + lit(k * docStride)).as("doc_id"),
             col("text"))
         }.reduce(_ union _)
-        graft.ops.TextOps.bpeMerges(dd, rounds = 4)
+        graft.ops.TextOps.bpeMerges(dd, rounds = 4, driverMaxHist = 0L)
       }, true)
     )
 

@@ -2089,10 +2089,11 @@ object TextOps {
     * functions, not regex — reproduces the merge table exactly (x62).
     */
   def bpeMerges(docs: DataFrame, rounds: Int = 4, docMod: Long = 20L,
-      maxChars: Int = 400): DataFrame = {
+      maxChars: Int = 400,
+      driverMaxHist: Long = bpeDriverMaxHist): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bpeMergeTable(docs, rounds, docMod, maxChars)
+    bpeMergeTable(docs, rounds, docMod, maxChars, driverMaxHist)
       .toDF("merge_rank", "l", "r", "pair_count")
   }
 
@@ -2104,8 +2105,9 @@ object TextOps {
     * metadata at any corpus size.
     */
   private[graft] def bpeMergeTable(docs: DataFrame, rounds: Int,
-      docMod: Long, maxChars: Int): Seq[(Long, String, String, Long)] = {
-    val (merges, state) = bpeLoop(docs, rounds, docMod, maxChars)
+      docMod: Long, maxChars: Int,
+      driverMaxHist: Long = bpeDriverMaxHist): Seq[(Long, String, String, Long)] = {
+    val (merges, state) = bpeLoop(docs, rounds, docMod, maxChars, driverMaxHist)
     // after round 1 the final state is a localCheckpoint leaf where
     // Dataset.unpersist is a no-op (round-8 ADVICE) — release its
     // corpus-sample-sized blocks deterministically; safe, never read again
@@ -2266,112 +2268,179 @@ object TextOps {
       .agg(sum(col("c")).as("c"))
   }
 
+  /** Histogram size under which training runs entirely on the DRIVER
+    * (the [[graft.ops.Vectors]] `trainedCentroidsAuto` dispatch applied
+    * to the tokenizer): below it the sampled histogram is ≤ ~6 MB of
+    * strings and a round is a few million array ops — cheaper than even
+    * one Spark job — while above it the distributed loop keeps every
+    * corpus-sized structure executor-side. Both branches are pinned
+    * equal to the reference BPE by property (and to each other).
+    */
+  private[graft] val bpeDriverMaxHist: Long = 16384L
+
+  /** Driver-side training over a collected (tokens, count) histogram —
+    * the reference algorithm verbatim: count adjacent pairs (overlapping
+    * runs, weighted), argmax with the (count desc, l, r) tie-break,
+    * greedy left-to-right non-overlapping merge per string.
+    */
+  private def bpeLoopDriver(rows: Array[(Array[String], Long)],
+      rounds: Int): (Seq[(Long, String, String, Long)], Array[(Array[String], Long)]) = {
+    var docs = rows
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      r += 1
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      docs.foreach { case (t, c) =>
+        var i = 0
+        while (i < t.length - 1) {
+          val k = (t(i), t(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, rr), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += ((r.toLong, l, rr, c))
+        docs = docs.map { case (t, cc) =>
+          val nb = Array.newBuilder[String]
+          var i = 0
+          while (i < t.length) {
+            if (i + 1 < t.length && t(i) == l && t(i + 1) == rr) {
+              nb += (l + rr); i += 2
+            } else { nb += t(i); i += 1 }
+          }
+          (nb.result(), cc)
+        }
+      }
+    }
+    (merges.toSeq, docs)
+  }
+
   /** The training loop (round-9 rewrite — round-8 verdict #5): state is
-    * the [[bpeInitialHistogram]] (s, c) frame and the per-round pair
-    * counts are maintained INCREMENTALLY instead of recounted:
+    * the [[bpeInitialHistogram]] (s, c) frame. Histograms at or under
+    * `driverMaxHist` dispatch to [[bpeLoopDriver]] (zero Spark jobs per
+    * round — the `trainedCentroidsAuto` discipline); above it the loop
+    * runs DISTRIBUTED, with the pair counts on the driver as a map —
+    * pairs-vocabulary-sized metadata, the same bounded-collect class as
+    * the distributed trainer's C·(d+1) rows per Lloyd iteration (and
+    * exactly the frequency dict Sennrich's own implementation keeps).
+    * Per distributed round:
     *
-    *   - the argmax reads a persisted pairs-vocabulary-sized counts
-    *     frame (one driver-side limit(1) — metadata);
+    *   - the argmax is a driver-side scan of the map — free, with the
+    *     exact (count desc, l, r) tie-break (tokens are [a-z ]+, so
+    *     Scala, Spark, and DuckDB string orders coincide);
     *   - only strings CONTAINING the merged pair rewrite (`contains` is
     *     a cheap superset pre-filter of the boundary-anchored regex — a
     *     false positive rewrites to itself and contributes a zero
-    *     delta);
-    *   - the counts update is counts(rewritten) − counts(touched), both
-    *     touched-sized, folded into the running frame by one small
-    *     aggregate — exact because untouched strings' pairs are
-    *     unchanged and counts are sums.
+    *     delta); the rewritten slice persists for its two readers;
+    *   - ONE collect brings back counts(rewritten) − counts(touched),
+    *     bounded by the touched slice's pair vocabulary, and folds into
+    *     the map (exact: untouched strings' pairs are unchanged and
+    *     counts are sums).
     *
-    * Per-round distributed work drops from a full-corpus regex pass + a
-    * full-corpus pair-count SHUFFLE to one cheap contains scan + a
-    * touched-proportional rewrite/count — the per-round shape a
-    * 10⁴-merge production vocabulary needs (ScaleBench probes the
-    * deep-rounds ratio). The merge table is identical to the recount
-    * formulation by construction: same integer counts, same
-    * (c desc, l, r) tie-break (property-pinned against the driver-side
+    * Two Spark jobs per round (state checkpoint + delta collect) — the
+    * round-8 loop's job count — but the counting side explodes only the
+    * touched slice instead of the whole corpus, per-round shuffles carry
+    * touched pairs instead of corpus pairs, and a duplicate-heavy corpus
+    * collapses in pass 1 (the ScaleBench `x62_bpe_hist_dups` probe: ×8
+    * verbatim copies train at ×1.2 the base cost). The merge table is
+    * identical to the recount formulation by construction — same integer
+    * counts, same tie-break (property-pinned against the driver-side
     * reference BPE; x62/x65/x66 hashes unchanged).
     *
     * Returns the merge table plus the FINAL state histogram (caller
     * unpersists + releases).
     */
   private[graft] def bpeLoop(docs: DataFrame, rounds: Int, docMod: Long,
-      maxChars: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+      maxChars: Int,
+      driverMaxHist: Long = bpeDriverMaxHist): (Seq[(Long, String, String, Long)], DataFrame) = {
     val SEP = "\u0001"
-    var state = bpeInitialHistogram(docs, docMod, maxChars).persist()
-    // the histogram arrives with one shuffle's worth of partitions; every
-    // round's state keeps exactly this count (see the coalesce below)
-    val stateParts = math.max(1,
-      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-    var counts = bpePairCountsWeighted(state).persist()
-    counts.count()
+    val hist = bpeInitialHistogram(docs, docMod, maxChars)
+    val nHist = hist.count()
+    if (nHist <= driverMaxHist) {
+      // fixture-scale branch: collect the histogram once, train with zero
+      // Spark jobs per round (32 rounds at 32 partitions cost ~100
+      // near-empty tasks per round before this dispatch), hand back the
+      // final state as a local frame of the same (s, c) shape
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val rows = hist.collect()
+        .map(r => (r.getString(0).split(SEP), r.getLong(1)))
+      val (merges, fin) = bpeLoopDriver(rows, rounds)
+      return (merges,
+        fin.toSeq.map { case (t, c) => (t.mkString(SEP), c) }.toDF("s", "c"))
+    }
+    // SIZE the state to the data: the sampled histogram is usually far
+    // smaller than a shuffle's worth of partitions (the fixture's ~250
+    // strings spread over 32 partitions cost ~100 near-empty tasks per
+    // round — measured 12 s for x65's 32 rounds, ~4 s right-sized), and
+    // every round's state keeps exactly this count (see the coalesce
+    // below). ~50k strings (~25 MB) per partition, capped at one
+    // shuffle's width.
+    val stateParts = math.max(1, math.min(
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      math.ceil(nHist / 50000.0).toInt))
+    var state = hist.coalesce(stateParts).persist()
+    val counts = scala.collection.mutable.Map[(String, String), Long]()
+    bpePairCountsWeighted(state).collect().foreach { row =>
+      counts((row.getString(0), row.getString(1))) = row.getLong(2)
+    }
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var r = 0
     var exhausted = false
     while (r < rounds && !exhausted) {
       r += 1
-      val top = counts
-        .orderBy(col("c").desc, col("lt").asc, col("rt").asc)
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
+      if (counts.isEmpty) exhausted = true
       else {
-        val (l, rr, c) =
-          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        val ((l, rr), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
         merges += ((r.toLong, l, rr, c))
         // tokens are [a-z ]+ only, so the pair needs no regex escaping and
         // the replacement has no $-group hazards
         val pat = s"(?<=^|$SEP)$l$SEP$rr(?=$SEP|$$)"
         val touchPred = col("s").contains(l + SEP + rr)
         val touched = state.filter(touchPred).select(col("s"), col("c"))
-        // PERSIST the rewritten slice: it feeds BOTH the next state and
-        // the count delta, and early merges touch nearly every string —
-        // without the cache the regex pass (the round's expensive stage)
-        // ran twice per round (measured 12.6 s for x65's 32 rounds at
-        // sf0.1, vs ~5 s with one pass). Released after the delta
-        // materializes, before the superseded leaves are dropped.
         val rewritten = touched
           .select(regexp_replace(col("s"), pat, l + rr).as("s"), col("c"))
           .persist()
         // eager LOCAL CHECKPOINT, not persist+count (the distributed
         // trainer's round-8 lesson): the state rebuilds on itself each
         // round, and unbroken lineage would grow the plan per round —
-        // O(rounds²) driver analysis that dominates deep training. The
-        // checkpoint truncates the plan to a constant-size leaf; only
-        // the touched slice pays the regex, the untouched majority is
-        // copied through unchanged. (No re-collapse: two state rows may
-        // carry the same `s` after a merge — counts are weighted, so a
-        // split histogram row is still exact.)
-        // COALESCE before the checkpoint: the union would otherwise sum
-        // its branches' partition counts — 2× per round, i.e. 2^rounds
-        // partitions by round r (at x65's 32 rounds the UnionRDD dep
-        // graph serialized into every task binary froze the fixture run
-        // — caught in round-9 development). Narrow, no shuffle.
+        // O(rounds²) driver analysis that dominates deep training. Only
+        // the touched slice pays the regex; the untouched majority is
+        // copied through unchanged. COALESCE first: the union would
+        // otherwise sum its branches' partition counts — 2× per round,
+        // 2^32 partitions at x65's depth. (No re-collapse: two state
+        // rows may carry the same `s` after a merge — counts are
+        // weighted, so a split histogram row is still exact.)
         val nextState = state.filter(!touchPred)
           .select(col("s"), col("c"))
           .unionByName(rewritten)
           .coalesce(stateParts)
           .localCheckpoint(true)
-        // incremental counts: fold the touched slice's before/after
-        // delta into the running frame — eager, pairs-vocabulary-sized
-        val nextCounts = counts
-          .unionByName(bpePairCountsWeighted(rewritten))
+        // the round's ONE metadata collect: the touched slice's
+        // before/after pair-count delta (reads the rewritten cache the
+        // checkpoint job just filled)
+        bpePairCountsWeighted(rewritten)
           .unionByName(bpePairCountsWeighted(touched)
             .select(col("lt"), col("rt"), (-col("c")).as("c")))
           .groupBy(col("lt"), col("rt")).agg(sum(col("c")).as("c"))
-          .filter(col("c") > 0)
-          .localCheckpoint(true)
+          .collect().foreach { row =>
+            val key = (row.getString(0), row.getString(1))
+            val v = counts.getOrElse(key, 0L) + row.getLong(2)
+            if (v > 0L) counts(key) = v else { counts.remove(key); () }
+          }
         rewritten.unpersist()
         // Dataset.unpersist is a no-op on a checkpoint leaf — release the
         // superseded round's blocks deterministically (round-0's
-        // persisted frames still go through unpersist)
+        // persisted frame still goes through unpersist)
         state.unpersist()
         org.apache.spark.sql.graft.CheckpointRelease.release(state)
-        counts.unpersist()
-        org.apache.spark.sql.graft.CheckpointRelease.release(counts)
         state = nextState
-        counts = nextCounts
       }
     }
-    counts.unpersist()
-    org.apache.spark.sql.graft.CheckpointRelease.release(counts)
     (merges.toSeq, state)
   }
 }

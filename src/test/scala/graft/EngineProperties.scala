@@ -966,6 +966,26 @@ object EngineProperties extends Properties("graft") {
     }
   }
 
+  // the DISTRIBUTED histogram branch (forced past the driver dispatch)
+  // must learn the identical merge table — the trainedCentroids
+  // exactOrder discipline applied to the tokenizer's two branches
+  property("bpeMerges: forced-distributed histogram branch ≡ driver branch") = {
+    val genDoc = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'a', ' ', 'c')).map(_.mkString)
+    val genCorpus = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, genDoc))
+    Prop.forAll(genCorpus, Gen.chooseNum(1, 4)) { (texts, rounds) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def table(driverMaxHist: Long) =
+        graft.ops.TextOps.bpeMerges(df, rounds, docMod = 1L,
+            driverMaxHist = driverMaxHist)
+          .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2),
+            x.getLong(3))).sortBy(_._1).toSeq
+      val dist = table(0L)            // forced distributed
+      val driver = table(Long.MaxValue) // forced driver
+      Prop(dist == driver) :| s"dist $dist driver $driver texts $texts"
+    }
+  }
+
   // bpe_apply (the one-pass read side, round-8) ≡ the training loop's
   // sequential per-round regex application — the same overlapping-run
   // stress corpora: tiny alphabet, runs like "aaaa" where greedy
