@@ -24,8 +24,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.exists(name.startsWith) }
       .foreach { case (name, fn) =>
-      try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = ntz(fn(spark, sfDir))
+        // the fleet-wide scale-hazard gate (round-9 verdict #2): a query
+        // whose plan builds a corpus-unbounded BNLJ/cartesian side fails
+        // its correctness row — the class is banned, not just x53
+        graft.plans.PlanGuard.assertNoCorpusProducts(name, df)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any stale output from an earlier run: a leftover result

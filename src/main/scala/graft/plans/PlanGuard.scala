@@ -1,0 +1,136 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Expression, In, InSet}
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution._
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Fleet-wide scale-hazard sweep over physical plans (round-9 verdict #2):
+  * x53's corpus-sized BroadcastNestedLoopJoin build hid for three rounds
+  * because every plan assertion looked at ONE query — this bans the CLASS.
+  *
+  * The hazard: a BroadcastNestedLoopJoin whose BUILD side — or a
+  * CartesianProduct whose EITHER side — descends from a corpus-scale scan
+  * with nothing bounding its cardinality on the way up. At 100 TB that
+  * side materializes on every executor (BNLJ build) or re-streams per
+  * partition of the other side (cartesian): an OOM or an N² pass, not a
+  * slowdown. The STREAMED side of an inner/cross BNLJ against a
+  * metadata-sized build is the legitimate sweep-as-column shape
+  * (x53-fixed, d24, x39) and stays allowed.
+  *
+  * "Corpus-unbounded" here is a deliberately conservative static check:
+  * walking down from the side's root, a subtree is bounded only when it
+  * passes through
+  *   - an aggregate (totals rows, distinct vocabularies, per-key reports —
+  *     every broadcast-fed aggregate in this codebase groups on
+  *     metadata-cardinality keys),
+  *   - a global limit / top-k,
+  *   - a literal IN/INSET filter on a key column (the bounded query-id
+  *     idiom: `vec_id isin(queryIds)` — |literals| rows of a unique key),
+  * before reaching a file scan. Everything else that reads parquet —
+  * including persisted frames (descended through their cached plan) and
+  * checkpoint leaves (`RDDScanExec`, cardinality unknowable statically, so
+  * treated as corpus-scale) — counts as corpus-derived. False positives
+  * are possible by construction (that is the conservative direction); the
+  * fleet is green under this rule, so any future violation is either a
+  * real hazard or a new idiom worth a deliberate exemption here.
+  */
+object PlanGuard {
+
+  /** Human-readable violation per offending join in `plan`; empty = clean. */
+  def corpusProductViolations(plan: SparkPlan): Seq[String] = {
+    val joins = scala.collection.mutable.ArrayBuffer[String]()
+    foreachNode(plan) {
+      case j: BroadcastNestedLoopJoinExec =>
+        val build = j.buildSide match {
+          case BuildLeft  => j.left
+          case BuildRight => j.right
+        }
+        corpusLeaf(build).foreach { leaf =>
+          joins += s"BroadcastNestedLoopJoin(${j.joinType}, build=${j.buildSide}) " +
+            s"builds a corpus-unbounded side: $leaf\n    build subtree:\n" +
+            build.treeString.linesIterator.take(10).map("      " + _).mkString("\n")
+        }
+      case c: CartesianProductExec =>
+        val offending = Seq("left" -> c.left, "right" -> c.right)
+          .flatMap { case (name, side) => corpusLeaf(side).map(name -> _) }
+        // a cartesian of two bounded frames (config × config) is fine;
+        // corpus × anything is the N² pass this guard exists to ban
+        offending.foreach { case (name, leaf) =>
+          joins += s"CartesianProduct $name side is corpus-unbounded: $leaf"
+        }
+      case _ => ()
+    }
+    joins.toSeq
+  }
+
+  /** Throws with every violation listed — the form Verify and the PlanSpec
+    * sweep share, so the sbt-test gate and a manual full-fleet run report
+    * identically.
+    */
+  def assertNoCorpusProducts(name: String, df: DataFrame): Unit = {
+    val v = corpusProductViolations(df.queryExecution.executedPlan)
+    if (v.nonEmpty)
+      throw new IllegalStateException(
+        s"[planguard] $name: ${v.size} corpus-product hazard(s):\n  " +
+          v.mkString("\n  "))
+  }
+
+  /** First corpus-scale leaf reachable from `p` without passing a
+    * cardinality bound, as a description — None = side is bounded.
+    */
+  private def corpusLeaf(p: SparkPlan): Option[String] = p match {
+    // ---- cardinality bounds: stop, subtree is metadata-sized ----
+    case _: BaseAggregateExec => None
+    case _: GlobalLimitExec | _: CollectLimitExec |
+        _: TakeOrderedAndProjectExec => None
+    case f: FilterExec if hasLiteralInList(f.condition) => None
+    // ---- corpus-scale leaves ----
+    case s: FileSourceScanExec =>
+      Some(s"file scan ${s.tableIdentifier.map(_.toString)
+        .getOrElse(s.relation.location.rootPaths.take(1).mkString)}")
+    case r: RDDScanExec => Some(s"checkpoint/RDD leaf ${r.nodeName}")
+    // ---- transparent wrappers ----
+    case a: AdaptiveSparkPlanExec => corpusLeaf(a.executedPlan)
+    case q: QueryStageExec => corpusLeaf(q.plan)
+    case im: InMemoryTableScanExec => corpusLeaf(im.relation.cachedPlan)
+    case r: ReusedExchangeExec => corpusLeaf(r.child)
+    // ---- anything else: a leaf is bounded, an inner node passes the
+    //      question to its children (joins/unions/projections/windows
+    //      never bound cardinality) ----
+    case leaf if leaf.children.isEmpty => None
+    case other => other.children.view.flatMap(corpusLeaf).headOption
+  }
+
+  /** Does the predicate contain a literal IN-list (In with literal values,
+    * or the optimizer's InSet form)? The bounded-key filter idiom.
+    */
+  private def hasLiteralInList(cond: Expression): Boolean = cond.exists {
+    case In(_, values) =>
+      values.forall(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal])
+    case _: InSet => true
+    case _ => false
+  }
+
+  /** Pre-order walk that also descends through AQE wrappers, cached
+    * relations, and reused exchanges — `SparkPlan.foreach` stops at leaf
+    * nodes like InMemoryTableScan, which is exactly where persisted
+    * corpus frames hide.
+    */
+  private def foreachNode(p: SparkPlan)(f: SparkPlan => Unit): Unit = {
+    f(p)
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case im: InMemoryTableScanExec => Seq(im.relation.cachedPlan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    kids.foreach(foreachNode(_)(f))
+  }
+}

@@ -694,4 +694,56 @@ class PlanSpec extends SparkSpec {
     assert(p62.contains("partial_sum") || p62.contains("partial sum"),
       s"x62 pair count must combine map-side:\n$p62")
   }
+
+  test("planguard flags a corpus-side BNLJ build (the x53 hazard class)") {
+    // the hazard round 9 found in x53: the corpus-derived per-document
+    // frame ends up as the BUILT side of a BroadcastNestedLoopJoin — a
+    // corpus-sized broadcast onto every executor at scale. (The literal
+    // pre-fix plan's dropped hint leaves the build side to a stats
+    // fallback, so this control pins the class DETERMINISTICALLY with an
+    // explicit corpus-side hint instead.) If this negative control ever
+    // goes green, the guard has rotted, not the hazard.
+    val perDoc = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val hazard = Seq(16L, 32L).toDF("min_tokens")
+      .join(broadcast(perDoc), col("n_tokens") >= col("min_tokens"), "left")
+      .groupBy(col("min_tokens")).agg(count(col("n_tokens")).as("n_docs"))
+    val v = graft.plans.PlanGuard.corpusProductViolations(
+      hazard.queryExecution.executedPlan)
+    assert(v.exists(_.contains("BroadcastNestedLoopJoin")),
+      s"guard missed the corpus-side BNLJ build:\n" +
+        hazard.queryExecution.executedPlan.toString)
+    // and corpus × corpus — planned as CartesianProduct above the
+    // broadcast threshold or a corpus-building BNLJ below it (the fixture
+    // fits under the threshold); both are the banned product class
+    val cart = perDoc.crossJoin(perDoc.select(col("n_tokens").as("m")))
+    val vc = graft.plans.PlanGuard.corpusProductViolations(
+      cart.queryExecution.executedPlan)
+    assert(vc.nonEmpty,
+      s"guard missed the corpus product:\n" +
+        cart.queryExecution.executedPlan.toString)
+  }
+
+  test("fleet sweep: no query plans a corpus-unbounded BNLJ build or cartesian side") {
+    // round-9 verdict #2: x53's corpus-sized BroadcastNestedLoopJoin build
+    // hid for three rounds because every plan assertion looked at ONE
+    // query — this walks ALL registry plans (initial physical plan,
+    // descending through AQE wrappers and cached relations) and fails on
+    // the CLASS: a BNLJ whose build side, or a cartesian whose either
+    // side, descends from a corpus-scale scan with no cardinality bound
+    // on the way up. The pre-fix x53 fails this sweep; the streamed-
+    // corpus/broadcast-cutoffs rewrite passes. Verify applies the same
+    // assertion per query, so the driver's sf0.01 gate enforces it too.
+    val dir = "/root/testdata/sf0.001"
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val vs =
+        try graft.plans.PlanGuard.corpusProductViolations(
+          fn(spark, dir).queryExecution.executedPlan)
+        catch { case e: Throwable =>
+          Seq(s"plan construction failed: ${e.getMessage}") }
+      spark.sqlContext.clearCache() // drop per-query persists, as Verify does
+      vs.map(v => s"$name: $v")
+    }
+    assert(bad.isEmpty, s"\n${bad.mkString("\n")}")
+  }
 }
