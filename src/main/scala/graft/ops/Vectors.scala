@@ -77,6 +77,15 @@ private[ops] trait VectorCore {
     // inlines the per-element normalization into the join's output projection
     // and recomputes it once per candidate pair
     val unit = withUnit(embeddings).select(col("vec_id"), col("unit")).persist()
+    bruteForceTopKOver(unit, queryIds, k)
+  }
+
+  /** [[bruteForceTopK]] over a PRECOMPUTED (vec_id, unit) frame — the form
+    * multi-serve reads share so one normalization cache feeds every walk
+    * and the truth pass (round-9 verdict #3). Caller owns persist/release.
+    */
+  private[ops] def bruteForceTopKOver(unit: DataFrame, queryIds: Seq[Long],
+      k: Int): DataFrame = {
     val queries = unit
       .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("unit").as("q"))
@@ -857,8 +866,13 @@ private[ops] trait VectorCore {
       .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("beam")).agg(count(lit(1)).as("n_hits"))
     val denom = k.toLong * queryIds.size
-    // a width with ZERO hits still gets its row (the curve's floor is data)
-    widths.join(hits, Seq("beam"), "left")
+    // a width with ZERO hits still gets its row (the curve's floor is
+    // data). Fresh UN-hinted config frame on the preserved side: `widths`
+    // carries a broadcast hint for the walk's cross join, and a hint on
+    // the LEFT of a left-outer equi-join is unsupported (Spark drops it
+    // with a warning); the ≤|beams|-row aggregate broadcasts instead
+    beams.map(_.toLong).toDF("beam")
+      .join(F.broadcast(hits), Seq("beam"), "left")
       .select(col("beam"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("recall_ppm", expr(s"n_hits * 1000000 div $denom"))
   }
@@ -926,8 +940,14 @@ private[ops] trait VectorCore {
       centroids: Seq[(Long, Array[Double])]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    // a LOCAL relation, not parallelize(): the centroids are driver
+    // metadata (≤65 536 rows by the trainer caps), and a LocalTableScan
+    // says so in the plan — broadcasts need no job, and the PlanGuard
+    // sweep can tell this bounded frame from a corpus-sized checkpoint
+    // leaf (both would otherwise print as `Scan ExistingRDD`)
     spark.createDataFrame(
-      spark.sparkContext.parallelize(centroids.map { case (id, v) => Row(id, v.toSeq) }, 1),
+      centroids.map { case (id, v) => Row(id, v.toSeq) }.asJava,
       StructType(Seq(
         StructField("centroid_id", LongType, nullable = false),
         StructField("c", ArrayType(DoubleType, containsNull = false), nullable = false))))
