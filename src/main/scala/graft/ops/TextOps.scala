@@ -2226,6 +2226,55 @@ object TextOps {
     fertilityOver(docs, merges, docMod, maxChars)
   }
 
+  /** Vocabulary-size DECISION curve (x68): fertility at several merge
+    * DEPTHS from ONE training run — the read a pipeline takes to choose
+    * its vocab size before committing to a tokenizer (where the
+    * compression curve flattens, extra merges only buy table size: the
+    * s23 probe-sweep discipline applied to the tokenizer knob). BPE is
+    * greedy-sequential, so a PREFIX of the merge table IS the trained
+    * table at that depth — one training run at `depths.max` (the
+    * persisted x66 artifact, build-if-absent) serves every depth
+    * exactly. The eval is ONE corpus pass: each depth's `bpe_apply`
+    * over its merge prefix rides as a parallel codegen'd column (the
+    * d24/x39 sweep-as-column form — never a re-tokenize pass per
+    * config), one aggregate row, |depths| result rows via stack.
+    * Output: (merge_rounds, n_docs, n_chars, n_tokens,
+    * chars_per_token_ppm), all exact integers.
+    */
+  def bpeVocabCurve(docs: DataFrame, table: String,
+      depths: Seq[Int] = Seq(4, 8, 16, 32), docMod: Long = 20L,
+      maxChars: Int = 400): DataFrame = {
+    require(depths.nonEmpty && depths.forall(_ >= 1), "depths must be ≥ 1")
+    val SEP = "\u0001"
+    materializedBpeMerges(docs, table, rounds = depths.max, docMod, maxChars)
+    val merges = docs.sparkSession.table(table)
+      .select(col("merge_rank"), col("l"), col("r"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val state = bpeInitialState(docs, docMod, maxChars)
+    // merges preserve characters, so n_chars reads off the INITIAL state;
+    // only the token count is depth-dependent
+    val tokCols = depths.map { r =>
+      val m = merges.take(r)
+      size(split(org.apache.spark.sql.graft.BpeApply.column(col("s"),
+          typedlit(m.map(_._1)), typedlit(m.map(_._2))), SEP))
+        .cast("long").as(s"t$r")
+    }
+    val perDoc = state.select(
+      ((length(col("s")) - (size(split(col("s"), SEP)) - lit(1)))
+        .cast("long").as("nc")) +: tokCols: _*)
+    val aggCols = Seq(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars")) ++
+      depths.map(r => sum(col(s"t$r")).as(s"t$r"))
+    perDoc.agg(aggCols.head, aggCols.tail: _*)
+      .selectExpr("n_docs", "n_chars",
+        s"stack(${depths.size}, " +
+          depths.map(r => s"CAST($r AS BIGINT), t$r").mkString(", ") +
+          ") AS (merge_rounds, n_tokens)")
+      .select(col("merge_rounds"), col("n_docs"), col("n_chars"),
+        col("n_tokens"),
+        expr("(1000000 * n_chars) div n_tokens").as("chars_per_token_ppm"))
+  }
+
   /** Shared BPE training loop: the merge table plus the FINAL persisted
     * tokenization state (separator-encoded; caller unpersists).
     */
@@ -2362,22 +2411,31 @@ object TextOps {
     *     the map (exact: untouched strings' pairs are unchanged and
     *     counts are sums).
     *
-    * Two Spark jobs per round (state checkpoint + delta collect) — the
-    * round-8 loop's job count — but the counting side explodes only the
-    * touched slice instead of the whole corpus, per-round shuffles carry
-    * touched pairs instead of corpus pairs, and a duplicate-heavy corpus
-    * collapses in pass 1 (the ScaleBench `x62_bpe_hist_dups` probe: ×8
-    * verbatim copies train at ×1.2 the base cost). The merge table is
-    * identical to the recount formulation by construction — same integer
-    * counts, same tie-break (property-pinned against the driver-side
-    * reference BPE; x62/x65/x66 hashes unchanged).
+    * Two Spark jobs per round (delta checkpoint + delta collect) — and
+    * since round 10 the per-round WRITE is bounded by the touched-since-
+    * compaction slice, not the corpus: state lives as a FROZEN base
+    * checkpoint plus a rolling delta of touched rows, base rows masked by
+    * the accumulated touch predicates and folded into a fresh base every
+    * `compactEvery` rounds (round-9 verdict #5 — the previous loop
+    * re-materialized the full histogram every round, ~10⁴ corpus-sized
+    * checkpoints for a production-depth vocabulary on a deduped corpus;
+    * now amortized corpus I/O is 1/compactEvery per round, and late
+    * rare-pair merges — the overwhelming majority at depth — write only
+    * their touched slices). The counting side explodes only the touched
+    * slice, per-round shuffles carry touched pairs instead of corpus
+    * pairs, and a duplicate-heavy corpus collapses in pass 1 (the
+    * ScaleBench `x62_bpe_hist_dups` probe). The merge table is identical
+    * to the recount formulation by construction — same integer counts,
+    * same tie-break (property-pinned against the driver-side reference
+    * BPE; x62/x65/x66 hashes unchanged).
     *
     * Returns the merge table plus the FINAL state histogram (caller
     * unpersists + releases).
     */
   private[graft] def bpeLoop(docs: DataFrame, rounds: Int, docMod: Long,
       maxChars: Int,
-      driverMaxHist: Long = bpeDriverMaxHist): (Seq[(Long, String, String, Long)], DataFrame) = {
+      driverMaxHist: Long = bpeDriverMaxHist,
+      compactEvery: Int = 16): (Seq[(Long, String, String, Long)], DataFrame) = {
     val SEP = "\u0001"
     val hist = bpeInitialHistogram(docs, docMod, maxChars)
     val nHist = hist.count()
@@ -2398,15 +2456,40 @@ object TextOps {
     // smaller than a shuffle's worth of partitions (the fixture's ~250
     // strings spread over 32 partitions cost ~100 near-empty tasks per
     // round — measured 12 s for x65's 32 rounds, ~4 s right-sized), and
-    // every round's state keeps exactly this count (see the coalesce
+    // every checkpoint keeps at most this count (see the coalesces
     // below). ~50k strings (~25 MB) per partition, capped at one
     // shuffle's width.
     val stateParts = math.max(1, math.min(
       docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
       math.ceil(nHist / 50000.0).toInt))
-    var state = hist.coalesce(stateParts).persist()
+    // BASE + DELTA state layout (round-9 verdict #5: the previous loop
+    // re-checkpointed the FULL histogram every round — ~10⁴ corpus-sized
+    // writes for a production-depth vocabulary on a deduped corpus).
+    // `base` is a FROZEN checkpoint; rows a merge touches move to the
+    // per-round `delta` checkpoint, and base rows are masked — not
+    // rewritten — by the accumulated touch predicates (`touchedKeys`:
+    // contains(l␁r) is exact on an untouched tokenization, and a false
+    // positive just moves a self-rewritten row to delta — the multiset
+    // base∖touched ∪ delta equals the old loop's state at every round by
+    // construction, so merges and counts are unchanged). Per-round WRITE
+    // I/O is therefore O(|touched since compaction|), not O(corpus);
+    // every `compactEvery` rounds the mask folds into a fresh base
+    // (amortized corpus I/O = 1/compactEvery per round) — the mask also
+    // caps the per-row predicate stack the base scan re-evaluates.
+    require(compactEvery >= 1, "compactEvery must be ≥ 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var base = hist.coalesce(stateParts).persist()
+    var delta: DataFrame = Seq.empty[(String, Long)].toDF("s", "c")
+    var touchedKeys: List[String] = Nil
+    def baseLive: Column =
+      touchedKeys.foldLeft(lit(true))((acc, p) => acc && !col("s").contains(p))
+    def release(df: DataFrame): Unit = {
+      df.unpersist()
+      org.apache.spark.sql.graft.CheckpointRelease.release(df)
+    }
     val counts = scala.collection.mutable.Map[(String, String), Long]()
-    bpePairCountsWeighted(state).collect().foreach { row =>
+    bpePairCountsWeighted(base).collect().foreach { row =>
       counts((row.getString(0), row.getString(1))) = row.getLong(2)
     }
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
@@ -2422,21 +2505,23 @@ object TextOps {
         // the replacement has no $-group hazards
         val pat = s"(?<=^|$SEP)$l$SEP$rr(?=$SEP|$$)"
         val touchPred = col("s").contains(l + SEP + rr)
-        val touched = state.filter(touchPred).select(col("s"), col("c"))
+        val touched = base.filter(baseLive && touchPred)
+          .select(col("s"), col("c"))
+          .unionByName(delta.filter(touchPred).select(col("s"), col("c")))
         val rewritten = touched
           .select(regexp_replace(col("s"), pat, l + rr).as("s"), col("c"))
           .persist()
         // eager LOCAL CHECKPOINT, not persist+count (the distributed
-        // trainer's round-8 lesson): the state rebuilds on itself each
+        // trainer's round-8 lesson): the delta rebuilds on itself each
         // round, and unbroken lineage would grow the plan per round —
         // O(rounds²) driver analysis that dominates deep training. Only
-        // the touched slice pays the regex; the untouched majority is
-        // copied through unchanged. COALESCE first: the union would
-        // otherwise sum its branches' partition counts — 2× per round,
-        // 2^32 partitions at x65's depth. (No re-collapse: two state
-        // rows may carry the same `s` after a merge — counts are
-        // weighted, so a split histogram row is still exact.)
-        val nextState = state.filter(!touchPred)
+        // the touched slice pays the regex, and only the touched-so-far
+        // slice is WRITTEN. COALESCE first: the union would otherwise
+        // sum its branches' partition counts — 2× per round, 2^32
+        // partitions at x65's depth. (No re-collapse: two state rows may
+        // carry the same `s` after a merge — counts are weighted, so a
+        // split histogram row is still exact.)
+        val nextDelta = delta.filter(!touchPred)
           .select(col("s"), col("c"))
           .unionByName(rewritten)
           .coalesce(stateParts)
@@ -2455,13 +2540,30 @@ object TextOps {
           }
         rewritten.unpersist()
         // Dataset.unpersist is a no-op on a checkpoint leaf — release the
-        // superseded round's blocks deterministically (round-0's
-        // persisted frame still goes through unpersist)
-        state.unpersist()
-        org.apache.spark.sql.graft.CheckpointRelease.release(state)
-        state = nextState
+        // superseded round's blocks deterministically (round-0's empty
+        // local delta releases as a no-op)
+        release(delta)
+        delta = nextDelta
+        touchedKeys ::= (l + SEP + rr)
+        if (touchedKeys.size >= compactEvery) {
+          val compacted = base.filter(baseLive).select(col("s"), col("c"))
+            .unionByName(delta)
+            .coalesce(stateParts)
+            .localCheckpoint(true)
+          release(base); release(delta)
+          base = compacted
+          delta = Seq.empty[(String, Long)].toDF("s", "c")
+          touchedKeys = Nil
+        }
       }
     }
+    // ONE final compaction so the caller gets (and releases) a single
+    // checkpoint leaf — the pre-round-10 state contract
+    val state = base.filter(baseLive).select(col("s"), col("c"))
+      .unionByName(delta)
+      .coalesce(stateParts)
+      .localCheckpoint(true)
+    release(base); release(delta)
     (merges.toSeq, state)
   }
 }

@@ -986,6 +986,33 @@ object EngineProperties extends Properties("graft") {
     }
   }
 
+  // round-10 base+delta state layout: compaction must be INVISIBLE — force
+  // the distributed branch with a tiny compactEvery (the mask folds into a
+  // fresh base every 1–3 rounds, so the base-mask, delta-carry, AND
+  // final-compaction paths all execute) and compare the merge table and
+  // the final state multiset against the driver branch
+  property("bpeLoop: base+delta compaction ≡ driver branch (merges + state)") = {
+    val genDoc = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'a', ' ', 'c')).map(_.mkString)
+    val genCorpus = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, genDoc))
+    Prop.forAll(genCorpus, Gen.chooseNum(1, 8),
+        Gen.chooseNum(1, 3)) { (texts, rounds, compactEvery) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def run(driverMaxHist: Long, ce: Int) = {
+        val (merges, state) =
+          graft.ops.TextOps.bpeLoop(df, rounds, 1L, 400, driverMaxHist, ce)
+        val hist = state.collect().map(r => r.getString(0) -> r.getLong(1))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        state.unpersist()
+        org.apache.spark.sql.graft.CheckpointRelease.release(state)
+        (merges, hist)
+      }
+      val (dm, ds) = run(0L, compactEvery) // forced distributed
+      val (rm, rs) = run(Long.MaxValue, 16) // driver reference
+      Prop(dm == rm && ds == rs) :| s"dist ($dm, $ds) driver ($rm, $rs)"
+    }
+  }
+
   // bpe_apply (the one-pass read side, round-8) ≡ the training loop's
   // sequential per-round regex application — the same overlapping-run
   // stress corpora: tiny alphabet, runs like "aaaa" where greedy
