@@ -1049,4 +1049,25 @@ private[graft] object RegistryLib {
        |         AS chars_per_token_ppm
        |FROM f JOIN documents doc USING (doc_id)
        |GROUP BY 1""".stripMargin
+
+  /** The x68 oracle: the fertility read at several DEPTHS off ONE unrolled
+    * chain — d4/d8/d16 are intermediates of the d`depths.max` build, so
+    * the oracle trains once exactly as the Spark side serves one artifact.
+    */
+  def oracleBpeVocabCurve(depths: Seq[Int], docMod: Long = 20L): String = {
+    val fs = depths.map { r =>
+      s"""f$r AS (SELECT CAST($r AS BIGINT) AS merge_rounds,
+         |        CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(len(list_aggregate(toks, 'string_agg', ''))) AS BIGINT) AS n_chars,
+         |        CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+         |        FROM d$r)""".stripMargin
+    }.mkString(",\n")
+    val union = depths.map { r =>
+      s"SELECT merge_rounds, n_docs, n_chars, n_tokens, " +
+        s"CAST((1000000 * n_chars) // n_tokens AS BIGINT) AS chars_per_token_ppm FROM f$r"
+    }.mkString("\nUNION ALL\n")
+    s"""${oracleBpeCtes(depths.max, docMod)},
+       |$fs
+       |$union""".stripMargin
+  }
 }

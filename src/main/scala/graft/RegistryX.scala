@@ -80,8 +80,14 @@ private[graft] object RegistryX {
       // ranking side reads the persisted postings artifact in query
       // batches — nothing rebuilds per eval; hash must equal x60's
       val t = "postings_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      // joinThreshold 16 (not the API default 128): sf0.01's 1-in-31
+      // sample is 17 queries, so the driver's correctness gate must
+      // dispatch to the PRODUCTION broadcast-semi-join plan, not the
+      // small-batch IN-list path (round-9 verdict #2 — the gate at the
+      // attested scale was executing the other branch; the paths are
+      // spec-pinned row-identical, so the hash is unchanged)
       TextOps.retrievalAgreementServed(Tables.documents(s, dir), t,
-        queryPred = col("doc_id") % 31 === 0)
+        queryPred = col("doc_id") % 31 === 0, joinThreshold = 16L)
     }),
     "x67_retrieval_eval_indexed" -> ((s, dir) => {
       // the FULLY-indexed eval: truth from the persisted shingle index
@@ -89,9 +95,11 @@ private[graft] object RegistryX {
       // persisted postings — zero per-eval derivation on either side;
       // hash must equal x60/x64 (oracle shared verbatim)
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      // joinThreshold 16 for the same reason as x64: the sf0.01 gate
+      // attests the distributed semi-join ranking plan
       TextOps.retrievalAgreementIndexed(Tables.documents(s, dir),
         "shingles_" + sfx, "postings_" + sfx,
-        queryPred = col("doc_id") % 31 === 0)
+        queryPred = col("doc_id") % 31 === 0, joinThreshold = 16L)
     }),
     "x61_budget_waterfill" -> ((s, dir) =>
       // max–min fair token allocation across sources under a 20k budget:
@@ -128,6 +136,16 @@ private[graft] object RegistryX {
       val t = "bpe_merges32_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       TextOps.materializedBpeMerges(Tables.documents(s, dir), t, rounds = 32)
       TextOps.bpeFertilityFromMerges(Tables.documents(s, dir), t)
+    }),
+    "x68_bpe_vocab_curve" -> ((s, dir) => {
+      // the vocab-size DECISION curve: fertility at merge depths
+      // 4/8/16/32 from ONE training run — a merge-table PREFIX is the
+      // trained table at that depth (BPE is greedy-sequential), so the
+      // x66 artifact serves every depth exactly; the eval is ONE corpus
+      // pass with per-depth bpe_apply columns riding in parallel (the
+      // sweep-as-column form — never a re-tokenize pass per depth)
+      val t = "bpe_merges32_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      TextOps.bpeVocabCurve(Tables.documents(s, dir), t)
     }),
     "x32_heavy_hitters_checked" -> ((s, dir) =>
       // freqItems sketch next to exact counts: raises if the sketch drops
@@ -604,6 +622,7 @@ private[graft] object RegistryX {
     "x63_bpe_fertility" -> oracleBpeFertility(rounds = 4),
     "x65_bpe_fertility_deep" -> oracleBpeFertility(rounds = 32),
     "x66_bpe_fertility_served" -> oracleBpeFertility(rounds = 32),
+    "x68_bpe_vocab_curve" -> oracleBpeVocabCurve(Seq(4, 8, 16, 32)),
     "x61_budget_waterfill" ->
       // the same piecewise-linear solve: max over valid segment
       // candidates = the waterfilling level (rows past the crossing
