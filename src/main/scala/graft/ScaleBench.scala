@@ -308,19 +308,30 @@ object ScaleBench {
         graft.ops.TextOps.bpeMerges(d, rounds = 4, driverMaxHist = 0L), true),
       ("x62_bpe_hist_dups", (_: DataFrame) => {
         // the histogram's OWN case (round-9 verdict #2): ×f VERBATIM
-        // copies under remapped ids — the duplicate structure real
-        // corpora carry. bpeInitialHistogram collapses the sample to the
-        // base corpus's distinct strings with multiplicity ×f, so
-        // training cost must stay ≈FLAT across ×8 while the expanded
+        // copies with ids UNCHANGED — doc_id only drives the sample, and
+        // the probe needs every copy to select the SAME slice so the
+        // histogram is exactly the base sample's distinct strings at
+        // multiplicity ×f (round-9 ADVICE: the previous id remap made
+        // each copy sample a disjoint ~1/docMod slice, so the ×1.97
+        // ratio partly measured histogram GROWTH, not the collapse).
+        // Training cost must stay ≈FLAT across ×8 while the expanded
         // corpus grows 8× — the measurable form of "per-round cost is
         // corpus-independent after pass 1" for this formulation
         val f = scaleTag.drop(1).toIntOption.getOrElse(1)
-        val dd = (0 until f).map { k =>
-          docs.select((col("doc_id") + lit(k * docStride)).as("doc_id"),
-            col("text"))
+        val dd = (0 until f).map { _ =>
+          docs.select(col("doc_id"), col("text"))
         }.reduce(_ union _)
         graft.ops.TextOps.bpeMerges(dd, rounds = 4, driverMaxHist = 0L)
-      }, true)
+      }, true),
+      ("x65_bpe_deep", (d: DataFrame) =>
+        // the DEEP-vocabulary cost on the no-collapse (translated) corpus,
+        // forced distributed (round-9 verdict #5's recorded number): 32
+        // rounds ≫ compactEvery, so the probe executes the base+delta
+        // layout's full lifecycle — frozen base, touched-only delta
+        // checkpoints, periodic mask fold-in. Per-round WRITE I/O tracks
+        // the touched slice, so the ×8 ratio must stay in the same class
+        // as the 4-round probe's, not multiply with depth
+        graft.ops.TextOps.bpeMerges(d, rounds = 32, driverMaxHist = 0L), true)
     )
 
     def time(fn: () => DataFrame): (Double, Long) = {
