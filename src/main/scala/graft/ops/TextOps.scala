@@ -1345,21 +1345,30 @@ object TextOps {
     val spark = docs.sparkSession
     val qdocs = docs.filter(queryPred)
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("terms"))
-    val nQueries = qdocs.count()
+    // ONE bounded job answers the dispatch AND, when the small plan wins,
+    // IS the query set: collecting (threshold+1) rows proves which side of
+    // the threshold |Q| falls on, and a result of ≤ threshold rows is the
+    // complete query set (limit past the end returns everything), so the
+    // IN-list branch never re-runs the corpus-side filter+tokenize scan
+    // (round-9 ADVICE: the old count()/consume pair evaluated it twice
+    // per eval). The join branch pays only this (threshold+1)-row probe
+    // before its distributed consume.
+    val probe =
+      qdocs.limit(math.min(joinThreshold, Int.MaxValue - 2L).toInt + 1).collect()
     // an empty query set has an empty truth side too — short-circuit to
     // the (empty) x60-shaped frame instead of reducing over zero batches
     // (round-8 review: `Iterator.empty.reduce` throws)
-    if (nQueries == 0)
+    if (probe.isEmpty)
       return truth.select(col("query_id"), col("truth_id"),
         col("truth_sim_ppm"), lit(0L).as("bm25_rank"))
-    val rankedAll = if (nQueries > joinThreshold) {
+    val rankedAll = if (probe.length > joinThreshold) {
       bm25SearchFromIndexJoin(spark, table,
         qdocs.select(col("doc_id").as("query_id"),
           explode(col("terms")).as("term")),
         k, k1, b, excludeQueryDoc = true)
     } else {
-      val queryTerms = qdocs
-        .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+      val queryTerms = probe
+        .map(r => (r.getLong(0), r.getSeq[String](1)))
         .sortBy(_._1).toSeq
       // eagerRelease: each batch's ranked list materializes (|batch|·k
       // rows) and its postings cache releases before the next batch —

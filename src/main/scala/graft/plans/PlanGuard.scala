@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution._
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
 /** Fleet-wide scale-hazard sweep over physical plans (round-9 verdict #2):
@@ -23,13 +23,25 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   * metadata-sized build is the legitimate sweep-as-column shape
   * (x53-fixed, d24, x39) and stays allowed.
   *
+  * Round 10 adds the SINGLE-PARTITION FUNNEL class: a shuffle whose
+  * output partitioning has one partition (Window-without-partitionBy,
+  * `repartition(1)`, orderBy-into-single-partition shapes) or a
+  * `coalesce(1)`, over a corpus-unbounded child, serializes the whole
+  * corpus through ONE task — at 100 TB that is one executor thread doing
+  * all the work, an OOM-or-never-finishes, not a slowdown. Global
+  * aggregates and global limits also plan a SinglePartition exchange, but
+  * their exchange child is a partial aggregate / local limit — bounded,
+  * so they stay allowed.
+  *
   * "Corpus-unbounded" here is a deliberately conservative static check:
   * walking down from the side's root, a subtree is bounded only when it
   * passes through
   *   - an aggregate (totals rows, distinct vocabularies, per-key reports —
   *     every broadcast-fed aggregate in this codebase groups on
   *     metadata-cardinality keys),
-  *   - a global limit / top-k,
+  *   - a global limit / top-k / local limit (a bare LocalLimit is the
+  *     lower half of a global limit's two-phase plan — the shuffled rows
+  *     are ≤ n per upstream partition),
   *   - a literal IN/INSET filter on a key column (the bounded query-id
   *     idiom: `vec_id isin(queryIds)` — |literals| rows of a unique key),
   * before reaching a file scan. Everything else that reads parquet —
@@ -64,6 +76,22 @@ object PlanGuard {
         offending.foreach { case (name, leaf) =>
           joins += s"CartesianProduct $name side is corpus-unbounded: $leaf"
         }
+      // ---- the single-partition funnel class (round 10): a shuffle to
+      //      ONE partition, or coalesce(1), over a corpus-unbounded child
+      //      serializes the whole corpus through one task — the
+      //      Window-without-partitionBy / repartition(1) hazard. Global
+      //      aggregates and global limits funnel too, but their exchange
+      //      child is a partial aggregate / local limit, i.e. bounded. ----
+      case e: ShuffleExchangeExec if e.outputPartitioning.numPartitions == 1 =>
+        corpusLeaf(e.child).foreach { leaf =>
+          joins += s"SinglePartition shuffle funnels a corpus-unbounded child: $leaf" +
+            s"\n    child subtree:\n" +
+            e.child.treeString.linesIterator.take(10).map("      " + _).mkString("\n")
+        }
+      case c: CoalesceExec if c.numPartitions == 1 =>
+        corpusLeaf(c.child).foreach { leaf =>
+          joins += s"coalesce(1) funnels a corpus-unbounded child: $leaf"
+        }
       case _ => ()
     }
     joins.toSeq
@@ -87,7 +115,7 @@ object PlanGuard {
   private def corpusLeaf(p: SparkPlan): Option[String] = p match {
     // ---- cardinality bounds: stop, subtree is metadata-sized ----
     case _: BaseAggregateExec => None
-    case _: GlobalLimitExec | _: CollectLimitExec |
+    case _: GlobalLimitExec | _: CollectLimitExec | _: LocalLimitExec |
         _: TakeOrderedAndProjectExec => None
     case f: FilterExec if hasLiteralInList(f.condition) => None
     // ---- corpus-scale leaves ----

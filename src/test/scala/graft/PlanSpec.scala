@@ -722,16 +722,46 @@ class PlanSpec extends SparkSpec {
     assert(vc.nonEmpty,
       s"guard missed the corpus product:\n" +
         cart.queryExecution.executedPlan.toString)
+    // the single-partition funnel class (round 10): a window with no
+    // partitionBy plans `Exchange SinglePartition` over the raw corpus —
+    // one task does all the work at scale. If this control goes green,
+    // the funnel guard has rotted.
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("n_tokens"))
+    val funnel = perDoc.withColumn("rk", row_number().over(wAll))
+    val vf = graft.plans.PlanGuard.corpusProductViolations(
+      funnel.queryExecution.executedPlan)
+    assert(vf.exists(_.contains("SinglePartition")),
+      s"guard missed the single-partition funnel:\n" +
+        funnel.queryExecution.executedPlan.toString)
+    val co1 = perDoc.coalesce(1).withColumn("k", col("n_tokens") + 1)
+    val vo = graft.plans.PlanGuard.corpusProductViolations(
+      co1.queryExecution.executedPlan)
+    assert(vo.exists(_.contains("coalesce(1)")),
+      s"guard missed the coalesce(1) funnel:\n" +
+        co1.queryExecution.executedPlan.toString)
+    // and the allowed look-alikes: a global aggregate and a global limit
+    // both plan SinglePartition exchanges whose child is bounded (partial
+    // aggregate / local limit) — the guard must NOT flag them
+    val agg = perDoc.agg(sum(col("n_tokens")).as("s")).withColumn("k", col("s") + 1)
+    assert(graft.plans.PlanGuard.corpusProductViolations(
+      agg.queryExecution.executedPlan).isEmpty,
+      "guard over-flags the global aggregate's bounded funnel")
+    val lim = perDoc.limit(5).withColumn("k", col("n_tokens") + 1)
+    assert(graft.plans.PlanGuard.corpusProductViolations(
+      lim.queryExecution.executedPlan).isEmpty,
+      "guard over-flags the global limit's bounded funnel")
   }
 
-  test("fleet sweep: no query plans a corpus-unbounded BNLJ build or cartesian side") {
+  test("fleet sweep: no query plans a corpus-unbounded BNLJ build, cartesian side, or single-partition funnel") {
     // round-9 verdict #2: x53's corpus-sized BroadcastNestedLoopJoin build
     // hid for three rounds because every plan assertion looked at ONE
     // query — this walks ALL registry plans (initial physical plan,
     // descending through AQE wrappers and cached relations) and fails on
     // the CLASS: a BNLJ whose build side, or a cartesian whose either
     // side, descends from a corpus-scale scan with no cardinality bound
-    // on the way up. The pre-fix x53 fails this sweep; the streamed-
+    // on the way up — plus, since round 10, any SinglePartition shuffle or
+    // coalesce(1) funneling a corpus-unbounded child (the Window-without-
+    // partitionBy hazard). The pre-fix x53 fails this sweep; the streamed-
     // corpus/broadcast-cutoffs rewrite passes. Verify applies the same
     // assertion per query, so the driver's sf0.01 gate enforces it too.
     val dir = "/root/testdata/sf0.001"
