@@ -91,6 +91,18 @@ object Bench {
         s.sql(s"DROP TABLE IF EXISTS ${t}_len")
         graft.ops.TextOps.materializedPostings(Tables.documents(s, dir), t)
       }),
+      // the as-of-cut postings twin (x69's staleness subject) — same
+      // build, 7/8 of the corpus, so the staleness read's median stays a
+      // pure read with the cold cost visibly accounted here
+      "artifact:postings_cut" -> ((s, dir) => {
+        val t = "postings_cut_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        s.sql(s"DROP TABLE IF EXISTS ${t}_len")
+        val base = Tables.documents(s, dir)
+        val n = base.count()
+        graft.ops.TextOps.materializedPostings(
+          base.filter(org.apache.spark.sql.functions.col("doc_id") < n - n / 8), t)
+      }),
       // the shingle-index artifact (x67's truth side): one shingle pass
       // lands the df-capped candidate index + full sets + sizes ledger
       "artifact:shingle_index" -> ((s, dir) => {

@@ -147,6 +147,22 @@ private[graft] object RegistryX {
       val t = "bpe_merges32_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       TextOps.bpeVocabCurve(Tables.documents(s, dir), t)
     }),
+    "x69_postings_staleness" -> ((s, dir) => {
+      // the postings index's SERVE-vs-REBUILD decision read — the
+      // d39/s39/s40 maintenance family's fourth member, so every
+      // persisted artifact kind now ships one. Index built on the corpus
+      // as of a cut (the id tail is un-appended CDC lag, the s40 recipe);
+      // the current corpus drops a deterministic deletion slice
+      // (doc_id % 13 = 5 — docs the index still serves as orphans).
+      // Reports per-source coverage plus the two BM25 corpus constants
+      // index-side vs current — the score-drift a rebuild would correct.
+      val base = Tables.documents(s, dir)
+      val n = base.count()
+      val cut = n - n / 8
+      val t = "postings_cut_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      TextOps.materializedPostings(base.filter(col("doc_id") < cut), t)
+      TextOps.postingsStaleness(base.filter(col("doc_id") % 13 =!= 5), t)
+    }),
     "x32_heavy_hitters_checked" -> ((s, dir) =>
       // freqItems sketch next to exact counts: raises if the sketch drops
       // a true heavy hitter (its no-false-negative guarantee); emits the
@@ -494,6 +510,29 @@ private[graft] object RegistryX {
         |GROUP BY 1, 2""".stripMargin,
     "x33_bm25_search" -> oracleBm25,
     "x58_bm25_served" -> oracleBm25,
+    "x69_postings_staleness" ->
+      // the index ledger's per-doc `len` is sum(tf) over the doc's terms
+      // = its split-token count, so the oracle reads both sides' lengths
+      // straight off string_split — no posting-row reconstruction needed
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |idx AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        |        FROM documents, nn WHERE doc_id < nn.n - nn.n // 8),
+        |cur AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        |        FROM documents WHERE doc_id % 13 <> 5),
+        |it AS (SELECT CAST(count(*) AS BIGINT) AS n_index_docs,
+        |              CAST((1000000 * sum(len)) // count(*) AS BIGINT) AS avglen_index_ppm
+        |       FROM idx),
+        |ct AS (SELECT CAST((1000000 * sum(len)) // count(*) AS BIGINT) AS avglen_current_ppm
+        |       FROM cur),
+        |orph AS (SELECT CAST(count(*) AS BIGINT) AS n_orphaned FROM idx i
+        |         LEFT JOIN cur c ON c.doc_id = i.doc_id WHERE c.doc_id IS NULL),
+        |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(sum(CASE WHEN i.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |                AS n_unindexed
+        |       FROM cur c LEFT JOIN idx i ON i.doc_id = c.doc_id GROUP BY source)
+        |SELECT source, n_docs, n_docs - n_unindexed AS n_indexed, n_unindexed,
+        |       n_orphaned, n_index_docs, avglen_index_ppm, avglen_current_ppm
+        |FROM ps, orph, it, ct""".stripMargin,
     "x55_hybrid_rrf" ->
       // x33's BM25 CTEs verbatim for the lexical list, the s1-style
       // normalized-cosine window for the vector list, then ALL-INTEGER

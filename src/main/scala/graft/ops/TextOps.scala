@@ -1614,6 +1614,64 @@ object TextOps {
     spark.catalog.refreshTable(table + "_len")
   }
 
+  /** Staleness / SERVE-vs-REBUILD decision report for a persisted
+    * [[materializedPostings]] index (x69) — the fourth member of the
+    * artifact-maintenance family (d39 shingle rebuild-vs-wait, s39 IVF
+    * retrain-vs-append, s40 nav-graph append-vs-rebuild). The postings
+    * index is the one artifact whose APPEND is exact ([[appendToPostings]]
+    * writes the same rows a rebuild would), so its staleness is not
+    * drift — it is LAG and DELETION:
+    *
+    *   - `n_unindexed` (per source): current-corpus docs the ledger does
+    *     not hold — CDC lag; every one is invisible to every query until
+    *     the next append;
+    *   - `n_orphaned` (global): ledger docs no longer in the corpus —
+    *     deletions the index still SERVES (there is no delete path; a
+    *     mutated doc is delete+insert under a new id by the append
+    *     contract, so text drift shows up here, not as a silent skew);
+    *   - `avglen_index_ppm` vs `avglen_current_ppm` and `n_index_docs`:
+    *     the two corpus constants every BM25 score is computed from,
+    *     index-side vs current — how far the SCORES have drifted even
+    *     for perfectly indexed documents.
+    *
+    * Scale shape: ONE tokenize pass over the current corpus carries both
+    * the per-source report and (summed from its ~|sources|-row aggregate)
+    * the current-side constants; the ledger side is the |docs|-row
+    * `_len` table (never the posting rows); the orphan check is one
+    * column-pruned anti-join on the bucketed doc_id. All integers,
+    * oracle-attested with a deterministic cut+deletion delta.
+    */
+  def postingsStaleness(current: DataFrame, table: String): DataFrame = {
+    val spark = current.sparkSession
+    val ledger = spark.table(table + "_len").select(col("doc_id"), col("len"))
+    val flagged = current
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("len"))
+      .join(ledger.select(col("doc_id"), lit(1L).as("idx")), Seq("doc_id"), "left")
+    val perSource = flagged.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("idx").isNull, 1L).otherwise(0L)).as("n_unindexed"),
+      sum(col("len")).as("sum_len"))
+    val curTotals = perSource
+      .agg(sum(col("n_docs")).as("nc"), sum(col("sum_len")).as("sc"))
+      .select(expr("(1000000 * sc) div nc").as("avglen_current_ppm"))
+    val idxTotals = ledger
+      .agg(count(lit(1)).as("n_index_docs"), sum(col("len")).as("sl"))
+      .select(col("n_index_docs"),
+        expr("(1000000 * sl) div n_index_docs").as("avglen_index_ppm"))
+    val orphans = ledger.select(col("doc_id"))
+      .join(current.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_orphaned"))
+    perSource
+      .crossJoin(broadcast(orphans))
+      .crossJoin(broadcast(idxTotals))
+      .crossJoin(broadcast(curTotals))
+      .select(col("source"), col("n_docs"),
+        (col("n_docs") - col("n_unindexed")).as("n_indexed"),
+        col("n_unindexed"), col("n_orphaned"), col("n_index_docs"),
+        col("avglen_index_ppm"), col("avglen_current_ppm"))
+  }
+
   /** Hybrid lexical+vector retrieval fused by Reciprocal Rank Fusion
     * (Cormack/Clarke/Buettcher 2009 — the baseline every hybrid search
     * stack ships): each result list contributes `⌊10⁹ / (c + rank)⌋`

@@ -557,6 +557,45 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(viaJoin === viaInList, "served eval depends on the dispatch path")
   }
 
+  test("postingsStaleness: fresh full index reads zero lag and zero orphans; " +
+      "cut+delete delta counted exactly") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "a b c", "s1"), (1L, "d e", "s1"), (2L, "f g h i", "s2"),
+      (3L, "j k", "s2"), (4L, "l m n", "s2"), (5L, "o", "s1"),
+      (6L, "p q", "s1"), (7L, "r s t u", "s2")
+    ).toDF("doc_id", "text", "source")
+    val t = "postings_stale_spec"
+    Seq(t, t + "_len").foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    TextOps.materializedPostings(docs, t)
+    val fresh = TextOps.postingsStaleness(docs, t).collect()
+    assert(fresh.nonEmpty)
+    assert(fresh.forall(_.getAs[Long]("n_unindexed") == 0L))
+    assert(fresh.forall(_.getAs[Long]("n_orphaned") == 0L))
+    assert(fresh.forall(r =>
+      r.getAs[Long]("avglen_index_ppm") == r.getAs[Long]("avglen_current_ppm")))
+    // drifted twin: index as of cut (docs 0..5); current drops doc 1 (a
+    // deletion the index still serves) and has 6,7 arrived (CDC lag)
+    val t2 = "postings_stale_spec2"
+    Seq(t2, t2 + "_len").foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    TextOps.materializedPostings(docs.filter(col("doc_id") < 6), t2)
+    val rep = TextOps.postingsStaleness(docs.filter(col("doc_id") =!= 1L), t2)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // s1 current: {0,5,6} with 6 unindexed; s2 current: {2,3,4,7} with 7
+    assert(rep("s1").getAs[Long]("n_docs") == 3L)
+    assert(rep("s1").getAs[Long]("n_indexed") == 2L)
+    assert(rep("s1").getAs[Long]("n_unindexed") == 1L)
+    assert(rep("s2").getAs[Long]("n_docs") == 4L)
+    assert(rep("s2").getAs[Long]("n_unindexed") == 1L)
+    // orphans: indexed {0..5} ∖ current = {1}; globals repeat per row
+    assert(rep.values.forall(_.getAs[Long]("n_orphaned") == 1L))
+    // constants: index lens 3+2+4+2+3+1 = 15 over 6 docs; current lens
+    // 3+4+2+3+1+2+4 = 19 over 7 docs — integer-ppm floor division
+    assert(rep.values.forall(_.getAs[Long]("n_index_docs") == 6L))
+    assert(rep("s1").getAs[Long]("avglen_index_ppm") == 1000000L * 15 / 6)
+    assert(rep("s1").getAs[Long]("avglen_current_ppm") == 1000000L * 19 / 7)
+  }
+
   test("heavy hitters checked: exact items above support, sketch attested") {
     // 100 docs: "common" in all (freq 100/400), "half" in 50, rest unique
     val docs = (1L to 100L)
