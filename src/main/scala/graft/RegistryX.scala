@@ -147,6 +147,24 @@ private[graft] object RegistryX {
       val t = "bpe_merges32_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       TextOps.bpeVocabCurve(Tables.documents(s, dir), t)
     }),
+    "x70_bm25_compacted" -> ((s, dir) => {
+      // the REPAIR action x69's report feeds, then the proof it worked:
+      // compact the as-of-cut index against the current corpus (orphans
+      // out via one semi-join, lag docs tokenized in — never the indexed
+      // majority), and serve x33's queries from the repaired index. The
+      // hash must equal BM25 recomputed on the current corpus — the
+      // oracle is x33's SQL with the corpus filter, nothing else
+      val base = Tables.documents(s, dir)
+      val n = base.count()
+      val cut = n - n / 8
+      val t = "postings_compact_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      TextOps.materializedPostings(base.filter(col("doc_id") < cut), t)
+      val current = base.filter(col("doc_id") % 13 =!= 5)
+      TextOps.compactPostings(current, t)
+      TextOps.bm25SearchFromIndex(s, t, Seq(
+        (0L, "hash join batch"), (1L, "vector scan filter"),
+        (2L, "window agg order")), k = 10)
+    }),
     "x69_postings_staleness" -> ((s, dir) => {
       // the postings index's SERVE-vs-REBUILD decision read — the
       // d39/s39/s40 maintenance family's fourth member, so every
@@ -510,6 +528,11 @@ private[graft] object RegistryX {
         |GROUP BY 1, 2""".stripMargin,
     "x33_bm25_search" -> oracleBm25,
     "x58_bm25_served" -> oracleBm25,
+    // x70: x33's SQL verbatim over the CURRENT corpus (the x69 deletion
+    // slice dropped) — the compacted index must serve exactly what a
+    // from-scratch build on the current corpus would
+    "x70_bm25_compacted" -> oracleBm25.replace(
+      "FROM documents)", "FROM documents WHERE doc_id % 13 <> 5)"),
     "x69_postings_staleness" ->
       // the index ledger's per-doc `len` is sum(tf) over the doc's terms
       // = its split-token count, so the oracle reads both sides' lengths

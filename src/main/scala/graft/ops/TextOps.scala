@@ -1614,6 +1614,77 @@ object TextOps {
     spark.catalog.refreshTable(table + "_len")
   }
 
+  /** COMPACTION — the repair action [[postingsStaleness]]'s report feeds
+    * (x70): bring a lagged/deleted-against index back to exact coverage of
+    * `current` WITHOUT re-tokenizing already-indexed documents. At 100 TB
+    * tokenize-and-count is the dominant build cost, and it is pure waste
+    * for the (usually overwhelming) majority of docs the index already
+    * holds — compaction pays it only for the lag slice:
+    *
+    *   - keep: indexed postings of docs still current (one doc_id
+    *     semi-join drops every orphan), with the byte-identical duplicate
+    *     rows a torn [[appendToPostings]] replay can leave scrubbed —
+    *     the read path tolerates them, the rewrite is where they die;
+    *   - fresh: postings of current docs the ledger does not hold — the
+    *     ONLY tokenize work in the pass;
+    *   - keep ∪ fresh is row-identical to `materializedPostings(current)`
+    *     by the append-exactness contract (spec-pinned; served BM25 over
+    *     the compacted index hash-equals the recompute on `current` —
+    *     x70's oracle is x33's SQL over the current corpus).
+    *
+    * No-op fast path: when the index already covers `current` exactly
+    * (no orphans, no lag — two metadata-bounded probe jobs), the rewrite
+    * is skipped, making replays cheap (duplicate scrubbing then waits for
+    * a compaction that has real work; reads tolerate duplicates anyway).
+    * Torn window: the swap is drop+rewrite from eagerly-checkpointed
+    * frames (both MUST materialize before their source tables drop); a
+    * crash between drop and write loses the table, and the deterministic
+    * build-if-absent recovery (orphaned-location sweep) applies — the
+    * shingle-rebuild discipline.
+    */
+  def compactPostings(current: DataFrame, table: String,
+      buckets: Int = 32): Unit = {
+    val spark = current.sparkSession
+    val curIds = current.select(col("doc_id"))
+    val ledgerIds = spark.table(table + "_len").select(col("doc_id"))
+    val anyOrphan = ledgerIds.join(curIds, Seq("doc_id"), "left_anti")
+      .limit(1).count()
+    val freshDocs = current
+      .join(ledgerIds, Seq("doc_id"), "left_anti")
+    val anyFresh = freshDocs.select(col("doc_id")).limit(1).count()
+    if (anyOrphan == 0L && anyFresh == 0L) return
+    val keep = spark.table(table)
+      .join(curIds, Seq("doc_id"), "left_semi")
+      .dropDuplicates("term", "doc_id")
+      .select(col("term"), col("doc_id"), col("tf"), col("len"))
+    val keepLen = spark.table(table + "_len")
+      .join(curIds, Seq("doc_id"), "left_semi")
+      .dropDuplicates("doc_id")
+      .select(col("doc_id"), col("len"))
+    val posts = freshDocs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val lens = posts.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+    val newPostings = keep.unionByName(
+        posts.join(lens, Seq("doc_id"))
+          .select(col("term"), col("doc_id"), col("tf"), col("len")))
+      .localCheckpoint(true)
+    val newLens = keepLen.unionByName(lens).localCheckpoint(true)
+    posts.unpersist()
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_len")
+    graft.sources.BucketedLayout.writeBucketed(newPostings, table,
+      "term", buckets)
+    graft.sources.BucketedLayout.writeBucketed(newLens, table + "_len",
+      "doc_id", 8)
+    org.apache.spark.sql.graft.CheckpointRelease.release(newPostings)
+    org.apache.spark.sql.graft.CheckpointRelease.release(newLens)
+    spark.catalog.refreshTable(table)
+    spark.catalog.refreshTable(table + "_len")
+  }
+
   /** Staleness / SERVE-vs-REBUILD decision report for a persisted
     * [[materializedPostings]] index (x69) — the fourth member of the
     * artifact-maintenance family (d39 shingle rebuild-vs-wait, s39 IVF

@@ -596,6 +596,40 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(rep("s1").getAs[Long]("avglen_current_ppm") == 1000000L * 19 / 7)
   }
 
+  test("compactPostings ≡ from-scratch rebuild; replay no-ops; torn duplicates scrubbed") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "a b c", "s1"), (1L, "d e", "s1"), (2L, "f g h i", "s2"),
+      (3L, "j k", "s2"), (4L, "l m n", "s2"), (5L, "o", "s1"),
+      (6L, "p q", "s1"), (7L, "r s t u", "s2")
+    ).toDF("doc_id", "text", "source")
+    val t = "postings_compact_spec"
+    val t2 = "postings_compact_spec_rebuilt"
+    Seq(t, t + "_len", t2, t2 + "_len")
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    // index as of cut (docs 0..5); current drops doc 1, has 6,7 arrived
+    TextOps.materializedPostings(docs.filter(col("doc_id") < 6), t)
+    // simulate a torn append replay: duplicate doc 2's posting rows
+    val dup = spark.table(t).filter(col("doc_id") === 2L)
+    graft.sources.BucketedLayout.writeBucketed(dup, t, "term", 32,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    val current = docs.filter(col("doc_id") =!= 1L)
+    TextOps.compactPostings(current, t)
+    TextOps.materializedPostings(current, t2)
+    def rows(n: String) = spark.table(n).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("tf"), r.getAs[Long]("len"))).sorted.toSeq
+    def lens(n: String) = spark.table(n + "_len").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("len"))).sorted.toSeq
+    assert(rows(t) === rows(t2), "compacted index drifted from the rebuild")
+    assert(lens(t) === lens(t2), "compacted ledger drifted from the rebuild")
+    // replay: a second compaction against the same corpus is a no-op
+    // (fast path) — table bytes untouched, contents identical
+    val before = rows(t)
+    TextOps.compactPostings(current, t)
+    assert(rows(t) === before)
+  }
+
   test("heavy hitters checked: exact items above support, sketch attested") {
     // 100 docs: "common" in all (freq 100/400), "half" in 50, rest unique
     val docs = (1L to 100L)
