@@ -1616,10 +1616,14 @@ object TextOps {
 
   /** COMPACTION — the repair action [[postingsStaleness]]'s report feeds
     * (x70): bring a lagged/deleted-against index back to exact coverage of
-    * `current` WITHOUT re-tokenizing already-indexed documents. At 100 TB
-    * tokenize-and-count is the dominant build cost, and it is pure waste
-    * for the (usually overwhelming) majority of docs the index already
-    * holds — compaction pays it only for the lag slice:
+    * `current` WITHOUT re-tokenizing already-indexed documents. Cost
+    * shape, stated precisely: the rewrite is corpus-sized I/O either way
+    * (both paths write the full index), but a rebuild also pays the raw
+    * corpus scan + per-token explode + tokens-wide aggregation for EVERY
+    * document, while compaction's keep side is a columnar pass over the
+    * already-aggregated (term, doc_id) rows — when the lag slice is small
+    * (the steady CDC state), the explode/tokenize work drops from
+    * O(corpus tokens) to O(lag tokens):
     *
     *   - keep: indexed postings of docs still current (one doc_id
     *     semi-join drops every orphan), with the byte-identical duplicate
