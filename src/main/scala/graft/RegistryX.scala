@@ -376,8 +376,13 @@ private[graft] object RegistryX {
       val corpus = docs.filter(col("source") =!= "src0")
       val flagged = Dedup.decontaminate(corpus, docs.filter(col("source") === "src0"))
         .select(col("doc_id"), lit(true).as("contaminated"))
+      // no broadcast HINT: the contaminated set is benchmark-overlap-sized
+      // in the expected case but corpus-proportional in the worst (a
+      // corpus full of benchmark copies) — a hint would force the
+      // broadcast at any scale, while stats/AQE pick broadcast at fixture
+      // scale and a shuffled join if the set ever balloons (round 10)
       TextOps.assignSplits(corpus)
-        .join(F.broadcast(flagged), Seq("doc_id"), "left")
+        .join(flagged, Seq("doc_id"), "left")
         .select(col("doc_id"), col("lang"),
           when(col("contaminated"), lit("quarantine")).otherwise(col("split")).as("split"))
     }),
@@ -391,9 +396,11 @@ private[graft] object RegistryX {
           emb.filter(col("vec_id") % 10 < 2),
           emb.filter(col("vec_id") % 10 >= 2), threshold = 0.4)
         .select(col("test_id").as("doc_id"), lit(true).as("leaked"))
+      // unhinted for the same reason as x23: the leaked set is bounded by
+      // the leak rate, not by construction — let stats pick the join
       TextOps.assignSplits(
           Tables.documents(s, dir).filter(col("doc_id") % 10 < 2))
-        .join(F.broadcast(leaked), Seq("doc_id"), "left")
+        .join(leaked, Seq("doc_id"), "left")
         .select(col("doc_id"), col("lang"),
           when(col("leaked"), lit("quarantine")).otherwise(col("split")).as("split"))
     }),

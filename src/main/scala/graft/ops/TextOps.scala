@@ -1221,16 +1221,24 @@ object TextOps {
     // exchange) on a SHUFFLE join — norms is corpus-sized (one row per
     // doc), so broadcasting it would hit the 8 GB broadcast ceiling long
     // before the corpus does (AQE still broadcasts it at fixture scale).
-    // Only the query-derived frames broadcast unconditionally. The
-    // EXPLICIT repartition is load-bearing: the joined postings exchange
-    // is only ~20 MB, so AQE would coalesce it to one partition and the
-    // 64× join blowup would run on ONE task — a fixed-count repartition
-    // is exempt from coalescing and sizes the stage for its OUTPUT
+    // qterms joins UNHINTED (round 10 — the new hinted-broadcast guard's
+    // one fleet find): at the default 1-in-31 sample the (query_id, term)
+    // frame is corpus-PROPORTIONAL, so a hint would force a corpus-scale
+    // broadcast at 100 TB — the round-8 x64 hazard in its recompute form.
+    // AQE re-plans the join as a broadcast at runtime from the TRUE size
+    // at fixture scale, and shuffles it at corpus scale — the same
+    // bare-qterms contract as bm25RankMatchedHits. Only
+    // the statically bounded frames (distinct terms, idfs) keep hints.
+    // The EXPLICIT repartition is load-bearing: the joined postings
+    // exchange is only ~20 MB, so AQE would coalesce it to one partition
+    // and the 64× join blowup would run on ONE task — a fixed-count
+    // repartition is exempt from coalescing and sizes the stage for its
+    // OUTPUT
     val nPart = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val scored = postings
       .join(norms, Seq("doc_id"))
       .repartition(nPart, col("doc_id"))
-      .join(broadcast(qterms), Seq("term"))
+      .join(qterms, Seq("term"))
       .join(broadcast(idfs), Seq("term"))
       .filter(col("doc_id") =!= col("query_id")) // the query doc IS a corpus doc
       .select(col("query_id"), col("doc_id"),

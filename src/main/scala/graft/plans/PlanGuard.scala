@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{Expression, In, InSet}
 import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.catalyst.plans.{logical => logical}
 import org.apache.spark.sql.execution._
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
@@ -99,14 +100,117 @@ object PlanGuard {
 
   /** Throws with every violation listed — the form Verify and the PlanSpec
     * sweep share, so the sbt-test gate and a manual full-fleet run report
-    * identically.
+    * identically. Checks both layers: physical products/funnels and
+    * logical hinted broadcasts.
     */
   def assertNoCorpusProducts(name: String, df: DataFrame): Unit = {
-    val v = corpusProductViolations(df.queryExecution.executedPlan)
+    val v = corpusProductViolations(df.queryExecution.executedPlan) ++
+      hintedBroadcastViolations(df.queryExecution.analyzed)
     if (v.nonEmpty)
       throw new IllegalStateException(
         s"[planguard] $name: ${v.size} corpus-product hazard(s):\n  " +
           v.mkString("\n  "))
+  }
+
+  /** Hinted-broadcast guard at the LOGICAL layer (round 10): a
+    * stats-driven broadcast self-corrects at scale — the planner
+    * re-decides from size estimates, so the same query that broadcasts a
+    * small side at fixture scale plans a shuffled join at 100 TB. An
+    * explicit `broadcast()` hint removes that safety: it FORCES the
+    * build-side at every scale, so a hint is only sound on a frame whose
+    * cardinality is bounded BY CONSTRUCTION. This walks the ANALYZED plan
+    * (hints are erased before the physical plan, so the physical sweep
+    * cannot see them) and flags every broadcast hint whose subtree
+    * reaches a corpus-scale relation with no bound on the way — the same
+    * bounds as [[corpusProductViolations]] plus their pre-optimizer forms
+    * (Distinct/Deduplicate are aggregates the optimizer has not rewritten
+    * yet). Scans of the schema-fixed dimension tables (nation: 25 rows,
+    * region: 5 — cardinalities set by the data model, independent of
+    * scale factor) are bounded leaves: broadcasting a dimension is the
+    * canonical correct use of the hint.
+    */
+  def hintedBroadcastViolations(plan: logical.LogicalPlan): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    plan.foreach {
+      case h: logical.ResolvedHint if h.hints.strategy.contains(logical.BROADCAST) =>
+        logicalCorpusLeaf(h.child).foreach { leaf =>
+          out += s"broadcast hint forces a corpus-unbounded build at every scale: $leaf" +
+            s"\n    hinted subtree:\n" +
+            h.child.treeString.linesIterator.take(8).map("      " + _).mkString("\n")
+        }
+      case _ => ()
+    }
+    out.toSeq
+  }
+
+  /** Schema-fixed dimension cardinality: true when every root path of the
+    * scan names one of the constant-size dimension tables.
+    */
+  private def isDimensionScan(paths: Seq[String]): Boolean =
+    paths.nonEmpty && paths.forall { p =>
+      val last = p.stripSuffix("/").split('/').last.toLowerCase
+      last.startsWith("nation") || last.startsWith("region")
+    }
+
+  /** The top-k-per-group filter shape: a comparison of a rank-like window
+    * column (row_number / rank / dense_rank) against a foldable bound,
+    * with the defining Window node reachable through unary operators.
+    */
+  private def isTopKFilter(f: logical.Filter): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def rankIds(p: logical.LogicalPlan): Set[Long] = p match {
+      case w: logical.Window =>
+        w.windowExpressions.collect {
+          case a: Alias if a.child.exists {
+              case we: WindowExpression => we.windowFunction match {
+                case _: RowNumber | _: Rank | _: DenseRank => true
+                case _ => false
+              }
+              case _ => false
+            } => a.exprId.id
+        }.toSet ++ rankIds(w.child)
+      case u if u.children.size == 1 => rankIds(u.children.head)
+      case _ => Set.empty
+    }
+    val ids = rankIds(f.child)
+    def refsRank(e: Expression): Boolean = e match {
+      case a: AttributeReference => ids.contains(a.exprId.id)
+      case c: Cast => refsRank(c.child)
+      case _ => false
+    }
+    ids.nonEmpty && f.condition.exists {
+      case cmp: BinaryComparison =>
+        (refsRank(cmp.left) && cmp.right.foldable) ||
+          (refsRank(cmp.right) && cmp.left.foldable)
+      case _ => false
+    }
+  }
+
+  private def logicalCorpusLeaf(p: logical.LogicalPlan): Option[String] = p match {
+    // ---- cardinality bounds (pre-optimizer forms included) ----
+    case _: logical.Aggregate | _: logical.Distinct | _: logical.Deduplicate => None
+    case _: logical.GlobalLimit | _: logical.LocalLimit => None
+    // top-k-per-group (the repo's window-rank ≤ literal idiom): |groups|·k
+    // rows — bounded under the same metadata-cardinality-groups assumption
+    // the Aggregate bound already makes
+    case f: logical.Filter if hasLiteralInList(f.condition) || isTopKFilter(f) => None
+    // ---- bounded leaves ----
+    case _: logical.LocalRelation | _: logical.OneRowRelation |
+        _: logical.Range => None
+    // ---- corpus-scale leaves ----
+    case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      val paths = r.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty
+      }
+      if (isDimensionScan(paths)) None
+      else Some(s"file relation ${paths.take(1).mkString}")
+    case r: org.apache.spark.sql.execution.LogicalRDD =>
+      Some(s"checkpoint/RDD leaf ${r.nodeName}")
+    // ---- anything else: leaves are bounded, inner nodes ask children ----
+    case leaf if leaf.children.isEmpty => None
+    case other => other.children.view.flatMap(logicalCorpusLeaf).headOption
   }
 
   /** First corpus-scale leaf reachable from `p` without passing a

@@ -750,6 +750,42 @@ class PlanSpec extends SparkSpec {
     assert(graft.plans.PlanGuard.corpusProductViolations(
       lim.queryExecution.executedPlan).isEmpty,
       "guard over-flags the global limit's bounded funnel")
+    // the HINTED-broadcast class (round 10, logical layer): an explicit
+    // broadcast() hint on a corpus-derived frame forces the build at
+    // every scale — stats never get a vote. The filter-of-corpus shape
+    // must flag; the aggregate, the literal-IN probe, and the
+    // schema-fixed dimension scan are the allowed hint targets.
+    val docsSmall = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val hinted = Seq(16L).toDF("k")
+      .join(broadcast(docsSmall.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"))), col("k") <= col("doc_id"), "left")
+    assert(graft.plans.PlanGuard.hintedBroadcastViolations(
+      hinted.queryExecution.analyzed).nonEmpty,
+      "guard missed the hinted corpus broadcast")
+    val okAgg = Seq(16L).toDF("k").crossJoin(
+      broadcast(docsSmall.groupBy(col("source")).agg(count(lit(1)).as("n"))))
+    assert(graft.plans.PlanGuard.hintedBroadcastViolations(
+      okAgg.queryExecution.analyzed).isEmpty,
+      "guard over-flags the hinted aggregate broadcast")
+    val okDim = graft.Tables.customer(spark, "/root/testdata/sf0.001")
+      .join(broadcast(graft.Tables.nation(spark, "/root/testdata/sf0.001")),
+        col("c_nationkey") === col("n_nationkey"))
+    assert(graft.plans.PlanGuard.hintedBroadcastViolations(
+      okDim.queryExecution.analyzed).isEmpty,
+      "guard over-flags the dimension-table broadcast")
+    // ...and the window-top-k shortlist (the s12/s16 rerank idiom):
+    // |groups|·k rows, bounded under the same metadata-cardinality-groups
+    // assumption as the aggregate bound
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_tokens").desc, col("doc_id").asc)
+    val okTopK = Seq(1L).toDF("one").crossJoin(broadcast(
+      docsSmall.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 5)))
+    assert(graft.plans.PlanGuard.hintedBroadcastViolations(
+      okTopK.queryExecution.analyzed).isEmpty,
+      "guard over-flags the window-top-k shortlist broadcast")
   }
 
   test("fleet sweep: no query plans a corpus-unbounded BNLJ build, cartesian side, or single-partition funnel") {
@@ -767,9 +803,11 @@ class PlanSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val vs =
-        try graft.plans.PlanGuard.corpusProductViolations(
-          fn(spark, dir).queryExecution.executedPlan)
-        catch { case e: Throwable =>
+        try {
+          val qe = fn(spark, dir).queryExecution
+          graft.plans.PlanGuard.corpusProductViolations(qe.executedPlan) ++
+            graft.plans.PlanGuard.hintedBroadcastViolations(qe.analyzed)
+        } catch { case e: Throwable =>
           Seq(s"plan construction failed: ${e.getMessage}") }
       spark.sqlContext.clearCache() // drop per-query persists, as Verify does
       vs.map(v => s"$name: $v")
