@@ -247,6 +247,47 @@ object ScaleBench {
           (0L, "hash join batch"), (1L, "vector scan filter"),
           (2L, "window agg order")), k = 10)
       }, true),
+      // --- the x70 compaction claim, isolated (three probes, run in this
+      // order). The corpus is the scaled docs with text concatenated ×8
+      // per row: token WORK grows ×8 while the distinct (doc, term)
+      // postings rows — the rewrite I/O — stay exactly the short-text
+      // corpus's, so the tokenize share dominates the build the way
+      // production KB-scale documents make it. The lag slice is the BASE
+      // corpus's id tail — FIXED across scales (the x64_served_join
+      // pinning discipline), so compact's tokenize cost is constant while
+      // rebuild's grows with the corpus. Claim certified when
+      // compact_long ≪ rebuild_long at ×8 and compact_long's ratio tracks
+      // the rewrite I/O, not the corpus token count. ---
+      ("x70_postings_rebuild_long", (d: DataFrame) => {
+        val t = "postings_rebuildlong_" + scaleTag
+        Seq(t, t + "_len").foreach(n => d.sparkSession.sql(s"DROP TABLE IF EXISTS $n"))
+        val long = d.select(col("doc_id"),
+          concat_ws(" ", (0 until 8).map(_ => col("text")): _*).as("text"))
+        graft.ops.TextOps.materializedPostings(long, t)
+        d.sparkSession.table(t + "_len")
+      }, true),
+      ("x70_postings_cut_long", (d: DataFrame) => {
+        // the as-of-cut index the NEXT probe compacts — its build cost is
+        // recorded here, so the compact probe times compaction alone
+        val t = "postings_compactlong_" + scaleTag
+        Seq(t, t + "_len").foreach(n => d.sparkSession.sql(s"DROP TABLE IF EXISTS $n"))
+        val long = d.select(col("doc_id"),
+          concat_ws(" ", (0 until 8).map(_ => col("text")): _*).as("text"))
+        val lagLo = docStride - docStride / 8
+        graft.ops.TextOps.materializedPostings(
+          long.filter(col("doc_id") < lagLo || col("doc_id") >= docStride), t)
+        d.sparkSession.table(t + "_len")
+      }, true),
+      ("x70_postings_compact_long", (d: DataFrame) => {
+        // pure compaction: fold the fixed lag slice into the index the
+        // previous probe built — tokenizes only the lag docs, semi-joins
+        // and rewrites the (short-text-sized) postings rows
+        val t = "postings_compactlong_" + scaleTag
+        val long = d.select(col("doc_id"),
+          concat_ws(" ", (0 until 8).map(_ => col("text")): _*).as("text"))
+        graft.ops.TextOps.compactPostings(long, t)
+        d.sparkSession.table(t + "_len")
+      }, true),
       ("d39_shingle_lifecycle", (d: DataFrame) => {
         // the FULL shingle-artifact lifecycle cold (x67's truth side):
         // one shingle pass → capped index + full sets + sizes ledger,
