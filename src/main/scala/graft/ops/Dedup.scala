@@ -1272,7 +1272,15 @@ object Dedup {
     val nearEv = sigged
       .select(col("doc_id"), col(tsCol), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col(tsCol), col("b.band").as("band"), col("b.sig").as("sig"))
-      .join(F.broadcast(corpusKeys), Seq("band", "sig"), "left")
+      // UNHINTED (round 11): corpusKeys is one row per distinct (band,
+      // sig) — corpus-proportional (each doc mints `bands` signatures), so
+      // a hint would force a corpus-scale broadcast onto every executor at
+      // 100 TB. The static-side planner broadcasts it at fixture scale
+      // from its stats; past the threshold the stream-static join shuffles
+      // (the honest scale path for near-dup-on-ingest is the persisted
+      // index family anyway — d15's Bloom side for exact, d38's shingle
+      // index for near).
+      .join(corpusKeys, Seq("band", "sig"), "left")
       .select(col("doc_id"), col(tsCol), lit(0L).as("e"),
         coalesce(col("hit"), lit(0L)).as("n"))
     exactEv.unionByName(nearEv)
@@ -1300,10 +1308,17 @@ object Dedup {
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, k: Int = 5,
       minOverlap: Int = 1): DataFrame = {
     val corpusSh = shingleIdsFromArrays(Vocab.hashTokenIdArrays(corpus), k)
+    // benchSh joins UNHINTED (round 11, the hardened PlanGuard): the
+    // benchmark is semantically an eval suite — tiny — but STATICALLY it
+    // is whatever frame the caller passes (the fixture passes a corpus
+    // slice), and a broadcast hint would force the build at every scale.
+    // Stats-driven planning broadcasts a genuinely small benchmark at
+    // every scale anyway — the hint bought nothing the size estimate
+    // doesn't, and cost the 100 TB safety margin.
     val benchSh = shingleIdsFromArrays(Vocab.hashTokenIdArrays(benchmark), k)
       .select(col("shingle_id")).distinct()
     corpusSh
-      .join(F.broadcast(benchSh), Seq("shingle_id"))
+      .join(benchSh, Seq("shingle_id"))
       // shingle ids are distinct per doc, so count(*) = distinct overlap
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
@@ -1357,11 +1372,15 @@ object Dedup {
   def contaminationScore(corpus: DataFrame, benchmark: DataFrame,
       k: Int = 5): DataFrame = {
     val corpusSh = shingleIdsFromArrays(Vocab.hashTokenIdArrays(corpus), k)
+    // UNHINTED for the same reason as [[decontaminate]]'s bench side
+    // (round 11): statically the benchmark is caller-supplied — a hint
+    // would force the broadcast at every scale, while stats-driven
+    // planning broadcasts a genuinely small benchmark anyway.
     val benchSh = shingleIdsFromArrays(Vocab.hashTokenIdArrays(benchmark), k)
       .select(col("shingle_id")).distinct()
       .withColumn("hit", lit(1L))
     corpusSh
-      .join(F.broadcast(benchSh), Seq("shingle_id"), "left")
+      .join(benchSh, Seq("shingle_id"), "left")
       .groupBy(col("doc_id"))
       // shingle ids are distinct per doc, so count(*) = distinct shingles
       // and sum(hit) = distinct benchmark overlap

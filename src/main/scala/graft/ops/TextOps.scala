@@ -320,8 +320,14 @@ object TextOps {
     * returned for any downstream float weighting).
     *
     * Scale: tf is one map-side-combined aggregation; df aggregates the tf
-    * table (vocabulary-sized, broadcast back); the rank window is
-    * partitioned by doc_id — never a global sort.
+    * table back to one row per distinct term — VOCABULARY-sized, which
+    * grows with an open corpus (Heaps' law), so the df join is UNHINTED
+    * (round-11: the hardened PlanGuard's first fleet find — a forced
+    * broadcast of the full-corpus vocabulary, the x60 hazard shape that
+    * survived ten rounds of by-hand audits): AQE broadcasts it from its
+    * TRUE runtime size at fixture scale and shuffles on term at corpus
+    * scale. The rank window is partitioned by doc_id — never a global
+    * sort.
     */
   def topTerms(docs: DataFrame, k: Int = 5): DataFrame = {
     val tf = docs
@@ -332,7 +338,7 @@ object TextOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    tf.join(org.apache.spark.sql.functions.broadcast(df), "term")
+    tf.join(df, "term")
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
@@ -1208,7 +1214,7 @@ object TextOps {
     // doubles — same sub-expressions over the same inputs, and the per-row
     // tree (idf·(tf·(k1+1)))/(tf+denom) keeps the oracle's operation order)
     val idfs = dfs
-      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+      .join(qterms.select(col("term")).distinct(), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("term"),
         log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
@@ -1221,25 +1227,35 @@ object TextOps {
     // exchange) on a SHUFFLE join — norms is corpus-sized (one row per
     // doc), so broadcasting it would hit the 8 GB broadcast ceiling long
     // before the corpus does (AQE still broadcasts it at fixture scale).
-    // qterms joins UNHINTED (round 10 — the new hinted-broadcast guard's
-    // one fleet find): at the default 1-in-31 sample the (query_id, term)
-    // frame is corpus-PROPORTIONAL, so a hint would force a corpus-scale
-    // broadcast at 100 TB — the round-8 x64 hazard in its recompute form.
-    // AQE re-plans the join as a broadcast at runtime from the TRUE size
-    // at fixture scale, and shuffles it at corpus scale — the same
-    // bare-qterms contract as bm25RankMatchedHits. Only
-    // the statically bounded frames (distinct terms, idfs) keep hints.
-    // The EXPLICIT repartition is load-bearing: the joined postings
-    // exchange is only ~20 MB, so AQE would coalesce it to one partition
-    // and the 64× join blowup would run on ONE task — a fixed-count
-    // repartition is exempt from coalescing and sizes the stage for its
-    // OUTPUT
+    // qterms joins UNHINTED (round 10): at the default 1-in-31 sample the
+    // (query_id, term) frame is corpus-PROPORTIONAL, so a hint would
+    // force a corpus-scale broadcast at 100 TB — the round-8 x64 hazard
+    // in its recompute form. Round 11 extends the same verdict to the
+    // distinct-terms and idfs frames: one row per distinct QUERY term is
+    // vocabulary-of-the-sample-sized — Heaps-law growth over an open
+    // corpus, not a static bound — so the hardened PlanGuard (which now
+    // distrusts term-keyed aggregates) flags their hints, and they too
+    // join bare: AQE broadcasts each from its TRUE runtime size at
+    // fixture scale and shuffles at corpus scale.
+    // The EXPLICIT repartition protects the BROADCAST regime: when AQE
+    // broadcasts qterms+idfs, the blowup join runs directly over this
+    // stage, whose joined-postings exchange is only ~20 MB — AQE would
+    // coalesce it to one partition and the 64× join blowup would run on
+    // ONE task; a fixed-count repartition is exempt from coalescing and
+    // sizes the stage for its OUTPUT. In the SHUFFLE regime (qterms past
+    // the threshold) Spark inserts a term-keyed exchange after it which
+    // AQE may still coalesce — but only in the narrow mid-scale window
+    // where the joined inputs are genuinely small; at corpus scale the
+    // inputs size the stage themselves. Repartitioning on term instead
+    // would pin that regime too, but concentrates every stopword's
+    // df·qf blowup rows in ONE partition — a skew straggler at exactly
+    // the scale the guard cares about — so doc_id stays the key.
     val nPart = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val scored = postings
       .join(norms, Seq("doc_id"))
       .repartition(nPart, col("doc_id"))
       .join(qterms, Seq("term"))
-      .join(broadcast(idfs), Seq("term"))
+      .join(idfs, Seq("term"))
       .filter(col("doc_id") =!= col("query_id")) // the query doc IS a corpus doc
       .select(col("query_id"), col("doc_id"),
         (col("idf") * (col("tf") * lit(k1 + 1.0)) / (col("tf") + col("denom"))).as("s"))
@@ -1507,9 +1523,10 @@ object TextOps {
   /** [[bm25SearchFromIndexTerms]] with the query terms kept as a
     * DATAFRAME — the corpus-scale form the served evals dispatch to past
     * [[servedEvalJoinThreshold]] queries (round-8 verdict #1): the
-    * postings prune via a broadcast SEMI-join on the distinct query
-    * `term` set (vocabulary-bounded — the same candidate restriction the
-    * literal IN-list applies, without O(Q) driver literals), per-term
+    * postings prune via a stats-planned SEMI-join on the distinct query
+    * `term` set (the same candidate restriction the literal IN-list
+    * applies, without O(Q) driver literals — broadcast when the term set
+    * is small, shuffled when it isn't; unhinted since round 11), per-term
     * document frequencies come from the matched postings exactly as in
     * the batched form (df is a per-term quantity, so batching never
     * changed it), and the per-query scoring join runs DISTRIBUTED — the
@@ -1531,8 +1548,17 @@ object TextOps {
     // documented path-independence contract breaks silently (round-9
     // ADVICE; in-repo callers already pre-apply array_distinct)
     val qt = qterms.dropDuplicates("query_id", "term")
+    // the distinct-terms prune joins UNHINTED (round 11): one row per
+    // distinct query term is vocabulary-of-the-query-set-sized — Heaps-law
+    // growth when the query set is corpus-proportional (exactly this
+    // path's dispatch condition), so a hint would force the broadcast at
+    // every scale; AQE broadcasts the semi-join side from its TRUE
+    // runtime size at fixture scale and shuffles at corpus scale. (This
+    // frame sits behind the eager checkpoint below, where the per-query
+    // PlanGuard gate cannot see it — the unhint is the same discipline
+    // applied by code review rather than by the sweep.)
     val hits = spark.table(table)
-      .join(broadcast(qt.select(col("term")).distinct()),
+      .join(qt.select(col("term")).distinct(),
         Seq("term"), "left_semi")
       .dropDuplicates("term", "doc_id")
       .persist() // feeds df and the scoring join
@@ -1555,12 +1581,19 @@ object TextOps {
   private def bm25RankMatchedHits(spark: org.apache.spark.sql.SparkSession,
       table: String, hits: DataFrame, qterms: DataFrame, k: Int,
       k1: Double, b: Double, excludeQueryDoc: Boolean): DataFrame = {
+    // dfs joins UNHINTED (round 11): it is one row per distinct MATCHED
+    // term. On the IN-list path that is ≤ |driver literals| — statically
+    // bounded — but on the semi-join path it is vocabulary-of-the-query-
+    // set-sized (Heaps-law growth when the query set is corpus-
+    // proportional), and this tail is ONE definition shared by both
+    // paths, so it carries the weaker contract: AQE broadcasts from the
+    // TRUE runtime size at fixture scale, shuffles at corpus scale.
     val dfs = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = spark.table(table + "_len")
       .agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avglen"))
     val perTerm = hits
       .join(qterms, Seq("term"))
-      .join(broadcast(dfs), Seq("term"))
+      .join(dfs, Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),
         (log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *

@@ -102,7 +102,11 @@ object Vocab {
       col("doc_id"),
       posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token"))
     )
-    toks.join(F.broadcast(build(docs)), "token")
+    // UNHINTED (round 11): the vocabulary grows with an open corpus
+    // (Heaps' law), so a hint would force the broadcast at every scale —
+    // stats/AQE broadcast a genuinely small vocabulary anyway, and
+    // [[hashTokenIds]] remains the no-join path for unbounded id spaces
+    toks.join(build(docs), "token")
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"), col("token_id"))
   }
 

@@ -1,8 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Expression, In, InSet}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, EqualTo, Expression, In, InSet}
 import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.{logical => logical}
 import org.apache.spark.sql.execution._
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -84,13 +85,13 @@ object PlanGuard {
       //      aggregates and global limits funnel too, but their exchange
       //      child is a partial aggregate / local limit, i.e. bounded. ----
       case e: ShuffleExchangeExec if e.outputPartitioning.numPartitions == 1 =>
-        corpusLeaf(e.child).foreach { leaf =>
+        corpusLeaf(e.child, localLimitBounds = true).foreach { leaf =>
           joins += s"SinglePartition shuffle funnels a corpus-unbounded child: $leaf" +
             s"\n    child subtree:\n" +
             e.child.treeString.linesIterator.take(10).map("      " + _).mkString("\n")
         }
       case c: CoalesceExec if c.numPartitions == 1 =>
-        corpusLeaf(c.child).foreach { leaf =>
+        corpusLeaf(c.child, localLimitBounds = true).foreach { leaf =>
           joins += s"coalesce(1) funnels a corpus-unbounded child: $leaf"
         }
       case _ => ()
@@ -124,10 +125,14 @@ object PlanGuard {
     * reaches a corpus-scale relation with no bound on the way — the same
     * bounds as [[corpusProductViolations]] plus their pre-optimizer forms
     * (Distinct/Deduplicate are aggregates the optimizer has not rewritten
-    * yet). Scans of the schema-fixed dimension tables (nation: 25 rows,
-    * region: 5 — cardinalities set by the data model, independent of
-    * scale factor) are bounded leaves: broadcasting a dimension is the
-    * canonical correct use of the hint.
+    * yet), EXCEPT that an aggregate keyed on a corpus-id / vocabulary
+    * column ([[isCorpusIdName]]) is distrusted and the walk continues
+    * through it (round-10 verdict #2: `broadcast(postings.groupBy(doc_id)
+    * .agg(...))` is one row per DOCUMENT — corpus-sized — and sailed
+    * through the round-10 guard). Scans of the schema-fixed dimension
+    * tables (nation: 25 rows, region: 5 — cardinalities set by the data
+    * model, independent of scale factor) are bounded leaves: broadcasting
+    * a dimension is the canonical correct use of the hint.
     */
   def hintedBroadcastViolations(plan: logical.LogicalPlan): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
@@ -144,12 +149,16 @@ object PlanGuard {
   }
 
   /** Schema-fixed dimension cardinality: true when every root path of the
-    * scan names one of the constant-size dimension tables.
+    * scan names one of the constant-size dimension tables — EXACT table
+    * stem match (round-11 ADVICE: `startsWith("nation")` silently exempted
+    * any corpus table whose directory merely began with the word, e.g.
+    * `national_docs/`).
     */
   private def isDimensionScan(paths: Seq[String]): Boolean =
     paths.nonEmpty && paths.forall { p =>
       val last = p.stripSuffix("/").split('/').last.toLowerCase
-      last.startsWith("nation") || last.startsWith("region")
+      val stem = last.stripSuffix(".parquet")
+      stem == "nation" || stem == "region"
     }
 
   /** The top-k-per-group filter shape: a comparison of a rank-like window
@@ -178,22 +187,140 @@ object PlanGuard {
       case c: Cast => refsRank(c.child)
       case _ => false
     }
+    // Only the KEEP-TOP directions bound cardinality (round-11 ADVICE:
+    // `rank >= 2` keeps all BUT the top rows per group — corpus-unbounded
+    // — yet matched the old any-direction rule): rank ≤ k / rank < k /
+    // rank = k with the rank on the smaller side, or the mirrored
+    // k ≥ rank / k > rank with the rank on the right.
     ids.nonEmpty && f.condition.exists {
-      case cmp: BinaryComparison =>
-        (refsRank(cmp.left) && cmp.right.foldable) ||
-          (refsRank(cmp.right) && cmp.left.foldable)
+      case LessThan(l, r) => refsRank(l) && r.foldable
+      case LessThanOrEqual(l, r) => refsRank(l) && r.foldable
+      case EqualTo(l, r) =>
+        (refsRank(l) && r.foldable) || (refsRank(r) && l.foldable)
+      case GreaterThan(l, r) => l.foldable && refsRank(r)
+      case GreaterThanOrEqual(l, r) => l.foldable && refsRank(r)
       case _ => false
     }
   }
 
+  /** Column names that carry corpus-cardinality identity: the row-per-
+    * entity keys (doc_id, vec_id, …), vocabulary keys (term, token,
+    * shingle), and content keys (sig, digest). An Aggregate grouped on
+    * one of these is itself corpus-sized — `postings.groupBy(doc_id)` has
+    * one row per DOCUMENT, `tokens.groupBy(term)` one row per vocabulary
+    * entry (Heaps-law growth: unbounded over an open corpus) — so it must
+    * not launder a corpus scan into a "bounded" hint target (round-10
+    * verdict #2: exactly this blind-spot shape let x60's hint survive
+    * nine rounds of by-hand audits). Name-based by necessity (cardinality
+    * is semantic, not structural); the residual gap — a composite
+    * grouping expression like `floor(doc_id / 1000)`, still corpus-
+    * proportional, dodges the check because only direct attribute keys
+    * are matched — is accepted: the fleet groups on either raw ids or
+    * genuinely-bounded hash buckets, and a bucket expression that ISN'T
+    * bounded is a new idiom worth a deliberate entry here.
+    */
+  private def isCorpusIdName(name: String): Boolean = {
+    val n = name.toLowerCase
+    n == "id" || n.endsWith("_id") || n == "term" || n == "token" ||
+      n == "shingle" || n == "sig" || n == "digest" || n == "node"
+  }
+
+  private def idKeyed(exprs: Seq[Expression]): Boolean = exprs.exists { e =>
+    val stripped = e match {
+      case a: Alias => a.child
+      case x => x
+    }
+    (stripped match {
+      case c: Cast => c.child
+      case x => x
+    }) match {
+      case a: AttributeReference => isCorpusIdName(a.name)
+      case _ => false
+    }
+  }
+
+  /** Is `side` of join `j` unique per its equi-join keys — i.e. an
+    * Aggregate/Distinct/Deduplicate keyed on (a subset of) the join keys,
+    * reachable through attribute-only wrappers? Then the join emits at
+    * most one row from this side per key value, so |output| ≤ |other
+    * side|: the join as a whole is bounded whenever the other side is.
+    * This is what keeps the legitimate x33 shape — per-term df frame
+    * (grouped on term, corpus-derived) inner-joined to a LITERAL query's
+    * distinct terms — a valid hint target after the aggregate distrust.
+    */
+  private def uniqueOnJoinKeys(j: logical.Join, checkLeft: Boolean): Boolean = {
+    val side = if (checkLeft) j.left else j.right
+    val sideOut = side.outputSet
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case x => Seq(x)
+    }
+    val keys = j.condition.toSeq.flatMap(conjuncts).flatMap {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        if (sideOut.contains(a)) Some(a.exprId.id)
+        else if (sideOut.contains(b)) Some(b.exprId.id)
+        else None
+      case _ => None
+    }.toSet
+    @scala.annotation.tailrec
+    def unique(p: logical.LogicalPlan): Boolean = p match {
+      case h: logical.ResolvedHint => unique(h.child)
+      case s: logical.SubqueryAlias => unique(s.child)
+      case pr: logical.Project
+          if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        unique(pr.child)
+      case a: logical.Aggregate =>
+        a.groupingExpressions.nonEmpty && a.groupingExpressions.forall {
+          case ar: AttributeReference => keys.contains(ar.exprId.id)
+          case _ => false
+        }
+      case d: logical.Distinct =>
+        d.output.forall(at => keys.contains(at.exprId.id))
+      case dd: logical.Deduplicate =>
+        dd.keys.forall(at => keys.contains(at.exprId.id))
+      case _ => false
+    }
+    keys.nonEmpty && unique(side)
+  }
+
   private def logicalCorpusLeaf(p: logical.LogicalPlan): Option[String] = p match {
     // ---- cardinality bounds (pre-optimizer forms included) ----
-    case _: logical.Aggregate | _: logical.Distinct | _: logical.Deduplicate => None
+    // An aggregate bounds cardinality ONLY when its keys are metadata-
+    // cardinality (round-10 verdict #2 closed): grouped on a corpus-id /
+    // vocabulary key it is itself corpus-sized, so the distrusted form
+    // recurses — the subtree stays allowed if a REAL bound (literal
+    // IN-list, limit, local relation, bounded join) sits below.
+    case a: logical.Aggregate =>
+      if (idKeyed(a.groupingExpressions)) logicalCorpusLeaf(a.child) else None
+    case d: logical.Distinct =>
+      if (d.output.exists(at => isCorpusIdName(at.name)))
+        logicalCorpusLeaf(d.child)
+      else None
+    case dd: logical.Deduplicate =>
+      if (dd.keys.exists(at => isCorpusIdName(at.name)))
+        logicalCorpusLeaf(dd.child)
+      else None
     case _: logical.GlobalLimit | _: logical.LocalLimit => None
     // top-k-per-group (the repo's window-rank ≤ literal idiom): |groups|·k
     // rows — bounded under the same metadata-cardinality-groups assumption
     // the Aggregate bound already makes
     case f: logical.Filter if hasLiteralInList(f.condition) || isTopKFilter(f) => None
+    // ---- joins that bound their own output ----
+    // semi/anti emit a subset of the LEFT side — the right side's
+    // cardinality never reaches the output
+    case j: logical.Join if j.joinType == LeftSemi || j.joinType == LeftAnti =>
+      logicalCorpusLeaf(j.left)
+    // an inner equi-join with one side bounded and the other unique per
+    // join key emits ≤ |bounded side| rows
+    case j: logical.Join if j.joinType == Inner && j.condition.isDefined =>
+      val lLeaf = logicalCorpusLeaf(j.left)
+      val rLeaf = logicalCorpusLeaf(j.right)
+      (lLeaf, rLeaf) match {
+        case (None, None) => None
+        case (None, Some(_)) if uniqueOnJoinKeys(j, checkLeft = false) => None
+        case (Some(_), None) if uniqueOnJoinKeys(j, checkLeft = true) => None
+        case _ => lLeaf.orElse(rLeaf)
+      }
     // ---- bounded leaves ----
     case _: logical.LocalRelation | _: logical.OneRowRelation |
         _: logical.Range => None
@@ -215,12 +342,24 @@ object PlanGuard {
 
   /** First corpus-scale leaf reachable from `p` without passing a
     * cardinality bound, as a description — None = side is bounded.
+    *
+    * `localLimitBounds` (round-11 ADVICE): a bare `LocalLimitExec(n)`
+    * carries n × numPartitions rows — that grows with corpus partition
+    * count, so it is NOT metadata-sized for a join build side. It IS the
+    * right bound for the single-partition-funnel walk, whose subject is a
+    * global limit's lower half (the exchange child): the rows entering
+    * the one task are ≤ n per upstream partition and the global limit
+    * above discards all but n. Join walks pass false (GlobalLimit /
+    * CollectLimit / TakeOrdered — which every API-built limit plans above
+    * its LocalLimit — still bound them); funnel walks pass true.
     */
-  private def corpusLeaf(p: SparkPlan): Option[String] = p match {
+  private def corpusLeaf(p: SparkPlan,
+      localLimitBounds: Boolean = false): Option[String] = p match {
     // ---- cardinality bounds: stop, subtree is metadata-sized ----
     case _: BaseAggregateExec => None
-    case _: GlobalLimitExec | _: CollectLimitExec | _: LocalLimitExec |
+    case _: GlobalLimitExec | _: CollectLimitExec |
         _: TakeOrderedAndProjectExec => None
+    case _: LocalLimitExec if localLimitBounds => None
     case f: FilterExec if hasLiteralInList(f.condition) => None
     // ---- corpus-scale leaves ----
     case s: FileSourceScanExec =>
@@ -228,15 +367,15 @@ object PlanGuard {
         .getOrElse(s.relation.location.rootPaths.take(1).mkString)}")
     case r: RDDScanExec => Some(s"checkpoint/RDD leaf ${r.nodeName}")
     // ---- transparent wrappers ----
-    case a: AdaptiveSparkPlanExec => corpusLeaf(a.executedPlan)
-    case q: QueryStageExec => corpusLeaf(q.plan)
-    case im: InMemoryTableScanExec => corpusLeaf(im.relation.cachedPlan)
-    case r: ReusedExchangeExec => corpusLeaf(r.child)
+    case a: AdaptiveSparkPlanExec => corpusLeaf(a.executedPlan, localLimitBounds)
+    case q: QueryStageExec => corpusLeaf(q.plan, localLimitBounds)
+    case im: InMemoryTableScanExec => corpusLeaf(im.relation.cachedPlan, localLimitBounds)
+    case r: ReusedExchangeExec => corpusLeaf(r.child, localLimitBounds)
     // ---- anything else: a leaf is bounded, an inner node passes the
     //      question to its children (joins/unions/projections/windows
     //      never bound cardinality) ----
     case leaf if leaf.children.isEmpty => None
-    case other => other.children.view.flatMap(corpusLeaf).headOption
+    case other => other.children.view.flatMap(corpusLeaf(_, localLimitBounds)).headOption
   }
 
   /** Does the predicate contain a literal IN-list (In with literal values,

@@ -788,6 +788,70 @@ class PlanSpec extends SparkSpec {
       "guard over-flags the window-top-k shortlist broadcast")
   }
 
+  test("planguard distrusts corpus-id-keyed aggregates as hint bounds (round 11)") {
+    // round-10 verdict #2: ANY aggregate counted as a cardinality bound,
+    // so a hinted broadcast of a per-document or per-term aggregate —
+    // itself corpus-sized — sailed through both guard layers. These
+    // controls pin the closed blind spot; if one goes green the distrust
+    // has rotted.
+    val docsSmall = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val postings = docsSmall
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    def flags(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      graft.plans.PlanGuard.hintedBroadcastViolations(df.queryExecution.analyzed)
+    // one row per DOCUMENT: corpus-sized despite the aggregate
+    val perDoc = Seq(1L).toDF("one").crossJoin(
+      broadcast(postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))))
+    assert(flags(perDoc).nonEmpty,
+      "guard missed the hinted per-doc aggregate broadcast")
+    // one row per document, Distinct form
+    val distinctIds = Seq(1L).toDF("one").crossJoin(
+      broadcast(docsSmall.select(col("doc_id")).distinct()))
+    assert(flags(distinctIds).nonEmpty,
+      "guard missed the hinted distinct-doc_id broadcast")
+    // one row per distinct TERM: vocabulary-sized (Heaps-law unbounded)
+    val vocabDf = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    assert(flags(Seq(1L).toDF("one").crossJoin(broadcast(vocabDf))).nonEmpty,
+      "guard missed the hinted vocabulary-aggregate broadcast")
+    // ALLOWED: the x33 shape — the corpus-side per-term df frame is
+    // unique per term and inner-joins a LITERAL query's distinct terms,
+    // so the join emits ≤ |literal terms| rows: a sound hint target
+    val qterms = Seq((1L, "alpha"), (1L, "beta"), (2L, "alpha"))
+      .toDF("query_id", "term")
+    val x33Shape = postings.join(
+      broadcast(vocabDf.join(qterms.select(col("term")).distinct(),
+        Seq("term"))), Seq("term"))
+    assert(flags(x33Shape).isEmpty,
+      "guard over-flags the literal-bounded unique-join df frame (x33 shape)")
+    // ALLOWED: an id-keyed aggregate whose lineage carries a literal
+    // IN-list bound below the aggregate
+    val inBounded = Seq(1L).toDF("one").crossJoin(
+      broadcast(docsSmall.filter(col("doc_id").isin(1L, 2L, 3L))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))))
+    assert(flags(inBounded).isEmpty,
+      "guard over-flags the IN-list-bounded id aggregate")
+    // top-k DIRECTION (round-11 ADVICE): rank >= 2 keeps all but the top
+    // rows per group — corpus-unbounded — and must NOT count as a bound...
+    val wsrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val ranked = docsSmall.withColumn("rn", row_number().over(wsrc))
+    assert(flags(Seq(1L).toDF("one")
+      .crossJoin(broadcast(ranked.filter(col("rn") >= 2)))).nonEmpty,
+      "guard missed the keep-all-but-top-k hinted broadcast")
+    // ...while the mirrored keep-top form (literal on the left) stays allowed
+    assert(flags(Seq(1L).toDF("one")
+      .crossJoin(broadcast(ranked.filter(lit(5) >= col("rn"))))).isEmpty,
+      "guard over-flags the mirrored k >= rank top-k filter")
+    // dimension-scan EXACT stem (round-11 ADVICE): a corpus table whose
+    // directory merely starts with 'nation' is not a dimension
+    val fakeDir = tmpDir("pg_dim") + "/nationwide.parquet"
+    docsSmall.limit(50).write.mode("overwrite").parquet(fakeDir)
+    val fake = spark.read.parquet(fakeDir)
+    assert(flags(Seq(1L).toDF("one").crossJoin(broadcast(fake))).nonEmpty,
+      "guard exempted a non-dimension table by name prefix")
+  }
+
   test("fleet sweep: no query plans a corpus-unbounded BNLJ build, cartesian side, or single-partition funnel") {
     // round-9 verdict #2: x53's corpus-sized BroadcastNestedLoopJoin build
     // hid for three rounds because every plan assertion looked at ONE
