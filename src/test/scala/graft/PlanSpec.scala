@@ -850,6 +850,19 @@ class PlanSpec extends SparkSpec {
     val fake = spark.read.parquet(fakeDir)
     assert(flags(Seq(1L).toDF("one").crossJoin(broadcast(fake))).nonEmpty,
       "guard exempted a non-dimension table by name prefix")
+    // DOCUMENTED GAP, pinned deliberately (PlanGuard.isCorpusIdName
+    // scaladoc): a COMPOSITE grouping expression over an id column —
+    // floor(doc_id / 1000) here, still corpus-proportional — is NOT
+    // distrusted, because only direct attribute keys are name-matched
+    // and the fleet's composite groupings are genuinely-bounded hash
+    // buckets. If this assertion ever FAILS the guard has grown a
+    // composite-expression rule — delete this control and the scaladoc
+    // paragraph together.
+    val gap = Seq(1L).toDF("one").crossJoin(
+      broadcast(docsSmall.groupBy(floor(col("doc_id") / 1000).as("blk"))
+        .agg(count(lit(1)).as("n"))))
+    assert(flags(gap).isEmpty,
+      "composite-id grouping is now distrusted — retire this documented-gap control")
   }
 
   test("fleet sweep: no query plans a corpus-unbounded BNLJ build, cartesian side, or single-partition funnel") {
