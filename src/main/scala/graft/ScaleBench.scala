@@ -262,7 +262,7 @@ object ScaleBench {
         val t = "postings_rebuildlong_" + scaleTag
         Seq(t, t + "_len").foreach(n => d.sparkSession.sql(s"DROP TABLE IF EXISTS $n"))
         val long = d.select(col("doc_id"),
-          concat_ws(" ", (0 until 8).map(_ => col("text")): _*).as("text"))
+          concat_ws(" ", (0 until 32).map(_ => col("text")): _*).as("text"))
         graft.ops.TextOps.materializedPostings(long, t)
         d.sparkSession.table(t + "_len")
       }, true),
@@ -272,19 +272,24 @@ object ScaleBench {
         val t = "postings_compactlong_" + scaleTag
         Seq(t, t + "_len").foreach(n => d.sparkSession.sql(s"DROP TABLE IF EXISTS $n"))
         val long = d.select(col("doc_id"),
-          concat_ws(" ", (0 until 8).map(_ => col("text")): _*).as("text"))
+          concat_ws(" ", (0 until 32).map(_ => col("text")): _*).as("text"))
         val lagLo = docStride - docStride / 8
         graft.ops.TextOps.materializedPostings(
           long.filter(col("doc_id") < lagLo || col("doc_id") >= docStride), t)
         d.sparkSession.table(t + "_len")
       }, true),
       ("x70_postings_compact_long", (d: DataFrame) => {
-        // pure compaction: fold the fixed lag slice into the index the
-        // previous probe built — tokenizes only the lag docs, semi-joins
-        // and rewrites the (short-text-sized) postings rows
+        // pure compaction: fold the fixed lag slice into the as-of-cut
+        // index — tokenizes only the lag docs, semi-joins and rewrites
+        // the (short-text-sized) postings rows. STATEFUL: compaction
+        // leaves the index covering `current`, so a re-measurement would
+        // hit the no-op fast path and time nothing — the UNTIMED setup
+        // in `probeSetup` rebuilds the cut index before every timed
+        // invocation (min-of-2 made this observable: the old in-order
+        // coupling to the cut probe timed 0.2 s no-ops on second runs)
         val t = "postings_compactlong_" + scaleTag
         val long = d.select(col("doc_id"),
-          concat_ws(" ", (0 until 8).map(_ => col("text")): _*).as("text"))
+          concat_ws(" ", (0 until 32).map(_ => col("text")): _*).as("text"))
         graft.ops.TextOps.compactPostings(long, t)
         d.sparkSession.table(t + "_len")
       }, true),
@@ -375,7 +380,7 @@ object ScaleBench {
         graft.ops.TextOps.bpeMerges(d, rounds = 32, driverMaxHist = 0L), true)
     )
 
-    def time(fn: () => DataFrame): (Double, Long) = {
+    def timeOnce(fn: () => DataFrame): (Double, Long) = {
       spark.sqlContext.clearCache()
       val t0 = System.nanoTime()
       // toRdd.count(), not DataFrame.count(): count() prunes projections
@@ -385,13 +390,51 @@ object ScaleBench {
       val rows = fn().queryExecution.toRdd.count()
       ((System.nanoTime() - t0) / 1e9, rows)
     }
+    // MIN of two measurements per probe (round-11, the Bench noise
+    // discipline applied to the scale artifact): a single-draw ratio can
+    // triple on one contended minute (round-11 saw an untouched probe's
+    // ×8 read 8.6 s in one draw and ~2 s in the next) — contention only
+    // ever ADDS time, so min-of-2 is the cleanest same-cost observation.
+    // Probes must be re-entrant for this: most are by construction
+    // (warmup + x1 + x8 already invoke every fn repeatedly; artifact
+    // probes drop-and-rebuild); the one STATEFUL probe declares an
+    // untimed `setup` in `probeSetup` that restores its precondition
+    // before every measurement.
+    def time(fn: () => DataFrame, setup: () => Unit = () => ()): (Double, Long) = {
+      setup()
+      val a = timeOnce(fn)
+      setup()
+      val b = timeOnce(fn)
+      (math.min(a._1, b._1), b._2)
+    }
+
+    // UNTIMED precondition restorers for stateful probes, keyed by probe
+    // name and run before EVERY timed measurement (see `time`):
+    // x70_postings_compact_long mutates its subject index (compaction
+    // covers the lag, so a second run no-ops) — its setup drops and
+    // rebuilds the as-of-cut index so each measurement times one real
+    // compaction. The cut build cost stays separately visible in the
+    // x70_postings_cut_long row.
+    val probeSetup: Map[String, DataFrame => Unit] = Map(
+      "x70_postings_compact_long" -> { (d: DataFrame) =>
+        val t = "postings_compactlong_" + scaleTag
+        Seq(t, t + "_len").foreach(n => d.sparkSession.sql(s"DROP TABLE IF EXISTS $n"))
+        val long = d.select(col("doc_id"),
+          concat_ws(" ", (0 until 32).map(_ => col("text")): _*).as("text"))
+        val lagLo = docStride - docStride / 8
+        graft.ops.TextOps.materializedPostings(
+          long.filter(col("doc_id") < lagLo || col("doc_id") >= docStride), t)
+        spark.sqlContext.clearCache()
+      })
 
     def runAll(f: Int): Seq[(String, Double, Long)] = {
       scaleTag = s"x$f" // named OUTSIDE the timed closures (ADVICE r6 #4)
       val d = scaledDocs(f)
       val e = scaledEmb(f)
       queries.map { case (name, fn, isDoc) =>
-        val (sec, rows) = time(() => fn(if (isDoc) d else e))
+        val input = if (isDoc) d else e
+        val (sec, rows) = time(() => fn(input),
+          () => probeSetup.get(name).foreach(_(input)))
         System.err.println(f"[scale x$f] $name%-24s $sec%8.2f s  $rows%10d rows")
         (name, sec, rows)
       }
@@ -400,11 +443,15 @@ object ScaleBench {
     // warmup (plan compilation) at a tiny scale so x1 isn't charged for JIT
     val warmD = Tables.documents(spark, "/root/testdata/sf0.001").select(col("doc_id"), col("text"))
     val warmE = Tables.embeddings(spark, "/root/testdata/sf0.001")
-    queries.foreach { case (_, fn, isDoc) =>
+    queries.foreach { case (name, fn, isDoc) =>
       // same full-materialization meter as the timed runs: a pruned
       // count() here would leave the final projection's codegen compiling
       // inside the timed x1 run, inflating x1 and deflating the ratio
-      try { fn(if (isDoc) warmD else warmE).queryExecution.toRdd.count(); () }
+      val input = if (isDoc) warmD else warmE
+      try {
+        probeSetup.get(name).foreach(_(input))
+        fn(input).queryExecution.toRdd.count(); ()
+      }
       catch { case e: Throwable => System.err.println(s"[scale] warmup failed: ${e.getMessage}") }
       spark.sqlContext.clearCache()
     }
@@ -519,8 +566,11 @@ object ScaleBench {
       f""""$n":${s / math.max(b, 1e-9)}%.2f""" }.mkString("{", ",", "}")
     val bRatios = bBase.zip(bX8).map { case ((n, b, _), (_, s, _)) =>
       f""""$n":${s / math.max(b, 1e-9)}%.2f""" }.mkString("{", ",", "}")
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val json =
       s"""{"sf":"$sfDir","n_docs":$nDocs,"n_vecs":$nVecs,"factor":8,""" +
+        s""""measure":"min_of_2","load_avg_end":$loadAvg,""" +
         s""""base":${sect(base)},"x8":${sect(x8)},"time_ratio_x8":$ratios,""" +
         s""""graph_base":${sect(gBase)},"graph_x8":${sect(gX8)},"graph_time_ratio_x8":$gRatios,""" +
         s""""binlog_base":${sect(bBase)},"binlog_x8":${sect(bX8)},"binlog_time_ratio_x8":$bRatios,""" +

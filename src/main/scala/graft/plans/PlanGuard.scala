@@ -38,12 +38,16 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   * "Corpus-unbounded" here is a deliberately conservative static check:
   * walking down from the side's root, a subtree is bounded only when it
   * passes through
-  *   - an aggregate (totals rows, distinct vocabularies, per-key reports —
-  *     every broadcast-fed aggregate in this codebase groups on
-  *     metadata-cardinality keys),
-  *   - a global limit / top-k / local limit (a bare LocalLimit is the
-  *     lower half of a global limit's two-phase plan — the shuffled rows
-  *     are ≤ n per upstream partition),
+  *   - an aggregate whose keys are metadata-cardinality (totals rows,
+  *     per-source/per-lang reports). Since round 11 an aggregate keyed
+  *     on a corpus-id/vocabulary column ([[isCorpusIdName]]: doc_id,
+  *     term, …) does NOT bound — it is one row per document / vocabulary
+  *     entry, i.e. corpus-sized — in EITHER layer: the hint guard
+  *     (a hint forces the build at every scale) and this physical walk
+  *     (a BNLJ/cartesian has no safe shape for the planner to fall back
+  *     to, so stats cannot self-correct it at scale),
+  *   - a global limit / top-k (LocalLimit bounds only the funnel walk —
+  *     see [[corpusLeaf]]),
   *   - a literal IN/INSET filter on a key column (the bounded query-id
   *     idiom: `vec_id isin(queryIds)` — |literals| rows of a unique key),
   * before reaching a file scan. Everything else that reads parquet —
@@ -356,7 +360,14 @@ object PlanGuard {
   private def corpusLeaf(p: SparkPlan,
       localLimitBounds: Boolean = false): Option[String] = p match {
     // ---- cardinality bounds: stop, subtree is metadata-sized ----
-    case _: BaseAggregateExec => None
+    // The id-keyed distrust applies here too (round 11): a per-doc or
+    // per-term aggregate is corpus-sized, and unlike a stats-chosen
+    // broadcast-hash join — which re-plans as a shuffle at scale — a
+    // BNLJ/cartesian has NO safe shape for the planner to fall back to,
+    // so an id-keyed aggregate feeding one is a hazard at every scale.
+    case a: BaseAggregateExec =>
+      if (idKeyed(a.groupingExpressions)) corpusLeaf(a.child, localLimitBounds)
+      else None
     case _: GlobalLimitExec | _: CollectLimitExec |
         _: TakeOrderedAndProjectExec => None
     case _: LocalLimitExec if localLimitBounds => None

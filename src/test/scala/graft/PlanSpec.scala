@@ -863,6 +863,26 @@ class PlanSpec extends SparkSpec {
         .agg(count(lit(1)).as("n"))))
     assert(flags(gap).isEmpty,
       "composite-id grouping is now distrusted — retire this documented-gap control")
+    // the PHYSICAL layer carries the same distrust: a BNLJ whose build
+    // side is a per-doc aggregate (one row per document — corpus-sized)
+    // must flag even though an aggregate sits on the build path; unlike
+    // a stats-chosen hash join, a BNLJ has no safe fallback shape, so
+    // stats cannot self-correct it at scale
+    val perDocLens = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+    val bnljHazard = Seq(16L).toDF("k")
+      .join(broadcast(perDocLens), col("k") <= col("len"), "left")
+    assert(graft.plans.PlanGuard.corpusProductViolations(
+      bnljHazard.queryExecution.executedPlan)
+        .exists(_.contains("BroadcastNestedLoopJoin")),
+      "physical walk missed the id-keyed-aggregate BNLJ build:\n" +
+        bnljHazard.queryExecution.executedPlan.toString)
+    // ...while a metadata-keyed aggregate build stays a valid BNLJ bound
+    val perSource = docsSmall.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val bnljOk = Seq(16L).toDF("k")
+      .join(broadcast(perSource), col("k") <= col("n"), "left")
+    assert(graft.plans.PlanGuard.corpusProductViolations(
+      bnljOk.queryExecution.executedPlan).isEmpty,
+      "physical walk over-flags the metadata-keyed aggregate BNLJ build")
   }
 
   test("fleet sweep: no query plans a corpus-unbounded BNLJ build, cartesian side, or single-partition funnel") {
