@@ -26,17 +26,25 @@ private[ops] trait VectorMarginMining { self: VectorCore with VectorTraining =>
     * threshold applies to the ROUNDED ppm so the cut is boundary-stable.
     *
     * Scale shape: one cross-scoring pass (here exact — the |Q|≪N
-    * broadcast baseline; the bucketed s22 index composes in front for
+    * baseline; the bucketed s22 index composes in front for
     * corpus-×-corpus runs), two per-side window ranks over the scored
-    * frame, metadata-sized avg frames broadcast back. Output:
-    * (test_id, train_id, margin_ppm) for forward-top-1 pairs above the
-    * threshold.
+    * frame, per-side avg frames joined back. ALL joins are UNHINTED
+    * (round 11, the hardened hint doctrine — these frames sit behind the
+    * result checkpoint where the per-query PlanGuard gate cannot see
+    * them, so the discipline is applied by review): `test` is
+    * caller-supplied — statically corpus-proportional in the fixture —
+    * and the backward avg frame is one row per TRAIN vector, i.e.
+    * train-corpus-sized even when the |Q|≪N contract holds; a hint would
+    * force those builds at every scale, while stats/AQE broadcast each
+    * genuinely small frame at fixture scale and shuffle past the
+    * threshold. Output: (test_id, train_id, margin_ppm) for
+    * forward-top-1 pairs above the threshold.
     */
   def marginPairs(test: DataFrame, train: DataFrame, k: Int = 4,
       marginPpmThreshold: Long = 1200000L): DataFrame = {
     val tU = withUnit(test).select(col("vec_id").as("test_id"), col("unit").as("tu"))
     val rU = withUnit(train).select(col("vec_id").as("train_id"), col("unit").as("ru"))
-    val scored = F.broadcast(tU).join(rU)
+    val scored = tU.join(rU)
       .select(col("test_id"), col("train_id"), dot(col("tu"), col("ru")).as("sim"))
     marginFromScored(scored, k, marginPpmThreshold)
   }
@@ -57,7 +65,7 @@ private[ops] trait VectorMarginMining { self: VectorCore with VectorTraining =>
     val tU = withUnit(test).select(col("vec_id").as("test_id"), col("unit").as("tu"))
     val rU = withUnit(train).select(col("vec_id").as("train_id"), col("unit").as("ru"))
     val scored = pairs
-      .join(F.broadcast(tU), Seq("test_id"))
+      .join(tU, Seq("test_id"))
       .join(rU, Seq("train_id"))
       .select(col("test_id"), col("train_id"), dot(col("tu"), col("ru")).as("sim"))
     marginFromScored(scored, k, marginPpmThreshold)
@@ -135,7 +143,9 @@ private[ops] trait VectorMarginMining { self: VectorCore with VectorTraining =>
       graft.functions.VectorFunctions.quantizeCode(col("tu"), mnLit, mxLit).as("tc"))
     val rC = rU.select(col("train_id"),
       graft.functions.VectorFunctions.quantizeCode(col("ru"), mnLit, mxLit).as("rc"))
-    val qScored = F.broadcast(tC).join(rC)
+    // unhinted (round 11): tC is the caller-supplied test side's codes —
+    // statically corpus-proportional; stats pick the build at true size
+    val qScored = tC.join(rC)
       .select(col("test_id"), col("train_id"),
         graft.functions.VectorFunctions.dequantizeDot(
           col("tc"), col("rc"), mnLit, mxLit).as("qsim"))
@@ -150,7 +160,7 @@ private[ops] trait VectorMarginMining { self: VectorCore with VectorTraining =>
         .filter(col("rn") <= shortlist).select(col("test_id"), col("train_id")))
       .distinct()
     val scored = cand
-      .join(F.broadcast(tU), Seq("test_id"))
+      .join(tU, Seq("test_id"))
       .join(rU, Seq("train_id"))
       .select(col("test_id"), col("train_id"), dot(col("tu"), col("ru")).as("sim"))
     // marginFromScored materializes eagerly, so the scan's own caches can
@@ -267,19 +277,21 @@ private[ops] trait VectorMarginMining { self: VectorCore with VectorTraining =>
     val cf = centroidFrame(spark, cents)
     val trainBuckets = assignToCentroids(rU, cf)
       .select(col("vec_id").as("train_id"), col("bucket"), col("unit").as("ru"))
-    // probe KEYS broadcast without the test vectors (round-7 ADVICE: the
+    // probe KEYS separated from the test vectors (round-7 ADVICE: the
     // old broadcast replicated every full double test vector nprobe times
     // — O(|test|·nprobe·d) bytes, over the ceiling at modest |test|); the
-    // vectors rejoin from their own |test|·d broadcast, so the candidate
-    // frame itself never shuffles. Both broadcasts are |test|-bounded — a
-    // test side too large to broadcast at all belongs on the served index
-    // path (ivfBatchTopKFromIndex), not this miner.
+    // vectors rejoin from their own |test|·d frame. Both joins are
+    // UNHINTED (round 11): `test` is caller-supplied, so "|test|-bounded"
+    // is a contract, not a static fact — stats/AQE broadcast both frames
+    // at genuinely small |test| (the fixture) and shuffle past the
+    // threshold; a test side too large to broadcast at all belongs on
+    // the served index path (ivfBatchTopKFromIndex), not this miner.
     val testProbes = topProbeBuckets(tU, "test_id", "tu", cf, nprobe, cents.size)
       .select(col("test_id"), col("bucket"))
     // each train vector lives in exactly ONE bucket, so the probe join
     // cannot duplicate a (test, train) pair — no distinct needed
-    F.broadcast(testProbes).join(trainBuckets, Seq("bucket"))
-      .join(F.broadcast(tU), Seq("test_id"))
+    testProbes.join(trainBuckets, Seq("bucket"))
+      .join(tU, Seq("test_id"))
       .select(col("test_id"), col("train_id"), dot(col("tu"), col("ru")).as("sim"))
   }
 
@@ -340,9 +352,15 @@ private[ops] trait VectorMarginMining { self: VectorCore with VectorTraining =>
               .as(avgCol))
       val fAvg = sideAvg(fRank, "test_id", "f_avg")
       val bAvg = sideAvg(scored.withColumn("rn", row_number().over(wB)), "train_id", "b_avg")
+      // unhinted (round 11): fAvg is |test|-sized (caller contract, not a
+      // static bound) and bAvg is one row per TRAIN vector in the
+      // candidate frame — train-corpus-sized on the exact path even when
+      // |test| is tiny: a broadcast hint here forced a corpus-scale build
+      // at 100 TB. Stats/AQE broadcast at fixture scale, shuffle on
+      // train_id past the threshold.
       fRank.filter(col("rn") === 1)
-        .join(F.broadcast(fAvg), Seq("test_id"))
-        .join(F.broadcast(bAvg), Seq("train_id"))
+        .join(fAvg, Seq("test_id"))
+        .join(bAvg, Seq("train_id"))
         .select(col("test_id"), col("train_id"),
           round(lit(2e6) * col("sim") / (col("f_avg") + col("b_avg")))
             .cast("long").as("margin_ppm"))
