@@ -2279,9 +2279,15 @@ object TextOps {
     val ca = cab.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
     val cb = cab.groupBy(col("w2")).agg(sum(col("c_ab")).as("c_b"))
     val n = cab.agg(sum(col("c_ab")).as("n"))
+    // the marginals join UNHINTED (round 11): ca/cb are one row per
+    // distinct WORD — vocabulary-sized, Heaps-law growth over an open
+    // corpus (the x7 class; these dodged the name-based guard because
+    // w1/w2 are not id-named). AQE broadcasts them from TRUE size at
+    // fixture scale and shuffles on the word key at corpus scale — the
+    // global total n stays hinted (one row by construction).
     cab
-      .join(broadcast(ca), Seq("w1"))
-      .join(broadcast(cb), Seq("w2"))
+      .join(ca, Seq("w1"))
+      .join(cb, Seq("w2"))
       .crossJoin(broadcast(n))
       .filter(col("c_ab") >= minCount)
       .select(col("w1"), col("w2"), col("c_ab"),
