@@ -176,23 +176,35 @@ object Bench {
     // without any code being different — one run's JSON then classifies
     // itself. Min-of-3 per canary: contention only ever adds time.
     val canaryNames = Seq("b1_txn_stats", "t1_pricing_summary", "x9_normalize")
-    def timeCanaries(): Seq[(String, Double)] =
+    def timeCanaries(label: String): Seq[(String, Double)] =
       canaryNames.flatMap { n =>
-        SparkEntry.queries.get(n).map { fn =>
-          val ts = (1 to 3).map { _ =>
-            val t0 = System.nanoTime()
-            materialize(fn(spark, sfDir))
-            spark.sqlContext.clearCache()
-            (System.nanoTime() - t0) / 1e9
+        SparkEntry.queries.get(n).flatMap { fn =>
+          // per-canary try/catch (round-12 ADVICE): a canary that throws at
+          // the END window would otherwise abort the run AFTER all ~250
+          // queries were measured, discarding the entire JSON output — a
+          // flaky canary logs, drops out, and the spread computes over the
+          // survivors (paired by NAME below, never by position)
+          try {
+            val ts = (1 to 3).map { _ =>
+              val t0 = System.nanoTime()
+              materialize(fn(spark, sfDir))
+              spark.sqlContext.clearCache()
+              (System.nanoTime() - t0) / 1e9
+            }
+            Some(n -> ts.min)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] canary $n ($label) FAILED: ${e.getMessage}")
+              spark.sqlContext.clearCache()
+              None
           }
-          n -> ts.min
         }
       }
     def loadAvg(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val runCanaries = only.isEmpty // subset runs are local iteration aids
     val loadStart = loadAvg()
-    val canaryStart = if (runCanaries) timeCanaries() else Seq.empty
+    val canaryStart = if (runCanaries) timeCanaries("start") else Seq.empty
     val results = ordered.map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -211,14 +223,27 @@ object Bench {
         (name, median, times, false)
       }
     }
-    val canaryEnd = if (runCanaries) timeCanaries() else Seq.empty
+    val canaryEnd = if (runCanaries) timeCanaries("end") else Seq.empty
     val loadEnd = loadAvg()
-    // worst start↔end ratio across the canaries, in either direction
+    // worst start↔end ratio across the canaries, in either direction —
+    // paired by NAME (a failed canary drops out of one window; positional
+    // zip would silently compare different queries)
+    val endByName = canaryEnd.toMap
+    val spreadPairs = canaryStart.flatMap { case (n, s) =>
+      endByName.get(n).map(e => (s, e))
+    }
     val canarySpread =
-      if (canaryStart.isEmpty) 1.0
-      else canaryStart.zip(canaryEnd).map { case ((_, s), (_, e)) =>
-        math.max(e / s, s / e)
-      }.max
+      if (spreadPairs.isEmpty) 1.0
+      else spreadPairs.map { case (s, e) => math.max(e / s, s / e) }.max
+    // noise-line honesty (round-12 ADVICE): a subset run's noise line used
+    // to print canary_spread:1.0 with empty maps — indistinguishable from a
+    // certified-clean draw. "run" = all canaries paired; "partial" = at
+    // least one canary failed a window (spread covers survivors only);
+    // "skipped" = subset run, no canaries, nothing adjudicated.
+    val canaryStatus =
+      if (!runCanaries) "skipped"
+      else if (spreadPairs.size < canaryNames.size) "partial"
+      else "run"
     results.foreach { case (name, v, times, failed) =>
       val spread = times.map(t => f"$t%.3f").mkString(" ")
       System.err.println(
@@ -247,7 +272,7 @@ object Bench {
     // the noise verdict, as its own compact tail-surviving line (round-10
     // verdict #1): canary times at start/end, worst spread, load average,
     // and the spike-robust total_min — one run classifies itself
-    println(s"""{"metric":"noise","canary_start":${canaryJson(canaryStart)},"canary_end":${canaryJson(canaryEnd)},"canary_spread":$canarySpread,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"cpus":$cpus,"total_min":$totalMin,"median_over_min":${total / math.max(totalMin, 1e-9)}}""")
+    println(s"""{"metric":"noise","canaries":"$canaryStatus","canary_start":${canaryJson(canaryStart)},"canary_end":${canaryJson(canaryEnd)},"canary_spread":$canarySpread,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"cpus":$cpus,"total_min":$totalMin,"median_over_min":${total / math.max(totalMin, 1e-9)}}""")
     // ... and the BREAKDOWN as compact final lines (VERDICT r6 #3: the
     // driver's tail truncation ate most of the per-query map, hiding the
     // artifact rows and every non-x prefix): each artifact row's median

@@ -405,6 +405,15 @@ object ScaleBench {
       val a = timeOnce(fn)
       setup()
       val b = timeOnce(fn)
+      // min-of-2 is only a same-cost observation when both runs did the
+      // same work (round-12 ADVICE): a row-count disagreement means the
+      // probe is not re-entrant (its setup failed to restore the
+      // precondition) — surface it loudly instead of shipping a min over
+      // two different workloads
+      if (a._2 != b._2)
+        System.err.println(
+          s"[scale] WARNING non-re-entrant probe ($scaleTag): run rows differ " +
+            s"${a._2} vs ${b._2} — the min-of-2 below mixes two workloads")
       (math.min(a._1, b._1), b._2)
     }
 
