@@ -18,6 +18,17 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  /** Assert a DRAINED streaming query's last micro-batch plan passes the
+    * PlanGuard sweep (round-11 verdict #3: streaming plans were guard-
+    * blind — `streamDupFlags`' hinted stream-static join was found only by
+    * review). Call after `processAllAvailable()` and before `stop()`.
+    */
+  def assertStreamClean(name: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val v = org.apache.spark.sql.graft.StreamPlanGuard.violations(q)
+    assert(v.isEmpty, s"$name micro-batch plan hazards:\n  ${v.mkString("\n  ")}")
+  }
+
   /** The session is shared across every suite in the JVM, and many ops
     * `persist()` their self-join inputs: without this, CacheManager entries
     * (strong refs to in-memory relations) accumulate over the whole run

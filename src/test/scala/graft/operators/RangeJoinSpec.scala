@@ -66,7 +66,7 @@ class RangeJoinSpec extends SparkSpec {
     // partner's state is long evicted, so it must produce no pair
     clicks.addData((1L, t(0)))
     q.processAllAvailable()
-    q.stop()
+    assertStreamClean("range_join_stream", q); q.stop()
     val rows = spark.table("sij").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime))
     // exactly the in-window pairs: (1, click@30, view@0) and (9, 10000, 10001)

@@ -41,7 +41,7 @@ class MVEquivalenceSpec extends SparkSpec {
       ms.addData(chunk)
       q.processAllAvailable()
     }
-    q.stop()
+    assertStreamClean("mv_stream", q); q.stop()
 
     val incremental = DailyCounts
       .resum(spark.read.parquet(target).drop("batch_id"), Seq("day", "event_type"))
@@ -64,7 +64,7 @@ class MVEquivalenceSpec extends SparkSpec {
       ms.addData(chunk)
       q.processAllAvailable()
     }
-    q.stop()
+    assertStreamClean("mv_stream", q); q.stop()
     val streaming = spark.table("mv_complete").orderBy("day", "event_type").collect()
     val batch = DailyCounts.dailyEventCounts(events.toDF())
       .orderBy("day", "event_type").collect()
@@ -86,7 +86,7 @@ class MVEquivalenceSpec extends SparkSpec {
       ms.addData(chunk) // BEFORE start: AvailableNow latches offsets at start
       val q = StreamingMVs.histogramPartialsWriter(ms.toDF(), target, ck).start()
       q.processAllAvailable()
-      q.stop() // the KILL: next chunk restarts from the checkpoint
+      assertStreamClean("mv_stream", q); q.stop() // the KILL: next chunk restarts from the checkpoint
     }
     evs.grouped(150).foreach(runChunk)
     // at-least-once redelivery: batch 0's partial rows land a SECOND time
@@ -124,7 +124,7 @@ class MVEquivalenceSpec extends SparkSpec {
       val q = StreamingMVs.countMinPartialsWriter(
         ms.toDF().withColumnRenamed("value", "user_id"), target, ck).start()
       q.processAllAvailable()
-      q.stop()
+      assertStreamClean("mv_stream", q); q.stop()
     }
     keys.grouped(180).foreach(runChunk)
     // at-least-once redelivery of batch 0's partial counters

@@ -38,7 +38,7 @@ class StateReplaySpec extends SparkSpec {
     val batch2 = Seq(op("k1", 3L, "click", 30L), op("k2", 4L, "error", 40L))
     ms.addData(batch2: _*)
     q.processAllAvailable()
-    q.stop()
+    assertStreamClean("state_replay_stream", q); q.stop()
 
     val streamed = spark.table("state_stream").collect()
       .map(r => (r.getAs[String]("gtid"), r.getAs[Long]("n_ops"),

@@ -97,7 +97,7 @@ class StreamingDedupGroupsSpec extends SparkSpec {
         .foreachBatch { (batch: DataFrame, _: Long) => fold(batch) }
         .start()
       q.processAllAvailable()
-      q.stop() // the KILL: next chunk restarts from the checkpoint
+      assertStreamClean("dedup_groups_stream", q); q.stop() // the KILL: next chunk restarts from the checkpoint
     }
     chunks.foreach(runChunk)
     spark.catalog.refreshTable(indexTable) // reads below are in THIS session

@@ -35,7 +35,7 @@ class StreamingIngestSpec extends SparkSpec {
       Raw(2, Timestamp.valueOf("2024-01-01 11:00:00"), 7, "error", 11.5, """{"k": 1}"""),
       Raw(3, Timestamp.valueOf("2024-01-02 10:00:00"), 8, "click", 12.5, """{"k": 2}"""))
     q.processAllAvailable()
-    q.stop()
+    assertStreamClean("ingest_stream", q); q.stop()
     val res = spark.read.parquet(out)
     assert(res.count() === 2) // error row filtered
     // hive-style day partitions on disk (K3 layout)
@@ -67,7 +67,7 @@ class StreamingIngestSpec extends SparkSpec {
       "not an envelope".getBytes("UTF-8"),                    // F2: dropped
       envelope(3, 1704189600000L, "g2", "UPDATE"))
     q.processAllAvailable()
-    q.stop()
+    assertStreamClean("ingest_stream", q); q.stop()
     val res = spark.read.parquet(out).orderBy("binlog_pos").collect()
     assert(res.length === 2)
     assert(res.map(_.getAs[String]("gtid")).toSeq === Seq("g1", "g2"))
@@ -95,7 +95,7 @@ class StreamingIngestSpec extends SparkSpec {
     // the first window — reference semantics drop it (SURVEY.md §2.8 W2)
     ms.addData(raw(4, 1700000110), raw(5, 1700000800))
     q.processAllAvailable()
-    q.stop()
+    assertStreamClean("ingest_stream", q); q.stop()
     val rows = spark.table("w2").collect()
     // [1699999800, 1700000100) holds only event t=1700000000
     val w1 = rows.filter(_.getAs[Timestamp]("end_time").getTime == 1700000100000L)

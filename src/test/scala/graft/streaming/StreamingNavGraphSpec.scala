@@ -78,7 +78,7 @@ class StreamingNavGraphSpec extends SparkSpec {
         }
         .start()
       q.processAllAvailable()
-      q.stop() // the KILL: next chunk restarts from the checkpoint
+      assertStreamClean("nav_graph_stream", q); q.stop() // the KILL: next chunk restarts from the checkpoint
     }
     val mid = arriving.size / 2
     Seq(arriving.take(mid), arriving.drop(mid)).foreach(runChunk)

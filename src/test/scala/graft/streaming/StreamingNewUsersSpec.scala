@@ -37,7 +37,7 @@ class StreamingNewUsersSpec extends SparkSpec {
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Complete).start()
       feed.grouped(chunkSize).foreach { c => ms.addData(c); q.processAllAvailable() }
-      q.stop()
+      assertStreamClean("new_users_stream", q); q.stop()
       val streamed = spark.table(name).collect()
         .map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Long]("new_users"))
         .toMap

@@ -72,7 +72,7 @@ class StreamingPostingsSpec extends SparkSpec {
         }
         .start()
       q.processAllAvailable()
-      q.stop() // the KILL: next chunk restarts from the checkpoint
+      assertStreamClean("postings_stream", q); q.stop() // the KILL: next chunk restarts from the checkpoint
     }
     val mid = arriving.size / 2
     Seq(arriving.take(mid), arriving.drop(mid)).foreach(runChunk)

@@ -36,7 +36,7 @@ class StreamingSessionsSpec extends SparkSpec {
     feed.grouped(2).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
     ms.addData(Seq(flush)); q.processAllAvailable()
     ms.addData(Seq(flush)); q.processAllAvailable()
-    q.stop()
+    assertStreamClean("sessions_stream", q); q.stop()
     val streamed = spark.table("sliding_stream")
       .filter($"event_type" =!= "FLUSH")
       .orderBy("window_start", "event_type").collect().map(_.toSeq)
@@ -75,7 +75,7 @@ class StreamingSessionsSpec extends SparkSpec {
     // more batch so the closed sessions actually emit
     ms.addData(Seq(flush)); q.processAllAvailable()
     ms.addData(Seq(flush)); q.processAllAvailable()
-    q.stop()
+    assertStreamClean("sessions_stream", q); q.stop()
 
     val streamed = spark.table("sessions_stream")
       .filter($"user_id" =!= "zz")

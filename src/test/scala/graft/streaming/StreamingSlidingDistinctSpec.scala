@@ -44,7 +44,7 @@ class StreamingSlidingDistinctSpec extends SparkSpec {
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Complete).start()
       feed.grouped(chunkSize).foreach { c => ms.addData(c); q.processAllAvailable() }
-      q.stop()
+      assertStreamClean("sliding_distinct_stream", q); q.stop()
       val streamed = spark.table(name).collect()
         .map(r => r.getAs[Timestamp]("window_start").getTime ->
           r.getAs[Long]("distinct_users"))

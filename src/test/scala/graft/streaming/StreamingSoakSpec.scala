@@ -83,7 +83,7 @@ class StreamingSoakSpec extends SparkSpec {
       ms.addData(chunk)
       val qs = Seq(startIngest(), startMv(), startStats())
       qs.foreach(_.processAllAvailable())
-      qs.foreach(_.stop()) // the KILL
+      qs.foreach { qq => assertStreamClean("soak_stream", qq); qq.stop() } // the KILL
     }
     Seq(mainFeed.take(20), mainFeed.slice(20, 30), mainFeed.drop(30),
       Seq(tail1), Seq(tail2)).foreach(runChunk)

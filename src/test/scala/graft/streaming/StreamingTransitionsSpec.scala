@@ -40,7 +40,7 @@ class StreamingTransitionsSpec extends SparkSpec {
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append).start()
       feed.grouped(chunkSize).foreach { c => ms.addData(c); q.processAllAvailable() }
-      q.stop()
+      assertStreamClean("transitions_stream", q); q.stop()
       val streamed = spark.table(name)
         .groupBy("from_type", "to_type").count()
         .collect()

@@ -40,7 +40,7 @@ class StreamingTxnStatsSpec extends SparkSpec {
     q.processAllAvailable()
     ms.addData(ev(1700000800L, "g2", 2, 10, 1))
     q.processAllAvailable()
-    q.stop()
+    assertStreamClean("txn_stats_stream", q); q.stop()
 
     val rows = spark.table("txn_stream").collect()
     val g1 = rows.filter(_.getAs[String]("gtid") == "g1")

@@ -72,7 +72,7 @@ class StreamingVectorIndexSpec extends SparkSpec {
         }
         .start()
       q.processAllAvailable()
-      q.stop() // the KILL: next chunk restarts from the checkpoint
+      assertStreamClean("vector_index_stream", q); q.stop() // the KILL: next chunk restarts from the checkpoint
     }
     val mid = arriving.size / 2
     Seq(arriving.take(mid), arriving.drop(mid)).foreach(runChunk)

@@ -33,7 +33,7 @@ class TransactionAssemblerSpec extends SparkSpec {
     // one more batch so the timeout fires under the advanced watermark
     ms.addData(ev("g2", 1300, 2L, 10, 1))
     q.processAllAvailable()
-    q.stop()
+    assertStreamClean("txn_assembler_stream", q); q.stop()
 
     val rows = spark.table("txns").collect()
     val g1 = rows.filter(_.getAs[String]("gtid") == "g1")
@@ -64,7 +64,7 @@ class TransactionAssemblerSpec extends SparkSpec {
     q.processAllAvailable()
     ms.addData(ev("z", 600, 10, 1, 1))
     q.processAllAvailable()
-    q.stop()
+    assertStreamClean("txn_assembler_stream", q); q.stop()
     val t = spark.table("txns2").collect().filter(_.getAs[String]("gtid") == "t")
     assert(t.length === 1)
     assert(t.head.getAs[Long]("n_events") === 2L)
@@ -94,7 +94,7 @@ class TransactionAssemblerSpec extends SparkSpec {
     // flusher batches: advance the watermark far past every close
     ms.addData(ev("zz_flush", 100000L, 1L, 1, 1)); q.processAllAvailable()
     ms.addData(ev("zz_flush", 100001L, 2L, 1, 1)); q.processAllAvailable()
-    q.stop()
+    assertStreamClean("txn_assembler_stream", q); q.stop()
 
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[String]("gtid"), r.getAs[Timestamp]("start_time").getTime)
@@ -137,7 +137,7 @@ class TransactionAssemblerSpec extends SparkSpec {
     val q1 = startQ()
     ms.addData(ev("g1", 1000, 1, 5, 1), ev("g1", 1002, 2, 7, 2))
     q1.processAllAvailable()
-    q1.stop() // kill with g1 open (nothing emitted yet)
+    assertStreamClean("txn_assembler_stream", q1); q1.stop() // kill with g1 open (nothing emitted yet)
 
     val q2 = startQ()
     // same gtid, still inside the gap: merges into the checkpointed state
@@ -146,7 +146,7 @@ class TransactionAssemblerSpec extends SparkSpec {
     // advance the watermark so g1 times out and emits
     ms.addData(ev("zz", 99999, 8, 1, 1)); q2.processAllAvailable()
     ms.addData(ev("zz", 100000, 9, 1, 1)); q2.processAllAvailable()
-    q2.stop()
+    assertStreamClean("txn_assembler_stream", q2); q2.stop()
 
     val g1 = spark.read.parquet(out).collect().filter(_.getAs[String]("gtid") == "g1")
     // ONE summary spanning both runs: 3 events, size (3−1)+9, spend 4 s —
@@ -178,7 +178,7 @@ class TransactionAssemblerSpec extends SparkSpec {
     evs.foreach { e => ms.addData(e); q.processAllAvailable() }
     ms.addData(TxnEvent("zz", microTs(100000, 0), 9L, 1, 1)); q.processAllAvailable()
     ms.addData(TxnEvent("zz", microTs(100001, 0), 10L, 1, 1)); q.processAllAvailable()
-    q.stop()
+    assertStreamClean("txn_assembler_stream", q); q.stop()
     val streamed = spark.table("txns4").collect().filter(_.getAs[String]("gtid") == "g")
     assert(streamed.length === 2, streamed.mkString(";"))
     val batch = TransactionAssembler.assembleBatch(
