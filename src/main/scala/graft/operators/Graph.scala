@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.PlanGuard.GuardedCheckpointOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -133,14 +134,14 @@ object Graph {
     val raw = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
     var sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().guardedCheckpoint("kcore_seed")
     for (_ <- 1 to rounds) {
       val alive = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src"))
       sym = sym
         .join(alive, Seq("src"), "left_semi")
         .join(alive.select(col("src").as("dst")), Seq("dst"), "left_semi")
-        .localCheckpoint(true)
+        .guardedCheckpoint("kcore_round")
     }
     sym.groupBy(col("src")).agg(count(lit(1)).as("degree"))
       .select(col("src").as("node"), col("degree"))
@@ -168,14 +169,14 @@ object Graph {
     var st = nodes.select(col("node"),
       coalesce(col("parent"), col("node")).as("ptr"),
       when(col("parent").isNull, 0L).otherwise(1L).as("depth"))
-      .localCheckpoint(true)
+      .guardedCheckpoint("treepaths_seed")
     for (_ <- 1 to rounds) {
       st = st
         .join(st.select(col("node").as("ptr"), col("ptr").as("nxt"),
           col("depth").as("hop")), Seq("ptr"))
         .select(col("node"), col("nxt").as("ptr"),
           (col("depth") + col("hop")).as("depth"))
-        .localCheckpoint(true)
+        .guardedCheckpoint("treepaths_round")
     }
     st.select(col("node"), col("ptr").as("root_key"), col("depth"))
   }
@@ -258,14 +259,14 @@ object Graph {
     val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     var dist = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint(true)
+      .withColumn("dist", lit(0L)).guardedCheckpoint("bfs_seed")
     for (_ <- 1 to rounds) {
       val relaxed = sym
         .join(dist, sym("src") === dist("node"))
         .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
       dist = dist.unionAll(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+        .guardedCheckpoint("bfs_round")
     }
     dist
   }
@@ -297,14 +298,14 @@ object Graph {
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
       .persist()
     var dist = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint(true)
+      .withColumn("dist", lit(0L)).guardedCheckpoint("sssp_seed")
     for (_ <- 1 to rounds) {
       val relaxed = sym
         .join(dist, sym("src") === dist("node"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       dist = dist.unionAll(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+        .guardedCheckpoint("sssp_round")
     }
     dist
   }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.plans.PlanGuard.GuardedCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.functions._
 
@@ -434,7 +435,7 @@ object Dedup {
         .select(col("source"), col("n_docs"),
           (col("n_docs") - col("n_missing")).as("n_indexed"),
           col("n_missing"), col("n_flip_shingles"))
-        .localCheckpoint(true)
+        .guardedCheckpoint("shingle_staleness")
     } finally { missing.unpersist(); () }
   }
 
@@ -1345,12 +1346,24 @@ object Dedup {
 
   /** Collect a benchmark frame's distinct shingle ids for
     * [[decontaminateStateless]] — run once per benchmark release, not per
-    * batch.
+    * batch. Fail-fast contract guard (round-11 verdict): this collects to
+    * the driver — sound for an eval suite by nature, a silent driver OOM
+    * for a corpus-sized caller mistake — so a `limit(maxIds+1)` probe
+    * rejects oversized frames with a diagnostic naming the contract
+    * before any collect happens.
     */
-  def benchmarkShingleIds(benchmark: DataFrame, k: Int = 5): Array[Long] =
-    shingleIdsFromArrays(Vocab.hashTokenIdArrays(benchmark), k)
+  def benchmarkShingleIds(benchmark: DataFrame, k: Int = 5,
+      maxIds: Long = 4000000L): Array[Long] = {
+    val ids = shingleIdsFromArrays(Vocab.hashTokenIdArrays(benchmark), k)
       .select(col("shingle_id")).distinct()
-      .collect().map(_.getLong(0))
+    require(ids.limit((maxIds + 1).toInt).count() <= maxIds,
+      s"benchmarkShingleIds collects the benchmark's distinct shingle ids to the " +
+        s"driver — an eval-suite-sized contract (run once per benchmark release) " +
+        s"and this frame has > $maxIds distinct shingles: screen against a " +
+        s"corpus-scale set with the persisted shingle index " +
+        s"(materializedShingleIndex) instead, or raise maxIds deliberately")
+    ids.collect().map(_.getLong(0))
+  }
 
   /** Fractional contamination score — [[decontaminate]]'s binary flag as
     * a spectrum: for EVERY corpus document with at least one k-gram
@@ -1661,11 +1674,11 @@ object Dedup {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))
     }
     var edges = canon(pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
-      .localCheckpoint(true)
+      .guardedCheckpoint("components_seed")
     var prev = checksum(edges)
     var converged = false
     while (!converged) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = smallStar(largeStar(edges)).guardedCheckpoint("components_round")
       val cs = checksum(next)
       converged = cs == prev
       prev = cs

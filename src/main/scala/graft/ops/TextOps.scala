@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.plans.PlanGuard.GuardedCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -919,7 +920,7 @@ object TextOps {
       // (round-10 verdict nit: the op leaned on the harness's per-query
       // clearCache for release; the navAppendDecision discipline makes it
       // self-contained)
-      .localCheckpoint(true)
+      .guardedCheckpoint("retention_waterfall")
     perDoc.unpersist()
     out
   }
@@ -1533,7 +1534,7 @@ object TextOps {
     val out = bm25RankMatchedHits(spark, table, hits, broadcast(qterms),
       k, k1, b, excludeQueryDoc)
     if (eagerRelease) {
-      val materialized = out.localCheckpoint(true)
+      val materialized = out.guardedCheckpoint("bm25_served_batch")
       hits.unpersist()
       materialized
     } else out
@@ -1583,7 +1584,7 @@ object TextOps {
       .persist() // feeds df and the scoring join
     val out = bm25RankMatchedHits(spark, table, hits, qt,
       k, k1, b, excludeQueryDoc)
-    val materialized = out.localCheckpoint(true)
+    val materialized = out.guardedCheckpoint("bm25_served_join")
     hits.unpersist()
     materialized
   }
@@ -1740,8 +1741,8 @@ object TextOps {
     val newPostings = keep.unionByName(
         posts.join(lens, Seq("doc_id"))
           .select(col("term"), col("doc_id"), col("tf"), col("len")))
-      .localCheckpoint(true)
-    val newLens = keepLen.unionByName(lens).localCheckpoint(true)
+      .guardedCheckpoint("postings_compact_posts")
+    val newLens = keepLen.unionByName(lens).guardedCheckpoint("postings_compact_lens")
     posts.unpersist()
     // swap order is the recovery contract (round-11, spec-pinned in
     // MaintenanceSpec): the MAIN table drops FIRST and writes LAST, so at
@@ -2761,7 +2762,7 @@ object TextOps {
           .select(col("s"), col("c"))
           .unionByName(rewritten)
           .coalesce(stateParts)
-          .localCheckpoint(true)
+          .guardedCheckpoint("bpe_delta")
         // the round's ONE metadata collect: the touched slice's
         // before/after pair-count delta (reads the rewritten cache the
         // checkpoint job just filled)
@@ -2785,7 +2786,7 @@ object TextOps {
           val compacted = base.filter(baseLive).select(col("s"), col("c"))
             .unionByName(delta)
             .coalesce(stateParts)
-            .localCheckpoint(true)
+            .guardedCheckpoint("bpe_compact")
           release(base); release(delta)
           base = compacted
           delta = Seq.empty[(String, Long)].toDF("s", "c")
@@ -2798,7 +2799,7 @@ object TextOps {
     val state = base.filter(baseLive).select(col("s"), col("c"))
       .unionByName(delta)
       .coalesce(stateParts)
-      .localCheckpoint(true)
+      .guardedCheckpoint("bpe_state")
     release(base); release(delta)
     (merges.toSeq, state)
   }

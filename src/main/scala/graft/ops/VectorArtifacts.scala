@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.plans.PlanGuard.GuardedCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.functions._
 
@@ -74,11 +75,20 @@ private[ops] trait VectorArtifacts { self: VectorCore with VectorTraining =>
     */
   def appendToNavGraph(newVecs: DataFrame, corpus: DataFrame, table: String,
       entryIds: Seq[Long], graphK: Int = 24, beam: Int = 32,
-      rounds: Int = 4, buckets: Int = 8): Unit = {
+      rounds: Int = 4, buckets: Int = 8, maxBatch: Long = 1048576L): Unit = {
     val spark = newVecs.sparkSession
     val fresh = newVecs.join(
       spark.table(table).select(col("src_id").as("vec_id")).distinct(),
       Seq("vec_id"), "left_anti")
+    // fail-fast contract guard (round-11 verdict): the fresh ids collect to
+    // the driver — batch-sized by the HNSW-style append contract — so a
+    // limit probe rejects a corpus-sized caller mistake with a diagnostic
+    // naming the contract instead of an OOM
+    require(fresh.select(col("vec_id")).limit((maxBatch + 1).toInt).count() <= maxBatch,
+      s"appendToNavGraph collects the fresh batch's ids to the driver — a " +
+        s"batch-sized contract (HNSW-style append) and this batch has > $maxBatch " +
+        s"new ids: rebuild the graph (materializedNavGraph) for corpus-scale " +
+        s"insertions, or raise maxBatch deliberately")
     val newIds = fresh.select(col("vec_id")).collect().map(_.getLong(0)).toSeq
     if (newIds.nonEmpty) {
       // dedup by id BEFORE the walk: callers legitimately pass the full
@@ -186,18 +196,18 @@ private[ops] trait VectorArtifacts { self: VectorCore with VectorTraining =>
     var state = scoreAndPrune(
       queries.select(col("query_id")).crossJoin(
         F.broadcast(unitsFor(entryIds).select(col("vec_id").as("node")))),
-      entryIds).localCheckpoint(true)
+      entryIds).guardedCheckpoint("served_beam_seed")
     for (_ <- 1 to rounds) {
       val expanded = state.select(col("query_id"), col("node").as("src_id"))
         .join(g, Seq("src_id"))
         .select(col("query_id"), col("neighbor_id").as("node"))
         .unionByName(state.select(col("query_id"), col("node")))
         .distinct()
-        .localCheckpoint(true)
+        .guardedCheckpoint("served_beam_frontier")
       // the bounded per-round collect: candidate ids only, never vectors
       val candIds = expanded.select(col("node")).distinct()
         .collect().map(_.getLong(0)).toSeq
-      state = scoreAndPrune(expanded, candIds).localCheckpoint(true)
+      state = scoreAndPrune(expanded, candIds).guardedCheckpoint("served_beam_round")
     }
     val wf = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("sim").desc, col("node").asc)
@@ -532,7 +542,7 @@ private[ops] trait VectorArtifacts { self: VectorCore with VectorTraining =>
       .select(col("query_id"), col("n_hits_appended"), col("n_hits_rebuilt"),
         lit(n - cut).as("n_appended"),
         lit(1000000L * (n - cut) / n).as("appended_frac_ppm"))
-      .localCheckpoint(true) // |Q| rows, eager — lets the unit cache go NOW
+      .guardedCheckpoint("nav_append_decision") // |Q| rows, eager — lets the unit cache go NOW
     unit.unpersist()
     report
   }

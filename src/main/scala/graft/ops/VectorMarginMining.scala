@@ -28,25 +28,59 @@ private[ops] trait VectorMarginMining { self: VectorCore with VectorTraining =>
     * Scale shape: one cross-scoring pass (here exact — the |Q|≪N
     * baseline; the bucketed s22 index composes in front for
     * corpus-×-corpus runs), two per-side window ranks over the scored
-    * frame, per-side avg frames joined back. ALL joins are UNHINTED
-    * (round 11, the hardened hint doctrine — these frames sit behind the
-    * result checkpoint where the per-query PlanGuard gate cannot see
-    * them, so the discipline is applied by review): `test` is
-    * caller-supplied — statically corpus-proportional in the fixture —
-    * and the backward avg frame is one row per TRAIN vector, i.e.
-    * train-corpus-sized even when the |Q|≪N contract holds; a hint would
-    * force those builds at every scale, while stats/AQE broadcast each
-    * genuinely small frame at fixture scale and shuffle past the
-    * threshold. Output: (test_id, train_id, margin_ppm) for
+    * frame, per-side avg frames joined back. The |Q|≪N contract is
+    * ENFORCED, not assumed (round-12, closing the round-11 ADVICE
+    * finding that the condition-less cross join had no shuffle fallback
+    * — past the broadcast threshold it planned a CartesianProduct, the
+    * exact N² shape PlanGuard bans, hidden behind the result
+    * checkpoint): the test side materializes through [[boundedTestSide]]
+    * — a fail-fast `require(|test| ≤ maxExactTest)` probe, then a
+    * driver-local relation — and is explicitly broadcast. That hint is
+    * sound under the hardened doctrine precisely because the frame is
+    * now bounded BY CONSTRUCTION (a ≤ maxExactTest-row local relation,
+    * the bound machine-checked before any scoring), so the plan is
+    * pinned to the streamed-corpus BNLJ shape at every scale: train
+    * streams, test rides along, no cartesian regime exists. An
+    * over-contract test side fails with a diagnostic routing to the
+    * bucketed/gated scale paths. The margin tail's avg joins stay
+    * UNHINTED (round 11): the backward avg frame is one row per TRAIN
+    * vector — train-corpus-sized even when |Q| is tiny — so stats/AQE
+    * decide there. Output: (test_id, train_id, margin_ppm) for
     * forward-top-1 pairs above the threshold.
     */
   def marginPairs(test: DataFrame, train: DataFrame, k: Int = 4,
-      marginPpmThreshold: Long = 1200000L): DataFrame = {
-    val tU = withUnit(test).select(col("vec_id").as("test_id"), col("unit").as("tu"))
+      marginPpmThreshold: Long = 1200000L,
+      maxExactTest: Int = 65536): DataFrame = {
+    val tU = boundedTestSide(test, maxExactTest, "marginPairs")
     val rU = withUnit(train).select(col("vec_id").as("train_id"), col("unit").as("ru"))
-    val scored = tU.join(rU)
+    val scored = F.broadcast(tU).join(rU)
       .select(col("test_id"), col("train_id"), dot(col("tu"), col("ru")).as("sim"))
     marginFromScored(scored, k, marginPpmThreshold)
+  }
+
+  /** The exact margin paths' |Q|≪N contract, machine-enforced: probe
+    * `limit(max+1)` (fail fast with a diagnostic naming the scale paths,
+    * never a silent cartesian or a driver OOM), then materialize the
+    * test side's unit vectors as a DRIVER-LOCAL relation. A local
+    * relation is what makes the subsequent broadcast hint SOUND under
+    * the hardened hint doctrine — bounded by construction, the bound
+    * enforced at runtime — where the previous caller-supplied frame was
+    * statically corpus-proportional (the checkpoint-hidden hazard the
+    * round-11 ADVICE flagged). ≤ 65 536 rows × d doubles ≈ 34 MB at the
+    * default cap: driver- and broadcast-sized by design.
+    */
+  private def boundedTestSide(test: DataFrame, maxExactTest: Int,
+      caller: String): DataFrame = {
+    val spark = test.sparkSession
+    val tU = withUnit(test).select(col("vec_id").as("test_id"), col("unit").as("tu"))
+    val rows = tU.limit(maxExactTest + 1).collect()
+    require(rows.length <= maxExactTest,
+      s"$caller scores the full (test × train) grid — its test side is |Q|≪N " +
+        s"by contract (≤ $maxExactTest rows) and this frame exceeds it: use " +
+        s"marginPairsGated / marginPairsBucketed (bucketed candidates) for " +
+        s"corpus-×-corpus mining, or raise maxExactTest deliberately")
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), tU.schema)
   }
 
   /** [[marginPairs]] at corpus-×-corpus scale: candidates come from the
@@ -124,9 +158,14 @@ private[ops] trait VectorMarginMining { self: VectorCore with VectorTraining =>
     * the DuckDB oracle reproduces every margin bit-for-bit (s32).
     */
   def marginPairsScan(test: DataFrame, train: DataFrame, k: Int = 4,
-      marginPpmThreshold: Long = 1200000L, shortlist: Int = 8): DataFrame = {
-    val tU = withUnit(test).select(col("vec_id").as("test_id"), col("unit").as("tu"))
-      .persist()
+      marginPpmThreshold: Long = 1200000L, shortlist: Int = 8,
+      maxExactTest: Int = 65536): DataFrame = {
+    // |Q|≪N enforced (round-12, the marginPairs rationale): the test side
+    // becomes a machine-bounded local relation, so the compressed pair
+    // grid below is pinned to the streamed-corpus BNLJ shape — the old
+    // unhinted condition-less join had no shuffle fallback and flipped to
+    // CartesianProduct past the broadcast threshold
+    val tU = boundedTestSide(test, maxExactTest, "marginPairsScan")
     val rU = withUnit(train).select(col("vec_id").as("train_id"), col("unit").as("ru"))
       .persist()
     // one quantization grid over BOTH sides (d rows of exact min/max —
@@ -143,9 +182,9 @@ private[ops] trait VectorMarginMining { self: VectorCore with VectorTraining =>
       graft.functions.VectorFunctions.quantizeCode(col("tu"), mnLit, mxLit).as("tc"))
     val rC = rU.select(col("train_id"),
       graft.functions.VectorFunctions.quantizeCode(col("ru"), mnLit, mxLit).as("rc"))
-    // unhinted (round 11): tC is the caller-supplied test side's codes —
-    // statically corpus-proportional; stats pick the build at true size
-    val qScored = tC.join(rC)
+    // test-side codes hinted: bounded by construction (a projection of the
+    // ≤ maxExactTest-row local relation) — the ONE sound forced broadcast
+    val qScored = F.broadcast(tC).join(rC)
       .select(col("test_id"), col("train_id"),
         graft.functions.VectorFunctions.dequantizeDot(
           col("tc"), col("rc"), mnLit, mxLit).as("qsim"))
@@ -168,7 +207,6 @@ private[ops] trait VectorMarginMining { self: VectorCore with VectorTraining =>
     // blanket clearCache (the marginFromScored cache discipline)
     val out = marginFromScored(scored, k, marginPpmThreshold)
     qScored.unpersist()
-    tU.unpersist()
     rU.unpersist()
     out
   }
@@ -358,14 +396,18 @@ private[ops] trait VectorMarginMining { self: VectorCore with VectorTraining =>
       // |test| is tiny: a broadcast hint here forced a corpus-scale build
       // at 100 TB. Stats/AQE broadcast at fixture scale, shuffle on
       // train_id past the threshold.
-      fRank.filter(col("rn") === 1)
-        .join(fAvg, Seq("test_id"))
-        .join(bAvg, Seq("train_id"))
-        .select(col("test_id"), col("train_id"),
-          round(lit(2e6) * col("sim") / (col("f_avg") + col("b_avg")))
-            .cast("long").as("margin_ppm"))
-        .filter(col("margin_ppm") >= marginPpmThreshold)
-        .localCheckpoint(true)
+      // guardedCheckpoint, not raw (round-11 verdict #2): THIS checkpoint
+      // is where the train-corpus-sized forced broadcast hid for three
+      // rounds — the gate now walks the pre-checkpoint plan, so
+      // re-introducing a hint here fails the sf0.01 gate, not just review
+      graft.plans.PlanGuard.guardedCheckpoint("margin_result",
+        fRank.filter(col("rn") === 1)
+          .join(fAvg, Seq("test_id"))
+          .join(bAvg, Seq("train_id"))
+          .select(col("test_id"), col("train_id"),
+            round(lit(2e6) * col("sim") / (col("f_avg") + col("b_avg")))
+              .cast("long").as("margin_ppm"))
+          .filter(col("margin_ppm") >= marginPpmThreshold))
     } finally {
       fRank.unpersist()
       scored.unpersist()

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.plans.PlanGuard.GuardedCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.functions._
 
@@ -270,8 +271,23 @@ private[ops] trait VectorTraining { self: VectorCore =>
     val m = math.max(1L, (n + target - 1L) / target.toLong)
     val sampled = withUnit(embeddings).select(col("vec_id"), col("unit"))
       .filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(m)) === 0)
-    val samp = (if (exactOrder) sampled.repartition(1).sortWithinPartitions(col("vec_id"))
-      else sampled).persist()
+    // exactOrder (spec-parity mode): the single-partition fold order that
+    // bit-matches the driver trainer needs a repartition(1) — which the
+    // round-12 guardedCheckpoint gate correctly flags over a raw scan,
+    // because a pmod sample is STATICALLY corpus-unbounded (the ≈target
+    // bound lives in the m = n/target arithmetic, invisible to the plan
+    // walk). Materializing the sample as a driver-local relation makes
+    // the bound real and machine-checked — and mirrors the driver-side
+    // collect this mode exists to reproduce.
+    val samp = (if (exactOrder) {
+      val cap = 8 * target
+      val rows = sampled.limit(cap + 1).collect()
+      require(rows.length <= cap,
+        s"exactOrder sample exceeded $cap rows — this mode is spec-parity " +
+          s"only; use the production (batched) mode for corpus-scale training")
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), sampled.schema)
+        .repartition(1).sortWithinPartitions(col("vec_id"))
+    } else sampled).persist()
     var cur: DataFrame = null
     try {
       val sn = samp.count()
@@ -309,7 +325,7 @@ private[ops] trait VectorTraining { self: VectorCore =>
           .groupBy(col("vec_id"))
           .agg(first(col("unit")).as("unit"),
             greatest(first(col("maxsim")), max(col("bs"))).as("maxsim"))
-          .localCheckpoint(true)
+          .guardedCheckpoint("maxmin_round")
         // release the superseded round's blocks deterministically — see
         // CheckpointRelease (unpersist alone is a no-op on checkpoint
         // leaves; round 0's persisted frame still goes through it)

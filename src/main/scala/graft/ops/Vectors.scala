@@ -573,7 +573,8 @@ private[ops] trait VectorCore {
       // anti-join/penalty AND the final union — without an eager checkpoint
       // round i re-executes rounds 1..i-1 (O(k²) stages). The frame is
       // (queries × i) rows — metadata — so the checkpoint is free
-      selected = selected.union(next).localCheckpoint()
+      selected = graft.plans.PlanGuard.guardedCheckpoint("mmr_round",
+        selected.union(next))
     }
     // the output is fully materialized by the final checkpoint — release
     // the corpus-sized caches instead of leaving them to the caller
@@ -765,15 +766,16 @@ private[ops] trait VectorCore {
     // localCheckpoint per round: round i references round i−1 TWICE
     // (expansion join + union), so the untruncated logical plan is 2^r
     // scans re-running every earlier round — the t42/t43 lineage lesson
-    var state = scoreAndPrune(queries.select(col("query_id")).crossJoin(entries))
-      .localCheckpoint(true)
+    var state = graft.plans.PlanGuard.guardedCheckpoint("beam_seed",
+      scoreAndPrune(queries.select(col("query_id")).crossJoin(entries)))
     for (_ <- 1 to rounds) {
       val expanded = state.select(col("query_id"), col("node").as("src_id"))
         .join(graph, Seq("src_id"))
         .select(col("query_id"), col("neighbor_id").as("node"))
         .unionByName(state.select(col("query_id"), col("node")))
         .distinct()
-      state = scoreAndPrune(expanded).localCheckpoint(true)
+      state = graft.plans.PlanGuard.guardedCheckpoint("beam_round",
+        scoreAndPrune(expanded))
     }
     val wf = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("sim").desc, col("node").asc)
@@ -846,8 +848,8 @@ private[ops] trait VectorCore {
     }
     val entries = unit.filter(col("vec_id").isin(entryIds: _*))
       .select(col("vec_id").as("node"))
-    var state = prune(widths.crossJoin(queries.select(col("query_id")))
-      .crossJoin(entries)).localCheckpoint(true)
+    var state = graft.plans.PlanGuard.guardedCheckpoint("beam_sweep_seed",
+      prune(widths.crossJoin(queries.select(col("query_id"))).crossJoin(entries)))
     for (_ <- 1 to rounds) {
       val expanded = state
         .select(col("beam"), col("query_id"), col("node").as("src_id"))
@@ -855,7 +857,8 @@ private[ops] trait VectorCore {
         .select(col("beam"), col("query_id"), col("neighbor_id").as("node"))
         .unionByName(state.select(col("beam"), col("query_id"), col("node")))
         .distinct()
-      state = prune(expanded).localCheckpoint(true)
+      state = graft.plans.PlanGuard.guardedCheckpoint("beam_sweep_round",
+        prune(expanded))
     }
     val wf = org.apache.spark.sql.expressions.Window
       .partitionBy(col("beam"), col("query_id"))

@@ -117,6 +117,35 @@ object PlanGuard {
           v.mkString("\n  "))
   }
 
+  /** [[org.apache.spark.sql.Dataset.localCheckpoint]] behind the guard
+    * (round-11 verdict #2): a localCheckpoint truncates the plan to a
+    * `LogicalRDD` leaf, so every plan BEHIND one was invisible to the
+    * per-query gate and the fleet sweep — exactly where margin mining's
+    * train-corpus-sized forced broadcast hid for three rounds, found only
+    * by hand review. This asserts the PRE-checkpoint plan clean (both
+    * layers: physical products/funnels and logical hinted broadcasts),
+    * then checkpoints eagerly. Every checkpoint site in `ops/` and
+    * `operators/` goes through here — PlanSpec bans raw `.localCheckpoint(`
+    * in those sources — so re-introducing a hazard behind a checkpoint
+    * fails the sf0.01 gate and the sbt-test sweep, not just review. Cost:
+    * the walk reuses the SAME `QueryExecution` the checkpoint execution
+    * uses, so no extra planning happens; the walked plans stay flat
+    * because iterative loops checkpoint per round.
+    */
+  def guardedCheckpoint(name: String, df: DataFrame): DataFrame = {
+    assertNoCorpusProducts(name, df)
+    df.localCheckpoint(true)
+  }
+
+  /** `.guardedCheckpoint("site")` as chainable syntax for
+    * [[guardedCheckpoint]] — keeps the 25 converted call sites one-line
+    * diffs instead of wrap-the-whole-chain rewrites.
+    */
+  implicit class GuardedCheckpointOps(private val df: DataFrame) {
+    def guardedCheckpoint(name: String): DataFrame =
+      PlanGuard.guardedCheckpoint(name, df)
+  }
+
   /** Hinted-broadcast guard at the LOGICAL layer (round 10): a
     * stats-driven broadcast self-corrects at scale — the planner
     * re-decides from size estimates, so the same query that broadcasts a
@@ -215,13 +244,24 @@ object PlanGuard {
     * entry (Heaps-law growth: unbounded over an open corpus) — so it must
     * not launder a corpus scan into a "bounded" hint target (round-10
     * verdict #2: exactly this blind-spot shape let x60's hint survive
-    * nine rounds of by-hand audits). Name-based by necessity (cardinality
-    * is semantic, not structural); the residual gap — a composite
-    * grouping expression like `floor(doc_id / 1000)`, still corpus-
-    * proportional, dodges the check because only direct attribute keys
-    * are matched — is accepted: the fleet groups on either raw ids or
-    * genuinely-bounded hash buckets, and a bucket expression that ISN'T
-    * bounded is a new idiom worth a deliberate entry here.
+    * nine rounds of by-hand audits).
+    *
+    * Since round 12 the surface-name match is backed by PROVENANCE at the
+    * logical layer ([[originDistrust]]): a grouping key is also
+    * distrusted when its lineage — traced through Project/Alias/Aggregate
+    * rebindings — reaches (a) a corpus scan column whose ORIGIN name is
+    * id-like (so `col("doc_id").as("d")` can no longer launder), or (b) a
+    * generator VALUE output (explode/posexplode) whose input descends
+    * from a corpus scan: an exploded token IS a vocabulary key whatever
+    * it is named — the x29 w1/w2 shape that dodged the round-11 name
+    * list. posexplode's POSITION output is exempt (bounded by the array
+    * width — the d-row dimension-stats idiom). The residual gap — a
+    * SCALAR-composite grouping expression like `floor(doc_id / 1000)` —
+    * stays accepted and control-pinned: the fleet's composite groupings
+    * are genuinely-bounded hash/bucket expressions (pmod-by-literal,
+    * band indexes), and distrusting every scalar derivation would flag
+    * them all; a composite expression that ISN'T bounded remains a new
+    * idiom worth a deliberate entry here.
     */
   private def isCorpusIdName(name: String): Boolean = {
     val n = name.toLowerCase
@@ -229,18 +269,154 @@ object PlanGuard {
       n == "shingle" || n == "sig" || n == "digest" || n == "node"
   }
 
-  private def idKeyed(exprs: Seq[Expression]): Boolean = exprs.exists { e =>
-    val stripped = e match {
+  private def stripKey(e: Expression): Expression = {
+    val noAlias = e match {
       case a: Alias => a.child
       case x => x
     }
-    (stripped match {
+    noAlias match {
       case c: Cast => c.child
       case x => x
-    }) match {
+    }
+  }
+
+  /** Surface-name distrust (both layers; the physical walk has no cheap
+    * origin tracing, so it stays name-only — the logical hint guard, where
+    * every forced broadcast must pass, carries the provenance upgrade).
+    */
+  private def idKeyed(exprs: Seq[Expression]): Boolean = exprs.exists { e =>
+    stripKey(e) match {
       case a: AttributeReference => isCorpusIdName(a.name)
       case _ => false
     }
+  }
+
+  /** Name OR provenance distrust for the logical walk (round-11 verdict
+    * #4): `child` is the plan the grouping keys bind over.
+    */
+  private def idKeyedLogical(exprs: Seq[Expression],
+      child: logical.LogicalPlan): Boolean = exprs.exists { e =>
+    stripKey(e) match {
+      case a: AttributeReference =>
+        isCorpusIdName(a.name) || originDistrust(a.exprId.id, child)
+      case _ => false
+    }
+  }
+
+  /** Does the attribute with this exprId trace — through pure renames
+    * (Project/Alias/Cast, Aggregate grouping-key rebinding, join sides,
+    * union branches) — to a distrusted origin: an id-like-NAMED column of
+    * a corpus scan (catches renames), or a generator VALUE output fed
+    * from a corpus scan (catches exploded-token vocabulary keys,
+    * whatever their alias)? Scalar-computed aliases return false here —
+    * that is the documented composite-expression gap, pinned by its
+    * PlanSpec control. Checkpoint leaves (`LogicalRDD`) fall back to the
+    * name list — their pre-checkpoint lineage is gone, but since round 12
+    * every checkpoint site runs the gate on its OWN pre-checkpoint plan
+    * ([[guardedCheckpoint]]), so nothing upstream of a leaf goes unwalked.
+    */
+  private def originDistrust(id: Long, plan: logical.LogicalPlan): Boolean = plan match {
+    case p: logical.Project =>
+      p.projectList.find(_.exprId.id == id) match {
+        case Some(al: Alias) => stripKey(al) match {
+          case ar: AttributeReference => originDistrust(ar.exprId.id, p.child)
+          case _ => false // scalar-computed: the documented composite gap
+        }
+        case _ => originDistrust(id, p.child)
+      }
+    case g: logical.Generate =>
+      if (g.generatorOutput.exists(_.exprId.id == id)) {
+        import org.apache.spark.sql.catalyst.expressions.PosExplode
+        val isPosOutput = g.generator.isInstanceOf[PosExplode] &&
+          g.generatorOutput.headOption.exists(_.exprId.id == id)
+        !isPosOutput &&
+          g.generator.references.exists(r => corpusDescendedRef(r.exprId.id, g.child))
+      } else originDistrust(id, g.child)
+    case a: logical.Aggregate =>
+      a.aggregateExpressions.find(_.exprId.id == id) match {
+        case Some(al: Alias) => stripKey(al) match {
+          case ar: AttributeReference => originDistrust(ar.exprId.id, a.child)
+          case _ => false // an aggregate-function VALUE, not a key lineage
+        }
+        case _ => originDistrust(id, a.child)
+      }
+    case j: logical.Join =>
+      if (j.left.outputSet.exists(_.exprId.id == id)) originDistrust(id, j.left)
+      else if (j.right.outputSet.exists(_.exprId.id == id)) originDistrust(id, j.right)
+      else false
+    case u: logical.Union =>
+      val idx = u.output.indexWhere(_.exprId.id == id)
+      idx >= 0 && u.children.exists { c =>
+        idx < c.output.size && originDistrust(c.output(idx).exprId.id, c)
+      }
+    case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      val paths = r.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty
+      }
+      !isDimensionScan(paths) &&
+        r.output.find(_.exprId.id == id).exists(a => isCorpusIdName(a.name))
+    case lr: org.apache.spark.sql.execution.LogicalRDD =>
+      lr.output.find(_.exprId.id == id).exists(a => isCorpusIdName(a.name))
+    case _: logical.LocalRelation | _: logical.OneRowRelation | _: logical.Range =>
+      false
+    case other if other.children.nonEmpty =>
+      other.children.find(_.outputSet.exists(_.exprId.id == id)) match {
+        case Some(c) => originDistrust(id, c)
+        case None => false
+      }
+    case _ => false
+  }
+
+  /** Does the attribute descend — through ANY chain, renames or
+    * computations — from a corpus-scale relation? The generator-input
+    * test for [[originDistrust]]: `explode(split(text))` distrusts
+    * because `text` reaches the documents scan, while exploding an array
+    * literal or a LocalRelation column stays trusted.
+    */
+  private def corpusDescendedRef(id: Long, plan: logical.LogicalPlan): Boolean = plan match {
+    case p: logical.Project =>
+      p.projectList.find(_.exprId.id == id) match {
+        case Some(al: Alias) =>
+          al.child.references.exists(r => corpusDescendedRef(r.exprId.id, p.child))
+        case _ => corpusDescendedRef(id, p.child)
+      }
+    case g: logical.Generate =>
+      if (g.generatorOutput.exists(_.exprId.id == id))
+        g.generator.references.exists(r => corpusDescendedRef(r.exprId.id, g.child))
+      else corpusDescendedRef(id, g.child)
+    case a: logical.Aggregate =>
+      a.aggregateExpressions.find(_.exprId.id == id) match {
+        case Some(al: Alias) =>
+          al.child.references.exists(r => corpusDescendedRef(r.exprId.id, a.child))
+        case _ => corpusDescendedRef(id, a.child)
+      }
+    case j: logical.Join =>
+      if (j.left.outputSet.exists(_.exprId.id == id)) corpusDescendedRef(id, j.left)
+      else if (j.right.outputSet.exists(_.exprId.id == id)) corpusDescendedRef(id, j.right)
+      else false
+    case u: logical.Union =>
+      val idx = u.output.indexWhere(_.exprId.id == id)
+      idx >= 0 && u.children.exists { c =>
+        idx < c.output.size && corpusDescendedRef(c.output(idx).exprId.id, c)
+      }
+    case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      val paths = r.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty
+      }
+      !isDimensionScan(paths)
+    case _: org.apache.spark.sql.execution.LogicalRDD => true
+    case _: logical.LocalRelation | _: logical.OneRowRelation | _: logical.Range =>
+      false
+    case other if other.children.nonEmpty =>
+      other.children.find(_.outputSet.exists(_.exprId.id == id)) match {
+        case Some(c) => corpusDescendedRef(id, c)
+        case None => false
+      }
+    case _ => false
   }
 
   /** Is `side` of join `j` unique per its equi-join keys — i.e. an
@@ -295,13 +471,16 @@ object PlanGuard {
     // recurses — the subtree stays allowed if a REAL bound (literal
     // IN-list, limit, local relation, bounded join) sits below.
     case a: logical.Aggregate =>
-      if (idKeyed(a.groupingExpressions)) logicalCorpusLeaf(a.child) else None
+      if (idKeyedLogical(a.groupingExpressions, a.child)) logicalCorpusLeaf(a.child)
+      else None
     case d: logical.Distinct =>
-      if (d.output.exists(at => isCorpusIdName(at.name)))
+      if (d.output.exists(at =>
+          isCorpusIdName(at.name) || originDistrust(at.exprId.id, d.child)))
         logicalCorpusLeaf(d.child)
       else None
     case dd: logical.Deduplicate =>
-      if (dd.keys.exists(at => isCorpusIdName(at.name)))
+      if (dd.keys.exists(at =>
+          isCorpusIdName(at.name) || originDistrust(at.exprId.id, dd.child)))
         logicalCorpusLeaf(dd.child)
       else None
     case _: logical.GlobalLimit | _: logical.LocalLimit => None

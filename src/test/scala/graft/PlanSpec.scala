@@ -850,12 +850,35 @@ class PlanSpec extends SparkSpec {
     val fake = spark.read.parquet(fakeDir)
     assert(flags(Seq(1L).toDF("one").crossJoin(broadcast(fake))).nonEmpty,
       "guard exempted a non-dimension table by name prefix")
+    // PROVENANCE distrust (round-11 verdict #4 — the name list leaks):
+    // an exploded-token aggregate is vocabulary-sized WHATEVER its alias
+    // — the x29 w1/w2 shape that dodged the round-11 name list and was
+    // caught only by hand audit. Must flag with NO id-like name anywhere.
+    val toks = docsSmall.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w1"))
+    assert(flags(Seq(1L).toDF("one").crossJoin(
+      broadcast(toks.groupBy(col("w1")).agg(count(lit(1)).as("n"))))).nonEmpty,
+      "guard missed the exploded-token vocabulary aggregate (name-independent)")
+    // ...and a renamed id can no longer launder: the origin column name
+    // is what the provenance trace matches
+    assert(flags(Seq(1L).toDF("one").crossJoin(
+      broadcast(docsSmall.select(col("doc_id").as("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as("n"))))).nonEmpty,
+      "guard missed the renamed corpus-id aggregate")
+    // ...while posexplode's POSITION output stays a trusted key (bounded
+    // by the array width — the d-row dimension-stats idiom)
+    val dims = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(count(lit(1)).as("n"))
+    assert(flags(Seq(1L).toDF("one").crossJoin(broadcast(dims))).isEmpty,
+      "guard over-flags the posexplode-index dimension-stats aggregate")
     // DOCUMENTED GAP, pinned deliberately (PlanGuard.isCorpusIdName
-    // scaladoc): a COMPOSITE grouping expression over an id column —
-    // floor(doc_id / 1000) here, still corpus-proportional — is NOT
-    // distrusted, because only direct attribute keys are name-matched
-    // and the fleet's composite groupings are genuinely-bounded hash
-    // buckets. If this assertion ever FAILS the guard has grown a
+    // scaladoc): a SCALAR-COMPOSITE grouping expression over an id column
+    // — floor(doc_id / 1000) here, still corpus-proportional — is NOT
+    // distrusted, because only direct attribute keys are traced and the
+    // fleet's composite groupings are genuinely-bounded hash/bucket
+    // expressions (distrusting every scalar derivation would flag them
+    // all). If this assertion ever FAILS the guard has grown a
     // composite-expression rule — delete this control and the scaladoc
     // paragraph together.
     val gap = Seq(1L).toDF("one").crossJoin(
@@ -883,6 +906,85 @@ class PlanSpec extends SparkSpec {
     assert(graft.plans.PlanGuard.corpusProductViolations(
       bnljOk.queryExecution.executedPlan).isEmpty,
       "physical walk over-flags the metadata-keyed aggregate BNLJ build")
+  }
+
+  test("guardedCheckpoint walks the pre-checkpoint plan; raw checkpoints stay blind (the margin-tail lesson)") {
+    // round-11 verdict #2: a localCheckpoint truncates the plan to a
+    // LogicalRDD leaf, so margin mining's train-corpus-sized forced
+    // broadcast sat BEHIND its result checkpoint for three rounds,
+    // invisible to the per-query gate and the fleet sweep. The guarded
+    // form must flag the hazard BEFORE checkpointing erases it.
+    val docsSmall = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val perDoc = docsSmall.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val hidden = Seq(1L).toDF("one").crossJoin(broadcast(perDoc))
+    val e = intercept[IllegalStateException] {
+      graft.plans.PlanGuard.guardedCheckpoint("blindspot_control", hidden)
+    }
+    assert(e.getMessage.contains("corpus-product hazard"),
+      s"guardedCheckpoint must run the full two-layer gate, got: ${e.getMessage}")
+    // the raw form DOES hide it — this is the documented blind spot the
+    // source ban below exists for, pinned so the rationale stays true
+    val leaf = hidden.localCheckpoint(true)
+    assert(graft.plans.PlanGuard.hintedBroadcastViolations(
+      leaf.queryExecution.analyzed).isEmpty,
+      "a checkpoint leaf now exposes its pre-checkpoint hints — " +
+        "revisit whether the source ban is still needed")
+    // ...and a clean frame passes through with its rows intact
+    val ok = graft.plans.PlanGuard.guardedCheckpoint("clean_control",
+      docsSmall.limit(3))
+    assert(ok.count() === 3)
+  }
+
+  test("ops/ and operators/ sources checkpoint only through guardedCheckpoint (source ban)") {
+    // the machine-discipline half of round-11 verdict #2: 25 call sites
+    // were converted; a NEW raw localCheckpoint would re-open the gate's
+    // blind spot, so the ban is enforced on source text. plans/PlanGuard
+    // itself (the one legitimate raw call) is outside the banned roots.
+    import scala.jdk.CollectionConverters._
+    val roots = Seq("src/main/scala/graft/ops", "src/main/scala/graft/operators")
+    val offenders = roots.flatMap { r =>
+      java.nio.file.Files.walk(java.nio.file.Paths.get(r)).iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .flatMap { p =>
+          java.nio.file.Files.readString(p).linesIterator.zipWithIndex.collect {
+            case (line, i) if line.contains(".localCheckpoint(") &&
+                !line.trim.startsWith("//") && !line.trim.startsWith("*") =>
+              s"$p:${i + 1}: ${line.trim}"
+          }
+        }
+    }
+    assert(offenders.isEmpty,
+      s"raw localCheckpoint hides plans from the gate — use " +
+        s"PlanGuard.guardedCheckpoint:\n${offenders.mkString("\n")}")
+  }
+
+  test("stream guard flags a hinted stream-static corpus join; the clean twin passes") {
+    // round-11 verdict #3: streaming plans were guard-blind — the hinted
+    // stream-static join in streamDupFlags was found only by review. The
+    // guard must see through the micro-batch machinery to the hint.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val docsSmall = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source"))
+    def run(hint: Boolean): Seq[String] = {
+      val ms = MemoryStream[Long]
+      val static = if (hint) broadcast(docsSmall) else docsSmall
+      val q = ms.toDF().toDF("doc_id")
+        .join(static, Seq("doc_id"), "left")
+        .writeStream.format("memory")
+        .queryName(s"pg_stream_${if (hint) "bad" else "ok"}")
+        .outputMode(OutputMode.Append).start()
+      ms.addData(1L, 2L)
+      q.processAllAvailable()
+      val v = org.apache.spark.sql.graft.StreamPlanGuard.violations(q)
+      q.stop()
+      v
+    }
+    assert(run(hint = true).nonEmpty,
+      "stream guard missed the hinted stream-static corpus broadcast")
+    assert(run(hint = false).isEmpty,
+      "stream guard over-flags the stats-planned stream-static join")
   }
 
   test("fleet sweep: no query plans a corpus-unbounded BNLJ build, cartesian side, or single-partition funnel") {

