@@ -2680,7 +2680,15 @@ object TextOps {
     // every checkpoint keeps at most this count (see the coalesces
     // below). ~50k strings (~25 MB) per partition, capped at one
     // shuffle's width.
-    val stateParts = math.max(1, math.min(
+    // Floor of TWO, not one (round 12): stateParts == 1 only when the
+    // histogram is ≤ 50 k rows — a REAL runtime bound, but one that lives
+    // in this arithmetic where the static funnel walk cannot see it, so
+    // the per-round guardedCheckpoint would flag coalesce(1) over the
+    // state leaf as a single-task funnel. Two single-digit-kilobyte
+    // partitions cost nothing and keep the state plan out of the banned
+    // one-task shape at every size; at corpus scale stateParts is
+    // shuffle.partitions and the floor is inert.
+    val stateParts = math.max(2, math.min(
       docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
       math.ceil(nHist / 50000.0).toInt))
     // BASE + DELTA state layout (round-9 verdict #5: the previous loop

@@ -280,9 +280,9 @@ object PlanGuard {
     }
   }
 
-  /** Surface-name distrust (both layers; the physical walk has no cheap
-    * origin tracing, so it stays name-only — the logical hint guard, where
-    * every forced broadcast must pass, carries the provenance upgrade).
+  /** Surface-name distrust — the fast first check at both layers; each
+    * layer backs it with its own origin tracing ([[idKeyedLogical]] /
+    * [[idKeyedPhysical]]).
     */
   private def idKeyed(exprs: Seq[Expression]): Boolean = exprs.exists { e =>
     stripKey(e) match {
@@ -364,6 +364,122 @@ object PlanGuard {
     case other if other.children.nonEmpty =>
       other.children.find(_.outputSet.exists(_.exprId.id == id)) match {
         case Some(c) => originDistrust(id, c)
+        case None => false
+      }
+    case _ => false
+  }
+
+  /** [[idKeyedLogical]]'s physical twin (round 12): the FORCED-broadcast
+    * class must pass the logical layer, but a stats-chosen BNLJ or
+    * cartesian build is decided in the PHYSICAL plan, where a renamed id
+    * or an exploded-token alias would dodge the surface-name check just
+    * as it dodged the logical one. Same two distrusted origins, traced
+    * over SparkPlan nodes.
+    */
+  private def idKeyedPhysical(exprs: Seq[Expression], child: SparkPlan): Boolean =
+    exprs.exists { e =>
+      stripKey(e) match {
+        case a: AttributeReference => originDistrustPhys(a.exprId.id, child)
+        case _ => false
+      }
+    }
+
+  private def originDistrustPhys(id: Long, plan: SparkPlan): Boolean = plan match {
+    case p: ProjectExec =>
+      p.projectList.find(_.exprId.id == id) match {
+        case Some(al: Alias) => stripKey(al) match {
+          case ar: AttributeReference => originDistrustPhys(ar.exprId.id, p.child)
+          case _ => false // scalar-computed: the documented composite gap
+        }
+        case _ => originDistrustPhys(id, p.child)
+      }
+    case g: GenerateExec =>
+      if (g.generatorOutput.exists(_.exprId.id == id)) {
+        import org.apache.spark.sql.catalyst.expressions.PosExplode
+        val isPosOutput = g.generator.isInstanceOf[PosExplode] &&
+          g.generatorOutput.headOption.exists(_.exprId.id == id)
+        !isPosOutput &&
+          g.generator.references.exists(r => corpusDescendedRefPhys(r.exprId.id, g.child))
+      } else originDistrustPhys(id, g.child)
+    case a: BaseAggregateExec =>
+      a.resultExpressions.find(_.exprId.id == id) match {
+        case Some(al: Alias) => stripKey(al) match {
+          case ar: AttributeReference => originDistrustPhys(ar.exprId.id, a.child)
+          case _ => false // an aggregate-function VALUE
+        }
+        case _ => originDistrustPhys(id, a.child)
+      }
+    case s: FileSourceScanExec =>
+      !isDimensionScan(s.relation.location.rootPaths.map(_.toString)) &&
+        s.output.find(_.exprId.id == id).exists(a => isCorpusIdName(a.name))
+    case r: RDDScanExec =>
+      r.output.find(_.exprId.id == id).exists(a => isCorpusIdName(a.name))
+    case _: LocalTableScanExec => false
+    // exprId-REMAPPING wrappers: continue by POSITION into the wrapped plan
+    case im: InMemoryTableScanExec =>
+      val idx = im.output.indexWhere(_.exprId.id == id)
+      idx >= 0 && idx < im.relation.cachedPlan.output.size &&
+        originDistrustPhys(im.relation.cachedPlan.output(idx).exprId.id,
+          im.relation.cachedPlan)
+    case r: ReusedExchangeExec =>
+      val idx = r.output.indexWhere(_.exprId.id == id)
+      idx >= 0 && idx < r.child.output.size &&
+        originDistrustPhys(r.child.output(idx).exprId.id, r.child)
+    case u: UnionExec =>
+      val idx = u.output.indexWhere(_.exprId.id == id)
+      idx >= 0 && u.children.exists { c =>
+        idx < c.output.size && originDistrustPhys(c.output(idx).exprId.id, c)
+      }
+    case aq: AdaptiveSparkPlanExec => originDistrustPhys(id, aq.executedPlan)
+    case q: QueryStageExec => originDistrustPhys(id, q.plan)
+    case other if other.children.nonEmpty =>
+      other.children.find(_.outputSet.exists(_.exprId.id == id)) match {
+        case Some(c) => originDistrustPhys(id, c)
+        case None => false
+      }
+    case _ => false
+  }
+
+  private def corpusDescendedRefPhys(id: Long, plan: SparkPlan): Boolean = plan match {
+    case p: ProjectExec =>
+      p.projectList.find(_.exprId.id == id) match {
+        case Some(al: Alias) =>
+          al.child.references.exists(r => corpusDescendedRefPhys(r.exprId.id, p.child))
+        case _ => corpusDescendedRefPhys(id, p.child)
+      }
+    case g: GenerateExec =>
+      if (g.generatorOutput.exists(_.exprId.id == id))
+        g.generator.references.exists(r => corpusDescendedRefPhys(r.exprId.id, g.child))
+      else corpusDescendedRefPhys(id, g.child)
+    case a: BaseAggregateExec =>
+      a.resultExpressions.find(_.exprId.id == id) match {
+        case Some(al: Alias) =>
+          al.child.references.exists(r => corpusDescendedRefPhys(r.exprId.id, a.child))
+        case _ => corpusDescendedRefPhys(id, a.child)
+      }
+    case s: FileSourceScanExec =>
+      !isDimensionScan(s.relation.location.rootPaths.map(_.toString))
+    case _: RDDScanExec => true
+    case _: LocalTableScanExec => false
+    case im: InMemoryTableScanExec =>
+      val idx = im.output.indexWhere(_.exprId.id == id)
+      idx >= 0 && idx < im.relation.cachedPlan.output.size &&
+        corpusDescendedRefPhys(im.relation.cachedPlan.output(idx).exprId.id,
+          im.relation.cachedPlan)
+    case r: ReusedExchangeExec =>
+      val idx = r.output.indexWhere(_.exprId.id == id)
+      idx >= 0 && idx < r.child.output.size &&
+        corpusDescendedRefPhys(r.child.output(idx).exprId.id, r.child)
+    case u: UnionExec =>
+      val idx = u.output.indexWhere(_.exprId.id == id)
+      idx >= 0 && u.children.exists { c =>
+        idx < c.output.size && corpusDescendedRefPhys(c.output(idx).exprId.id, c)
+      }
+    case aq: AdaptiveSparkPlanExec => corpusDescendedRefPhys(id, aq.executedPlan)
+    case q: QueryStageExec => corpusDescendedRefPhys(id, q.plan)
+    case other if other.children.nonEmpty =>
+      other.children.find(_.outputSet.exists(_.exprId.id == id)) match {
+        case Some(c) => corpusDescendedRefPhys(id, c)
         case None => false
       }
     case _ => false
@@ -545,7 +661,9 @@ object PlanGuard {
     // BNLJ/cartesian has NO safe shape for the planner to fall back to,
     // so an id-keyed aggregate feeding one is a hazard at every scale.
     case a: BaseAggregateExec =>
-      if (idKeyed(a.groupingExpressions)) corpusLeaf(a.child, localLimitBounds)
+      if (idKeyed(a.groupingExpressions) ||
+          idKeyedPhysical(a.groupingExpressions, a.child))
+        corpusLeaf(a.child, localLimitBounds)
       else None
     case _: GlobalLimitExec | _: CollectLimitExec |
         _: TakeOrderedAndProjectExec => None

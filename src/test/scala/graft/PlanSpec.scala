@@ -906,6 +906,29 @@ class PlanSpec extends SparkSpec {
     assert(graft.plans.PlanGuard.corpusProductViolations(
       bnljOk.queryExecution.executedPlan).isEmpty,
       "physical walk over-flags the metadata-keyed aggregate BNLJ build")
+    // PHYSICAL provenance (round 12): a stats-chosen product build is
+    // decided in the physical plan, where a renamed id or an exploded-
+    // token alias would dodge the name check just as it dodged the
+    // logical one — both must flag without an id-like surface name
+    val renamedLens = docsSmall.select(col("doc_id").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+    val bnljRenamed = Seq(16L).toDF("k")
+      .join(broadcast(renamedLens), col("k") <= col("n"), "left")
+    assert(graft.plans.PlanGuard.corpusProductViolations(
+      bnljRenamed.queryExecution.executedPlan)
+        .exists(_.contains("BroadcastNestedLoopJoin")),
+      "physical walk missed the renamed-id aggregate BNLJ build:\n" +
+        bnljRenamed.queryExecution.executedPlan.toString)
+    val w1Lens = docsSmall
+      .select(explode(split(col("text"), " ")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("n"))
+    val bnljW1 = Seq(16L).toDF("k")
+      .join(broadcast(w1Lens), col("k") <= col("n"), "left")
+    assert(graft.plans.PlanGuard.corpusProductViolations(
+      bnljW1.queryExecution.executedPlan)
+        .exists(_.contains("BroadcastNestedLoopJoin")),
+      "physical walk missed the exploded-token aggregate BNLJ build:\n" +
+        bnljW1.queryExecution.executedPlan.toString)
   }
 
   test("guardedCheckpoint walks the pre-checkpoint plan; raw checkpoints stay blind (the margin-tail lesson)") {
