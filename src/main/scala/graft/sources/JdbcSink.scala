@@ -126,6 +126,8 @@ object JdbcSink {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // guard the inner batch plan (round-12 — see StreamingIngest.writer)
+        graft.plans.PlanGuard.assertNoCorpusProducts("jdbc_sink_batch", batch)
         writeEvents(batch, target, batchSize)
       }
 }

@@ -74,10 +74,14 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch
+        val shaped = batch
           .withColumn("day", to_date(col("execute_time")))
           .sortWithinPartitions(col("execute_time"), col("gtid"))
-          .write
+        // the foreachBatch INNER plan is its own query execution the
+        // stream-level guard never sees (round-12, closing verdict #3's
+        // parenthetical) — walk it per batch; the walk is plan-sized
+        graft.plans.PlanGuard.assertNoCorpusProducts("ingest_batch", shaped)
+        shaped.write
           .mode("overwrite")
           .partitionBy("day")
           .parquet(s"$path/batch_id=$batchId")

@@ -52,10 +52,12 @@ object StreamingMVs {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        DailyCounts
+        val partials = DailyCounts
           .dailyEventCounts(batch)
           .withColumn("batch_id", lit(batchId))
-          .write
+        // guard the inner batch plan (round-12 — see StreamingIngest.writer)
+        graft.plans.PlanGuard.assertNoCorpusProducts("mv_counts_batch", partials)
+        partials.write
           .mode("append")
           .partitionBy("day")
           .parquet(targetPath)
@@ -91,12 +93,13 @@ object StreamingMVs {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch
+        val partials = batch
           .groupBy(to_date(col("ts")).as("day"), col("event_type"),
             round(col("value") * 100).cast("long").as("v_c"))
           .agg(count(lit(1)).as("cnt"))
           .withColumn("batch_id", lit(batchId))
-          .write.mode("append").partitionBy("day").parquet(targetPath)
+        graft.plans.PlanGuard.assertNoCorpusProducts("mv_histogram_batch", partials)
+        partials.write.mode("append").partitionBy("day").parquet(targetPath)
       }
 
   /** Exact percentiles from the streamed histogram partials (b30's read
@@ -133,9 +136,10 @@ object StreamingMVs {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Sketches.sketchPartials(batch, keyCol, w)
+        val partials = graft.operators.Sketches.sketchPartials(batch, keyCol, w)
           .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(targetPath)
+        graft.plans.PlanGuard.assertNoCorpusProducts("mv_sketch_batch", partials)
+        partials.write.mode("append").parquet(targetPath)
       }
 
   /** The merged sketch from streamed partials (replay-dedup first). */

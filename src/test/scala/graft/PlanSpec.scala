@@ -929,6 +929,33 @@ class PlanSpec extends SparkSpec {
         .exists(_.contains("BroadcastNestedLoopJoin")),
       "physical walk missed the exploded-token aggregate BNLJ build:\n" +
         bnljW1.queryExecution.executedPlan.toString)
+    // exprId-REMAPPING wrappers: a cached renamed projection breaks exprId
+    // continuity (InMemoryTableScan re-ids its output), so the physical
+    // trace must continue POSITIONALLY into the cached plan — without the
+    // remap the renamed id below the cache boundary would launder again
+    val cachedRenamed = docsSmall.select(col("doc_id").as("d")).persist()
+    try {
+      cachedRenamed.count() // materialize so the scan plans as InMemoryTableScan
+      val bnljCached = Seq(16L).toDF("k")
+        .join(broadcast(cachedRenamed.groupBy(col("d")).agg(count(lit(1)).as("n"))),
+          col("k") <= col("n"), "left")
+      assert(graft.plans.PlanGuard.corpusProductViolations(
+        bnljCached.queryExecution.executedPlan)
+          .exists(_.contains("BroadcastNestedLoopJoin")),
+        "physical walk lost the renamed-id lineage at the cache boundary:\n" +
+          bnljCached.queryExecution.executedPlan.toString)
+    } finally { cachedRenamed.unpersist(); () }
+    // ...and through a UNION (positional across branches)
+    val unioned = docsSmall.select(col("doc_id").as("d"))
+      .unionByName(docsSmall.select((col("doc_id") + 1000000L).as("d")))
+    val bnljUnion = Seq(16L).toDF("k")
+      .join(broadcast(unioned.groupBy(col("d")).agg(count(lit(1)).as("n"))),
+        col("k") <= col("n"), "left")
+    assert(graft.plans.PlanGuard.corpusProductViolations(
+      bnljUnion.queryExecution.executedPlan)
+        .exists(_.contains("BroadcastNestedLoopJoin")),
+      "physical walk lost the renamed-id lineage through the union:\n" +
+        bnljUnion.queryExecution.executedPlan.toString)
   }
 
   test("guardedCheckpoint walks the pre-checkpoint plan; raw checkpoints stay blind (the margin-tail lesson)") {
