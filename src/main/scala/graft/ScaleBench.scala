@@ -400,7 +400,8 @@ object ScaleBench {
     // probes drop-and-rebuild); the one STATEFUL probe declares an
     // untimed `setup` in `probeSetup` that restores its precondition
     // before every measurement.
-    def time(fn: () => DataFrame, setup: () => Unit = () => ()): (Double, Long) = {
+    def time(name: String, fn: () => DataFrame,
+        setup: () => Unit = () => ()): (Double, Long) = {
       setup()
       val a = timeOnce(fn)
       setup()
@@ -408,12 +409,13 @@ object ScaleBench {
       // min-of-2 is only a same-cost observation when both runs did the
       // same work (round-12 ADVICE): a row-count disagreement means the
       // probe is not re-entrant (its setup failed to restore the
-      // precondition) — surface it loudly instead of shipping a min over
-      // two different workloads
+      // precondition) — surface it loudly, NAMING the probe (round-12
+      // review: a phase-only label was unactionable across dozens of
+      // probes), instead of shipping a min over two different workloads
       if (a._2 != b._2)
         System.err.println(
-          s"[scale] WARNING non-re-entrant probe ($scaleTag): run rows differ " +
-            s"${a._2} vs ${b._2} — the min-of-2 below mixes two workloads")
+          s"[scale] WARNING non-re-entrant probe $name ($scaleTag): run rows " +
+            s"differ ${a._2} vs ${b._2} — the min-of-2 below mixes two workloads")
       (math.min(a._1, b._1), b._2)
     }
 
@@ -442,7 +444,7 @@ object ScaleBench {
       val e = scaledEmb(f)
       queries.map { case (name, fn, isDoc) =>
         val input = if (isDoc) d else e
-        val (sec, rows) = time(() => fn(input),
+        val (sec, rows) = time(name, () => fn(input),
           () => probeSetup.get(name).foreach(_(input)))
         System.err.println(f"[scale x$f] $name%-24s $sec%8.2f s  $rows%10d rows")
         (name, sec, rows)
@@ -510,7 +512,7 @@ object ScaleBench {
     def runGraph(f: Int): Seq[(String, Double, Long)] = {
       val e = scaledEdges(f)
       graphQs.map { case (name, fn) =>
-        val (sec, rows) = time(() => fn(e))
+        val (sec, rows) = time(name, () => fn(e))
         System.err.println(f"[scale x$f] $name%-24s $sec%8.2f s  $rows%10d rows")
         (name, sec, rows)
       }
@@ -549,7 +551,7 @@ object ScaleBench {
     def runBinlog(f: Int): Seq[(String, Double, Long)] = {
       val b = scaledBinlog(f)
       binlogQs.map { case (name, fn) =>
-        val (sec, rows) = time(() => fn(b))
+        val (sec, rows) = time(name, () => fn(b))
         System.err.println(f"[scale x$f] $name%-24s $sec%8.2f s  $rows%10d rows")
         (name, sec, rows)
       }
@@ -562,7 +564,7 @@ object ScaleBench {
     // candidate index must keep d2 at ≈ clean-corpus cost
     val hotDocs = scaledDocs(8).select(col("doc_id"),
       concat(col("text"), lit(" standard legal disclaimer boilerplate appended to every document")).as("text"))
-    val (hotSec, hotRows) = time(() =>
+    val (hotSec, hotRows) = time("hot_shingle", () =>
       Dedup.jaccardPairsFromShingles(
         Dedup.shingleIdsFromArrays(Vocab.hashTokenIdArrays(hotDocs), 5), threshold = 0.5))
     System.err.println(f"[scale hot] d2_jaccard_pairs          $hotSec%8.2f s  $hotRows%10d rows")

@@ -1353,16 +1353,22 @@ object Dedup {
     * before any collect happens.
     */
   def benchmarkShingleIds(benchmark: DataFrame, k: Int = 5,
-      maxIds: Long = 4000000L): Array[Long] = {
-    val ids = shingleIdsFromArrays(Vocab.hashTokenIdArrays(benchmark), k)
+      maxIds: Int = 4000000): Array[Long] = {
+    require(maxIds < Int.MaxValue, "maxIds + 1 must stay an Int")
+    // ONE pass (round-12 review: a separate limit-count probe re-ran the
+    // whole shingle/distinct pipeline before the collect): collect at most
+    // maxIds + 1 rows and check the length — the +1 row is the overflow
+    // signal. Int-typed cap so the limit can always express it.
+    val rows = shingleIdsFromArrays(Vocab.hashTokenIdArrays(benchmark), k)
       .select(col("shingle_id")).distinct()
-    require(ids.limit((maxIds + 1).toInt).count() <= maxIds,
+      .limit(maxIds + 1).collect()
+    require(rows.length <= maxIds,
       s"benchmarkShingleIds collects the benchmark's distinct shingle ids to the " +
         s"driver — an eval-suite-sized contract (run once per benchmark release) " +
         s"and this frame has > $maxIds distinct shingles: screen against a " +
         s"corpus-scale set with the persisted shingle index " +
         s"(materializedShingleIndex) instead, or raise maxIds deliberately")
-    ids.collect().map(_.getLong(0))
+    rows.map(_.getLong(0))
   }
 
   /** Fractional contamination score — [[decontaminate]]'s binary flag as

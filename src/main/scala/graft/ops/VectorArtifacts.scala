@@ -75,21 +75,24 @@ private[ops] trait VectorArtifacts { self: VectorCore with VectorTraining =>
     */
   def appendToNavGraph(newVecs: DataFrame, corpus: DataFrame, table: String,
       entryIds: Seq[Long], graphK: Int = 24, beam: Int = 32,
-      rounds: Int = 4, buckets: Int = 8, maxBatch: Long = 1048576L): Unit = {
+      rounds: Int = 4, buckets: Int = 8, maxBatch: Int = 1048576): Unit = {
+    require(maxBatch < Int.MaxValue, "maxBatch + 1 must stay an Int")
     val spark = newVecs.sparkSession
     val fresh = newVecs.join(
       spark.table(table).select(col("src_id").as("vec_id")).distinct(),
       Seq("vec_id"), "left_anti")
-    // fail-fast contract guard (round-11 verdict): the fresh ids collect to
-    // the driver — batch-sized by the HNSW-style append contract — so a
-    // limit probe rejects a corpus-sized caller mistake with a diagnostic
-    // naming the contract instead of an OOM
-    require(fresh.select(col("vec_id")).limit((maxBatch + 1).toInt).count() <= maxBatch,
+    // fail-fast contract guard (round-11 verdict), ONE pass (round-12
+    // review: a separate limit-count probe re-ran the anti-join against
+    // the corpus-scale graph table before the collect): collect at most
+    // maxBatch + 1 ids — the +1 row is the overflow signal — and reject a
+    // corpus-sized caller mistake with a diagnostic instead of an OOM
+    val idRows = fresh.select(col("vec_id")).limit(maxBatch + 1).collect()
+    require(idRows.length <= maxBatch,
       s"appendToNavGraph collects the fresh batch's ids to the driver — a " +
         s"batch-sized contract (HNSW-style append) and this batch has > $maxBatch " +
         s"new ids: rebuild the graph (materializedNavGraph) for corpus-scale " +
         s"insertions, or raise maxBatch deliberately")
-    val newIds = fresh.select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    val newIds = idRows.map(_.getLong(0)).toSeq
     if (newIds.nonEmpty) {
       // dedup by id BEFORE the walk: callers legitimately pass the full
       // current corpus as `corpus` (RecallReport does), which already

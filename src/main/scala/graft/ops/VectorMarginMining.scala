@@ -70,15 +70,27 @@ private[ops] trait VectorMarginMining { self: VectorCore with VectorTraining =>
     * default cap: driver- and broadcast-sized by design.
     */
   private def boundedTestSide(test: DataFrame, maxExactTest: Int,
-      caller: String): DataFrame = {
+      caller: String, maxBytes: Long = 64L << 20): DataFrame = {
     val spark = test.sparkSession
     val tU = withUnit(test).select(col("vec_id").as("test_id"), col("unit").as("tu"))
-    val rows = tU.limit(maxExactTest + 1).collect()
-    require(rows.length <= maxExactTest,
+    // byte-aware row cap (round-12 review: a row-only cap let a
+    // high-dimension corpus collect gigabytes before the require could
+    // see them — the "bounded by construction" claim must hold in BYTES,
+    // since bytes are what the driver heap and the forced broadcast pay).
+    // One tiny head job reads the dimension; empty frames pass through.
+    val rowBytes = tU.select(size(col("tu"))).head(1) match {
+      case Array(r) => 8L * r.getInt(0) + 16L
+      case _        => 1L
+    }
+    val cap = math.min(maxExactTest.toLong, maxBytes / math.max(rowBytes, 1L)).toInt
+    val rows = tU.limit(cap + 1).collect()
+    require(rows.length <= cap,
       s"$caller scores the full (test × train) grid — its test side is |Q|≪N " +
-        s"by contract (≤ $maxExactTest rows) and this frame exceeds it: use " +
-        s"marginPairsGated / marginPairsBucketed (bucketed candidates) for " +
-        s"corpus-×-corpus mining, or raise maxExactTest deliberately")
+        s"by contract (≤ $cap rows here: min(maxExactTest=$maxExactTest, " +
+        s"${maxBytes >> 20} MB / $rowBytes B per row)) and this frame exceeds " +
+        s"it: use marginPairsBucketed (sign-hash buckets) or marginPairsRouted " +
+        s"(trained-IVF candidates) for corpus-×-corpus mining, or raise " +
+        s"maxExactTest / maxBytes deliberately")
     spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), tU.schema)
   }
@@ -348,7 +360,8 @@ private[ops] trait VectorMarginMining { self: VectorCore with VectorTraining =>
     * attested on the clustered twin in RECALL.json + VectorsSpec).
     */
   def marginPairsGated(test: DataFrame, train: DataFrame, k: Int = 4,
-      marginPpmThreshold: Long = 1200000L): DataFrame = {
+      marginPpmThreshold: Long = 1200000L,
+      maxExactTest: Int = 65536): DataFrame = {
     // an explicit side TAG keeps the two frames' rows distinct in the gate
     // sample for ANY id domain (round-7 ADVICE: the old `vec_id + 2⁴⁰`
     // offset collided train ids ≥ 2⁴⁰ with test ids)
@@ -357,7 +370,12 @@ private[ops] trait VectorMarginMining { self: VectorCore with VectorTraining =>
     val p99 = pairConcentrationP99(union)
     val gate = concentrationGate(test)
     if (p99 > gate) marginPairsRouted(test, train, k, marginPpmThreshold)
-    else marginPairsScan(test, train, k, marginPpmThreshold)
+    else
+      // maxExactTest threads through (round-12 review: the gated dispatch
+      // dead-ended past the scan's default cap with no way to raise it,
+      // and its old diagnostic circularly routed callers back here)
+      marginPairsScan(test, train, k, marginPpmThreshold,
+        maxExactTest = maxExactTest)
   }
 
   /** Shared margin tail over ANY (test_id, train_id, sim) candidate frame:

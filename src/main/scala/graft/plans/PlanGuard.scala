@@ -417,7 +417,12 @@ object PlanGuard {
     case _: LocalTableScanExec => false
     // exprId-REMAPPING wrappers: continue by POSITION into the wrapped plan
     case im: InMemoryTableScanExec =>
-      val idx = im.output.indexWhere(_.exprId.id == id)
+      // index via the RELATION's full output, not the scan's: im.output is
+      // the pruned/reordered requested subset, while relation.output is
+      // positionally aligned with cachedPlan.output (round-12 review
+      // finding — a two-column cache pruned to the second column traced
+      // the wrong lineage under the scan-positional form)
+      val idx = im.relation.output.indexWhere(_.exprId.id == id)
       idx >= 0 && idx < im.relation.cachedPlan.output.size &&
         originDistrustPhys(im.relation.cachedPlan.output(idx).exprId.id,
           im.relation.cachedPlan)
@@ -462,7 +467,8 @@ object PlanGuard {
     case _: RDDScanExec => true
     case _: LocalTableScanExec => false
     case im: InMemoryTableScanExec =>
-      val idx = im.output.indexWhere(_.exprId.id == id)
+      // relation.output, not im.output — see originDistrustPhys
+      val idx = im.relation.output.indexWhere(_.exprId.id == id)
       idx >= 0 && idx < im.relation.cachedPlan.output.size &&
         corpusDescendedRefPhys(im.relation.cachedPlan.output(idx).exprId.id,
           im.relation.cachedPlan)

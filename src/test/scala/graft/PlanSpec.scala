@@ -931,19 +931,32 @@ class PlanSpec extends SparkSpec {
         bnljW1.queryExecution.executedPlan.toString)
     // exprId-REMAPPING wrappers: a cached renamed projection breaks exprId
     // continuity (InMemoryTableScan re-ids its output), so the physical
-    // trace must continue POSITIONALLY into the cached plan — without the
-    // remap the renamed id below the cache boundary would launder again
-    val cachedRenamed = docsSmall.select(col("doc_id").as("d")).persist()
+    // trace must continue into the cached plan via the RELATION's full
+    // output — the id column is deliberately the SECOND cached column and
+    // the scan prunes to it alone, so a scan-positional remap would trace
+    // the wrong column (the round-12 review's false-negative scenario)
+    val cachedRenamed = docsSmall
+      .select(col("source"), col("doc_id").as("d")).persist()
     try {
       cachedRenamed.count() // materialize so the scan plans as InMemoryTableScan
       val bnljCached = Seq(16L).toDF("k")
-        .join(broadcast(cachedRenamed.groupBy(col("d")).agg(count(lit(1)).as("n"))),
+        .join(broadcast(cachedRenamed.select(col("d"))
+            .groupBy(col("d")).agg(count(lit(1)).as("n"))),
           col("k") <= col("n"), "left")
       assert(graft.plans.PlanGuard.corpusProductViolations(
         bnljCached.queryExecution.executedPlan)
           .exists(_.contains("BroadcastNestedLoopJoin")),
         "physical walk lost the renamed-id lineage at the cache boundary:\n" +
           bnljCached.queryExecution.executedPlan.toString)
+      // ...and the mirrored over-flag check: the cached METADATA column
+      // (position 0) keyed aggregate must stay a valid build bound
+      val bnljCachedOk = Seq(16L).toDF("k")
+        .join(broadcast(cachedRenamed.select(col("source"))
+            .groupBy(col("source")).agg(count(lit(1)).as("n"))),
+          col("k") <= col("n"), "left")
+      assert(graft.plans.PlanGuard.corpusProductViolations(
+        bnljCachedOk.queryExecution.executedPlan).isEmpty,
+        "physical walk over-flags the cached metadata-keyed aggregate build")
     } finally { cachedRenamed.unpersist(); () }
     // ...and through a UNION (positional across branches)
     val unioned = docsSmall.select(col("doc_id").as("d"))

@@ -26,7 +26,14 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   def assertStreamClean(name: String,
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val v = org.apache.spark.sql.graft.StreamPlanGuard.violations(q)
-    assert(v.isEmpty, s"$name micro-batch plan hazards:\n  ${v.mkString("\n  ")}")
+    if (v.nonEmpty) {
+      // stop BEFORE failing (round-12 review): call sites assert right
+      // before their own q.stop(), so a thrown assertion would otherwise
+      // leave the query's threads and memory-sink table alive in the
+      // JVM-shared session, poisoning later suites
+      try q.stop() catch { case _: Throwable => () }
+      fail(s"$name micro-batch plan hazards:\n  ${v.mkString("\n  ")}")
+    }
   }
 
   /** The session is shared across every suite in the JVM, and many ops

@@ -72,7 +72,7 @@ class DedupSpec extends SparkSpec {
       (1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "eta theta iota kappa lambda mu")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
-      Dedup.benchmarkShingleIds(big, maxIds = 1L)
+      Dedup.benchmarkShingleIds(big, maxIds = 1)
     }
     assert(e.getMessage.contains("eval-suite-sized contract"),
       s"diagnostic must name the contract, got: ${e.getMessage}")

@@ -457,7 +457,7 @@ class VectorsSpec extends SparkSpec {
       centroidIds = Some(entries))
     val e = intercept[IllegalArgumentException] {
       Vectors.appendToNavGraph(embF.filter(col("vec_id") >= cut), embF, t,
-        entries, maxBatch = 2L)
+        entries, maxBatch = 2)
     }
     assert(e.getMessage.contains("batch-sized contract"),
       s"diagnostic must name the contract, got: ${e.getMessage}")
