@@ -162,9 +162,15 @@ object Bench {
     // optimized plan and touches every output row without collecting it.
     def materialize(df: org.apache.spark.sql.DataFrame): Long =
       df.queryExecution.toRdd.count()
+    // NonFatal only (round-12 ADVICE): a fatal error (OutOfMemoryError,
+    // StackOverflowError) anywhere in the run means the JVM may be
+    // corrupted — every surviving timing and the noise verdict would be
+    // untrustworthy, so fatal errors abort the run instead of recording a
+    // penalty and carrying on.
+    import scala.util.control.NonFatal
     ordered.foreach { case (name, fn) =>
       try { materialize(fn(spark, warmDir)); () } catch {
-        case e: Throwable =>
+        case NonFatal(e) =>
           System.err.println(s"[bench] warmup $name FAILED ($warmDir): ${e.getMessage}")
       }
       spark.sqlContext.clearCache()
@@ -176,28 +182,39 @@ object Bench {
     // without any code being different — one run's JSON then classifies
     // itself. Min-of-3 per canary: contention only ever adds time.
     val canaryNames = Seq("b1_txn_stats", "t1_pricing_summary", "x9_normalize")
+    // dropped-canary ledger (round-12 ADVICE): name + reason for every
+    // canary missing from a window, so the JSON distinguishes "absent from
+    // the registry" (drift) from "threw during the window" (flake) instead
+    // of collapsing both into one three-state flag
+    val canaryDropped = scala.collection.mutable.LinkedHashMap[String, String]()
     def timeCanaries(label: String): Seq[(String, Double)] =
       canaryNames.flatMap { n =>
-        SparkEntry.queries.get(n).flatMap { fn =>
-          // per-canary try/catch (round-12 ADVICE): a canary that throws at
-          // the END window would otherwise abort the run AFTER all ~250
-          // queries were measured, discarding the entire JSON output — a
-          // flaky canary logs, drops out, and the spread computes over the
-          // survivors (paired by NAME below, never by position)
-          try {
-            val ts = (1 to 3).map { _ =>
-              val t0 = System.nanoTime()
-              materialize(fn(spark, sfDir))
-              spark.sqlContext.clearCache()
-              (System.nanoTime() - t0) / 1e9
+        SparkEntry.queries.get(n) match {
+          case None =>
+            canaryDropped += n -> "absent from SparkEntry.queries"
+            None
+          case Some(fn) =>
+            // per-canary try/catch (round-12 ADVICE): a canary that throws at
+            // the END window would otherwise abort the run AFTER all ~250
+            // queries were measured, discarding the entire JSON output — a
+            // flaky canary logs, drops out, and the spread computes over the
+            // survivors (paired by NAME below, never by position). NonFatal
+            // only: a fatal error must abort (corrupted-JVM rationale above).
+            try {
+              val ts = (1 to 3).map { _ =>
+                val t0 = System.nanoTime()
+                materialize(fn(spark, sfDir))
+                spark.sqlContext.clearCache()
+                (System.nanoTime() - t0) / 1e9
+              }
+              Some(n -> ts.min)
+            } catch {
+              case NonFatal(e) =>
+                System.err.println(s"[bench] canary $n ($label) FAILED: ${e.getMessage}")
+                canaryDropped += n -> s"threw in $label window: ${e.getClass.getSimpleName}"
+                spark.sqlContext.clearCache()
+                None
             }
-            Some(n -> ts.min)
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] canary $n ($label) FAILED: ${e.getMessage}")
-              spark.sqlContext.clearCache()
-              None
-          }
         }
       }
     def loadAvg(): Double = java.lang.management.ManagementFactory
@@ -210,7 +227,7 @@ object Bench {
         val t0 = System.nanoTime()
         val ok =
           try { materialize(fn(spark, sfDir)); true } catch {
-            case e: Throwable =>
+            case NonFatal(e) =>
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               false
           }
@@ -244,6 +261,9 @@ object Bench {
       if (!runCanaries) "skipped"
       else if (spreadPairs.size < canaryNames.size) "partial"
       else "run"
+    val canaryDroppedJson = canaryDropped
+      .map { case (n, why) => s"\"" + n + "\":\"" + why + "\"" }
+      .mkString("{", ",", "}")
     results.foreach { case (name, v, times, failed) =>
       val spread = times.map(t => f"$t%.3f").mkString(" ")
       System.err.println(
@@ -264,15 +284,37 @@ object Bench {
       if (failed) failPenaltySec else ts.min }.sum
     def canaryJson(c: Seq[(String, Double)]): String =
       c.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"failed":$failedNames,"sf":"$sfDir"}""")
+    val totalLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"failed":$failedNames,"sf":"$sfDir"}"""
+    val totalShortLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedNames,"sf":"$sfDir"}"""
+    val noiseLine =
+      s"""{"metric":"noise","canaries":"$canaryStatus","canary_dropped":$canaryDroppedJson,"canary_start":${canaryJson(canaryStart)},"canary_end":${canaryJson(canaryEnd)},"canary_spread":$canarySpread,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"cpus":$cpus,"total_min":$totalMin,"median_over_min":${total / math.max(totalMin, 1e-9)}}"""
+    println(totalLine)
     // the driver keeps the TAIL of this stream: repeat the headline total as
     // a short final line so head-truncation of the long per-query line can
     // never eat the gate number (VERDICT r3 "what's wrong" #3)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedNames,"sf":"$sfDir"}""")
+    println(totalShortLine)
     // the noise verdict, as its own compact tail-surviving line (round-10
     // verdict #1): canary times at start/end, worst spread, load average,
     // and the spike-robust total_min — one run classifies itself
-    println(s"""{"metric":"noise","canaries":"$canaryStatus","canary_start":${canaryJson(canaryStart)},"canary_end":${canaryJson(canaryEnd)},"canary_spread":$canarySpread,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"cpus":$cpus,"total_min":$totalMin,"median_over_min":${total / math.max(totalMin, 1e-9)}}""")
+    println(noiseLine)
+    // machine-parseable sibling artifact (round-12 verdict #4: the driver's
+    // BENCH_r*.json has "parsed": null because the total line is embedded in
+    // sbt [info] framing) — the verify_attest.json pattern: the headline,
+    // noise, and short-total lines land in a FILE beside the run, so the
+    // gate number survives any stdout framing or truncation
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_total.json"))
+      java.nio.file.Files.write(out,
+        (totalLine + "\n" + totalShortLine + "\n" + noiseLine + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] totals written to ${out.toAbsolutePath}")
+    } catch {
+      case NonFatal(e) =>
+        System.err.println(s"[bench] could not write bench_total.json: ${e.getMessage}")
+    }
     // ... and the BREAKDOWN as compact final lines (VERDICT r6 #3: the
     // driver's tail truncation ate most of the per-query map, hiding the
     // artifact rows and every non-x prefix): each artifact row's median

@@ -199,7 +199,7 @@ object RecallReport {
       require(exactP.nonEmpty, "miningOverlap: exact margin pair set is empty")
       def clear(): Unit = { spark.sqlContext.clearCache(); emb.persist(); unit.persist() }
       val bucketConfigs = Seq((4, 1), (8, 1), (4, 2), (8, 2))
-      val curve = bucketConfigs.map { case (t, r) =>
+      val blindCurve = bucketConfigs.map { case (t, r) =>
         val cand = Vectors.marginBucketedCandidates(test, train,
           nTables = t, probeRadius = r).count()
         val got = pairsOf(Vectors.marginPairsBucketed(test, train,
@@ -211,11 +211,34 @@ object RecallReport {
           f"[recall] margin_bucketed_t${t}_p$r     overlap = $overlap%.4f  cand_frac = $frac%.4f")
         (s"t${t}_p$r", overlap, frac)
       }
+      // query-DIRECTED orthonormal-plane probing (round-12 verdict #3):
+      // same table count, probe budget spent on the flip masks ranked by
+      // the query's own plane margins — the default point (T=24) is the
+      // shipped bucketed operating point and must clear 0.7 overlap at
+      // ≤ 0.30 candidate fraction on this isotropic corpus
+      val directedConfigs = Seq((4, 12), (4, 24), (4, 32))
+      val directedCurve = directedConfigs.map { case (t, pr) =>
+        val cand = Vectors.marginDirectedCandidates(test, train,
+          nTables = t, probes = pr).count()
+        val got = pairsOf(Vectors.marginPairsDirected(test, train,
+          marginPpmThreshold = 0L, nTables = t, probes = pr))
+        clear()
+        val overlap = got.intersect(exactP).size.toDouble / exactP.size
+        val frac = cand.toDouble / nPairsTotal
+        System.err.println(
+          f"[recall] margin_directed_t${t}_q$pr    overlap = $overlap%.4f  cand_frac = $frac%.4f")
+        (s"t${t}_q$pr", overlap, frac)
+      }
+      val curve = blindCurve ++ directedCurve
       val scanP = pairsOf(Vectors.marginPairsScan(test, train, marginPpmThreshold = 0L))
       clear()
       val scanOv = scanP.intersect(exactP).size.toDouble / exactP.size
       System.err.println(f"[recall] margin_scan_sq8_sl8       overlap = $scanOv%.4f")
-      (curve, curve.head._2, scanOv)
+      // margin_bucketed_overlap reports the shipped DEFAULT bucketed
+      // point, which since round 13 is the directed t4/T24 config
+      val defaultDirected = directedCurve.find(_._1 == "t4_q24").map(_._2)
+        .getOrElse(directedCurve.head._2)
+      (curve, defaultDirected, scanOv)
     }
 
     // ---- clustered-geometry twin (round 6): the isotropy block explains

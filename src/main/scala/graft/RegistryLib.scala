@@ -824,7 +824,8 @@ private[graft] object RegistryLib {
          |          FROM ex JOIN stats USING (i)),
          |dec AS (SELECT vec_id, list(mn + c * ((mx - mn) / 255.0) ORDER BY i) AS dv
          |        FROM codes GROUP BY vec_id),
-         |t AS (SELECT vec_id AS test_id, dv AS tq FROM dec WHERE vec_id % 10 < 2),
+         |t AS (SELECT vec_id AS test_id, dv AS tq FROM dec
+         |      WHERE vec_id % 10 < 2 AND vec_id < 20000),
          |r AS (SELECT vec_id AS train_id, dv AS rq FROM dec WHERE vec_id % 10 >= 2),
          |qs AS (SELECT test_id, train_id, list_dot_product(tq, rq) AS qsim FROM t, r),
          |fsl AS (SELECT test_id, train_id FROM (

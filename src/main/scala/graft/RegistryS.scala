@@ -136,10 +136,19 @@ private[graft] object RegistryS {
     "s31_margin_mining" -> ((s, dir) => {
       // aligned-pair mining with the margin criterion: forward-top-1
       // cross-corpus matches whose cosine stands out vs BOTH sides'
-      // neighborhoods — the hub-resistant bitext/parallel-data step
+      // neighborhoods — the hub-resistant bitext/parallel-data step.
+      // The test side carries a LITERAL id ceiling on top of the residue
+      // slice (round-12 ADVICE): a bare % filter is a corpus-proportional
+      // 20% — it passed boundedTestSide only because fixtures are small,
+      // and at a larger scale factor this registry row would abort rather
+      // than run. vec_id < 20000 covers every fixture vector (sf0.1 tops
+      // out at 2000), so rows are unchanged, while at ANY scale the test
+      // side is ≤ 4000 rows by construction — the |Q|≪N contract the
+      // exact miner is for. Corpus-×-corpus mining routes to the
+      // bucketed/routed paths, not this row.
       val emb = Tables.embeddings(s, dir)
       Vectors.marginPairs(
-        emb.filter(col("vec_id") % 10 < 2),
+        emb.filter(col("vec_id") % 10 < 2 && col("vec_id") < 20000),
         emb.filter(col("vec_id") % 10 >= 2))
     }),
     "s32_margin_scan" -> ((s, dir) => {
@@ -150,9 +159,11 @@ private[graft] object RegistryS {
       // margin tail — pair recovery ≈ 1.0 at 1/8 the scan bandwidth where
       // the sign-hash bucket path caps near its candidate fraction on this
       // isotropic corpus (RECALL.json margin_overlap_curve)
+      // same literal-bounded test side as s31 (round-12 ADVICE) — a no-op
+      // on every fixture, a by-construction |Q|≪N bound at any scale
       val emb = Tables.embeddings(s, dir)
       Vectors.marginPairsScan(
-        emb.filter(col("vec_id") % 10 < 2),
+        emb.filter(col("vec_id") % 10 < 2 && col("vec_id") < 20000),
         emb.filter(col("vec_id") % 10 >= 2))
     }),
     "s38_margin_gated" -> ((s, dir) => {
@@ -164,9 +175,11 @@ private[graft] object RegistryS {
       // isotropic (routing would prune true neighbors at candidate-
       // fraction rates). This fixture measures isotropic, so the gate
       // deterministically picks scan and the oracle is s32's verbatim
+      // same literal-bounded test side as s31 (round-12 ADVICE) — a no-op
+      // on every fixture, a by-construction |Q|≪N bound at any scale
       val emb = Tables.embeddings(s, dir)
       Vectors.marginPairsGated(
-        emb.filter(col("vec_id") % 10 < 2),
+        emb.filter(col("vec_id") % 10 < 2 && col("vec_id") < 20000),
         emb.filter(col("vec_id") % 10 >= 2))
     }),
     "s30_cluster_balanced_sample" -> ((s, dir) =>
@@ -616,7 +629,8 @@ private[graft] object RegistryS {
       // list_reduce — the pinned-fold discipline), margin rounds to ppm
       // BEFORE the threshold so the cut is boundary-stable
       s"""WITH $oracleEmbCte,
-         |t AS (SELECT vec_id AS test_id, v AS tv FROM e WHERE vec_id % 10 < 2),
+         |t AS (SELECT vec_id AS test_id, v AS tv FROM e
+         |      WHERE vec_id % 10 < 2 AND vec_id < 20000),
          |r AS (SELECT vec_id AS train_id, v AS rv FROM e WHERE vec_id % 10 >= 2),
          |sc AS (SELECT test_id, train_id, ${oracleCos("tv", "rv")} AS sim FROM t, r),
          |fr AS (SELECT test_id, train_id, sim, row_number() OVER (PARTITION BY test_id

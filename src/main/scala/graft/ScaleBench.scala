@@ -192,6 +192,16 @@ object ScaleBench {
       ("s30_cluster_balanced", (e: DataFrame) =>
         // assignment + per-bucket windows over √(8N) balanced buckets
         Vectors.clusterBalancedSample(e, quota = 5), false),
+      ("s31_margin_directed", (e: DataFrame) =>
+        // the margin-mining family's ×8 probe (round-12 verdict #3 — the
+        // one family absent from the sweep): FIXED literal test side,
+        // train side grows with the corpus. Bucket keys are a stateless
+        // projection on both sides; candidate volume tracks per-bucket
+        // occupancy (≈ linear in train), never |test|·|train| — the
+        // directed-probe path is the shipped bucketed operating point
+        Vectors.marginPairsDirected(
+          e.filter(col("vec_id") < 400),
+          e.filter(col("vec_id") >= 400), marginPpmThreshold = 0L), false),
       ("x54_training_manifest", (d: DataFrame) =>
         // shard layout prefix scan + per-shard aggregates with a
         // shard-bounded (≤100/group) checksum collect — must track rows

@@ -184,10 +184,10 @@ object Multimodal {
     * (positions stay unique and order-dense enough for a sort key, which
     * is their only job).
     *
-    * Scale shape: the within-modality rank is the bounded three-level
-    * [[graft.ops.TextOps.exclusivePrefix]] count (5th consumer) run per
-    * modality — |modalities| is a small constant — never a per-modality
-    * single-task window; everything else is a codegen projection.
+    * Scale shape: the within-modality rank is the range-partitioned
+    * [[graft.ops.TextOps.exclusivePrefixRanged]] count run per modality —
+    * |modalities| is a small constant — never a per-modality single-task
+    * window; everything else is a codegen projection.
     */
   def interleaveByModality(docs: DataFrame): DataFrame = {
     val tagged = decodeExpr(docs)
@@ -197,9 +197,12 @@ object Multimodal {
       .select(col("doc_id"), col("modality"))
     val mods = Seq("audio", "image", "video")
     mods.zipWithIndex.map { case (m, mi) =>
-      graft.ops.TextOps.exclusivePrefix(
+      // doc_id is an unbounded ID domain → the range-partitioned prefix
+      // (round 13; the three-level form's offset frames were corpus/10⁶-
+      // sized here — the floor(id/K) hazard class)
+      graft.ops.TextOps.exclusivePrefixRanged(
           tagged.filter(col("modality") === m).withColumn("one", lit(1L)),
-          "doc_id", "doc_id", "one", 1000000L)
+          "doc_id", "doc_id", "one")
         .select(col("doc_id"), col("modality"),
           (col("_prefix") * mods.size + mi).as("interleave_pos"))
     }.reduce(_ unionByName _)

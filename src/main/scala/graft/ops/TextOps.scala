@@ -458,27 +458,26 @@ object TextOps {
     *
     * The whole computation is an exclusive prefix sum of token counts in
     * doc_id order. A single global `sum() OVER (ORDER BY doc_id)` would
-    * put the entire corpus in ONE task, so this runs the two-level
-    * distributed form instead:
+    * put the entire corpus in ONE task, and the old div-bucketed
+    * multi-level form made its offset frames corpus/G-sized over an
+    * unbounded id domain (round 13 — the floor(id/K) hazard class), so
+    * this runs [[exclusivePrefixRanged]]: one range repartition, a
+    * streaming per-partition pass, and ≤ shuffle-partition-count offset
+    * metadata — exact and boundary-invariant.
     *
-    *   1. within-group cumsum: window partitioned by `grp = doc_id div G`
-    *      (≤ G rows per task);
-    *   2. per-group totals, then a prefix over groups — itself windowed
-    *      per super-group (`grp div G`, ≤ G rows per task) plus a final
-    *      prefix over super-group totals. That final frame has N/G² rows
-    *      (< 10 even at 10¹⁰ documents with G = 32768), so its prefix is
-    *      a triangular self-join — bounded work, and no global-ORDER-BY
-    *      window anywhere in the plan.
-    *
-    * Exact for any G (spec-pinned group-size invariance). Output:
-    * (doc_id, n_tokens, seq_id, seq_offset).
+    * Output: (doc_id, n_tokens, seq_id, seq_offset), identical for any
+    * `groupSize` (spec-pinned; the parameter is kept for signature
+    * stability).
     */
   def packSequences(docs: DataFrame, budget: Long = 2048L,
       groupSize: Long = 32768L): DataFrame = {
     val base = docs.select(
       col("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_tokens"))
-    exclusivePrefix(base, "doc_id", "doc_id", "n_tokens", groupSize)
+    // doc_id is an unbounded ID domain → the range-partitioned prefix
+    // (round 13); groupSize is retained for signature stability but the
+    // ranged form needs no bucket width
+    exclusivePrefixRanged(base, "doc_id", "doc_id", "n_tokens")
       .select(
         col("doc_id"), col("n_tokens"),
         expr(s"_prefix div $budget").as("seq_id"),
@@ -513,8 +512,8 @@ object TextOps {
 
   /** Exclusive prefix sum of `valueCol` over rows ordered by
     * (`orderCol`, `idCol`) — the distributed scan primitive behind
-    * [[packSequences]] and [[globalShuffle]]. Appends `_prefix` = sum of
-    * `valueCol` over all strictly-earlier rows.
+    * [[globalShuffle]] and the other HASH-/TIME-keyed consumers. Appends
+    * `_prefix` = sum of `valueCol` over all strictly-earlier rows.
     *
     * Three bounded levels, never a global-ORDER-BY window:
     * within-bucket window (bucket = orderCol div bucketWidth), per-bucket
@@ -523,6 +522,14 @@ object TextOps {
     * construction, e.g. < 10 at 10¹⁰ contiguous ids). The two offset
     * frames are value-count-sized and broadcast. `idCol` breaks orderCol
     * ties so the prefix is total-order deterministic.
+    *
+    * DOMAIN CONTRACT (round 13): the level frames are
+    * `range(orderCol)/bucketWidth`-sized, so this form is sound only when
+    * `orderCol`'s DOMAIN is literal-bounded — a mod-p hash key ([0, 2³¹)),
+    * a banded hash, a time axis. An UNBOUNDED id domain makes the offset
+    * frames corpus-proportional and their forced broadcasts a scale
+    * hazard (exactly the floor(id/K) laundering class PlanGuard now
+    * flags) — those callers use [[exclusivePrefixRanged]].
     */
   private[graft] def exclusivePrefix(df: DataFrame, orderCol: String, idCol: String,
       valueCol: String, bucketWidth: Long): DataFrame = {
@@ -549,6 +556,70 @@ object TextOps {
       .join(broadcast(grpOffsets), Seq("_grp"))
       .withColumn("_prefix", col("_grp_off") + col("_row_cum"))
       .drop("_grp", "_row_cum", "_grp_off")
+  }
+
+  /** [[exclusivePrefix]] for UNBOUNDED order domains (round 13 — raw
+    * doc_id order, where the three-level form's offset frames would be
+    * corpus/K-sized and their forced broadcasts the floor(id/K) hazard
+    * class): the canonical sort-based distributed prefix sum.
+    *
+    *   1. range-repartition by (orderCol, idCol) into the session's
+    *      shuffle-partition count P (a CONFIG, so every derived frame
+    *      below is ≤ P rows by construction) and sort within partitions;
+    *   2. one streaming per-partition pass (`mapPartitionsWithIndex` —
+    *      genuine per-partition imperative logic: a running accumulator)
+    *      emits each row's partition id and local exclusive prefix;
+    *   3. eagerly checkpoint THAT frame once (both consumers below read
+    *      the same materialization, so partition ids are consistent and
+    *      the map pass runs once);
+    *   4. per-partition totals (a ≤ P-row aggregate keyed on the
+    *      partition slot), a running offset over them (a ≤ P-row window),
+    *      and a broadcast join back: `_prefix` = partition offset + local
+    *      prefix.
+    *
+    * The result is EXACT and partition-boundary-invariant — a row's
+    * prefix is the sum over all strictly-(orderCol, idCol)-earlier rows
+    * no matter where the range sampler cut — so output is bit-identical
+    * to [[exclusivePrefix]] on the same input (spec-pinned), and the
+    * DuckDB oracles are untouched. One corpus shuffle (the range
+    * exchange — the floor for any global-order scan), everything else
+    * metadata-sized. The pre-RDD plan gets its own gate walk because the
+    * RDD boundary would hide it from the checkpoint's guard.
+    */
+  private[graft] def exclusivePrefixRanged(df: DataFrame, orderCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 2)
+    val ranged = df.repartitionByRange(parts, col(orderCol), col(idCol))
+      .sortWithinPartitions(col(orderCol), col(idCol))
+    graft.plans.PlanGuard.assertNoCorpusProducts("exclusive_prefix_ranged", ranged)
+    val vIdx = ranged.schema.fieldIndex(valueCol)
+    val outSchema = StructType(ranged.schema.fields ++ Seq(
+      StructField("_pslot", IntegerType, nullable = false),
+      StructField("_local_cum", LongType, nullable = false)))
+    val localRdd = ranged.rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var cum = 0L
+      it.map { r =>
+        val v = if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid :+ cum)
+        cum += v
+        out
+      }
+    }
+    val local = graft.plans.PlanGuard.guardedCheckpoint("exclusive_prefix_local",
+      spark.createDataFrame(localRdd, outSchema))
+    val W = org.apache.spark.sql.expressions.Window
+    val offs = local.groupBy(col("_pslot"))
+      .agg(sum(col(valueCol)).as("_ptot"))
+      .withColumn("_poff",
+        coalesce(sum(col("_ptot")).over(
+          W.orderBy(col("_pslot")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pslot"), col("_poff"))
+    // offs is ≤ P rows by construction — the one sound forced broadcast
+    local.join(broadcast(offs), Seq("_pslot"))
+      .withColumn("_prefix", col("_poff") + col("_local_cum"))
+      .drop("_pslot", "_local_cum", "_poff")
   }
 
   /** Deterministic global shuffle — the corpus-order randomization step
@@ -752,14 +823,15 @@ object TextOps {
     * corpus that allows k up to ~9·10⁴; beyond that, split the pick
     * index into (div, mod) pairs before multiplying.
     *
-    * Scale: the running weight is [[exclusivePrefix]] (6th consumer) —
-    * three bounded levels, never a global-ORDER-BY window; the total is
+    * Scale: the running weight is [[exclusivePrefixRanged]] (doc_id is an
+    * unbounded id domain — round 13) — one range repartition plus
+    * metadata-sized offsets, never a global-ORDER-BY window; the total is
     * a one-row broadcast; selection is then a pure projection + filter.
     * Output: (doc_id, source, n_chars, n_hits) for selected docs.
     */
   def ppsSample(docs: DataFrame, k: Long = 500L): DataFrame = {
     val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
-    val pre = exclusivePrefix(base, "doc_id", "doc_id", "n_chars", 1L << 21)
+    val pre = exclusivePrefixRanged(base, "doc_id", "doc_id", "n_chars")
     val tot = base.agg(sum(col("n_chars")).as("_tot"))
     pre.crossJoin(broadcast(tot))
       .withColumn("n_hits",
@@ -1989,15 +2061,21 @@ object TextOps {
       .select(col("doc_id"), isTarget.cast("long").as("is_t"),
         explode(tokens(col("text"))).as("token"))
       .persist()
+    // the model key comes from the VOCAB side (`vtok`), not the exploded
+    // token stream (round 13): the two are equal whenever the join
+    // matches, but lineage-wise `vtok` passes through limit(vocabSize) —
+    // bounded BY the limit — where the stream's `token` is Heaps-law
+    // vocabulary. Keying on vtok makes the model's boundedness visible
+    // to the PlanGuard provenance walk instead of a semantic argument
+    // about the CASE/join membership (values and rows are identical).
     val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("token").asc)
       .limit(vocabSize)
-      .select(col("token"), lit(1L).as("in_v"))
-    val mapped = tok.join(broadcast(vocab), Seq("token"), "left")
+      .select(col("token").as("vtok"), lit(1L).as("in_v"))
+    val mapped = tok.join(broadcast(vocab), col("token") === col("vtok"), "left")
       .select(col("doc_id"), col("is_t"),
         coalesce(col("in_v"), lit(0L)).as("in_v"),
-        when(col("in_v").isNotNull, col("token")).otherwise(lit(""))
-          .as("ftok"))
+        coalesce(col("vtok"), lit("")).as("ftok"))
     val model = mapped.groupBy(col("in_v"), col("ftok"))
       .agg(sum(col("is_t")).as("ct"), count(lit(1)).as("cr"))
     val tot = model.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))

@@ -77,13 +77,17 @@ private[ops] trait VectorMarginMining { self: VectorCore with VectorTraining =>
     // high-dimension corpus collect gigabytes before the require could
     // see them — the "bounded by construction" claim must hold in BYTES,
     // since bytes are what the driver heap and the forced broadcast pay).
-    // One tiny head job reads the dimension; empty frames pass through.
-    val rowBytes = tU.select(size(col("tu"))).head(1) match {
-      case Array(r) => 8L * r.getInt(0) + 16L
-      case _        => 1L
-    }
-    val cap = math.min(maxExactTest.toLong, maxBytes / math.max(rowBytes, 1L)).toInt
-    val rows = tU.limit(cap + 1).collect()
+    // The per-row width comes from the MAX over the collected rows
+    // themselves (round-12 verdict #5: a single head(1) probe read ONE
+    // row's dimension, so a ragged frame whose first row was narrow
+    // under-estimated bytes past the cap — and cost an extra Spark job):
+    // one collect bounded by maxExactTest+1 rows, widths measured on what
+    // actually landed, then the byte cap applied to that evidence.
+    val rows = tU.limit(maxExactTest + 1).collect()
+    val rowBytes = rows.iterator
+      .map(r => 8L * r.getSeq[Double](1).length + 16L)
+      .foldLeft(1L)(math.max)
+    val cap = math.min(maxExactTest.toLong, maxBytes / rowBytes).toInt
     require(rows.length <= cap,
       s"$caller scores the full (test × train) grid — its test side is |Q|≪N " +
         s"by contract (≤ $cap rows here: min(maxExactTest=$maxExactTest, " +
@@ -147,6 +151,131 @@ private[ops] trait VectorMarginMining { self: VectorCore with VectorTraining =>
       .join(keys(train, "train_id"), Seq("t", "bucket"))
       .select(col("test_id"), col("train_id"))
       .distinct()
+  }
+
+  /** Per-table ORTHONORMALIZED sign-hash planes for the directed-probe
+    * candidate path: deterministic Gram-Schmidt over the same
+    * [[VectorCore.lshPlanes]] rows (row order fixed, so the result is
+    * bit-reproducible across runs and sessions). Orthogonal planes
+    * decorrelate the per-plane flip events — with raw planes two
+    * correlated planes flip together and a probe budget spent on their
+    * joint flips is wasted — which is what moves the measured
+    * recall-per-candidate curve (RECALL.json: 0.72 overlap at 0.28
+    * candidate fraction for t4/T24 orthonormal vs 0.69 at 0.41 for the
+    * blind radius-2 raw-plane probe). Requires nPlanes ≤ dim.
+    */
+  private[ops] def orthoPlanes(nPlanes: Int, dim: Int,
+      start: Int = 0): Seq[Array[Double]] = {
+    require(nPlanes <= dim, s"cannot orthonormalize $nPlanes planes in dim $dim")
+    val out = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    lshPlanes(nPlanes, dim, start).foreach { r =>
+      val v = r.clone()
+      out.foreach { q =>
+        var d = 0.0
+        var i = 0
+        while (i < dim) { d += v(i) * q(i); i += 1 }
+        i = 0
+        while (i < dim) { v(i) -= d * q(i); i += 1 }
+      }
+      var ss = 0.0
+      var i = 0
+      while (i < dim) { ss += v(i) * v(i); i += 1 }
+      val n = math.sqrt(ss)
+      require(n > 1e-9, s"degenerate plane in Gram-Schmidt (start=$start)")
+      out += v.map(_ / n)
+    }
+    out.toSeq
+  }
+
+  /** QUERY-DIRECTED multi-probe candidates for margin mining (round-12
+    * verdict #3 — lift bucketed recall at fixed candidate cost): the
+    * Lv et al. 2007 multi-probe idiom applied to the sign-hash tables.
+    * Where [[marginBucketedCandidates]] probes EVERY code within a blind
+    * Hamming radius, this probes the `probes` codes most likely to hold
+    * the true neighbor FOR THIS QUERY: flipping a plane whose projection
+    * sits near zero is cheap (the neighbor plausibly lands on the other
+    * side), flipping a confident plane is wasted — so probe codes are
+    * ranked by the summed |projection| of their flipped planes and only
+    * the top `probes` fire. The train side stays ONE bucket per table, so
+    * candidate volume remains bucket-occupancy-bounded and the probe side
+    * adds `probes` tiny keys per (test row, table) — O(|test|) extra
+    * rows, nothing corpus-sized.
+    *
+    * Planes are per-table ORTHONORMALIZED ([[orthoPlanes]]) — measured
+    * together, directed probing over orthogonal planes reaches 0.72
+    * pair-overlap at 0.28 candidate fraction on the isotropic fixture
+    * where the blind radius-2 path needed 0.41 candidate fraction for
+    * 0.69 (RECALL.json margin_overlap_curve).
+    *
+    * Deterministic end-to-end: planes, projections, the loss sort (ties
+    * break on the flip mask), and the bucket join are all reproducible,
+    * so the candidate set — and every margin downstream — is stable.
+    * Output: distinct (test_id, train_id).
+    */
+  def marginDirectedCandidates(test: DataFrame, train: DataFrame,
+      nTables: Int = 4, nPlanes: Int = 8, dim: Int = 64,
+      probes: Int = 24, maxFlip: Int = 3): DataFrame = {
+    require(nPlanes <= 62, s"bucket codes are long-typed: nPlanes ≤ 62, got $nPlanes")
+    val masks: Seq[Long] =
+      (0 until (1 << nPlanes)).filter(m => Integer.bitCount(m) <= maxFlip)
+        .map(_.toLong)
+    require(probes >= 1 && probes <= masks.size,
+      s"probes must be 1..${masks.size} (subsets of ≤ $maxFlip flips), got $probes")
+    // train side: one orthonormal sign-code per (vector, table)
+    def orthoCode(t: Int, unitCol: Column): Column =
+      orthoPlanes(nPlanes, dim, start = t * nPlanes).zipWithIndex.map {
+        case (p, j) =>
+          when(dot(unitCol, typedlit(p.toSeq)) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val trainKeys = withUnit(train).select(col("vec_id").as("train_id"),
+      posexplode(array((0 until nTables).map(t => orthoCode(t, col("unit"))): _*))
+        .as(Seq("t", "bucket")))
+    // test side: projections once per (table, plane), then the top-`probes`
+    // flip masks by summed |projection| of the flipped planes
+    var tq = withUnit(test).select(col("vec_id").as("test_id"), col("unit"))
+    for (t <- 0 until nTables; (p, j) <- orthoPlanes(nPlanes, dim, t * nPlanes).zipWithIndex)
+      tq = tq.withColumn(s"p_${t}_$j", dot(col("unit"), typedlit(p.toSeq)))
+    val probeCols: Seq[Column] = (0 until nTables).map { t =>
+      val code = (0 until nPlanes).map(j =>
+        when(col(s"p_${t}_$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+      val structs = array(masks.map { m =>
+        val lossTerms = (0 until nPlanes)
+          .filter(j => ((m >> j) & 1L) == 1L)
+          .map(j => abs(col(s"p_${t}_$j")))
+        val loss = if (lossTerms.isEmpty) lit(0.0) else lossTerms.reduce(_ + _)
+        struct(loss.as("l"), lit(m).as("m"))
+      }: _*)
+      transform(slice(sort_array(structs), 1, probes),
+        x => struct(lit(t).as("t"), code.bitwiseXOR(x.getField("m")).as("bucket")))
+    }
+    val probed = tq
+      .select(col("test_id"), explode(flatten(array(probeCols: _*))).as("pb"))
+      .select(col("test_id"), col("pb.t").as("t"), col("pb.bucket").as("bucket"))
+    probed
+      .join(trainKeys, Seq("t", "bucket"))
+      .select(col("test_id"), col("train_id"))
+      .distinct()
+  }
+
+  /** [[marginPairsBucketed]] with the query-directed orthonormal probe
+    * front end ([[marginDirectedCandidates]]) — the better measured
+    * operating point for isotropic-geometry bucket mining: same margin
+    * tail (exact per-candidate math, rank-ordered folds, ppm rounding),
+    * only the candidate generator differs.
+    */
+  def marginPairsDirected(test: DataFrame, train: DataFrame, k: Int = 4,
+      marginPpmThreshold: Long = 1200000L, nTables: Int = 4,
+      nPlanes: Int = 8, dim: Int = 64, probes: Int = 24,
+      maxFlip: Int = 3): DataFrame = {
+    val pairs = marginDirectedCandidates(test, train, nTables, nPlanes, dim,
+      probes, maxFlip)
+    val tU = withUnit(test).select(col("vec_id").as("test_id"), col("unit").as("tu"))
+    val rU = withUnit(train).select(col("vec_id").as("train_id"), col("unit").as("ru"))
+    val scored = pairs
+      .join(tU, Seq("test_id"))
+      .join(rU, Seq("train_id"))
+      .select(col("test_id"), col("train_id"), dot(col("tu"), col("ru")).as("sim"))
+    marginFromScored(scored, k, marginPpmThreshold)
   }
 
   /** [[marginPairs]]' geometry-robust scale path — the [[annTopK]] design

@@ -255,19 +255,121 @@ object PlanGuard {
     * from a corpus scan: an exploded token IS a vocabulary key whatever
     * it is named — the x29 w1/w2 shape that dodged the round-11 name
     * list. posexplode's POSITION output is exempt (bounded by the array
-    * width — the d-row dimension-stats idiom). The residual gap — a
-    * SCALAR-composite grouping expression like `floor(doc_id / 1000)` —
-    * stays accepted and control-pinned: the fleet's composite groupings
-    * are genuinely-bounded hash/bucket expressions (pmod-by-literal,
-    * band indexes), and distrusting every scalar derivation would flag
-    * them all; a composite expression that ISN'T bounded remains a new
-    * idiom worth a deliberate entry here.
+    * width — the d-row dimension-stats idiom).
+    *
+    * Since round 13 SCALAR-COMPOSITE keys are CLASSIFIED, not
+    * blanket-accepted (round-12 verdict #1 — the last known laundering
+    * hole): a composite grouping expression is trusted only when it is
+    * bounded BY CONSTRUCTION ([[boundedKeyClass]]: pmod/%-by-literal,
+    * bitmask-by-literal, calendar bucketing, width_bucket, and any
+    * deterministic composition of those) — its value domain is capped by
+    * literals or the calendar regardless of input cardinality. Any OTHER
+    * scalar derivation whose references reach a distrusted origin —
+    * `floor(doc_id / 1000)` is corpus/1000-sized, `substr(digest, …)` is
+    * content-cardinality — inherits the distrust, at both layers and
+    * through Project/Aggregate alias laundering.
     */
   private def isCorpusIdName(name: String): Boolean = {
     val n = name.toLowerCase
     n == "id" || n.endsWith("_id") || n == "term" || n == "token" ||
       n == "shingle" || n == "sig" || n == "digest" || n == "node"
   }
+
+  /** Is a scalar key expression bounded BY CONSTRUCTION — its value
+    * domain capped by literals or calendar structure, independent of
+    * input cardinality (round-13, closing the scalar-composite gap)?
+    *   - `pmod(x, lit)` / `x % lit` / `x & litMask`: ≤ |modulus| values —
+    *     the fleet's hash/bucket/band grouping idiom,
+    *   - calendar bucketing (`date_trunc`, `to_date`, `year`…`second`):
+    *     calendar-cardinality — days/hours over the data's time range,
+    *     the day-partitioning idiom,
+    *   - `width_bucket(…, lit)`: ≤ lit+2 buckets,
+    *   - `if`/`case` whose branch VALUES are all bounded, and any
+    *     deterministic composition of bounded pieces (`pmod(a,16)*100 +
+    *     pmod(b,16)` has ≤ 256 values).
+    * Everything else — `floor(id/1000)`, `substr(digest,…)`, a bare
+    * hash — tracks input cardinality and must NOT launder a distrusted
+    * origin into a "bounded" key.
+    */
+  private def boundedKeyClass(e: Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    e match {
+      case a: Alias => boundedKeyClass(a.child)
+      case c: Cast => boundedKeyClass(c.child)
+      case l: Literal => l.foldable
+      case Pmod(_, r, _) => r.foldable
+      case Remainder(_, r, _) => r.foldable
+      case BitwiseAnd(l, r) => l.foldable || r.foldable
+      case _: TruncDate | _: TruncTimestamp => true
+      case _: Year | _: Quarter | _: Month | _: DayOfMonth | _: DayOfWeek |
+          _: DayOfYear | _: WeekOfYear | _: Hour | _: Minute | _: Second => true
+      case _: ParseToDate => true
+      case w: WidthBucket => w.numBucket.foldable
+      case i: If => boundedKeyClass(i.trueValue) && boundedKeyClass(i.falseValue)
+      case cw: CaseWhen =>
+        cw.branches.forall { case (_, v) => boundedKeyClass(v) } &&
+          cw.elseValue.forall(boundedKeyClass)
+      // a deterministic composition of bounded pieces has at most the
+      // product of its pieces' cardinalities — still literal-bounded
+      case other if other.children.nonEmpty && other.deterministic =>
+        other.children.forall(boundedKeyClass)
+      case _ => false
+    }
+  }
+
+  /** Do the ELEMENTS of this array expression come from a bounded value
+    * domain, so that exploding it yields a bounded key even though the
+    * array itself is built from corpus content (round 13)?
+    *   - `split(x, '')` (empty separator): elements are single
+    *     CHARACTERS — ≤ 0x110000 values by construction, the char-LM
+    *     model's domain (x31/x57: a charset² bigram model is
+    *     metadata-sized however much text feeds it),
+    *   - `array(...)` of bounded-class expressions: the count-min idiom
+    *     (explode of per-hash-row structs whose bucket is %-by-literal),
+    *   - `slice`/`arrays_zip`/struct-of-bounded compositions of the above.
+    * A `split(text, ' ')` (word tokens) stays UNBOUNDED — vocabulary
+    * grows by Heaps' law, the round-11/12 distrust this rule must not
+    * reopen.
+    */
+  private def boundedElements(e: Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    e match {
+      case a: Alias => boundedElements(a.child)
+      case c: Cast => boundedElements(c.child)
+      case StringSplit(_, Literal(sep, _), _) =>
+        sep != null && sep.toString.isEmpty
+      case s: Slice => boundedElements(s.first)
+      case az: ArraysZip => az.children.forall(boundedElements)
+      case ca: CreateArray => ca.children.forall(c =>
+        boundedKeyClass(c) || boundedElements(c))
+      case ns: CreateNamedStruct => ns.valExprs.forall(v =>
+        boundedKeyClass(v) || boundedElements(v))
+      case _ => boundedKeyClass(e)
+    }
+  }
+
+  /** References of `e` that sit OUTSIDE any bounded-class subexpression —
+    * the references that actually contribute cardinality. `band * 2³² +
+    * ((doc_id % p) * c) % p` (the curriculum order key) must not be
+    * distrusted for the doc_id buried inside its mod-by-literal hash
+    * term: that term's value domain is capped by p whatever feeds it.
+    */
+  private def unboundedRefs(e: Expression): Seq[AttributeReference] =
+    if (boundedKeyClass(e)) Seq.empty
+    else e match {
+      case a: AttributeReference => Seq(a)
+      case other => other.children.flatMap(unboundedRefs)
+    }
+
+  /** The composite-key arm of the distrust checks: a non-attribute key is
+    * distrusted when it is NOT bounded-class and any of its
+    * cardinality-contributing references ([[unboundedRefs]]) is id-like
+    * by name or (when a plan is supplied via `origin`) traces to a
+    * distrusted origin.
+    */
+  private def compositeDistrust(e: Expression,
+      origin: org.apache.spark.sql.catalyst.expressions.Attribute => Boolean): Boolean =
+    unboundedRefs(e).exists(r => isCorpusIdName(r.name) || origin(r))
 
   private def stripKey(e: Expression): Expression = {
     val noAlias = e match {
@@ -287,7 +389,7 @@ object PlanGuard {
   private def idKeyed(exprs: Seq[Expression]): Boolean = exprs.exists { e =>
     stripKey(e) match {
       case a: AttributeReference => isCorpusIdName(a.name)
-      case _ => false
+      case other => compositeDistrust(other, _ => false)
     }
   }
 
@@ -299,7 +401,8 @@ object PlanGuard {
     stripKey(e) match {
       case a: AttributeReference =>
         isCorpusIdName(a.name) || originDistrust(a.exprId.id, child)
-      case _ => false
+      case other =>
+        compositeDistrust(other, r => originDistrust(r.exprId.id, child))
     }
   }
 
@@ -320,23 +423,42 @@ object PlanGuard {
       p.projectList.find(_.exprId.id == id) match {
         case Some(al: Alias) => stripKey(al) match {
           case ar: AttributeReference => originDistrust(ar.exprId.id, p.child)
-          case _ => false // scalar-computed: the documented composite gap
+          case other =>
+            // scalar-composite derivation (round 13): bounded-class
+            // bucketing stays trusted; any other scalar over a distrusted
+            // origin inherits the distrust — closes the
+            // `floor(doc_id/1000).as("blk")` projection-laundering arm
+            compositeDistrust(other, r => originDistrust(r.exprId.id, p.child))
         }
         case _ => originDistrust(id, p.child)
       }
     case g: logical.Generate =>
       if (g.generatorOutput.exists(_.exprId.id == id)) {
-        import org.apache.spark.sql.catalyst.expressions.PosExplode
+        import org.apache.spark.sql.catalyst.expressions.{ExplodeBase, PosExplode}
         val isPosOutput = g.generator.isInstanceOf[PosExplode] &&
           g.generatorOutput.headOption.exists(_.exprId.id == id)
-        !isPosOutput &&
+        // a generator whose ELEMENT domain is bounded by construction
+        // (chars from split-by-'', literal-bounded struct arrays) emits a
+        // bounded key whatever corpus content feeds it (round 13)
+        val boundedGen = g.generator match {
+          case eb: ExplodeBase => boundedElements(eb.child)
+          case _ => false
+        }
+        !isPosOutput && !boundedGen &&
           g.generator.references.exists(r => corpusDescendedRef(r.exprId.id, g.child))
       } else originDistrust(id, g.child)
     case a: logical.Aggregate =>
       a.aggregateExpressions.find(_.exprId.id == id) match {
         case Some(al: Alias) => stripKey(al) match {
           case ar: AttributeReference => originDistrust(ar.exprId.id, a.child)
-          case _ => false // an aggregate-function VALUE, not a key lineage
+          case other
+              if other.exists(_.isInstanceOf[
+                org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression]) =>
+            false // an aggregate-function VALUE, not a key lineage
+          case other =>
+            // a grouping-key composite re-emitted through the aggregate
+            // output: same round-13 classification as the Project arm
+            compositeDistrust(other, r => originDistrust(r.exprId.id, a.child))
         }
         case _ => originDistrust(id, a.child)
       }
@@ -359,6 +481,11 @@ object PlanGuard {
         r.output.find(_.exprId.id == id).exists(a => isCorpusIdName(a.name))
     case lr: org.apache.spark.sql.execution.LogicalRDD =>
       lr.output.find(_.exprId.id == id).exists(a => isCorpusIdName(a.name))
+    // a key emerging through a GLOBAL limit has at most `limit` distinct
+    // values whatever its deeper lineage — the top-K-vocabulary idiom
+    // (x56: the model keys on the limit(vocabSize) frame's own token
+    // column, which is bounded BY the limit) (round 13)
+    case gl: logical.GlobalLimit if gl.limitExpr.foldable => false
     case _: logical.LocalRelation | _: logical.OneRowRelation | _: logical.Range =>
       false
     case other if other.children.nonEmpty =>
@@ -380,7 +507,8 @@ object PlanGuard {
     exprs.exists { e =>
       stripKey(e) match {
         case a: AttributeReference => originDistrustPhys(a.exprId.id, child)
-        case _ => false
+        case other =>
+          compositeDistrust(other, r => originDistrustPhys(r.exprId.id, child))
       }
     }
 
@@ -389,23 +517,42 @@ object PlanGuard {
       p.projectList.find(_.exprId.id == id) match {
         case Some(al: Alias) => stripKey(al) match {
           case ar: AttributeReference => originDistrustPhys(ar.exprId.id, p.child)
-          case _ => false // scalar-computed: the documented composite gap
+          case other =>
+            // round-13 composite classification — the physical twin of the
+            // logical Project arm
+            compositeDistrust(other, r => originDistrustPhys(r.exprId.id, p.child))
         }
         case _ => originDistrustPhys(id, p.child)
       }
     case g: GenerateExec =>
       if (g.generatorOutput.exists(_.exprId.id == id)) {
-        import org.apache.spark.sql.catalyst.expressions.PosExplode
+        import org.apache.spark.sql.catalyst.expressions.{ExplodeBase, PosExplode}
         val isPosOutput = g.generator.isInstanceOf[PosExplode] &&
           g.generatorOutput.headOption.exists(_.exprId.id == id)
-        !isPosOutput &&
+        val boundedGen = g.generator match {
+          case eb: ExplodeBase => boundedElements(eb.child)
+          case _ => false
+        }
+        !isPosOutput && !boundedGen &&
           g.generator.references.exists(r => corpusDescendedRefPhys(r.exprId.id, g.child))
       } else originDistrustPhys(id, g.child)
     case a: BaseAggregateExec =>
-      a.resultExpressions.find(_.exprId.id == id) match {
+      // a composite grouping key's defining Alias lives in
+      // groupingExpressions (PhysicalAggregation pulls complex keys into
+      // the aggregate itself), while resultExpressions only re-emit its
+      // AttributeReference — search both, aliases first (round 13)
+      val defining = a.groupingExpressions
+        .collectFirst { case al: Alias if al.exprId.id == id => al }
+        .orElse(a.resultExpressions.find(_.exprId.id == id))
+      defining match {
         case Some(al: Alias) => stripKey(al) match {
           case ar: AttributeReference => originDistrustPhys(ar.exprId.id, a.child)
-          case _ => false // an aggregate-function VALUE
+          case other
+              if other.exists(_.isInstanceOf[
+                org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression]) =>
+            false // an aggregate-function VALUE
+          case other =>
+            compositeDistrust(other, r => originDistrustPhys(r.exprId.id, a.child))
         }
         case _ => originDistrustPhys(id, a.child)
       }
@@ -414,6 +561,9 @@ object PlanGuard {
         s.output.find(_.exprId.id == id).exists(a => isCorpusIdName(a.name))
     case r: RDDScanExec =>
       r.output.find(_.exprId.id == id).exists(a => isCorpusIdName(a.name))
+    // the GlobalLimit trust boundary's physical forms — see originDistrust
+    case _: GlobalLimitExec | _: CollectLimitExec |
+        _: TakeOrderedAndProjectExec => false
     case _: LocalTableScanExec => false
     // exprId-REMAPPING wrappers: continue by POSITION into the wrapped plan
     case im: InMemoryTableScanExec =>
@@ -457,7 +607,10 @@ object PlanGuard {
         g.generator.references.exists(r => corpusDescendedRefPhys(r.exprId.id, g.child))
       else corpusDescendedRefPhys(id, g.child)
     case a: BaseAggregateExec =>
-      a.resultExpressions.find(_.exprId.id == id) match {
+      // groupingExpressions aliases first — see originDistrustPhys
+      a.groupingExpressions
+        .collectFirst { case al: Alias if al.exprId.id == id => al }
+        .orElse(a.resultExpressions.find(_.exprId.id == id)) match {
         case Some(al: Alias) =>
           al.child.references.exists(r => corpusDescendedRefPhys(r.exprId.id, a.child))
         case _ => corpusDescendedRefPhys(id, a.child)

@@ -91,14 +91,28 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(d13.contains("BroadcastHashJoin"), d13)
     // x11/x12: the distributed prefix plans contain no partition-less
-    // window (the single-task global ORDER BY both ops exist to avoid)
+    // window over anything corpus-sized (the single-task global ORDER BY
+    // both ops exist to avoid). The ranged form (round 13) legitimately
+    // runs ONE partition-less window over its ≤ shuffle-partition-count
+    // per-slot totals — allowed iff a _pslot-keyed aggregate sits between
+    // the window and every leaf.
+    def slotBoundedPhys(w: org.apache.spark.sql.execution.window.WindowExec): Boolean =
+      w.child.exists {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+          a.groupingExpressions.nonEmpty && a.groupingExpressions.forall {
+            case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+              ar.name == "_pslot"
+            case _ => false
+          }
+        case _ => false
+      }
     for (q <- Seq("x11_pack_sequences", "x12_global_shuffle")) {
       val exec = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
       val bare = exec.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec
-          if w.partitionSpec.isEmpty => w
+          if w.partitionSpec.isEmpty && !slotBoundedPhys(w) => w
       }
-      assert(bare.isEmpty, s"$q has ${bare.size} partition-less window(s)")
+      assert(bare.isEmpty, s"$q has ${bare.size} corpus-feeding partition-less window(s)")
     }
     // x13: pure projection — no exchange, stays inside whole-stage codegen
     val x13 = SparkEntry.queries("x13_repetition")(spark, dir)
@@ -581,11 +595,23 @@ class PlanSpec extends SparkSpec {
   test("post-inventory additions keep their scale shapes: pps windows bounded, t50 partial dedup, d37 join-free pairs") {
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Sort => LSort}
-    // x48: the prefix scan stays three-level (every window partitioned)
-    // and nothing global-sorts the corpus frame
+    // x48: the prefix scan is the ranged form (round 13) — its one
+    // partition-less window runs over the ≤ shuffle-partition-count
+    // per-slot totals (a _pslot-keyed aggregate must sit between the
+    // window and every leaf), and nothing global-sorts the corpus frame
+    def slotBounded(w: LWindow): Boolean = w.child.exists {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.groupingExpressions.nonEmpty && a.groupingExpressions.forall {
+          case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            ar.name == "_pslot"
+          case _ => false
+        }
+      case _ => false
+    }
     val x48lp = SparkEntry.queries("x48_pps_sample")(spark, dir).queryExecution.optimizedPlan
-    assert(x48lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
-      s"x48 has a partition-less window: $x48lp")
+    assert(x48lp.collect {
+      case w: LWindow if w.partitionSpec.isEmpty && !slotBounded(w) => w }.isEmpty,
+      s"x48 has a corpus-feeding partition-less window: $x48lp")
     assert(x48lp.collect { case s: LSort if s.global => s }.isEmpty,
       s"x48 must not global-sort: $x48lp")
     // t50: the distinct plans as Expand + two-phase aggregate — partial
@@ -872,20 +898,86 @@ class PlanSpec extends SparkSpec {
       .groupBy(col("i")).agg(count(lit(1)).as("n"))
     assert(flags(Seq(1L).toDF("one").crossJoin(broadcast(dims))).isEmpty,
       "guard over-flags the posexplode-index dimension-stats aggregate")
-    // DOCUMENTED GAP, pinned deliberately (PlanGuard.isCorpusIdName
-    // scaladoc): a SCALAR-COMPOSITE grouping expression over an id column
-    // — floor(doc_id / 1000) here, still corpus-proportional — is NOT
-    // distrusted, because only direct attribute keys are traced and the
-    // fleet's composite groupings are genuinely-bounded hash/bucket
-    // expressions (distrusting every scalar derivation would flag them
-    // all). If this assertion ever FAILS the guard has grown a
-    // composite-expression rule — delete this control and the scaladoc
-    // paragraph together.
+    // SCALAR-COMPOSITE classification (round-13, closing what was the
+    // documented gap): floor(doc_id / 1000) is corpus/1000-sized — a
+    // scalar derivation of a distrusted origin that is NOT bounded-class
+    // bucketing — so it must no longer launder the corpus scan into a
+    // "bounded" hint target…
     val gap = Seq(1L).toDF("one").crossJoin(
       broadcast(docsSmall.groupBy(floor(col("doc_id") / 1000).as("blk"))
         .agg(count(lit(1)).as("n"))))
-    assert(flags(gap).isEmpty,
-      "composite-id grouping is now distrusted — retire this documented-gap control")
+    assert(flags(gap).nonEmpty,
+      "guard missed the floor(doc_id/1000) composite-key laundering shape")
+    // …including through a Project alias (select the composite FIRST, then
+    // group on the clean-named column — the projection-laundering arm)
+    val gapProjected = Seq(1L).toDF("one").crossJoin(
+      broadcast(docsSmall.select(floor(col("doc_id") / 1000).as("blk"))
+        .groupBy(col("blk")).agg(count(lit(1)).as("n"))))
+    assert(flags(gapProjected).nonEmpty,
+      "guard missed the Project-aliased composite-key laundering shape")
+    // …while the fleet's genuinely-bounded bucketing idioms stay green:
+    // pmod-by-literal over the very same distrusted origin has ≤ 32
+    // values regardless of corpus size — the canonical hash/band grouping
+    val pmodOk = Seq(1L).toDF("one").crossJoin(
+      broadcast(docsSmall.groupBy(pmod(col("doc_id"), lit(32)).as("blk"))
+        .agg(count(lit(1)).as("n"))))
+    assert(flags(pmodOk).isEmpty,
+      "guard over-flags the pmod-by-literal bounded bucketing idiom")
+    // …compositions of bounded pieces stay green too (pmod(hash, lit) —
+    // the salted/banded grouping shape)
+    val hashModOk = Seq(1L).toDF("one").crossJoin(
+      broadcast(docsSmall.groupBy(pmod(xxhash64(col("doc_id")), lit(16)).as("b"))
+        .agg(count(lit(1)).as("n"))))
+    assert(flags(hashModOk).isEmpty,
+      "guard over-flags the pmod(hash, literal) banded grouping idiom")
+    // …bounded-ELEMENT generators stay green (round 13): char bigrams
+    // from split-by-'' have a charset-bounded domain however much text
+    // feeds them — the x31/x57 char-LM model shape — while the exploded
+    // WORD-token control above (split by ' ') keeps flagging
+    val chars = docsSmall.select(col("doc_id"),
+      explode(split(col("text"), "")).as("ch"))
+    assert(flags(Seq(1L).toDF("one").crossJoin(
+      broadcast(chars.groupBy(col("ch")).agg(count(lit(1)).as("n"))))).isEmpty,
+      "guard over-flags the charset-bounded split-by-'' model aggregate")
+    // …literal-struct generators too: the b31 count-min idiom (explode of
+    // per-hash structs whose bucket is %-by-literal)
+    val cmRows = docsSmall.select(col("doc_id"),
+      explode(array((0 until 2).map(r => struct(lit(r).as("r"),
+        pmod(col("doc_id") * lit(1299709) + lit(104729), lit(256)).as("bucket"))): _*))
+        .as("rb"))
+      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    assert(flags(Seq(1L).toDF("one").crossJoin(
+      broadcast(cmRows.groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("n"))))).isEmpty,
+      "guard over-flags the literal-struct count-min sketch aggregate")
+    // …and a GLOBAL LIMIT is a lineage trust boundary (round 13): a key
+    // drawn from a top-K frame has ≤ K distinct values whatever its
+    // deeper lineage — the x56 vocabulary idiom…
+    val toks2 = docsSmall.select(explode(split(col("text"), " ")).as("w"))
+    val topK = toks2.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(50)
+      .select(col("w").as("vw"))
+    val keyedOnTopK = toks2.join(broadcast(topK), col("w") === col("vw"), "left")
+      .groupBy(coalesce(col("vw"), lit("")).as("fw")).agg(count(lit(1)).as("n"))
+    assert(flags(Seq(1L).toDF("one").crossJoin(broadcast(keyedOnTopK))).isEmpty,
+      "guard over-flags the limit-bounded vocabulary model aggregate")
+    // …while keying the same model on the STREAM side's token (no limit
+    // in its lineage) still flags — the boundary is the limit, not the join
+    val keyedOnStream = toks2.join(broadcast(topK), col("w") === col("vw"), "left")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    assert(flags(Seq(1L).toDF("one").crossJoin(broadcast(keyedOnStream))).nonEmpty,
+      "guard missed the stream-side vocabulary key next to a limit join")
+    // …and the PHYSICAL layer carries the same composite classification
+    // (a stats-chosen BNLJ build is decided physically, where the same
+    // floor-bucket shape would otherwise still launder)
+    val perBlk = docsSmall.groupBy(floor(col("doc_id") / 1000).as("blk"))
+      .agg(count(lit(1)).as("n"))
+    val bnljComposite = Seq(16L).toDF("k")
+      .join(broadcast(perBlk), col("k") <= col("n"), "left")
+    assert(graft.plans.PlanGuard.corpusProductViolations(
+      bnljComposite.queryExecution.executedPlan)
+        .exists(_.contains("BroadcastNestedLoopJoin")),
+      "physical walk missed the composite-key aggregate BNLJ build:\n" +
+        bnljComposite.queryExecution.executedPlan.toString)
     // the PHYSICAL layer carries the same distrust: a BNLJ whose build
     // side is a per-doc aggregate (one row per document — corpus-sized)
     // must flag even though an aggregate sits on the build path; unlike
@@ -1039,7 +1131,7 @@ class PlanSpec extends SparkSpec {
         .queryName(s"pg_stream_${if (hint) "bad" else "ok"}")
         .outputMode(OutputMode.Append).start()
       ms.addData(1L, 2L)
-      q.processAllAvailable()
+      q.drainGuarded()
       val v = org.apache.spark.sql.graft.StreamPlanGuard.violations(q)
       q.stop()
       v
@@ -1048,6 +1140,48 @@ class PlanSpec extends SparkSpec {
       "stream guard missed the hinted stream-static corpus broadcast")
     assert(run(hint = false).isEmpty,
       "stream guard over-flags the stats-planned stream-static join")
+  }
+
+  test("stream guard accumulates per-batch history: an early batch's hazard " +
+      "survives later batches (round-12 verdict #2)") {
+    // Spark retains only the LAST IncrementalExecution, so the old
+    // last-batch walk let a hazard whose plan shape existed only in an
+    // earlier batch escape. The accumulator records each batch as it is
+    // sampled; this pins that (a) every drained batch lands in the record
+    // under its own batch id, and (b) the assert surface reads the WHOLE
+    // history — if it read only the last plan, the batch-0 entry below
+    // could not exist after batch 1 ran.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val docsSmall = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source"))
+    val ms = MemoryStream[Long]
+    val q = ms.toDF().toDF("doc_id")
+      .join(broadcast(docsSmall), Seq("doc_id"), "left")
+      .writeStream.format("memory").queryName("pg_stream_accum")
+      .outputMode(OutputMode.Append).start()
+    ms.addData(1L)
+    q.drainGuarded() // batch 0 sampled while it is still the last execution
+    ms.addData(2L)
+    q.drainGuarded() // batch 1 replaces lastExecution — batch 0 is history
+    val acc = TestStreamGuard.acc
+    val walked = acc.walkedBatches(q)
+    val v = acc.accumulatedViolations(q)
+    q.stop()
+    assert(walked.contains(0L) && walked.contains(1L),
+      s"drain points must walk each batch deterministically, walked: $walked")
+    assert(v.exists(_.startsWith("batch 0:")) && v.exists(_.startsWith("batch 1:")),
+      s"accumulated assert must carry EVERY batch's hazards, got:\n  ${v.mkString("\n  ")}")
+    // and a never-drained query still refuses to pass vacuously
+    val ms2 = MemoryStream[Long]
+    val q2 = ms2.toDF().toDF("doc_id")
+      .writeStream.format("memory").queryName("pg_stream_accum_empty")
+      .outputMode(OutputMode.Append).start()
+    val v2 = acc.accumulatedViolations(q2)
+    q2.stop()
+    assert(v2.exists(_.contains("no micro-batch has executed")),
+      s"never-run stream must report, not silently pass: $v2")
   }
 
   test("fleet sweep: no query plans a corpus-unbounded BNLJ build, cartesian side, or single-partition funnel") {

@@ -13,19 +13,47 @@ object TestSession {
   }
 }
 
+/** One shared every-batch stream-guard accumulator for the test JVM
+  * (round-12 verdict #2): its listener layer attaches to the shared
+  * session once; its deterministic layer is [[SparkSpec.GuardedDrain]].
+  */
+object TestStreamGuard {
+  lazy val acc: org.apache.spark.sql.graft.StreamPlanGuard.Accumulator =
+    new org.apache.spark.sql.graft.StreamPlanGuard.Accumulator()
+      .attach(TestSession.spark)
+}
+
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = TestSession.spark
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
-  /** Assert a DRAINED streaming query's last micro-batch plan passes the
+  /** The deterministic layer of every-batch stream-guard coverage
+    * (round-12 verdict #2): drain, then immediately walk the just-run
+    * batch's plan into the shared accumulator — before any later feed can
+    * replace the retained `lastExecution`. Specs call this wherever they
+    * used to call `processAllAvailable()`.
+    */
+  implicit class GuardedDrain(
+      private val q: org.apache.spark.sql.streaming.StreamingQuery) {
+    def drainGuarded(): Unit = {
+      q.processAllAvailable()
+      TestStreamGuard.acc.sample(q)
+    }
+  }
+
+  /** Assert a DRAINED streaming query's micro-batch plans pass the
     * PlanGuard sweep (round-11 verdict #3: streaming plans were guard-
     * blind — `streamDupFlags`' hinted stream-static join was found only by
-    * review). Call after `processAllAvailable()` and before `stop()`.
+    * review). Since round 13 this asserts the ACCUMULATED per-batch
+    * history (every `drainGuarded()` point plus listener-caught batches
+    * plus a final sample), not just the last micro-batch — a hazard
+    * present only in an earlier batch stays on the record. Call after
+    * draining and before `stop()`.
     */
   def assertStreamClean(name: String,
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    val v = org.apache.spark.sql.graft.StreamPlanGuard.violations(q)
+    val v = TestStreamGuard.acc.accumulatedViolations(q)
     if (v.nonEmpty) {
       // stop BEFORE failing (round-12 review): call sites assert right
       // before their own q.stop(), so a thrown assertion would otherwise

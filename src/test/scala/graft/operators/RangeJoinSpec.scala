@@ -55,17 +55,17 @@ class RangeJoinSpec extends SparkSpec {
     def t(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
     views.addData((1L, t(0)), (2L, t(5)))
     clicks.addData((1L, t(30)))            // within 60 s of view@0: pair
-    q.processAllAvailable()
+    q.drainGuarded()
     clicks.addData((2L, t(300)))           // 295 s after view@5: no pair
     views.addData((1L, t(305)))            // also within 60 s of... nothing yet
-    q.processAllAvailable()
+    q.drainGuarded()
     // advance both watermarks far past everything so state drains
     clicks.addData((9L, t(10000))); views.addData((9L, t(10001)))
-    q.processAllAvailable()
+    q.drainGuarded()
     // LATE row: arrives behind the advanced watermark (≈ 9990 s); its view
     // partner's state is long evicted, so it must produce no pair
     clicks.addData((1L, t(0)))
-    q.processAllAvailable()
+    q.drainGuarded()
     assertStreamClean("range_join_stream", q); q.stop()
     val rows = spark.table("sij").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime))

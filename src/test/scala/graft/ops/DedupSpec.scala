@@ -108,7 +108,7 @@ class DedupSpec extends SparkSpec {
     corpus.zipWithIndex.foreach { case ((id, text), i) =>
       ms.addData((id, Timestamp.from(t0.plusSeconds(i.toLong)), text))
     }
-    q.processAllAvailable(); assertStreamClean("dedup_stream", q); q.stop()
+    q.drainGuarded(); assertStreamClean("dedup_stream", q); q.stop()
     val streamed = spark.table("sdecon").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits"))).toMap
     assert(streamed === batch)
@@ -141,9 +141,9 @@ class DedupSpec extends SparkSpec {
       (0L, Timestamp.valueOf("2024-01-01 10:00:00"), "same text"),
       (1L, Timestamp.valueOf("2024-01-01 10:00:01"), "same text"),   // dup: dropped
       (2L, Timestamp.valueOf("2024-01-01 10:00:02"), "other text"))
-    q.processAllAvailable()
+    q.drainGuarded()
     ms.addData((3L, Timestamp.valueOf("2024-01-01 10:00:03"), "same text")) // still in horizon
-    q.processAllAvailable()
+    q.drainGuarded()
     assertStreamClean("dedup_stream", q); q.stop()
     val kept = spark.table("sdedup").collect().map(_.getAs[Long]("doc_id")).sorted
     assert(kept.toSeq === Seq(0L, 2L))
@@ -181,12 +181,12 @@ class DedupSpec extends SparkSpec {
     val t0 = java.time.Instant.parse("2024-01-01T10:00:00Z")
     corpus.zipWithIndex.foreach { case ((id, text), i) =>
       ms.addData((id, Timestamp.from(t0.plusSeconds(i.toLong)), text))
-      q.processAllAvailable()
+      q.drainGuarded()
     }
     // sentinel far past the window + watermark: closes every window so the
     // band-path aggregation emits (the sentinel itself stays open → absent)
     ms.addData((99L, Timestamp.from(t0.plusSeconds(3600L)), base * 2))
-    q.processAllAvailable()
+    q.drainGuarded()
     assertStreamClean("dedup_stream", q); q.stop()
     val streamed = spark.table("sneardup").collect().map(_.getAs[Long]("doc_id")).toSet
     assert(streamed === expected)
@@ -206,19 +206,19 @@ class DedupSpec extends SparkSpec {
       .outputMode(OutputMode.Append).start()
     val t0 = java.time.Instant.parse("2024-01-01T10:00:00Z")
     ms.addData((0L, Timestamp.from(t0), text))
-    q.processAllAvailable()
+    q.drainGuarded()
     // advance the watermark far ahead, then send a LATE unique doc behind
     // it (≥ k tokens so it takes the stateful band path, not the stateless
     // short-doc bypass, which by design never drops late rows)
     ms.addData((1L, Timestamp.from(t0.plusSeconds(5000L)),
       "zebra xylophone quantum meridian ballast crescent harbor tonight"))
-    q.processAllAvailable()
+    q.drainGuarded()
     ms.addData((2L, Timestamp.from(t0.plusSeconds(1L)),
       "glacier penumbra saffron oblique tandem verdict morning"))
-    q.processAllAvailable()
+    q.drainGuarded()
     // flush every window
     ms.addData((9L, Timestamp.from(t0.plusSeconds(99999L)), text * 2))
-    q.processAllAvailable()
+    q.drainGuarded()
     assertStreamClean("dedup_stream", q); q.stop()
     val kept = spark.table("sneardup_late").collect().map(_.getAs[Long]("doc_id")).toSet
     // 0 and 1 emit when their windows close; late doc 2 (behind the
@@ -437,11 +437,11 @@ class DedupSpec extends SparkSpec {
     val t0 = java.time.Instant.parse("2024-01-01T10:00:00Z")
     corpus.zipWithIndex.foreach { case ((id, text), i) =>
       ms.addData((id, Timestamp.from(t0.plusSeconds(i.toLong)), text))
-      q.processAllAvailable()
+      q.drainGuarded()
     }
     // sentinel far past window + watermark closes the reassembly window
     ms.addData((99L, Timestamp.from(t0.plusSeconds(3600L)), "zz zz zz"))
-    q.processAllAvailable()
+    q.drainGuarded()
     assertStreamClean("dedup_stream", q); q.stop()
     val streamed = spark.table("sblockdedup")
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
@@ -514,10 +514,10 @@ class DedupSpec extends SparkSpec {
     val t0 = java.time.Instant.parse("2024-01-01T10:00:00Z")
     batch.zipWithIndex.foreach { case ((id, text), i) =>
       ms.addData((id, Timestamp.from(t0.plusSeconds(i.toLong)), text))
-      q.processAllAvailable()
+      q.drainGuarded()
     }
     ms.addData((99L, Timestamp.from(t0.plusSeconds(3600L)), "zz zz"))
-    q.processAllAvailable()
+    q.drainGuarded()
     assertStreamClean("dedup_stream", q); q.stop()
     val streamed = spark.table("sincdedup")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

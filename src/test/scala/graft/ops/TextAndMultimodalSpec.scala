@@ -326,6 +326,29 @@ class TextAndMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("exclusivePrefixRanged ≡ three-level exclusivePrefix bit-for-bit " +
+      "(round 13: the unbounded-id-domain form)") {
+    // same prefix contract, different decomposition: the ranged form must
+    // reproduce the three-level form exactly — including on inputs with
+    // skewed keys, gaps, and an empty frame — so switching the id-domain
+    // consumers (packSequences, ppsSample, m5) changed no oracle row
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = (0L until 500L).filter(i => i % 11 != 5)
+      .map(i => (i * 37 % 1000, i, 1L + i % 13)).toDF("k", "rid", "v")
+      .repartition(9)
+    val a = TextOps.exclusivePrefix(rows, "k", "rid", "v", 64L)
+      .select(col("k"), col("rid"), col("v"), col("_prefix"))
+      .orderBy("k", "rid").collect().map(_.toSeq).toSeq
+    val b = TextOps.exclusivePrefixRanged(rows, "k", "rid", "v")
+      .select(col("k"), col("rid"), col("v"), col("_prefix"))
+      .orderBy("k", "rid").collect().map(_.toSeq).toSeq
+    assert(a === b)
+    // empty input passes through with the schema intact
+    val empty = TextOps.exclusivePrefixRanged(rows.limit(0), "k", "rid", "v")
+    assert(empty.columns.contains("_prefix") && empty.count() === 0)
+  }
+
   test("repetition stats: repeated k-grams raise the ratio, distinct text scores 0") {
     val corpus = Seq(
       (0L, "a b c a b c a b c"),            // 7 trigrams, 3 distinct

@@ -581,10 +581,10 @@ class VectorsSpec extends SparkSpec {
     val t0 = java.time.Instant.parse("2024-01-01T10:00:00Z")
     vecs.zipWithIndex.foreach { case ((id, v), i) =>
       ms.addData((id, Timestamp.from(t0.plusSeconds(i.toLong)), v))
-      q.processAllAvailable()
+      q.drainGuarded()
     }
     ms.addData((99L, Timestamp.from(t0.plusSeconds(3600L)), Array.fill(8)(1.0f)))
-    q.processAllAvailable()
+    q.drainGuarded()
     assertStreamClean("vectors_stream", q); q.stop()
     val streamed = spark.table("svdedup").collect().map(_.getAs[Long]("vec_id")).toSet
     assert(streamed === expected)
@@ -1009,6 +1009,29 @@ class VectorsSpec extends SparkSpec {
     assert(out.toSet === expected)
   }
 
+  test("boundedTestSide: ragged-width frame hits the byte-aware diagnostic " +
+      "(max over collected rows, not head(1))") {
+    // the |Q|≪N byte cap must hold against the WIDEST row (round-12
+    // verdict #5): a ragged frame whose FIRST row is narrow fooled the old
+    // single-head(1) width probe into a 65 536-row cap while the wide rows
+    // blew the 64 MB bound. Three rows, first narrow, one ~3M-element —
+    // max-width accounting caps at 2 rows (64 MB / ~24 MB) and the require
+    // fires with the routing diagnostic; the old head-row estimate would
+    // have sailed through.
+    val wide = Array.fill(3000000)(1.0f)
+    val ragged = Seq(
+      (0L, Array(1.0f, 0.0f)), // narrow first row — the old probe's view
+      (1L, wide),
+      (2L, wide)
+    ).toDF("vec_id", "embedding")
+    val train = Seq((10L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Vectors.marginPairs(ragged, train, marginPpmThreshold = 0L)
+    }
+    assert(e.getMessage.contains("marginPairsBucketed"),
+      s"diagnostic must route to the scale paths, got: ${e.getMessage}")
+  }
+
   test("marginPairsBucketed: candidates honor the bucket contract; deterministic; identical dirs surface") {
     import org.apache.spark.sql.functions.col
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
@@ -1041,6 +1064,61 @@ class VectorsSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("test_id"), r.getAs[Long]("train_id"),
         r.getAs[Long]("margin_ppm")))
     assert(out.toSet === again.toSet)
+  }
+
+  test("marginDirectedCandidates: probe contract, exhaustive-probe ≡ exact, " +
+      "directed beats blind at equal-or-less candidate volume") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val test = emb.filter(col("vec_id") % 10 < 2)
+    val train = emb.filter(col("vec_id") % 10 >= 2)
+    val testIds = test.select("vec_id").collect().map(_.getLong(0)).toSet
+    val trainIds = train.select("vec_id").collect().map(_.getLong(0)).toSet
+    // contract: distinct (test, train) pairs from the right id spaces,
+    // deterministic under repartitioning
+    val cand = Vectors.marginDirectedCandidates(test, train).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.nonEmpty)
+    assert(cand.distinct.length === cand.length)
+    assert(cand.forall { case (t, r) => testIds(t) && trainIds(r) })
+    val again = Vectors.marginDirectedCandidates(
+      test.repartition(7), train.repartition(5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.toSet === again.toSet)
+    // an identical vector pair shares every orthonormal sign-code, so the
+    // zero-flip probe alone must surface it: vec 0's exact duplicate
+    // planted under a train-side id is always a candidate of test vec 0
+    val dup = emb.filter(col("vec_id") === 0L)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val withDup = Vectors.marginDirectedCandidates(
+      test, train.unionByName(dup, allowMissingColumns = true), probes = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withDup.contains((0L, 100000L)),
+      "zero-flip probe missed an exact duplicate")
+    // exhaustive probing (every mask of every table) degenerates to the
+    // full grid, so the margin tail must reproduce exact marginPairs
+    // BIT-FOR-BIT — margins included (candidates only prune, never rescore)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("test_id"), r.getAs[Long]("train_id"),
+        r.getAs[Long]("margin_ppm"))).toSet
+    val exhaustive = rows(Vectors.marginPairsDirected(test, train,
+      marginPpmThreshold = 0L, nPlanes = 6, probes = 64, maxFlip = 6))
+    val exact = rows(Vectors.marginPairs(test, train, marginPpmThreshold = 0L))
+    assert(exhaustive === exact,
+      "exhaustive directed probing must equal the exact miner bit-for-bit")
+    // directed probing's HEADLINE property (round-12 verdict #3): at the
+    // default operating point it recovers MORE of the exact pair set than
+    // the blind radius-1 probe while generating no more candidates —
+    // probe budget spent on the query's own low-margin planes pays
+    val directedPairs = rows(Vectors.marginPairsDirected(test, train,
+      marginPpmThreshold = 0L)).map(p => (p._1, p._2))
+    val blindPairs = rows(Vectors.marginPairsBucketed(test, train,
+      marginPpmThreshold = 0L)).map(p => (p._1, p._2))
+    val exactPairs = exact.map(p => (p._1, p._2))
+    val dirOv = directedPairs.intersect(exactPairs).size.toDouble / exactPairs.size
+    val blindOv = blindPairs.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(dirOv >= blindOv,
+      f"directed overlap $dirOv%.3f fell below blind radius-1 overlap $blindOv%.3f")
   }
 
   test("marginPairsScan: corpus-wide shortlist ≡ exact marginPairs; tight shortlist stays close") {

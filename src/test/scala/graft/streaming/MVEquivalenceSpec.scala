@@ -39,7 +39,7 @@ class MVEquivalenceSpec extends SparkSpec {
       .start()
     events.grouped(100).foreach { chunk =>
       ms.addData(chunk)
-      q.processAllAvailable()
+      q.drainGuarded()
     }
     assertStreamClean("mv_stream", q); q.stop()
 
@@ -62,7 +62,7 @@ class MVEquivalenceSpec extends SparkSpec {
       .outputMode(OutputMode.Complete).start()
     events.grouped(75).foreach { chunk =>
       ms.addData(chunk)
-      q.processAllAvailable()
+      q.drainGuarded()
     }
     assertStreamClean("mv_stream", q); q.stop()
     val streaming = spark.table("mv_complete").orderBy("day", "event_type").collect()
@@ -85,7 +85,7 @@ class MVEquivalenceSpec extends SparkSpec {
     def runChunk(chunk: Seq[EvV]): Unit = {
       ms.addData(chunk) // BEFORE start: AvailableNow latches offsets at start
       val q = StreamingMVs.histogramPartialsWriter(ms.toDF(), target, ck).start()
-      q.processAllAvailable()
+      q.drainGuarded()
       assertStreamClean("mv_stream", q); q.stop() // the KILL: next chunk restarts from the checkpoint
     }
     evs.grouped(150).foreach(runChunk)
@@ -123,7 +123,7 @@ class MVEquivalenceSpec extends SparkSpec {
       ms.addData(chunk) // BEFORE start: AvailableNow latches offsets at start
       val q = StreamingMVs.countMinPartialsWriter(
         ms.toDF().withColumnRenamed("value", "user_id"), target, ck).start()
-      q.processAllAvailable()
+      q.drainGuarded()
       assertStreamClean("mv_stream", q); q.stop()
     }
     keys.grouped(180).foreach(runChunk)

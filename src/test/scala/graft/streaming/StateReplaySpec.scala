@@ -29,7 +29,7 @@ class StateReplaySpec extends SparkSpec {
 
     val batch1 = Seq(op("k1", 1L, "signup", 10L), op("k2", 2L, "signup", 20L))
     ms.addData(batch1: _*)
-    q.processAllAvailable()
+    q.drainGuarded()
     val after1 = spark.table("state_stream").collect()
       .map(r => r.getAs[String]("gtid") -> r.getAs[String]("last_op")).toMap
     assert(after1 === Map("k1" -> "signup", "k2" -> "signup"))
@@ -37,7 +37,7 @@ class StateReplaySpec extends SparkSpec {
     // k1 updated in place; k2 tombstoned — retracted from the mirror
     val batch2 = Seq(op("k1", 3L, "click", 30L), op("k2", 4L, "error", 40L))
     ms.addData(batch2: _*)
-    q.processAllAvailable()
+    q.drainGuarded()
     assertStreamClean("state_replay_stream", q); q.stop()
 
     val streamed = spark.table("state_stream").collect()

@@ -96,7 +96,7 @@ class StreamingDedupGroupsSpec extends SparkSpec {
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) => fold(batch) }
         .start()
-      q.processAllAvailable()
+      q.drainGuarded()
       assertStreamClean("dedup_groups_stream", q); q.stop() // the KILL: next chunk restarts from the checkpoint
     }
     chunks.foreach(runChunk)

@@ -52,7 +52,7 @@ class StreamingFunnelSpec extends SparkSpec {
       val q = StreamingFunnel.reaches(ms.toDF(), steps, windowSec)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append).start()
-      feed.grouped(chunkSize).foreach { c => ms.addData(c); q.processAllAvailable() }
+      feed.grouped(chunkSize).foreach { c => ms.addData(c); q.drainGuarded() }
       assertStreamClean("funnel_stream", q); q.stop()
       val reaches = spark.table(name).collect()
         .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("level")))
@@ -92,7 +92,7 @@ class StreamingFunnelSpec extends SparkSpec {
     val q = StreamingFunnel.reaches(ms.toDF(), steps, windowSec)
       .writeStream.format("memory").queryName("funnel_subms")
       .outputMode(OutputMode.Append).start()
-    ms.addData(subMs); q.processAllAvailable(); assertStreamClean("funnel_stream", q); q.stop()
+    ms.addData(subMs); q.drainGuarded(); assertStreamClean("funnel_stream", q); q.stop()
     val streamed = spark.table("funnel_subms").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("level")))
       .groupBy(_._1).map { case (_, rs) => rs.map(_._2).max }

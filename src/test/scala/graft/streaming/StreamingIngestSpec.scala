@@ -34,7 +34,7 @@ class StreamingIngestSpec extends SparkSpec {
       Raw(1, Timestamp.valueOf("2024-01-01 10:00:00"), 7, "view", 10.5, """{"k": 60}"""),
       Raw(2, Timestamp.valueOf("2024-01-01 11:00:00"), 7, "error", 11.5, """{"k": 1}"""),
       Raw(3, Timestamp.valueOf("2024-01-02 10:00:00"), 8, "click", 12.5, """{"k": 2}"""))
-    q.processAllAvailable()
+    q.drainGuarded()
     assertStreamClean("ingest_stream", q); q.stop()
     val res = spark.read.parquet(out)
     assert(res.count() === 2) // error row filtered
@@ -66,7 +66,7 @@ class StreamingIngestSpec extends SparkSpec {
       envelope(2, 1704106800000L, "g1", "TRANSACTIONBEGIN"), // F1: dropped
       "not an envelope".getBytes("UTF-8"),                    // F2: dropped
       envelope(3, 1704189600000L, "g2", "UPDATE"))
-    q.processAllAvailable()
+    q.drainGuarded()
     assertStreamClean("ingest_stream", q); q.stop()
     val res = spark.read.parquet(out).orderBy("binlog_pos").collect()
     assert(res.length === 2)
@@ -87,14 +87,14 @@ class StreamingIngestSpec extends SparkSpec {
       Raw(id, new Timestamp(epochSec * 1000), 1, "view", 1.0, """{"k": 1}""")
     // window [0, 300): two events
     ms.addData(raw(1, 1700000000), raw(2, 1700000100))
-    q.processAllAvailable()
+    q.drainGuarded()
     // advance event time past the window end → watermark moves after this batch
     ms.addData(raw(3, 1700000700))
-    q.processAllAvailable()
+    q.drainGuarded()
     // one more batch so the closed window flushes; include a LATE event for
     // the first window — reference semantics drop it (SURVEY.md §2.8 W2)
     ms.addData(raw(4, 1700000110), raw(5, 1700000800))
-    q.processAllAvailable()
+    q.drainGuarded()
     assertStreamClean("ingest_stream", q); q.stop()
     val rows = spark.table("w2").collect()
     // [1699999800, 1700000100) holds only event t=1700000000

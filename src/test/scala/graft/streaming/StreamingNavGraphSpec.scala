@@ -77,7 +77,7 @@ class StreamingNavGraphSpec extends SparkSpec {
           Vectors.appendToNavGraph(batch.toDF(), corpusAll, table, entryIds)
         }
         .start()
-      q.processAllAvailable()
+      q.drainGuarded()
       assertStreamClean("nav_graph_stream", q); q.stop() // the KILL: next chunk restarts from the checkpoint
     }
     val mid = arriving.size / 2

@@ -36,7 +36,7 @@ class StreamingNewUsersSpec extends SparkSpec {
       val q = StreamingNewUsers.newUsersDaily(ms.toDF())
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Complete).start()
-      feed.grouped(chunkSize).foreach { c => ms.addData(c); q.processAllAvailable() }
+      feed.grouped(chunkSize).foreach { c => ms.addData(c); q.drainGuarded() }
       assertStreamClean("new_users_stream", q); q.stop()
       val streamed = spark.table(name).collect()
         .map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Long]("new_users"))

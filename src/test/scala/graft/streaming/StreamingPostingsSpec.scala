@@ -71,7 +71,7 @@ class StreamingPostingsSpec extends SparkSpec {
           TextOps.appendToPostings(batch.toDF(), table)
         }
         .start()
-      q.processAllAvailable()
+      q.drainGuarded()
       assertStreamClean("postings_stream", q); q.stop() // the KILL: next chunk restarts from the checkpoint
     }
     val mid = arriving.size / 2

@@ -33,9 +33,9 @@ class StreamingSessionsSpec extends SparkSpec {
       ms.toDF().toDF("ts", "event_type").withWatermark("ts", "30 minutes"))
       .writeStream.format("memory").queryName("sliding_stream")
       .outputMode(OutputMode.Append).start()
-    feed.grouped(2).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
-    ms.addData(Seq(flush)); q.processAllAvailable()
-    ms.addData(Seq(flush)); q.processAllAvailable()
+    feed.grouped(2).foreach { chunk => ms.addData(chunk); q.drainGuarded() }
+    ms.addData(Seq(flush)); q.drainGuarded()
+    ms.addData(Seq(flush)); q.drainGuarded()
     assertStreamClean("sessions_stream", q); q.stop()
     val streamed = spark.table("sliding_stream")
       .filter($"event_type" =!= "FLUSH")
@@ -69,12 +69,12 @@ class StreamingSessionsSpec extends SparkSpec {
     // two-element chunks: session merging must work across micro-batches
     feed.grouped(2).foreach { chunk =>
       ms.addData(chunk)
-      q.processAllAvailable()
+      q.drainGuarded()
     }
     // advance the watermark past every real session's end, then run one
     // more batch so the closed sessions actually emit
-    ms.addData(Seq(flush)); q.processAllAvailable()
-    ms.addData(Seq(flush)); q.processAllAvailable()
+    ms.addData(Seq(flush)); q.drainGuarded()
+    ms.addData(Seq(flush)); q.drainGuarded()
     assertStreamClean("sessions_stream", q); q.stop()
 
     val streamed = spark.table("sessions_stream")

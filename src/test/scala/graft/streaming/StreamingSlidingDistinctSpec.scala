@@ -43,7 +43,7 @@ class StreamingSlidingDistinctSpec extends SparkSpec {
       val q = StreamingSlidingDistinct.slidingDistinct(ms.toDF())
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Complete).start()
-      feed.grouped(chunkSize).foreach { c => ms.addData(c); q.processAllAvailable() }
+      feed.grouped(chunkSize).foreach { c => ms.addData(c); q.drainGuarded() }
       assertStreamClean("sliding_distinct_stream", q); q.stop()
       val streamed = spark.table(name).collect()
         .map(r => r.getAs[Timestamp]("window_start").getTime ->

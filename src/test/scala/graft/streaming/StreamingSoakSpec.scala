@@ -82,7 +82,7 @@ class StreamingSoakSpec extends SparkSpec {
     def runChunk(chunk: Seq[SoakRaw]): Unit = {
       ms.addData(chunk)
       val qs = Seq(startIngest(), startMv(), startStats())
-      qs.foreach(_.processAllAvailable())
+      qs.foreach(_.drainGuarded())
       qs.foreach { qq => assertStreamClean("soak_stream", qq); qq.stop() } // the KILL
     }
     Seq(mainFeed.take(20), mainFeed.slice(20, 30), mainFeed.drop(30),

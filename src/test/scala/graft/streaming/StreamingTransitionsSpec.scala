@@ -39,7 +39,7 @@ class StreamingTransitionsSpec extends SparkSpec {
       val q = StreamingTransitions.transitions(ms.toDF())
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append).start()
-      feed.grouped(chunkSize).foreach { c => ms.addData(c); q.processAllAvailable() }
+      feed.grouped(chunkSize).foreach { c => ms.addData(c); q.drainGuarded() }
       assertStreamClean("transitions_stream", q); q.stop()
       val streamed = spark.table(name)
         .groupBy("from_type", "to_type").count()

@@ -34,12 +34,12 @@ class StreamingTxnStatsSpec extends SparkSpec {
     ms.addData(
       ev(1700000000L, "g1", 451044141L, 593, 2),
       ev(1700000040L, "g1", 451045845L, 116, 1))
-    q.processAllAvailable()
+    q.drainGuarded()
     // advance watermark beyond the window, then flush it
     ms.addData(ev(1700000700L, "g2", 1, 10, 1))
-    q.processAllAvailable()
+    q.drainGuarded()
     ms.addData(ev(1700000800L, "g2", 2, 10, 1))
-    q.processAllAvailable()
+    q.drainGuarded()
     assertStreamClean("txn_stats_stream", q); q.stop()
 
     val rows = spark.table("txn_stream").collect()

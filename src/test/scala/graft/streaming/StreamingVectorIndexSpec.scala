@@ -71,7 +71,7 @@ class StreamingVectorIndexSpec extends SparkSpec {
           Vectors.appendToIvfIndex(batch.toDF(), table)
         }
         .start()
-      q.processAllAvailable()
+      q.drainGuarded()
       assertStreamClean("vector_index_stream", q); q.stop() // the KILL: next chunk restarts from the checkpoint
     }
     val mid = arriving.size / 2

@@ -26,13 +26,13 @@ class TransactionAssemblerSpec extends SparkSpec {
       ev("g1", 1000, 451044141L, 593, 2),
       ev("g1", 1002, 451044825L, 284, 1),
       ev("g1", 1004, 451045845L, 116, 1))
-    q.processAllAvailable()
+    q.drainGuarded()
     // advance the watermark well past g1's close (1004 + 30)
     ms.addData(ev("g2", 1200, 1L, 10, 1))
-    q.processAllAvailable()
+    q.drainGuarded()
     // one more batch so the timeout fires under the advanced watermark
     ms.addData(ev("g2", 1300, 2L, 10, 1))
-    q.processAllAvailable()
+    q.drainGuarded()
     assertStreamClean("txn_assembler_stream", q); q.stop()
 
     val rows = spark.table("txns").collect()
@@ -57,13 +57,13 @@ class TransactionAssemblerSpec extends SparkSpec {
       .writeStream.format("memory").queryName("txns2")
       .outputMode(OutputMode.Append).start()
     ms.addData(ev("t", 100, 1, 5, 1))
-    q.processAllAvailable()
+    q.drainGuarded()
     ms.addData(ev("t", 105, 2, 7, 2)) // within the gap: same txn
-    q.processAllAvailable()
+    q.drainGuarded()
     ms.addData(ev("z", 500, 9, 1, 1)) // advances the watermark
-    q.processAllAvailable()
+    q.drainGuarded()
     ms.addData(ev("z", 600, 10, 1, 1))
-    q.processAllAvailable()
+    q.drainGuarded()
     assertStreamClean("txn_assembler_stream", q); q.stop()
     val t = spark.table("txns2").collect().filter(_.getAs[String]("gtid") == "t")
     assert(t.length === 1)
@@ -90,10 +90,10 @@ class TransactionAssemblerSpec extends SparkSpec {
       .outputMode(OutputMode.Append).start()
     // feed in global event-time order so the 0-delay watermark drops nothing
     val feed = evs.sortBy(e => (e.execute_time.getTime, e.gtid))
-    feed.grouped(9).foreach { batch => ms.addData(batch: _*); q.processAllAvailable() }
+    feed.grouped(9).foreach { batch => ms.addData(batch: _*); q.drainGuarded() }
     // flusher batches: advance the watermark far past every close
-    ms.addData(ev("zz_flush", 100000L, 1L, 1, 1)); q.processAllAvailable()
-    ms.addData(ev("zz_flush", 100001L, 2L, 1, 1)); q.processAllAvailable()
+    ms.addData(ev("zz_flush", 100000L, 1L, 1, 1)); q.drainGuarded()
+    ms.addData(ev("zz_flush", 100001L, 2L, 1, 1)); q.drainGuarded()
     assertStreamClean("txn_assembler_stream", q); q.stop()
 
     def key(r: org.apache.spark.sql.Row) =
@@ -136,16 +136,16 @@ class TransactionAssemblerSpec extends SparkSpec {
 
     val q1 = startQ()
     ms.addData(ev("g1", 1000, 1, 5, 1), ev("g1", 1002, 2, 7, 2))
-    q1.processAllAvailable()
+    q1.drainGuarded()
     assertStreamClean("txn_assembler_stream", q1); q1.stop() // kill with g1 open (nothing emitted yet)
 
     val q2 = startQ()
     // same gtid, still inside the gap: merges into the checkpointed state
     ms.addData(ev("g1", 1004, 3, 9, 1))
-    q2.processAllAvailable()
+    q2.drainGuarded()
     // advance the watermark so g1 times out and emits
-    ms.addData(ev("zz", 99999, 8, 1, 1)); q2.processAllAvailable()
-    ms.addData(ev("zz", 100000, 9, 1, 1)); q2.processAllAvailable()
+    ms.addData(ev("zz", 99999, 8, 1, 1)); q2.drainGuarded()
+    ms.addData(ev("zz", 100000, 9, 1, 1)); q2.drainGuarded()
     assertStreamClean("txn_assembler_stream", q2); q2.stop()
 
     val g1 = spark.read.parquet(out).collect().filter(_.getAs[String]("gtid") == "g1")
@@ -175,9 +175,9 @@ class TransactionAssemblerSpec extends SparkSpec {
     val q = TransactionAssembler.assemble(ms.toDS(), gapSec = 30, delay = "0 seconds")
       .writeStream.format("memory").queryName("txns4")
       .outputMode(OutputMode.Append).start()
-    evs.foreach { e => ms.addData(e); q.processAllAvailable() }
-    ms.addData(TxnEvent("zz", microTs(100000, 0), 9L, 1, 1)); q.processAllAvailable()
-    ms.addData(TxnEvent("zz", microTs(100001, 0), 10L, 1, 1)); q.processAllAvailable()
+    evs.foreach { e => ms.addData(e); q.drainGuarded() }
+    ms.addData(TxnEvent("zz", microTs(100000, 0), 9L, 1, 1)); q.drainGuarded()
+    ms.addData(TxnEvent("zz", microTs(100001, 0), 10L, 1, 1)); q.drainGuarded()
     assertStreamClean("txn_assembler_stream", q); q.stop()
     val streamed = spark.table("txns4").collect().filter(_.getAs[String]("gtid") == "g")
     assert(streamed.length === 2, streamed.mkString(";"))
