@@ -133,15 +133,21 @@ object Graph {
   def kCore(edges: DataFrame, k: Int = 3, rounds: Int = 8): DataFrame = {
     val raw = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
+    // LAZY checkpoints (round 13): lineage still truncates per round (the
+    // 3^r analysis-blowup protection), but materialization happens in the
+    // consumer's single job — round blocks are persist-backed and stored
+    // at first compute, so the three references per round read stored
+    // blocks instead of re-running the chain, and the 1 + rounds eager
+    // checkpoint jobs collapse into one.
     var sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().guardedCheckpoint("kcore_seed")
+      .distinct().guardedCheckpointLazy("kcore_seed")
     for (_ <- 1 to rounds) {
       val alive = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src"))
       sym = sym
         .join(alive, Seq("src"), "left_semi")
         .join(alive.select(col("src").as("dst")), Seq("dst"), "left_semi")
-        .guardedCheckpoint("kcore_round")
+        .guardedCheckpointLazy("kcore_round")
     }
     sym.groupBy(col("src")).agg(count(lit(1)).as("degree"))
       .select(col("src").as("node"), col("degree"))
@@ -166,17 +172,19 @@ object Graph {
     * the untruncated logical plan is 2^r scans (the t42/d28 lesson).
     */
   def treePaths(nodes: DataFrame, rounds: Int = 4): DataFrame = {
+    // LAZY checkpoints (round 13): the kCore chain-collapse rationale —
+    // truncated lineage per round, one materializing job at the consumer.
     var st = nodes.select(col("node"),
       coalesce(col("parent"), col("node")).as("ptr"),
       when(col("parent").isNull, 0L).otherwise(1L).as("depth"))
-      .guardedCheckpoint("treepaths_seed")
+      .guardedCheckpointLazy("treepaths_seed")
     for (_ <- 1 to rounds) {
       st = st
         .join(st.select(col("node").as("ptr"), col("ptr").as("nxt"),
           col("depth").as("hop")), Seq("ptr"))
         .select(col("node"), col("nxt").as("ptr"),
           (col("depth") + col("hop")).as("depth"))
-        .guardedCheckpoint("treepaths_round")
+        .guardedCheckpointLazy("treepaths_round")
     }
     st.select(col("node"), col("ptr").as("root_key"), col("depth"))
   }
@@ -258,15 +266,16 @@ object Graph {
       .filter(col("src") =!= col("dst"))
     val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
+    // LAZY checkpoints (round 13): the kCore chain-collapse rationale.
     var dist = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).guardedCheckpoint("bfs_seed")
+      .withColumn("dist", lit(0L)).guardedCheckpointLazy("bfs_seed")
     for (_ <- 1 to rounds) {
       val relaxed = sym
         .join(dist, sym("src") === dist("node"))
         .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
       dist = dist.unionAll(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .guardedCheckpoint("bfs_round")
+        .guardedCheckpointLazy("bfs_round")
     }
     dist
   }
@@ -297,15 +306,16 @@ object Graph {
     val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
       .persist()
+    // LAZY checkpoints (round 13): the kCore chain-collapse rationale.
     var dist = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).guardedCheckpoint("sssp_seed")
+      .withColumn("dist", lit(0L)).guardedCheckpointLazy("sssp_seed")
     for (_ <- 1 to rounds) {
       val relaxed = sym
         .join(dist, sym("src") === dist("node"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       dist = dist.unionAll(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .guardedCheckpoint("sssp_round")
+        .guardedCheckpointLazy("sssp_round")
     }
     dist
   }

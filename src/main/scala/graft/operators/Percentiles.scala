@@ -65,12 +65,22 @@ object Percentiles {
     */
   def mad(df: DataFrame, groupCol: String, value: Column,
       madCol: String): DataFrame = {
-    val med = discrete(df, groupCol, value, Seq(0.5), "med")
+    // ONE raw-row aggregation feeds BOTH medians (round-13 optimization):
+    // the deviation multiset is a pure value transform of the value
+    // histogram — |v − med| with the same counts — so the second median
+    // runs over the already-compressed histogram instead of re-scanning
+    // and re-aggregating the raw rows (the old shape's second corpus
+    // pass). Result-identical: fold-by-|·| merges value buckets the
+    // re-aggregation inside discreteFromHistogram merges anyway.
+    val h = df.select(col(groupCol), value.as("v"), lit(1L).as("c"))
+      .groupBy(col(groupCol), col("v"))
+      .agg(sum(col("c")).as("c"))
+      .persist()
+    val med = discreteFromHistogram(h, groupCol, "v", "c", Seq(0.5), "med")
       .select(col(groupCol), col("med"))
-    val dev = df.select(col(groupCol), value.as("v"))
-      .join(broadcast(med), Seq(groupCol))
-      .select(col(groupCol), col("med"), abs(col("v") - col("med")).as("d"))
-    discrete(dev, groupCol, col("d"), Seq(0.5), madCol)
+    val devHist = h.join(broadcast(med), Seq(groupCol))
+      .select(col(groupCol), abs(col("v") - col("med")).as("d"), col("c"))
+    discreteFromHistogram(devHist, groupCol, "d", "c", Seq(0.5), madCol)
       .join(broadcast(med), Seq(groupCol))
       .select(col(groupCol), col("med").as("median"), col(madCol), col("n_rows"))
   }

@@ -1652,13 +1652,19 @@ object Dedup {
       .filter(col("a") =!= col("b")).distinct()
     def sym(e: DataFrame): DataFrame =
       e.union(e.select(col("b").as("a"), col("a").as("b")))
+    // largeStar emits (b, m) pairs with b > a ≥ m by construction, so the
+    // orientation select and self-loop filter of the full canon are
+    // vacuous; the distinct stays — in a dense component every member of
+    // a clique re-attaches its neighbors to the same minimum, so the
+    // un-deduped intermediate inflates by the degree (measured: d9's
+    // cluster graphs +0.5 s without it, t56's sparse graph indifferent).
     def largeStar(e: DataFrame): DataFrame = {
       val s = sym(e)
       val m = s.groupBy(col("a"))
         .agg(min(col("b")).as("minb"))
         .select(col("a"), least(col("a"), col("minb")).as("m"))
-      canon(s.join(m, "a").filter(col("b") > col("a"))
-        .select(col("b").as("a"), col("m").as("b")))
+      s.join(m, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b")).distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       val le = sym(e).filter(col("b") <= col("a"))
@@ -1679,12 +1685,18 @@ object Dedup {
         .collect().head
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))
     }
+    // LAZY checkpoints (round-13 optimization): the checksum action that
+    // immediately follows each checkpoint materializes it, so every round
+    // costs ONE job instead of two (checkpoint job + checksum job); the
+    // lineage truncation the loop needs is unchanged — the next round
+    // builds on the stored checkpoint blocks either way.
     var edges = canon(pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
-      .guardedCheckpoint("components_seed")
+      .guardedCheckpointLazy("components_seed")
     var prev = checksum(edges)
     var converged = false
     while (!converged) {
-      val next = smallStar(largeStar(edges)).guardedCheckpoint("components_round")
+      val next = smallStar(largeStar(edges))
+        .guardedCheckpointLazy("components_round")
       val cs = checksum(next)
       converged = cs == prev
       prev = cs

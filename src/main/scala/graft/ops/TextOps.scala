@@ -1154,6 +1154,11 @@ object TextOps {
     val qterms = queries
       .flatMap { case (qid, text) => text.split(" ").distinct.map(t => (qid, t)) }
       .toDF("query_id", "term")
+    // (round 13: a per-term idf / per-doc denom pre-fold was measured here
+    // and REVERTED — with the |queries|-bounded batches this entry point
+    // serves, the blowup is small and the extra joins/broadcasts cost more
+    // than the per-row log they save; the batch-scale paths get the
+    // pre-fold in bm25RankMatchedHits and retrievalAgreement instead.)
     val scored = postings
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfs.join(broadcast(qterms.select(col("term")).distinct()),
@@ -1683,14 +1688,27 @@ object TextOps {
     val dfs = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = spark.table(table + "_len")
       .agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avglen"))
-    val perTerm = hits
-      .join(qterms, Seq("term"))
-      .join(dfs, Seq("term"))
+    // pre-fold BEFORE the q×d blowup join (round-13, the
+    // retrievalAgreement discipline applied here too): idf folds once per
+    // TERM and the length normalizer once per matched POSTING row, so the
+    // per-blowup-row work is one multiply-divide-add instead of a log and
+    // the full normalizer — bit-identical doubles (same sub-expressions
+    // over the same inputs in the same IEEE operation order; the per-row
+    // tree (idf·(tf·(k1+1)))/(tf+denom) is unchanged).
+    val idfs = dfs
       .crossJoin(broadcast(stats))
+      .select(col("term"),
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+          .as("idf"))
+    val hitsd = hits
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"), col("tf"),
+        (lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avglen"))).as("denom"))
+    val perTerm = hitsd
+      .join(qterms, Seq("term"))
+      .join(idfs, Seq("term"))
       .select(col("query_id"), col("doc_id"),
-        (log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
-          (col("tf") * lit(k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avglen"))))
+        (col("idf") * (col("tf") * lit(k1 + 1.0)) / (col("tf") + col("denom")))
           .as("s"))
     val scored = (if (excludeQueryDoc) perTerm.filter(col("doc_id") =!= col("query_id"))
       else perTerm)

@@ -201,15 +201,20 @@ private[ops] trait VectorArtifacts { self: VectorCore with VectorTraining =>
         F.broadcast(unitsFor(entryIds).select(col("vec_id").as("node")))),
       entryIds).guardedCheckpoint("served_beam_seed")
     for (_ <- 1 to rounds) {
+      // LAZY checkpoint (round-13): the candidate-id collect right below
+      // is the materializing action, so the frontier costs one job, not
+      // two; the id dedup moves to the driver (the collected column is
+      // the same ≤ |Q|·beam·(graphK+1) bounded metadata either way),
+      // saving the per-round distinct's shuffle+job.
       val expanded = state.select(col("query_id"), col("node").as("src_id"))
         .join(g, Seq("src_id"))
         .select(col("query_id"), col("neighbor_id").as("node"))
         .unionByName(state.select(col("query_id"), col("node")))
         .distinct()
-        .guardedCheckpoint("served_beam_frontier")
+        .guardedCheckpointLazy("served_beam_frontier")
       // the bounded per-round collect: candidate ids only, never vectors
-      val candIds = expanded.select(col("node")).distinct()
-        .collect().map(_.getLong(0)).toSeq
+      val candIds = expanded.select(col("node"))
+        .collect().map(_.getLong(0)).distinct.toSeq
       state = scoreAndPrune(expanded, candIds).guardedCheckpoint("served_beam_round")
     }
     val wf = org.apache.spark.sql.expressions.Window

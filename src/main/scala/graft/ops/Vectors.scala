@@ -765,8 +765,14 @@ private[ops] trait VectorCore {
       .select(col("vec_id").as("node"))
     // localCheckpoint per round: round i references round i−1 TWICE
     // (expansion join + union), so the untruncated logical plan is 2^r
-    // scans re-running every earlier round — the t42/t43 lineage lesson
-    var state = graft.plans.PlanGuard.guardedCheckpoint("beam_seed",
+    // scans re-running every earlier round — the t42/t43 lineage lesson.
+    // LAZY since round 13: the checkpoint RDDs are persist-backed, so the
+    // final consumer's single job materializes the whole chain — each
+    // round's blocks are stored at first compute and every later
+    // reference reads them (block-store getOrElseUpdate), which keeps the
+    // no-recompute property of the eager form while collapsing the
+    // 1 + rounds checkpoint jobs into the consumer's one.
+    var state = graft.plans.PlanGuard.guardedCheckpointLazy("beam_seed",
       scoreAndPrune(queries.select(col("query_id")).crossJoin(entries)))
     for (_ <- 1 to rounds) {
       val expanded = state.select(col("query_id"), col("node").as("src_id"))
@@ -774,7 +780,7 @@ private[ops] trait VectorCore {
         .select(col("query_id"), col("neighbor_id").as("node"))
         .unionByName(state.select(col("query_id"), col("node")))
         .distinct()
-      state = graft.plans.PlanGuard.guardedCheckpoint("beam_round",
+      state = graft.plans.PlanGuard.guardedCheckpointLazy("beam_round",
         scoreAndPrune(expanded))
     }
     val wf = org.apache.spark.sql.expressions.Window
@@ -848,7 +854,10 @@ private[ops] trait VectorCore {
     }
     val entries = unit.filter(col("vec_id").isin(entryIds: _*))
       .select(col("vec_id").as("node"))
-    var state = graft.plans.PlanGuard.guardedCheckpoint("beam_sweep_seed",
+    // LAZY checkpoints (round 13): same chain-collapse rationale as
+    // [[beamSearchOver]] — the hits consumer's single job materializes
+    // every round's persist-backed blocks in order.
+    var state = graft.plans.PlanGuard.guardedCheckpointLazy("beam_sweep_seed",
       prune(widths.crossJoin(queries.select(col("query_id"))).crossJoin(entries)))
     for (_ <- 1 to rounds) {
       val expanded = state
@@ -857,7 +866,7 @@ private[ops] trait VectorCore {
         .select(col("beam"), col("query_id"), col("neighbor_id").as("node"))
         .unionByName(state.select(col("beam"), col("query_id"), col("node")))
         .distinct()
-      state = graft.plans.PlanGuard.guardedCheckpoint("beam_sweep_round",
+      state = graft.plans.PlanGuard.guardedCheckpointLazy("beam_sweep_round",
         prune(expanded))
     }
     val wf = org.apache.spark.sql.expressions.Window

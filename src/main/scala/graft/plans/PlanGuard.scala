@@ -137,6 +137,22 @@ object PlanGuard {
     df.localCheckpoint(true)
   }
 
+  /** [[guardedCheckpoint]] with LAZY materialization (round-13
+    * optimization): same guard walk over the same pre-checkpoint plan,
+    * but the checkpoint RDD is computed by the CALLER'S next action
+    * instead of an extra eager job — one job per loop round instead of
+    * two. Only sound at sites where an action over the full frame follows
+    * IMMEDIATELY (a checksum/collect/next-round eager checkpoint): a lazy
+    * checkpoint that is never fully materialized before being referenced
+    * several times recomputes its lineage per reference — the exact
+    * recompute blowup the eager form exists to prevent. Every call site
+    * states its materializing action.
+    */
+  def guardedCheckpointLazy(name: String, df: DataFrame): DataFrame = {
+    assertNoCorpusProducts(name, df)
+    df.localCheckpoint(false)
+  }
+
   /** `.guardedCheckpoint("site")` as chainable syntax for
     * [[guardedCheckpoint]] — keeps the 25 converted call sites one-line
     * diffs instead of wrap-the-whole-chain rewrites.
@@ -144,6 +160,8 @@ object PlanGuard {
   implicit class GuardedCheckpointOps(private val df: DataFrame) {
     def guardedCheckpoint(name: String): DataFrame =
       PlanGuard.guardedCheckpoint(name, df)
+    def guardedCheckpointLazy(name: String): DataFrame =
+      PlanGuard.guardedCheckpointLazy(name, df)
   }
 
   /** Hinted-broadcast guard at the LOGICAL layer (round 10): a

@@ -1,0 +1,108 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Scratch measurement harness for optimization work: `runMain
+  * graft.tools.Probe <name>` runs one named probe against
+  * `SPARK_GRAFT_SF_DIR` (default sf0.1) and prints labeled timings.
+  * Not part of the driver contract; exists so per-stage costs of hot
+  * queries can be measured without editing the registry.
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.Tables.session("graft-probe", s"local[$cpus]", cpus.toInt)
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+    def mat(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
+
+    args.headOption.getOrElse("t56") match {
+      case "t56" =>
+        val li = graft.Tables.lineitem(spark, dir)
+          .filter(col("l_shipdate") >= lit("1995-01-01") &&
+            col("l_shipdate") < lit("1996-01-01"))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        println("[probe] li rows: " + li.count())
+        val edges = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+          .filter(col("pk") < col("pk2"))
+          .select(col("pk").as("doc_a"), col("pk2").as("doc_b"))
+        time("proj edge count")(println("[probe] proj edges: " + edges.count()))
+        time("distinct proj edges")(
+          println("[probe] distinct: " + edges.distinct().count()))
+        time("star cc total")(mat(graft.ops.Dedup.dedupGroupsStar(edges)
+          .select(col("doc_id").as("node"), col("group_id"))))
+      case "t56rounds" =>
+        val li = graft.Tables.lineitem(spark, dir)
+          .filter(col("l_shipdate") >= lit("1995-01-01") &&
+            col("l_shipdate") < lit("1996-01-01"))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+          .filter(col("pk") < col("pk2"))
+          .select(col("pk").as("doc_a"), col("pk2").as("doc_b"))
+        // replica of dedupGroupsStar's loop with per-round timing
+        def canon(e: org.apache.spark.sql.DataFrame) = e
+          .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+          .filter(col("a") =!= col("b")).distinct()
+        def sym(e: org.apache.spark.sql.DataFrame) =
+          e.union(e.select(col("b").as("a"), col("a").as("b")))
+        def largeStar(e: org.apache.spark.sql.DataFrame) = {
+          val s = sym(e)
+          val m = s.groupBy(col("a")).agg(min(col("b")).as("minb"))
+            .select(col("a"), least(col("a"), col("minb")).as("m"))
+          canon(s.join(m, "a").filter(col("b") > col("a"))
+            .select(col("b").as("a"), col("m").as("b")))
+        }
+        def smallStar(e: org.apache.spark.sql.DataFrame) = {
+          val le = sym(e).filter(col("b") <= col("a"))
+          val m = le.groupBy(col("a")).agg(min(col("b")).as("minb"))
+            .select(col("a"), least(col("a"), col("minb")).as("m"))
+          canon(le.join(m, "a").select(col("b").as("a"), col("m").as("b"))
+            .union(m.select(col("a"), col("m").as("b"))))
+        }
+        def checksum(e: org.apache.spark.sql.DataFrame) = {
+          val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))"),
+            expr("bit_xor(xxhash64(b, a))")).collect().head
+          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+            if (r.isNullAt(2)) 0L else r.getLong(2))
+        }
+        var edges = time("seed canon+ckpt")(
+          canon(pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+            .localCheckpoint())
+        var prev = time("seed checksum")(checksum(edges))
+        var converged = false
+        var round = 0
+        while (!converged) {
+          round += 1
+          val next = time(s"round $round star+ckpt")(
+            smallStar(largeStar(edges)).localCheckpoint())
+          val cs = time(s"round $round checksum")(checksum(next))
+          converged = cs == prev
+          prev = cs
+          edges = next
+        }
+        println(s"[probe] rounds: $round, final edges: ${prev._1}")
+      case "x60" =>
+        val docs = graft.Tables.documents(spark, dir)
+        val pred = col("doc_id") % 31 === 0
+        // phase 1: the d38 Jaccard truth side alone
+        val truth = graft.ops.Dedup.similarDocsTopK(
+          graft.ops.Dedup.shingleIdsFromArrays(
+            graft.ops.Vocab.hashTokenIdArrays(docs), 5), pred, k = 1)
+        time("x60 truth side")(mat(truth))
+        spark.sqlContext.clearCache()
+        // phase 2: the full eval (truth + BM25 rank join)
+        time("x60 full")(mat(graft.ops.TextOps.retrievalAgreement(docs, pred)))
+        spark.sqlContext.clearCache()
+        time("x60 full again")(mat(graft.ops.TextOps.retrievalAgreement(docs, pred)))
+      case other =>
+        println(s"[probe] unknown probe: $other")
+    }
+    spark.stop()
+  }
+}
