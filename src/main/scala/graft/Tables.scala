@@ -84,6 +84,12 @@ object Tables {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // (round 13: `spark.sql.join.preferSortMergeJoin=false` +
+      // `spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold=128m`
+      // were A/B-measured over an 18-query join-heavy subset and REVERTED
+      // — net +1.0 s: at these partition sizes the per-partition hash
+      // build costs more than the sorts it removes, and AQE already
+      // broadcasts every genuinely small side.)
       // saveAsTable targets (bucketed layouts) land outside the repo
       .config("spark.sql.warehouse.dir",
         sys.props.getOrElse("graft.warehouse",

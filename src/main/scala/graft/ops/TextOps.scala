@@ -2015,6 +2015,11 @@ object TextOps {
   def charLmScore(docs: DataFrame): DataFrame = {
     val cs = split(col("text"), "")
     val n1 = greatest(size(cs) - 1, lit(0))
+    // (round 13: a per-(doc, bigram) count compression was measured here
+    // and REVERTED — the high-cardinality (doc_id, c1, c2) hash aggregate
+    // cost ~2× more than the second explode it avoided; the (c1, c2)
+    // model aggregation collapses map-side essentially for free, so the
+    // per-occurrence shape below is the faster one.)
     val bigrams = docs
       .select(col("doc_id"),
         explode(arrays_zip(slice(cs, lit(1), n1), slice(cs, lit(2), n1))).as("bg"))

@@ -100,6 +100,49 @@ object Probe {
         time("x60 full")(mat(graft.ops.TextOps.retrievalAgreement(docs, pred)))
         spark.sqlContext.clearCache()
         time("x60 full again")(mat(graft.ops.TextOps.retrievalAgreement(docs, pred)))
+      case "compact" =>
+        val base = graft.Tables.documents(spark, dir)
+        val n = base.count()
+        val cur = col("doc_id")
+        val t = "probe_postings_compact"
+        spark.sql(s"DROP TABLE IF EXISTS $t"); spark.sql(s"DROP TABLE IF EXISTS ${t}_len")
+        time("cut build")(
+          graft.ops.TextOps.materializedPostings(base.filter(cur < n - n / 8), t))
+        time("compact")(
+          graft.ops.TextOps.compactPostings(base.filter(cur % 13 =!= 5), t))
+        spark.sql(s"DROP TABLE IF EXISTS $t"); spark.sql(s"DROP TABLE IF EXISTS ${t}_len")
+        time("cut build 2")(
+          graft.ops.TextOps.materializedPostings(base.filter(cur < n - n / 8), t))
+        time("compact 2")(
+          graft.ops.TextOps.compactPostings(base.filter(cur % 13 =!= 5), t))
+      case "t32" =>
+        val edges = graft.Tables.lineitem(spark, dir).select(
+          (col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        def run(label: String)(pr: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+          time(label)(mat(pr(edges)
+            .select(col("node"), round(col("rank") * lit(1e9)).cast("long").as("rank_ppb"))))
+          spark.sqlContext.clearCache()
+        }
+        def variant(repart: Boolean)(e: org.apache.spark.sql.DataFrame) = {
+          val raw = e.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+          val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+          val adj0 = sym.join(sym.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+          val adj = (if (repart) adj0.repartition(32, col("src")) else adj0).persist()
+          val n = adj.select(col("src")).distinct().count()
+          var ranks = adj.select(col("src").as("node")).distinct()
+            .withColumn("rank", lit(1.0 / n))
+          for (_ <- 1 to 5) {
+            ranks = adj.join(ranks, adj("src") === ranks("node"))
+              .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+              .groupBy(col("node"))
+              .agg((lit(0.15 / n) + lit(0.85) * sum(col("c"))).as("rank"))
+          }
+          ranks
+        }
+        run("t32 current")(variant(repart = false))
+        run("t32 current again")(variant(repart = false))
+        run("t32 repart-persist")(variant(repart = true))
+        run("t32 repart-persist again")(variant(repart = true))
       case other =>
         println(s"[probe] unknown probe: $other")
     }
