@@ -22,6 +22,10 @@ object PlanDump {
     val (sfDir, outDir, only) = args match {
       case Array(s, o)    => (s, o, Seq.empty[String])
       case Array(s, o, f) => (s, o, f.split(',').toSeq.filter(_.nonEmpty))
+      case _ =>
+        System.err.println(
+          "usage: runMain graft.PlanDump <sfDir> <outDir> [prefixes]")
+        sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.session("graft-plandump", s"local[$cpus]", cpus.toInt)

@@ -495,8 +495,44 @@ object ScaleBench {
       edges0.select((col("src") + lit(k * nodeStride)).as("src"),
         (col("dst") + lit(k * nodeStride)).as("dst"))
     }.reduce(_ union _)
+    /** The round-13-rejected CO-PARTITIONED pageRank shape, probed at ×8
+      * (round-14 verdict #8): adjacency repartitioned on `src` and
+      * persisted so every round's join is exchange-free on the edge side,
+      * at the cost of one up-front exchange and a partition-pinned cache.
+      * At fixture scale the broadcast-per-round shape won (7.3 s vs
+      * 11.6 s warm in the round-13 probe) because AQE broadcasts the
+      * node-sized rank frame each round; this probe records which shape
+      * wins when the graph is ×8, so the decision comment at
+      * [[graft.operators.Graph.pageRank]] cites scale data, not only
+      * fixture data.
+      */
+    def pageRankCopart(edges: DataFrame, iterations: Int = 5,
+        damping: Double = 0.85): DataFrame = {
+      val raw = edges.select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst"))
+      val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val adj = sym
+        .join(sym.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+        .repartition(nPart, col("src"))
+        .persist()
+      val n = adj.select(col("src")).distinct().count()
+      var ranks = adj.select(col("src").as("node")).distinct()
+        .withColumn("rank", lit(1.0 / n))
+      for (_ <- 1 to iterations) {
+        ranks = adj
+          .join(ranks, adj("src") === ranks("node"))
+          .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+          .groupBy(col("node"))
+          .agg((lit((1.0 - damping) / n) + lit(damping) * sum(col("c")))
+            .as("rank"))
+      }
+      ranks
+    }
     val graphQs: Seq[(String, DataFrame => DataFrame)] = Seq(
       ("t32_pagerank", e => graft.operators.Graph.pageRank(e)),
+      ("t32_pagerank_copart", e => pageRankCopart(e)),
       ("t40_triangles", e => graft.operators.Graph.triangleCounts(e)),
       ("t42_kcore", e => graft.operators.Graph.kCore(e, k = 3, rounds = 8)),
       ("t52_label_prop", e => graft.operators.Graph.labelPropagation(e, rounds = 4)),

@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.plans.PlanGuard.GuardedCheckpointOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -133,21 +132,26 @@ object Graph {
   def kCore(edges: DataFrame, k: Int = 3, rounds: Int = 8): DataFrame = {
     val raw = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
-    // LAZY checkpoints (round 13): lineage still truncates per round (the
-    // 3^r analysis-blowup protection), but materialization happens in the
-    // consumer's single job — round blocks are persist-backed and stored
-    // at first compute, so the three references per round read stored
-    // blocks instead of re-running the chain, and the 1 + rounds eager
-    // checkpoint jobs collapse into one.
-    var sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().guardedCheckpointLazy("kcore_seed")
-    for (_ <- 1 to rounds) {
+    // LAZY checkpoint chain (rounds 13/14): lineage still truncates per
+    // round (the 3^r analysis-blowup protection) and materialization
+    // happens in barrier jobs — round blocks are persist-backed and
+    // stored at first compute, so the three references per round read
+    // stored blocks instead of re-running the chain. The chain's eager
+    // barriers (every K rounds + the final round) release every
+    // superseded round's corpus-scale edge blocks (round-14 verdict
+    // #2/#6) — without them each peel leaves its whole edge frame in the
+    // block manager until GC notices.
+    val chain = new graft.plans.PlanGuard.CheckpointChain()
+    var sym = chain.step("kcore_seed",
+      raw.union(raw.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    for (r <- 1 to rounds) {
       val alive = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src"))
-      sym = sym
+      val peeled = sym
         .join(alive, Seq("src"), "left_semi")
         .join(alive.select(col("src").as("dst")), Seq("dst"), "left_semi")
-        .guardedCheckpointLazy("kcore_round")
+      sym = if (r == rounds) chain.last("kcore_round", peeled)
+        else chain.step("kcore_round", peeled)
     }
     sym.groupBy(col("src")).agg(count(lit(1)).as("degree"))
       .select(col("src").as("node"), col("degree"))
@@ -172,19 +176,21 @@ object Graph {
     * the untruncated logical plan is 2^r scans (the t42/d28 lesson).
     */
   def treePaths(nodes: DataFrame, rounds: Int = 4): DataFrame = {
-    // LAZY checkpoints (round 13): the kCore chain-collapse rationale —
-    // truncated lineage per round, one materializing job at the consumer.
-    var st = nodes.select(col("node"),
+    // LAZY checkpoint chain (rounds 13/14): the kCore rationale —
+    // truncated lineage per round, barrier jobs materialize and release
+    // superseded rounds' node-table-scale blocks.
+    val chain = new graft.plans.PlanGuard.CheckpointChain()
+    var st = chain.step("treepaths_seed", nodes.select(col("node"),
       coalesce(col("parent"), col("node")).as("ptr"),
-      when(col("parent").isNull, 0L).otherwise(1L).as("depth"))
-      .guardedCheckpointLazy("treepaths_seed")
-    for (_ <- 1 to rounds) {
-      st = st
+      when(col("parent").isNull, 0L).otherwise(1L).as("depth")))
+    for (r <- 1 to rounds) {
+      val doubled = st
         .join(st.select(col("node").as("ptr"), col("ptr").as("nxt"),
           col("depth").as("hop")), Seq("ptr"))
         .select(col("node"), col("nxt").as("ptr"),
           (col("depth") + col("hop")).as("depth"))
-        .guardedCheckpointLazy("treepaths_round")
+      st = if (r == rounds) chain.last("treepaths_round", doubled)
+        else chain.step("treepaths_round", doubled)
     }
     st.select(col("node"), col("ptr").as("root_key"), col("depth"))
   }
@@ -266,16 +272,19 @@ object Graph {
       .filter(col("src") =!= col("dst"))
     val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
-    // LAZY checkpoints (round 13): the kCore chain-collapse rationale.
-    var dist = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).guardedCheckpointLazy("bfs_seed")
-    for (_ <- 1 to rounds) {
+    // LAZY checkpoint chain (rounds 13/14): the kCore rationale —
+    // barrier jobs materialize and release superseded rounds' blocks.
+    val chain = new graft.plans.PlanGuard.CheckpointChain()
+    var dist = chain.step("bfs_seed",
+      seeds.select(col("node")).distinct().withColumn("dist", lit(0L)))
+    for (r <- 1 to rounds) {
       val relaxed = sym
         .join(dist, sym("src") === dist("node"))
         .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
-      dist = dist.unionAll(relaxed)
+      val merged = dist.unionAll(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .guardedCheckpointLazy("bfs_round")
+      dist = if (r == rounds) chain.last("bfs_round", merged)
+        else chain.step("bfs_round", merged)
     }
     dist
   }
@@ -306,16 +315,19 @@ object Graph {
     val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
       .persist()
-    // LAZY checkpoints (round 13): the kCore chain-collapse rationale.
-    var dist = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).guardedCheckpointLazy("sssp_seed")
-    for (_ <- 1 to rounds) {
+    // LAZY checkpoint chain (rounds 13/14): the kCore rationale —
+    // barrier jobs materialize and release superseded rounds' blocks.
+    val chain = new graft.plans.PlanGuard.CheckpointChain()
+    var dist = chain.step("sssp_seed",
+      seeds.select(col("node")).distinct().withColumn("dist", lit(0L)))
+    for (r <- 1 to rounds) {
       val relaxed = sym
         .join(dist, sym("src") === dist("node"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      dist = dist.unionAll(relaxed)
+      val merged = dist.unionAll(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .guardedCheckpointLazy("sssp_round")
+      dist = if (r == rounds) chain.last("sssp_round", merged)
+        else chain.step("sssp_round", merged)
     }
     dist
   }

@@ -30,14 +30,32 @@ object Percentiles {
     */
   def discreteFromHistogram(hist: DataFrame, groupCol: String,
       valueCol: String, cntCol: String, ps: Seq[Double],
-      pctCol: String): DataFrame = {
+      pctCol: String): DataFrame =
+    discreteFromHistogramImpl(hist, groupCol, valueCol, cntCol, ps, pctCol,
+      preMerged = false)
+
+  /** `preMerged = true` skips the duplicate-(group, value) merge pass and
+    * its persist — the caller attests the histogram is ALREADY unique per
+    * (group, value) and persisted (the [[mad]] fast path, round-14 ADVICE:
+    * re-grouping an already-merged histogram was one redundant exchange +
+    * one redundant cached copy per call). Re-grouping a unique histogram
+    * is a semantic no-op, so both paths return identical rows.
+    */
+  private def discreteFromHistogramImpl(hist: DataFrame, groupCol: String,
+      valueCol: String, cntCol: String, ps: Seq[Double],
+      pctCol: String, preMerged: Boolean): DataFrame = {
     val spark = hist.sparkSession
     import spark.implicits._
     // persist: the histogram feeds both the totals and the cumulative
-    // window — without it each branch re-scans and re-aggregates the input
-    val h = hist.groupBy(col(groupCol), col(valueCol).as("v"))
-      .agg(sum(col(cntCol)).as("c"))
-      .persist()
+    // window — without it each branch re-scans and re-aggregates the
+    // input. (Released by the session/harness cache clear, not here: the
+    // result is lazy, so the cached plan must stay live for the consumer.)
+    val h =
+      if (preMerged) hist.select(col(groupCol), col(valueCol).as("v"),
+        col(cntCol).as("c"))
+      else hist.groupBy(col(groupCol), col(valueCol).as("v"))
+        .agg(sum(col(cntCol)).as("c"))
+        .persist()
     val totals = h.groupBy(col(groupCol)).agg(sum(col("c")).as("n"))
     // nulls LAST to match DuckDB's default (Spark defaults nulls first —
     // a null value bucket would shift every cumulative count)
@@ -76,7 +94,11 @@ object Percentiles {
       .groupBy(col(groupCol), col("v"))
       .agg(sum(col("c")).as("c"))
       .persist()
-    val med = discreteFromHistogram(h, groupCol, "v", "c", Seq(0.5), "med")
+    // preMerged: h is unique per (group, v) by construction (it IS the
+    // merge) and persisted above — the round-14 fast path skips the
+    // redundant re-group + second cached copy inside the first median
+    val med = discreteFromHistogramImpl(h, groupCol, "v", "c", Seq(0.5), "med",
+      preMerged = true)
       .select(col(groupCol), col("med"))
     val devHist = h.join(broadcast(med), Seq(groupCol))
       .select(col(groupCol), abs(col("v") - col("med")).as("d"), col("c"))

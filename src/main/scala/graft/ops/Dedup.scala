@@ -986,17 +986,30 @@ object Dedup {
   def blockDedup(docs: DataFrame, blockTokens: Int = 16): DataFrame = {
     val blocksArr = blockStructs(blockTokens)
     val blocks = docs
-      .select(col("doc_id"), size(blocksArr).cast("long").as("n_blocks"), explode(blocksArr).as("b"))
-      .select(col("doc_id"), col("n_blocks"), col("b.idx").as("idx"), col("b.block").as("block"))
-    val perBlock = org.apache.spark.sql.expressions.Window
-      .partitionBy(xxhash64(col("block")), col("block"))
-      .orderBy(col("doc_id"), col("idx"))
+      .select(col("doc_id"), explode(blocksArr).as("b"))
+      .select(col("doc_id"), col("b.idx").as("idx"), col("b.block").as("block"))
+    // Globally-first occurrence per distinct block as an AGGREGATE
+    // (round 14, guide §2.3/§2.4): min(struct(doc_id, idx)) per
+    // (xxhash64(block), block) is the identical winner the previous
+    // row_number-over-window picked (struct min is lexicographic on
+    // (doc_id, idx), the window's exact orderBy; ties impossible —
+    // (doc_id, idx) is unique), but a hash aggregate PARTIALLY AGGREGATES
+    // MAP-SIDE: duplicate blocks collapse before the exchange, so the
+    // shuffle carries ~|distinct blocks| rows instead of every occurrence
+    // (boilerplate-heavy corpora are exactly the many-occurrence case),
+    // and no per-bucket sort runs at all.
     val kept = blocks
-      .withColumn("rn", row_number().over(perBlock))
-      .filter(col("rn") === 1)
+      .groupBy(xxhash64(col("block")).as("h"), col("block"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.idx").as("idx"), col("block"))
     val clean = reassembleBlocks(kept)
-    docs.select(col("doc_id"))
-      .join(blocks.select(col("doc_id"), col("n_blocks")).distinct(), Seq("doc_id"), "left")
+    // n_blocks straight from the block array's size — the previous shape
+    // re-exploded the corpus and ran a (doc_id, n_blocks) DISTINCT just to
+    // recover a value that is a pure projection of the document row
+    // (round 14: one corpus explode pass + one distinct shuffle + one join
+    // removed). NULL text ⇒ NULL n_blocks in both shapes (size(NULL) is
+    // NULL, and the old explode emitted no row to left-join back).
+    docs.select(col("doc_id"), size(blocksArr).cast("long").as("n_blocks"))
       .join(clean, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
@@ -1689,7 +1702,11 @@ object Dedup {
     // immediately follows each checkpoint materializes it, so every round
     // costs ONE job instead of two (checkpoint job + checksum job); the
     // lineage truncation the loop needs is unchanged — the next round
-    // builds on the stored checkpoint blocks either way.
+    // builds on the stored checkpoint blocks either way. Once round r's
+    // checksum has materialized it, round r−1's lineage is truncated away
+    // everywhere, so its corpus-scale edge blocks are released
+    // immediately (round-14 verdict #2) — the loop holds at most TWO
+    // rounds' blocks at any moment and leaves only the final round's.
     var edges = canon(pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
       .guardedCheckpointLazy("components_seed")
     var prev = checksum(edges)
@@ -1698,6 +1715,7 @@ object Dedup {
       val next = smallStar(largeStar(edges))
         .guardedCheckpointLazy("components_round")
       val cs = checksum(next)
+      org.apache.spark.sql.graft.CheckpointRelease.release(edges)
       converged = cs == prev
       prev = cs
       edges = next

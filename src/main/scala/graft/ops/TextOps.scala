@@ -1336,14 +1336,23 @@ object TextOps {
     // df·qf blowup rows in ONE partition — a skew straggler at exactly
     // the scale the guard cares about — so doc_id stays the key.
     val nPart = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // round 14 (the bm25RankMatchedHits fold, applied to the recompute
+    // form): the idfs join moves BEFORE the q×d blowup — it both folds the
+    // whole per-term addend onto the posting row (the blowup rows carry
+    // zero arithmetic, only query_id attachment + sum) and FILTERS the
+    // corpus postings to the query vocabulary before the blowup join (the
+    // same inner-join restriction the qterms join applied, one stage
+    // earlier). Same IEEE tree over the same scalars ⇒ identical addend
+    // multiset per (query, doc) group.
     val scored = postings
       .join(norms, Seq("doc_id"))
       .repartition(nPart, col("doc_id"))
-      .join(qterms, Seq("term"))
       .join(idfs, Seq("term"))
-      .filter(col("doc_id") =!= col("query_id")) // the query doc IS a corpus doc
-      .select(col("query_id"), col("doc_id"),
+      .select(col("term"), col("doc_id"),
         (col("idf") * (col("tf") * lit(k1 + 1.0)) / (col("tf") + col("denom"))).as("s"))
+      .join(qterms, Seq("term"))
+      .filter(col("doc_id") =!= col("query_id")) // the query doc IS a corpus doc
+      .select(col("query_id"), col("doc_id"), col("s"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(lit(1e6) * sum(col("s"))).cast("long").as("score_ppm"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1688,28 +1697,33 @@ object TextOps {
     val dfs = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = spark.table(table + "_len")
       .agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avglen"))
-    // pre-fold BEFORE the q×d blowup join (round-13, the
-    // retrievalAgreement discipline applied here too): idf folds once per
-    // TERM and the length normalizer once per matched POSTING row, so the
-    // per-blowup-row work is one multiply-divide-add instead of a log and
-    // the full normalizer — bit-identical doubles (same sub-expressions
-    // over the same inputs in the same IEEE operation order; the per-row
-    // tree (idf·(tf·(k1+1)))/(tf+denom) is unchanged).
+    // pre-fold BEFORE the q×d blowup join (round 13 hoisted idf per TERM
+    // and the normalizer per POSTING row; round 14 folds the WHOLE
+    // addend): the per-term score contribution
+    // (idf·(tf·(k1+1)))/(tf+denom) references nothing query-specific, so
+    // it is computed once per MATCHED POSTING row (Σ_term df rows) and the
+    // q×d blowup join (Σ_term qf·df rows — the 100×-larger frame at a
+    // corpus-proportional query sample) carries ZERO arithmetic: it only
+    // attaches query_id and feeds the sum. Bit-identical doubles — the
+    // same IEEE expression tree evaluates over the same (tf, denom, idf)
+    // scalars, once instead of qf times, so every (query, doc) group sums
+    // the identical addend multiset.
     val idfs = dfs
       .crossJoin(broadcast(stats))
       .select(col("term"),
         log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
           .as("idf"))
-    val hitsd = hits
+    val contrib = hits
       .crossJoin(broadcast(stats))
       .select(col("term"), col("doc_id"), col("tf"),
         (lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avglen"))).as("denom"))
-    val perTerm = hitsd
-      .join(qterms, Seq("term"))
       .join(idfs, Seq("term"))
-      .select(col("query_id"), col("doc_id"),
+      .select(col("term"), col("doc_id"),
         (col("idf") * (col("tf") * lit(k1 + 1.0)) / (col("tf") + col("denom")))
           .as("s"))
+    val perTerm = contrib
+      .join(qterms, Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("s"))
     val scored = (if (excludeQueryDoc) perTerm.filter(col("doc_id") =!= col("query_id"))
       else perTerm)
       .groupBy(col("query_id"), col("doc_id"))
@@ -1831,23 +1845,36 @@ object TextOps {
     val newPostings = keep.unionByName(
         posts.join(lens, Seq("doc_id"))
           .select(col("term"), col("doc_id"), col("tf"), col("len")))
-      .guardedCheckpoint("postings_compact_posts")
-    val newLens = keepLen.unionByName(lens).guardedCheckpoint("postings_compact_lens")
+    val newLens = keepLen.unionByName(lens)
+    // STAGE the new index into `_staged` sibling tables, then swap by
+    // metadata rename (round 14, guide §5/§6): the old shape eagerly
+    // localCheckpointed both corpus-scale frames — a SECOND full
+    // materialization, held in block-manager memory — because their plans
+    // read the very tables the swap was about to drop; the staged write
+    // IS the single materialization, reading the old index while it is
+    // still live. A crash before the swap leaves the OLD index fully
+    // serving plus orphaned staged tables, which the sweep below (and
+    // any rebuild's buildIfAbsent sweep) clears on the next attempt.
+    val staged = table + "_staged"
+    graft.sources.BucketedLayout.dropWithLocation(spark, staged)
+    graft.sources.BucketedLayout.dropWithLocation(spark, staged + "_len")
+    graft.sources.BucketedLayout.writeBucketed(newLens, staged + "_len",
+      "doc_id", 8)
+    graft.sources.BucketedLayout.writeBucketed(newPostings, staged,
+      "term", buckets)
     posts.unpersist()
     // swap order is the recovery contract (round-11, spec-pinned in
-    // MaintenanceSpec): the MAIN table drops FIRST and writes LAST, so at
-    // every kill point inside this window the main table is ABSENT — the
-    // exact signal the consumers' build-if-absent checks — and recovery
-    // (materializedPostings over `current`, whose cold build drops any
-    // surviving ledger unconditionally) rebuilds a bit-identical index.
+    // TextAndMultimodalSpec's torn-swap windows): the MAIN table drops
+    // FIRST and commits LAST, so at every kill point inside this window
+    // the main table is ABSENT — the exact signal the consumers'
+    // build-if-absent checks — and recovery (materializedPostings over
+    // `current`, whose cold build drops any surviving ledger
+    // unconditionally) rebuilds a bit-identical index. The renames are
+    // catalog+directory moves, never data rewrites.
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_len")
-    graft.sources.BucketedLayout.writeBucketed(newLens, table + "_len",
-      "doc_id", 8)
-    graft.sources.BucketedLayout.writeBucketed(newPostings, table,
-      "term", buckets)
-    org.apache.spark.sql.graft.CheckpointRelease.release(newPostings)
-    org.apache.spark.sql.graft.CheckpointRelease.release(newLens)
+    spark.sql(s"ALTER TABLE ${staged}_len RENAME TO ${table}_len")
+    spark.sql(s"ALTER TABLE $staged RENAME TO $table")
     spark.catalog.refreshTable(table)
     spark.catalog.refreshTable(table + "_len")
   }

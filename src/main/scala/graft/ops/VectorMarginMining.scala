@@ -515,9 +515,10 @@ private[ops] trait VectorMarginMining { self: VectorCore with VectorTraining =>
     * contract left the candidate-grid-sized `scored`/`fRank` caches pinned
     * for the returned plan's lifetime, leaking one corpus-sized cache
     * entry per gated-margin call): the candidate frame and its forward
-    * ranking persist only while the margin tail MATERIALIZES — an eager
-    * local checkpoint of the result, which is ≤ |test| rows of three
-    * integers — and unpersist before returning.
+    * TOP-K (k·|test| rows since round 14 — never the full ranked grid)
+    * persist only while the margin tail MATERIALIZES — an eager local
+    * checkpoint of the result, which is ≤ |test| rows of three integers —
+    * and unpersist before returning.
     */
   private def marginFromScored(scoredIn: DataFrame, k: Int,
       marginPpmThreshold: Long): DataFrame = {
@@ -526,17 +527,27 @@ private[ops] trait VectorMarginMining { self: VectorCore with VectorTraining =>
       .partitionBy(col("test_id")).orderBy(col("sim").desc, col("train_id").asc)
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy(col("train_id")).orderBy(col("sim").desc, col("test_id").asc)
-    val fRank = scored.withColumn("rn", row_number().over(wF)).persist()
+    // persist the TOP-K rows, not the full ranked grid (round 14, guide
+    // §2.3/§5): with `rn <= k` sitting DIRECTLY on the window, Spark's
+    // rank-limit pushdown (WindowGroupLimit) keeps ≤ k rows per test_id
+    // per map partition BEFORE the exchange — the old `fRank` persisted
+    // the whole candidate grid with ranks, which both blocked that
+    // pushdown (full-grid shuffle + sort) and pinned a |grid|-row cache
+    // next to the grid itself; both consumers (f_avg, the rn=1 winner)
+    // only ever read rn ≤ k.
+    val topF = scored.withColumn("rn", row_number().over(wF))
+      .filter(col("rn") <= k).persist()
     try {
-      def sideAvg(ranked: DataFrame, keyCol: String, avgCol: String): DataFrame =
-        ranked.filter(col("rn") <= k)
+      def sideAvg(topRanked: DataFrame, keyCol: String, avgCol: String): DataFrame =
+        topRanked
           .groupBy(col(keyCol))
           .agg(sort_array(collect_list(struct(col("rn"), col("sim")))).as("arr"))
           .select(col(keyCol),
             (expr("aggregate(arr, 0.0D, (a, x) -> a + x.sim)") / size(col("arr")))
               .as(avgCol))
-      val fAvg = sideAvg(fRank, "test_id", "f_avg")
-      val bAvg = sideAvg(scored.withColumn("rn", row_number().over(wB)), "train_id", "b_avg")
+      val fAvg = sideAvg(topF, "test_id", "f_avg")
+      val bAvg = sideAvg(scored.withColumn("rn", row_number().over(wB))
+        .filter(col("rn") <= k), "train_id", "b_avg")
       // unhinted (round 11): fAvg is |test|-sized (caller contract, not a
       // static bound) and bAvg is one row per TRAIN vector in the
       // candidate frame — train-corpus-sized on the exact path even when
@@ -548,7 +559,7 @@ private[ops] trait VectorMarginMining { self: VectorCore with VectorTraining =>
       // rounds — the gate now walks the pre-checkpoint plan, so
       // re-introducing a hint here fails the sf0.01 gate, not just review
       graft.plans.PlanGuard.guardedCheckpoint("margin_result",
-        fRank.filter(col("rn") === 1)
+        topF.filter(col("rn") === 1)
           .join(fAvg, Seq("test_id"))
           .join(bAvg, Seq("train_id"))
           .select(col("test_id"), col("train_id"),
@@ -556,7 +567,7 @@ private[ops] trait VectorMarginMining { self: VectorCore with VectorTraining =>
               .cast("long").as("margin_ppm"))
           .filter(col("margin_ppm") >= marginPpmThreshold))
     } finally {
-      fRank.unpersist()
+      topF.unpersist()
       scored.unpersist()
       ()
     }

@@ -766,22 +766,22 @@ private[ops] trait VectorCore {
     // localCheckpoint per round: round i references round i−1 TWICE
     // (expansion join + union), so the untruncated logical plan is 2^r
     // scans re-running every earlier round — the t42/t43 lineage lesson.
-    // LAZY since round 13: the checkpoint RDDs are persist-backed, so the
-    // final consumer's single job materializes the whole chain — each
-    // round's blocks are stored at first compute and every later
-    // reference reads them (block-store getOrElseUpdate), which keeps the
-    // no-recompute property of the eager form while collapsing the
-    // 1 + rounds checkpoint jobs into the consumer's one.
-    var state = graft.plans.PlanGuard.guardedCheckpointLazy("beam_seed",
+    // LAZY chain since round 13 (blocks persist-backed, stored at first
+    // compute, later references read them); round 14 adds the chain's
+    // eager final barrier, whose one job materializes the walk and
+    // releases every superseded round's blocks (verdict #2/#6) — the
+    // walk leaves only the final state's |Q|·beam-bounded blocks behind.
+    val chain = new graft.plans.PlanGuard.CheckpointChain()
+    var state = chain.step("beam_seed",
       scoreAndPrune(queries.select(col("query_id")).crossJoin(entries)))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val expanded = state.select(col("query_id"), col("node").as("src_id"))
         .join(graph, Seq("src_id"))
         .select(col("query_id"), col("neighbor_id").as("node"))
         .unionByName(state.select(col("query_id"), col("node")))
         .distinct()
-      state = graft.plans.PlanGuard.guardedCheckpointLazy("beam_round",
-        scoreAndPrune(expanded))
+      state = if (r == rounds) chain.last("beam_round", scoreAndPrune(expanded))
+        else chain.step("beam_round", scoreAndPrune(expanded))
     }
     val wf = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("sim").desc, col("node").asc)
@@ -854,20 +854,21 @@ private[ops] trait VectorCore {
     }
     val entries = unit.filter(col("vec_id").isin(entryIds: _*))
       .select(col("vec_id").as("node"))
-    // LAZY checkpoints (round 13): same chain-collapse rationale as
-    // [[beamSearchOver]] — the hits consumer's single job materializes
-    // every round's persist-backed blocks in order.
-    var state = graft.plans.PlanGuard.guardedCheckpointLazy("beam_sweep_seed",
+    // LAZY checkpoint chain (rounds 13/14): same rationale as
+    // [[beamSearchOver]] — lazy rounds, one eager final barrier that
+    // materializes the walk and releases every superseded round's blocks.
+    val chain = new graft.plans.PlanGuard.CheckpointChain()
+    var state = chain.step("beam_sweep_seed",
       prune(widths.crossJoin(queries.select(col("query_id"))).crossJoin(entries)))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val expanded = state
         .select(col("beam"), col("query_id"), col("node").as("src_id"))
         .join(graph, Seq("src_id"))
         .select(col("beam"), col("query_id"), col("neighbor_id").as("node"))
         .unionByName(state.select(col("beam"), col("query_id"), col("node")))
         .distinct()
-      state = graft.plans.PlanGuard.guardedCheckpointLazy("beam_sweep_round",
-        prune(expanded))
+      state = if (r == rounds) chain.last("beam_sweep_round", prune(expanded))
+        else chain.step("beam_sweep_round", prune(expanded))
     }
     val wf = org.apache.spark.sql.expressions.Window
       .partitionBy(col("beam"), col("query_id"))

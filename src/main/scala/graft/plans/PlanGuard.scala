@@ -141,16 +141,76 @@ object PlanGuard {
     * optimization): same guard walk over the same pre-checkpoint plan,
     * but the checkpoint RDD is computed by the CALLER'S next action
     * instead of an extra eager job — one job per loop round instead of
-    * two. Only sound at sites where an action over the full frame follows
-    * IMMEDIATELY (a checksum/collect/next-round eager checkpoint): a lazy
-    * checkpoint that is never fully materialized before being referenced
-    * several times recomputes its lineage per reference — the exact
-    * recompute blowup the eager form exists to prevent. Every call site
-    * states its materializing action.
+    * two. Sound at exactly TWO site shapes (round-14 ADVICE: name both —
+    * the loops below use (b), not (a)):
+    *   (a) an action over the full frame follows IMMEDIATELY (a
+    *       checksum/collect/next-round eager checkpoint), or
+    *   (b) a fully-lazy round chain whose SINGLE consumer job
+    *       materializes the persist-backed blocks in round order — each
+    *       round's blocks are stored at first compute, so the 2-3
+    *       references per round read stored blocks (block-store
+    *       getOrElseUpdate), never the lineage.
+    * A lazy checkpoint matching NEITHER shape — referenced by several
+    * separate jobs before any materializes it — recomputes its lineage
+    * per reference: the exact blowup the eager form exists to prevent.
+    * Every call site states which shape it is.
     */
   def guardedCheckpointLazy(name: String, df: DataFrame): DataFrame = {
     assertNoCorpusProducts(name, df)
     df.localCheckpoint(false)
+  }
+
+  /** Round ledger for the fixed-round lazy-checkpoint loops (round-14
+    * verdict #2/#6): lazy checkpoints collapse the per-round jobs, but
+    * they also mean no round's blocks can be RELEASED inside the loop —
+    * unpersisting a local checkpoint invalidates it, and a lazy round is
+    * only safe to drop once a LATER materialization has truncated every
+    * lineage that could re-read it. Without release, every superseded
+    * round's corpus-scale blocks squat in the block manager until GC +
+    * ContextCleaner notice (the round-13 verdict's `Block rdd_* already
+    * exists` accumulation; at 100 TB they evict working storage).
+    *
+    * `step` checkpoints a round lazily and remembers it; every
+    * `barrierEvery`-th step — and always at [[last]] — the round is
+    * checkpointed EAGERLY instead: the barrier's one job materializes the
+    * whole pending chain in round order, after which every remembered
+    * predecessor is superseded (its lineage truncated away) and its
+    * blocks are released. This simultaneously caps
+    *   - block residency: ≤ `barrierEvery` rounds' blocks live at once,
+    *     and after [[last]] only the RETURNED frame's blocks remain;
+    *   - recompute exposure on executor loss (round-13 verdict #3): a
+    *     lost block forces recompute through at most `barrierEvery`
+    *     rounds, not the whole loop (the eager form bounded this to one
+    *     round at one job PER round; the barrier pays one job per K).
+    * Default K=5: the fleet's seed+4-round chains pay exactly ONE eager
+    * barrier (the final, releasing one) and kCore's seed+8 chain gets a
+    * single mid-loop barrier.
+    */
+  final class CheckpointChain(barrierEvery: Int = 5) {
+    private val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    private var sinceBarrier = 0
+    def step(name: String, df: DataFrame): DataFrame = {
+      sinceBarrier += 1
+      if (sinceBarrier >= barrierEvery) barrier(name, df)
+      else {
+        val out = guardedCheckpointLazy(name, df)
+        pending += out
+        out
+      }
+    }
+    /** The loop's FINAL round: eager barrier, so every earlier round's
+      * blocks are released and the caller's consumer reads only the
+      * returned frame's stored blocks.
+      */
+    def last(name: String, df: DataFrame): DataFrame = barrier(name, df)
+    private def barrier(name: String, df: DataFrame): DataFrame = {
+      val out = guardedCheckpoint(name, df) // eager: materializes the chain
+      pending.foreach(org.apache.spark.sql.graft.CheckpointRelease.release)
+      pending.clear()
+      pending += out // superseded once the NEXT barrier materializes
+      sinceBarrier = 0
+      out
+    }
   }
 
   /** `.guardedCheckpoint("site")` as chainable syntax for

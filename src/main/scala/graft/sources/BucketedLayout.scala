@@ -60,26 +60,46 @@ object BucketedLayout {
     */
   def buildIfAbsent(spark: SparkSession, table: String)(build: => Unit): DataFrame = {
     if (!spark.catalog.tableExists(table)) {
-      // URI.getPath is null for a relative/scheme-less warehouse dir — fall
-      // back to the raw conf string in that case
-      val whConf = spark.conf.get("spark.sql.warehouse.dir")
-      val wh = Option(java.net.URI.create(whConf).getPath).getOrElse(whConf)
-      val loc = java.nio.file.Paths.get(wh, table.toLowerCase)
-      if (java.nio.file.Files.exists(loc, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-        // Files.walk does not follow symlinks unless FOLLOW_LINKS is passed,
-        // and deleteIfExists removes a link itself, never its target — the
-        // sweep stays inside `loc`. The stream is closed (round-5 ADVICE:
-        // an unclosed walk leaks a file handle per rebuild).
-        val walk = java.nio.file.Files.walk(loc)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        } finally walk.close()
-      }
+      sweepLocation(spark, table)
       build
       spark.sqlContext.clearCache() // drop the build chain's intermediates
     }
     spark.table(table)
+  }
+
+  /** Clear a table's (possibly orphaned) managed warehouse location: the
+    * warehouse dir outlives the per-JVM in-memory catalog, so a table
+    * written by a previous process — or a staging table a crashed swap
+    * left behind — is files with no catalog entry, and saveAsTable would
+    * fail with LOCATION_ALREADY_EXISTS.
+    */
+  private def sweepLocation(spark: SparkSession, table: String): Unit = {
+    // URI.getPath is null for a relative/scheme-less warehouse dir — fall
+    // back to the raw conf string in that case
+    val whConf = spark.conf.get("spark.sql.warehouse.dir")
+    val wh = Option(java.net.URI.create(whConf).getPath).getOrElse(whConf)
+    val loc = java.nio.file.Paths.get(wh, table.toLowerCase)
+    if (java.nio.file.Files.exists(loc, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      // Files.walk does not follow symlinks unless FOLLOW_LINKS is passed,
+      // and deleteIfExists removes a link itself, never its target — the
+      // sweep stays inside `loc`. The stream is closed (round-5 ADVICE:
+      // an unclosed walk leaks a file handle per rebuild).
+      val walk = java.nio.file.Files.walk(loc)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally walk.close()
+    }
+  }
+
+  /** Drop `table` from the catalog AND sweep its managed location — the
+    * staging-table cleanup ([[graft.ops.TextOps.compactPostings]]'s
+    * `_staged` twins): a crash between a staged write and the swap leaves
+    * catalog-less files that must not block the next staging write.
+    */
+  def dropWithLocation(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    sweepLocation(spark, table)
   }
 }

