@@ -31,6 +31,19 @@ object Graph {
     *
     * r_{i+1}(v) = (1-d)/N + d · Σ_{u ∈ Γ(v)} r_i(u) / deg(u)
     */
+  /* Shape decision (round-14 verdict #8, measured at ×8 via ScaleBench):
+   * the co-partitioned alternative (adjacency `repartition(src).persist()`
+   * so each round's join is exchange-free on the edge side) ties the
+   * shipped broadcast-per-round shape within noise at BOTH probed scales —
+   * ×1: 1.21 vs 1.29 s, ×8: 4.90 vs 5.27 s, time-ratio 4.04 vs 4.10
+   * (BENCH_scale.json `graph_*.t32_pagerank{,_copart}`; the round-13
+   * fixture probe read the opposite, 11.6 vs 7.3 s warm — the spread IS
+   * the noise). Kept as-is: AQE broadcasts the node-sized rank frame from
+   * its true runtime size here and re-plans a shuffle at a scale where it
+   * no longer fits — at which point the planner's shuffled join against
+   * the persisted adjacency is exactly the co-partitioned shape, with no
+   * hand-pinned partition count to mis-size.
+   */
   def pageRank(edges: DataFrame, iterations: Int = 5,
       damping: Double = 0.85): DataFrame = {
     val raw = edges

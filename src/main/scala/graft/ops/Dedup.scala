@@ -993,11 +993,12 @@ object Dedup {
     // (xxhash64(block), block) is the identical winner the previous
     // row_number-over-window picked (struct min is lexicographic on
     // (doc_id, idx), the window's exact orderBy; ties impossible —
-    // (doc_id, idx) is unique), but a hash aggregate PARTIALLY AGGREGATES
-    // MAP-SIDE: duplicate blocks collapse before the exchange, so the
-    // shuffle carries ~|distinct blocks| rows instead of every occurrence
-    // (boilerplate-heavy corpora are exactly the many-occurrence case),
-    // and no per-bucket sort runs at all.
+    // (doc_id, idx) is unique), but the aggregate PARTIALLY AGGREGATES
+    // MAP-SIDE (struct min plans as a partial+final SortAggregate pair):
+    // duplicate blocks collapse BEFORE the exchange, so the shuffle
+    // carries ~|distinct blocks| rows instead of every occurrence —
+    // boilerplate-heavy corpora are exactly the many-occurrence case the
+    // old window shuffled in full.
     val kept = blocks
       .groupBy(xxhash64(col("block")).as("h"), col("block"))
       .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
